@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  *   - [[bruteForceTopK]] — exact cosine top-k: one narrow map + a
+  *     TakeOrderedAndProject. The correctness baseline; also the right
+  *     answer whenever k·partitions ≪ n (Spark's top-k never sorts
+  *     globally — each partition keeps k, the driver merges).
+  *   - [[lshTopK]] — random-hyperplane LSH: buckets shrink the scan by
+  *     2^planes with multi-probe (Hamming-1 neighbors) recall recovery.
+  *     The scale path: the probe becomes a semi-join on bucket keys.
+  *   - [[ivfTopK]] — IVF: coarse k-means-style centroids (here: per-label
+  *     means, i.e. one Lloyd step from labeled data), probe the nProbe
+  *     nearest inverted lists only.
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random unit-free hyperplanes (fixed seed). */
+  def hyperplanes(dim: Int, nPlanes: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** LSH bucket id: sign bit per hyperplane, packed into a long. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, vecLit(p)) >= 0.0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** All Hamming-1 neighbors of a bucket id (multi-probe). */
+  def probeBuckets(bucket: Column, nPlanes: Int): Column =
+    array((bucket +: (0 until nPlanes).map(i => bucket.bitwiseXOR(shiftleft(lit(1L), i)))): _*)
+
+  /** Driver-side probe set up to a Hamming radius (recall/scan-cost knob:
+    * radius r scans C(nPlanes, ≤r)/2^nPlanes of the space).
+    */
+  def probeSet(qb: Long, nPlanes: Int, radius: Int): Seq[Long] = {
+    def flips(bits: Seq[Int]): Long = bits.foldLeft(qb)((b, i) => b ^ (1L << i))
+    (0 to radius).flatMap(r =>
+      (0 until nPlanes).combinations(r).map(c => flips(c))).distinct
+  }
+
+  /** Exact cosine top-k against a query vector. */
+  def bruteForceTopK(
+      emb: DataFrame, queryVec: Seq[Double], k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    emb.select(
+        col(idCol),
+        round(cosine(col(vecCol), vecLit(queryVec)), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+
+  /** ANN top-k: restrict the scan to the query's LSH bucket and its
+    * Hamming-1 probes, then exact-rank inside the candidate set.
+    */
+  def lshTopK(
+      emb: DataFrame, queryVec: Seq[Double], k: Int,
+      dim: Int = 64, nPlanes: Int = 8, seed: Long = 42L,
+      probeRadius: Int = 1,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val planes = hyperplanes(dim, nPlanes, seed)
+    // query bucket computed driver-side (same formula, plain Scala)
+    val qb = planes.zipWithIndex.map { case (p, i) =>
+      val d = p.zip(queryVec).map { case (a, b) => a * b }.sum
+      if (d >= 0.0) 1L << i else 0L
+    }.reduce(_ | _)
+    val probes = probeSet(qb, nPlanes, probeRadius)
+    emb
+      .withColumn("_bucket", lshBucket(col(vecCol), planes))
+      .filter(col("_bucket").isin(probes: _*))
+      .select(col(idCol), round(cosine(col(vecCol), vecLit(queryVec)), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Per-dimension mean vectors by a coarse-partition column (inverted-file
+    * centroids). posexplode → groupBy(cluster, dim) → avg → re-assemble.
+    * One shuffle keyed by (cluster, dim) — fully parallel at any scale.
+    */
+  def centroids(
+      emb: DataFrame, clusterCol: String = "label",
+      vecCol: String = "embedding"): DataFrame =
+    emb.select(col(clusterCol).as("cluster"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(avg(col("x")).as("mean"))
+      .groupBy(col("cluster"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mean")))).as("pairs"))
+      .select(col("cluster"), transform(col("pairs"), p => p.getField("mean")).as("centroid"))
+
+  /** IVF ANN top-k: rank centroids against the query driver-side is not
+    * needed — do it in-plan: pick the nProbe nearest inverted lists, then
+    * exact-rank only rows in those lists. Two narrow joins, one broadcast.
+    */
+  def ivfTopK(
+      emb: DataFrame, queryVec: Seq[Double], k: Int, nProbe: Int = 2,
+      clusterCol: String = "label", vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val cents = centroids(emb, clusterCol, vecCol)
+    val near = cents
+      .select(col("cluster"), cosine(col("centroid"), vecLit(queryVec)).as("ccos"))
+      .orderBy(col("ccos").desc, col("cluster"))
+      .limit(nProbe)
+    emb.join(broadcast(near), emb(clusterCol) === near("cluster"), "left_semi")
+      .select(col(idCol), round(cosine(col(vecCol), vecLit(queryVec)), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Batch k-NN join: for every row of `queries`, its top-k neighbors in
+    * `emb` by cosine, LSH-blocked. The all-pairs version of [[lshTopK]] —
+    * one bucket-key shuffle instead of a cross join.
+    */
+  def knnJoin(
+      emb: DataFrame, queries: DataFrame, k: Int,
+      dim: Int = 64, nPlanes: Int = 8, seed: Long = 42L,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val planes = hyperplanes(dim, nPlanes, seed)
+    val base = emb.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      explode(probeBuckets(lshBucket(col(vecCol), planes), nPlanes)).as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("nn_id"))
+    q.join(base, Seq("bucket"))
+      .filter(col("q_id") =!= col("nn_id"))
+      .select(col("q_id"), col("nn_id"),
+        round(cosine(col("q_vec"), col("nn_vec")), 6).as("cos"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured-Streaming surface over the `events` table shape. The
+  * reference has no streaming (SURVEY.md §2.9); this is the scale-path
+  * extension: identical aggregations as the batch queries, expressed over
+  * `readStream` with watermarked event-time windows, plus a
+  * mapGroupsWithState sessionizer for custom state.
+  */
+object EventStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Raw-file schema: the fixture stores `ts` as parquet TIMESTAMP(NANOS),
+    * which Spark only reads as a long (see Tables.loadEvents) — streamed
+    * reads declare it LongType and convert to microsecond timestamps.
+    */
+  val rawEventSchema: StructType = StructType(
+    eventSchema.fields.map(f =>
+      if (f.name == "ts") StructField("ts", LongType) else f))
+
+  /** Tumbling 1-hour windowed counts/sums per event type with a 10-minute
+    * watermark — the streaming twin of the batch `events_hourly` query.
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+
+  /** File-source stream over the fixture directory (glob-filtered to the
+    * events file — FileStreamSource needs a directory basePath), memory
+    * sink for tests.
+    */
+  def startHourlyAgg(spark: SparkSession, sfDir: String, queryName: String): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream.schema(rawEventSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    hourlyAgg(stream)
+      .writeStream.outputMode("append").format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow()).start()
+  }
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+  final case class SessionState(start: Long, last: Long, n: Int, total: Double)
+  final case class Session(user_id: Long, start_ms: Long, end_ms: Long,
+      n_events: Int, total_value: Double)
+
+  /** Gap-based sessionization (30-min inactivity) with explicit state —
+    * the custom-state primitive a training-data pipeline uses for
+    * clickstream assembly. Works identically over readStream.
+    */
+  def sessionize(spark: SparkSession, events: DataFrame, gapMs: Long = 30 * 60 * 1000L) = {
+    import spark.implicits._
+    events.as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          // batch-mode friendly: sort within group, emit closed sessions
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          val out = scala.collection.mutable.ListBuffer.empty[Session]
+          var cur: Option[SessionState] = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.last <= gapMs =>
+                cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+              case Some(s) =>
+                out += Session(uid, s.start, s.last, s.n, s.total)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur match {
+            case Some(s) => out += Session(uid, s.start, s.last, s.n, s.total); state.remove()
+            case None =>
+          }
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Dedup-family properties (SURVEY.md §2.11): exact/normalized determinism,
+  * minhash recall vs exact Jaccard, simhash Hamming bound — the invariants
+  * the DuckDB oracle can't express (hash functions differ across engines).
+  */
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "a"),
+    (2L, "the quick brown fox jumps over the lazy dog", "a"),  // exact dup of 1
+    (3L, "the quick brown fox jumped over the lazy dog", "a"), // near dup of 1
+    (4L, "The Quick, Brown Fox jumps over the lazy dog!", "a"), // normalized dup of 1
+    (5L, "completely different content about spark engines", "b"),
+    (6L, "completely different content about spark engines", "b"), // exact dup of 5
+    (7L, "one two three four five six seven eight nine ten", "b")
+  ).toDF("doc_id", "text", "source")
+
+  test("exactDupGroups finds byte-identical groups with min id kept") {
+    val g = Dedup.exactDupGroups(docs).orderBy("keep_id")
+      .select("keep_id", "n_dups").as[(Long, Long)].collect()
+    assert(g.toSeq === Seq((1L, 2L), (5L, 2L)))
+  }
+
+  test("exactDedup keeps lowest id deterministically") {
+    val kept = Dedup.exactDedup(docs).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 3L, 4L, 5L, 7L))
+  }
+
+  test("normalizedDedup also collapses punctuation/case variants") {
+    val kept = Dedup.normalizedDedup(docs).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 3L, 5L, 7L))
+  }
+
+  test("shingles: distinct k-grams; short texts degrade to whole-text") {
+    val sh = docs.filter($"doc_id" === 1)
+      .select(Dedup.shingles($"text", 3).as("sh"))
+      .as[Seq[String]].head()
+    assert(sh.contains("the quick brown"))
+    assert(sh.size === 7) // 9 tokens → 7 trigrams, all distinct
+    val short = Seq((8L, "tiny text")).toDF("doc_id", "text")
+      .select(Dedup.shingles($"text", 3).as("sh")).as[Seq[String]].head()
+    assert(short === Seq("tiny text"))
+  }
+
+  test("jaccard: identical → 1, disjoint → 0") {
+    val row = docs.filter($"doc_id" === 1).select(
+      Dedup.jaccard(Dedup.shingles($"text"), Dedup.shingles($"text")).as("same"),
+      Dedup.jaccard(Dedup.shingles($"text"), Dedup.shingles(lit("x y z"))).as("diff"))
+      .as[(Double, Double)].head()
+    assert(row === ((1.0, 0.0)))
+  }
+
+  test("minhashNearDups surfaces exact and near dups above threshold") {
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // identical → jaccard 1, all bands agree
+    assert(pairs.contains((5L, 6L)))
+    assert(!pairs.exists(p => Set(p._1, p._2) == Set(1L, 7L))) // unrelated
+  }
+
+  test("minhash jaccard column equals exact jaccard for identical docs") {
+    val j = Dedup.minhashNearDups(docs, threshold = 0.4)
+      .filter($"id_a" === 1 && $"id_b" === 2)
+      .select("jaccard").as[Double].head()
+    assert(j === 1.0)
+  }
+
+  test("simhash: identical text → distance 0; near dup within 8 bits") {
+    val pairs = Dedup.simhashNearDups(docs, maxDist = 8)
+      .select($"id_a", $"id_b", $"dist").as[(Long, Long, Long)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((1L, 2L)) === 0L)
+    assert(m((5L, 6L)) === 0L)
+    assert(m.get((1L, 3L)).forall(_ <= 8L)) // single-token edit stays close
+  }
+
+  test("embeddingNearDups finds identical vectors (cos=1) and skips far ones") {
+    val emb = Seq(
+      (1L, Array.fill(8)(1.0f)),
+      (2L, Array.fill(8)(1.0f)),
+      (3L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(emb, dim = 8, nPlanes = 4, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+}

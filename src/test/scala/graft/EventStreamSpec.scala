@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.streaming.EventStream
+
+/** Streaming surface (SURVEY.md §2.9 extension): watermarked windowed aggs
+  * over readStream must agree with the batch twin; sessionization must obey
+  * the gap invariant.
+  */
+class EventStreamSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("streaming hourly agg equals the batch twin for watermark-closed windows") {
+    val q = EventStream.startHourlyAgg(spark, sfDir, "hourly_test")
+    q.awaitTermination(120000)
+    val streamed = spark.sql(
+      "SELECT window.start AS h, event_type, n FROM hourly_test")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val events = Tables.load(spark, sfDir, "events")
+    val maxTs = events.agg(max($"ts")).as[java.sql.Timestamp].head()
+    val batch = events
+      .groupBy(window($"ts", "1 hour").getField("start").as("h"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    // append mode only emits windows the 10-min watermark has closed: the
+    // final hour (window end > maxTs − 10 min) legitimately never fires
+    val closed = batch.filter { case (h, _, _) =>
+      h.getTime + 3600 * 1000 <= maxTs.getTime - 10 * 60 * 1000 }
+    assert(streamed.subsetOf(batch), "streamed rows must all match batch")
+    assert(closed.subsetOf(streamed), "every closed window must be emitted")
+    assert(streamed.nonEmpty)
+  }
+
+  test("sessionize: gap > 30 min splits, <= 30 min merges") {
+    val base = 1700000000000L
+    val events = Seq(
+      // user 1: two events 10 min apart (one session), then 40-min gap (new session)
+      (1L, new java.sql.Timestamp(base), 1L, "click", 1.0, "{}"),
+      (2L, new java.sql.Timestamp(base + 10 * 60 * 1000), 1L, "view", 2.0, "{}"),
+      (3L, new java.sql.Timestamp(base + 50 * 60 * 1000), 1L, "click", 4.0, "{}"),
+      // user 2: single event
+      (4L, new java.sql.Timestamp(base), 2L, "view", 8.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val sessions = EventStream.sessionize(spark, events).collect()
+      .sortBy(s => (s.user_id, s.start_ms))
+    assert(sessions.length === 3)
+    val u1 = sessions.filter(_.user_id == 1L)
+    assert(u1(0).n_events === 2 && u1(0).total_value === 3.0)
+    assert(u1(0).end_ms === base + 10 * 60 * 1000)
+    assert(u1(1).n_events === 1 && u1(1).total_value === 4.0)
+    assert(sessions.filter(_.user_id == 2L).head.n_events === 1)
+  }
+
+  test("sessionize on the fixture covers every event exactly once") {
+    val events = Tables.load(spark, sfDir, "events")
+    val sessions = EventStream.sessionize(spark, events).toDF()
+    val total = sessions.agg(sum("n_events")).as[Long].head()
+    assert(total === events.count())
+  }
+}

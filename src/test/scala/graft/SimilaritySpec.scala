@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.operators.Similarity
+import graft.functions.VectorFunctions
+
+/** ANN invariants on the real `embeddings` fixture (SURVEY.md §2.11):
+  * brute force is the ground truth; LSH and IVF are graded by recall@k
+  * against it — the property the DuckDB oracle can't see (seeded
+  * hyperplanes are engine-private).
+  */
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val emb = Tables.load(spark, sfDir, "embeddings").cache()
+  private lazy val queryVec: Seq[Double] =
+    emb.filter($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+  private lazy val base = emb.filter($"vec_id" =!= 0)
+
+  private def topIds(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("vec_id").as[Long].collect().toSeq
+
+  test("bruteForceTopK returns k rows, cosine in [-1,1], sorted desc") {
+    val rows = Similarity.bruteForceTopK(base, queryVec, 10)
+      .select($"vec_id", $"cos").as[(Long, Double)].collect()
+    assert(rows.length === 10)
+    assert(rows.forall { case (_, c) => c >= -1.0001 && c <= 1.0001 })
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sortBy(-_).toSeq)
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val c = emb.limit(5)
+      .select(round(VectorFunctions.cosine($"embedding", $"embedding"), 6).as("c"))
+      .as[Double].collect()
+    assert(c.forall(_ === 1.0))
+  }
+
+  // Recall bounds are honest for THIS fixture: the embeddings are near-
+  // uniform (max pairwise cos ≈ 0.5, labels uncorrelated with geometry), the
+  // hardest regime for ANN. Deterministic (seeded planes), so stable.
+  test("lshTopK(4 planes, radius 1) recall@10 >= 0.3 vs brute force") {
+    val exact = topIds(Similarity.bruteForceTopK(base, queryVec, 10)).toSet
+    val approx = topIds(Similarity.lshTopK(base, queryVec, 10, nPlanes = 4)).toSet
+    val recall = (exact & approx).size / 10.0
+    assert(recall >= 0.3, s"lsh recall $recall")
+  }
+
+  test("lshTopK recall grows with probe radius (multi-probe knob)") {
+    val exact = topIds(Similarity.bruteForceTopK(base, queryVec, 10)).toSet
+    def recallAt(r: Int) =
+      (topIds(Similarity.lshTopK(base, queryVec, 10, nPlanes = 8, probeRadius = r)).toSet & exact).size
+    val r1 = recallAt(1); val r3 = recallAt(3)
+    assert(r3 >= r1, s"radius-3 recall $r3 < radius-1 recall $r1")
+    assert(recallAt(8) === 10, "full-radius probe must equal brute force")
+  }
+
+  test("ivfTopK(nProbe=5) recall@10 >= 0.5 vs brute force") {
+    val exact = topIds(Similarity.bruteForceTopK(base, queryVec, 10)).toSet
+    val approx = topIds(Similarity.ivfTopK(base, queryVec, 10, nProbe = 5)).toSet
+    val recall = (exact & approx).size / 10.0
+    assert(recall >= 0.5, s"ivf recall $recall")
+  }
+
+  test("ivfTopK with all lists probed equals brute force exactly") {
+    val exact = topIds(Similarity.bruteForceTopK(base, queryVec, 10))
+    val all = topIds(Similarity.ivfTopK(base, queryVec, 10, nProbe = 10))
+    assert(all === exact)
+  }
+
+  test("centroids: one row per label, 64-dim, matches manual mean on one dim") {
+    val c = Similarity.centroids(emb).collect()
+    assert(c.length === emb.select("label").distinct().count().toInt)
+    assert(c.forall(_.getSeq[Double](1).length === 64))
+    val label0dim0 = Similarity.centroids(emb)
+      .filter($"cluster" === 0)
+      .select(element_at($"centroid", 1)).as[Double].head()
+    val manual = emb.filter($"label" === 0)
+      .select(avg(element_at($"embedding", 1).cast("double"))).as[Double].head()
+    assert(math.abs(label0dim0 - manual) < 1e-9)
+  }
+
+  test("knnJoin returns at most k neighbors per query, no self matches") {
+    val q = emb.filter($"vec_id" < 5)
+    val r = Similarity.knnJoin(emb, q, k = 3)
+    val perQuery = r.groupBy("q_id").agg(count(lit(1)).as("n"))
+      .select("n").as[Long].collect()
+    assert(perQuery.forall(_ <= 3))
+    assert(r.filter($"q_id" === $"nn_id").count() === 0)
+  }
+
+  test("probeBuckets yields nPlanes+1 distinct buckets") {
+    val buckets = spark.range(1)
+      .select(Similarity.probeBuckets(lit(5L), 8).as("b"))
+      .as[Seq[Long]].head()
+    assert(buckets.length === 9)
+    assert(buckets.distinct.length === 9)
+    assert(buckets.head === 5L)
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Text-analysis operator invariants (SURVEY.md §2.11). */
+class TextAnalysisSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column)(implicit e: org.apache.spark.sql.Encoder[T]): T =
+    spark.range(1).select(c.as("v")).as[T].head()
+
+  test("tokenCount counts whitespace tokens") {
+    assert(one[Int](TextAnalysis.tokenCount(lit("a  b\tc  d"))) === 4)
+  }
+
+  test("bpeTokenCount splits letter runs, digit runs, punctuation") {
+    // "ab12,cd" → [ab][12][,][cd]
+    assert(one[Int](TextAnalysis.bpeTokenCount(lit("ab12,cd"))) === 4)
+  }
+
+  test("langId: english, french, spanish, german by stopwords; cjk wins; und fallback") {
+    assert(one[String](TextAnalysis.langId(lit("the cat is in the house and it is warm"))) === "en")
+    assert(one[String](TextAnalysis.langId(lit("le chat est dans la maison et il est pour"))) === "fr")
+    assert(one[String](TextAnalysis.langId(lit("el gato es un animal y una mascota por"))) === "es")
+    assert(one[String](TextAnalysis.langId(lit("der hund ist ein tier und eine freude"))) === "de")
+    assert(one[String](TextAnalysis.langId(lit("数据处理 engine"))) === "zh")
+    assert(one[String](TextAnalysis.langId(lit("zzz qqq xxx"))) === "und")
+  }
+
+  test("punctRatio: zero on clean text, counts symbols, empty-safe") {
+    assert(one[Double](TextAnalysis.punctRatio(lit("abc 123"))) === 0.0)
+    assert(one[Double](TextAnalysis.punctRatio(lit("a!b!"))) === 0.5)
+    assert(one[Double](TextAnalysis.punctRatio(lit(""))) === 0.0)
+  }
+
+  test("stopwordRatio on a half-stopword sentence") {
+    assert(one[Double](TextAnalysis.stopwordRatio(lit("the dog and cat"))) === 0.5)
+  }
+
+  test("meanTokenLen") {
+    assert(one[Double](TextAnalysis.meanTokenLen(lit("ab cdef"))) === 3.0)
+  }
+
+  test("qualityScore in [0,1]; high for fluent text, low for noise") {
+    val good = one[Double](TextAnalysis.qualityScore(
+      lit("the quick brown fox jumps over the lazy dog and runs away")))
+    val bad = one[Double](TextAnalysis.qualityScore(lit("!!! ### $$$ %%%")))
+    assert(good === 1.0)
+    assert(bad <= 0.5)
+  }
+
+  test("sortedTokenFingerprint is order-insensitive, case-insensitive") {
+    val df = Seq(("b a c", "A c b"), ("x y", "x z")).toDF("t1", "t2")
+    val r = df.select(
+      (TextAnalysis.sortedTokenFingerprint($"t1") ===
+        TextAnalysis.sortedTokenFingerprint($"t2")).as("eq")).as[Boolean].collect()
+    assert(r.toSeq === Seq(true, false))
+  }
+
+  test("rollingHash is order-sensitive") {
+    val r = spark.range(1).select(
+      (TextAnalysis.rollingHash(lit("a b")) === TextAnalysis.rollingHash(lit("b a"))).as("eq"))
+      .as[Boolean].head()
+    assert(!r)
+  }
+
+  test("analyze annotates the documents fixture with all features, stays narrow") {
+    val docs = graft.engine.Tables.load(spark, sfDir, "documents")
+    val out = TextAnalysis.analyze(docs)
+    assert(out.columns.toSet.contains("quality"))
+    assert(out.count() === docs.count())
+    // narrow plan: no shuffle (Exchange) in the analyze stage
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "analyze must not shuffle")
+  }
+}
