@@ -55,7 +55,7 @@ object SparkEntry {
   // -- registry -------------------------------------------------------------
 
   private lazy val registry: Seq[Q] = empQueries ++ nlQueries ++ tpchQueries ++
-    eventQueries ++ docQueries ++ embQueries
+    eventQueries ++ docQueries ++ embQueries ++ mmQueries
 
   // §2.2/§2.4/§2.6/§2.8 — the reference's generated-SQL surface, over the
   // employees bridge view (FIXTURES.md §3).
@@ -379,6 +379,39 @@ object SparkEntry {
              |SELECT o_custkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'
              |ORDER BY key""".stripMargin)),
 
+    Q("set_except_keys", // §2.7 — EXCEPT (customers who never ordered urgent)
+      (s, d) => t(s, d, "customer").select(col("c_custkey").as("key"))
+        .except(t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("key")))
+        .orderBy("key"),
+      Some("""SELECT c_custkey AS key FROM customer
+             |EXCEPT
+             |SELECT o_custkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'
+             |ORDER BY key""".stripMargin)),
+
+    Q("agg_cube", // §2.4 grouping sets — full cube
+      (s, d) => t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+             |ROUND(SUM(o_totalprice), 2) AS total
+             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    Q("join_left_outer", // §2.3 — left outer with null-side aggregation
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total_spent"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+             |ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS total_spent
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
+
     Q("part_pruned_scan", // §2.1 — filter+projection pushdown to parquet
       (s, d) => t(s, d, "part")
         .filter(col("p_size") === 15 && col("p_type").like("%STANDARD%"))
@@ -463,7 +496,23 @@ object SparkEntry {
              |SELECT user_id, epoch_ms(MIN(ts)) AS start_ms, epoch_ms(MAX(ts)) AS end_ms,
              |  COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
              |FROM sess GROUP BY user_id, sid
-             |ORDER BY user_id, start_ms""".stripMargin)))
+             |ORDER BY user_id, start_ms""".stripMargin)),
+
+    Q("events_stream_hourly", // §2.9: REAL readStream (AvailableNow) with a
+      // 10-min watermark; append mode emits exactly the watermark-closed
+      // windows, which the oracle reproduces with the same cutoff
+      (s, d) => {
+        val q = graft.streaming.EventStream.startHourlyAgg(s, d, "stream_hourly_verify")
+        q.awaitTermination(180000)
+        s.sql("""SELECT CAST(window.start AS STRING) AS hour, event_type, n, total_value
+                |FROM stream_hourly_verify ORDER BY hour, event_type""".stripMargin)
+      },
+      Some("""WITH m AS (SELECT max(ts) AS mx FROM events)
+             |SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+             |COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+             |FROM events, m
+             |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 10 MINUTE
+             |GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin)))
 
   // §2.11 — documents: text analysis + dedup family.
   private def docQueries: Seq[Q] = Seq(
@@ -570,7 +619,45 @@ object SparkEntry {
     Q("doc_simhash_neardups",
       (s, d) => Dedup.simhashNearDups(t(s, d, "documents"), maxDist = 8)
         .orderBy("id_a", "id_b"),
-      None))
+      None),
+
+    Q("doc_dedup_normalized", // §2.11 dedup: canonicalized-form cardinality
+      (s, d) => t(s, d, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(Dedup.normalized(col("text"))).as("n_unique_norm")),
+      Some("""SELECT COUNT(*) AS n_docs,
+             |COUNT(DISTINCT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS n_unique_norm
+             |FROM documents""".stripMargin)),
+
+    Q("doc_lang_pred", // language-ID heuristic graded against the fixture label
+      (s, d) => t(s, d, "documents")
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred"),
+      Some("""WITH f AS (
+             |  SELECT lang, text,
+             |    string_split_regex(lower(trim(text)), '\s+') AS toks
+             |  FROM documents
+             |), h AS (
+             |  SELECT lang,
+             |    regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS cjk,
+             |    len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS en,
+             |    len(list_filter(toks, t -> list_contains(['le','la','les','de','et','un','une','est','que','pour'], t))) AS fr,
+             |    len(list_filter(toks, t -> list_contains(['el','la','los','de','y','un','una','es','que','por'], t))) AS es,
+             |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ein','eine','ist','zu','den','für'], t))) AS de
+             |  FROM f
+             |)
+             |SELECT lang, pred, COUNT(*) AS n FROM (
+             |  SELECT lang,
+             |    CASE WHEN cjk THEN 'zh'
+             |         WHEN greatest(en, fr, es, de) >= 1 THEN
+             |           CASE WHEN en >= fr AND en >= es AND en >= de THEN 'en'
+             |                WHEN fr >= es AND fr >= de THEN 'fr'
+             |                WHEN es >= de THEN 'es'
+             |                ELSE 'de' END
+             |         ELSE 'und' END AS pred
+             |  FROM h
+             |) GROUP BY lang, pred ORDER BY lang, pred""".stripMargin)))
 
   // §2.11 — embeddings: similarity search (brute-force baseline + ANN paths).
   private def embQueries: Seq[Q] = Seq(
@@ -637,7 +724,55 @@ object SparkEntry {
           nPlanes = 4, threshold = 0.3)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy("id_a", "id_b"),
+      None),
+
+    Q("emb_knn_join", // batch k-NN join, LSH-blocked (seeded → rows-only)
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.knnJoin(e, e.filter(col("vec_id") < 20), k = 5)
+          .orderBy("q_id", "rank")
+      },
       None))
+
+  // Multimodal plumbing (north-star): binary payload + typed metadata over
+  // a media table synthesized deterministically from `documents`, so the
+  // metadata math is DuckDB-expressible while the decode stub stays
+  // Spark-side (schema/partitioning/batch shape are the real contract).
+  private def mmQueries: Seq[Q] = Seq(
+    Q("mm_metadata_pruned", // metadata-only projection; binary col pruned
+      (s, d) => graft.operators.Multimodal.metadataOnly(
+          graft.operators.Multimodal.synthesizeFromDocuments(t(s, d, "documents")))
+        .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id,
+             |(['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
+             |length(text) * 10 AS duration_ms, 16000 AS sample_rate
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    Q("mm_frame_sample", // 1 fps frame timestamps from metadata only
+      (s, d) => graft.operators.Multimodal.frameSampleTimestamps(
+          graft.operators.Multimodal.synthesizeFromDocuments(t(s, d, "documents")))
+        .select(col("media_id"), col("duration_ms"),
+          size(col("frame_ts_ms")).as("n_frames"),
+          element_at(col("frame_ts_ms"), -1).as("last_ts"))
+        .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id, length(text) * 10 AS duration_ms,
+             |CAST(length(text) * 10 // 1000 + 1 AS INT) AS n_frames,
+             |(length(text) * 10 // 1000) * 1000 AS last_ts
+             |FROM documents WHERE CAST(doc_id % 3 AS INT) = 2
+             |ORDER BY media_id""".stripMargin)),
+
+    Q("mm_features", // mapPartitions batch decode; scalar outputs oracled,
+      // the stubbed feature vector itself is pinned in MultimodalSpec
+      (s, d) => graft.operators.Multimodal.extractFeatures(s,
+          graft.operators.Multimodal.synthesizeFromDocuments(t(s, d, "documents")))
+        .toDF().select("media_id", "modality", "n_bytes", "width", "height")
+        .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id,
+             |(['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
+             |CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+             |CAST(16 + octet_length(encode(text)) % 64 AS INT) AS width,
+             |CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INT) AS height
+             |FROM documents ORDER BY media_id""".stripMargin)))
 
   // -- driver contract ------------------------------------------------------
 
