@@ -20,9 +20,11 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark) // idempotent; native fns available everywhere tables are
     if (name == "events") loadEvents(spark, dir) else
       spark.read.parquet(path(dir, name))
+  }
 
   /** `events.ts` is parquet TIMESTAMP(NANOS) (TESTDATA.md), which Spark
     * refuses outright ([PARQUET_TYPE_ILLEGAL]). Read it as a long via the

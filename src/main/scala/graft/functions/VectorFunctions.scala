@@ -3,16 +3,24 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `array<float>` / `array<double>` embedding columns,
-  * built from codegen-friendly higher-order functions (`zip_with`,
-  * `aggregate`) — no UDFs, so whole plans stay inside Catalyst and scale
-  * linearly with partition count. All arithmetic is promoted to double so
-  * Spark and the DuckDB oracle agree on float32 inputs.
+/** Vector math over `array<float>` / `array<double>` embedding columns.
+  *
+  * The hot-loop primitives (`dot`, `l2Norm`, `cosine`) resolve to graft's
+  * native Catalyst expressions ([[DotProduct]], [[CosineSimilarity]]) —
+  * codegen'd tight loops, registered by [[graft.plans.GraftFunctions]].
+  * The remaining helpers use built-in higher-order functions. All
+  * arithmetic is promoted to double so Spark and the DuckDB oracle agree
+  * on float32 inputs.
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ */
-  def dot(a: Column, b: Column): Column =
+  /** Σ aᵢ·bᵢ — native codegen'd loop ([[DotProduct]]). */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Σ aᵢ·bᵢ via higher-order built-ins (no registration needed; the
+    * portable fallback and the differential-test partner of [[dot]]).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
@@ -21,10 +29,15 @@ object VectorFunctions {
   /** ‖a‖₂ */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** cos(a, b) = a·b / (‖a‖‖b‖); null-safe on zero vectors. */
-  def cosine(a: Column, b: Column): Column = {
-    val denom = l2Norm(a) * l2Norm(b)
-    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
+  /** cos(a, b) in one pass — native codegen'd loop ([[CosineSimilarity]]);
+    * zero-norm inputs yield 0.0.
+    */
+  def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+
+  /** cos(a, b) via higher-order built-ins (portable fallback). */
+  def cosineHof(a: Column, b: Column): Column = {
+    val denom = sqrt(dotHof(a, a)) * sqrt(dotHof(b, b))
+    when(denom === 0.0, lit(0.0)).otherwise(dotHof(a, b) / denom)
   }
 
   /** Squared Euclidean distance. */

@@ -247,6 +247,7 @@ object Dedup {
       nPlanes: Int = 8,
       threshold: Double = 0.95,
       seed: Long = 42L): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
     // norms are computed once per vector on the narrow side; each candidate
     // pair then costs a single dot product instead of a full cosine
     val bucketed = emb.select(

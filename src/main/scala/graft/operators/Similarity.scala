@@ -47,12 +47,14 @@ object Similarity {
   /** Exact cosine top-k against a query vector. */
   def bruteForceTopK(
       emb: DataFrame, queryVec: Seq[Double], k: Int,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
     emb.select(
         col(idCol),
         round(cosine(col(vecCol), vecLit(queryVec)), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
+  }
 
   /** ANN top-k: restrict the scan to the query's LSH bucket and its
     * Hamming-1 probes, then exact-rank inside the candidate set.
@@ -62,6 +64,7 @@ object Similarity {
       dim: Int = 64, nPlanes: Int = 8, seed: Long = 42L,
       probeRadius: Int = 1,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
     val planes = hyperplanes(dim, nPlanes, seed)
     // query bucket computed driver-side (same formula, plain Scala)
     val qb = planes.zipWithIndex.map { case (p, i) =>
@@ -99,6 +102,7 @@ object Similarity {
       emb: DataFrame, queryVec: Seq[Double], k: Int, nProbe: Int = 2,
       clusterCol: String = "label", vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
     val cents = centroids(emb, clusterCol, vecCol)
     val near = cents
       .select(col("cluster"), cosine(col("centroid"), vecLit(queryVec)).as("ccos"))
@@ -118,6 +122,7 @@ object Similarity {
       emb: DataFrame, queries: DataFrame, k: Int,
       dim: Int = 64, nPlanes: Int = 8, seed: Long = 42L,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
     val planes = hyperplanes(dim, nPlanes, seed)
     val base = emb.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"),
       lshBucket(col(vecCol), planes).as("bucket"))

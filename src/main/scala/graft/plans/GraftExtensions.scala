@@ -1,0 +1,42 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{CosineSimilarity, DotProduct}
+
+/** Registration of graft's native Catalyst expressions.
+  *
+  * Two paths to the same registry entries:
+  *   - programmatic: `GraftFunctions.register(spark)` (idempotent; called
+  *     by the mains, the test harness, and lazily by the operators)
+  *   - config-driven: `--conf spark.sql.extensions=graft.plans.GraftExtensions`
+  *     for clusters where the session is built by the platform.
+  */
+object GraftFunctions {
+
+  private def info(name: String, clazz: Class[_]): ExpressionInfo =
+    new ExpressionInfo(clazz.getName, name)
+
+  private[plans] val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", info("graft_dot", classOf[DotProduct]),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+    ("graft_cosine", info("graft_cosine", classOf[CosineSimilarity]),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    functions.foreach { case (name, inf, builder) =>
+      reg.registerFunction(FunctionIdentifier(name), inf, builder)
+    }
+  }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach { case (name, inf, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), inf, builder))
+    }
+}
