@@ -1,0 +1,256 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text-signature hot loops.
+  *
+  * The portable formulations ([[graft.operators.Dedup.simhashHof]],
+  * [[graft.operators.Dedup.minhashSignatureHof]],
+  * [[graft.operators.TextAnalysis.hitCountHof]]) fold with interpreted
+  * higher-order functions: simhash costs tokens×64 interpreted lambda
+  * evaluations plus a fresh 64-element counter array per token, minhash
+  * the same per shingle. These expressions run the identical math as one
+  * codegen'd primitive loop per row.
+  *
+  * Bit-compatibility: token/shingle hashing reuses Spark's own
+  * [[XXH64]] with the default seed 42 and the exact chaining the HOF
+  * forms produce through `xxhash64(...)`, so signatures — and therefore
+  * every downstream LSH bucket and candidate pair — are unchanged.
+  */
+object TextExpressions {
+  /** xxhash64 default seed (XxHash64 expression's). */
+  final val Seed = 42L
+
+  /** xxhash64(s): null element hashes to the bare seed, matching
+    * `transform(arr, s => xxhash64(s))` on a null entry.
+    */
+  @inline def hashElem(arr: ArrayData, i: Int): Long =
+    if (arr.isNullAt(i)) Seed else XXH64.hashUTF8String(arr.getUTF8String(i), Seed)
+}
+
+private[functions] trait StringArrayInput { self: Expression =>
+  protected def arrayChild: Expression
+  def checkStringArray(): TypeCheckResult = arrayChild.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> input, got ${other.sql}")
+  }
+}
+
+/** 64-bit SimHash of a token array in one pass. SQL name: `graft_simhash`.
+  *
+  * Per token t: h = xxhash64(t); lane j accumulates +1 when bit j of h is
+  * set, else −1; the signature sets bit j iff lane j's sum is positive.
+  * Empty input → 0L; null input → null.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression with StringArrayInput {
+  import TextExpressions._
+
+  override protected def arrayChild: Expression = child
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = checkStringArray()
+  override def prettyName: String = "graft_simhash"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val cnt = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = hashElem(arr, i)
+      var j = 0
+      while (j < 64) {
+        cnt(j) += (if (((h >> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (cnt(j) > 0) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val xxh = classOf[XXH64].getName
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val h = ctx.freshName("h")
+      val cnt = ctx.freshName("cnt"); val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $cnt = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $a.isNullAt($i) ? 42L
+         |    : $xxh.hashUTF8String($a.getUTF8String($i), 42L);
+         |  for (int $j = 0; $j < 64; $j++) {
+         |    $cnt[$j] += ((($h >> $j) & 1L) == 1L) ? 1 : -1;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $j = 0; $j < 64; $j++) {
+         |  if ($cnt[$j] > 0) $sig |= 1L << $j;
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+}
+
+/** MinHash signature of a shingle array in one pass. SQL name:
+  * `graft_minhash(shingles, numHashes)`.
+  *
+  * Per shingle s: h = xxhash64(s); lane j tracks min over s of
+  * xxhash64(h, j) — chained as hashInt(j, hashLong(h, seed)), exactly
+  * what the two-argument `xxhash64(h, j)` builtin computes on
+  * (long, int) inputs. Empty input → all-Long.MaxValue lanes; null
+  * input → null.
+  */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with StringArrayInput {
+  import TextExpressions._
+
+  override protected def arrayChild: Expression = child
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (numHashes <= 0) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires numHashes > 0, got $numHashes")
+    else checkStringArray()
+  override def prettyName: String = "graft_minhash"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val hl = XXH64.hashLong(hashElem(arr, i), Seed)
+      var j = 0
+      while (j < numHashes) {
+        val v = XXH64.hashInt(j, hl)
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val xxh = classOf[XXH64].getName
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val hl = ctx.freshName("hl")
+      val v = ctx.freshName("v"); val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $sig = new long[$numHashes];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $hl = $xxh.hashLong($a.isNullAt($i) ? 42L
+         |    : $xxh.hashUTF8String($a.getUTF8String($i), 42L), 42L);
+         |  for (int $j = 0; $j < $numHashes; $j++) {
+         |    long $v = $xxh.hashInt($j, $hl);
+         |    if ($v < $sig[$j]) $sig[$j] = $v;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($sig);
+       """.stripMargin
+    })
+}
+
+/** Count of array elements contained in a constant word set. SQL name:
+  * `graft_stopword_hits(tokens, words)`; `words` must be foldable.
+  *
+  * Matches `size(filter(tokens, t => array_contains(words, t)))`: null
+  * tokens don't count; null tokens array → null.
+  */
+case class StopwordHits(left: Expression, right: Expression)
+    extends BinaryExpression with StringArrayInput {
+
+  override protected def arrayChild: Expression = left
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_stopword_hits"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val leftOk = checkStringArray()
+    if (leftOk != TypeCheckResult.TypeCheckSuccess) leftOk
+    else if (!right.foldable) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a foldable word list")
+    else right.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<string> word list, got ${other.sql}")
+    }
+  }
+
+  /** The constant word set, materialized once per expression instance.
+    * UTF8String is Externalizable, so the set ships in closures intact.
+    */
+  @transient private lazy val wordSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    val arr = right.eval(null).asInstanceOf[ArrayData]
+    if (arr != null) {
+      var i = 0
+      while (i < arr.numElements()) {
+        if (!arr.isNullAt(i)) s.add(arr.getUTF8String(i))
+        i += 1
+      }
+    }
+    s
+  }
+
+  // right is foldable and pre-baked into wordSet; a null words list means
+  // an empty set (zero hits), mirroring array_contains(null, t) -> filter
+  // dropping every element
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val tokens = left.eval(input)
+    if (tokens == null) return null
+    val arr = tokens.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && wordSet.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val setRef = ctx.addReferenceObj("wordSet", wordSet, classOf[java.util.HashSet[_]].getName)
+    val leftGen = left.genCode(ctx)
+    val i = ctx.freshName("i"); val n = ctx.freshName("n")
+    val a = leftGen.value
+    ev.copy(code =
+      code"""
+         |${leftGen.code}
+         |boolean ${ev.isNull} = ${leftGen.isNull};
+         |int ${ev.value} = 0;
+         |if (!${ev.isNull}) {
+         |  int $n = $a.numElements();
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$a.isNullAt($i) && $setRef.contains($a.getUTF8String($i))) ${ev.value}++;
+         |  }
+         |}
+       """.stripMargin)
+  }
+}

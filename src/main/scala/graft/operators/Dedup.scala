@@ -83,20 +83,27 @@ object Dedup {
 
   // -- 4: MinHash + LSH ----------------------------------------------------
 
-  /** Minhash signature as one fold over the shingle array: hash each
-    * shingle string ONCE, then fold into a numHashes-lane min accumulator,
-    * deriving lane j's value by re-hashing the 8-byte shingle hash with the
-    * lane id (an independent family, ANSI-overflow-safe — no multiply).
+  /** Minhash signature: hash each shingle once, then a numHashes-lane min
+    * accumulator, deriving lane j's value by re-hashing the 8-byte shingle
+    * hash with the lane id (an independent family, ANSI-overflow-safe — no
+    * multiply). Native codegen'd loop ([[graft.functions.MinHashSig]]);
+    * bit-identical to [[minhashSignatureHof]].
+    */
+  def minhashSignature(shingleCol: Column, numHashes: Int = 64): Column =
+    call_function("graft_minhash", shingleCol, lit(numHashes))
+
+  /** [[minhashSignature]] via higher-order built-ins — the portable
+    * fallback and differential-test partner.
     *
-    * Shape matters: higher-order functions are interpreted, not codegen'd,
-    * and an expression referenced inside a lambda is RE-EVALUATED per outer
+    * Shape matters even here: higher-order functions are interpreted, and
+    * an expression referenced inside a lambda is RE-EVALUATED per outer
     * element (Catalyst inlines single-use aliases, so a helper column
     * doesn't protect you). The `aggregate` form evaluates its collection
     * argument — the string hashing — exactly once per row; a
     * transform-per-lane formulation re-hashed every shingle per lane and
     * measured 16× slower at sf0.1.
     */
-  def minhashSignature(shingleCol: Column, numHashes: Int = 64): Column = {
+  def minhashSignatureHof(shingleCol: Column, numHashes: Int = 64): Column = {
     val lanes = sequence(lit(0), lit(numHashes - 1)) // foldable → constant
     aggregate(
       transform(shingleCol, s => xxhash64(s)),
@@ -120,6 +127,7 @@ object Dedup {
       threshold: Double = 0.5,
       shingleK: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
     val rows = numHashes / bands
     val sigd = docs
       .select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
@@ -188,12 +196,18 @@ object Dedup {
 
   // -- 5: SimHash ----------------------------------------------------------
 
-  /** 64-bit SimHash of the token stream as one fold: hash each token ONCE
-    * (the aggregate's collection argument — evaluated a single time per
-    * row; see [[minhashSignature]] on why that shape matters), accumulate
-    * ±1 per bit lane with cheap long shifts, sign → bit. No shuffle.
+  /** 64-bit SimHash of the token stream: hash each token once, accumulate
+    * ±1 per bit lane, sign → bit. No shuffle. Native codegen'd loop
+    * ([[graft.functions.SimHash64]]); bit-identical to [[simhashHof]].
     */
-  def simhash(text: Column): Column = {
+  def simhash(text: Column): Column =
+    call_function("graft_simhash", TextAnalysis.tokens(lower(text)))
+
+  /** [[simhash]] as one interpreted higher-order fold — the portable
+    * fallback and differential-test partner (see [[minhashSignatureHof]]
+    * on why the single-fold shape matters even interpreted).
+    */
+  def simhashHof(text: Column): Column = {
     val lanes = sequence(lit(0), lit(63)) // foldable → constant
     val counters = aggregate(
       transform(TextAnalysis.tokens(lower(text)), t => xxhash64(t)),
@@ -218,6 +232,7 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       maxDist: Int = 3): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
     val sigd = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
     val chunked = sigd.select(
       col("id"), col("sig"),

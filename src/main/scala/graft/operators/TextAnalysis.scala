@@ -36,26 +36,37 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "de", "y", "un", "una", "es", "que", "por"),
     "de" -> Seq("der", "die", "das", "und", "ein", "eine", "ist", "zu", "den", "für"))
 
-  /** Count of tokens that appear in `words`. */
+  /** Count of tokens that appear in `words` — native constant-set probe
+    * ([[graft.functions.StopwordHits]]), one codegen'd pass per language
+    * instead of an interpreted filter lambda per token per language.
+    */
   def hitCount(text: Column, words: Seq[String]): Column =
+    call_function("graft_stopword_hits", tokens(lower(text)), typedLit(words))
+
+  /** [[hitCount]] via built-in higher-order functions (portable fallback
+    * and differential-test partner).
+    */
+  def hitCountHof(text: Column, words: Seq[String]): Column =
     size(filter(tokens(lower(text)), t => array_contains(typedLit(words), t)))
 
   /** Language-ID column: 'zh' on any CJK char, else argmax stopword hits
     * (≥1), else 'und'.
+    *
+    * Shape matters: the argmax is `greatest` over (score, priority, lang)
+    * structs — struct comparison is lexicographic, so ties on score fall
+    * to priority, which ranks earlier languages higher, and the 'und'
+    * fallback is a sentinel candidate that only wins when every real
+    * score is 0. A when/otherwise fold computes the same thing but
+    * duplicates the accumulator subtree at every reference — expression
+    * trees are DAG-free — which re-evaluated each language's hit count
+    * up to 16× per row (measured 15× slower at sf0.1).
     */
   def langId(text: Column): Column = {
-    val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")) > 0
-    val scored = stopwords.map { case (l, ws) => (l, hitCount(text, ws)) }
-    val best = scored.tail.foldLeft(
-      struct(scored.head._2.as("score"), lit(scored.head._1).as("lang"))) {
-      case (acc, (l, s)) =>
-        // strict > keeps the earlier language on ties → deterministic
-        when(s > acc.getField("score"), struct(s.as("score"), lit(l).as("lang")))
-          .otherwise(acc)
-    }
-    when(cjk, lit("zh"))
-      .when(best.getField("score") >= 1, best.getField("lang"))
-      .otherwise(lit("und"))
+    val cjk = text.rlike("[\\u4e00-\\u9fff]")
+    val cands = stopwords.zipWithIndex.map { case ((l, ws), i) =>
+      struct(hitCount(text, ws).as("score"), lit(-i).as("prio"), lit(l).as("lang"))
+    } :+ struct(lit(0).as("score"), lit(1).as("prio"), lit("und").as("lang"))
+    when(cjk, lit("zh")).otherwise(greatest(cands: _*).getField("lang"))
   }
 
   // -- quality scoring -----------------------------------------------------
@@ -73,10 +84,15 @@ object TextAnalysis {
       .otherwise(hitCount(text, stopwords.head._2).cast("double") / n.cast("double"))
   }
 
+  /** Mean whitespace-token length. Σ len(tokenᵢ) is computed as the length
+    * of the text with all whitespace removed — identical by construction
+    * (the tokens are exactly the non-whitespace runs) and a single
+    * codegen'd regex instead of an interpreted per-token fold.
+    */
   def meanTokenLen(text: Column): Column = {
     val ts = tokens(text)
     when(size(ts) === 0, 0.0).otherwise(
-      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      length(regexp_replace(trim(text), "\\s+", "")).cast("double") /
         size(ts).cast("double"))
   }
 
@@ -111,6 +127,7 @@ object TextAnalysis {
 
   /** Convenience: annotate a documents frame with the full feature set. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
     val t = col(textCol)
     docs
       .withColumn("n_tokens", tokenCount(t))

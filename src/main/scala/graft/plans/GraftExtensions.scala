@@ -4,7 +4,10 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{CosineSimilarity, DotProduct, MinHashSig, SimHash64, StopwordHits}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -23,7 +26,17 @@ object GraftFunctions {
     ("graft_dot", info("graft_dot", classOf[DotProduct]),
       (es: Seq[Expression]) => DotProduct(es(0), es(1))),
     ("graft_cosine", info("graft_cosine", classOf[CosineSimilarity]),
-      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
+    ("graft_simhash", info("graft_simhash", classOf[SimHash64]),
+      (es: Seq[Expression]) => SimHash64(es(0))),
+    ("graft_minhash", info("graft_minhash", classOf[MinHashSig]),
+      (es: Seq[Expression]) => es(1) match {
+        case Literal(n: Int, IntegerType) => MinHashSig(es(0), n)
+        case other => throw new IllegalArgumentException(
+          s"graft_minhash numHashes must be an integer literal, got $other")
+      }),
+    ("graft_stopword_hits", info("graft_stopword_hits", classOf[StopwordHits]),
+      (es: Seq[Expression]) => StopwordHits(es(0), es(1))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+import graft.plans.GraftFunctions
+
+/** Differential tests pinning the native text-signature expressions
+  * (`graft_simhash` / `graft_minhash` / `graft_stopword_hits`) to the
+  * higher-order-function formulations they replaced. Signatures must be
+  * BIT-identical — every LSH bucket and candidate pair downstream depends
+  * on it — so these compare exact longs over the full documents fixture,
+  * not rounded floats.
+  */
+class TextExpressionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  GraftFunctions.register(spark)
+
+  private lazy val docs = engine.Tables.load(spark, sfDir, "documents").cache()
+
+  test("graft_simhash is bit-identical to the HOF simhash on all fixture docs") {
+    val mismatches = docs.select(
+        Dedup.simhash($"text").as("fast"),
+        Dedup.simhashHof($"text").as("slow"))
+      .filter($"fast" =!= $"slow")
+      .count()
+    assert(mismatches === 0)
+  }
+
+  test("graft_minhash is bit-identical to the HOF minhash on all fixture docs") {
+    val sh = Dedup.shingles($"text")
+    val mismatches = docs.select(
+        Dedup.minhashSignature(sh, 64).as("fast"),
+        Dedup.minhashSignatureHof(sh, 64).as("slow"))
+      .filter($"fast" =!= $"slow")
+      .count()
+    assert(mismatches === 0)
+  }
+
+  test("graft_minhash honors non-default lane counts") {
+    val sh = Dedup.shingles($"text")
+    val row = docs.limit(1).select(
+        Dedup.minhashSignature(sh, 16).as("fast"),
+        Dedup.minhashSignatureHof(sh, 16).as("slow"))
+      .as[(Seq[Long], Seq[Long])].head()
+    assert(row._1.length === 16)
+    assert(row._1 === row._2)
+  }
+
+  test("graft_stopword_hits matches the HOF hit count for every language dict") {
+    TextAnalysis.stopwords.foreach { case (lang, words) =>
+      val mismatches = docs.select(
+          TextAnalysis.hitCount($"text", words).as("fast"),
+          TextAnalysis.hitCountHof($"text", words).as("slow"))
+        .filter($"fast" =!= $"slow")
+        .count()
+      assert(mismatches === 0, s"dict $lang diverged")
+    }
+  }
+
+  test("edge cases: empty text, null text, empty word set") {
+    val df = Seq(Some(""), Some("the the the"), None).toDF("text")
+    val rows = df.select(
+        Dedup.simhash($"text").as("sig"),
+        TextAnalysis.hitCount($"text", TextAnalysis.stopwords.head._2).as("hits"),
+        TextAnalysis.hitCount($"text", Seq.empty[String]).as("zero"))
+      .collect()
+    // "" tokenizes to [""], hash of "" drives the signature — just not null
+    assert(!rows(0).isNullAt(0))
+    assert(rows(0).getInt(1) === 0)
+    assert(rows(1).getInt(1) === 3)
+    assert(rows(1).getInt(2) === 0)
+    // split(null) is null -> all three are null
+    assert(rows(2).isNullAt(0) && rows(2).isNullAt(1) && rows(2).isNullAt(2))
+  }
+
+  test("langId over native hit counts equals the HOF-scored argmax on all docs") {
+    // re-derive the argmax (ties -> earlier language, score 0 -> und) from
+    // the HOF hit counts and demand exact agreement with langId
+    val scored = TextAnalysis.stopwords.map { case (l, ws) =>
+      struct(TextAnalysis.hitCountHof($"text", ws).as("score"), lit(l).as("lang"))
+    }
+    val best = scored.tail.foldLeft(scored.head) { (acc, s) =>
+      when(s.getField("score") > acc.getField("score"), s).otherwise(acc)
+    }
+    val cjk = length(regexp_replace($"text", "[^\\u4e00-\\u9fff]", "")) > 0
+    val expected = when(cjk, lit("zh"))
+      .when(best.getField("score") >= 1, best.getField("lang"))
+      .otherwise(lit("und"))
+    val mismatches = docs
+      .select(TextAnalysis.langId($"text").as("fast"), expected.as("slow"))
+      .filter($"fast" =!= $"slow")
+      .count()
+    assert(mismatches === 0)
+  }
+}
