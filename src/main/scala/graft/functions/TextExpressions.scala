@@ -172,6 +172,61 @@ case class MinHashSig(child: Expression, numHashes: Int)
     })
 }
 
+/** Distinct k-word shingles of a token array, space-joined. SQL name:
+  * `graft_shingles(tokens, k)`.
+  *
+  * Matches [[graft.operators.Dedup.shinglesHof]] exactly: fewer than k
+  * tokens → one whole-text shingle; otherwise every full k-gram, distinct
+  * with first-occurrence order; null tokens are skipped inside a window
+  * (concat_ws semantics). CodegenFallback: the work is UTF8String concat
+  * and set insertion — object construction either way — so generated code
+  * would only save the boxed eval call; the surrounding plan still
+  * whole-stage-codegens.
+  */
+case class WordKGrams(child: Expression, k: Int)
+    extends UnaryExpression with StringArrayInput
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override protected def arrayChild: Expression = child
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (k <= 0) TypeCheckResult.TypeCheckFailure(s"$prettyName requires k > 0, got $k")
+    else checkStringArray()
+  override def prettyName: String = "graft_shingles"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  private val space = UTF8String.fromString(" ")
+
+  private def window(arr: ArrayData, from: Int, len: Int): UTF8String = {
+    val parts = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) {
+      parts(i) = if (arr.isNullAt(from + i)) null else arr.getUTF8String(from + i)
+      i += 1
+    }
+    UTF8String.concatWs(space, parts: _*)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < k) {
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](window(arr, 0, n)))
+    } else {
+      val set = new java.util.LinkedHashSet[UTF8String]()
+      var i = 0
+      while (i <= n - k) {
+        set.add(window(arr, i, k))
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        set.toArray.asInstanceOf[Array[AnyRef]])
+    }
+  }
+}
+
 /** Count of array elements contained in a constant word set. SQL name:
   * `graft_stopword_hits(tokens, words)`; `words` must be foldable.
   *

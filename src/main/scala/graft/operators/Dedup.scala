@@ -56,13 +56,20 @@ object Dedup {
 
   /** Distinct k-word shingles of the whitespace-token stream. Empty-safe:
     * texts shorter than k tokens yield a single whole-text shingle.
-    *
-    * Built by zipping the token array with its own shifts: every collection
-    * argument is evaluated once. (A transform over positions with
-    * `slice(ts, i+1, k)` in the lambda re-tokenizes the text per position —
-    * interpreted HOF semantics — and measured ~50× the tokenize cost.)
+    * Native single pass ([[graft.functions.WordKGrams]]); identical to
+    * [[shinglesHof]].
     */
-  def shingles(text: Column, k: Int = 3): Column = {
+  def shingles(text: Column, k: Int = 3): Column =
+    call_function("graft_shingles", TextAnalysis.tokens(lower(text)), lit(k))
+
+  /** [[shingles]] via built-in higher-order functions (portable fallback
+    * and differential-test partner), built by zipping the token array with
+    * its own shifts: every collection argument is evaluated once. (A
+    * transform over positions with `slice(ts, i+1, k)` in the lambda
+    * re-tokenizes the text per position — interpreted HOF semantics — and
+    * measured ~50× the tokenize cost.)
+    */
+  def shinglesHof(text: Column, k: Int = 3): Column = {
     val ts = TextAnalysis.tokens(lower(text))
     val n = size(ts)
     // windows[i] = ts[i] ⊔ ts[i+1] ⊔ … ⊔ ts[i+k-1]; zip_with pads the
@@ -140,15 +147,15 @@ object Dedup {
         sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    // Cap degenerate buckets so one hot key can't create an O(n²) reducer.
-    val wB = Window.partitionBy(col("band"), col("bucket")).orderBy(col("id"))
-    val capped = banded.withColumn("_rn", row_number().over(wB))
-      .filter(col("_rn") <= maxBucket).drop("_rn")
-    val cands = capped.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(capped.select(col("band"), col("bucket"), col("id").as("id_b")),
-        Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // Pairs expand from a per-bucket sorted id list (one shuffle; the
+    // signature subtree is evaluated once — a self-join would evaluate it
+    // per side). slice caps degenerate buckets so one hot key can't create
+    // an O(n²) reducer, same semantics as keeping the maxBucket lowest ids.
+    val cands = banded.groupBy("band", "bucket")
+      .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucket).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairCombinations(col("ids"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
     val sh = sigd.select(col("id"), col("sh"))
     cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -156,6 +163,14 @@ object Dedup {
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** All ordered pairs (i < j) of a sorted id array, as structs
+    * (id_a, id_b). Quadratic only within one (already capped) bucket.
+    */
+  private def pairCombinations(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids)),
+        y => struct(x.as("id_a"), y.as("id_b")))))
 
   /** Exact n-gram Jaccard near-dup over an explicit blocking key (e.g.
     * `source`) via an inverted index: explode shingles, equi-join on
@@ -167,6 +182,13 @@ object Dedup {
     * instead of a block-wide O(B²) cross join dragging full shingle arrays
     * through the exchange. Pairs with an empty intersection (Jaccard 0)
     * never materialize, which is exact for any threshold > 0.
+    *
+    * Pairs are expanded from a per-(block, shingle) grouped id list rather
+    * than a self-join: a self-join evaluates the shingle subtree once per
+    * side (Catalyst has no common-plan reuse across self-join inputs),
+    * which doubled the dominant per-row cost. The in-group expansion is
+    * quadratic only within one posting list, the same blow-up the join
+    * produced as rows.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -175,18 +197,23 @@ object Dedup {
       idCol: String = "doc_id",
       shingleK: Int = 3,
       threshold: Double = 0.5): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
     val d = docs.select(
       col(blockCol).as("blk"), col(idCol).as("id"),
       shingles(col(textCol), shingleK).as("sh"))
       .select(col("blk"), col("id"), size(col("sh")).as("nsh"),
         explode(col("sh")).as("s"))
-    val l = d.select(col("blk"), col("s"),
-      col("id").as("id_a"), col("nsh").as("nsh_a"))
-    val r = d.select(col("blk"), col("s"),
-      col("id").as("id_b"), col("nsh").as("nsh_b"))
-    l.join(r, Seq("blk", "s"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "nsh_a", "nsh_b")
+    // posting list per (block, shingle); singleton lists generate no pairs
+    val posting = d.groupBy("blk", "s")
+      .agg(sort_array(collect_list(struct(col("id"), col("nsh")))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    // ordered pairs (i < j) within each posting list
+    val pairs = posting.select(explode(flatten(transform(col("ids"),
+      (x, i) => transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+        y => struct(x.getField("id").as("id_a"), x.getField("nsh").as("nsh_a"),
+          y.getField("id").as("id_b"), y.getField("nsh").as("nsh_b")))))).as("p"))
+    pairs
+      .groupBy("p.id_a", "p.id_b", "p.nsh_a", "p.nsh_b")
       .agg(count(lit(1)).as("common"))
       .select(col("id_a"), col("id_b"),
         round(col("common").cast("double") /
@@ -239,11 +266,17 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(3)),
         c => call_function("shiftright", col("sig"), c * 16).bitwiseAND(0xffffL))))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
-    val l = chunked.select(col("chunk"), col("ckey"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = chunked.select(col("chunk"), col("ckey"), col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("chunk", "ckey"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), hamming64(col("sig_a"), col("sig_b")).as("dist"))
+    // pairs expand from a per-chunk-key sorted (id, sig) list — one
+    // shuffle, signatures computed once (a self-join evaluates the
+    // signature subtree per side); the 8-byte sig rides along free
+    chunked.groupBy("chunk", "ckey")
+      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + lit(2), size(col("ms"))),
+          y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+            hamming64(x.getField("sig"), y.getField("sig")).as("dist")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.dist"))
       .distinct()
       .filter(col("dist") <= maxDist)
   }

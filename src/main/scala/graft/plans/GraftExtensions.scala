@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, DotProduct, MinHashSig, SimHash64, StopwordHits}
+import graft.functions.{CosineSimilarity, DotProduct, MinHashSig, SimHash64, StopwordHits, WordKGrams}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -36,7 +36,13 @@ object GraftFunctions {
           s"graft_minhash numHashes must be an integer literal, got $other")
       }),
     ("graft_stopword_hits", info("graft_stopword_hits", classOf[StopwordHits]),
-      (es: Seq[Expression]) => StopwordHits(es(0), es(1))))
+      (es: Seq[Expression]) => StopwordHits(es(0), es(1))),
+    ("graft_shingles", info("graft_shingles", classOf[WordKGrams]),
+      (es: Seq[Expression]) => es(1) match {
+        case Literal(n: Int, IntegerType) => WordKGrams(es(0), n)
+        case other => throw new IllegalArgumentException(
+          s"graft_shingles k must be an integer literal, got $other")
+      }))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
