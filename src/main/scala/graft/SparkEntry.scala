@@ -661,16 +661,16 @@ object SparkEntry {
 
   // §2.11 — embeddings: similarity search (brute-force baseline + ANN paths).
   private def embQueries: Seq[Q] = Seq(
-    Q("emb_cosine_topk", // brute-force exact top-k vs vec_id 0
+    Q("emb_cosine_topk", // brute-force exact top-k vs vec_id 0: the probe
+      // vector is a one-row lookup, fetched driver-side and inlined as a
+      // literal — a single codegen'd scan (a broadcast cross join with the
+      // one-row frame kept the scan inside a nested-loop join, outside
+      // whole-stage codegen)
       (s, d) => {
         val e = t(s, d, "embeddings")
-        val q = e.filter(col("vec_id") === 0)
-          .select(col("embedding").as("qv"))
-        e.crossJoin(broadcast(q))
-          .filter(col("vec_id") =!= 0)
-          .select(col("vec_id"),
-            round(VectorFunctions.cosine(col("embedding"), col("qv")), 6).as("cos"))
-          .orderBy(col("cos").desc, col("vec_id")).limit(10)
+        val qv = e.filter(col("vec_id") === 0)
+          .head().getSeq[Float](e.schema.fieldIndex("embedding")).map(_.toDouble)
+        Similarity.bruteForceTopK(e.filter(col("vec_id") =!= 0), qv, 10)
       },
       Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
              |SELECT vec_id, ROUND(list_cosine_similarity(embedding, qv), 6) AS cos

@@ -285,7 +285,11 @@ object Dedup {
 
   /** Cosine near-duplicate pairs over an embedding column, blocked by
     * random-hyperplane LSH sign buckets (see [[Similarity.hyperplanes]]),
-    * verified exactly. At scale: one shuffle on the bucket key.
+    * verified exactly. At scale: one shuffle on the bucket key; pairs
+    * expand from a per-bucket sorted posting list (vectors and norms are
+    * computed once — a self-join evaluates them per side), and the list
+    * is sliced to `maxBucket` entries so a degenerate bucket (e.g. a
+    * corpus-wide constant embedding) cannot create a quadratic reducer.
     */
   def embeddingNearDups(
       emb: DataFrame,
@@ -294,24 +298,26 @@ object Dedup {
       dim: Int = 64,
       nPlanes: Int = 8,
       threshold: Double = 0.95,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBucket: Int = 1000): DataFrame = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
     // norms are computed once per vector on the narrow side; each candidate
     // pair then costs a single dot product instead of a full cosine
     val bucketed = emb.select(
+      Similarity.lshBucket(col(vecCol), Similarity.hyperplanes(dim, nPlanes, seed)).as("bucket"),
       col(idCol).as("id"), col(vecCol).as("v"),
-      VectorFunctions.l2Norm(col(vecCol)).as("nrm"),
-      Similarity.lshBucket(col(vecCol), Similarity.hyperplanes(dim, nPlanes, seed)).as("bucket"))
-    val l = bucketed.select(col("bucket"), col("id").as("id_a"),
-      col("v").as("v_a"), col("nrm").as("nrm_a"))
-    val r = bucketed.select(col("bucket"), col("id").as("id_b"),
-      col("v").as("v_b"), col("nrm").as("nrm_b"))
-    l.join(r, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        when(col("nrm_a") * col("nrm_b") === 0.0, lit(0.0))
-          .otherwise(VectorFunctions.dot(col("v_a"), col("v_b")) /
-            (col("nrm_a") * col("nrm_b"))).as("cos"))
+      VectorFunctions.l2Norm(col(vecCol)).as("nrm"))
+    bucketed.groupBy("bucket")
+      .agg(slice(sort_array(collect_list(struct(col("id"), col("v"), col("nrm")))),
+        1, maxBucket).as("ps"))
+      .filter(size(col("ps")) > 1)
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), size(col("ps"))), y =>
+          struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+            when(x.getField("nrm") * y.getField("nrm") === 0.0, lit(0.0))
+              .otherwise(VectorFunctions.dot(x.getField("v"), y.getField("v")) /
+                (x.getField("nrm") * y.getField("nrm"))).as("cos")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Plan-shape regression tests: the properties that make these queries
+  * survive a 100 TB scale-up, asserted against the optimized physical
+  * plan so a refactor can't silently trade them away.
+  */
+class PlanQualitySpec extends SparkSuite {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q5 join chain builds broadcast joins, never a cartesian product") {
+    val p = plan("q5_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("pruned part scan pushes its filter to the parquet reader") {
+    val p = plan("part_pruned_scan")
+    assert(p.contains("PushedFilters: ["), p.take(400))
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]].*"),
+      "filter list is empty:\n" + p.take(400))
+  }
+
+  test("multimodal metadata query never reads the binary payload column") {
+    val p = plan("mm_metadata_pruned")
+    assert(!p.contains("payload"), p.take(600))
+  }
+
+  test("lineitem aggregate keeps partial aggregation before its shuffle") {
+    val p = plan("q1_lineitem_agg")
+    // map-side combine: a HashAggregate on each side of the exchange
+    val firstExchange = p.indexOf("Exchange")
+    val aggs = p.sliding("HashAggregate".length).count(_ == "HashAggregate")
+    assert(firstExchange > 0 && aggs >= 2, p.take(400))
+  }
+
+  test("top-k by salary compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("emp_topk_salary")
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+  }
+
+  test("no query plan contains a cartesian product or nested-loop join") {
+    // brute-force pairwise ops would show up here; all of them must block.
+    // Plan-build failures surface as offenders too — a query whose plan
+    // can't be constructed should fail loudly here, not vanish.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_ == "events_stream_hourly") // streaming: runs a query, not a static plan
+      .flatMap { name =>
+        try {
+          val p = plan(name)
+          if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+            Some(name)
+          else None
+        } catch { case e: Throwable => Some(s"$name (plan failed: ${e.getClass.getSimpleName})") }
+      }
+    assert(offenders.isEmpty, s"quadratic join in: $offenders")
+  }
+
+  test("hot-loop expressions stay inside whole-stage codegen spans") {
+    // executedPlan.toString marks codegen'd operators with a "*(n) " prefix
+    val p = plan("emb_cosine_topk")
+    assert(p.contains("*("), p.take(400))
+    assert(p.contains("graft_cosine"), p.take(400))
+    // and the probe vector is an inlined literal, not a joined frame
+    assert(!p.contains("Join"), p.take(400))
+  }
+}
