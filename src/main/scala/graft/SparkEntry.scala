@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.engine.{NlCompiler, Tables}
 import graft.functions.VectorFunctions
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Scale, Similarity, TextAnalysis}
 
 /** Driver contract (SURVEY.md §7): one named query per operator in the
   * SURVEY.md §2 inventory, with matching DuckDB oracle SQL where the
@@ -295,6 +295,21 @@ object SparkEntry {
       Some("""SELECT COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_price
              |FROM orders WHERE EXISTS (
              |SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)""".stripMargin)),
+
+    Q("join_salted_skew", // skew-salted equi-join: result-invariant vs the
+      // plain join (the oracle IS the plain join) while a hot custkey
+      // spreads over `factor` reducers instead of one
+      (s, d) => Scale.saltedJoin(
+          t(s, d, "orders").select(col("o_custkey").as("k"), col("o_totalprice")),
+          t(s, d, "customer").select(col("c_custkey").as("k"), col("c_mktsegment")),
+          Seq("k"), factor = 4)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("rev"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, COUNT(*) AS n,
+             |ROUND(SUM(o_totalprice), 2) AS rev
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
     Q("join_anti_no_orders", // NOT EXISTS → left_anti
       (s, d) => t(s, d, "customer")
