@@ -517,8 +517,16 @@ object SparkEntry {
       // 10-min watermark; append mode emits exactly the watermark-closed
       // windows, which the oracle reproduces with the same cutoff
       (s, d) => {
-        val q = graft.streaming.EventStream.startHourlyAgg(s, d, "stream_hourly_verify")
-        q.awaitTermination(180000)
+        // state-store partition count is fixed at stream start from
+        // spark.sql.shuffle.partitions; 32 state partitions for one small
+        // file is pure checkpoint-IO overhead, so scope the stream to 4
+        // (awaitTermination completes before the conf is restored)
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        try {
+          val q = graft.streaming.EventStream.startHourlyAgg(s, d, "stream_hourly_verify")
+          q.awaitTermination(180000)
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
         s.sql("""SELECT CAST(window.start AS STRING) AS hour, event_type, n, total_value
                 |FROM stream_hourly_verify ORDER BY hour, event_type""".stripMargin)
       },
