@@ -691,8 +691,9 @@ object SparkEntry {
       // whole-stage codegen)
       (s, d) => {
         val e = t(s, d, "embeddings")
-        val qv = e.filter(col("vec_id") === 0)
-          .head().getSeq[Float](e.schema.fieldIndex("embedding")).map(_.toDouble)
+        val probe = e.filter(col("vec_id") === 0).take(1)
+        require(probe.nonEmpty, s"probe vector vec_id=0 not found in $d/embeddings")
+        val qv = probe.head.getSeq[Float](e.schema.fieldIndex("embedding")).map(_.toDouble)
         Similarity.bruteForceTopK(e.filter(col("vec_id") =!= 0), qv, 10)
       },
       Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

@@ -147,14 +147,11 @@ object Dedup {
         sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    // Pairs expand from a per-bucket sorted id list (one shuffle; the
-    // signature subtree is evaluated once — a self-join would evaluate it
-    // per side). slice caps degenerate buckets so one hot key can't create
-    // an O(n²) reducer, same semantics as keeping the maxBucket lowest ids.
-    val cands = banded.groupBy("band", "bucket")
-      .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucket).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(pairCombinations(col("ids"))).as("p"))
+    // Pairs expand from a per-bucket sorted, capped posting list (one
+    // shuffle; the signature subtree is evaluated once — a self-join would
+    // evaluate it per side; see cappedPostings for the skew bound).
+    val cands = cappedPostings(banded, Seq("band", "bucket"), col("id"), maxBucket)
+      .select(explode(pairCombinations(col("ps"))).as("p"))
       .select(col("p.id_a"), col("p.id_b")).distinct()
     val sh = sigd.select(col("id"), col("sh"))
     cands
@@ -172,6 +169,29 @@ object Dedup {
       transform(slice(ids, i + lit(2), size(ids)),
         y => struct(x.as("id_a"), y.as("id_b")))))
 
+  /** Sorted, capped posting list of `payload` per `keys` group, as column
+    * `ps`; groups that can't pair (size < 2) are dropped.
+    *
+    * The cap is applied with a window row_number BEFORE the list is
+    * collected — window sorts spill to disk, while a collect_list
+    * aggregation buffer does not, so a degenerate key (every row in one
+    * bucket) sorts safely instead of OOMing one reducer. The groupBy runs
+    * on the window's own hash partitioning, so the cap costs a sort but
+    * no extra exchange. `payload` must lead with a unique id: row_number
+    * order, sort_array order, and the "lowest maxBucket ids survive" cap
+    * semantics all follow from lexicographic struct comparison on it.
+    */
+  private def cappedPostings(
+      df: DataFrame, keys: Seq[String], payload: Column, maxBucket: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_p"))
+    df.select(keys.map(col) :+ payload.as("_p"): _*)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxBucket)
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(col("_p"))).as("ps"))
+      .filter(size(col("ps")) > 1)
+  }
+
   /** Exact n-gram Jaccard near-dup over an explicit blocking key (e.g.
     * `source`) via an inverted index: explode shingles, equi-join on
     * (block, shingle), count shared shingles per pair, then Jaccard by
@@ -181,7 +201,12 @@ object Dedup {
     * shared — one shuffle keyed by (block, shingle) plus one aggregation,
     * instead of a block-wide O(B²) cross join dragging full shingle arrays
     * through the exchange. Pairs with an empty intersection (Jaccard 0)
-    * never materialize, which is exact for any threshold > 0.
+    * never materialize, which is exact for any threshold > 0 — as long as
+    * no posting list exceeds `maxBucket`. Beyond the cap (a shingle shared
+    * by more than maxBucket documents in one block), only the lowest
+    * maxBucket ids contribute that shingle's pairs/counts: a bounded
+    * recall trade under pathological skew, same contract as
+    * [[minhashNearDups]]'s cap.
     *
     * Pairs are expanded from a per-(block, shingle) grouped id list rather
     * than a self-join: a self-join evaluates the shingle subtree once per
@@ -196,20 +221,19 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       shingleK: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
     val d = docs.select(
       col(blockCol).as("blk"), col(idCol).as("id"),
       shingles(col(textCol), shingleK).as("sh"))
       .select(col("blk"), col("id"), size(col("sh")).as("nsh"),
         explode(col("sh")).as("s"))
-    // posting list per (block, shingle); singleton lists generate no pairs
-    val posting = d.groupBy("blk", "s")
-      .agg(sort_array(collect_list(struct(col("id"), col("nsh")))).as("ids"))
-      .filter(size(col("ids")) > 1)
+    val posting = cappedPostings(d, Seq("blk", "s"),
+      struct(col("id"), col("nsh")), maxBucket)
     // ordered pairs (i < j) within each posting list
-    val pairs = posting.select(explode(flatten(transform(col("ids"),
-      (x, i) => transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+    val pairs = posting.select(explode(flatten(transform(col("ps"),
+      (x, i) => transform(slice(col("ps"), i + lit(2), size(col("ps"))),
         y => struct(x.getField("id").as("id_a"), x.getField("nsh").as("nsh_a"),
           y.getField("id").as("id_b"), y.getField("nsh").as("nsh_b")))))).as("p"))
     pairs
@@ -258,7 +282,8 @@ object Dedup {
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
     val sigd = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
     val chunked = sigd.select(
@@ -266,14 +291,15 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(3)),
         c => call_function("shiftright", col("sig"), c * 16).bitwiseAND(0xffffL))))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
-    // pairs expand from a per-chunk-key sorted (id, sig) list — one
-    // shuffle, signatures computed once (a self-join evaluates the
-    // signature subtree per side); the 8-byte sig rides along free
-    chunked.groupBy("chunk", "ckey")
-      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("ms"))
-      .filter(size(col("ms")) > 1)
-      .select(explode(flatten(transform(col("ms"), (x, i) =>
-        transform(slice(col("ms"), i + lit(2), size(col("ms"))),
+    // pairs expand from a per-chunk-key sorted, capped (id, sig) posting
+    // list — one shuffle, signatures computed once (a self-join evaluates
+    // the signature subtree per side); the 8-byte sig rides along free.
+    // A corpus of identical signatures (all-empty docs) caps at maxBucket
+    // per chunk key instead of collecting the corpus on one reducer.
+    cappedPostings(chunked, Seq("chunk", "ckey"),
+      struct(col("id"), col("sig")), maxBucket)
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), size(col("ps"))),
           y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
             hamming64(x.getField("sig"), y.getField("sig")).as("dist")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.dist"))
@@ -287,9 +313,10 @@ object Dedup {
     * random-hyperplane LSH sign buckets (see [[Similarity.hyperplanes]]),
     * verified exactly. At scale: one shuffle on the bucket key; pairs
     * expand from a per-bucket sorted posting list (vectors and norms are
-    * computed once — a self-join evaluates them per side), and the list
-    * is sliced to `maxBucket` entries so a degenerate bucket (e.g. a
-    * corpus-wide constant embedding) cannot create a quadratic reducer.
+    * computed once — a self-join evaluates them per side), capped at
+    * `maxBucket` entries BEFORE collection (see [[cappedPostings]]) so a
+    * degenerate bucket (e.g. a corpus-wide constant embedding) neither
+    * buffers the corpus' vectors on one reducer nor expands quadratically.
     */
   def embeddingNearDups(
       emb: DataFrame,
@@ -307,10 +334,8 @@ object Dedup {
       Similarity.lshBucket(col(vecCol), Similarity.hyperplanes(dim, nPlanes, seed)).as("bucket"),
       col(idCol).as("id"), col(vecCol).as("v"),
       VectorFunctions.l2Norm(col(vecCol)).as("nrm"))
-    bucketed.groupBy("bucket")
-      .agg(slice(sort_array(collect_list(struct(col("id"), col("v"), col("nrm")))),
-        1, maxBucket).as("ps"))
-      .filter(size(col("ps")) > 1)
+    cappedPostings(bucketed, Seq("bucket"),
+      struct(col("id"), col("v"), col("nrm")), maxBucket)
       .select(explode(flatten(transform(col("ps"), (x, i) =>
         transform(slice(col("ps"), i + lit(2), size(col("ps"))), y =>
           struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),

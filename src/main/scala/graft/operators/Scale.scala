@@ -14,15 +14,21 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
-  /** Inner/left equi-join with the left (large, possibly skewed) side
-    * salted: every left row gets one of `factor` salt values, and the
-    * right side is replicated to all `factor` salts, so a hot key's rows
-    * fan out over `factor` reducers instead of one. Results are
-    * row-identical to the unsalted join.
+  /** Left-side equi-join salting: every left row gets one of `factor`
+    * salt values, and the right side is replicated to all `factor` salts,
+    * so a hot key's rows fan out over `factor` reducers instead of one.
+    * Results are row-identical to the unsalted join.
     *
-    * The salt must be independent of the join keys (same-key rows need to
-    * SPREAD) — a per-row id, not a key hash. The right side is typically
-    * the smaller input: replication costs `factor` × |right| shuffle rows.
+    * Only left-preserving join types are sound: with the right side
+    * replicated, an unmatched right row would survive `factor` times
+    * under right/full outer joins, so those are rejected.
+    *
+    * The salt must be independent of the join KEYS (same-key rows need to
+    * SPREAD) but stable under recomputation — a stage retry that re-salts
+    * a row differently loses it from the reducer other tasks already
+    * fetched. Hashing the whole row is both: deterministic per row
+    * content, uncorrelated with the key. (Fully identical duplicate rows
+    * share a salt and don't spread — dedup first if that's the corpus.)
     */
   def saltedJoin(
       left: DataFrame,
@@ -31,12 +37,20 @@ object Scale {
       factor: Int = 8,
       joinType: String = "inner"): DataFrame = {
     require(factor > 0, s"salt factor must be positive, got $factor")
-    val l = left.withColumn("_salt",
-      pmod(monotonically_increasing_id(), lit(factor.toLong)).cast("int"))
+    val leftPreserving = Set("inner", "left", "leftouter", "left_outer",
+      "leftsemi", "left_semi", "leftanti", "left_anti", "cross")
+    require(leftPreserving.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin replicates the right side; '$joinType' would multiply " +
+        "unmatched right rows — use the plain join for right/full outer")
+    val l = left.withColumn("_salt", rowSalt(left, factor))
     val r = right.withColumn("_salt",
       explode(sequence(lit(0), lit(factor - 1))))
     l.join(r, keys :+ "_salt", joinType).drop("_salt")
   }
+
+  /** Deterministic per-row salt in [0, factor): xxhash64 of every column. */
+  private def rowSalt(df: DataFrame, factor: Int): Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(factor.toLong)).cast("int")
 
   /** Two-phase aggregation for holistic aggregates over skewed keys:
     * partial-aggregate on (keys, salt), then merge per key. Algebraic
@@ -52,8 +66,7 @@ object Scale {
       partial: Seq[Column],
       merge: Seq[Column]): DataFrame = {
     require(factor > 0, s"salt factor must be positive, got $factor")
-    df.withColumn("_salt",
-        pmod(monotonically_increasing_id(), lit(factor.toLong)).cast("int"))
+    df.withColumn("_salt", rowSalt(df, factor))
       .groupBy((keys :+ "_salt").map(col): _*)
       .agg(partial.head, partial.tail: _*)
       .groupBy(keys.map(col): _*)

@@ -24,32 +24,40 @@ object GraftFunctions {
 
   private[plans] val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_dot", info("graft_dot", classOf[DotProduct]),
-      (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+      (es: Seq[Expression]) => { arity("graft_dot", es, 2); DotProduct(es(0), es(1)) }),
     ("graft_cosine", info("graft_cosine", classOf[CosineSimilarity]),
-      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
+      (es: Seq[Expression]) => { arity("graft_cosine", es, 2); CosineSimilarity(es(0), es(1)) }),
     ("graft_simhash", info("graft_simhash", classOf[SimHash64]),
-      (es: Seq[Expression]) => SimHash64(es(0))),
+      (es: Seq[Expression]) => { arity("graft_simhash", es, 1); SimHash64(es(0)) }),
     ("graft_minhash", info("graft_minhash", classOf[MinHashSig]),
-      (es: Seq[Expression]) => es(1) match {
+      (es: Seq[Expression]) => { arity("graft_minhash", es, 2); es(1) match {
         case Literal(n: Int, IntegerType) => MinHashSig(es(0), n)
         case other => throw new IllegalArgumentException(
           s"graft_minhash numHashes must be an integer literal, got $other")
-      }),
+      } }),
     ("graft_stopword_hits", info("graft_stopword_hits", classOf[StopwordHits]),
-      (es: Seq[Expression]) => StopwordHits(es(0), es(1))),
+      (es: Seq[Expression]) => { arity("graft_stopword_hits", es, 2); StopwordHits(es(0), es(1)) }),
     ("graft_shingles", info("graft_shingles", classOf[WordKGrams]),
-      (es: Seq[Expression]) => es(1) match {
+      (es: Seq[Expression]) => { arity("graft_shingles", es, 2); es(1) match {
         case Literal(n: Int, IntegerType) => WordKGrams(es(0), n)
         case other => throw new IllegalArgumentException(
           s"graft_shingles k must be an integer literal, got $other")
-      }))
+      } }))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    functions.foreach { case (name, inf, builder) =>
-      reg.registerFunction(FunctionIdentifier(name), inf, builder)
+    // re-registering is harmless but logs a WARN per function; operators
+    // call this on every invocation, so skip when already present
+    if (!reg.functionExists(FunctionIdentifier(functions.head._1))) {
+      functions.foreach { case (name, inf, builder) =>
+        reg.registerFunction(FunctionIdentifier(name), inf, builder)
+      }
     }
   }
+
+  private def arity(name: String, es: Seq[Expression], n: Int): Unit =
+    if (es.length != n) throw new IllegalArgumentException(
+      s"$name requires exactly $n arguments, got ${es.length}")
 }
 
 /** `spark.sql.extensions` entry point. */

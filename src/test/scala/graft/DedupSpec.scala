@@ -79,6 +79,13 @@ class DedupSpec extends SparkSuite {
     assert(m.get((1L, 3L)).forall(_ <= 8L)) // single-token edit stays close
   }
 
+  test("maxBucket caps pair generation: cap 1 yields zero candidate pairs") {
+    val docs = graft.engine.Tables.load(spark, sfDir, "documents")
+    assert(Dedup.ngramJaccardPairs(docs, "source", maxBucket = 1).count() === 0)
+    assert(Dedup.simhashNearDups(docs, maxBucket = 1).count() === 0)
+    assert(Dedup.minhashNearDups(docs, maxBucket = 1).count() === 0)
+  }
+
   test("embeddingNearDups finds identical vectors (cos=1) and skips far ones") {
     val emb = Seq(
       (1L, Array.fill(8)(1.0f)),

@@ -46,6 +46,27 @@ class ScaleSpec extends SparkSuite {
     assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
   }
 
+  test("saltedJoin rejects right/full outer joins (replication would corrupt them)") {
+    val left = Seq((1, "a")).toDF("k", "v")
+    val right = Seq((1, "x"), (2, "y")).toDF("k", "w")
+    Seq("right", "full", "full_outer").foreach { jt =>
+      val e = intercept[IllegalArgumentException] {
+        Scale.saltedJoin(left, right, Seq("k"), factor = 4, joinType = jt)
+      }
+      assert(e.getMessage.contains("replicates the right side"))
+    }
+  }
+
+  test("salt is content-deterministic: two independent runs agree exactly") {
+    val r1 = Scale.saltedJoin(orders, lineitem.select("l_orderkey", "l_quantity")
+        .withColumnRenamed("l_orderkey", "o_orderkey"), Seq("o_orderkey"), 8)
+      .groupBy("o_orderpriority").count()
+    val r2 = Scale.saltedJoin(orders, lineitem.select("l_orderkey", "l_quantity")
+        .withColumnRenamed("l_orderkey", "o_orderkey"), Seq("o_orderkey"), 8)
+      .groupBy("o_orderpriority").count()
+    assert(r1.exceptAll(r2).isEmpty && r2.exceptAll(r1).isEmpty)
+  }
+
   test("bucketed tables join and aggregate with zero exchanges") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -28,6 +28,27 @@ class TextExpressionsSpec extends SparkSuite {
     assert(mismatches === 0)
   }
 
+  test("graft_shingles equals the HOF shingles (content AND order) on all docs") {
+    val mismatches = docs.select(
+        Dedup.shingles($"text").as("fast"),
+        Dedup.shinglesHof($"text").as("slow"))
+      .filter($"fast" =!= $"slow")
+      .count()
+    assert(mismatches === 0)
+  }
+
+  test("graft_shingles short-text and k-edge behavior matches the HOF form") {
+    val df = Seq("one", "one two", "one two three", "one two three four", " ", "a a a a")
+      .toDF("text")
+    Seq(1, 2, 3, 5).foreach { k =>
+      val rows = df.select(
+          Dedup.shingles($"text", k).as("fast"),
+          Dedup.shinglesHof($"text", k).as("slow"))
+        .as[(Seq[String], Seq[String])].collect()
+      rows.foreach { case (f, sl) => assert(f === sl, s"k=$k") }
+    }
+  }
+
   test("graft_minhash is bit-identical to the HOF minhash on all fixture docs") {
     val sh = Dedup.shingles($"text")
     val mismatches = docs.select(
