@@ -227,6 +227,92 @@ case class WordKGrams(child: Expression, k: Int)
   }
 }
 
+/** Argmax language by stopword hits, in one pass over the token array.
+  * SQL name: `graft_lang_best(tokens, langs, wordSets)`; langs
+  * (array<string>) and wordSets (array<array<string>>, same length) must
+  * be foldable.
+  *
+  * Semantics match the greatest-over-structs formulation in
+  * [[graft.operators.TextAnalysis.langId]]'s HOF twin: most hits wins,
+  * ties break to the earlier language, zero hits everywhere → 'und',
+  * null tokens array → null. One expression instead of a per-language
+  * scoring tree keeps the generated code (and its Janino compile time)
+  * flat. CodegenFallback: the row cost is the token loop itself, so
+  * generated glue would only remove one boxed call per row.
+  */
+case class BestLangByHits(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with StringArrayInput
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override protected def arrayChild: Expression = first
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_lang_best"
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val tokensOk = checkStringArray()
+    if (tokensOk != TypeCheckResult.TypeCheckSuccess) return tokensOk
+    if (!second.foldable || !third.foldable)
+      return TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires foldable language and word-set lists")
+    (second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(ArrayType(StringType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, w) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, array<array<string>>), got ${l.sql}, ${w.sql}")
+    }
+  }
+
+  @transient private lazy val langs: Array[UTF8String] = {
+    val arr = second.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(arr.numElements())(i => arr.getUTF8String(i))
+  }
+
+  @transient private lazy val wordSets: Array[java.util.HashSet[UTF8String]] = {
+    val arr = third.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(arr.numElements()) { i =>
+      val s = new java.util.HashSet[UTF8String]()
+      val ws = arr.getArray(i)
+      var j = 0
+      while (j < ws.numElements()) { s.add(ws.getUTF8String(j)); j += 1 }
+      s
+    }
+  }
+
+  private val und = UTF8String.fromString("und")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val tokens = first.eval(input)
+    if (tokens == null) return null
+    val arr = tokens.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](langs.length)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        var d = 0
+        while (d < wordSets.length) {
+          if (wordSets(d).contains(t)) counts(d) += 1
+          d += 1
+        }
+      }
+      i += 1
+    }
+    var best = 0
+    var d = 1
+    while (d < counts.length) {
+      if (counts(d) > counts(best)) best = d // strict > keeps earlier lang on ties
+      d += 1
+    }
+    if (counts.isEmpty || counts(best) == 0) und else langs(best)
+  }
+}
+
 /** Count of array elements contained in a constant word set. SQL name:
   * `graft_stopword_hits(tokens, words)`; `words` must be foldable.
   *

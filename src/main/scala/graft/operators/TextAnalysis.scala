@@ -50,7 +50,19 @@ object TextAnalysis {
     size(filter(tokens(lower(text)), t => array_contains(typedLit(words), t)))
 
   /** Language-ID column: 'zh' on any CJK char, else argmax stopword hits
-    * (≥1), else 'und'.
+    * (≥1), else 'und'. The argmax is one native pass over the tokens
+    * ([[graft.functions.BestLangByHits]]); [[langIdHof]] is the portable
+    * twin.
+    */
+  def langId(text: Column): Column = {
+    val cjk = text.rlike("[\\u4e00-\\u9fff]")
+    when(cjk, lit("zh")).otherwise(call_function("graft_lang_best",
+      tokens(lower(text)),
+      typedLit(stopwords.map(_._1)),
+      typedLit(stopwords.map(_._2))))
+  }
+
+  /** [[langId]] from built-in expressions (differential-test partner).
     *
     * Shape matters: the argmax is `greatest` over (score, priority, lang)
     * structs — struct comparison is lexicographic, so ties on score fall
@@ -61,10 +73,10 @@ object TextAnalysis {
     * trees are DAG-free — which re-evaluated each language's hit count
     * up to 16× per row (measured 15× slower at sf0.1).
     */
-  def langId(text: Column): Column = {
+  def langIdHof(text: Column): Column = {
     val cjk = text.rlike("[\\u4e00-\\u9fff]")
     val cands = stopwords.zipWithIndex.map { case ((l, ws), i) =>
-      struct(hitCount(text, ws).as("score"), lit(-i).as("prio"), lit(l).as("lang"))
+      struct(hitCountHof(text, ws).as("score"), lit(-i).as("prio"), lit(l).as("lang"))
     } :+ struct(lit(0).as("score"), lit(1).as("prio"), lit("und").as("lang"))
     when(cjk, lit("zh")).otherwise(greatest(cands: _*).getField("lang"))
   }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, DotProduct, MinHashSig, SimHash64, StopwordHits, WordKGrams}
+import graft.functions.{BestLangByHits, CosineSimilarity, DotProduct, MinHashSig, SimHash64, StopwordHits, WordKGrams}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -37,6 +37,9 @@ object GraftFunctions {
       } }),
     ("graft_stopword_hits", info("graft_stopword_hits", classOf[StopwordHits]),
       (es: Seq[Expression]) => { arity("graft_stopword_hits", es, 2); StopwordHits(es(0), es(1)) }),
+    ("graft_lang_best", info("graft_lang_best", classOf[BestLangByHits]),
+      (es: Seq[Expression]) => { arity("graft_lang_best", es, 3)
+        BestLangByHits(es(0), es(1), es(2)) }),
     ("graft_shingles", info("graft_shingles", classOf[WordKGrams]),
       (es: Seq[Expression]) => { arity("graft_shingles", es, 2); es(1) match {
         case Literal(n: Int, IntegerType) => WordKGrams(es(0), n)

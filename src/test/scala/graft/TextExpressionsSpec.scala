@@ -96,23 +96,23 @@ class TextExpressionsSpec extends SparkSuite {
     assert(rows(2).isNullAt(0) && rows(2).isNullAt(1) && rows(2).isNullAt(2))
   }
 
-  test("langId over native hit counts equals the HOF-scored argmax on all docs") {
-    // re-derive the argmax (ties -> earlier language, score 0 -> und) from
-    // the HOF hit counts and demand exact agreement with langId
-    val scored = TextAnalysis.stopwords.map { case (l, ws) =>
-      struct(TextAnalysis.hitCountHof($"text", ws).as("score"), lit(l).as("lang"))
-    }
-    val best = scored.tail.foldLeft(scored.head) { (acc, s) =>
-      when(s.getField("score") > acc.getField("score"), s).otherwise(acc)
-    }
-    val cjk = length(regexp_replace($"text", "[^\\u4e00-\\u9fff]", "")) > 0
-    val expected = when(cjk, lit("zh"))
-      .when(best.getField("score") >= 1, best.getField("lang"))
-      .otherwise(lit("und"))
+  test("native langId equals the HOF greatest-struct argmax on all docs") {
     val mismatches = docs
-      .select(TextAnalysis.langId($"text").as("fast"), expected.as("slow"))
+      .select(TextAnalysis.langId($"text").as("fast"),
+        TextAnalysis.langIdHof($"text").as("slow"))
       .filter($"fast" =!= $"slow")
       .count()
     assert(mismatches === 0)
+  }
+
+  test("native langId edge cases: cjk wins, ties break to earlier language, und") {
+    val df = Seq(
+      "数据 engine",               // cjk
+      "the le data",               // 1-1 tie en/fr -> en
+      "le la les bonjour",         // fr
+      "zzz qqq",                   // no hits -> und
+      "").toDF("text")
+    val got = df.select(TextAnalysis.langId($"text").as("l")).as[String].collect()
+    assert(got === Array("zh", "en", "fr", "und", "und"))
   }
 }
