@@ -101,6 +101,32 @@ object Multimodal {
       }
   }
 
+  final case class ResizedMedia(
+      media_id: Long, modality: String, content: Array[Byte],
+      width: Int, height: Int)
+
+  /** Batch resize for image rows: same iterator-per-partition shape as
+    * [[extractFeatures]]. The pixel work is the stubbed codec (??? real
+    * resampler goes here ???) — deterministic: payload truncated/padded to
+    * w·h bytes — but the contract is real: binary in, binary out, new
+    * dimensions in the metadata, nothing shuffled.
+    */
+  def resize(spark: SparkSession, media: DataFrame, w: Int, h: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.filter(col("modality") === "image")
+      .select(col("media_id"), col("modality"), col("content"),
+        col("meta.mime"), col("meta.width"), col("meta.height"),
+        col("meta.duration_ms"), col("meta.sample_rate"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val src = Option(r.content).getOrElse(Array.emptyByteArray)
+          val out = java.util.Arrays.copyOf(src, w * h)
+          ResizedMedia(r.media_id, r.modality, out, w, h)
+        }
+      }
+  }
+
   /** Frame-sample timestamps for video rows from metadata only — pure
     * column math, binary column untouched (and pruned at scan).
     */

@@ -44,6 +44,17 @@ class MultimodalSpec extends SparkSuite {
     assert(r.forall { case (_, n, dur) => n === (dur / 1000 + 1).toInt })
   }
 
+  test("resize keeps only image rows, emits exact w*h payloads, never shuffles") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val media = Multimodal.synthesizeFromDocuments(docs)
+    val resized = Multimodal.resize(spark, media, 8, 4)
+    val rows = resized.collect()
+    assert(rows.length === media.filter(org.apache.spark.sql.functions.col("modality") === "image").count())
+    assert(rows.forall(r => r.content.length === 32 && r.width === 8 && r.height === 4))
+    val plan = resized.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "resize must be a narrow map:\n" + plan.take(400))
+  }
+
   test("metadata-only projection prunes the binary column at the scan") {
     val docs = Tables.load(spark, sfDir, "documents")
     // write media to parquet, read back, project metadata only
