@@ -12,8 +12,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (JIT, codegen, FS client) so startup cost is not
-    // billed to whichever query happens to run first
+    // billed to whichever query happens to run first; the second statement
+    // exercises the regex/string/hash machinery the text queries lean on —
+    // its JIT warmup measured ~2 s on the first split() otherwise
     spark.range(1000000).selectExpr("sum(id % 7)").collect()
+    spark.range(10000)
+      .selectExpr("concat('w ', repeat(concat('x', cast(id % 97 as string), ' '), 20)) AS t")
+      .selectExpr("size(split(trim(t), '\\\\s+')) AS n", "xxhash64(t) AS h",
+        "length(regexp_replace(t, '[^a-z0-9\\\\s]', '')) AS c")
+      .agg(Map("n" -> "sum", "h" -> "max", "c" -> "sum")).collect()
     // optional substring filter for focused optimization runs
     val only = sys.env.get("SPARK_GRAFT_ONLY")
     val results = SparkEntry.queries
