@@ -561,13 +561,24 @@ object SparkEntry {
       Some("""SELECT lang, COUNT(*) AS n, ROUND(AVG(n_chars), 2) AS avg_chars
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
-    Q("doc_quality", // C4/Gopher-style quality components
-      (s, d) => t(s, d, "documents").select(
-        col("doc_id"),
-        round(TextAnalysis.punctRatio(col("text")), 4).as("punct_ratio"),
-        round(TextAnalysis.stopwordRatio(col("text")), 4).as("stopword_ratio"),
-        round(TextAnalysis.meanTokenLen(col("text")), 4).as("mean_token_len"),
-        TextAnalysis.qualityScore(col("text")).as("quality"))
+    Q("doc_quality", // C4/Gopher-style quality components; each feature is
+      // computed once in a lower projection and the score derived from the
+      // feature columns (CollapseProject keeps non-cheap multi-use aliases
+      // in their own layer, so nothing is re-evaluated)
+      (s, d) => t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tok"),
+          TextAnalysis.punctRatio(col("text")).as("pr"),
+          TextAnalysis.stopwordRatio(col("text")).as("sr"),
+          TextAnalysis.meanTokenLen(col("text")).as("mtl"))
+        .select(
+          col("doc_id"),
+          round(col("pr"), 4).as("punct_ratio"),
+          round(col("sr"), 4).as("stopword_ratio"),
+          round(col("mtl"), 4).as("mean_token_len"),
+          TextAnalysis.qualityFrom(col("n_tok"), col("pr"), col("sr"),
+            col("mtl")).as("quality"))
         .orderBy("doc_id"),
       Some("""WITH f AS (
              |  SELECT doc_id, text,

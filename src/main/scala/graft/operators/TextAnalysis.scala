@@ -112,11 +112,21 @@ object TextAnalysis {
     * low punctuation noise. Heuristic in the spirit of C4/Gopher quality
     * filters; deterministic and oracle-expressible.
     */
-  def qualityScore(text: Column): Column = {
-    val lenOk = when(tokenCount(text).between(5, 10000), 1.0).otherwise(0.0)
-    val punctOk = when(punctRatio(text) < 0.2, 1.0).otherwise(0.0)
-    val swOk = when(stopwordRatio(text) > 0.01, 1.0).otherwise(0.0)
-    val tokOk = when(meanTokenLen(text).between(2.0, 12.0), 1.0).otherwise(0.0)
+  def qualityScore(text: Column): Column =
+    qualityFrom(tokenCount(text), punctRatio(text), stopwordRatio(text),
+      meanTokenLen(text))
+
+  /** [[qualityScore]] over already-computed feature columns. Expression
+    * trees are DAG-free, so scoring from the raw text re-evaluates every
+    * component (each a regex pass over the document); pipelines that
+    * materialize the features anyway should derive the score from them.
+    */
+  def qualityFrom(nTokens: Column, punct: Column, stopword: Column,
+      meanTok: Column): Column = {
+    val lenOk = when(nTokens.between(5, 10000), 1.0).otherwise(0.0)
+    val punctOk = when(punct < 0.2, 1.0).otherwise(0.0)
+    val swOk = when(stopword > 0.01, 1.0).otherwise(0.0)
+    val tokOk = when(meanTok.between(2.0, 12.0), 1.0).otherwise(0.0)
     round((lenOk + punctOk + swOk + tokOk) / 4.0, 2)
   }
 
@@ -145,10 +155,14 @@ object TextAnalysis {
       .withColumn("n_tokens", tokenCount(t))
       .withColumn("n_bpe_tokens", bpeTokenCount(t))
       .withColumn("lang_pred", langId(t))
-      .withColumn("punct_ratio", round(punctRatio(t), 4))
-      .withColumn("stopword_ratio", round(stopwordRatio(t), 4))
-      .withColumn("mean_token_len", round(meanTokenLen(t), 4))
-      .withColumn("quality", qualityScore(t))
+      .withColumn("punct_ratio", punctRatio(t))
+      .withColumn("stopword_ratio", stopwordRatio(t))
+      .withColumn("mean_token_len", meanTokenLen(t))
+      .withColumn("quality", qualityFrom(col("n_tokens"), col("punct_ratio"),
+        col("stopword_ratio"), col("mean_token_len")))
       .withColumn("fingerprint", sortedTokenFingerprint(t))
+      .withColumn("punct_ratio", round(col("punct_ratio"), 4))
+      .withColumn("stopword_ratio", round(col("stopword_ratio"), 4))
+      .withColumn("mean_token_len", round(col("mean_token_len"), 4))
   }
 }
