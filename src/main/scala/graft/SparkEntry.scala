@@ -452,6 +452,31 @@ object SparkEntry {
   // §2.11 — events: JSON extraction, time-bucketed aggregation,
   // sessionization (the batch twin of the streaming surface).
   private def eventQueries: Seq[Q] = Seq(
+    Q("events_asof_attrib", // as-of join: purchase → latest prior click by
+      // the same user (one shuffle + window; no pair blow-up — AsofJoin)
+      (s, d) => {
+        val e = t(s, d, "events")
+        val p = e.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val c = e.filter(col("event_type") === "click")
+          .select("user_id", "ts", "event_id", "value")
+        graft.operators.AsofJoin
+          .backward(p, c, Seq("user_id"), "ts", Seq("event_id", "value"),
+            prefix = "click_")
+          .select(col("event_id"), col("user_id"),
+            col("click_event_id").as("click_id"),
+            (unix_millis(col("ts")) - unix_millis(col("click_ts"))).as("gap_ms"),
+            round(col("click_value"), 2).as("click_value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT p.event_id, p.user_id, c.event_id AS click_id,
+             |  epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms,
+             |  ROUND(c.value, 2) AS click_value
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY p.event_id""".stripMargin)),
+
     Q("events_json_extract",
       (s, d) => t(s, d, "events")
         .select(col("event_id"),
