@@ -716,7 +716,31 @@ object SparkEntry {
              |                ELSE 'de' END
              |         ELSE 'und' END AS pred
              |  FROM h
-             |) GROUP BY lang, pred ORDER BY lang, pred""".stripMargin)))
+             |) GROUP BY lang, pred ORDER BY lang, pred""".stripMargin)),
+
+    Q("doc_bm25_search", // ranked keyword retrieval (Okapi BM25, k1=1.2 b=0.75)
+      (s, d) => graft.operators.Retrieval.bm25(
+        t(s, d, "documents"), Seq("spark", "join", "window")),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+             |  FROM documents
+             |), m AS (
+             |  SELECT doc_id, len(toks) AS dl,
+             |    unnest(list_filter(toks,
+             |      t -> list_contains(['spark','join','window'], t))) AS term
+             |  FROM tok
+             |), tf AS (
+             |  SELECT doc_id, dl, term, COUNT(*) AS tf FROM m GROUP BY 1, 2, 3
+             |), dft AS (
+             |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+             |), stats AS (
+             |  SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM tok
+             |)
+             |SELECT doc_id, COUNT(DISTINCT term) AS n_terms,
+             |  ROUND(SUM(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+             |    * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+             |FROM tf JOIN dft USING (term) CROSS JOIN stats
+             |GROUP BY doc_id ORDER BY score DESC, doc_id""".stripMargin)))
 
   // §2.11 — embeddings: similarity search (brute-force baseline + ANN paths).
   private def embQueries: Seq[Q] = Seq(
