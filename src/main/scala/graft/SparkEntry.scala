@@ -740,7 +740,23 @@ object SparkEntry {
              |  ROUND(SUM(ln((n - df + 0.5) / (df + 0.5) + 1.0)
              |    * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
              |FROM tf JOIN dft USING (term) CROSS JOIN stats
-             |GROUP BY doc_id ORDER BY score DESC, doc_id""".stripMargin)))
+             |GROUP BY doc_id ORDER BY score DESC, doc_id""".stripMargin)),
+
+    Q("doc_chunks", // RAG chunking: overlapping 32-token windows, stride 24
+      (s, d) => graft.operators.Retrieval
+        .chunk(t(s, d, "documents"), chunkSize = 32, stride = 24)
+        .orderBy("doc_id", "chunk_id"),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents
+             |), st AS (
+             |  SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS s
+             |  FROM tok
+             |)
+             |SELECT doc_id, CAST(s / 24 AS INT) AS chunk_id,
+             |  len(list_slice(toks, s + 1, s + 32)) AS chunk_tokens,
+             |  array_to_string(list_slice(toks, s + 1, s + 32), ' ') AS chunk
+             |FROM st ORDER BY doc_id, chunk_id""".stripMargin)))
 
   // §2.11 — embeddings: similarity search (brute-force baseline + ANN paths).
   private def embQueries: Seq[Q] = Seq(

@@ -58,4 +58,33 @@ object Retrieval {
       .select(col("id").as(idCol), col("n_terms"), col("score"))
       .orderBy(col("score").desc, col(idCol))
   }
+
+  /** Split documents into overlapping token-window chunks (RAG indexing
+    * prep). Chunk i covers tokens [i·stride, i·stride + chunkSize); start
+    * positions run while they stay inside the document, so trailing chunks
+    * may be short but every token lands in at least one chunk.
+    *
+    * Output: (idCol, chunk_id, chunk_tokens, chunk) ordered within the
+    * plan only by what the caller imposes. Pure per-row expansion — no
+    * shuffle at all; chunking 100 TB is a map-only job that parallelizes
+    * with the input splits.
+    */
+  def chunk(
+      docs: DataFrame,
+      chunkSize: Int = 64,
+      stride: Int = 48,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be > 0")
+    val starts = sequence(lit(0), greatest(size(col("_toks")) - 1, lit(0)),
+      lit(stride))
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), col("_toks"), posexplode(starts))
+      .select(col(idCol), col("pos").as("chunk_id"),
+        slice(col("_toks"), col("col") + 1, lit(chunkSize)).as("_ctoks"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("_ctoks")).as("chunk_tokens"),
+        concat_ws(" ", col("_ctoks")).as("chunk"))
+  }
 }
