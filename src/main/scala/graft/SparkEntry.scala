@@ -363,6 +363,40 @@ object SparkEntry {
              |FROM lineitem WHERE l_suppkey <= 3
              |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
 
+    Q("agg_approx_distinct", // HLL++ sketch: the 100 TB form of COUNT(DISTINCT)
+      // — one pass, fixed memory, no extra shuffle for the distinct. Engine
+      // sketches differ, so no oracle; ApproxAggSpec bounds the error vs
+      // exact instead.
+      (s, d) => t(s, d, "lineitem").agg(
+        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("approx_supps")),
+      None),
+
+    Q("agg_approx_percentile", // t-digest-style quantiles, one pass, no sort
+      (s, d) => t(s, d, "lineitem").agg(
+        percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.95), lit(0.99)),
+          lit(10000)).as("price_quantiles")),
+      None),
+
+    Q("agg_exact_percentiles", // exact continuous quantiles (sort-based)
+      (s, d) => t(s, d, "lineitem").agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99")),
+      Some("""SELECT ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+             |ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+             |ROUND(quantile_cont(l_extendedprice, 0.99), 2) AS p99 FROM lineitem""".stripMargin)),
+
+    Q("doc_stratified_sample", // per-stratum Bernoulli sampling (training-set
+      // rebalancing); seed-deterministic in Spark, not reproducible across
+      // engines → rows-only + proportion bounds in ApproxAggSpec
+      (s, d) => t(s, d, "documents")
+        .stat.sampleBy("lang", Map("en" -> 0.5, "fr" -> 0.25, "de" -> 0.25,
+          "es" -> 0.25, "zh" -> 0.1), 42L)
+        .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+        .orderBy("lang"),
+      None),
+
     Q("agg_rollup", // §2.4 grouping sets
       (s, d) => t(s, d, "lineitem")
         .rollup("l_returnflag", "l_linestatus")

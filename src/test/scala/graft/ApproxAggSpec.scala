@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class ApproxAggSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val li = engine.Tables.load(spark, sfDir, "lineitem")
+
+  test("approx_count_distinct lands within 5% of the exact count") {
+    val (approx, exact) = li.agg(
+      approx_count_distinct(col("l_partkey"), rsd = 0.01),
+      countDistinct(col("l_partkey"))).as[(Long, Long)].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("approx percentiles bracket the exact ones within 2%") {
+    val row = li.agg(
+      percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.95)),
+        lit(10000)).as("a"),
+      expr("percentile(l_extendedprice, 0.5)"),
+      expr("percentile(l_extendedprice, 0.95)"))
+      .as[(Seq[Double], Double, Double)].head()
+    val (approx, e50, e95) = row
+    assert(math.abs(approx(0) - e50) / e50 < 0.02)
+    assert(math.abs(approx(1) - e95) / e95 < 0.02)
+  }
+
+  test("stratified sample hits the requested fraction per stratum") {
+    val docs = engine.Tables.load(spark, SparkSuite.sfDir.replace("0.001", "0.01"),
+      "documents")
+    val fractions = Map("en" -> 0.5, "fr" -> 0.2)
+    val sampled = docs.stat.sampleBy("lang", fractions, 42L)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val totals = docs.filter(col("lang").isin(fractions.keys.toSeq: _*))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    for ((lang, f) <- fractions) {
+      val got = sampled.getOrElse(lang, 0L).toDouble / totals(lang)
+      // Bernoulli sampling: 3-sigma bound on the observed fraction
+      val sigma = math.sqrt(f * (1 - f) / totals(lang))
+      assert(math.abs(got - f) < 3 * sigma + 0.02, s"$lang: got $got want $f")
+    }
+    // strata not in the fraction map never appear
+    assert(!sampled.keySet.exists(l => !fractions.contains(l)))
+  }
+
+  test("stratified sample is deterministic for a fixed seed") {
+    val docs = engine.Tables.load(spark, sfDir, "documents")
+    val a = docs.stat.sampleBy("lang", Map("en" -> 0.3), 7L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = docs.stat.sampleBy("lang", Map("en" -> 0.3), 7L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+  }
+}
