@@ -402,11 +402,18 @@ object SparkEntry {
           lit(10000)).as("price_quantiles")),
       None),
 
-    Q("agg_exact_percentiles", // exact continuous quantiles (sort-based)
-      (s, d) => t(s, d, "lineitem").agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99")),
+    Q("agg_exact_percentiles", // exact continuous quantiles via distributed
+      // range-sort + global index (Scale.exactQuantiles) — Spark's built-in
+      // exact percentile merges every value into one final buffer, which is
+      // single-node O(n) (measured 13 s at sf0.1 vs <1 s for the sort form)
+      (s, d) => {
+        val q = Scale.exactQuantiles(t(s, d, "lineitem"), "l_extendedprice",
+          Seq(0.5, 0.95, 0.99))
+        def r2(x: Double) =
+          BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+        import s.implicits._
+        Seq((r2(q(0)), r2(q(1)), r2(q(2)))).toDF("p50", "p95", "p99")
+      },
       Some("""SELECT ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
              |ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
              |ROUND(quantile_cont(l_extendedprice, 0.99), 2) AS p99 FROM lineitem""".stripMargin)),

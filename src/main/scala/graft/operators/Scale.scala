@@ -77,6 +77,45 @@ object Scale {
     * one shuffle now, zero exchanges for every later equi-join or
     * aggregation on `keys` between tables bucketed the same way.
     */
+  /** Exact continuous quantiles (the `quantile_cont` / ANSI
+    * `PERCENTILE_CONT` definition: linear interpolation at rank
+    * q·(n−1)) via a RANGE-PARTITIONED distributed sort plus a global
+    * index probe — every stage is cluster-parallel.
+    *
+    * Spark's built-in exact `percentile` aggregate funnels a
+    * value→count map from every partition into ONE final buffer; on a
+    * mostly-distinct double column that is an O(n) single-threaded merge
+    * and the whole dataset in one executor's memory — the 100 TB
+    * anti-pattern. Here the sort is Spark's TeraSort-style range
+    * exchange, `zipWithIndex` assigns global ranks with one extra count
+    * job, and only the ≤ 2·|qs| bracketing values ever reach the driver.
+    */
+  def exactQuantiles(df: DataFrame, valueCol: String, qs: Seq[Double]): Array[Double] = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      "quantiles must lie in [0, 1]")
+    val sorted = df
+      .select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull && !col("v").isNaN)
+      .orderBy("v")
+      .rdd.map(_.getDouble(0))
+      .zipWithIndex().map { case (v, i) => (i, v) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = sorted.count()
+      if (n == 0) return qs.map(_ => Double.NaN).toArray
+      val positions = qs.map(q => q * (n - 1))
+      val needed = positions.flatMap(p =>
+        Seq(math.floor(p).toLong, math.ceil(p).toLong)).toSet
+      val brackets = sorted.filter { case (i, _) => needed.contains(i) }
+        .collectAsMap()
+      positions.map { p =>
+        val (lo, hi) = (math.floor(p).toLong, math.ceil(p).toLong)
+        val (vl, vh) = (brackets(lo), brackets(hi))
+        vl + (p - lo) * (vh - vl)
+      }.toArray
+    } finally { sorted.unpersist(blocking = false); () }
+  }
+
   def writeBucketed(
       df: DataFrame,
       table: String,

@@ -27,6 +27,17 @@ class ApproxAggSpec extends SparkSuite {
     assert(math.abs(approx(1) - e95) / e95 < 0.02)
   }
 
+  test("distributed exact quantiles equal the built-in exact percentile") {
+    val got = graft.operators.Scale.exactQuantiles(
+      li, "l_extendedprice", Seq(0.0, 0.25, 0.5, 0.95, 1.0))
+    val want = li.agg(
+      expr("percentile(l_extendedprice, array(0.0, 0.25, 0.5, 0.95, 1.0))"))
+      .as[Seq[Double]].head()
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) <= math.ulp(w) * 4, s"got $g want $w")
+    }
+  }
+
   test("stratified sample hits the requested fraction per stratum") {
     val docs = engine.Tables.load(spark, SparkSuite.sfDir.replace("0.001", "0.01"),
       "documents")
