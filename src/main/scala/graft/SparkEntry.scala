@@ -535,7 +535,38 @@ object SparkEntry {
       (s, d) => t(s, d, "lineitem").agg(
         countDistinct(col("l_partkey")).as("n_parts"),
         countDistinct(col("l_suppkey")).as("n_supps")),
-      Some("SELECT COUNT(DISTINCT l_partkey) AS n_parts, COUNT(DISTINCT l_suppkey) AS n_supps FROM lineitem")))
+      Some("SELECT COUNT(DISTINCT l_partkey) AS n_parts, COUNT(DISTINCT l_suppkey) AS n_supps FROM lineitem")),
+
+    Q("orders_pivot_status", // §2.4 — pivot: one hash agg, statuses as
+      // columns (explicit value list keeps it single-pass; an unlisted
+      // pivot would first run a distinct scan to discover the values)
+      (s, d) => t(s, d, "orders").groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0, Seq("F", "O", "P"))
+        .select(col("o_orderpriority"), col("F").as("n_f"),
+          col("O").as("n_o"), col("P").as("n_p"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+             |COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+             |COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    Q("agg_group_percentile", // exact per-group median over a bounded-
+      // cardinality group key: the per-group value buffer is the built-in
+      // percentile's single-reducer hazard, but HERE each group is one of
+      // ≤3 return flags — the global-scope case uses Scale.exactQuantiles
+      // instead (agg_exact_percentiles). l_quantity is integer-valued, so
+      // the interpolated midpoint is exact in binary doubles and matches
+      // DuckDB's quantile_cont bit-for-bit.
+      (s, d) => t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50_qty,
+             |quantile_cont(l_quantity, 0.9) AS p90_qty
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)))
 
   // §2.11 — events: JSON extraction, time-bucketed aggregation,
   // sessionization (the batch twin of the streaming surface).
@@ -829,6 +860,127 @@ object SparkEntry {
              |    * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
              |FROM tf JOIN dft USING (term) CROSS JOIN stats
              |GROUP BY doc_id ORDER BY score DESC, doc_id""".stripMargin)),
+
+    Q("doc_repetition", // Gopher-style repetition filters: top-token /
+      // top-bigram mode fraction (per-row sorted-run scan — no explode +
+      // groupBy shuffle of rows×tokens cells) + duplicate-line fraction
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        round(graft.operators.Cleanse.topTokenFraction(col("text")), 6).as("top_token_frac"),
+        round(graft.operators.Cleanse.topBigramFraction(col("text")), 6).as("top_bigram_frac"),
+        round(graft.operators.Cleanse.dupLineFraction(col("text")), 6).as("dup_line_frac"))
+        .orderBy("doc_id"),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts,
+             |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+             |                x -> length(x) > 0) AS lines
+             |  FROM documents
+             |), bg AS (
+             |  SELECT doc_id, len(ts) - 1 AS n_bg,
+             |    unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS b
+             |  FROM tok WHERE len(ts) >= 2
+             |), bgc AS (
+             |  SELECT doc_id, n_bg, b, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3
+             |), bgtop AS (
+             |  SELECT doc_id, ROUND(MAX(c)::DOUBLE / n_bg, 6) AS top_bigram_frac
+             |  FROM bgc GROUP BY doc_id, n_bg
+             |), ug AS (
+             |  SELECT doc_id, len(ts) AS n_tok, unnest(ts) AS t FROM tok
+             |), ugc AS (
+             |  SELECT doc_id, n_tok, t, COUNT(*) AS c FROM ug GROUP BY 1, 2, 3
+             |), ugtop AS (
+             |  SELECT doc_id, ROUND(MAX(c)::DOUBLE / n_tok, 6) AS top_token_frac
+             |  FROM ugc GROUP BY doc_id, n_tok
+             |)
+             |SELECT tok.doc_id,
+             |  COALESCE(ugtop.top_token_frac, 0.0) AS top_token_frac,
+             |  COALESCE(bgtop.top_bigram_frac, 0.0) AS top_bigram_frac,
+             |  CASE WHEN len(lines) = 0 THEN 0.0
+             |       ELSE ROUND((len(lines) - len(list_distinct(lines)))::DOUBLE / len(lines), 6) END AS dup_line_frac
+             |FROM tok LEFT JOIN bgtop USING (doc_id) LEFT JOIN ugtop USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    Q("doc_pii", // PII detect + redact over deterministic synthetic PII
+      // (fixture text carries none — Cleanse.withSyntheticPii appends an
+      // email/phone/URL derived from doc_id/source, reproduced in the CTE)
+      (s, d) => graft.operators.Cleanse
+        .withSyntheticPii(t(s, d, "documents"))
+        .select(col("doc_id"),
+          graft.operators.Cleanse.emailCount(col("text")).as("n_emails"),
+          graft.operators.Cleanse.phoneCount(col("text")).as("n_phones"),
+          graft.operators.Cleanse.urlCount(col("text")).as("n_urls"),
+          md5(graft.operators.Cleanse.redact(col("text"))).as("redacted_md5"))
+        .orderBy("doc_id"),
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+             |      || '@example.com or call 555-01' || CAST(doc_id % 10 AS VARCHAR)
+             |      || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+             |      || ' visit https://' || source || '.example.org/d/' || CAST(doc_id AS VARCHAR) AS text
+             |  FROM documents
+             |)
+             |SELECT doc_id,
+             |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             |  len(regexp_extract_all(text, '\d{3}[-.]\d{3}[-.]\d{4}')) AS n_phones,
+             |  len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+             |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\d{3}[-.]\d{3}[-.]\d{4}', '<PHONE>', 'g'),
+             |    'https?://[^\s]+', '<URL>', 'g')) AS redacted_md5
+             |FROM p ORDER BY doc_id""".stripMargin)),
+
+    Q("doc_url_domains", // URL → domain histogram (narrow extract+explode,
+      // one hash agg on the domain key)
+      (s, d) => graft.operators.Cleanse
+        .urlDomainHistogram(graft.operators.Cleanse
+          .withSyntheticUrls(t(s, d, "documents")))
+        .orderBy("domain"),
+      Some("""WITH p AS (
+             |  SELECT doc_id, source,
+             |    text || ' see https://' || source || '.example.org/d/' || CAST(doc_id AS VARCHAR)
+             |      || CASE WHEN doc_id % 3 = 0
+             |              THEN ' and http://mirror-' || source || '.example.net/x'
+             |              ELSE '' END AS text
+             |  FROM documents
+             |), u AS (
+             |  SELECT unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url FROM p
+             |)
+             |SELECT regexp_extract(url, 'https?://([^/\s]+)', 1) AS domain, COUNT(*) AS n
+             |FROM u GROUP BY domain ORDER BY domain""".stripMargin)),
+
+    Q("doc_dup_clusters", // near-dup pairs → connected components → dedup
+      // groups (A~B, B~C collapse to one cluster even without an A~C pair);
+      // iterative min-label propagation, O(diameter) rounds. Oracle: the
+      // same pairs + a recursive-CTE transitive closure.
+      (s, d) => graft.operators.Dedup
+        .dupClusters(t(s, d, "documents"), "source", threshold = 0.02)
+        .orderBy("cluster_id"),
+      Some("""WITH RECURSIVE d AS (
+             |  SELECT source, doc_id,
+             |    list_distinct(list_transform(
+             |      range(0, greatest(len(t) - 2, 1)),
+             |      i -> array_to_string(t[(i+1):(i+3)], ' '))) AS sh
+             |  FROM (SELECT source, doc_id,
+             |          string_split_regex(lower(trim(text)), '\s+') AS t
+             |        FROM documents)
+             |), pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.02
+             |), edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs
+             |), reach(id, r) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+             |), comp AS (
+             |  SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+             |)
+             |SELECT cluster_id, COUNT(*) AS n_members,
+             |  array_to_string(list_sort(list(id)), ',') AS members
+             |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin)),
 
     Q("doc_chunks", // RAG chunking: overlapping 32-token windows, stride 24
       (s, d) => graft.operators.Retrieval

@@ -245,6 +245,82 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // -- connected components: pairs → dedup groups ---------------------------
+
+  /** Connected components over an undirected pair list (id_a, id_b):
+    * returns one row per node that appears in any pair, labeled with the
+    * minimum id reachable from it (`cluster_id`). Near-dup PAIRS are not
+    * yet a dedup decision — A~B and B~C must collapse to one keep-document
+    * even when A~C was never emitted — so this is the step that turns any
+    * pairwise dedup family above into groups.
+    *
+    * Algorithm: iterative min-label propagation. Each round every node
+    * takes the min of its own label and its neighbors' labels — one
+    * shuffle join + one aggregation per round, converging in O(diameter)
+    * rounds. Near-dup graphs are unions of small dense clusters (tiny
+    * diameters), so a handful of rounds suffices at any corpus size; the
+    * label frame is `localCheckpoint`ed each round to truncate lineage
+    * (an unbounded iterative plan re-executes every prior round at each
+    * action and overwhelms the optimizer). The classic refinement for
+    * adversarially long chains is large-star/small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14), which this
+    * degrades to gracefully via `maxIter`.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // min label over the node's neighborhood (every node in `edges` has
+      // at least one neighbor, so the inner join keeps every node)
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("cluster_id").as("nl")), "dst")
+        .groupBy(col("src").as("id")).agg(min("nl").as("nl"))
+      val next = labels.join(nbrMin, Seq("id"))
+        .select(col("id"), least(col("cluster_id"), col("nl")).as("cluster_id"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "id")
+        .filter(col("cluster_id") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** End-to-end dedup grouping: n-gram-Jaccard near-dup pairs →
+    * connected components → one row per multi-document cluster with the
+    * canonical keep id (cluster min), member count, and the sorted member
+    * list (comma-joined, so the output stays flat and hash-comparable).
+    */
+  def dupClusters(
+      docs: DataFrame,
+      blockCol: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleK: Int = 3,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, blockCol, textCol, idCol, shingleK,
+      threshold, maxBucket)
+    connectedComponents(pairs)
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        array_join(transform(array_sort(collect_list(col("id"))),
+          x => x.cast("string")), ",").as("members"))
+  }
+
   // -- 5: SimHash ----------------------------------------------------------
 
   /** 64-bit SimHash of the token stream: hash each token once, accumulate
