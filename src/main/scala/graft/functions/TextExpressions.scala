@@ -313,6 +313,45 @@ case class BestLangByHits(first: Expression, second: Expression, third: Expressi
   }
 }
 
+/** Count of the most frequent element of a string array (the mode's
+  * multiplicity). SQL name: `graft_mode_count`.
+  *
+  * One hash-count pass, O(n) — the HOF twin
+  * ([[graft.operators.Cleanse.maxRunFractionHof]]) sorts the array and
+  * folds an interpreted run-length lambda over it, O(n log n) with a
+  * struct allocation per element. Semantics match the twin exactly:
+  * empty → 0; null elements never merge into a run (SQL null ≠ null), so
+  * they contribute at most 1; null input → null.
+  */
+case class ModeCount(child: Expression) extends UnaryExpression with StringArrayInput
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override protected def arrayChild: Expression = child
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = checkStringArray()
+  override def prettyName: String = "graft_mode_count"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new java.util.HashMap[UTF8String, Int]()
+    var best = 0
+    var hasNull = false
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) hasNull = true
+      else {
+        val c = counts.merge(arr.getUTF8String(i), 1, (a, b) => a + b)
+        if (c > best) best = c
+      }
+      i += 1
+    }
+    if (best == 0 && hasNull) 1 else best
+  }
+}
+
 /** Count of array elements contained in a constant word set. SQL name:
   * `graft_stopword_hits(tokens, words)`; `words` must be foldable.
   *

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{BestLangByHits, CosineSimilarity, DotProduct, MinHashSig, SimHash64, StopwordHits, WordKGrams}
+import graft.functions.{BestLangByHits, CosineSimilarity, DotProduct, MinHashSig, ModeCount, SimHash64, StopwordHits, WordKGrams}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -40,6 +40,8 @@ object GraftFunctions {
     ("graft_lang_best", info("graft_lang_best", classOf[BestLangByHits]),
       (es: Seq[Expression]) => { arity("graft_lang_best", es, 3)
         BestLangByHits(es(0), es(1), es(2)) }),
+    ("graft_mode_count", info("graft_mode_count", classOf[ModeCount]),
+      (es: Seq[Expression]) => { arity("graft_mode_count", es, 1); ModeCount(es(0)) }),
     ("graft_shingles", info("graft_shingles", classOf[WordKGrams]),
       (es: Seq[Expression]) => { arity("graft_shingles", es, 2); es(1) match {
         case Literal(n: Int, IntegerType) => WordKGrams(es(0), n)

@@ -62,14 +62,45 @@ class CleanseSpec extends SparkSuite {
     assert(d === "sub.example.org")
   }
 
+  test("native maxRunFraction is bit-identical to the HOF twin on the fixture corpus") {
+    val docs = graft.engine.Tables.load(spark, sfDir, "documents")
+    val both = docs.select(
+      Cleanse.maxRunFraction(graft.operators.TextAnalysis.tokens($"text")).as("native"),
+      Cleanse.maxRunFractionHof(graft.operators.TextAnalysis.tokens($"text")).as("hof"),
+      Cleanse.maxRunFraction(Cleanse.bigrams($"text")).as("native_bg"),
+      Cleanse.maxRunFractionHof(Cleanse.bigrams($"text")).as("hof_bg"))
+    assert(both.filter($"native" =!= $"hof" || $"native_bg" =!= $"hof_bg").count() === 0)
+  }
+
+  test("native maxRunFraction edge cases: empty, all-null, null-input arrays") {
+    val df = Seq(
+      (1L, Seq[String]()),
+      (2L, Seq[String](null, null, null)),
+      (3L, Seq("a", null, "a")),
+      (4L, null)
+    ).toDF("id", "arr")
+    val rows = df.select($"id",
+      Cleanse.maxRunFraction($"arr").as("n"), Cleanse.maxRunFractionHof($"arr").as("h"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    rows.foreach { case (id, n, h) => assert(n === h, s"id=$id") }
+  }
+
   test("connectedComponents: transitive chain collapses to one min-labeled cluster") {
     // path 1-2-3-4-5 (diameter 4 → needs >1 propagation round) + island 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
       .toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(pairs)
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L)
+    // driver union-find path (default) and distributed pointer-jumping
+    // path (forced by driverMaxPairs = 0) must agree exactly
+    val driverCc = Dedup.connectedComponents(pairs)
       .as[(Long, Long)].collect().toMap
-    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
-      10L -> 10L, 11L -> 10L))
+    val distCc = Dedup.connectedComponents(pairs, driverMaxPairs = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(driverCc === expected)
+    assert(distCc === expected)
   }
 
   test("dupClusters groups near-dup pairs beyond direct edges") {
