@@ -566,7 +566,66 @@ object SparkEntry {
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50_qty,
              |quantile_cont(l_quantity, 0.9) AS p90_qty
-             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)))
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("scale_bloom_semijoin", // bloom-prefiltered semi join: the build side
+      // (rare high-quantity lineitems) sketches its keys, ~99% of orders
+      // drop before the shuffle, false positives die in the exact join —
+      // the oracle IS the plain EXISTS, results bit-identical
+      (s, d) => Scale.bloomPrefilteredJoin(
+          t(s, d, "orders"),
+          t(s, d, "lineitem").filter(col("l_quantity") > 49)
+            .select(col("l_orderkey")),
+          "o_orderkey", "l_orderkey", joinType = "left_semi")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total_price")),
+      Some("""SELECT COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_price
+             |FROM orders WHERE EXISTS (
+             |SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 49)""".stripMargin)),
+
+    Q("join_range_binned", // interval join (price → band) rewritten as an
+      // equi-join on a bin key (Scale.binnedRangeJoin) — the non-equi form
+      // is a broadcast nested loop, O(facts × ranges)
+      (s, d) => {
+        val bands = s.range(0, 11).select(
+          (col("id") * 10000.0).as("lo"), ((col("id") + 1) * 10000.0).as("hi"))
+        Scale.binnedRangeJoin(
+            t(s, d, "lineitem").select("l_extendedprice"), "l_extendedprice",
+            bands, "lo", "hi", binWidth = 10000.0)
+          .groupBy(col("lo").as("band_lo"))
+          .agg(count(lit(1)).as("n"),
+            round(avg("l_extendedprice"), 2).as("avg_price"))
+          .orderBy("band_lo")
+      },
+      Some("""SELECT lo AS band_lo, COUNT(*) AS n,
+             |ROUND(AVG(l_extendedprice), 2) AS avg_price
+             |FROM (SELECT i * 10000.0 AS lo, (i + 1) * 10000.0 AS hi
+             |      FROM range(0, 11) t(i))
+             |JOIN lineitem ON l_extendedprice >= lo AND l_extendedprice < hi
+             |GROUP BY lo ORDER BY band_lo""".stripMargin)),
+
+    Q("scale_zorder_codes", // Morton (Z-order) clustering key: bit-
+      // interleave (l_partkey, l_suppkey) so one sort yields min/max
+      // skipping envelopes on both columns (Scale.mortonCode /
+      // writeZOrdered; layout effect pinned in ScaleSpec)
+      (s, d) => t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"),
+          Scale.mortonCode(col("l_partkey"), col("l_suppkey")).as("z"))
+        .orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
+        .limit(100),
+      Some(s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+              |(${mortonSqlExpr("l_partkey", "l_suppkey", 21)}) AS z
+              |FROM lineitem ORDER BY z, l_orderkey, l_linenumber LIMIT 100""".stripMargin)))
+
+  /** The same bit-interleave [[Scale.mortonCode]] builds, as DuckDB SQL
+    * text (fully parenthesized — DuckDB's bitwise-operator precedence
+    * differs from arithmetic).
+    */
+  private def mortonSqlExpr(aCol: String, bCol: String, bits: Int): String =
+    (0 until bits).map(i =>
+      s"(((($aCol >> $i) & 1) << ${2 * i}) | ((($bCol >> $i) & 1) << ${2 * i + 1}))")
+      .mkString(" | ")
 
   // §2.11 — events: JSON extraction, time-bucketed aggregation,
   // sessionization (the batch twin of the streaming surface).
@@ -836,6 +895,23 @@ object SparkEntry {
              |         ELSE 'und' END AS pred
              |  FROM h
              |) GROUP BY lang, pred ORDER BY lang, pred""".stripMargin)),
+
+    Q("doc_top_terms", // corpus vocabulary stats (tokenizer-training
+      // input): term frequency + document frequency, top-k. One explode +
+      // hash agg on the term key; countDistinct adds the second shuffle
+      // COUNT(DISTINCT) always costs.
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("term")).limit(50),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+             |  FROM documents
+             |)
+             |SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+             |FROM tok GROUP BY term ORDER BY tf DESC, term LIMIT 50""".stripMargin)),
 
     Q("doc_bm25_search", // ranked keyword retrieval (Okapi BM25, k1=1.2 b=0.75)
       (s, d) => graft.operators.Retrieval.bm25(

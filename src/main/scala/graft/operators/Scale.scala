@@ -129,4 +129,93 @@ object Scale {
     val sorted = if (sortKeys.nonEmpty) w.sortBy(sortKeys.head, sortKeys.tail: _*) else w
     sorted.saveAsTable(table)
   }
+
+  /** Bloom-prefiltered equi-join on a long key: build a Bloom filter over
+    * the build side's keys, drop probe rows that can't match BEFORE the
+    * probe side's shuffle, then run the exact join. At 100 TB the win is
+    * shuffle volume: a selective build side (say 1% of orders) means ~99%
+    * of the fact table's bytes never enter the exchange; false positives
+    * (rate `fpp`) just ride along and are removed by the join itself, so
+    * results are bit-identical to the plain join. This is the manual form
+    * of AQE's runtime-filter pushdown, for when the build side isn't a
+    * subquery Spark can see through.
+    *
+    * The filter costs one extra pass over the build side (the aggregate
+    * that builds the sketch) and one broadcast of ~`-n·ln(fpp)/ln²2` bits.
+    */
+  def bloomPrefilteredJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      probeKey: String,
+      buildKey: String,
+      joinType: String = "inner",
+      fpp: Double = 0.01): DataFrame = {
+    val expected = math.max(build.count(), 1L)
+    val bf = build.stat.bloomFilter(buildKey, expected, fpp)
+    val bfBc = probe.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((k: java.lang.Long) =>
+      k != null && bfBc.value.mightContainLong(k))
+    probe.filter(mightContain(col(probeKey)))
+      .join(build, col(probeKey) === col(buildKey), joinType)
+  }
+
+  /** Interval join (value BETWEEN lo AND hi) as an equi-join via binning.
+    * Facts hash to bin floor(value/binWidth); each range replicates to
+    * every bin it overlaps; the equi-join on the bin key is then verified
+    * with the exact predicate. Without this, Spark plans a broadcast
+    * nested loop — O(facts × ranges) comparisons — which stops being
+    * funny when the ranges side no longer broadcasts. Replication factor
+    * per range is span/binWidth + 1, so pick binWidth near the typical
+    * range span. Matches `value >= lo AND value < hi` (half-open).
+    */
+  def binnedRangeJoin(
+      facts: DataFrame,
+      valueCol: String,
+      ranges: DataFrame,
+      loCol: String,
+      hiCol: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val r = ranges.withColumn("_bin", explode(sequence(
+      floor(col(loCol) / binWidth).cast("long"),
+      floor(col(hiCol) / binWidth).cast("long"))))
+    facts.withColumn("_bin", floor(col(valueCol) / binWidth).cast("long"))
+      .join(r, Seq("_bin"))
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+      .drop("_bin")
+  }
+
+  /** Morton (Z-order) code of two non-negative integer columns: bit i of
+    * `a` lands at position 2i, bit i of `b` at 2i+1. Built as a static
+    * tree of `bits` shift/mask/or terms — all codegen'd comparisons, no
+    * loop at runtime. `bits` ≤ 31 keeps the result in a positive long.
+    */
+  def mortonCode(a: Column, b: Column, bits: Int = 21): Column = {
+    require(bits > 0 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val al = a.cast("long"); val bl = b.cast("long")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(al, i).bitwiseAND(1), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(bl, i).bitwiseAND(1), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Z-order layout write: range-partition and sort by the Morton code of
+    * two clustering columns, so parquet row groups carry narrow min/max
+    * envelopes on BOTH columns and scans filtering either one skip files.
+    * A plain sort clusters only its leading column; the interleaved code
+    * buys two-dimensional skipping for one sort.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      colA: String,
+      colB: String,
+      numFiles: Int): Unit = {
+    val z = mortonCode(col(colA), col(colB))
+    df.withColumn("_z", z)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

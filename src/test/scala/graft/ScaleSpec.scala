@@ -67,6 +67,70 @@ class ScaleSpec extends SparkSuite {
     assert(r1.exceptAll(r2).isEmpty && r2.exceptAll(r1).isEmpty)
   }
 
+  test("bloomPrefilteredJoin equals the plain join exactly") {
+    val build = lineitem.filter($"l_quantity" > 45).select("l_orderkey")
+    val plain = orders.join(build, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .select("o_orderkey")
+    val bloomed = Scale.bloomPrefilteredJoin(orders, build,
+        "o_orderkey", "l_orderkey", joinType = "left_semi")
+      .select("o_orderkey")
+    assert(plain.count() > 0)
+    assert(bloomed.exceptAll(plain).isEmpty && plain.exceptAll(bloomed).isEmpty)
+  }
+
+  test("binnedRangeJoin matches the non-equi join; half-open boundaries") {
+    val ranges = Seq((0.0, 10.0), (10.0, 25.0), (25.0, 100.0)).toDF("lo", "hi")
+    val facts = Seq(0.0, 5.0, 9.999, 10.0, 24.9, 25.0, 99.9, 100.0, 150.0)
+      .toDF("v")
+    val binned = Scale.binnedRangeJoin(facts, "v", ranges, "lo", "hi", 7.0)
+      .select("v", "lo").as[(Double, Double)].collect().toSet
+    val naive = facts.join(ranges, $"v" >= $"lo" && $"v" < $"hi")
+      .select("v", "lo").as[(Double, Double)].collect().toSet
+    assert(binned === naive)
+    assert(!binned.exists(_._1 >= 100.0)) // 100.0 and 150.0 fall outside
+  }
+
+  test("mortonCode interleaves bits (matches a reference implementation)") {
+    def ref(a: Long, b: Long): Long =
+      (0 until 21).foldLeft(0L)((acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1)))
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (12345L, 67890L),
+      ((1L << 21) - 1, (1L << 21) - 1))
+    val got = cases.toDF("a", "b")
+      .select(Scale.mortonCode($"a", $"b").as("z")).as[Long].collect()
+    assert(got.toSeq === cases.map { case (a, b) => ref(a, b) })
+    // locality: fixing high bits of both keys bounds the code range
+    assert(ref(1L, 1L) === 3L && ref(2L, 2L) === 12L && ref(3L, 3L) === 15L)
+  }
+
+  test("writeZOrdered produces files with narrow envelopes on both keys") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    try {
+      Scale.writeZOrdered(
+        lineitem.select("l_partkey", "l_suppkey", "l_extendedprice"),
+        dir, "l_partkey", "l_suppkey", numFiles = 8)
+      val back = spark.read.parquet(dir)
+      assert(back.count() === lineitem.count())
+      // per-file min/max envelope area must beat an unclustered layout:
+      // z-sorted files partition the key plane, so the mean envelope area
+      // is a fraction of the full (maxPart × maxSupp) rectangle
+      val spans = back
+        .select(input_file_name().as("f"), $"l_partkey", $"l_suppkey")
+        .groupBy("f")
+        .agg(((max("l_partkey") - min("l_partkey")) *
+          (max("l_suppkey") - min("l_suppkey"))).as("area"))
+        .as[(String, Long)].collect()
+      val full = lineitem.agg(
+        ((max("l_partkey") - min("l_partkey")) *
+          (max("l_suppkey") - min("l_suppkey"))).cast("long")).as[Long].head()
+      val meanArea = spans.map(_._2).sum.toDouble / spans.length
+      assert(spans.length > 1)
+      assert(meanArea < full * 0.5, s"mean envelope $meanArea vs full $full")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("bucketed tables join and aggregate with zero exchanges") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
