@@ -604,6 +604,138 @@ object SparkEntry {
              |JOIN lineitem ON l_extendedprice >= lo AND l_extendedprice < hi
              |GROUP BY lo ORDER BY band_lo""".stripMargin)),
 
+    Q("q6_revenue_delta", // TPC-H Q6 shape: every predicate pushes to the
+      // parquet scan (date range + discount band + quantity cap), one
+      // map-side partial agg, no shuffle of any width
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+          && col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+          && col("l_discount").between(0.05, 0.07)
+          && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue")),
+      Some("""SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             |AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)),
+
+    Q("q10_returned_revenue", // TPC-H Q10 shape: returned-item revenue per
+      // customer; orders date-pruned before the fact join, nation broadcast
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+            && col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-07-01 00:00:00")))
+        t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "n_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+          .select("c_custkey", "c_name", "revenue", "n_name")
+          .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+      },
+      Some("""SELECT c_custkey, c_name,
+             |ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, n_name
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+             |AND l_returnflag = 'R'
+             |GROUP BY c_custkey, c_name, n_name
+             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
+    Q("q14_promo_share", // TPC-H Q14 shape: conditional aggregation
+      // (CASE inside SUM) over a month-pruned fact join
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-03-01 00:00:00"))
+          && col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0)
+          * sum(when(col("p_type") === "PROMO",
+              col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0))
+          / sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("promo_revenue_pct")),
+      Some("""SELECT ROUND(100.00 * SUM(CASE WHEN p_type = 'PROMO'
+             |THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             | / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+             |AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)),
+
+    Q("q15_top_supplier", // TPC-H Q15 shape: argmax over a derived
+      // aggregate — the per-supplier revenue is computed ONCE, its scalar
+      // max broadcast back via a 1-row cross join (the CTE-twice form
+      // re-scans the fact table)
+      (s, d) => {
+        val rev = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+            && col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+          .groupBy(col("l_suppkey").as("supplier_no"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("total_revenue"))
+          .localCheckpoint()
+        rev.join(broadcast(rev.agg(max("total_revenue").as("mx"))),
+            col("total_revenue") === col("mx"))
+          .join(t(s, d, "supplier"), col("s_suppkey") === col("supplier_no"))
+          .select("s_suppkey", "s_name", "total_revenue")
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_suppkey AS supplier_no,
+             |    ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+             |  GROUP BY l_suppkey)
+             |SELECT s_suppkey, s_name, total_revenue
+             |FROM supplier JOIN rev ON s_suppkey = supplier_no
+             |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    Q("q18_big_orders", // TPC-H Q18 shape: HAVING on a grouped fact,
+      // survivors (rare) joined back to orders + customer
+      (s, d) => {
+        val big = t(s, d, "lineitem").groupBy("l_orderkey")
+          .agg(sum("l_quantity").as("sum_qty"))
+          .filter(col("sum_qty") > 150)
+        big.join(t(s, d, "orders"), col("o_orderkey") === col("l_orderkey"))
+          .join(t(s, d, "customer"), col("c_custkey") === col("o_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("o_orderdate").cast("string").as("o_orderdate"),
+            col("o_totalprice"), round(col("sum_qty"), 2).as("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, o_orderkey,
+             |CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_totalprice,
+             |ROUND(sum_qty, 2) AS sum_qty
+             |FROM (SELECT l_orderkey, SUM(l_quantity) AS sum_qty FROM lineitem
+             |      GROUP BY l_orderkey HAVING SUM(l_quantity) > 150) big
+             |JOIN orders ON o_orderkey = l_orderkey
+             |JOIN customer ON c_custkey = o_custkey
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin)),
+
+    Q("q19_disjunctive", // TPC-H Q19 shape: OR-of-ANDs predicate spanning
+      // both join sides — Catalyst extracts the common join key so it stays
+      // an equi-join (not a nested loop), residual disjunction as filter
+      (s, d) => t(s, d, "lineitem")
+        .join(t(s, d, "part"), col("p_partkey") === col("l_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 5)
+            && col("l_quantity").between(1, 11))
+          || (col("p_brand") === "Brand#2" && col("p_size").between(1, 10)
+            && col("l_quantity").between(10, 20))
+          || (col("p_brand") === "Brand#3" && col("p_size").between(1, 15)
+            && col("l_quantity").between(20, 30)))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n")),
+      Some("""SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |COUNT(*) AS n
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+             |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+             |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
     Q("scale_zorder_codes", // Morton (Z-order) clustering key: bit-
       // interleave (l_partkey, l_suppkey) so one sort yields min/max
       // skipping envelopes on both columns (Scale.mortonCode /
