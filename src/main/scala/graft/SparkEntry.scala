@@ -387,6 +387,92 @@ object SparkEntry {
              |FROM lineitem WHERE l_suppkey <= 3
              |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
 
+    Q("window_order_gaps", // lag(): inter-order gap per customer, one
+      // window pass feeding a reaggregation (no self-join on order seq)
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, d, "orders")
+          .withColumn("ots", col("o_orderdate").cast("timestamp")) // NTZ → UTC instant
+          .withColumn("gap_ms",
+            unix_millis(col("ots")) - unix_millis(lag(col("ots"), 1).over(w)))
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"), count(col("gap_ms")).as("n_gaps"),
+            round(avg(col("gap_ms")) / 86400000.0, 4).as("avg_gap_days"))
+          .orderBy("o_custkey").limit(200)
+      },
+      Some("""WITH g AS (
+             |  SELECT o_custkey,
+             |    epoch_ms(o_orderdate) - epoch_ms(lag(o_orderdate) OVER w) AS gap_ms
+             |  FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+             |SELECT o_custkey, COUNT(*) AS n_orders, COUNT(gap_ms) AS n_gaps,
+             |  ROUND(AVG(gap_ms) / 86400000.0, 4) AS avg_gap_days
+             |FROM g GROUP BY o_custkey ORDER BY o_custkey LIMIT 200""".stripMargin)),
+
+    Q("window_rank_quartile", // ranking family: ntile / dense_rank /
+      // percent_rank share ONE window spec → a single sort per partition
+      (s, d) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        t(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+            ntile(4).over(w).as("quartile"),
+            dense_rank().over(w).as("drank"),
+            round(percent_rank().over(w), 6).as("prank"))
+          .orderBy(col("c_mktsegment"), col("c_acctbal").desc, col("c_custkey"))
+          .limit(300)
+      },
+      Some("""SELECT c_custkey, c_mktsegment, c_acctbal,
+             |  ntile(4) OVER w AS quartile,
+             |  dense_rank() OVER w AS drank,
+             |  ROUND(percent_rank() OVER w, 6) AS prank
+             |FROM customer WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+             |ORDER BY c_mktsegment, c_acctbal DESC, c_custkey LIMIT 300""".stripMargin)),
+
+    Q("window_first_last", // first_value / last_value / lead; last_value
+      // needs the full frame (default frame stops at CURRENT ROW)
+      (s, d) => {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, d, "lineitem").filter(col("l_suppkey") <= 2)
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            first(col("l_extendedprice")).over(w).as("first_price"),
+            last(col("l_extendedprice")).over(wFull).as("last_price"),
+            lead(col("l_extendedprice"), 1).over(w).as("next_price"))
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber").limit(100)
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+             |  first_value(l_extendedprice) OVER w AS first_price,
+             |  last_value(l_extendedprice) OVER (PARTITION BY l_suppkey
+             |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+             |  lead(l_extendedprice) OVER w AS next_price
+             |FROM lineitem WHERE l_suppkey <= 2
+             |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+             |ORDER BY l_suppkey, l_orderkey, l_linenumber LIMIT 100""".stripMargin)),
+
+    Q("agg_grouping_sets", // explicit GROUPING SETS with grouping()
+      // markers (cube/rollup covered separately) — one shuffle, the
+      // grouping-set expansion happens map-side
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""SELECT l_returnflag, l_linestatus,
+                |CAST(grouping(l_returnflag) AS INT) AS g_rf,
+                |CAST(grouping(l_linestatus) AS INT) AS g_ls,
+                |COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+                |FROM lineitem
+                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+                |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+             |CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+             |COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+             |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
     Q("agg_approx_distinct", // HLL++ sketch: the 100 TB form of COUNT(DISTINCT)
       // — one pass, fixed memory, no extra shuffle for the distinct. Engine
       // sketches differ, so no oracle; ApproxAggSpec bounds the error vs
@@ -786,6 +872,23 @@ object SparkEntry {
              |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
              |  ON p.user_id = c.user_id AND p.ts >= c.ts
              |ORDER BY p.event_id""".stripMargin)),
+
+    Q("events_latest_per_user", // arg-max compaction: latest record per
+      // key via max_by on a composite (ts, id) order — one hash agg, no
+      // window sort of the full stream
+      (s, d) => {
+        val ord = unix_millis(col("ts")) * lit(1000000L) + col("event_id")
+        t(s, d, "events").groupBy("user_id")
+          .agg(max_by(col("event_id"), ord).as("last_event_id"),
+            max_by(col("event_type"), ord).as("last_type"),
+            max(unix_millis(col("ts"))).as("last_ts_ms"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+             |arg_max(event_id, epoch_ms(ts) * 1000000 + event_id) AS last_event_id,
+             |arg_max(event_type, epoch_ms(ts) * 1000000 + event_id) AS last_type,
+             |max(epoch_ms(ts)) AS last_ts_ms
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     Q("events_json_extract",
       (s, d) => t(s, d, "events")
