@@ -1293,6 +1293,128 @@ object SparkEntry {
              |  array_to_string(list_sort(list(id)), ',') AS members
              |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin)),
 
+    Q("doc_pack_shards", // token-budget training shards: cumulative token
+      // offset per source stream → shard id; one window pass per source
+      (s, d) => graft.operators.Retrieval
+        .packShards(t(s, d, "documents"), budget = 500)
+        .groupBy("source", "shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("shard_tokens"))
+        .orderBy("source", "shard_id"),
+      Some("""WITH tok AS (
+             |  SELECT source, doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tok
+             |  FROM documents
+             |), c AS (
+             |  SELECT source, doc_id, n_tok,
+             |    COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+             |  FROM tok
+             |)
+             |SELECT source, CAST(cum_before // 500 AS INT) AS shard_id,
+             |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS shard_tokens
+             |FROM c GROUP BY source, shard_id ORDER BY source, shard_id""".stripMargin)),
+
+    Q("doc_quality_percentile", // per-language quality gate: keep the top
+      // half by quality percentile WITHIN each language — absolute-score
+      // cuts starve low-resource languages; the window sorts per lang
+      (s, d) => {
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("quality").desc, col("doc_id"))
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextAnalysis.tokenCount(col("text")).as("n_tok"),
+            TextAnalysis.punctRatio(col("text")).as("pr"),
+            TextAnalysis.stopwordRatio(col("text")).as("sr"),
+            TextAnalysis.meanTokenLen(col("text")).as("mtl"))
+          .select(col("doc_id"), col("lang"),
+            TextAnalysis.qualityFrom(col("n_tok"), col("pr"), col("sr"),
+              col("mtl")).as("quality"))
+          .withColumn("prank", round(percent_rank().over(w), 6))
+          .filter(col("prank") <= 0.5)
+          .orderBy("lang", "prank", "doc_id")
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id, lang, text,
+             |    string_split_regex(lower(trim(text)), '\s+') AS toks,
+             |    len(string_split_regex(trim(text), '\s+')) AS n
+             |  FROM documents
+             |), m AS (
+             |  SELECT doc_id, lang, n,
+             |    CASE WHEN length(text) = 0 THEN 0.0
+             |      ELSE CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) / length(text) END AS pr,
+             |    CASE WHEN n = 0 THEN 0.0
+             |      ELSE CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE) / n END AS sr,
+             |    CASE WHEN n = 0 THEN 0.0
+             |      ELSE CAST(list_aggregate(list_transform(string_split_regex(trim(text), '\s+'), t -> length(t)), 'sum') AS DOUBLE) / n END AS mtl
+             |  FROM f
+             |), sc AS (
+             |  SELECT doc_id, lang,
+             |    ROUND(((CASE WHEN n BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.0 END)
+             |      + (CASE WHEN pr < 0.2 THEN 1.0 ELSE 0.0 END)
+             |      + (CASE WHEN sr > 0.01 THEN 1.0 ELSE 0.0 END)
+             |      + (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 4.0, 2) AS quality
+             |  FROM m
+             |)
+             |SELECT doc_id, lang, quality,
+             |  ROUND(percent_rank() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id), 6) AS prank
+             |FROM sc QUALIFY prank <= 0.5 ORDER BY lang, prank, doc_id""".stripMargin)),
+
+    Q("cust_fuzzy_pairs", // entity resolution: bounded-Levenshtein name
+      // pairs blocked by nation (threshold-bounded levenshtein abandons a
+      // pair at k+1, so cost is O(k·len) per pair, not O(len²))
+      (s, d) => Dedup.editDistancePairs(
+          t(s, d, "customer"), blockCol = "c_nationkey",
+          strCol = "c_name", idCol = "c_custkey", maxDist = 2)
+        .groupBy(col("blk").as("nationkey"))
+        .agg(count(lit(1)).as("n_pairs"), min(col("dist")).as("min_dist"))
+        .orderBy("nationkey"),
+      Some("""SELECT a.c_nationkey AS nationkey, COUNT(*) AS n_pairs,
+             |MIN(levenshtein(a.c_name, b.c_name)) AS min_dist
+             |FROM customer a JOIN customer b
+             |ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+             |WHERE levenshtein(a.c_name, b.c_name) <= 2
+             |GROUP BY a.c_nationkey ORDER BY nationkey""".stripMargin)),
+
+    Q("doc_hybrid_rrf", // hybrid retrieval: BM25 ∪ vector candidates fused
+      // by reciprocal rank (ranks over ROUNDED scores = the cross-engine
+      // FP equivalence class; both lists capped before the merge)
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val probe = e.filter(col("vec_id") === 0).take(1)
+        require(probe.nonEmpty, s"probe vector vec_id=0 not found in $d/embeddings")
+        val qv = probe.head.getSeq[Float](e.schema.fieldIndex("embedding")).map(_.toDouble)
+        graft.operators.Retrieval
+          .hybridRrf(t(s, d, "documents"), e, Seq("spark", "join", "window"), qv)
+          .limit(20)
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+             |), m AS (
+             |  SELECT doc_id, len(toks) AS dl,
+             |    unnest(list_filter(toks, t -> list_contains(['spark','join','window'], t))) AS term
+             |  FROM tok
+             |), tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM m GROUP BY 1, 2, 3
+             |), dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+             |), stats AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM tok
+             |), bm AS (
+             |  SELECT doc_id, ROUND(SUM(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+             |    * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+             |  FROM tf JOIN dft USING (term) CROSS JOIN stats GROUP BY doc_id
+             |), bmr AS (
+             |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM bm
+             |  QUALIFY r <= 100
+             |), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+             |), cos AS (
+             |  SELECT vec_id AS doc_id, ROUND(list_cosine_similarity(embedding, qv), 6) AS cs
+             |  FROM embeddings, q
+             |), cosr AS (
+             |  SELECT doc_id, row_number() OVER (ORDER BY cs DESC, doc_id) AS r FROM cos
+             |  QUALIFY r <= 100
+             |)
+             |SELECT doc_id,
+             |  ROUND(COALESCE(1.0 / (60 + bmr.r), 0) + COALESCE(1.0 / (60 + cosr.r), 0), 6) AS rrf
+             |FROM bmr FULL JOIN cosr USING (doc_id)
+             |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin)),
+
     Q("doc_chunks", // RAG chunking: overlapping 32-token windows, stride 24
       (s, d) => graft.operators.Retrieval
         .chunk(t(s, d, "documents"), chunkSize = 32, stride = 24)

@@ -59,6 +59,85 @@ object Retrieval {
       .orderBy(col("score").desc, col(idCol))
   }
 
+  /** Assign documents to fixed-token-budget training shards: within each
+    * `groupCol` stream (ordered by `idCol`), shard k holds the documents
+    * whose cumulative token offset falls in [k·budget, (k+1)·budget).
+    *
+    * Scale design: one window pass per group partition — the cumulative
+    * sum shuffles each group to one task, so `groupCol` must be
+    * finer-grained than the data skew you can afford (sources/files at
+    * 100 TB, never a global ordering). A document longer than the budget
+    * still lands in exactly one shard; shards may overshoot by at most
+    * one document, the standard streaming-pack tradeoff (bin-packing
+    * exactly would serialize the stream).
+    *
+    * Output: (groupCol, idCol, n_tok, shard_id).
+    */
+  def packShards(
+      docs: DataFrame,
+      budget: Long,
+      groupCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(budget > 0, "budget must be > 0")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col(groupCol), col(idCol),
+        size(tokens(col(textCol))).cast("long").as("n_tok"))
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("shard_id", (col("cum_before") / budget).cast("int"))
+      .drop("cum_before")
+  }
+
+  /** Reciprocal-rank fusion of two ranked lists over the same id space:
+    * keyword (BM25) and vector (cosine-vs-probe) retrieval. Each list
+    * contributes 1/(k + rank) for ids it contains; ids in either list
+    * survive (full outer merge).
+    *
+    * Scale design: both rank lists are top-`candidates` bounded BEFORE the
+    * merge, so the fused join touches ≤ 2·candidates rows no matter the
+    * corpus size; ranking itself is a TakeOrderedAndProject over each
+    * scoring pipeline, never a global sort.
+    */
+  def hybridRrf(
+      docs: DataFrame,
+      emb: DataFrame,
+      terms: Seq[String],
+      queryVec: Seq[Double],
+      candidates: Int = 100,
+      kRrf: Int = 60,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      embIdCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorFunctions
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("id"))
+    val bmRanks = bm25(docs, terms, idCol, textCol)
+      .select(col(idCol).as("id"), col("score"))
+      .limit(candidates)
+      .withColumn("r_kw", row_number().over(wAll))
+      .select(col("id"), col("r_kw"))
+    // ranks derive from ROUNDED scores on both engines: rounding is the
+    // cross-engine FP equivalence class, and the id tie-break inside a
+    // rounded tie is deterministic
+    val cosRanks = emb
+      .select(col(embIdCol).as("id"),
+        round(VectorFunctions.cosine(col(vecCol), VectorFunctions.vecLit(queryVec)), 6).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(candidates)
+      .withColumn("r_vec", row_number().over(wAll))
+      .select(col("id"), col("r_vec"))
+    bmRanks.join(cosRanks, Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        round(coalesce(lit(1.0) / (lit(kRrf) + col("r_kw")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(kRrf) + col("r_vec")), lit(0.0)), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol))
+  }
+
   /** Split documents into overlapping token-window chunks (RAG indexing
     * prep). Chunk i covers tokens [i·stride, i·stride + chunkSize); start
     * positions run while they stay inside the document, so trailing chunks

@@ -96,4 +96,32 @@ class DedupSpec extends SparkSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs === Set((1L, 2L)))
   }
+
+  test("editDistancePairs matches a naive blocked self-join") {
+    val df = Seq(
+      ("b1", 1L, "alpha"), ("b1", 2L, "alphb"),  // dist 1
+      ("b1", 3L, "gamma"),                       // far from both
+      ("b2", 4L, "alpha"), ("b2", 5L, "alpha"),  // dist 0, different block from 1
+      ("b2", 6L, "alxhb")                        // dist 2 from "alpha"
+    ).toDF("blk", "id", "s")
+    val got = Dedup.editDistancePairs(df, "blk", "s", idCol = "id", maxDist = 2)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+
+    val rows = df.as[(String, Long, String)].collect()
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      a <- rows; b <- rows
+      if a._1 == b._1 && a._2 < b._2 && lev(a._3, b._3) <= 2
+    } yield (a._2, b._2, lev(a._3, b._3))).toSet
+    assert(got === want)
+    assert(got.contains((1L, 2L, 1)) && got.contains((4L, 5L, 0)))
+    // cross-block near-identicals never pair
+    assert(!got.exists(p => p._1 == 1L && p._2 == 4L))
+  }
 }
