@@ -55,7 +55,7 @@ object SparkEntry {
   // -- registry -------------------------------------------------------------
 
   private lazy val registry: Seq[Q] = empQueries ++ nlQueries ++ tpchQueries ++
-    eventQueries ++ docQueries ++ embQueries ++ mmQueries
+    eventQueries ++ streamQueries ++ docQueries ++ embQueries ++ mmQueries
 
   // §2.2/§2.4/§2.6/§2.8 — the reference's generated-SQL surface, over the
   // employees bridge view (FIXTURES.md §3).
@@ -514,6 +514,15 @@ object SparkEntry {
         .orderBy("lang"),
       None),
 
+    Q("agg_heavy_hitters", // sketch-only heavy hitters: freqItems
+      // candidate pass + count-min estimates — two narrow scans, zero
+      // shuffle (the exact groupBy form shuffles the full key stream).
+      // Sketch internals aren't DuckDB-reproducible → rows-only;
+      // superset + one-sided-error bounds pinned in ApproxAggSpec.
+      (s, d) => graft.operators.Sketches.heavyHitters(
+        t(s, d, "lineitem"), "l_suppkey", support = 0.005),
+      None),
+
     Q("agg_rollup", // §2.4 grouping sets
       (s, d) => t(s, d, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
@@ -955,16 +964,10 @@ object SparkEntry {
       // 10-min watermark; append mode emits exactly the watermark-closed
       // windows, which the oracle reproduces with the same cutoff
       (s, d) => {
-        // state-store partition count is fixed at stream start from
-        // spark.sql.shuffle.partitions; 32 state partitions for one small
-        // file is pure checkpoint-IO overhead, so scope the stream to 4
-        // (awaitTermination completes before the conf is restored)
-        val prev = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        try {
+        withStreamPartitions(s) {
           val q = graft.streaming.EventStream.startHourlyAgg(s, d, "stream_hourly_verify")
           q.awaitTermination(180000)
-        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        }
         s.sql("""SELECT CAST(window.start AS STRING) AS hour, event_type, n, total_value
                 |FROM stream_hourly_verify ORDER BY hour, event_type""".stripMargin)
       },
@@ -974,6 +977,53 @@ object SparkEntry {
              |FROM events, m
              |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 10 MINUTE
              |GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin)))
+
+  private def withStreamPartitions[T](s: SparkSession)(body: => T): T = {
+    // state-store partition count is fixed at stream start from
+    // spark.sql.shuffle.partitions; 32 partitions for one small file is
+    // pure checkpoint-IO overhead, so scope streams to 4
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private def streamQueries: Seq[Q] = Seq(
+    Q("events_stream_dedup", // §2.9: streaming exactly-once dedup — the
+      // source is deliberately doubled (at-least-once replay shape), the
+      // watermarked dropDuplicates collapses replays with BOUNDED state;
+      // the oracle is the batch distinct over the single copy
+      (s, d) => {
+        withStreamPartitions(s) {
+          val q = graft.streaming.EventStream
+            .startDedupStream(s, d, "stream_dedup_verify")
+          q.awaitTermination(180000)
+        }
+        s.sql("""SELECT COUNT(*) AS n_unique, ROUND(SUM(value), 2) AS total_value
+                |FROM stream_dedup_verify""".stripMargin)
+      },
+      Some("""SELECT COUNT(*) AS n_unique, ROUND(SUM(value), 2) AS total_value
+             |FROM events""".stripMargin)),
+
+    Q("events_stream_enrich", // §2.9: stream–static broadcast join — the
+      // stateless enrichment shape (no watermark, no state store); the
+      // oracle is the identical batch join
+      (s, d) => {
+        val dim = t(s, d, "customer").filter(col("c_custkey") < 150)
+          .select(col("c_custkey").as("dim_user_id"),
+            col("c_mktsegment").as("segment"))
+        withStreamPartitions(s) {
+          val q = graft.streaming.EventStream
+            .startEnrichedStream(s, d, dim, "stream_enrich_verify")
+          q.awaitTermination(180000)
+        }
+        s.sql("""SELECT segment, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+                |FROM stream_enrich_verify GROUP BY segment ORDER BY segment""".stripMargin)
+      },
+      Some("""SELECT c_mktsegment AS segment, COUNT(*) AS n,
+             |ROUND(SUM(value), 2) AS total_value
+             |FROM events JOIN customer ON user_id = c_custkey
+             |WHERE c_custkey < 150
+             |GROUP BY segment ORDER BY segment""".stripMargin)))
 
   // §2.11 — documents: text analysis + dedup family.
   private def docQueries: Seq[Q] = Seq(

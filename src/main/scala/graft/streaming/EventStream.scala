@@ -43,11 +43,49 @@ object EventStream {
     * sink for tests.
     */
   def startHourlyAgg(spark: SparkSession, sfDir: String, queryName: String): StreamingQuery = {
+    hourlyAgg(rawStream(spark, sfDir))
+      .writeStream.outputMode("append").format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow()).start()
+  }
+
+  /** The raw fixture stream (glob-filtered file source, nanos → micros). */
+  private def rawStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream.schema(rawEventSchema)
+    spark.readStream.schema(rawEventSchema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    hourlyAgg(stream)
+  }
+
+  /** Streaming exactly-once dedup: the input is deliberately doubled
+    * (union of two reads of the same source — the at-least-once delivery
+    * shape), then `dropDuplicates` on the event key collapses replays.
+    * State is bounded by the watermark: keys older than 10 minutes of
+    * event time are evicted, which is what makes dedup viable on an
+    * unbounded 100 TB stream (an unwatermarked dedup's state grows
+    * forever). Every surviving row is appended to the memory sink.
+    */
+  def startDedupStream(spark: SparkSession, sfDir: String, queryName: String): StreamingQuery = {
+    val doubled = rawStream(spark, sfDir).union(rawStream(spark, sfDir))
+    doubled
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+      .writeStream.outputMode("append").format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow()).start()
+  }
+
+  /** Stream–static enrichment join: the static dim (user → segment) is
+    * read once per micro-batch and broadcast; the join is stateless, so
+    * rows flow through with no watermark or state store — the canonical
+    * shape for decorating a 100 TB event stream with reference data.
+    */
+  def startEnrichedStream(
+      spark: SparkSession,
+      sfDir: String,
+      dim: DataFrame,
+      queryName: String): StreamingQuery = {
+    val stream = rawStream(spark, sfDir)
+    stream.join(broadcast(dim), stream("user_id") === dim("dim_user_id"))
+      .select(col("event_id"), col("user_id"), col("segment"), col("value"))
       .writeStream.outputMode("append").format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow()).start()
   }

@@ -64,4 +64,34 @@ class ApproxAggSpec extends SparkSuite {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(a === b)
   }
+
+  test("sketch heavy hitters: superset of true heavies, one-sided CMS error") {
+    val support = 0.01
+    val eps = 0.001
+    val n = li.count()
+    val truth = li.groupBy("l_suppkey").agg(count(lit(1)).as("c"))
+      .as[(Long, Long)].collect().toMap
+    val got = graft.operators.Sketches
+      .heavyHitters(li, "l_suppkey", support, eps)
+      .as[(Long, Long)].collect().toMap
+
+    // every key with true frequency > support*n must be in the candidates
+    val trueHeavies = truth.filter(_._2 > support * n).keySet
+    assert(trueHeavies.subsetOf(got.keySet),
+      s"missing: ${trueHeavies -- got.keySet}")
+    // CMS never undercounts; overcount bounded by eps*n (fixed seed)
+    got.foreach { case (k, est) =>
+      val exact = truth.getOrElse(k, 0L)
+      assert(est >= exact, s"key $k: est=$est < exact=$exact")
+      assert(est <= exact + eps * n, s"key $k: est=$est exact=$exact")
+    }
+  }
+
+  test("sketch heavy hitters output is deterministic for a fixed seed") {
+    val a = graft.operators.Sketches.heavyHitters(li, "l_suppkey", 0.005)
+      .as[(Long, Long)].collect().toSeq
+    val b = graft.operators.Sketches.heavyHitters(li, "l_suppkey", 0.005)
+      .as[(Long, Long)].collect().toSeq
+    assert(a === b)
+  }
 }
