@@ -59,15 +59,30 @@ class PlanQualitySpec extends SparkSuite {
     assert(p.contains("LeftSemi"), p.take(600))
   }
 
+  test("Q6-shape scan pushes every predicate into the parquet reader") {
+    val p = plan("q6_revenue_delta")
+    assert(p.contains("PushedFilters: ["), p.take(600))
+    // all three predicate families reach the scan
+    assert(p.contains("l_shipdate") && p.contains("l_discount")
+      && p.contains("l_quantity"), p.take(600))
+  }
+
+  test("Q19 disjunctive predicate keeps the equi-join, residual OR as filter") {
+    val p = plan("q19_disjunctive")
+    assert(p.contains("HashJoin"), p.take(600))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(600))
+  }
+
   test("no query plan contains a cartesian product or nested-loop join") {
     // brute-force pairwise ops would show up here; all of them must block.
     // Plan-build failures surface as offenders too — a query whose plan
     // can't be constructed should fail loudly here, not vanish.
     val offenders = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(_ == "events_stream_hourly") // streaming: runs a query, not a static plan
-      .filterNot(_ == "doc_bm25_search") // 1-row corpus-stats broadcast: a
-      // nested-loop join against a single-row build side is the intended
-      // scalar fan-out, not a quadratic pairing
+      .filterNot(_.startsWith("events_stream_")) // streaming: runs a query, not a static plan
+      .filterNot(Set("doc_bm25_search", "doc_hybrid_rrf")) // 1-row corpus-
+      // stats broadcast: a nested-loop join against a single-row build
+      // side is the intended scalar fan-out, not a quadratic pairing
       .flatMap { name =>
         try {
           val p = plan(name)
