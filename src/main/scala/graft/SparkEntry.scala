@@ -596,6 +596,49 @@ object SparkEntry {
              |WHERE p_size = 15 AND p_type LIKE '%STANDARD%'
              |ORDER BY p_partkey""".stripMargin)),
 
+    Q("layout_partition_prune", // §2.1 layout: write day-partitioned,
+      // read back through a partition predicate — the filter becomes
+      // directory pruning (PartitionFilters), no non-matching file opens
+      (s, d) => {
+        val path = s"/tmp/graft_layout_${new java.io.File(d).getName}"
+        graft.sources.Layout.writeDayPartitioned(t(s, d, "events"), path)
+        graft.sources.Layout.readDays(s, path, Seq("2024-01-05", "2024-01-06"))
+          .groupBy("day", "event_type")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+          .orderBy("day", "event_type")
+      },
+      Some("""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+             |COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+             |FROM events
+             |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+             |AND ts < TIMESTAMP '2024-01-07 00:00:00'
+             |GROUP BY day, event_type ORDER BY day, event_type""".stripMargin)),
+
+    Q("source_format_roundtrip", // §2.1 vendor-portable sources: the same
+      // relation through CSV and JSON-lines and back, schema carried
+      // explicitly (neither format self-describes); summaries must agree
+      // with the parquet original on both paths
+      (s, d) => {
+        val base = s"/tmp/graft_fmt_${new java.io.File(d).getName}"
+        def summary(df: DataFrame, fmt: String) =
+          df.agg(count(lit(1)).as("n"),
+              sum("n_nationkey").as("key_sum"),
+              countDistinct("n_name").as("n_names"))
+            .select(lit(fmt).as("format"), col("n"), col("key_sum"), col("n_names"))
+        val nation = t(s, d, "nation")
+        summary(graft.sources.Formats.csvRoundtrip(nation, s"$base/csv"), "csv")
+          .union(summary(graft.sources.Formats.jsonRoundtrip(nation, s"$base/json"), "json"))
+          .orderBy("format")
+      },
+      Some("""SELECT 'csv' AS format, COUNT(*) AS n,
+             |CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+             |COUNT(DISTINCT n_name) AS n_names FROM nation
+             |UNION ALL
+             |SELECT 'json' AS format, COUNT(*) AS n,
+             |CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+             |COUNT(DISTINCT n_name) AS n_names FROM nation
+             |ORDER BY format""".stripMargin)),
+
     Q("orders_priority_histogram",
       (s, d) => t(s, d, "orders").groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 2).as("avg_price"))

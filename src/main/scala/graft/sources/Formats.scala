@@ -1,0 +1,35 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Vendor-portable source/sink surface. The reference reads one RDBMS
+  * through a cursor with three vendor branches
+  * (`/root/reference/core/ai_query_generator.py:28-38`); Spark's
+  * datasource API is the same abstraction with formats as plugins — these
+  * helpers pin the engine's format-roundtrip contract (schema carried
+  * explicitly, since CSV/JSON don't self-describe like parquet).
+  *
+  * Scale notes: CSV and JSON are line-splittable (parallel scan works),
+  * but neither is columnar — no column pruning, no predicate pushdown, no
+  * encoding. They are ingest/egress formats; parquet is the working
+  * format. That asymmetry is the point of the roundtrip demo.
+  */
+object Formats {
+
+  /** Write `df` as headered CSV and read it back with the original
+    * schema (CSV carries no types — the reader must be told).
+    */
+  def csvRoundtrip(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").option("header", "true").csv(path)
+    df.sparkSession.read.schema(df.schema).option("header", "true").csv(path)
+  }
+
+  /** Write `df` as JSON-lines and read it back with the original schema
+    * (the schema parameter also skips the inference scan a schemaless
+    * read would pay — at 100 TB, inference is a full extra pass).
+    */
+  def jsonRoundtrip(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").json(path)
+    df.sparkSession.read.schema(df.schema).json(path)
+  }
+}

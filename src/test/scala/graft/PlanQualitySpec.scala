@@ -74,6 +74,13 @@ class PlanQualitySpec extends SparkSuite {
       p.take(600))
   }
 
+  test("day-partitioned layout turns the day filter into partition pruning") {
+    val p = plan("layout_partition_prune")
+    assert(p.contains("PartitionFilters: ["), p.take(800))
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]].*"),
+      "partition filter list is empty:\n" + p.take(800))
+  }
+
   test("no query plan contains a cartesian product or nested-loop join") {
     // brute-force pairwise ops would show up here; all of them must block.
     // Plan-build failures surface as offenders too — a query whose plan
