@@ -978,6 +978,82 @@ object SparkEntry {
       Some("""SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
              |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin)),
 
+    Q("events_funnel", // ordered-sequence funnel (view → click →
+      // purchase): one hash agg collapses each user to first-touch
+      // timestamps, the ordering predicates run on the 1-row-per-user
+      // result — no self-joins over the event stream
+      (s, d) => {
+        def firstTs(et: String) =
+          min(when(col("event_type") === et, col("ts"))).as(s"t_$et")
+        t(s, d, "events").groupBy("user_id")
+          .agg(firstTs("view"), firstTs("click"), firstTs("purchase"))
+          .agg(count(lit(1)).as("n_users"),
+            count(col("t_view")).as("n_view"),
+            count(when(col("t_click") > col("t_view"), 1)).as("n_view_click"),
+            count(when(col("t_purchase") > col("t_click")
+              && col("t_click") > col("t_view"), 1)).as("n_full_funnel"))
+      },
+      Some("""WITH t AS (
+             |  SELECT user_id,
+             |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+             |  FROM events GROUP BY user_id
+             |)
+             |SELECT COUNT(*) AS n_users,
+             |  COUNT(t_view) AS n_view,
+             |  COUNT(CASE WHEN t_click > t_view THEN 1 END) AS n_view_click,
+             |  COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END) AS n_full_funnel
+             |FROM t""".stripMargin)),
+
+    Q("events_retention_cohorts", // retention triangle: first-seen day per
+      // user (broadcast back — the cohort dim is |users|, tiny next to the
+      // event stream) × activity day → distinct active users per cell
+      (s, d) => {
+        val e = t(s, d, "events")
+          .withColumn("day", date_trunc("day", col("ts")))
+        val firstDay = e.groupBy("user_id")
+          .agg(min(col("day")).as("cohort_day"))
+        e.join(broadcast(firstDay), "user_id")
+          .withColumn("age_days",
+            datediff(col("day").cast("date"), col("cohort_day").cast("date")))
+          .filter(col("age_days") <= 7)
+          .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"), col("age_days"))
+          .agg(countDistinct("user_id").as("active_users"))
+          .orderBy("cohort_day", "age_days")
+      },
+      Some("""WITH first_day AS (
+             |  SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+             |  FROM events GROUP BY user_id
+             |)
+             |SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+             |  CAST(date_diff('day', cohort_day, date_trunc('day', ts)) AS INT) AS age_days,
+             |  COUNT(DISTINCT e.user_id) AS active_users
+             |FROM events e JOIN first_day f ON e.user_id = f.user_id
+             |WHERE date_diff('day', cohort_day, date_trunc('day', ts)) <= 7
+             |GROUP BY cohort_day, age_days ORDER BY cohort_day, age_days""".stripMargin)),
+
+    Q("events_rolling_dau", // daily distinct users + 7-day rolling mean:
+      // the window runs over the DAY-grained aggregate (≤365 rows/yr),
+      // never over raw events
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .agg(countDistinct("user_id").as("dau"))
+        val w = Window.orderBy(col("day")).rowsBetween(-6, Window.currentRow)
+        daily
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("dau"),
+            round(avg("dau").over(w), 4).as("dau_7d"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT date_trunc('day', ts) AS day, COUNT(DISTINCT user_id) AS dau
+             |  FROM events GROUP BY day
+             |)
+             |SELECT CAST(day AS VARCHAR) AS day, dau,
+             |  ROUND(AVG(dau) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS dau_7d
+             |FROM daily ORDER BY day""".stripMargin)),
+
     Q("events_sessionize", // custom state op: 30-min-gap sessions
       (s, d) => {
         val sessions = graft.streaming.EventStream.sessionize(s, t(s, d, "events"))
