@@ -1317,6 +1317,66 @@ object SparkEntry {
              |SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
              |FROM tok GROUP BY term ORDER BY tf DESC, term LIMIT 50""".stripMargin)),
 
+    Q("doc_tfidf_keywords", // per-document keyword extraction: top-3 terms
+      // by TF-IDF; document frequencies join back on the term key (NOT
+      // broadcast — vocabulary grows with the corpus), the per-doc top-k
+      // is a window over rounded scores (cross-engine FP equivalence)
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val nDocs = docs.count()
+        val tf = docs
+          .select(col("doc_id"),
+            TextAnalysis.tokens(lower(col("text"))).as("toks"))
+          .select(col("doc_id"), size(col("toks")).as("dl"),
+            explode(col("toks")).as("term"))
+          .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+        val dft = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("term"))
+        tf.join(dft, "term")
+          .withColumn("tfidf",
+            round((col("tf").cast("double") / col("dl"))
+              * log(lit(nDocs.toDouble) / col("df")), 6))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select("doc_id", "term", "rnk")
+          .orderBy("doc_id", "rnk")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term,
+             |    len(string_split_regex(lower(trim(text)), '\s+')) AS dl
+             |  FROM documents
+             |), tf AS (
+             |  SELECT doc_id, term, dl, COUNT(*) AS tf FROM tok GROUP BY 1, 2, 3
+             |), dft AS (
+             |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+             |), n AS (SELECT COUNT(*) AS n FROM documents)
+             |SELECT doc_id, term, rnk FROM (
+             |  SELECT doc_id, term,
+             |    row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY ROUND((tf::DOUBLE / dl) * ln(n::DOUBLE / df), 6) DESC, term) AS rnk
+             |  FROM tf JOIN dft USING (term) CROSS JOIN n
+             |) WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)),
+
+    Q("doc_bigram_freq", // corpus n-gram LM counts: top-30 bigrams — the
+      // bigram stream explodes map-side straight into the hash agg
+      (s, d) => t(s, d, "documents")
+        .select(TextAnalysis.tokens(lower(col("text"))).as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("ts")) - 1),
+          i => concat(element_at(col("ts"), i), lit(" "),
+            element_at(col("ts"), i + 1)))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram")).limit(30),
+      Some("""WITH tok AS (
+             |  SELECT string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents
+             |), bg AS (
+             |  SELECT unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS b
+             |  FROM tok WHERE len(ts) >= 2
+             |)
+             |SELECT b AS bigram, COUNT(*) AS n FROM bg
+             |GROUP BY b ORDER BY n DESC, bigram LIMIT 30""".stripMargin)),
+
     Q("doc_bm25_search", // ranked keyword retrieval (Okapi BM25, k1=1.2 b=0.75)
       (s, d) => graft.operators.Retrieval.bm25(
         t(s, d, "documents"), Seq("spark", "join", "window")),
@@ -1638,6 +1698,36 @@ object SparkEntry {
       Some("""SELECT vec_id,
              |ROUND(sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6) AS l2
              |FROM embeddings ORDER BY vec_id LIMIT 100""".stripMargin)),
+
+    Q("emb_quantize_err", // int8 symmetric quantization (4× memory, the
+      // standard serving compression): per-vector scale 127/max|x|,
+      // round-trip through the int grid, cosine error vs the original —
+      // all per-row expression work, no shuffle
+      (s, d) => {
+        val absd = transform(col("embedding"), x => abs(x.cast("double")))
+        val scale = lit(127.0) / greatest(array_max(absd), lit(1e-12))
+        t(s, d, "embeddings")
+          .withColumn("scale", scale)
+          .withColumn("deq",
+            transform(col("embedding"),
+              x => round(x.cast("double") * col("scale")) / col("scale")))
+          .select(col("vec_id"),
+            round(lit(1.0) - VectorFunctions.cosine(col("embedding"), col("deq")), 8)
+              .as("cos_err"))
+          .orderBy("vec_id").limit(100)
+      },
+      Some("""WITH s AS (
+             |  SELECT vec_id, embedding,
+             |    127.0 / greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-12) AS scale
+             |  FROM embeddings
+             |), q AS (
+             |  SELECT vec_id, embedding,
+             |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * scale) / scale) AS deq
+             |  FROM s
+             |)
+             |SELECT vec_id,
+             |  ROUND(1.0 - list_cosine_similarity(list_transform(embedding, x -> CAST(x AS DOUBLE)), deq), 8) AS cos_err
+             |FROM q ORDER BY vec_id LIMIT 100""".stripMargin)),
 
     // ANN paths (seeded random hyperplanes / IVF probe): not oracle-
     // expressible; recall-vs-brute-force pinned in ScalaTest.
