@@ -639,6 +639,60 @@ object SparkEntry {
              |COUNT(DISTINCT n_name) AS n_names FROM nation
              |ORDER BY format""".stripMargin)),
 
+    Q("merge_upsert_orders", // upsert/merge semantics without a table
+      // format: updates take precedence via full-outer + COALESCE — the
+      // keyed-merge shape a snapshot-compaction job runs at scale (both
+      // sides shuffle once on the merge key)
+      (s, d) => {
+        val orders = t(s, d, "orders")
+        val updates = orders.filter(col("o_orderkey") % 100 === 0)
+          .select(col("o_orderkey").as("u_key"),
+            round(col("o_totalprice") * 1.1, 2).as("u_price"),
+            lit("U").as("u_status"))
+        orders.join(updates, col("o_orderkey") === col("u_key"), "full_outer")
+          .select(
+            coalesce(col("u_key"), col("o_orderkey")).as("k"),
+            coalesce(col("u_price"), col("o_totalprice")).as("price"),
+            coalesce(col("u_status"), col("o_orderstatus")).as("status"))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n"), round(sum("price"), 2).as("total"))
+          .orderBy("status")
+      },
+      Some("""WITH updates AS (
+             |  SELECT o_orderkey, ROUND(o_totalprice * 1.1, 2) AS o_totalprice,
+             |    'U' AS o_orderstatus
+             |  FROM orders WHERE o_orderkey % 100 = 0
+             |), merged AS (
+             |  SELECT COALESCE(u.o_orderkey, o.o_orderkey) AS k,
+             |    COALESCE(u.o_totalprice, o.o_totalprice) AS price,
+             |    COALESCE(u.o_orderstatus, o.o_orderstatus) AS status
+             |  FROM orders o FULL JOIN updates u ON o.o_orderkey = u.o_orderkey
+             |)
+             |SELECT status, COUNT(*) AS n, ROUND(SUM(price), 2) AS total
+             |FROM merged GROUP BY status ORDER BY status""".stripMargin)),
+
+    Q("events_monthly_from_daily", // incremental rollup: the monthly agg
+      // re-aggregates DAY-grained partials (sum of sums / sum of counts) —
+      // the materialized-view pattern that turns a 100 TB backfill into a
+      // ≤366-row-per-key re-aggregation
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum("value").as("v"))
+        daily
+          .groupBy(date_format(col("day"), "yyyy-MM").as("month"), col("event_type"))
+          .agg(sum("n").as("n"), round(sum("v"), 2).as("total_value"))
+          .orderBy("month", "event_type")
+      },
+      Some("""WITH daily AS (
+             |  SELECT date_trunc('day', ts) AS day, event_type,
+             |    COUNT(*) AS n, SUM(value) AS v
+             |  FROM events GROUP BY day, event_type
+             |)
+             |SELECT strftime(date_trunc('month', day), '%Y-%m') AS month, event_type,
+             |  CAST(SUM(n) AS BIGINT) AS n, ROUND(SUM(v), 2) AS total_value
+             |FROM daily GROUP BY month, event_type ORDER BY month, event_type""".stripMargin)),
+
     Q("orders_priority_histogram",
       (s, d) => t(s, d, "orders").groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 2).as("avg_price"))
