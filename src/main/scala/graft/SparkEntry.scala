@@ -55,7 +55,8 @@ object SparkEntry {
   // -- registry -------------------------------------------------------------
 
   private lazy val registry: Seq[Q] = empQueries ++ nlQueries ++ tpchQueries ++
-    eventQueries ++ streamQueries ++ docQueries ++ embQueries ++ mmQueries
+    tpchShapeQueries ++ eventQueries ++ streamQueries ++ docQueries ++
+    embQueries ++ mmQueries
 
   // §2.2/§2.4/§2.6/§2.8 — the reference's generated-SQL surface, over the
   // employees bridge view (FIXTURES.md §3).
@@ -950,6 +951,327 @@ object SparkEntry {
     (0 until bits).map(i =>
       s"(((($aCol >> $i) & 1) << ${2 * i}) | ((($bCol >> $i) & 1) << ${2 * i + 1}))")
       .mkString(" | ")
+
+  private def ts(s: String) = lit(java.sql.Timestamp.valueOf(s + " 00:00:00"))
+
+  // Remaining TPC-H plan shapes, adapted to the reduced fixture schema
+  // (no partsupp / commitdate / receiptdate / shipmode — FIXTURES.md §2):
+  // "late" is l_shipdate relative to o_orderdate, supply cost is a fixed
+  // fraction of p_retailprice, and Q16's part-supplier pairs come from
+  // lineitem. Each query exists for its distinct plan shape; at 100 TB the
+  // comments on each say which side broadcasts and where the shuffles are.
+  private def tpchShapeQueries: Seq[Q] = Seq(
+    Q("q4_priority_wait", // TPC-H Q4 shape: date-pruned orders, EXISTS →
+      // left_semi with a non-equi residual (ship after order date); the
+      // semi join keeps the fact table from multiplying rows
+      (s, d) => t(s, d, "orders")
+        .filter(col("o_orderdate") >= ts("1996-07-01")
+          && col("o_orderdate") < ts("1996-10-01"))
+        .join(t(s, d, "lineitem").select("l_orderkey", "l_shipdate"),
+          col("o_orderkey") === col("l_orderkey")
+            && col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+             |AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+             |AND EXISTS (SELECT 1 FROM lineitem
+             |            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    Q("q7_nation_volume", // TPC-H Q7 shape: bidirectional nation-pair
+      // trade volume by year — both nation dims broadcast, the disjunctive
+      // pair filter applies after, fact-fact joins shuffle on their keys
+      (s, d) => {
+        val n1 = broadcast(t(s, d, "nation")
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+        val n2 = broadcast(t(s, d, "nation")
+          .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+        t(s, d, "lineitem")
+          .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(n1, col("s_nationkey") === col("s_nk"))
+          .join(n2, col("c_nationkey") === col("c_nk"))
+          .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
+            || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |EXTRACT(YEAR FROM l_shipdate) AS l_year,
+             |ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM lineitem
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+             |GROUP BY supp_nation, cust_nation, l_year
+             |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)),
+
+    Q("q8_market_share", // TPC-H Q8 shape: one nation's share of a
+      // region's market per year — conditional numerator over the same
+      // aggregated rows, so the fact tables are scanned exactly once
+      (s, d) => {
+        val asiaCust = t(s, d, "customer")
+          .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .select("c_custkey")
+        val suppNation = broadcast(t(s, d, "nation")
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+        t(s, d, "lineitem")
+          .join(t(s, d, "part").filter(col("p_type") === "STANDARD"),
+            col("l_partkey") === col("p_partkey"))
+          .join(t(s, d, "orders")
+            .filter(col("o_orderdate") >= ts("1995-01-01")
+              && col("o_orderdate") < ts("1997-01-01")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+          .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(suppNation, col("s_nationkey") === col("s_nk"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(round(
+            sum(when(col("supp_nation") === "NATION_3",
+              col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0))
+              / sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+            .as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some("""SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+             |ROUND(SUM(CASE WHEN n1.n_name = 'NATION_3'
+             |  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             | / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+             |FROM lineitem
+             |JOIN part ON l_partkey = p_partkey
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |WHERE p_type = 'STANDARD'
+             |AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+             |AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+             |AND o_custkey IN (
+             |  SELECT c_custkey FROM customer
+             |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |  JOIN region ON n2.n_regionkey = r_regionkey
+             |  WHERE r_name = 'ASIA')
+             |GROUP BY o_year ORDER BY o_year""".stripMargin)),
+
+    Q("q9_profit_by_nation", // TPC-H Q9 shape: profit by supplier nation
+      // and year for a part-name family; cost is a retailprice fraction
+      // (no partsupp in the fixtures). part filter prunes before the join.
+      // profit terms are summed as DECIMAL: float64 addition is not
+      // associative, so Spark's partial-agg order vs DuckDB's sequential
+      // order lands half-cent totals on opposite sides of ROUND. Exact
+      // decimal sums are order-independent; round there, then back to
+      // double so both engines emit the identical float64.
+      (s, d) => t(s, d, "lineitem")
+        .join(t(s, d, "part").filter(col("p_name").like("%widget%")),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))
+            - col("l_quantity") * col("p_retailprice") * lit(0.1))
+          .cast("decimal(28,6)")), 2).cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc),
+      Some("""SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+             |CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+             |  - l_quantity * p_retailprice * 0.1 AS DECIMAL(28,6))), 2)
+             |  AS DOUBLE) AS sum_profit
+             |FROM lineitem
+             |JOIN part ON l_partkey = p_partkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN orders ON l_orderkey = o_orderkey
+             |WHERE p_name LIKE '%widget%'
+             |-- GROUP BY n_name, not the alias: "nation" names a table here
+             |GROUP BY n_name, o_year ORDER BY nation, o_year DESC""".stripMargin)),
+
+    Q("q11_balance_share", // TPC-H Q11 shape: HAVING against a global
+      // scalar — the threshold is one row, broadcast back via cross join
+      // rather than recomputing the grouped input twice
+      // The scalar is executed first and inlined as a literal — exactly
+      // what Catalyst's ScalarSubquery does; the grouped plan then has no
+      // nested-loop join at all (PlanQualitySpec bans them suite-wide).
+      (s, d) => {
+        val sup = t(s, d, "supplier")
+        val thresh = sup.agg(sum("s_acctbal") * 0.05).first().getDouble(0)
+        sup.join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name").agg(sum("s_acctbal").as("bal"))
+          .filter(col("bal") > lit(thresh))
+          .select(col("n_name"), round(col("bal"), 2).as("value"))
+          .orderBy(col("value").desc, col("n_name"))
+      },
+      Some("""SELECT n_name, ROUND(SUM(s_acctbal), 2) AS value
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |GROUP BY n_name
+             |HAVING SUM(s_acctbal) > (SELECT SUM(s_acctbal) * 0.05 FROM supplier)
+             |ORDER BY value DESC, n_name""".stripMargin)),
+
+    Q("q12_late_priority", // TPC-H Q12 shape: dual conditional counts
+      // (CASE inside SUM) over a date-pruned fact join; linestatus stands
+      // in for shipmode
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01")
+          && col("l_shipdate") < ts("1997-01-01"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate"))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus,
+             |CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             |  THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+             |  THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             |AND l_shipdate > o_orderdate
+             |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    Q("q13_order_count_dist", // TPC-H Q13 shape: groupBy of a groupBy —
+      // customer order counts, then the distribution of those counts.
+      // The left outer join keeps zero-order customers in the histogram.
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc),
+      Some("""SELECT c_count, COUNT(*) AS custdist
+             |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+             |      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+             |      GROUP BY c_custkey) c_orders
+             |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    Q("q16_supplier_cnt", // TPC-H Q16 shape: COUNT(DISTINCT) per part
+      // attribute with a NOT IN exclusion — the exclusion list is tiny and
+      // broadcast as a left_anti; part-supplier pairs come from lineitem
+      (s, d) => {
+        val bad = t(s, d, "supplier").filter(col("s_acctbal") < 1000)
+          .select("s_suppkey")
+        t(s, d, "lineitem").select("l_partkey", "l_suppkey")
+          .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(t(s, d, "part").filter(col("p_brand") =!= "Brand#1"
+            && col("p_type") =!= "PROMO"),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+          .limit(50)
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+             |COUNT(DISTINCT l_suppkey) AS supplier_cnt
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+             |AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+             |GROUP BY p_brand, p_type, p_size
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 50""".stripMargin)),
+
+    Q("q20_qty_semi_chain", // TPC-H Q20 shape: nested semi-join chain —
+      // suppliers whose shipped quantity of a part family in one year
+      // clears a threshold; the HAVING survivors drive a left_semi into
+      // the (small) supplier dim
+      (s, d) => {
+        val bigs = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= ts("1996-01-01")
+            && col("l_shipdate") < ts("1997-01-01"))
+          .join(broadcast(t(s, d, "part").filter(col("p_name").like("%widget%"))
+            .select("p_partkey")),
+            col("l_partkey") === col("p_partkey"), "left_semi")
+          .groupBy("l_suppkey").agg(sum("l_quantity").as("qty"))
+          .filter(col("qty") > 100)
+        t(s, d, "supplier")
+          .join(bigs, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .select("s_name", "n_name")
+          .orderBy("s_name")
+      },
+      Some("""SELECT s_name, n_name
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |WHERE s_suppkey IN (
+             |  SELECT l_suppkey FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+             |  GROUP BY l_suppkey HAVING SUM(l_quantity) > 100)
+             |ORDER BY s_name""".stripMargin)),
+
+    Q("q21_waiting_supplier", // TPC-H Q21 shape: EXISTS + NOT EXISTS over
+      // lineitem self-joins — late is ship > order date + 60 days (no
+      // receipt/commit dates in the fixtures). One semi and one anti join
+      // on the order key; no row multiplication anywhere.
+      (s, d) => {
+        val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+        val l1 = t(s, d, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+          .join(t(s, d, "orders").filter(col("o_orderstatus") === "F")
+            .select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .filter(late)
+        val l2 = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("k2"), col("l_suppkey").as("sk2"))
+        val l3 = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("k3"), col("l_suppkey").as("sk3"),
+            col("l_shipdate").as("ship3"))
+        l1.join(l2, col("l_orderkey") === col("k2")
+            && col("l_suppkey") =!= col("sk2"), "left_semi")
+          .join(l3, col("l_orderkey") === col("k3")
+            && col("l_suppkey") =!= col("sk3")
+            && col("ship3") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_anti")
+          .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name")).limit(20)
+      },
+      Some("""SELECT s_name, COUNT(*) AS numwait
+             |FROM lineitem l1
+             |JOIN orders ON l1.l_orderkey = o_orderkey
+             |JOIN supplier ON l1.l_suppkey = s_suppkey
+             |WHERE o_orderstatus = 'F'
+             |AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+             |AND EXISTS (SELECT 1 FROM lineitem l2
+             |  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+             |AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             |  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+             |  AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+             |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)),
+
+    Q("q22_idle_customers", // TPC-H Q22 shape: anti join against orders +
+      // an uncorrelated scalar subquery threshold; cntrycode is the
+      // nationkey band (no phone column in the fixtures)
+      // Scalar-first like q11: the average is one tiny job, inlined as a
+      // literal so the main plan is scan → anti join → agg with no
+      // nested-loop scalar fan-out.
+      (s, d) => {
+        val cust = t(s, d, "customer")
+        val avgBal = cust.filter(col("c_acctbal") > 0)
+          .agg(avg("c_acctbal")).first().getDouble(0)
+        cust.filter(col("c_acctbal") > lit(avgBal))
+          .join(t(s, d, "orders").select("o_custkey"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy((col("c_nationkey") % 10).as("cntrycode"))
+          .agg(count(lit(1)).as("numcust"), round(sum("c_acctbal"), 2).as("totacctbal"))
+          .orderBy("cntrycode")
+      },
+      Some("""SELECT c_nationkey % 10 AS cntrycode, COUNT(*) AS numcust,
+             |ROUND(SUM(c_acctbal), 2) AS totacctbal
+             |FROM customer
+             |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+             |AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin)))
 
   // §2.11 — events: JSON extraction, time-bucketed aggregation,
   // sessionization (the batch twin of the streaming surface).
