@@ -629,6 +629,7 @@ object SparkEntry {
         val nation = t(s, d, "nation")
         summary(graft.sources.Formats.csvRoundtrip(nation, s"$base/csv"), "csv")
           .union(summary(graft.sources.Formats.jsonRoundtrip(nation, s"$base/json"), "json"))
+          .union(summary(graft.sources.Formats.orcRoundtrip(nation, s"$base/orc"), "orc"))
           .orderBy("format")
       },
       Some("""SELECT 'csv' AS format, COUNT(*) AS n,
@@ -636,6 +637,10 @@ object SparkEntry {
              |COUNT(DISTINCT n_name) AS n_names FROM nation
              |UNION ALL
              |SELECT 'json' AS format, COUNT(*) AS n,
+             |CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+             |COUNT(DISTINCT n_name) AS n_names FROM nation
+             |UNION ALL
+             |SELECT 'orc' AS format, COUNT(*) AS n,
              |CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
              |COUNT(DISTINCT n_name) AS n_names FROM nation
              |ORDER BY format""".stripMargin)),
@@ -1271,7 +1276,22 @@ object SparkEntry {
              |FROM customer
              |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
              |AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-             |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin)))
+             |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin)),
+
+    Q("stats_moments", // second-moment statistics in ONE pass: corr,
+      // covariance, stddev, variance are all partial-aggregatable
+      // (sum/sum-of-squares/cross-products combine associatively), so the
+      // whole row costs a single map-side-combined scan at any scale
+      (s, d) => t(s, d, "lineitem").agg(
+        round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qty_price"),
+        round(covar_samp("l_quantity", "l_extendedprice"), 4).as("covar_qty_price"),
+        round(stddev_samp("l_extendedprice"), 4).as("sd_price"),
+        round(var_samp("l_quantity"), 6).as("var_qty")),
+      Some("""SELECT ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+             |ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+             |ROUND(STDDEV_SAMP(l_extendedprice), 4) AS sd_price,
+             |ROUND(VAR_SAMP(l_quantity), 6) AS var_qty
+             |FROM lineitem""".stripMargin)))
 
   // §2.11 — events: JSON extraction, time-bucketed aggregation,
   // sessionization (the batch twin of the streaming surface).

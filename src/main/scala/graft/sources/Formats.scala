@@ -32,4 +32,14 @@ object Formats {
     df.write.mode("overwrite").json(path)
     df.sparkSession.read.schema(df.schema).json(path)
   }
+
+  /** Write `df` as ORC and read it back. ORC is the second columnar
+    * format Spark ships a vectorized reader for — self-describing schema,
+    * predicate pushdown, and column pruning all work, so unlike CSV/JSON
+    * it is a viable working format when the lake standardizes on it.
+    */
+  def orcRoundtrip(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").orc(path)
+    df.sparkSession.read.orc(path)
+  }
 }
