@@ -1647,6 +1647,18 @@ object SparkEntry {
 
     // Probabilistic dedup variants: identical hash functions are not
     // available in DuckDB → rows-only check; properties pinned in ScalaTest.
+    Q("doc_winnow_pairs", // §2.11 dedup: winnowing fingerprints (rolling
+      // k-gram hashes, window-min selection) — partial-overlap pairs.
+      // Hashes are Spark-internal xxhash64 → no DuckDB oracle; the
+      // algorithm is pinned by TextExpressionsSpec's independent
+      // reference implementation and DedupSpec's overlap guarantee.
+      // blocked by lang (not source): the corpus's exact dups land in
+      // different sources, and language is the natural partition for a
+      // text-overlap pass
+      (s, d) => Dedup.winnowOverlapPairs(t(s, d, "documents"), "lang")
+        .orderBy("id_a", "id_b"),
+      None),
+
     Q("doc_minhash_neardups",
       (s, d) => Dedup.minhashNearDups(t(s, d, "documents"), threshold = 0.2)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))

@@ -434,3 +434,131 @@ case class StopwordHits(left: Expression, right: Expression)
        """.stripMargin)
   }
 }
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003,
+  * "Winnowing: Local Algorithms for Document Fingerprinting") over a token
+  * array, in one codegen'd pass. SQL name: `graft_winnow(tokens, k, w)`.
+  *
+  * k-gram hashes are chained token xxhash64s (seed 42, the same
+  * [[TextExpressions.hashElem]] primitive as the other signatures); each
+  * window of `w` consecutive k-gram hashes contributes its RIGHTMOST
+  * minimum, recorded once per distinct position (robust winnowing). The
+  * guarantee: any shared token run of length ≥ k + w − 1 between two
+  * documents yields at least one shared fingerprint — which makes the
+  * fingerprints joinable evidence of partial overlap, not just whole-doc
+  * identity like [[graft.operators.TextAnalysis.rollingHash]].
+  *
+  * Fewer than k tokens hash as one whole-document gram; empty input →
+  * empty array; null → null. Output size is ~m/w on random text (m =
+  * token count − k + 1), the paper's density bound 2/(w+1).
+  */
+case class WinnowSig(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with StringArrayInput {
+  import TextExpressions._
+
+  override protected def arrayChild: Expression = child
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (k <= 0 || w <= 0) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires k > 0 and w > 0, got k=$k w=$w")
+    else checkStringArray()
+  override def prettyName: String = "graft_winnow"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) { th(i) = hashElem(arr, i); i += 1 }
+    val m = if (n >= k) n - k + 1 else 1
+    val kk = if (n >= k) k else n
+    val g = new Array[Long](m)
+    var r = 0
+    while (r < m) {
+      var h = Seed
+      var j = r
+      while (j < r + kk) { h = XXH64.hashLong(th(j), h); j += 1 }
+      g(r) = h
+      r += 1
+    }
+    val ww = if (m >= w) w else m
+    val wins = m - ww + 1
+    val sel = new Array[Long](m)
+    var cnt = 0
+    var minPos = -1
+    r = 0
+    while (r < wins) {
+      val last = r + ww - 1
+      if (minPos < r) {
+        // window slid past the old minimum: rescan right-to-left so ties
+        // keep the rightmost position (robust winnowing's tie rule)
+        minPos = last
+        var p = last - 1
+        while (p >= r) { if (g(p) < g(minPos)) minPos = p; p -= 1 }
+        sel(cnt) = g(minPos); cnt += 1
+      } else if (g(last) <= g(minPos)) {
+        minPos = last
+        sel(cnt) = g(last); cnt += 1
+      }
+      r += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(sel, cnt))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val xxh = classOf[XXH64].getName
+      val n = ctx.freshName("n"); val th = ctx.freshName("th")
+      val m = ctx.freshName("m"); val kk = ctx.freshName("kk")
+      val g = ctx.freshName("g"); val h = ctx.freshName("h")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val r = ctx.freshName("r"); val p = ctx.freshName("p")
+      val ww = ctx.freshName("ww"); val wins = ctx.freshName("wins")
+      val sel = ctx.freshName("sel"); val cnt = ctx.freshName("cnt")
+      val minPos = ctx.freshName("minPos"); val last = ctx.freshName("last")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $th = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $th[$i] = $a.isNullAt($i) ? 42L
+         |    : $xxh.hashUTF8String($a.getUTF8String($i), 42L);
+         |}
+         |int $m = $n >= $k ? $n - $k + 1 : 1;
+         |int $kk = $n >= $k ? $k : $n;
+         |long[] $g = new long[$m];
+         |int $cnt = 0;
+         |long[] $sel;
+         |if ($n == 0) {
+         |  $sel = new long[0];
+         |} else {
+         |  for (int $r = 0; $r < $m; $r++) {
+         |    long $h = 42L;
+         |    for (int $j = $r; $j < $r + $kk; $j++) $h = $xxh.hashLong($th[$j], $h);
+         |    $g[$r] = $h;
+         |  }
+         |  int $ww = $m >= $w ? $w : $m;
+         |  int $wins = $m - $ww + 1;
+         |  $sel = new long[$m];
+         |  int $minPos = -1;
+         |  for (int $r = 0; $r < $wins; $r++) {
+         |    int $last = $r + $ww - 1;
+         |    if ($minPos < $r) {
+         |      $minPos = $last;
+         |      for (int $p = $last - 1; $p >= $r; $p--) {
+         |        if ($g[$p] < $g[$minPos]) $minPos = $p;
+         |      }
+         |      $sel[$cnt++] = $g[$minPos];
+         |    } else if ($g[$last] <= $g[$minPos]) {
+         |      $minPos = $last;
+         |      $sel[$cnt++] = $g[$last];
+         |    }
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(java.util.Arrays.copyOf($sel, $cnt));
+       """.stripMargin
+    })
+}

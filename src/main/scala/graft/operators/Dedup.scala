@@ -245,6 +245,41 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Partial-overlap candidate pairs via winnowing fingerprints
+    * ([[graft.operators.TextAnalysis.winnowFingerprints]]; Schleimer et
+    * al. 2003): documents sharing >= `minShared` distinct fingerprints
+    * within a block. Unlike whole-document hashes this witnesses PARTIAL
+    * overlap — any shared token run of length >= k + w - 1 is guaranteed
+    * to leave a shared fingerprint — at ~2/(w+1) of the k-gram index cost
+    * of [[ngramJaccardPairs]], because only window-minimum grams are
+    * posted. Same inverted-index shape: pairs materialize only where a
+    * fingerprint is actually shared (one shuffle on (block, fp)), with
+    * posting lists capped at `maxBucket` against degenerate boilerplate
+    * fingerprints.
+    */
+  def winnowOverlapPairs(
+      docs: DataFrame,
+      blockCol: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 4,
+      w: Int = 4,
+      minShared: Long = 2L,
+      maxBucket: Int = 1000): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val d = docs.select(
+      col(blockCol).as("blk"), col(idCol).as("id"),
+      explode(array_distinct(
+        TextAnalysis.winnowFingerprints(col(textCol), k, w))).as("fp"))
+    val posting = cappedPostings(d, Seq("blk", "fp"), col("id"), maxBucket)
+    posting.select(explode(flatten(transform(col("ps"),
+        (x, i) => transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .groupBy("p.id_a", "p.id_b")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Fuzzy-match pairs by bounded Levenshtein distance within an explicit
     * blocking key (entity resolution: near-identical names/titles that
     * exact dedup misses). Emits (block, id_a, id_b, dist) for pairs with

@@ -139,6 +139,20 @@ object TextAnalysis {
   def sortedTokenFingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(tokens(lower(text)))))
 
+  /** Winnowing fingerprints (Schleimer et al. 2003): localized document
+    * fingerprints with the guarantee that any shared token run of length
+    * >= k + w - 1 produces at least one shared fingerprint — partial-
+    * overlap evidence, where [[rollingHash]] only witnesses whole-document
+    * identity. One codegen'd pass per row
+    * ([[graft.functions.WinnowSig]]).
+    */
+  def winnowFingerprints(text: Column, k: Int = 4, w: Int = 4): Column = {
+    import org.apache.spark.sql.functions.{array_remove, call_function, lit}
+    // split("") yields [""] — strip empties so an empty document
+    // fingerprints to an empty array, not to hash("")
+    call_function("graft_winnow", array_remove(tokens(text), ""), lit(k), lit(w))
+  }
+
   /** Chained rolling hash over tokens (order-sensitive, 64-bit): the
     * accumulator is re-hashed with each token, which keeps full avalanche
     * without multiplication (ANSI-overflow-safe).

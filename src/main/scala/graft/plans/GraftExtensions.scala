@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{BestLangByHits, CosineSimilarity, DotProduct, MinHashSig, ModeCount, SimHash64, StopwordHits, WordKGrams}
+import graft.functions.{BestLangByHits, CosineSimilarity, DotProduct, MinHashSig, ModeCount, SimHash64, StopwordHits, WinnowSig, WordKGrams}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -47,6 +47,13 @@ object GraftFunctions {
         case Literal(n: Int, IntegerType) => WordKGrams(es(0), n)
         case other => throw new IllegalArgumentException(
           s"graft_shingles k must be an integer literal, got $other")
+      } }),
+    ("graft_winnow", info("graft_winnow", classOf[WinnowSig]),
+      (es: Seq[Expression]) => { arity("graft_winnow", es, 3); (es(1), es(2)) match {
+        case (Literal(k: Int, IntegerType), Literal(w: Int, IntegerType)) =>
+          WinnowSig(es(0), k, w)
+        case other => throw new IllegalArgumentException(
+          s"graft_winnow k and w must be integer literals, got $other")
       } }))
 
   def register(spark: SparkSession): Unit = {

@@ -115,4 +115,71 @@ class TextExpressionsSpec extends SparkSuite {
     val got = df.select(TextAnalysis.langId($"text").as("l")).as[String].collect()
     assert(got === Array("zh", "en", "fr", "und", "und"))
   }
+
+  // -- winnowing ------------------------------------------------------------
+
+  /** Independent reference implementation of robust winnowing (Schleimer
+    * et al. 2003) in plain Scala, sharing nothing with the expression but
+    * the two xxhash64 primitives it is specified against.
+    */
+  private def winnowRef(text: String, k: Int, w: Int): Seq[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    val toks = text.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    if (toks.isEmpty) return Seq.empty
+    val th = toks.map(t => XXH64.hashUTF8String(UTF8String.fromString(t), 42L))
+    val kk = math.min(k, th.length)
+    val grams = th.sliding(kk, 1).map(_.foldLeft(42L)((acc, h) =>
+      XXH64.hashLong(h, acc))).toVector
+    val ww = math.min(w, grams.length)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var minPos = -1
+    for (r <- 0 to grams.length - ww) {
+      val last = r + ww - 1
+      if (minPos < r) {
+        minPos = last
+        for (p <- (last - 1) to r by -1) if (grams(p) < grams(minPos)) minPos = p
+        out += grams(minPos)
+      } else if (grams(last) <= grams(minPos)) {
+        minPos = last
+        out += grams(last)
+      }
+    }
+    out.toSeq
+  }
+
+  test("graft_winnow matches the independent reference on all fixture docs") {
+    val rows = docs.select($"text",
+        TextAnalysis.winnowFingerprints($"text", 4, 4).as("fp"))
+      .as[(String, Seq[Long])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (text, fp) =>
+      assert(fp === winnowRef(text, 4, 4), s"text=${text.take(60)}")
+    }
+  }
+
+  test("graft_winnow edge cases: short, empty, and tie-heavy inputs") {
+    val df = Seq("", " ", "one", "one two", "one two three",
+      "a a a a a a a a", "x y x y x y x y x y").toDF("text")
+    Seq((1, 1), (2, 3), (4, 4), (8, 5)).foreach { case (k, w) =>
+      val rows = df.select($"text",
+          TextAnalysis.winnowFingerprints($"text", k, w).as("fp"))
+        .as[(String, Seq[Long])].collect()
+      rows.foreach { case (text, fp) =>
+        assert(fp === winnowRef(text, k, w), s"k=$k w=$w text='$text'")
+      }
+    }
+  }
+
+  test("winnow guarantee: a shared run of k+w-1 tokens leaves a shared fingerprint") {
+    // distinct prefix/suffix noise around an identical 7-token core
+    // (k=4, w=4 -> guarantee threshold k+w-1 = 7)
+    val core = "alpha beta gamma delta epsilon zeta eta"
+    val a = s"left0 left1 left2 $core right0 right1"
+    val b = s"up0 up1 up2 up3 $core down0"
+    val Seq(fa, fb) = Seq(a, b).toDF("text")
+      .select(TextAnalysis.winnowFingerprints($"text", 4, 4))
+      .as[Seq[Long]].collect().toSeq
+    assert(fa.toSet.intersect(fb.toSet).nonEmpty)
+  }
 }
