@@ -55,8 +55,8 @@ object SparkEntry {
   // -- registry -------------------------------------------------------------
 
   private lazy val registry: Seq[Q] = empQueries ++ nlQueries ++ tpchQueries ++
-    tpchShapeQueries ++ eventQueries ++ streamQueries ++ docQueries ++
-    embQueries ++ mmQueries
+    tpchShapeQueries ++ dqQueries ++ eventQueries ++ streamQueries ++
+    docQueries ++ embQueries ++ mmQueries
 
   // §2.2/§2.4/§2.6/§2.8 — the reference's generated-SQL surface, over the
   // employees bridge view (FIXTURES.md §3).
@@ -1295,6 +1295,111 @@ object SparkEntry {
 
   // §2.11 — events: JSON extraction, time-bucketed aggregation,
   // sessionization (the batch twin of the streaming surface).
+  // Data-quality audit + time-series hygiene — the scale-out form of the
+  // reference's introspection/statistics surface (SURVEY.md §1.3, §3.3).
+  private def dqQueries: Seq[Q] = Seq(
+    Q("dq_constraint_report", // Deequ-style declarative audit: every
+      // single-table check folds into ONE aggregate pass per table
+      // (completeness/uniqueness/accepted-values/range are all
+      // aggregates); the FK check is the only join, against dedup'd keys
+      (s, d) => {
+        import graft.operators.DataQuality._
+        val cust = t(s, d, "customer")
+        val custChecks = audit(cust, Seq(
+          Check("completeness", "customer.c_name", completeness(col("c_name"))),
+          Check("uniqueness", "customer.c_custkey", uniqueness(col("c_custkey"))),
+          Check("accepted_values", "customer.c_mktsegment",
+            satisfaction(col("c_mktsegment").isin(
+              "AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY", "HOUSEHOLD")))))
+        val liChecks = audit(t(s, d, "lineitem"), Seq(
+          Check("range", "lineitem.l_discount",
+            satisfaction(col("l_discount").between(0.0, 1.0))),
+          Check("range", "lineitem.l_quantity",
+            satisfaction(col("l_quantity") > 0))))
+        val fk = referential(t(s, d, "orders"), "o_custkey", cust, "c_custkey",
+          "orders.o_custkey->customer.c_custkey")
+        custChecks.union(liChecks).union(fk).orderBy("check_type", "target")
+      },
+      Some("""SELECT 'completeness' AS check_type, 'customer.c_name' AS target,
+             |  ROUND(AVG(CASE WHEN c_name IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS value,
+             |  ROUND(AVG(CASE WHEN c_name IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) >= 1.0 AS pass
+             |FROM customer
+             |UNION ALL
+             |SELECT 'uniqueness', 'customer.c_custkey',
+             |  ROUND(CAST(COUNT(DISTINCT c_custkey) AS DOUBLE) / COUNT(*), 6),
+             |  ROUND(CAST(COUNT(DISTINCT c_custkey) AS DOUBLE) / COUNT(*), 6) >= 1.0
+             |FROM customer
+             |UNION ALL
+             |SELECT 'accepted_values', 'customer.c_mktsegment',
+             |  ROUND(AVG(CASE WHEN c_mktsegment IN ('AUTOMOBILE','BUILDING','FURNITURE','MACHINERY','HOUSEHOLD') THEN 1.0 ELSE 0.0 END), 6),
+             |  ROUND(AVG(CASE WHEN c_mktsegment IN ('AUTOMOBILE','BUILDING','FURNITURE','MACHINERY','HOUSEHOLD') THEN 1.0 ELSE 0.0 END), 6) >= 1.0
+             |FROM customer
+             |UNION ALL
+             |SELECT 'range', 'lineitem.l_discount',
+             |  ROUND(AVG(CASE WHEN l_discount BETWEEN 0.0 AND 1.0 THEN 1.0 ELSE 0.0 END), 6),
+             |  ROUND(AVG(CASE WHEN l_discount BETWEEN 0.0 AND 1.0 THEN 1.0 ELSE 0.0 END), 6) >= 1.0
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'range', 'lineitem.l_quantity',
+             |  ROUND(AVG(CASE WHEN l_quantity > 0 THEN 1.0 ELSE 0.0 END), 6),
+             |  ROUND(AVG(CASE WHEN l_quantity > 0 THEN 1.0 ELSE 0.0 END), 6) >= 1.0
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'referential', 'orders.o_custkey->customer.c_custkey',
+             |  ROUND(AVG(CASE WHEN EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey) THEN 1.0 ELSE 0.0 END), 6),
+             |  ROUND(AVG(CASE WHEN EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey) THEN 1.0 ELSE 0.0 END), 6) >= 1.0
+             |FROM orders
+             |ORDER BY check_type, target""".stripMargin)),
+
+    Q("events_spine_fill", // gap-filled daily series: the date spine is
+      // GENERATED (sequence + explode — a few hundred rows from one
+      // literal, never collected or ranged on the driver) and left-joins
+      // the day-grained aggregate; missing days surface as explicit zeros
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("ts").cast("date").as("day")).agg(count(lit(1)).as("n0"))
+        val spine = s.range(1).select(explode(sequence(
+          lit(java.sql.Date.valueOf("2023-12-28")),
+          lit(java.sql.Date.valueOf("2024-02-05")))).as("day"))
+        spine.join(daily, Seq("day"), "left_outer")
+          .select(col("day").cast("string").as("day"),
+            coalesce(col("n0"), lit(0L)).as("n"))
+          .orderBy("day")
+      },
+      Some("""WITH spine AS (
+             |  SELECT CAST(unnest(generate_series(DATE '2023-12-28',
+             |    DATE '2024-02-05', INTERVAL 1 DAY)) AS DATE) AS day),
+             |daily AS (
+             |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n0
+             |  FROM events GROUP BY day)
+             |SELECT CAST(s.day AS VARCHAR) AS day, COALESCE(d.n0, 0) AS n
+             |FROM spine s LEFT JOIN daily d ON s.day = d.day
+             |ORDER BY day""".stripMargin)),
+
+    Q("events_anomaly_zscore", // rolling z-score anomaly signal: one
+      // shuffle to day grain, one window pass per event_type over the
+      // trailing week — std of an empty/zero-variance frame nulls the
+      // score rather than dividing by zero
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-7, -1)
+        daily.select(col("event_type"), col("day").cast("string").as("day"),
+            col("n"),
+            round((col("n") - avg("n").over(w))
+              / nullif(stddev_samp("n").over(w), lit(0.0)), 4).as("z"))
+          .orderBy("event_type", "day")
+      },
+      Some("""SELECT event_type, CAST(day AS VARCHAR) AS day, n,
+             |ROUND((n - AVG(n) OVER w) / NULLIF(STDDEV_SAMP(n) OVER w, 0.0), 4) AS z
+             |FROM (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+             |      FROM events GROUP BY event_type, day)
+             |WINDOW w AS (PARTITION BY event_type ORDER BY day
+             |             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+             |ORDER BY event_type, day""".stripMargin)))
+
   private def eventQueries: Seq[Q] = Seq(
     Q("events_asof_attrib", // as-of join: purchase → latest prior click by
       // the same user (one shuffle + window; no pair blow-up — AsofJoin)

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.DataQuality
+import graft.operators.DataQuality.Check
+
+/** DataQuality audits must measure violation fractions exactly — a check
+  * that always passes is worse than no check. Violations are injected
+  * with known counts and the reported fractions asserted to the digit.
+  */
+class DataQualitySpec extends SparkSuite {
+  import spark.implicits._
+
+  test("audit measures completeness, uniqueness, and range fractions exactly") {
+    // 10 rows: 2 null names, ids 1..9 with one dup, 3 negative amounts
+    val df = Seq(
+      (1, Some("a"), 10.0), (2, Some("b"), -1.0), (3, Some("c"), 5.0),
+      (4, None, 2.0), (5, Some("e"), -3.0), (6, Some("f"), 7.0),
+      (7, Some("g"), 1.0), (8, None, 4.0), (9, Some("i"), -9.0),
+      (9, Some("j"), 6.0))
+      .toDF("id", "name", "amount")
+    val out = DataQuality.audit(df, Seq(
+        Check("completeness", "name", DataQuality.completeness(col("name"))),
+        Check("uniqueness", "id", DataQuality.uniqueness(col("id"))),
+        Check("range", "amount>0",
+          DataQuality.satisfaction(col("amount") > 0))))
+      .orderBy("check_type")
+      .as[(String, String, Double, Boolean)].collect()
+    assert(out === Array(
+      ("completeness", "name", 0.8, false),
+      ("range", "amount>0", 0.7, false),
+      ("uniqueness", "id", 0.9, false)))
+  }
+
+  test("audit passes exactly at the threshold") {
+    val df = Seq(1, 2, 3, 4).toDF("id")
+    val out = DataQuality.audit(df,
+        Seq(Check("uniqueness", "id", DataQuality.uniqueness(col("id")))))
+      .as[(String, String, Double, Boolean)].collect()
+    assert(out === Array(("uniqueness", "id", 1.0, true)))
+  }
+
+  test("referential reports the matched fraction against dedup'd parent keys") {
+    val child = Seq(1, 1, 2, 3, 9).toDF("fk") // 9 is an orphan
+    // duplicate parent keys must not multiply child rows
+    val parent = Seq(1, 1, 2, 3, 4).toDF("pk")
+    val out = DataQuality.referential(child, "fk", parent, "pk", "fk->pk")
+      .as[(String, String, Double, Boolean)].collect()
+    assert(out === Array(("referential", "fk->pk", 0.8, false)))
+  }
+
+  test("null child keys count as orphans") {
+    val child = Seq(Some(1), None, Some(2)).toDF("fk")
+    val parent = Seq(1, 2).toDF("pk")
+    val out = DataQuality.referential(child, "fk", parent, "pk", "fk->pk")
+      .as[(String, String, Double, Boolean)].collect()
+    assert(out(0)._3 === (2.0 / 3 * 1e6).round / 1e6)
+  }
+}
