@@ -1624,6 +1624,29 @@ object SparkEntry {
       Some("""SELECT COUNT(*) AS n_unique, ROUND(SUM(value), 2) AS total_value
              |FROM events""".stripMargin)),
 
+    Q("events_stream_join", // §2.9: stream–stream interval join — both
+      // sides watermarked, click time-bounded to [purchase − 1 h,
+      // purchase], which bounds the join state store; the oracle is the
+      // identical batch interval join
+      (s, d) => {
+        withStreamPartitions(s) {
+          val q = graft.streaming.EventStream
+            .startIntervalJoin(s, d, "stream_join_verify")
+          q.awaitTermination(180000)
+        }
+        s.sql("""SELECT COUNT(*) AS n_pairs,
+                |COUNT(DISTINCT purchase_id) AS n_purchases,
+                |ROUND(SUM(value), 2) AS total_value
+                |FROM stream_join_verify""".stripMargin)
+      },
+      Some("""SELECT COUNT(*) AS n_pairs,
+             |COUNT(DISTINCT p.event_id) AS n_purchases,
+             |ROUND(SUM(p.value), 2) AS total_value
+             |FROM events p JOIN events c
+             |ON p.user_id = c.user_id
+             |AND p.event_type = 'purchase' AND c.event_type = 'click'
+             |AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts""".stripMargin)),
+
     Q("events_stream_enrich", // §2.9: stream–static broadcast join — the
       // stateless enrichment shape (no watermark, no state store); the
       // oracle is the identical batch join

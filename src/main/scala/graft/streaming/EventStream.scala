@@ -90,6 +90,35 @@ object EventStream {
       .trigger(Trigger.AvailableNow()).start()
   }
 
+  /** Stream–stream interval join: each purchase pairs with the same
+    * user's clicks from the preceding hour. Both sides carry watermarks
+    * and the join condition time-bounds the click relative to the
+    * purchase, so the state store provably evicts clicks older than
+    * watermark − 1 h — the condition that keeps a stream–stream join
+    * runnable forever on an unbounded stream (an unbounded-time join's
+    * buffer grows without limit; Spark would reject it in append mode).
+    */
+  def startIntervalJoin(spark: SparkSession, sfDir: String, queryName: String): StreamingQuery = {
+    val clicks = rawStream(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = rawStream(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "10 minutes")
+    purchases.join(clicks,
+        col("p_user") === col("c_user")
+          && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+          && col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("p_user"), col("click_id"),
+        col("c_ts"), col("p_ts"), col("value"))
+      .writeStream.outputMode("append").format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow()).start()
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double, props: String)
   final case class SessionState(start: Long, last: Long, n: Int, total: Double)

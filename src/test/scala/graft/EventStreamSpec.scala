@@ -58,4 +58,21 @@ class EventStreamSpec extends SparkSuite {
     val total = sessions.agg(sum("n_events")).as[Long].head()
     assert(total === events.count())
   }
+
+  test("stream-stream interval join equals the batch interval join") {
+    val q = EventStream.startIntervalJoin(spark, sfDir, "esj_test")
+    q.awaitTermination(120000)
+    val streamed = spark.table("esj_test")
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    val e = Tables.load(spark, sfDir, "events")
+    val p = e.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("pu"), $"ts".as("pts"))
+    val c = e.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id".as("cu"), $"ts".as("cts"))
+    val batch = p.join(c, $"pu" === $"cu"
+        && $"cts" >= $"pts" - expr("INTERVAL 1 HOUR") && $"cts" <= $"pts")
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(streamed === batch)
+  }
 }
