@@ -645,6 +645,34 @@ object SparkEntry {
              |COUNT(DISTINCT n_name) AS n_names FROM nation
              |ORDER BY format""".stripMargin)),
 
+    Q("federated_trisource_join", // §2.1 "unified retrieval": ONE query
+      // joining three different physical sources — parquet facts, a CSV
+      // nation dim, a JSON region dim — through the common DataFrame
+      // relation; both dims broadcast, so heterogeneity costs nothing
+      // beyond the ingest scan (the reference federates vendors behind a
+      // cursor — ai_query_generator.py:28-38 — Spark federates formats
+      // behind the datasource API)
+      (s, d) => {
+        val base = s"/tmp/graft_fed_${new java.io.File(d).getName}"
+        val nationCsv = graft.sources.Formats
+          .csvRoundtrip(t(s, d, "nation"), s"$base/nation_csv")
+        val regionJson = graft.sources.Formats
+          .jsonRoundtrip(t(s, d, "region"), s"$base/region_json")
+        t(s, d, "customer")
+          .join(broadcast(nationCsv), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(regionJson), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name")
+          .agg(count(lit(1)).as("n_customers"),
+            round(sum("c_acctbal"), 2).as("total_acctbal"))
+          .orderBy("r_name")
+      },
+      Some("""SELECT r_name, COUNT(*) AS n_customers,
+             |ROUND(SUM(c_acctbal), 2) AS total_acctbal
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
     Q("merge_upsert_orders", // upsert/merge semantics without a table
       // format: updates take precedence via full-outer + COALESCE — the
       // keyed-merge shape a snapshot-compaction job runs at scale (both
@@ -2282,6 +2310,18 @@ object SparkEntry {
         val qv = e.filter(col("vec_id") === 0).select("embedding")
           .head().getSeq[Float](0).map(_.toDouble)
         Similarity.ivfTopK(e.filter(col("vec_id") =!= 0), qv, 10, nProbe = 3)
+      },
+      None),
+
+    Q("emb_kmeans_ivf_topk", // IVF over MLlib-KMeans-learned inverted
+      // lists (seeded) — the production index-build shape; recall and the
+      // full-probe == exact identity are pinned in SimilaritySpec
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val qv = e.filter(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0).map(_.toDouble)
+        Similarity.kmeansIvfTopK(e.filter(col("vec_id") =!= 0), qv, 10,
+          numClusters = 8, nProbe = 3)
       },
       None),
 

@@ -114,6 +114,32 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF with LEARNED coarse centroids: MLlib k-means (seeded, fixed
+    * iterations) trains the inverted lists instead of borrowing a label
+    * column — the production IVF shape, where cluster quality controls
+    * recall at a given nProbe. The array<float> column bridges to MLlib
+    * through `array_to_vector` (a codegen'd built-in, not a UDF);
+    * training cost is numClusters × iterations × one pass, paid once per
+    * index build, and assignment is a broadcast of numClusters centroids.
+    * With nProbe = numClusters this degrades gracefully to exact search
+    * (SimilaritySpec pins that identity).
+    */
+  def kmeansIvfTopK(
+      emb: DataFrame, queryVec: Seq[Double], k: Int,
+      numClusters: Int = 8, nProbe: Int = 2, seed: Long = 42L,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val withFeat = emb.withColumn("features",
+      array_to_vector(col(vecCol).cast("array<double>")))
+    val model = new KMeans().setK(numClusters).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("ivf_cluster")
+      .fit(withFeat)
+    val assigned = model.transform(withFeat)
+    ivfTopK(assigned.drop("features"), queryVec, k, nProbe,
+      clusterCol = "ivf_cluster", vecCol = vecCol, idCol = idCol)
+  }
+
   /** Batch k-NN join: for every row of `queries`, its top-k neighbors in
     * `emb` by cosine, LSH-blocked. The all-pairs version of [[lshTopK]] —
     * one bucket-key shuffle instead of a cross join.
