@@ -81,6 +81,32 @@ class PlanQualitySpec extends SparkSuite {
       "partition filter list is empty:\n" + p.take(800))
   }
 
+  test("q21's EXISTS and NOT EXISTS compile to one semi and one anti join") {
+    val p = plan("q21_waiting_supplier")
+    assert(p.contains("LeftSemi"), p.take(600))
+    assert(p.contains("LeftAnti"), p.take(600))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q13's left outer join keeps zero-order customers ahead of both aggregates") {
+    val p = plan("q13_order_count_dist")
+    assert(p.contains("LeftOuter"), p.take(600))
+    // two grouping levels: per-customer count, then the distribution
+    val aggs = p.sliding("HashAggregate".length).count(_ == "HashAggregate")
+    assert(aggs >= 4, s"expected two two-phase aggregates, plan:\n" + p.take(600))
+  }
+
+  test("federated tri-source join broadcasts both non-parquet dims") {
+    val p = plan("federated_trisource_join")
+    val broadcasts = p.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin")
+    assert(broadcasts >= 2, p.take(600))
+    // three distinct source formats feed one plan
+    assert(p.contains("Scan csv"), "csv leaf missing:\n" + p.take(600))
+    assert(p.contains("Scan json"), "json leaf missing:\n" + p.take(600))
+    assert(p.contains("Scan parquet"), "parquet leaf missing:\n" + p.take(600))
+  }
+
   test("no query plan contains a cartesian product or nested-loop join") {
     // brute-force pairwise ops would show up here; all of them must block.
     // Plan-build failures surface as offenders too — a query whose plan
