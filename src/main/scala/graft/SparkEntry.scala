@@ -2086,6 +2086,85 @@ object SparkEntry {
              |  array_to_string(list_sort(list(id)), ',') AS members
              |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin)),
 
+    Q("doc_dedup_keep_best", // dedup keeping the BEST cluster member
+      // (longest text, ties to lowest id) instead of an arbitrary one —
+      // survivors never shuffle, only the loser set (the small side)
+      // subtracts via anti join. Oracle: recursive-CTE closure + window.
+      (s, d) => graft.operators.Dedup
+        .keepBest(t(s, d, "documents"), "source", "n_chars", threshold = 0.02)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        .orderBy("lang"),
+      Some("""WITH RECURSIVE d AS (
+             |  SELECT source, doc_id,
+             |    list_distinct(list_transform(
+             |      range(0, greatest(len(t) - 2, 1)),
+             |      i -> array_to_string(t[(i+1):(i+3)], ' '))) AS sh
+             |  FROM (SELECT source, doc_id,
+             |          string_split_regex(lower(trim(text)), '\s+') AS t
+             |        FROM documents)
+             |), pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.02
+             |), edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs
+             |), reach(id, r) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+             |), comp AS (
+             |  SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+             |), losers AS (
+             |  SELECT doc_id FROM (
+             |    SELECT d2.doc_id, ROW_NUMBER() OVER (
+             |      PARTITION BY c.cluster_id
+             |      ORDER BY d2.n_chars DESC, d2.doc_id) AS rn
+             |    FROM comp c JOIN documents d2 ON c.id = d2.doc_id) x
+             |  WHERE rn > 1
+             |)
+             |SELECT lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+             |FROM documents
+             |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    Q("doc_decontaminate", // benchmark decontamination: drop every corpus
+      // doc sharing a 5-shingle with the held-out set (doc_id % 97 == 0
+      // simulates the benchmark). Explode + semi join on the shingle key,
+      // anti join subtracts — no pairwise comparison anywhere.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val bench = docs.filter(col("doc_id") % 97 === 0)
+        graft.operators.Dedup
+          .decontaminate(docs.filter(col("doc_id") % 97 =!= 0), bench,
+            shingleK = 5)
+          .groupBy("lang").agg(count(lit(1)).as("n_clean"))
+          .orderBy("lang")
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id, lang,
+             |    list_distinct(list_transform(
+             |      range(0, greatest(len(t) - 4, 1)),
+             |      i -> array_to_string(t[(i+1):(i+5)], ' '))) AS sh
+             |  FROM (SELECT doc_id, lang,
+             |          string_split_regex(lower(trim(text)), '\s+') AS t
+             |        FROM documents)
+             |), bench AS (
+             |  SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 97 = 0
+             |), cont AS (
+             |  SELECT DISTINCT doc_id FROM (
+             |    SELECT doc_id, unnest(sh) AS s FROM sh
+             |    WHERE doc_id % 97 <> 0) x
+             |  JOIN bench USING (s)
+             |)
+             |SELECT lang, COUNT(*) AS n_clean FROM sh
+             |WHERE doc_id % 97 <> 0
+             |AND doc_id NOT IN (SELECT doc_id FROM cont)
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     Q("doc_pack_shards", // token-budget training shards: cumulative token
       // offset per source stream → shard id; one window pass per source
       (s, d) => graft.operators.Retrieval

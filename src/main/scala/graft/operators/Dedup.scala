@@ -455,6 +455,58 @@ object Dedup {
           x => x.cast("string")), ",").as("members"))
   }
 
+  /** Dedup that KEEPS the best member of every near-dup cluster instead
+    * of an arbitrary one: cluster by n-gram Jaccard, rank members by
+    * `scoreCol` (ties to the lowest id), drop everything but each
+    * cluster's winner. Singletons — documents in no cluster — pass
+    * through untouched via the final anti join, so the operator never
+    * rewrites the surviving corpus, only subtracts losers (at 100 TB the
+    * loser set is the small side; survivors never shuffle).
+    */
+  def keepBest(
+      docs: DataFrame,
+      blockCol: String,
+      scoreCol: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleK: Int = 3,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    val labels = connectedComponents(
+      ngramJaccardPairs(docs, blockCol, textCol, idCol, shingleK, threshold,
+        maxBucket))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val losers = docs.join(labels, docs(idCol) === labels("id"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") > 1)
+      .select(col(idCol).as("_loser"))
+    docs.join(losers, docs(idCol) === col("_loser"), "left_anti")
+  }
+
+  /** Benchmark decontamination: drop every corpus document that shares at
+    * least one k-shingle with the benchmark set (the training-data hygiene
+    * pass that keeps eval questions out of the corpus). The benchmark's
+    * distinct shingles are the small side: explode both, one semi join on
+    * the shingle key marks contaminated ids, one anti join subtracts them
+    * — no pairwise comparison anywhere.
+    */
+  def decontaminate(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleK: Int = 5): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val bsh = benchmark
+      .select(explode(shingles(col(textCol), shingleK)).as("s")).distinct()
+    val contaminated = docs
+      .select(col(idCol), explode(shingles(col(textCol), shingleK)).as("s"))
+      .join(bsh, Seq("s"), "left_semi")
+      .select(col(idCol).as("_contaminated")).distinct()
+    docs.join(contaminated, docs(idCol) === col("_contaminated"), "left_anti")
+  }
+
   // -- 5: SimHash ----------------------------------------------------------
 
   /** 64-bit SimHash of the token stream: hash each token once, accumulate

@@ -124,4 +124,47 @@ class DedupSpec extends SparkSuite {
     // cross-block near-identicals never pair
     assert(!got.exists(p => p._1 == 1L && p._2 == 4L))
   }
+
+  test("keepBest keeps exactly the highest-score member of every cluster") {
+    val fixture = engine.Tables.load(spark, sfDir, "documents")
+    val labels = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(fixture, "source", threshold = 0.02))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.nonEmpty, "fixture must contain near-dup clusters")
+    val survivors = Dedup
+      .keepBest(fixture, "source", "n_chars", threshold = 0.02)
+      .select("doc_id").as[Long].collect().toSet
+    val byChar = fixture.select("doc_id", "n_chars")
+      .as[(Long, Long)].collect().toMap
+    // per cluster: the winner (max chars, ties min id) survives, others don't
+    labels.groupBy(_._2).foreach { case (_, members) =>
+      val ids = members.keys.toSeq
+      val winner = ids.maxBy(id => (byChar(id), -id))
+      assert(survivors.contains(winner), s"winner $winner dropped")
+      ids.filterNot(_ == winner).foreach(id =>
+        assert(!survivors.contains(id), s"loser $id survived"))
+    }
+    // docs in no cluster always survive
+    val clustered = labels.keySet
+    val all = fixture.select("doc_id").as[Long].collect().toSet
+    assert((all -- clustered).subsetOf(survivors))
+  }
+
+  test("decontaminate removes exactly the shingle-sharing docs") {
+    val fixture = engine.Tables.load(spark, sfDir, "documents")
+    val bench = fixture.filter($"doc_id" % 97 === 0)
+    val corpus = fixture.filter($"doc_id" % 97 =!= 0)
+    val survivors = Dedup.decontaminate(corpus, bench, shingleK = 5)
+      .select("doc_id").as[Long].collect().toSet
+    // independent ground truth from collected shingle sets
+    def shingleSets(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", Dedup.shingles($"text", 5).as("sh"))
+      .as[(Long, Seq[String])].collect()
+    val benchSh = shingleSets(bench).flatMap(_._2).toSet
+    val want = shingleSets(corpus)
+      .filter { case (_, sh) => !sh.exists(benchSh) }
+      .map(_._1).toSet
+    assert(survivors === want)
+    assert(survivors.nonEmpty && survivors.size < corpus.count())
+  }
 }
