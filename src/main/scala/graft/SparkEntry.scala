@@ -1454,6 +1454,35 @@ object SparkEntry {
              |  ON p.user_id = c.user_id AND p.ts >= c.ts
              |ORDER BY p.event_id""".stripMargin)),
 
+    Q("events_scd2_intervals", // SCD type-2 history build: collapse the
+      // per-user event stream to change records (lag filter), then close
+      // each validity interval with the next change's timestamp (lead) —
+      // two window passes over one shuffle on user_id, the standard
+      // temporal-dimension shape
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(unix_millis(col("ts")), col("event_id"))
+        t(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("prev", lag("event_type", 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+          .withColumn("valid_to_ms", lead(unix_millis(col("ts")), 1).over(w))
+          .select(col("user_id"), col("event_type"),
+            unix_millis(col("ts")).as("valid_from_ms"), col("valid_to_ms"))
+          .orderBy("user_id", "valid_from_ms", "event_type")
+      },
+      Some("""WITH ordered AS (
+             |  SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id,
+             |    LAG(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY epoch_ms(ts), event_id) AS prev
+             |  FROM events),
+             |changes AS (
+             |  SELECT user_id, event_type, ms, event_id FROM ordered
+             |  WHERE prev IS NULL OR prev <> event_type)
+             |SELECT user_id, event_type, ms AS valid_from_ms,
+             |  LEAD(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS valid_to_ms
+             |FROM changes ORDER BY user_id, valid_from_ms, event_type""".stripMargin)),
+
     Q("events_latest_per_user", // arg-max compaction: latest record per
       // key via max_by on a composite (ts, id) order — one hash agg, no
       // window sort of the full stream
