@@ -2433,6 +2433,17 @@ object SparkEntry {
       },
       None),
 
+    Q("emb_pq_error", // product quantization: 64 floats → 4 codes; the
+      // per-label reconstruction MSE summarizes codebook quality.
+      // Seeded k-means internals → rows-only; monotonicity and bounds
+      // pinned in SimilaritySpec.
+      (s, d) => Similarity.pqTrainEncode(t(s, d, "embeddings"))
+        .join(t(s, d, "embeddings").select("vec_id", "label"), Seq("vec_id"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), round(avg("mse"), 6).as("avg_mse"))
+        .orderBy("label"),
+      None),
+
     Q("emb_neardup_pairs",
       // fixture max pairwise cosine is ~0.51 → 0.3 with 4 planes yields a
       // non-trivial candidate set; recall properties pinned in DedupSpec

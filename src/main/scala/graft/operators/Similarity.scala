@@ -140,6 +140,51 @@ object Similarity {
       clusterCol = "ivf_cluster", vecCol = vecCol, idCol = idCol)
   }
 
+  /** Product quantization (Jégou et al. 2011): split each vector into `m`
+    * subvectors, train a `k`-centroid codebook per subvector (seeded MLlib
+    * k-means over a deterministic sample — codebooks train on a sample at
+    * any scale), encode every vector as `m` small codes. 64 floats become
+    * m bytes — the memory step that makes billion-vector ANN feasible.
+    * Returns (id, codes array<int>, mse double): the reconstruction error
+    * is computed in-plan via one broadcast join per subvector on the code
+    * key (k rows each), never a per-row UDF.
+    */
+  def pqTrainEncode(
+      emb: DataFrame, dim: Int = 64, m: Int = 4, k: Int = 16,
+      sampleN: Int = 2000, seed: Long = 42L,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    require(dim % m == 0, s"dim $dim must split into $m subvectors")
+    val subDim = dim / m
+    val sample = emb.orderBy(col(idCol)).limit(sampleN)
+    def subArr(i: Int): Column =
+      slice(col(vecCol), i * subDim + 1, subDim).cast("array<double>")
+    var out = emb.select(col(idCol), col(vecCol))
+    var errExpr: Column = lit(0.0)
+    (0 until m).foreach { i =>
+      val model = new KMeans().setK(k).setSeed(seed + i).setMaxIter(5)
+        .setFeaturesCol("_f").setPredictionCol(s"code_$i")
+        .fit(sample.select(array_to_vector(subArr(i)).as("_f")))
+      out = model.transform(out.withColumn("_f", array_to_vector(subArr(i))))
+        .drop("_f")
+      // codebook is k rows — broadcast join on the code, no UDF lookup
+      val centers = model.clusterCenters.zipWithIndex.map { case (c, j) =>
+        (j, c.toArray.toSeq)
+      }
+      val cb = emb.sparkSession.createDataFrame(centers.toSeq)
+        .toDF(s"cb_code_$i", s"center_$i")
+      out = out.join(broadcast(cb), col(s"code_$i") === col(s"cb_code_$i"))
+        .drop(s"cb_code_$i")
+      errExpr = errExpr + aggregate(
+        zip_with(subArr(i), col(s"center_$i"), (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    out.select(col(idCol),
+      array((0 until m).map(i => col(s"code_$i")): _*).as("codes"),
+      round(errExpr / dim, 6).as("mse"))
+  }
+
   /** Batch k-NN join: for every row of `queries`, its top-k neighbors in
     * `emb` by cosine, LSH-blocked. The all-pairs version of [[lshTopK]] —
     * one bucket-key shuffle instead of a cross join.

@@ -101,6 +101,19 @@ class SimilaritySpec extends SparkSuite {
     assert(r.filter($"q_id" === $"nn_id").count() === 0)
   }
 
+  test("PQ codes are bounded and reconstruction error shrinks with codebook size") {
+    val coarse = Similarity.pqTrainEncode(base, k = 2)
+    val fine = Similarity.pqTrainEncode(base, k = 16)
+    val codes = fine.select(explode($"codes")).as[Int].collect()
+    assert(codes.forall(c => c >= 0 && c < 16))
+    assert(fine.select($"codes").as[Seq[Int]].head().length === 4)
+    val mseCoarse = coarse.agg(avg($"mse")).as[Double].head()
+    val mseFine = fine.agg(avg($"mse")).as[Double].head()
+    assert(mseFine > 0.0)
+    assert(mseFine < mseCoarse,
+      s"16-code MSE $mseFine not below 2-code MSE $mseCoarse")
+  }
+
   test("probeBuckets yields nPlanes+1 distinct buckets") {
     val buckets = spark.range(1)
       .select(Similarity.probeBuckets(lit(5L), 8).as("b"))
