@@ -1518,6 +1518,36 @@ object SparkEntry {
              |ROUND(AVG(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k,
              |COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    Q("events_json_quarantine", // bad-record channel: corrupt JSON rows
+      // count into a quarantine lane instead of failing the job
+      // (from_json is PERMISSIVE — malformed input nulls the struct).
+      // Corruption is injected deterministically: every 31st event's
+      // props is TRUNCATED (trailing-garbage corruption doesn't work as
+      // an injection — Jackson stops at the first complete value, so
+      // Spark accepts it while DuckDB's json_valid rejects it; an
+      // incomplete object is malformed to both).
+      (s, d) => t(s, d, "events")
+        .withColumn("p2", when(col("event_id") % 31 === 0,
+          expr("substring(props, 1, length(props) - 1)"))
+          .otherwise(col("props")))
+        .withColumn("k", from_json(col("p2"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType)))).getField("k"))
+        .groupBy("event_type")
+        .agg(sum(when(col("k").isNotNull, 1L).otherwise(0L)).as("n_good"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_quarantined"))
+        .orderBy("event_type"),
+      Some("""WITH e AS (
+             |  SELECT event_type,
+             |    CASE WHEN event_id % 31 = 0
+             |      THEN substring(props, 1, length(props) - 1) ELSE props END AS p2
+             |  FROM events)
+             |SELECT event_type,
+             |  CAST(SUM(CASE WHEN json_valid(p2) THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+             |  CAST(SUM(CASE WHEN json_valid(p2) THEN 0 ELSE 1 END) AS BIGINT) AS n_quarantined
+             |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     Q("events_daily", // tumbling day buckets via date_trunc
       (s, d) => t(s, d, "events")
         .groupBy(date_trunc("day", col("ts")).as("day"))

@@ -33,4 +33,26 @@ object Layout {
     */
   def readDays(spark: SparkSession, path: String, days: Seq[String]): DataFrame =
     spark.read.parquet(path).filter(col("day").isin(days: _*))
+
+  /** Compact a directory of small files into ~`targetRowsPerFile`-row
+    * files. Streaming ingest and over-parallel writes leave thousands of
+    * tiny files per partition; at 100 TB the metadata and open() overhead
+    * of small files dominates scan time long before bytes do. One count
+    * to size the job, one shuffle-free coalesce when shrinking (falls
+    * back to repartition only when the input has too FEW tasks), one
+    * rewrite. Returns the compacted file count.
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetRowsPerFile: Long = 1000000L): Int = {
+    val df = spark.read.parquet(inPath)
+    val rows = df.count()
+    val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
+    val inParts = df.rdd.getNumPartitions
+    val sized =
+      if (nFiles <= inParts) df.coalesce(nFiles) // narrow, no shuffle
+      else df.repartition(nFiles)
+    sized.write.mode("overwrite").parquet(outPath)
+    new java.io.File(outPath).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+  }
 }

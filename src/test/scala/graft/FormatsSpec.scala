@@ -33,4 +33,21 @@ class FormatsSpec extends SparkSuite {
       .collect().sorted.toSeq
     assert(want.nonEmpty && got === want)
   }
+
+  test("compact collapses a small-file explosion into sized files") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val events = engine.Tables.load(spark, sfDir, "events")
+    // simulate over-parallel ingest: 64 splits of a 1000-row table
+    events.repartition(64).write.mode("overwrite").parquet(s"$base/small")
+    val before = new java.io.File(s"$base/small").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before >= 32, s"expected many small files, got $before")
+    val after = sources.Layout.compact(spark, s"$base/small", s"$base/big",
+      targetRowsPerFile = 500)
+    assert(after === 2, s"1000 rows / 500 per file should be 2 files, got $after")
+    // content preserved exactly
+    val a = spark.read.parquet(s"$base/big").agg(org.apache.spark.sql.functions.sum("event_id")).head().getLong(0)
+    val b = events.agg(org.apache.spark.sql.functions.sum("event_id")).head().getLong(0)
+    assert(a === b)
+  }
 }
