@@ -1306,6 +1306,29 @@ object SparkEntry {
              |AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
              |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin)),
 
+    Q("basket_part_pairs", // market-basket co-occurrence: part pairs
+      // ordered together most often. Distinct (order, part) first so
+      // multi-line parts don't inflate counts; the self-join is keyed on
+      // the order — quadratic only within one order's ~7 distinct parts,
+      // the same bounded blow-up as a posting list
+      (s, d) => {
+        val op = t(s, d, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct()
+        val a = op.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+        val b = op.select(col("l_orderkey").as("k2"), col("l_partkey").as("part_b"))
+        a.join(b, col("l_orderkey") === col("k2") && col("part_a") < col("part_b"))
+          .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_orders"))
+          .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+          .limit(20)
+      },
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+             |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             |COUNT(*) AS n_orders
+             |FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+             |AND a.l_partkey < b.l_partkey
+             |GROUP BY part_a, part_b
+             |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin)),
+
     Q("stats_moments", // second-moment statistics in ONE pass: corr,
       // covariance, stddev, variance are all partial-aggregatable
       // (sum/sum-of-squares/cross-products combine associatively), so the
