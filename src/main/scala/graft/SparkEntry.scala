@@ -2023,6 +2023,45 @@ object SparkEntry {
              |SELECT b AS bigram, COUNT(*) AS n FROM bg
              |GROUP BY b ORDER BY n DESC, bigram LIMIT 30""".stripMargin)),
 
+    Q("doc_lm_score", // n-gram LM fluency score (the CCNet-style quality
+      // filter): each document's mean log-probability under the corpus
+      // bigram model, P(w2|w1) = C(w1 w2)/C(w1·). The history counts come
+      // from the same exploded bigram stream as the pair counts — two
+      // hash aggs and two joins on compact string keys; the token arrays
+      // never shuffle
+      (s, d) => {
+        val bg = t(s, d, "documents")
+          .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("ts"))
+          .filter(size(col("ts")) >= 2)
+          .select(col("doc_id"), explode(transform(
+            sequence(lit(1), size(col("ts")) - 1),
+            i => struct(element_at(col("ts"), i).as("w1"),
+              concat(element_at(col("ts"), i), lit(" "),
+                element_at(col("ts"), i + 1)).as("b")))).as("p"))
+          .select(col("doc_id"), col("p.w1"), col("p.b"))
+        val cb = bg.groupBy("b").agg(count(lit(1)).as("cb"))
+        val cw = bg.groupBy("w1").agg(count(lit(1)).as("cw"))
+        bg.join(cb, Seq("b")).join(cw, Seq("w1"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(avg(log(col("cb").cast("double") / col("cw"))), 6).as("lm_score"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+             |  FROM documents
+             |), bg AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS w1,
+             |    unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS b
+             |  FROM tok WHERE len(ts) >= 2
+             |), cb AS (SELECT b, COUNT(*) AS cb FROM bg GROUP BY b),
+             |cw AS (SELECT w1, COUNT(*) AS cw FROM bg GROUP BY w1)
+             |SELECT doc_id, COUNT(*) AS n_bigrams,
+             |  ROUND(AVG(LN(CAST(cb AS DOUBLE) / cw)), 6) AS lm_score
+             |FROM bg JOIN cb USING (b) JOIN cw USING (w1)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     Q("doc_bm25_search", // ranked keyword retrieval (Okapi BM25, k1=1.2 b=0.75)
       (s, d) => graft.operators.Retrieval.bm25(
         t(s, d, "documents"), Seq("spark", "join", "window")),
