@@ -2062,6 +2062,19 @@ object SparkEntry {
              |FROM bg JOIN cb USING (b) JOIN cw USING (w1)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    Q("doc_bpe_merges", // BPE training rounds (Sennrich et al. 2016),
+      // word-level: 3 merge decisions — relational pair counting + argmax
+      // per round, typed map for the sequential in-row rewrite. Driver
+      // scalars only for the 3 argmax pairs (the scalar-subquery
+      // pattern); rows-only (iterative rewrites aren't one SQL statement),
+      // pinned against an independent reference in TextAnalysisSpec.
+      (s, d) => {
+        val merges = graft.operators.TextAnalysis
+          .bpeTrain(t(s, d, "documents"), rounds = 3)
+        s.createDataFrame(merges).orderBy("round")
+      },
+      None),
+
     Q("doc_bm25_search", // ranked keyword retrieval (Okapi BM25, k1=1.2 b=0.75)
       (s, d) => graft.operators.Retrieval.bm25(
         t(s, d, "documents"), Seq("spark", "join", "window")),

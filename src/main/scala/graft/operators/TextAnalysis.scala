@@ -161,6 +161,69 @@ object TextAnalysis {
     aggregate(tokens(text), lit(1469598103934665603L),
       (acc, t) => xxhash64(concat_ws("", acc, t)))
 
+  // -- BPE merge training ---------------------------------------------------
+
+  /** One merge decision of byte-pair-encoding training (Sennrich et al.
+    * 2016), word-level: the most frequent adjacent symbol pair in the
+    * corpus, ties broken lexicographically.
+    */
+  final case class BpeMerge(round: Int, first: String, second: String,
+      merged: String, count: Long)
+
+  /** Greedy left-to-right merge of one pair inside a symbol sequence —
+    * the sequential inner step BPE needs per row. Plain Scala on purpose:
+    * the merge is order-dependent along the sequence, which relational
+    * operators can't express; everything AROUND it (pair counting,
+    * argmax) stays relational.
+    */
+  def mergePair(syms: IndexedSeq[String], a: String, b: String,
+      joined: String): IndexedSeq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += joined; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toIndexedSeq
+  }
+
+  /** BPE training rounds over the corpus token streams: each round counts
+    * adjacent symbol pairs (relational: explode → hash agg, the exact
+    * `doc_bigram_freq` shape), picks the argmax (one tiny driver-side
+    * take, the same scalar-inline pattern Catalyst uses for scalar
+    * subqueries), and rewrites every document with the merge applied (a
+    * typed map — the only sequential per-row step). Each round is one
+    * shuffle; the corpus stays distributed throughout.
+    */
+  def bpeTrain(docs: DataFrame, rounds: Int = 3,
+      textCol: String = "text"): Seq[BpeMerge] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var corpus = docs.select(tokens(lower(col(textCol))).as("ts"))
+      .as[Seq[String]].map(_.toIndexedSeq).cache()
+    val merges = scala.collection.mutable.ListBuffer.empty[BpeMerge]
+    (1 to rounds).foreach { r =>
+      val top = corpus.toDF("ts")
+        .filter(size(col("ts")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("ts")) - 1),
+          i => struct(element_at(col("ts"), i).as("a"),
+            element_at(col("ts"), i + 1).as("b")))).as("p"))
+        .groupBy("p.a", "p.b").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .take(1).head
+      val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
+      val joined = a + "_" + b
+      merges += BpeMerge(r, a, b, joined, n)
+      val prev = corpus
+      corpus = corpus.map(ts => mergePair(ts, a, b, joined)).cache()
+      corpus.count() // materialize before unpersisting the parent
+      prev.unpersist()
+    }
+    corpus.unpersist()
+    merges.toList
+  }
+
   /** Convenience: annotate a documents frame with the full feature set. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)

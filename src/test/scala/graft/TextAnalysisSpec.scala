@@ -74,4 +74,48 @@ class TextAnalysisSpec extends SparkSuite {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), "analyze must not shuffle")
   }
+
+  // -- BPE ------------------------------------------------------------------
+
+  /** Fully local, independent BPE reference: same greedy semantics,
+    * nothing shared with the operator but the tokenizer definition.
+    */
+  private def bpeRef(texts: Seq[String], rounds: Int): Seq[(Int, String, String, Long)] = {
+    var corpus = texts.map(_.trim.toLowerCase.split("\\s+").toIndexedSeq)
+    (1 to rounds).map { r =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      corpus.foreach(ts => ts.sliding(2).foreach {
+        case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + 1
+        case _ =>
+      })
+      val ((a, b), n) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+      val joined = a + "_" + b
+      corpus = corpus.map { ts =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < ts.length) {
+          if (i + 1 < ts.length && ts(i) == a && ts(i + 1) == b) { out += joined; i += 2 }
+          else { out += ts(i); i += 1 }
+        }
+        out.toIndexedSeq
+      }
+      (r, a, b, n)
+    }
+  }
+
+  test("bpeTrain matches the independent local reference over 3 rounds") {
+    val docs = engine.Tables.load(spark, sfDir, "documents")
+    val got = TextAnalysis.bpeTrain(docs, rounds = 3)
+      .map(m => (m.round, m.first, m.second, m.count))
+    val texts = docs.select("text").collect().map(_.getString(0)).toSeq
+    assert(got === bpeRef(texts, 3))
+  }
+
+  test("mergePair is greedy left-to-right and never re-merges its output") {
+    val r = TextAnalysis.mergePair(Vector("a", "a", "a"), "a", "a", "a_a")
+    assert(r === Vector("a_a", "a"))
+    val r2 = TextAnalysis.mergePair(Vector("x", "a", "b", "a", "b"), "a", "b", "a_b")
+    assert(r2 === Vector("x", "a_b", "a_b"))
+    assert(TextAnalysis.mergePair(Vector("a"), "a", "a", "a_a") === Vector("a"))
+  }
 }
