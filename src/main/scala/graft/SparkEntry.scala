@@ -994,6 +994,40 @@ object SparkEntry {
   // lineitem. Each query exists for its distinct plan shape; at 100 TB the
   // comments on each say which side broadcasts and where the shuffles are.
   private def tpchShapeQueries: Seq[Q] = Seq(
+    Q("q2_min_cost_supplier", // TPC-H Q2 shape: argmin per group with
+      // join-back — cheapest supplier per part from lineitem unit prices
+      // (no partsupp in the fixtures). The window ranks inside each
+      // part's partition only; ties break on the supplier key so the
+      // row_number is total. Dims join AFTER the rank prunes to one row
+      // per part.
+      (s, d) => {
+        val w = Window.partitionBy("l_partkey")
+          .orderBy(col("unit_cost").asc, col("l_suppkey"))
+        t(s, d, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"),
+            (col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .join(t(s, d, "part").filter(col("p_size") <= 10),
+            col("l_partkey") === col("p_partkey"))
+          .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .select(col("p_partkey"), col("p_name"), col("s_name"),
+            round(col("unit_cost"), 4).as("unit_cost"))
+          .orderBy("p_partkey").limit(50)
+      },
+      Some("""SELECT p_partkey, p_name, s_name,
+             |ROUND(unit_cost, 4) AS unit_cost
+             |FROM (
+             |  SELECT l_partkey, l_suppkey,
+             |    l_extendedprice / l_quantity AS unit_cost,
+             |    ROW_NUMBER() OVER (PARTITION BY l_partkey
+             |      ORDER BY l_extendedprice / l_quantity, l_suppkey) AS rn
+             |  FROM lineitem) x
+             |JOIN part ON l_partkey = p_partkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE rn = 1 AND p_size <= 10
+             |ORDER BY p_partkey LIMIT 50""".stripMargin)),
+
     Q("q4_priority_wait", // TPC-H Q4 shape: date-pruned orders, EXISTS →
       // left_semi with a non-equi residual (ship after order date); the
       // semi join keeps the fact table from multiplying rows
