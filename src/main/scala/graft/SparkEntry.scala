@@ -2109,6 +2109,16 @@ object SparkEntry {
       },
       None),
 
+    Q("doc_trigram_search", // substring search via a trigram inverted
+      // index (pg_trgm): posting scan pruned to the query's own trigrams,
+      // all-trigram candidates, exact contains() verify. The oracle is
+      // the plain full-scan LIKE — identical results, different physics.
+      (s, d) => graft.operators.Retrieval
+        .trigramSubstringSearch(t(s, d, "documents"), "spark window"),
+      Some("""SELECT doc_id FROM documents
+             |WHERE contains(text, 'spark window')
+             |ORDER BY doc_id""".stripMargin)),
+
     Q("doc_bm25_search", // ranked keyword retrieval (Okapi BM25, k1=1.2 b=0.75)
       (s, d) => graft.operators.Retrieval.bm25(
         t(s, d, "documents"), Seq("spark", "join", "window")),

@@ -106,4 +106,19 @@ class RetrievalSpec extends SparkSuite {
     assert(out(1L) > maxSingle && out(1L) <= 2.0 / 61 + 1e-9)
     out.values.foreach(v => assert(v > 0))
   }
+
+  test("trigram substring search equals the full-scan filter exactly") {
+    val docs = engine.Tables.load(spark, sfDir, "documents")
+    Seq("spark", "join window", "table").foreach { q =>
+      val indexed = Retrieval.trigramSubstringSearch(docs, q)
+        .as[Long].collect().toSeq
+      val scan = docs.filter($"text".contains(q))
+        .select("doc_id").as[Long].collect().toSeq.sorted
+      assert(indexed === scan, s"query '$q'")
+    }
+    assert(Retrieval.trigramSubstringSearch(docs, "zzzqqq").count() === 0)
+    intercept[IllegalArgumentException] {
+      Retrieval.trigramSubstringSearch(docs, "ab")
+    }
+  }
 }
