@@ -1363,6 +1363,28 @@ object SparkEntry {
              |GROUP BY part_a, part_b
              |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin)),
 
+    Q("basket_freq_itemsets", // frequent itemsets via MLlib FP-Growth —
+      // the generalization of basket_part_pairs past size 2 without
+      // enumerating the powerset. Counts are exact (FP-tree is an exact
+      // algorithm; nothing seeded), output bounded by a total order.
+      // Rows-only: multi-round tree mining isn't one SQL statement;
+      // FpmSpec pins size-1/size-2 itemsets to the exact self-join counts.
+      (s, d) => {
+        import org.apache.spark.ml.fpm.FPGrowth
+        val baskets = t(s, d, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct()
+          .groupBy("l_orderkey").agg(collect_set("l_partkey").as("items"))
+        val model = new FPGrowth().setItemsCol("items")
+          .setMinSupport(0.002).fit(baskets)
+        model.freqItemsets
+          .select(array_join(transform(array_sort(col("items")),
+            x => x.cast("string")), ",").as("itemset"),
+            size(col("items")).as("k"), col("freq"))
+          .orderBy(col("freq").desc, col("itemset"))
+          .limit(30)
+      },
+      None),
+
     Q("stats_moments", // second-moment statistics in ONE pass: corr,
       // covariance, stddev, variance are all partial-aggregatable
       // (sum/sum-of-squares/cross-products combine associatively), so the
@@ -1510,6 +1532,38 @@ object SparkEntry {
              |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
              |  ON p.user_id = c.user_id AND p.ts >= c.ts
              |ORDER BY p.event_id""".stripMargin)),
+
+    Q("events_session_window", // batch sessionization via Spark's native
+      // session_window (merge-on-overlap, end = last ts + gap) —
+      // cross-checked against the SQL-standard islands technique in the
+      // oracle: a session breaks where the gap to the previous event is
+      // >= 30 min (session ends are exclusive), sessions are cumulative
+      // sums of break markers. Both sides work in microseconds — the
+      // fixture has sub-ms timestamps, so ms truncation would split
+      // boundary pairs differently.
+      (s, d) => t(s, d, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "start_us"),
+      Some("""WITH e AS (
+             |  SELECT user_id, value, epoch_us(ts) AS us FROM events
+             |), marked AS (
+             |  SELECT user_id, value, us,
+             |    CASE WHEN us - LAG(us) OVER w >= 1800000000 OR
+             |              LAG(us) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+             |), sess AS (
+             |  SELECT user_id, value, us,
+             |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM marked)
+             |SELECT user_id, MIN(us) AS start_us, COUNT(*) AS n_events,
+             |  ROUND(SUM(value), 2) AS total_value
+             |FROM sess GROUP BY user_id, sid
+             |ORDER BY user_id, start_us""".stripMargin)),
 
     Q("events_scd2_intervals", // SCD type-2 history build: collapse the
       // per-user event stream to change records (lag filter), then close
