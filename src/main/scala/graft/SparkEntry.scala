@@ -2163,6 +2163,25 @@ object SparkEntry {
       },
       None),
 
+    Q("doc_weighted_sample", // deterministic weighted sampling without
+      // replacement (Efraimidis–Spirakis A-ES): key = u^(1/w), take the
+      // top-k keys. u comes from a Knuth multiplicative hash of the id —
+      // fully reproducible, identical in both engines, and the whole
+      // sample is one TakeOrderedAndProject (no global sort). Weight =
+      // n_chars: longer documents are proportionally likelier. Ordering
+      // happens on the ROUNDED key so libm pow() ULP differences between
+      // engines can't flip ranks.
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(pow((col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+            / lit(4294967296.0), lit(1.0) / col("n_chars")), 9).as("k"))
+        .orderBy(col("k").desc, col("doc_id")).limit(25),
+      Some("""SELECT doc_id, lang, n_chars,
+             |ROUND(POW(((doc_id * 2654435761) % 4294967296) / 4294967296.0,
+             |  1.0 / n_chars), 9) AS k
+             |FROM documents
+             |ORDER BY k DESC, doc_id LIMIT 25""".stripMargin)),
+
     Q("doc_trigram_search", // substring search via a trigram inverted
       // index (pg_trgm): posting scan pruned to the query's own trigrams,
       // all-trigram candidates, exact contains() verify. The oracle is
@@ -2706,8 +2725,14 @@ object SparkEntry {
 
   // -- driver contract ------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    // the Seq collapses into a Map — a duplicated name would silently
+    // DROP a query from the driver's correctness gate, so fail loudly
+    val names = registry.map(_.name)
+    require(names.distinct.size == names.size,
+      s"duplicate query names: ${names.diff(names.distinct).distinct}")
     registry.map(q => q.name -> q.run).toMap
+  }
 
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(q.name -> _)).toMap

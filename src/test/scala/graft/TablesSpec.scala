@@ -74,4 +74,13 @@ class TablesSpec extends SparkSuite {
     assert(TableInspector.suggestField(DateType) === "DateField()")
     assert(TableInspector.suggestField(StringType) === "CharField(max_length=255)")
   }
+
+  test("driver contract: query names unique, every oracle key has a query") {
+    // queries() itself rejects duplicate names (a dup would silently
+    // drop a query from the correctness gate); this exercises that path
+    // and pins oracle keys to query keys
+    val names = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(names))
+    assert(names.nonEmpty && names.forall(_.matches("[a-z0-9_]+")))
+  }
 }
