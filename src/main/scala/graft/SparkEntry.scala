@@ -1385,6 +1385,71 @@ object SparkEntry {
       },
       None),
 
+    Q("graph_pagerank", // 5 PageRank rounds on the customer→supplier
+      // purchase graph (ids prefixed so the key spaces can't collide).
+      // Iterative numeric graph computation as join+aggregate rounds —
+      // the oracle unrolls the same five iterations as chained CTEs.
+      // Ranks order on the ROUNDED value: contribution sums are float
+      // and the two engines add in different orders.
+      (s, d) => {
+        val edges = t(s, d, "orders")
+          .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("src"),
+            concat(lit("s"), col("l_suppkey")).as("dst"))
+        graft.operators.Graph.pageRank(edges, iters = 5)
+          .select(col("id"), round(col("rank"), 8).as("rank"))
+          .orderBy(col("rank").desc, col("id")).limit(30)
+      },
+      Some("""WITH edges AS (
+             |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+             |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+             |deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
+             |r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+             |r1 AS (
+             |  SELECT nodes.id,
+             |    0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(m.mass, 0) AS rank
+             |  FROM nodes LEFT JOIN (
+             |    SELECT dst AS id, SUM(r.rank / deg.deg) AS mass
+             |    FROM edges JOIN r0 r ON edges.src = r.id
+             |    JOIN deg ON edges.src = deg.src
+             |    GROUP BY dst) m ON nodes.id = m.id),
+             |r2 AS (
+             |  SELECT nodes.id,
+             |    0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(m.mass, 0) AS rank
+             |  FROM nodes LEFT JOIN (
+             |    SELECT dst AS id, SUM(r.rank / deg.deg) AS mass
+             |    FROM edges JOIN r1 r ON edges.src = r.id
+             |    JOIN deg ON edges.src = deg.src
+             |    GROUP BY dst) m ON nodes.id = m.id),
+             |r3 AS (
+             |  SELECT nodes.id,
+             |    0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(m.mass, 0) AS rank
+             |  FROM nodes LEFT JOIN (
+             |    SELECT dst AS id, SUM(r.rank / deg.deg) AS mass
+             |    FROM edges JOIN r2 r ON edges.src = r.id
+             |    JOIN deg ON edges.src = deg.src
+             |    GROUP BY dst) m ON nodes.id = m.id),
+             |r4 AS (
+             |  SELECT nodes.id,
+             |    0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(m.mass, 0) AS rank
+             |  FROM nodes LEFT JOIN (
+             |    SELECT dst AS id, SUM(r.rank / deg.deg) AS mass
+             |    FROM edges JOIN r3 r ON edges.src = r.id
+             |    JOIN deg ON edges.src = deg.src
+             |    GROUP BY dst) m ON nodes.id = m.id),
+             |r5 AS (
+             |  SELECT nodes.id,
+             |    0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(m.mass, 0) AS rank
+             |  FROM nodes LEFT JOIN (
+             |    SELECT dst AS id, SUM(r.rank / deg.deg) AS mass
+             |    FROM edges JOIN r4 r ON edges.src = r.id
+             |    JOIN deg ON edges.src = deg.src
+             |    GROUP BY dst) m ON nodes.id = m.id)
+             |SELECT id, ROUND(rank, 8) AS rank FROM r5
+             |ORDER BY rank DESC, id LIMIT 30""".stripMargin)),
+
     Q("stats_moments", // second-moment statistics in ONE pass: corr,
       // covariance, stddev, variance are all partial-aggregatable
       // (sum/sum-of-squares/cross-products combine associatively), so the
