@@ -27,7 +27,10 @@ object Graph {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().cache()
     val n = nodes.count()
+    // cached: the degree table is embedded in every round's DAG and
+    // would otherwise recompute its aggregation per iteration
     val outDeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
+      .cache()
     // teleport term computed as the same double literal arithmetic the
     // oracle runs: (1 − d)/n evaluated as 0.15/n, not as a pre-reduced
     // Scala constant with different rounding
@@ -42,6 +45,10 @@ object Graph {
         .select(col("id"),
           (lit(teleport) + lit(damping) * coalesce(col("in_mass"), lit(0.0)))
             .as("rank"))
+        // truncate the lineage: the rank vector is small (one row per
+        // node); materializing it per round keeps round k's plan from
+        // embedding rounds 1..k-1 and is what makes 20+ iterations viable
+        .localCheckpoint()
     }
     ranks
   }
