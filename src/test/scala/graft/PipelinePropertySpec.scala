@@ -86,4 +86,34 @@ class PipelinePropertySpec extends AnyFunSuite {
       assert(SqlGuard.clean(s"```$lang\n$inner\n```") === Some(s"$inner;"))
     }
   }
+
+  // -- winnowing guarantee over generated corpora ---------------------------
+
+  private val wordGen = Gen.listOfN(6, Gen.alphaLowerChar).map(_.mkString)
+  private def docGen(core: Seq[String]): Gen[String] = for {
+    nPre <- Gen.chooseNum(0, 12)
+    nSuf <- Gen.chooseNum(0, 12)
+    pre <- Gen.listOfN(nPre, wordGen)
+    suf <- Gen.listOfN(nSuf, wordGen)
+  } yield (pre ++ core ++ suf).mkString(" ")
+
+  test("winnow guarantee holds on 100 generated doc pairs (k=4, w=4)") {
+    // any shared run of k+w-1 = 7 tokens must yield a shared fingerprint
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    val cores = samples(Gen.listOfN(7, wordGen), 100)
+    val pairs = cores.zipWithIndex.map { case (core, i) =>
+      val a = samples(docGen(core), 1).head
+      val b = samples(docGen(core).map(x => x + " tailnoise"), 1).head
+      (i.toLong, a, b)
+    }
+    val df = pairs.toDF("i", "a", "b")
+      .select($"i",
+        graft.operators.TextAnalysis.winnowFingerprints($"a", 4, 4).as("fa"),
+        graft.operators.TextAnalysis.winnowFingerprints($"b", 4, 4).as("fb"))
+      .select($"i", org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.array_intersect($"fa", $"fb")).as("shared"))
+    val misses = df.filter($"shared" < 1).select("i").as[Long].collect()
+    assert(misses.isEmpty, s"guarantee violated for pair ids: ${misses.toSeq}")
+  }
 }
