@@ -371,6 +371,27 @@ object SparkEntry {
              |ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
              |FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
 
+    Q("topk_agg_orders_per_cust", // the SAME top-3-per-customer as
+      // window_top3_orders_per_cust, through a typed Aggregator
+      // (functions.udaf) whose state is at most k pairs per group — a
+      // hash aggregate with map-side combine instead of a window sort.
+      // At scale the shuffle carries k×|groups| rows, not the table.
+      // Identical results, identical oracle.
+      (s, d) => {
+        val topk = udaf(graft.functions.TopKAggregator(3))
+        t(s, d, "orders").groupBy("o_custkey")
+          .agg(topk(col("o_orderkey"), col("o_totalprice")).as("top"))
+          .select(col("o_custkey"), posexplode(col("top")))
+          .select(col("o_custkey"), col("col.id").as("o_orderkey"),
+            col("col.value").as("o_totalprice"),
+            (col("pos") + 1).cast("long").as("rn"))
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
+             |SELECT o_custkey, o_orderkey, o_totalprice,
+             |ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
     Q("window_running_revenue", // running frame sum, unique sort key
       (s, d) => {
         val w = Window.partitionBy(col("l_suppkey"))
