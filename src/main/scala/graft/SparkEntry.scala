@@ -1471,6 +1471,31 @@ object SparkEntry {
              |SELECT id, ROUND(rank, 8) AS rank FROM r5
              |ORDER BY rank DESC, id LIMIT 30""".stripMargin)),
 
+    Q("obs_scan_metrics", // Dataset.observe: operational metrics ride
+      // the SAME pass as the query (an accumulator-backed aggregate, no
+      // second scan) — how a production pipeline meters rows/volume
+      // without paying for a counting job. The observed values become
+      // the result relation; the oracle recomputes them relationally.
+      (s, d) => {
+        val obs = new org.apache.spark.sql.Observation()
+        val filtered = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= ts("1996-01-01")
+            && col("l_shipdate") < ts("1997-01-01"))
+          .observe(obs, count(lit(1)).as("n_rows"),
+            round(sum("l_quantity"), 2).as("total_qty"))
+        filtered.write.mode("overwrite")
+          .format("noop").save() // the real pipeline action
+        val row = obs.get
+        import s.implicits._
+        Seq((row("n_rows").asInstanceOf[Long],
+          row("total_qty").asInstanceOf[Double]))
+          .toDF("n_rows", "total_qty")
+      },
+      Some("""SELECT COUNT(*) AS n_rows, ROUND(SUM(l_quantity), 2) AS total_qty
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'""".stripMargin)),
+
     Q("stats_moments", // second-moment statistics in ONE pass: corr,
       // covariance, stddev, variance are all partial-aggregatable
       // (sum/sum-of-squares/cross-products combine associatively), so the
