@@ -1956,6 +1956,25 @@ object SparkEntry {
              |AND p.event_type = 'purchase' AND c.event_type = 'click'
              |AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts""".stripMargin)),
 
+    Q("events_stream_upsert", // §2.9: foreachBatch MERGE sink — the
+      // stream maintains a mutable latest-row-per-user view in keyed
+      // parquet state (full-outer merge per micro-batch, atomic swap).
+      // The oracle is the batch arg-max over the whole stream: whatever
+      // the batch boundaries were, the merged state must equal it.
+      (s, d) => {
+        val stateDir = s"/tmp/graft_upsert_${new java.io.File(d).getName}"
+        withStreamPartitions(s) {
+          val q = graft.streaming.EventStream.startUpsertStream(s, d, stateDir)
+          q.awaitTermination(180000)
+        }
+        s.read.parquet(s"$stateDir/current").orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+             |arg_max(event_id, epoch_ms(ts) * 1000000 + event_id) AS last_event_id,
+             |arg_max(event_type, epoch_ms(ts) * 1000000 + event_id) AS last_type,
+             |max(epoch_ms(ts)) AS last_ts_ms
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     Q("events_stream_enrich", // §2.9: stream–static broadcast join — the
       // stateless enrichment shape (no watermark, no state store); the
       // oracle is the identical batch join
