@@ -726,6 +726,47 @@ object SparkEntry {
              |SELECT status, COUNT(*) AS n, ROUND(SUM(price), 2) AS total
              |FROM merged GROUP BY status ORDER BY status""".stripMargin)),
 
+    Q("snapshot_diff_orders", // CDC generation by snapshot diff: a
+      // full-outer join on the key classifies every row as insert /
+      // delete / update / unchanged (update detection compares the
+      // value columns, null-safe <=>). The synthetic "old" snapshot
+      // drops every 7th order and discounts every 5th — deterministic,
+      // so the oracle rebuilds both sides. One shuffle on the key; at
+      // scale this is the standard way to derive a change feed from
+      // table formats that don't record one.
+      (s, d) => {
+        val now = t(s, d, "orders")
+        val old = now.filter(col("o_orderkey") % 7 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 5 === 0, round(col("o_totalprice") * 0.9, 2))
+              .otherwise(col("o_totalprice")))
+        val o = old.select(col("o_orderkey").as("k"),
+          col("o_totalprice").as("old_price"))
+        val n = now.select(col("o_orderkey").as("k2"),
+          col("o_totalprice").as("new_price"))
+        o.join(n, col("k") === col("k2"), "full_outer")
+          .select(
+            when(col("k").isNull, "insert")
+              .when(col("k2").isNull, "delete")
+              .when(!(col("old_price") <=> col("new_price")), "update")
+              .otherwise("unchanged").as("change_type"))
+          .groupBy("change_type").agg(count(lit(1)).as("n"))
+          .orderBy("change_type")
+      },
+      Some("""WITH old AS (
+             |  SELECT o_orderkey AS k,
+             |    CASE WHEN o_orderkey % 5 = 0 THEN ROUND(o_totalprice * 0.9, 2)
+             |         ELSE o_totalprice END AS old_price
+             |  FROM orders WHERE o_orderkey % 7 <> 0),
+             |new AS (SELECT o_orderkey AS k2, o_totalprice AS new_price FROM orders)
+             |SELECT CASE WHEN k IS NULL THEN 'insert'
+             |            WHEN k2 IS NULL THEN 'delete'
+             |            WHEN old_price IS DISTINCT FROM new_price THEN 'update'
+             |            ELSE 'unchanged' END AS change_type,
+             |  COUNT(*) AS n
+             |FROM old FULL OUTER JOIN new ON k = k2
+             |GROUP BY change_type ORDER BY change_type""".stripMargin)),
+
     Q("events_monthly_from_daily", // incremental rollup: the monthly agg
       // re-aggregates DAY-grained partials (sum of sums / sum of counts) —
       // the materialized-view pattern that turns a 100 TB backfill into a
