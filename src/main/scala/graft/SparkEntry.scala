@@ -767,6 +767,22 @@ object SparkEntry {
              |FROM old FULL OUTER JOIN new ON k = k2
              |GROUP BY change_type ORDER BY change_type""".stripMargin)),
 
+    Q("events_hll_daily_union", // mergeable-sketch rollup: one HLL
+      // sketch per day (datasketches, deterministic), unioned into the
+      // period's distinct-user estimate WITHOUT rescanning the days —
+      // the incremental pattern for maintaining distinct counts over an
+      // unbounded stream of partitions. Binary sketches → rows-only;
+      // ApproxAggSpec bounds the estimate against the exact count.
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        daily.agg(
+          count(lit(1)).as("n_days"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_distinct_users"))
+      },
+      None),
+
     Q("events_monthly_from_daily", // incremental rollup: the monthly agg
       // re-aggregates DAY-grained partials (sum of sums / sum of counts) —
       // the materialized-view pattern that turns a 100 TB backfill into a

@@ -94,4 +94,15 @@ class ApproxAggSpec extends SparkSuite {
       .as[(Long, Long)].collect().toSeq
     assert(a === b)
   }
+
+  test("unioned daily HLL sketches estimate the period's exact distinct within 5%") {
+    val e = engine.Tables.load(spark, sfDir, "events")
+    val daily = e.groupBy($"ts".cast("date").as("day"))
+      .agg(hll_sketch_agg($"user_id").as("sk"))
+    val est = daily.agg(
+      hll_sketch_estimate(hll_union_agg($"sk"))).as[Long].head()
+    val exact = e.select("user_id").distinct().count()
+    assert(math.abs(est - exact).toDouble / exact <= 0.05,
+      s"estimate $est vs exact $exact")
+  }
 }
