@@ -431,6 +431,34 @@ object SparkEntry {
              |  ROUND(AVG(gap_ms) / 86400000.0, 4) AS avg_gap_days
              |FROM g GROUP BY o_custkey ORDER BY o_custkey LIMIT 200""".stripMargin)),
 
+    Q("window_range_7day", // RANGE frame over day numbers: trailing
+      // 7-day revenue per customer. A ROWS frame would be wrong here —
+      // customers don't order every day, and RANGE bounds the frame by
+      // VALUE distance (day-number within 6), gaps included, which is
+      // the correct trailing-window semantics for sparse time series.
+      (s, d) => {
+        val daily = t(s, d, "orders")
+          .groupBy(col("o_custkey"),
+            datediff(col("o_orderdate").cast("date"),
+              lit(java.sql.Date.valueOf("1995-01-01"))).as("day_num"))
+          .agg(round(sum("o_totalprice"), 2).as("rev"))
+        val w = Window.partitionBy("o_custkey").orderBy("day_num")
+          .rangeBetween(-6, 0)
+        daily.select(col("o_custkey"), col("day_num"), col("rev"),
+            round(sum("rev").over(w), 2).as("rev_7d"))
+          .orderBy("o_custkey", "day_num")
+          .limit(500)
+      },
+      Some("""WITH daily AS (
+             |  SELECT o_custkey,
+             |    datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day_num,
+             |    ROUND(SUM(o_totalprice), 2) AS rev
+             |  FROM orders GROUP BY o_custkey, day_num)
+             |SELECT o_custkey, day_num, rev,
+             |  ROUND(SUM(rev) OVER (PARTITION BY o_custkey ORDER BY day_num
+             |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev_7d
+             |FROM daily ORDER BY o_custkey, day_num LIMIT 500""".stripMargin)),
+
     Q("window_rank_quartile", // ranking family: ntile / dense_rank /
       // percent_rank share ONE window spec → a single sort per partition
       (s, d) => {
