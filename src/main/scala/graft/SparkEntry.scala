@@ -722,6 +722,35 @@ object SparkEntry {
              |JOIN region ON n_regionkey = r_regionkey
              |GROUP BY r_name ORDER BY r_name""".stripMargin)),
 
+    Q("schema_drift_union", // schema evolution across batches: an old
+      // extract without o_orderpriority unions with a new one that has
+      // it (unionByName + allowMissingColumns — positional union would
+      // be silently wrong). Missing values surface as an explicit
+      // '(pre-schema)' bucket. The reference's whole design is
+      // schema-adaptive (SURVEY.md §1.3); this is that identity applied
+      // to batch evolution.
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val v1 = o.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_totalprice")
+        val v2 = o.filter(col("o_orderkey") % 2 =!= 0)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        v1.unionByName(v2, allowMissingColumns = true)
+          .groupBy(coalesce(col("o_orderpriority"), lit("(pre-schema)"))
+            .as("priority"))
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+          .orderBy("priority")
+      },
+      Some("""WITH unioned AS (
+             |  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+             |  FROM orders WHERE o_orderkey % 2 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey, o_totalprice, o_orderpriority
+             |  FROM orders WHERE o_orderkey % 2 <> 0)
+             |SELECT COALESCE(o_orderpriority, '(pre-schema)') AS priority,
+             |  COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+             |FROM unioned GROUP BY priority ORDER BY priority""".stripMargin)),
+
     Q("merge_upsert_orders", // upsert/merge semantics without a table
       // format: updates take precedence via full-outer + COALESCE — the
       // keyed-merge shape a snapshot-compaction job runs at scale (both
