@@ -562,3 +562,53 @@ case class WinnowSig(child: Expression, k: Int, w: Int)
        """.stripMargin
     })
 }
+
+/** Distinct character trigrams of a string in one pass. SQL name:
+  * `graft_trigrams(text)`. Matches the higher-order formulation in
+  * [[graft.operators.Retrieval.trigramsHof]] exactly (positions
+  * 1..len-2; strings shorter than 3 chars yield themselves), but as a
+  * single codegen'd loop — the HOF form pays an interpreted lambda
+  * dispatch per character position, which is the trigram index build's
+  * hot loop at corpus scale.
+  *
+  * Substrings operate on Unicode code points (UTF8String.substring
+  * semantics, same as the SQL `substr`), so multi-byte text trigrams
+  * identically in both forms.
+  */
+case class CharTrigrams(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.sql}")
+  }
+  override def prettyName: String = "graft_trigrams"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val n = s.numChars()
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    if (n > 0 && n < 3) seen.add(s)
+    else {
+      var i = 0
+      while (i <= n - 3) { seen.add(s.substring(i, i + 3)); i += 1 }
+    }
+    val arr = new Array[AnyRef](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  // CodegenFallback-style: the work is UTF8String slicing and set
+  // insertion (object construction either way); the surrounding plan
+  // still whole-stage-codegens around the boxed eval call.
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str => {
+      val cls = classOf[CharTrigrams].getName
+      val ref = ctx.addReferenceObj("trigramsExpr", this, cls)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($str);"
+    })
+}

@@ -17,11 +17,24 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  /** Distinct char trigrams of a string column. */
-  def trigrams(text: Column): Column =
-    array_distinct(transform(
+  /** Distinct char trigrams — native codegen'd single pass
+    * ([[graft.functions.CharTrigrams]]); bit-identical to
+    * [[trigramsHof]], the interpreted higher-order twin.
+    */
+  def trigrams(text: Column): Column = {
+    call_function("graft_trigrams", text)
+  }
+
+  /** [[trigrams]] via built-in higher-order functions — the portable
+    * fallback and differential-test partner (interpreted per position).
+    */
+  def trigramsHof(text: Column): Column =
+    // array_remove: substr of an EMPTY string yields "" (no trigram);
+    // any non-empty input never produces an empty slice, so this only
+    // normalizes the empty-document case to an empty array
+    array_remove(array_distinct(transform(
       sequence(lit(1), greatest(length(text) - 2, lit(1))),
-      i => text.substr(i, lit(3))))
+      i => text.substr(i, lit(3)))), "")
 
   /** Substring search through a trigram inverted index (the pg_trgm
     * idea): a document can contain `query` only if it contains EVERY
@@ -37,6 +50,7 @@ object Retrieval {
       docs: DataFrame, query: String,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(query.length >= 3, "trigram search needs a query of >= 3 chars")
+    graft.plans.GraftFunctions.register(docs.sparkSession)
     val qg = query.sliding(3).toSeq.distinct
     val cands = docs
       .select(col(idCol), explode(trigrams(col(textCol))).as("g"))

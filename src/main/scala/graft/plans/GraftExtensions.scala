@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{BestLangByHits, CosineSimilarity, DotProduct, MinHashSig, ModeCount, SimHash64, StopwordHits, WinnowSig, WordKGrams}
+import graft.functions.{BestLangByHits, CharTrigrams, CosineSimilarity, DotProduct, MinHashSig, ModeCount, SimHash64, StopwordHits, WinnowSig, WordKGrams}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -48,6 +48,8 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"graft_shingles k must be an integer literal, got $other")
       } }),
+    ("graft_trigrams", info("graft_trigrams", classOf[CharTrigrams]),
+      (es: Seq[Expression]) => { arity("graft_trigrams", es, 1); CharTrigrams(es(0)) }),
     ("graft_winnow", info("graft_winnow", classOf[WinnowSig]),
       (es: Seq[Expression]) => { arity("graft_winnow", es, 3); (es(1), es(2)) match {
         case (Literal(k: Int, IntegerType), Literal(w: Int, IntegerType)) =>

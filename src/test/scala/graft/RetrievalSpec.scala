@@ -121,4 +121,20 @@ class RetrievalSpec extends SparkSuite {
       Retrieval.trigramSubstringSearch(docs, "ab")
     }
   }
+
+  test("graft_trigrams is identical to the HOF trigrams on all fixture docs") {
+    val docs = engine.Tables.load(spark, sfDir, "documents")
+    val mismatches = docs.select(
+        Retrieval.trigrams($"text").as("fast"),
+        Retrieval.trigramsHof($"text").as("slow"))
+      .filter($"fast" =!= $"slow")
+      .count()
+    assert(mismatches === 0)
+    // edge cases: short and empty strings
+    val edge = Seq("", "a", "ab", "abc", "abcd", "ababab").toDF("text")
+    val rows = edge.select(Retrieval.trigrams($"text").as("f"),
+        Retrieval.trigramsHof($"text").as("s"))
+      .as[(Seq[String], Seq[String])].collect()
+    rows.foreach { case (f, sl) => assert(f === sl) }
+  }
 }
