@@ -1610,6 +1610,38 @@ object SparkEntry {
              |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
              |AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'""".stripMargin)),
 
+    Q("agg_boolean_family", // boolean/conditional aggregate family:
+      // count_if + bool_and/bool_or ride the same single pass as any
+      // other partial-aggregatable function
+      (s, d) => t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(count_if(col("l_discount") > 0.05).as("n_discounted"),
+          bool_and(col("l_quantity") > 0).as("all_positive_qty"),
+          bool_or(col("l_quantity") > 49).as("any_qty_50"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+             |BOOL_AND(l_quantity > 0) AS all_positive_qty,
+             |BOOL_OR(l_quantity > 49) AS any_qty_50,
+             |COUNT(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("agg_string_concat", // ordered string aggregation: supplier roster
+      // per nation as one sorted comma-joined string (sort_array before
+      // the join makes the concatenation order-deterministic regardless
+      // of partial-agg arrival order)
+      (s, d) => t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(array_join(array_sort(collect_list(col("s_name"))), ",").as("suppliers"),
+          count(lit(1)).as("n"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name,
+             |STRING_AGG(s_name, ',' ORDER BY s_name) AS suppliers,
+             |COUNT(*) AS n
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
     Q("stats_moments", // second-moment statistics in ONE pass: corr,
       // covariance, stddev, variance are all partial-aggregatable
       // (sum/sum-of-squares/cross-products combine associatively), so the
