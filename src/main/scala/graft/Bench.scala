@@ -44,15 +44,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // The driver captures a bounded tail of stdout; with 160+ per-query
-    // entries a single giant line can push the total out of the capture
-    // window (round-1 BENCH json came back parsed:null). So: emit the
-    // parseable headline on its own line FIRST, then the full payload,
-    // and also persist the full payload to a file the judge can read.
+    // The driver captures a bounded TAIL of stdout; with 160+ per-query
+    // entries a single giant line pushes everything printed before it out
+    // of the capture window (rounds 1-3 all came back parsed:null — round 2
+    // printed the headline first, which the big line then evicted). So:
+    // emit the full payload first, then the compact parseable headline as
+    // the LAST line so it always lands inside the tail window, and persist
+    // the full payload to a file the judge can read.
     val headline = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","nqueries":${results.size}}"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(headline)
     println(full)
+    println(headline)
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("/root/repo/bench_out.json"),
