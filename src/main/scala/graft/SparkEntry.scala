@@ -2835,6 +2835,26 @@ object SparkEntry {
              |FROM st ORDER BY doc_id, chunk_id""".stripMargin)))
 
   // §2.11 — embeddings: similarity search (brute-force baseline + ANN paths).
+  /** DuckDB oracle SQL for the LSH paths. The random hyperplanes are
+    * DETERMINISTIC (fixed seed, [[Similarity.hyperplanes]]), so the oracle
+    * can inline them as literal lists and recompute the exact same bucket
+    * ids — the pruned ANN path itself becomes oracle-checkable instead of
+    * falling back to a rows-only check. Sign decisions compare a
+    * sequential double dot product in both engines; a flip would need
+    * |dot| at float-noise level (~1e-15), which random gaussian planes
+    * make vanishingly unlikely.
+    */
+  private object LshOracle {
+    private val planes = Similarity.hyperplanes(64, 8, 42L)
+    /** `(CASE WHEN dot(v, plane_i) >= 0 THEN 2^i ELSE 0 END) + ...` */
+    def bucketSql(vecExpr: String): String =
+      planes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_dot_product($vecExpr, ${p.mkString("[", ",", "]")}) >= 0.0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    /** bucket ∪ its 8 Hamming-1 neighbors (the multi-probe set). */
+    val probeMasks: String = "[0,1,2,4,8,16,32,64,128]"
+  }
+
   private def embQueries: Seq[Q] = Seq(
     Q("emb_cosine_topk", // brute-force exact top-k vs vec_id 0: the probe
       // vector is a one-row lookup, fetched driver-side and inlined as a
@@ -2903,8 +2923,9 @@ object SparkEntry {
              |  ROUND(1.0 - list_cosine_similarity(list_transform(embedding, x -> CAST(x AS DOUBLE)), deq), 8) AS cos_err
              |FROM q ORDER BY vec_id LIMIT 100""".stripMargin)),
 
-    // ANN paths (seeded random hyperplanes / IVF probe): not oracle-
-    // expressible; recall-vs-brute-force pinned in ScalaTest.
+    // ANN paths: hyperplanes/centroids are deterministic, so the PRUNED
+    // probe paths are oracle-checked exactly (LshOracle inlines the plane
+    // constants); recall-vs-brute-force additionally pinned in ScalaTest.
     Q("emb_lsh_topk",
       (s, d) => {
         val e = t(s, d, "embeddings")
@@ -2912,7 +2933,15 @@ object SparkEntry {
           .head().getSeq[Float](0).map(_.toDouble)
         Similarity.lshTopK(e.filter(col("vec_id") =!= 0), qv, 10)
       },
-      None),
+      Some(s"""WITH e AS (SELECT vec_id,
+             |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+             |q AS (SELECT emb AS qv, ${LshOracle.bucketSql("emb")} AS qb FROM e WHERE vec_id = 0),
+             |probes AS (SELECT DISTINCT xor(qb, t.m) AS b
+             |  FROM q, unnest(${LshOracle.probeMasks}) AS t(m))
+             |SELECT vec_id, ROUND(list_cosine_similarity(emb, qv), 6) AS cos
+             |FROM e, q WHERE vec_id <> 0
+             |  AND ${LshOracle.bucketSql("emb")} IN (SELECT b FROM probes)
+             |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
 
     Q("emb_ivf_topk",
       (s, d) => {
@@ -2921,7 +2950,21 @@ object SparkEntry {
           .head().getSeq[Float](0).map(_.toDouble)
         Similarity.ivfTopK(e.filter(col("vec_id") =!= 0), qv, 10, nProbe = 3)
       },
-      None),
+      // per-label mean centroids and the 3-nearest-list probe are exact
+      // relational computations — reproduced verbatim in SQL
+      Some("""WITH el AS (SELECT label, vec_id,
+             |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+             |  FROM embeddings WHERE vec_id <> 0),
+             |q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+             |  FROM embeddings WHERE vec_id = 0),
+             |cd AS (SELECT label, t.dim, AVG(emb[t.dim]) AS m
+             |  FROM el, range(1, 65) AS t(dim) GROUP BY label, t.dim),
+             |cent AS (SELECT label, list(m ORDER BY dim) AS centroid FROM cd GROUP BY label),
+             |near AS (SELECT cent.label FROM cent, q
+             |  ORDER BY list_cosine_similarity(centroid, qv) DESC, cent.label LIMIT 3)
+             |SELECT vec_id, ROUND(list_cosine_similarity(emb, qv), 6) AS cos
+             |FROM el, q WHERE el.label IN (SELECT label FROM near)
+             |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
 
     Q("emb_kmeans_ivf_topk", // IVF over MLlib-KMeans-learned inverted
       // lists (seeded) — the production index-build shape; recall and the
@@ -2955,13 +2998,31 @@ object SparkEntry {
         .orderBy("id_a", "id_b"),
       None),
 
-    Q("emb_knn_join", // batch k-NN join, LSH-blocked (seeded → rows-only)
+    Q("emb_knn_join", // batch k-NN join, LSH-blocked — the full blocked
+      // pipeline (bucket both sides, Hamming-1 probe explosion, bucket
+      // equi-join, exact rank inside candidates) is reproduced in SQL
+      // from the same deterministic plane constants
       (s, d) => {
         val e = t(s, d, "embeddings")
         Similarity.knnJoin(e, e.filter(col("vec_id") < 20), k = 5)
           .orderBy("q_id", "rank")
       },
-      None))
+      Some(s"""WITH e AS (SELECT vec_id,
+             |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+             |base AS (SELECT vec_id AS nn_id, emb AS nn_vec,
+             |  ${LshOracle.bucketSql("emb")} AS bucket FROM e),
+             |q0 AS (SELECT vec_id AS q_id, emb AS q_vec,
+             |  ${LshOracle.bucketSql("emb")} AS qb FROM e WHERE vec_id < 20),
+             |qp AS (SELECT q_id, q_vec, xor(qb, t.m) AS bucket
+             |  FROM q0, unnest(${LshOracle.probeMasks}) AS t(m)),
+             |pairs AS (SELECT DISTINCT q_id, nn_id,
+             |  ROUND(list_cosine_similarity(q_vec, nn_vec), 6) AS cos
+             |  FROM qp JOIN base USING (bucket) WHERE q_id <> nn_id),
+             |ranked AS (SELECT q_id, nn_id, cos,
+             |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rank
+             |  FROM pairs)
+             |SELECT q_id, nn_id, cos, rank FROM ranked WHERE rank <= 5
+             |ORDER BY q_id, rank""".stripMargin)))
 
   // Multimodal plumbing (north-star): binary payload + typed metadata over
   // a media table synthesized deterministically from `documents`, so the
