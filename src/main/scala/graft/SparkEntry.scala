@@ -524,19 +524,52 @@ object SparkEntry {
              |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
 
     Q("agg_approx_distinct", // HLL++ sketch: the 100 TB form of COUNT(DISTINCT)
-      // — one pass, fixed memory, no extra shuffle for the distinct. Engine
-      // sketches differ, so no oracle; ApproxAggSpec bounds the error vs
-      // exact instead.
-      (s, d) => t(s, d, "lineitem").agg(
-        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("approx_supps")),
-      None),
+      // — one pass, fixed memory, no extra shuffle for the distinct.
+      // Sketch internals differ per engine, so the oracle checks the
+      // strongest cross-engine contract instead: the exact cardinalities
+      // hash-match DuckDB, and the sketch estimates are asserted to sit
+      // inside 5×rsd of exact (a ≥5σ bound; ApproxAggSpec pins the
+      // tighter per-fixture error).
+      (s, d) => {
+        def ok(c: String) = {
+          val ap = approx_count_distinct(col(c), rsd = 0.01)
+          val ex = countDistinct(col(c))
+          (abs(ap - ex) <= ex * 0.05)
+        }
+        t(s, d, "lineitem").agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_suppkey")).as("exact_supps"),
+          ok("l_partkey").as("parts_within_bound"),
+          ok("l_suppkey").as("supps_within_bound"))
+      },
+      Some("""SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+             |COUNT(DISTINCT l_suppkey) AS exact_supps,
+             |true AS parts_within_bound, true AS supps_within_bound
+             |FROM lineitem""".stripMargin)),
 
-    Q("agg_approx_percentile", // t-digest-style quantiles, one pass, no sort
-      (s, d) => t(s, d, "lineitem").agg(
-        percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.95), lit(0.99)),
-          lit(10000)).as("price_quantiles")),
-      None),
+    Q("agg_approx_percentile", // t-digest-style quantiles, one pass, no
+      // sort. Same exact+bound contract as agg_approx_distinct: the exact
+      // quantiles (distributed range-sort, Scale.exactQuantiles) are
+      // hash-checked against DuckDB's quantile_cont, and the sketch values
+      // are asserted within 1% relative error of exact in-query.
+      (s, d) => {
+        val ex = Scale.exactQuantiles(t(s, d, "lineitem"), "l_extendedprice",
+          Seq(0.5, 0.95, 0.99))
+        val ap = t(s, d, "lineitem").agg(
+          percentile_approx(col("l_extendedprice"),
+            array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)))
+          .head().getSeq[Double](0)
+        def r2(x: Double) =
+          BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val within = ex.zip(ap).forall { case (e, a) => math.abs(a - e) <= 0.01 * e }
+        import s.implicits._
+        Seq((r2(ex(0)), r2(ex(1)), r2(ex(2)), within))
+          .toDF("p50", "p95", "p99", "approx_within_bound")
+      },
+      Some("""SELECT ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+             |ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+             |ROUND(quantile_cont(l_extendedprice, 0.99), 2) AS p99,
+             |true AS approx_within_bound FROM lineitem""".stripMargin)),
 
     Q("agg_exact_percentiles", // exact continuous quantiles via distributed
       // range-sort + global index (Scale.exactQuantiles) — Spark's built-in
@@ -554,24 +587,42 @@ object SparkEntry {
              |ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
              |ROUND(quantile_cont(l_extendedprice, 0.99), 2) AS p99 FROM lineitem""".stripMargin)),
 
-    Q("doc_stratified_sample", // per-stratum Bernoulli sampling (training-set
-      // rebalancing); seed-deterministic in Spark, not reproducible across
-      // engines → rows-only + proportion bounds in ApproxAggSpec
-      (s, d) => t(s, d, "documents")
-        .stat.sampleBy("lang", Map("en" -> 0.5, "fr" -> 0.25, "de" -> 0.25,
-          "es" -> 0.25, "zh" -> 0.1), 42L)
-        .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
-        .orderBy("lang"),
-      None),
+    Q("doc_stratified_sample", // per-stratum HASH sampling (training-set
+      // rebalancing): md5(key) against a per-stratum hex threshold.
+      // Unlike seeded Bernoulli draws this is reproducible across engines,
+      // runs and re-partitionings — the property a 100 TB training
+      // pipeline actually needs from a sample (re-runs must select the
+      // SAME rows) — and therefore fully oracle-checkable. Thresholds are
+      // the first byte of the hash: '80'≈50%, '40'≈25%, '1a'≈10%. The
+      // seeded sampleBy variant stays pinned in ApproxAggSpec.
+      (s, d) => {
+        val th = typedLit(Map(
+          "en" -> "80", "fr" -> "40", "de" -> "40", "es" -> "40", "zh" -> "1a"))
+        t(s, d, "documents")
+          .filter(substring(md5(col("doc_id").cast("string")), 1, 2) <
+            element_at(th, col("lang")))
+          .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_sampled FROM documents
+             |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+             |  CASE lang WHEN 'en' THEN '80' WHEN 'fr' THEN '40'
+             |            WHEN 'de' THEN '40' WHEN 'es' THEN '40'
+             |            WHEN 'zh' THEN '1a' ELSE '00' END
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
 
-    Q("agg_heavy_hitters", // sketch-only heavy hitters: freqItems
-      // candidate pass + count-min estimates — two narrow scans, zero
-      // shuffle (the exact groupBy form shuffles the full key stream).
-      // Sketch internals aren't DuckDB-reproducible → rows-only;
-      // superset + one-sided-error bounds pinned in ApproxAggSpec.
-      (s, d) => graft.operators.Sketches.heavyHitters(
+    Q("agg_heavy_hitters", // two-pass EXACT heavy hitters: Misra-Gries
+      // candidate sketch (no shuffle) + exact recount of candidates only
+      // through a pushed-down IN filter — 2 narrow scans instead of a
+      // full-key-stream shuffle, and exact output (freqItems has no false
+      // negatives above support) → fully oracle-checked. The CMS-estimate
+      // variant stays pinned in ApproxAggSpec.
+      (s, d) => graft.operators.Sketches.heavyHittersExact(
         t(s, d, "lineitem"), "l_suppkey", support = 0.005),
-      None),
+      Some("""SELECT l_suppkey AS item, COUNT(*) AS cnt FROM lineitem
+             |GROUP BY l_suppkey
+             |HAVING COUNT(*) > 0.005 * (SELECT COUNT(*) FROM lineitem)
+             |ORDER BY item""".stripMargin)),
 
     Q("agg_rollup", // §2.4 grouping sets
       (s, d) => t(s, d, "lineitem")
@@ -832,17 +883,25 @@ object SparkEntry {
       // sketch per day (datasketches, deterministic), unioned into the
       // period's distinct-user estimate WITHOUT rescanning the days —
       // the incremental pattern for maintaining distinct counts over an
-      // unbounded stream of partitions. Binary sketches → rows-only;
-      // ApproxAggSpec bounds the estimate against the exact count.
+      // unbounded stream of partitions. Oracle contract: day count and
+      // the exact period cardinality hash-match DuckDB; the sketch-union
+      // estimate is asserted within 5% of exact in-query (ApproxAggSpec
+      // pins the tighter per-fixture error).
       (s, d) => {
-        val daily = t(s, d, "events")
+        val ev = t(s, d, "events")
+        val exact = ev.agg(countDistinct(col("user_id"))).head().getLong(0)
+        val daily = ev
           .groupBy(col("ts").cast("date").as("day"))
           .agg(hll_sketch_agg(col("user_id")).as("sk"))
         daily.agg(
           count(lit(1)).as("n_days"),
-          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_distinct_users"))
+          lit(exact).as("exact_distinct_users"),
+          (abs(hll_sketch_estimate(hll_union_agg(col("sk"))) - exact) <=
+            lit(0.05) * exact).as("est_within_bound"))
       },
-      None),
+      Some("""SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+             |COUNT(DISTINCT user_id) AS exact_distinct_users,
+             |true AS est_within_bound FROM events""".stripMargin)),
 
     Q("events_monthly_from_daily", // incremental rollup: the monthly agg
       // re-aggregates DAY-grained partials (sum of sums / sum of counts) —

@@ -42,4 +42,33 @@ object Sketches {
     candidates.map(i => i -> cms.estimateCount(i))
       .sortBy(_._1).toDF("item", "est")
   }
+
+  /** EXACT heavy hitters in two narrow passes: the same Misra–Gries
+    * candidate sketch (≤ 1/support driver-side rows, no shuffle), then an
+    * exact recount of ONLY the candidates through a pushed-down IN filter
+    * and a tiny groupBy (≤ 1/support distinct keys survive the filter, so
+    * the shuffle carries per-partition partials of a few hundred keys,
+    * not the full key stream). Because `freqItems` guarantees no false
+    * negatives above the support threshold, filtering the recount at
+    * count > support·n yields exactly the true heavy-hitter set with
+    * exact counts — sketch speed, exact answer, fully oracle-checkable.
+    *
+    * Output: (item: Long, cnt: Long), one row per true heavy hitter,
+    * sorted by item.
+    */
+  def heavyHittersExact(
+      df: DataFrame,
+      colName: String,
+      support: Double = 0.01): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = df.count()
+    val candidates = df.stat.freqItems(Array(colName), support)
+      .head().getSeq[Long](0)
+    df.filter(col(colName).isin(candidates: _*))
+      .groupBy(col(colName).as("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > lit(support) * n)
+      .orderBy("item")
+  }
 }
