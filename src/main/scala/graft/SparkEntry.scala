@@ -1564,9 +1564,9 @@ object SparkEntry {
     Q("basket_freq_itemsets", // frequent itemsets via MLlib FP-Growth —
       // the generalization of basket_part_pairs past size 2 without
       // enumerating the powerset. Counts are exact (FP-tree is an exact
-      // algorithm; nothing seeded), output bounded by a total order.
-      // Rows-only: multi-round tree mining isn't one SQL statement;
-      // FpmSpec pins size-1/size-2 itemsets to the exact self-join counts.
+      // algorithm; nothing seeded), output bounded by a total order and
+      // capped at size ≤ 3 so the oracle can enumerate the same sets as
+      // three self-joins; FpmSpec additionally pins the tree mining.
       (s, d) => {
         import org.apache.spark.ml.fpm.FPGrowth
         val baskets = t(s, d, "lineitem")
@@ -1575,13 +1575,34 @@ object SparkEntry {
         val model = new FPGrowth().setItemsCol("items")
           .setMinSupport(0.002).fit(baskets)
         model.freqItemsets
+          .filter(size(col("items")) <= 3)
           .select(array_join(transform(array_sort(col("items")),
             x => x.cast("string")), ",").as("itemset"),
             size(col("items")).as("k"), col("freq"))
           .orderBy(col("freq").desc, col("itemset"))
           .limit(30)
       },
-      None),
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |th AS (SELECT CAST(ceil(0.002 * COUNT(DISTINCT l_orderkey)) AS BIGINT) AS c
+             |       FROM lineitem),
+             |s1 AS (SELECT CAST(l_partkey AS VARCHAR) AS itemset, 1 AS k, COUNT(*) AS freq
+             |       FROM op GROUP BY l_partkey HAVING COUNT(*) >= (SELECT c FROM th)),
+             |s2 AS (SELECT CAST(a.l_partkey AS VARCHAR) || ',' || CAST(b.l_partkey AS VARCHAR) AS itemset,
+             |         2 AS k, COUNT(*) AS freq
+             |       FROM op a JOIN op b
+             |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |       GROUP BY a.l_partkey, b.l_partkey
+             |       HAVING COUNT(*) >= (SELECT c FROM th)),
+             |s3 AS (SELECT CAST(a.l_partkey AS VARCHAR) || ',' || CAST(b.l_partkey AS VARCHAR)
+             |         || ',' || CAST(c3.l_partkey AS VARCHAR) AS itemset, 3 AS k, COUNT(*) AS freq
+             |       FROM op a
+             |       JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |       JOIN op c3 ON a.l_orderkey = c3.l_orderkey AND b.l_partkey < c3.l_partkey
+             |       GROUP BY a.l_partkey, b.l_partkey, c3.l_partkey
+             |       HAVING COUNT(*) >= (SELECT c FROM th))
+             |SELECT itemset, k, freq
+             |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+             |ORDER BY freq DESC, itemset LIMIT 30""".stripMargin)),
 
     Q("graph_pagerank", // 5 PageRank rounds on the customer→supplier
       // purchase graph (ids prefixed so the key spaces can't collide).
@@ -2310,19 +2331,34 @@ object SparkEntry {
              |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
              |ORDER BY id_a, id_b""".stripMargin)),
 
-    // Probabilistic dedup variants: identical hash functions are not
-    // available in DuckDB → rows-only check; properties pinned in ScalaTest.
-    Q("doc_winnow_pairs", // §2.11 dedup: winnowing fingerprints (rolling
-      // k-gram hashes, window-min selection) — partial-overlap pairs.
-      // Hashes are Spark-internal xxhash64 → no DuckDB oracle; the
-      // algorithm is pinned by TextExpressionsSpec's independent
-      // reference implementation and DedupSpec's overlap guarantee.
-      // blocked by lang (not source): the corpus's exact dups land in
+    Q("doc_winnow_pairs", // §2.11 dedup: winnowing fingerprints (k-gram
+      // hashes, window-min selection) — partial-overlap pairs, via the
+      // PORTABLE md5 formulation so the full fingerprint pipeline is
+      // reproduced in the oracle (the xxhash64 native-expression twin is
+      // pinned by TextExpressionsSpec's independent reference impl).
+      // Blocked by lang (not source): the corpus's exact dups land in
       // different sources, and language is the natural partition for a
-      // text-overlap pass
-      (s, d) => Dedup.winnowOverlapPairs(t(s, d, "documents"), "lang")
+      // text-overlap pass.
+      (s, d) => Dedup.winnowOverlapPairsPortable(t(s, d, "documents"), "lang")
         .orderBy("id_a", "id_b"),
-      None),
+      Some("""WITH d AS (
+             |  SELECT lang AS blk, doc_id AS id,
+             |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+             |  FROM documents
+             |), kg AS (
+             |  SELECT blk, id,
+             |    list_transform(range(0, greatest(len(t) - 3, 1)),
+             |      i -> md5(array_to_string(t[(i+1):(i+4)], ' '))) AS g
+             |  FROM d WHERE len(t) > 0
+             |), f AS (
+             |  SELECT blk, id, unnest(list_distinct(list_transform(
+             |    range(0, greatest(len(g) - 3, 1)), j -> list_min(g[(j+1):(j+4)])))) AS fp
+             |  FROM kg
+             |)
+             |SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared
+             |FROM f a JOIN f b ON a.blk = b.blk AND a.fp = b.fp AND a.id < b.id
+             |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     Q("doc_minhash_neardups",
       (s, d) => Dedup.minhashNearDups(t(s, d, "documents"), threshold = 0.2)

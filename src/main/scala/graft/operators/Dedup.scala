@@ -280,6 +280,56 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** [[winnowOverlapPairs]] with ENGINE-PORTABLE fingerprints: k-gram
+    * hashes are md5 hex strings and window minima are lexicographic, so an
+    * independent SQL engine can recompute the exact fingerprint set — the
+    * oracle-checkable twin of the xxhash64 native-expression path.
+    *
+    * The formulation is fully relational and partition-parallel: tokens
+    * explode to (doc, pos) rows, k-grams and window minima are per-doc
+    * window functions (each document's rows stay inside one task), and the
+    * pair generation is the same capped inverted-index join. Standard
+    * winnowing (value-min per window) rather than robust winnowing: the
+    * DISTINCT fingerprint set per document is identical between the two
+    * selection rules, and only that set reaches the join.
+    */
+  def winnowOverlapPairsPortable(
+      docs: DataFrame,
+      blockCol: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 4,
+      w: Int = 4,
+      minShared: Long = 2L,
+      maxBucket: Int = 1000): DataFrame = {
+    val tok = docs.select(
+      col(blockCol).as("blk"), col(idCol).as("id"),
+      posexplode(array_remove(TextAnalysis.tokens(col(textCol)), ""))
+        .as(Seq("pos", "tk")))
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    // k-gram at token position p: the k tokens starting at p (a short doc
+    // with fewer than k tokens contributes one whole-document gram)
+    val kgrams = tok
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
+      .withColumn("kgram", concat_ws(" ",
+        collect_list("tk").over(byDoc.rowsBetween(0, k - 1))))
+      .filter(col("pos") <= greatest(col("n") - k, lit(0)))
+      .withColumn("h", md5(col("kgram")))
+    // m k-grams → m-w+1 windows; each contributes its minimum hash
+    val m = greatest(col("n") - (k - 1), lit(1))
+    val fps = kgrams
+      .withColumn("fp", min("h").over(byDoc.rowsBetween(0, w - 1)))
+      .filter(col("pos") <= greatest(m - w, lit(0)))
+      .select("blk", "id", "fp").distinct()
+    val posting = cappedPostings(fps, Seq("blk", "fp"), col("id"), maxBucket)
+    posting.select(explode(flatten(transform(col("ps"),
+        (x, i) => transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .groupBy("p.id_a", "p.id_b")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Fuzzy-match pairs by bounded Levenshtein distance within an explicit
     * blocking key (entity resolution: near-identical names/titles that
     * exact dedup misses). Emits (block, id_a, id_b, dist) for pairs with
