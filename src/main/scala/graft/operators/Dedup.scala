@@ -407,17 +407,31 @@ object Dedup {
       aCol: String = "id_a",
       bCol: String = "id_b",
       maxIter: Int = 50,
-      driverMaxPairs: Long = 5000000L): DataFrame = {
+      driverMaxPairs: Long = -1L): DataFrame = {
     // The pair list is the OUTPUT of near-dup detection — orders of
     // magnitude smaller than the corpus (a corpus where it isn't has
-    // bigger problems than clustering). Below `driverMaxPairs` edges
-    // (~80 MB of longs at the default), union-find on the driver beats
-    // launching O(log diameter) shuffle rounds — the same small-side
-    // escape hatch as a broadcast join. Above it, or for non-long ids,
-    // the distributed loop below is the scale path.
+    // bigger problems than clustering). Below the edge threshold,
+    // union-find on the driver beats launching O(log diameter) shuffle
+    // rounds — the same small-side escape hatch as a broadcast join.
+    // Above it, or for non-long ids, the distributed loop below is the
+    // scale path. The default threshold (driverMaxPairs < 0) derives
+    // from the driver's actual collect budget rather than a magic
+    // constant: a quarter of spark.driver.maxResultSize at ~48 heap
+    // bytes per collected two-long row, so the collect can never trip
+    // the result-size guard (1g default → ~5.6M edges).
+    val limit =
+      if (driverMaxPairs >= 0) driverMaxPairs
+      else {
+        val bytes =
+          try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+            pairs.sparkSession.conf.get("spark.driver.maxResultSize", "1g"))
+          catch { case _: Throwable => 0L }
+        if (bytes <= 0) 5000000L // unlimited/unparseable → fixed cap
+        else bytes / 48 / 4
+      }
     val idsAreLong = Seq(aCol, bCol).forall(c =>
       pairs.schema(c).dataType == org.apache.spark.sql.types.LongType)
-    if (idsAreLong && pairs.persist().count() <= driverMaxPairs) {
+    if (idsAreLong && pairs.persist().count() <= limit) {
       val spark = pairs.sparkSession
       val edgeList = pairs.select(col(aCol), col(bCol)).collect()
         .map(r => (r.getLong(0), r.getLong(1)))

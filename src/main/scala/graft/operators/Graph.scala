@@ -10,38 +10,57 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** `iters` rounds of PageRank (Page et al. 1999) over a directed edge
-    * list (src, dst), damping 0.85. Each round is one join of the rank
-    * vector against the edge list, one aggregation of contributions on
-    * the destination key, and one left join back to the node set so
-    * sources without in-edges keep the teleport mass — at scale, two
-    * shuffles per round, both on the node id, and the edge list never
-    * re-partitions after the first round (co-partitioned joins).
+  /** Up to `iters` rounds of PageRank (Page et al. 1999) over a directed
+    * edge list (src, dst), damping 0.85. Each round joins the rank vector
+    * against the degree-annotated edge list (built ONCE, cached — the
+    * degree aggregation never re-runs inside the loop), aggregates
+    * contributions on the destination key, and left-joins back to the
+    * node set so sources without in-edges keep the teleport mass.
+    *
+    * Scale shape: while the node count is at most `broadcastNodeLimit`
+    * the rank vector rides a broadcast — every round is then ONE shuffle
+    * (the destination-key aggregation). Past the limit (billions of
+    * nodes: a rank vector that no longer fits an executor) the join
+    * falls back to a shuffle co-partitioned on the node id — the same
+    * thresholded small-side escape hatch as
+    * [[Dedup.connectedComponents]].
+    *
+    * `tol` > 0 adds a convergence early-exit: stop when the max per-node
+    * rank change falls below `tol` (an O(n) narrow agg per round on the
+    * already-checkpointed vector). Default 0 keeps the round count exact
+    * — required when a differential oracle unrolls a FIXED number of
+    * rounds.
     *
     * Dangling mass (sinks with no out-edges) is not redistributed — the
     * conventional simplification when ranks are used for ordering, and
     * the semantics the differential oracle reproduces exactly.
     */
-  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
+      tol: Double = 0.0, broadcastNodeLimit: Long = 10000000L): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct().cache()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().cache()
     val n = nodes.count()
-    // cached: the degree table is embedded in every round's DAG and
-    // would otherwise recompute its aggregation per iteration
-    val outDeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
-      .cache()
+    // degree joined into the edge list ONCE: each round's DAG reuses the
+    // cached (src, dst, deg) instead of re-running the degree aggregation
+    val ed = e.join(e.groupBy("src").agg(count(lit(1)).cast("double").as("deg")),
+      "src").cache()
+    val small = n <= broadcastNodeLimit
+    def rankSide(r: DataFrame): DataFrame =
+      if (small) broadcast(r) else r
     // teleport term computed as the same double literal arithmetic the
     // oracle runs: (1 − d)/n evaluated as 0.15/n, not as a pre-reduced
     // Scala constant with different rounding
     val teleport = (1.0 - damping) / n
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
-    (1 to iters).foreach { _ =>
-      val mass = e.join(ranks, e("src") === ranks("id"))
-        .join(outDeg, "src")
+    var iter = 0
+    var converged = false
+    while (iter < iters && !converged) {
+      val mass = ed
+        .join(rankSide(ranks.withColumnRenamed("id", "src")), Seq("src"))
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
         .groupBy("id").agg(sum("c").as("in_mass"))
-      ranks = nodes.join(mass, Seq("id"), "left_outer")
+      val next = nodes.join(mass, Seq("id"), "left_outer")
         .select(col("id"),
           (lit(teleport) + lit(damping) * coalesce(col("in_mass"), lit(0.0)))
             .as("rank"))
@@ -49,6 +68,14 @@ object Graph {
         // node); materializing it per round keeps round k's plan from
         // embedding rounds 1..k-1 and is what makes 20+ iterations viable
         .localCheckpoint()
+      if (tol > 0.0) {
+        val delta = ranks.select(col("id"), col("rank").as("r0"))
+          .join(next.select(col("id"), col("rank").as("r1")), Seq("id"))
+          .agg(max(abs(col("r1") - col("r0")))).head().getDouble(0)
+        converged = delta < tol
+      }
+      ranks = next
+      iter += 1
     }
     ranks
   }

@@ -103,6 +103,23 @@ class CleanseSpec extends SparkSuite {
     assert(distCc === expected)
   }
 
+  test("connectedComponents: driver and distributed paths agree on a random graph") {
+    // 300 edges over 120 nodes (seeded): multiple components, cycles,
+    // high-degree hubs — exercises pointer jumping beyond a simple chain
+    val rng = new scala.util.Random(7)
+    val pairs = Seq.fill(300)((rng.nextInt(120).toLong, rng.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("id_a", "id_b")
+    val driverCc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val distCc = Dedup.connectedComponents(pairs, driverMaxPairs = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(driverCc === distCc)
+    assert(driverCc.nonEmpty)
+    // every label is itself a member of the same component (labels are ids)
+    driverCc.foreach { case (_, lbl) => assert(driverCc(lbl) === lbl) }
+  }
+
   test("dupClusters groups near-dup pairs beyond direct edges") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog", "a"),

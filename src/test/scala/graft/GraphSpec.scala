@@ -24,4 +24,28 @@ class GraphSpec extends SparkSuite {
     // this graph has no dangling nodes → mass is conserved exactly
     assert(math.abs(r.sum - 1.0) < 1e-9)
   }
+
+  test("broadcast and shuffle rank-join paths produce identical ranks") {
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("c", "d"))
+      .toDF("src", "dst")
+    val bcast = Graph.pageRank(edges, iters = 4)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val shuffle = Graph.pageRank(edges, iters = 4, broadcastNodeLimit = 0L)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(bcast.keySet === shuffle.keySet)
+    bcast.foreach { case (k, v) => assert(math.abs(v - shuffle(k)) < 1e-12, k) }
+  }
+
+  test("tol early-exit stops at the fixpoint without changing converged ranks") {
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    // 50 rounds with a tolerance: converges long before the cap
+    val converged = Graph.pageRank(edges, iters = 50, tol = 1e-12)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    // 10 extra capped rounds from the same tolerance land on the same point
+    val more = Graph.pageRank(edges, iters = 60, tol = 1e-12)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    converged.foreach { case (k, v) => assert(math.abs(v - more(k)) < 1e-9, k) }
+    // and the fixpoint matches the analytic stationary distribution sum
+    assert(math.abs(converged.values.sum - 1.0) < 1e-9)
+  }
 }
