@@ -12,12 +12,80 @@ trait NlToSql {
   def compile(userQuery: String): Option[String]
 }
 
-/** LLM path stub (reference `_query_openrouter`,
-  * `ai_query_generator.py:128-176`): 3-model fallback chain over an HTTP
-  * chat API. Unreachable offline — always falls through, exactly like the
-  * reference with no API key.
+/** One chat completion — the injectable transport seam of the LLM path.
+  * A production client would POST to a chat-completions API; tests inject
+  * deterministic fakes. Implementations return the RAW model text (fences
+  * and all) and throw on transport failure.
+  */
+trait ChatClient {
+  def complete(model: String, systemPrompt: String, userQuery: String): String
+}
+
+/** The reference's 3-model fallback orchestration (`_query_openrouter`,
+  * `ai_query_generator.py:128-176`), transport-agnostic:
+  *
+  *   - models are tried IN ORDER; a transport error or timeout on one
+  *     model falls through to the next (`:172-174` catches and continues);
+  *   - a SUCCESSFUL completion short-circuits the chain with the cleaned
+  *     text — even when cleaning rejects it (`:165` returns
+  *     `_clean_sql_query(...)` unconditionally, so a malformed answer
+  *     yields None overall rather than trying the next model; the rule
+  *     engine then takes over in the orchestrator, `:390-393`). Preserved
+  *     bug-for-bug;
+  *   - cleaning strips markdown fences and applies the string gate
+  *     ([[SqlGuard.clean]] = `_clean_sql_query`, `:283-313`);
+  *   - each call is bounded by `timeoutMs` (the reference's
+  *     `requests.post(..., timeout=30)`).
+  */
+final class LlmChainCompiler(
+    client: ChatClient,
+    models: Seq[String] = LlmCompiler.DefaultModels,
+    timeoutMs: Long = 30000L) extends NlToSql {
+  import scala.concurrent.{Await, Future, TimeoutException}
+  import scala.concurrent.duration.DurationLong
+  import scala.concurrent.ExecutionContext.Implicits.global
+
+  override def compile(userQuery: String): Option[String] = {
+    val it = models.iterator
+    while (it.hasNext) {
+      val model = it.next()
+      try {
+        val raw = Await.result(
+          Future(client.complete(model, LlmCompiler.SystemPrompt, userQuery)),
+          timeoutMs.millis)
+        return SqlGuard.clean(raw) // success short-circuits, clean or not
+      } catch {
+        case _: TimeoutException          => () // next model
+        case scala.util.control.NonFatal(_) => () // next model
+      }
+    }
+    None
+  }
+}
+
+/** Default LLM path for this zero-egress build: no API key → no client →
+  * always fall through to the rule engine, exactly like the reference
+  * without `OPENROUTER_API_KEY` (`ai_query_generator.py:130-131`). The
+  * live orchestration shape is [[LlmChainCompiler]] with an injected
+  * [[ChatClient]].
   */
 object LlmCompiler extends NlToSql {
+  /** The reference's free-tier chain (`ai_query_generator.py:138-142`). */
+  val DefaultModels: Seq[String] = Seq(
+    "meta-llama/llama-3.1-8b-instruct:free",
+    "microsoft/phi-3-mini-128k-instruct:free",
+    "google/gemma-7b-it:free")
+
+  /** Condensed from `_create_system_prompt` (`ai_query_generator.py:60-108`):
+    * the operative instructions; the full reference text adds schema
+    * examples the deterministic fakes never read.
+    */
+  val SystemPrompt: String =
+    """You are a SQL expert. Convert natural language to a single SELECT
+      |query over the existing `employees` table. SELECT-only; limit
+      |results; respond with ONLY the SQL query, no explanations or
+      |formatting.""".stripMargin
+
   override def compile(userQuery: String): Option[String] = None
 }
 

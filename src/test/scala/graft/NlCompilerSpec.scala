@@ -167,4 +167,70 @@ class NlCompilerSpec extends AnyFunSuite {
   test("compile never returns None (guaranteed fallback path)") {
     assert(NlCompiler.compile("anything at all").isDefined)
   }
+
+  // -- LLM chain orchestration (ai_query_generator.py:128-176) --------------
+
+  import graft.engine.{ChatClient, LlmChainCompiler, LlmCompiler}
+
+  /** Deterministic fake: scripted per-model behavior, records call order. */
+  private class FakeClient(script: Map[String, () => String]) extends ChatClient {
+    val calls = scala.collection.mutable.ArrayBuffer.empty[String]
+    override def complete(model: String, sys: String, user: String): String = {
+      calls += model
+      script(model)()
+    }
+  }
+
+  test("llm chain: models tried in order; first transport failure falls through") {
+    val fake = new FakeClient(Map(
+      "m1" -> (() => throw new RuntimeException("503")),
+      "m2" -> (() => "SELECT name FROM employees LIMIT 5"),
+      "m3" -> (() => fail("m3 must never be reached"))))
+    val out = new LlmChainCompiler(fake, Seq("m1", "m2", "m3")).compile("names")
+    assert(out === Some("SELECT name FROM employees LIMIT 5;")) // ';' appended
+    assert(fake.calls.toSeq === Seq("m1", "m2")) // order + short-circuit
+  }
+
+  test("llm chain: a hung model times out and the next model answers") {
+    val fake = new FakeClient(Map(
+      "slow" -> (() => { Thread.sleep(60000); "never" }),
+      "fast" -> (() => "SELECT name FROM employees LIMIT 5;")))
+    val out = new LlmChainCompiler(fake, Seq("slow", "fast"), timeoutMs = 200L)
+      .compile("names")
+    assert(out === Some("SELECT name FROM employees LIMIT 5;"))
+    assert(fake.calls.toSeq === Seq("slow", "fast"))
+  }
+
+  test("llm chain: markdown fences are stripped from a successful answer") {
+    val fake = new FakeClient(Map(
+      "m1" -> (() => "```sql\nSELECT name FROM employees LIMIT 5\n```")))
+    val out = new LlmChainCompiler(fake, Seq("m1")).compile("names")
+    assert(out === Some("SELECT name FROM employees LIMIT 5;"))
+  }
+
+  test("llm chain: a malformed successful answer short-circuits to None (ref :165)") {
+    // the reference returns _clean_sql_query(...) unconditionally on a 200,
+    // so a rejected answer does NOT try the next model — the rule engine
+    // takes over in the orchestrator instead
+    val fake = new FakeClient(Map(
+      "m1" -> (() => "DROP TABLE employees"),
+      "m2" -> (() => fail("chain must not continue past a delivered answer"))))
+    val out = new LlmChainCompiler(fake, Seq("m1", "m2")).compile("names")
+    assert(out === None)
+    assert(fake.calls.toSeq === Seq("m1"))
+  }
+
+  test("llm chain: all transports down → None → rule engine still answers") {
+    val fake = new FakeClient(LlmCompiler.DefaultModels
+      .map(m => m -> (() => throw new RuntimeException("down")): (String, () => String))
+      .toMap)
+    val llm = new LlmChainCompiler(fake)
+    assert(llm.compile("How many employees work in the IT department?") === None)
+    assert(fake.calls.toSeq === LlmCompiler.DefaultModels)
+    // the same compiler chain QueryService runs: llm first, rules after
+    val chained = Seq(llm, NlCompiler).view.flatMap(_.compile(
+      "How many employees work in the IT department?")).headOption
+    assert(chained ===
+      Some("SELECT COUNT(*) as count FROM employees WHERE LOWER(department) LIKE '%it%';"))
+  }
 }
