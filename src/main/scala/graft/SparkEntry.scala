@@ -3146,18 +3146,31 @@ object SparkEntry {
              |FROM documents WHERE CAST(doc_id % 3 AS INT) = 2
              |ORDER BY media_id""".stripMargin)),
 
-    Q("mm_features", // mapPartitions batch decode; scalar outputs oracled,
-      // the stubbed feature vector itself is pinned in MultimodalSpec
+    Q("mm_features", // mapPartitions batch decode. Image rows REALLY
+      // decode: the oracle reproduces the P6 payload arithmetic (header
+      // bytes + 3·w·h pixels) and the parsed dimensions; the decoded-pixel
+      // feature vector itself is pinned in MultimodalSpec. Audio/video
+      // rows go through the documented stub codec.
       (s, d) => graft.operators.Multimodal.extractFeatures(s,
           graft.operators.Multimodal.synthesizeFromDocuments(t(s, d, "documents")))
         .toDF().select("media_id", "modality", "n_bytes", "width", "height")
         .orderBy("media_id"),
-      Some("""SELECT doc_id AS media_id,
-             |(['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
-             |CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-             |CAST(16 + octet_length(encode(text)) % 64 AS INT) AS width,
-             |CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INT) AS height
-             |FROM documents ORDER BY media_id""".stripMargin)))
+      Some("""WITH m AS (
+             |  SELECT doc_id, text,
+             |    (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
+             |    4 + doc_id % 5 AS w, 4 + (doc_id // 5) % 5 AS h
+             |  FROM documents)
+             |SELECT doc_id AS media_id, modality,
+             |CASE WHEN modality = 'image'
+             |  -- 'P6\n' + w + ' ' + h + '\n255\n' header, then 3·w·h pixels
+             |  THEN CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+             |       + 3 * w * h AS INT)
+             |  ELSE CAST(octet_length(encode(text)) AS INT) END AS n_bytes,
+             |CASE WHEN modality = 'image' THEN CAST(w AS INT)
+             |  ELSE CAST(16 + octet_length(encode(text)) % 64 AS INT) END AS width,
+             |CASE WHEN modality = 'image' THEN CAST(h AS INT)
+             |  ELSE CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INT) END AS height
+             |FROM m ORDER BY media_id""".stripMargin)))
 
   // -- driver contract ------------------------------------------------------
 

@@ -5,15 +5,19 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: image/audio/video payloads travel as opaque
-  * `binary` columns next to a typed metadata struct, and per-batch "decode"
+  * `binary` columns next to a typed metadata struct, and per-batch decode
   * stages run as `mapPartitions` over a typed Dataset (the Scala analogue of
   * `mapInPandas` batch UDFs — one iterator per partition, amortized setup).
   *
-  * The actual codec step is STUBBED (this container ships no image/audio
-  * libraries): [[FakeCodec]] is a clearly-marked deterministic stand-in that
-  * preserves the real contract — bytes in, fixed-width feature vector +
-  * dimensions out — so the Spark-side schema, partitioning, batch shape and
-  * tests are real and swap-in ready for a JNI/JavaCV codec.
+  * IMAGE rows carry REAL payloads: binary P6 PPM (netpbm), parsed by
+  * [[PpmCodec]] — a complete pure-Scala decoder (magic, comments,
+  * whitespace grammar, maxval, pixel plane) with features computed from
+  * the actually-decoded pixels, and a real nearest-neighbor resampler in
+  * [[resize]]. Audio/video payloads stay opaque byte streams behind the
+  * clearly-marked [[FakeCodec]] stand-in (this container ships no
+  * audio/video libraries); the contract — bytes in, fixed-width feature
+  * vector + dimensions out — is identical, so a JNI/JavaCV codec swaps in
+  * per modality.
   *
   * Scale notes: payload bytes never pass through a shuffle here — all
   * stages are narrow maps; metadata-only queries prune the binary column at
@@ -42,9 +46,80 @@ object Multimodal {
       media_id: Long, modality: String, n_bytes: Int,
       width: Int, height: Int, features: Array[Float])
 
-  /** ??? real codec goes here ??? — deterministic fake: "decodes" a payload
-    * into dimensions derived from its length and a 16-dim feature vector
-    * from a rolling byte hash. Same signature a real decoder would have.
+  /** REAL image codec: binary P6 PPM (netpbm). Grammar: `P6`, then
+    * whitespace-separated width, height, maxval (each optionally preceded
+    * by `#`-comments), one whitespace byte, then `3·w·h` raw RGB bytes.
+    * Pure Scala, no native deps; any netpbm tool reads what [[encode]]
+    * writes and vice versa.
+    */
+  object PpmCodec {
+    val featureDim = 16
+
+    def encode(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == 3 * w * h, s"need ${3 * w * h} bytes, got ${rgb.length}")
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val out = java.util.Arrays.copyOf(header, header.length + rgb.length)
+      System.arraycopy(rgb, 0, out, header.length, rgb.length)
+      out
+    }
+
+    /** None for anything that isn't a complete, well-formed P6 payload. */
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      if (bytes == null || bytes.length < 2 ||
+        bytes(0) != 'P' || bytes(1) != '6') return None
+      var i = 2
+      def skipSeparators(): Unit = {
+        var run = true
+        while (run && i < bytes.length) {
+          val b = bytes(i)
+          if (b == ' ' || b == '\n' || b == '\r' || b == '\t') i += 1
+          else if (b == '#') { while (i < bytes.length && bytes(i) != '\n') i += 1 }
+          else run = false
+        }
+      }
+      def readInt(): Int = {
+        skipSeparators()
+        var v = -1
+        while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+          v = math.max(v, 0) * 10 + (bytes(i) - '0'); i += 1
+        }
+        v
+      }
+      val w = readInt(); val h = readInt(); val maxval = readInt()
+      if (w <= 0 || h <= 0 || maxval != 255) return None
+      i += 1 // the single whitespace byte after maxval
+      val need = 3 * w * h
+      if (i + need > bytes.length) return None
+      Some((w, h, java.util.Arrays.copyOfRange(bytes, i, i + need)))
+    }
+
+    /** 16-dim features from DECODED pixels: [0..2] mean R/G/B in [0,1],
+      * [3..15] a 13-bin ITU-R 601 luminance histogram (fractions).
+      */
+    def features(w: Int, h: Int, rgb: Array[Byte]): Array[Float] = {
+      val f = new Array[Float](featureDim)
+      val n = w * h
+      if (n == 0) return f
+      var i = 0
+      while (i < n) {
+        val r = rgb(3 * i) & 0xff
+        val g = rgb(3 * i + 1) & 0xff
+        val b = rgb(3 * i + 2) & 0xff
+        f(0) += r; f(1) += g; f(2) += b
+        val lum = (r * 299 + g * 587 + b * 114) / 1000
+        f(3 + lum * 13 / 256) += 255f // scaled back below with the means
+        i += 1
+      }
+      var j = 0
+      while (j < featureDim) { f(j) /= (255f * n); j += 1 }
+      f
+    }
+  }
+
+  /** ??? real audio/video codec goes here ??? — deterministic fake for the
+    * non-image modalities: "decodes" a payload into dimensions derived from
+    * its length and a 16-dim feature vector from a rolling byte hash. Same
+    * signature a real decoder would have.
     */
   object FakeCodec {
     val featureDim = 16
@@ -64,22 +139,40 @@ object Multimodal {
     }
   }
 
-  /** Synthesize a deterministic media table from the `documents` fixture
-    * (text bytes as the fake payload) — exercises the exact schema and
-    * column shapes a real ingest would produce.
+  /** Synthesize a deterministic media table from the `documents` fixture —
+    * exercises the exact schema and column shapes a real ingest would
+    * produce. IMAGE rows carry a genuine binary P6 PPM payload (tiny
+    * 4–8 × 4–8 px, pixel channels a deterministic function of doc_id,
+    * restricted to the ASCII range so the payload assembles from pure
+    * column expressions — the whole synthesis stays codegen'd and
+    * column-prunable, no UDF). Audio/video rows keep the opaque text-byte
+    * payload.
     */
-  def synthesizeFromDocuments(docs: DataFrame): DataFrame =
+  def synthesizeFromDocuments(docs: DataFrame): DataFrame = {
+    val modality = element_at(typedLit(Seq("image", "audio", "video")),
+      (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+    val w = (lit(4) + pmod(col("doc_id"), lit(5))).cast("int")
+    val h = (lit(4) + pmod(expr("doc_id DIV 5"), lit(5))).cast("int")
+    // 3·w·h pixel bytes, each 32 + (doc_id·31 + i·7) mod 95 — printable
+    // ASCII, so encode(str) yields exactly those channel bytes
+    val pixels = array_join(
+      transform(sequence(lit(0), w * h * lit(3) - 1),
+        i => chr(lit(32) + pmod(col("doc_id") * 31 + i * 7, lit(95)))), "")
+    val header = concat_ws("", lit("P6\n"), w.cast("string"), lit(" "),
+      h.cast("string"), lit("\n255\n"))
     docs.select(
       col("doc_id").as("media_id"),
-      element_at(typedLit(Seq("image", "audio", "video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
-      encode(col("text"), "UTF-8").as("content"),
+      modality.as("modality"),
+      when(modality === "image", encode(concat(header, pixels), "UTF-8"))
+        .otherwise(encode(col("text"), "UTF-8")).as("content"),
       struct(
-        lit("application/octet-stream").as("mime"),
-        lit(null).cast(IntegerType).as("width"),
+        when(modality === "image", lit("image/x-portable-pixmap"))
+          .otherwise(lit("application/octet-stream")).as("mime"),
+        lit(null).cast(IntegerType).as("width"), // decode fills dimensions
         lit(null).cast(IntegerType).as("height"),
         (length(col("text")) * 10L).as("duration_ms"),
         lit(16000).as("sample_rate")).as("meta"))
+  }
 
   /** Batch feature extraction: one decoder instantiation per partition,
     * iterator-to-iterator (never materializes a partition) — the
@@ -95,8 +188,16 @@ object Multimodal {
       .mapPartitions { rows =>
         // per-partition codec setup would happen here
         rows.map { r =>
-          val (w, h, f) = FakeCodec.decode(r.content)
-          MediaFeatures(r.media_id, r.modality, Option(r.content).map(_.length).getOrElse(0), w, h, f)
+          val nBytes = Option(r.content).map(_.length).getOrElse(0)
+          PpmCodec.decode(r.content) match {
+            case Some((w, h, rgb)) => // real image decode: dims + features
+              // come from the parsed header and actual pixel plane
+              MediaFeatures(r.media_id, r.modality, nBytes, w, h,
+                PpmCodec.features(w, h, rgb))
+            case None => // non-image payloads: stub codec stand-in
+              val (w, h, f) = FakeCodec.decode(r.content)
+              MediaFeatures(r.media_id, r.modality, nBytes, w, h, f)
+          }
         }
       }
   }
@@ -106,10 +207,11 @@ object Multimodal {
       width: Int, height: Int)
 
   /** Batch resize for image rows: same iterator-per-partition shape as
-    * [[extractFeatures]]. The pixel work is the stubbed codec (??? real
-    * resampler goes here ???) — deterministic: payload truncated/padded to
-    * w·h bytes — but the contract is real: binary in, binary out, new
-    * dimensions in the metadata, nothing shuffled.
+    * [[extractFeatures]], with a REAL nearest-neighbor resampler — decode
+    * the P6 payload, sample source pixels at `(x·srcW/w, y·srcH/h)`,
+    * re-encode as P6 at the new dimensions. Binary in, binary out, nothing
+    * shuffled. A payload that doesn't parse as PPM falls back to a
+    * truncate/pad gray plane (deterministic, clearly not a decode).
     */
   def resize(spark: SparkSession, media: DataFrame, w: Int, h: Int): Dataset[ResizedMedia] = {
     import spark.implicits._
@@ -120,9 +222,27 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          val src = Option(r.content).getOrElse(Array.emptyByteArray)
-          val out = java.util.Arrays.copyOf(src, w * h)
-          ResizedMedia(r.media_id, r.modality, out, w, h)
+          val rgb = PpmCodec.decode(r.content) match {
+            case Some((sw, sh, src)) =>
+              val out = new Array[Byte](3 * w * h)
+              var y = 0
+              while (y < h) {
+                val sy = y * sh / h
+                var x = 0
+                while (x < w) {
+                  val sx = x * sw / w
+                  val s = 3 * (sy * sw + sx); val d = 3 * (y * w + x)
+                  out(d) = src(s); out(d + 1) = src(s + 1); out(d + 2) = src(s + 2)
+                  x += 1
+                }
+                y += 1
+              }
+              out
+            case None =>
+              java.util.Arrays.copyOf(
+                Option(r.content).getOrElse(Array.emptyByteArray), 3 * w * h)
+          }
+          ResizedMedia(r.media_id, r.modality, PpmCodec.encode(w, h, rgb), w, h)
         }
       }
   }

@@ -44,15 +44,64 @@ class MultimodalSpec extends SparkSuite {
     assert(r.forall { case (_, n, dur) => n === (dur / 1000 + 1).toInt })
   }
 
-  test("resize keeps only image rows, emits exact w*h payloads, never shuffles") {
+  test("resize keeps only image rows, emits decodable w*h PPMs, never shuffles") {
     val docs = Tables.load(spark, sfDir, "documents")
     val media = Multimodal.synthesizeFromDocuments(docs)
     val resized = Multimodal.resize(spark, media, 8, 4)
     val rows = resized.collect()
     assert(rows.length === media.filter(org.apache.spark.sql.functions.col("modality") === "image").count())
-    assert(rows.forall(r => r.content.length === 32 && r.width === 8 && r.height === 4))
+    // every output is a real P6 payload that parses back to 8×4
+    rows.foreach { r =>
+      assert(r.width === 8 && r.height === 4)
+      val Some((w, h, rgb)) = Multimodal.PpmCodec.decode(r.content)
+      assert(w === 8 && h === 4 && rgb.length === 96)
+    }
     val plan = resized.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), "resize must be a narrow map:\n" + plan.take(400))
+  }
+
+  // -- real PPM codec -------------------------------------------------------
+
+  test("PpmCodec roundtrip: encode → decode is the identity") {
+    val rgb = Array.tabulate(3 * 6 * 5)(i => ((i * 37) % 256).toByte)
+    val Some((w, h, back)) = Multimodal.PpmCodec.decode(
+      Multimodal.PpmCodec.encode(6, 5, rgb))
+    assert(w === 6 && h === 5 && back.toSeq === rgb.toSeq)
+  }
+
+  test("PpmCodec parses comments and whitespace grammar; rejects malformed") {
+    val rgb = Array.fill(3 * 2 * 2)(100.toByte)
+    val withComment = ("P6\n# a netpbm comment\n2 2\n255\n").getBytes("US-ASCII") ++ rgb
+    val Some((w, h, back)) = Multimodal.PpmCodec.decode(withComment)
+    assert(w === 2 && h === 2 && back.toSeq === rgb.toSeq)
+    assert(Multimodal.PpmCodec.decode(null).isEmpty)
+    assert(Multimodal.PpmCodec.decode("P5\n2 2\n255\n".getBytes ++ rgb).isEmpty)
+    assert(Multimodal.PpmCodec.decode("P6\n2 2\n255\n".getBytes ++ rgb.take(5)).isEmpty)
+    assert(Multimodal.PpmCodec.decode("P6\n2 2\n65535\n".getBytes ++ rgb).isEmpty)
+  }
+
+  test("PpmCodec features come from the actual pixel plane") {
+    // an all-red 4×4: mean R = 1, mean G = B = 0, all mass in one lum bin
+    val red = Array.tabulate(3 * 16)(i => if (i % 3 == 0) 255.toByte else 0.toByte)
+    val f = Multimodal.PpmCodec.features(4, 4, red)
+    assert(math.abs(f(0) - 1.0f) < 1e-6 && f(1) === 0.0f && f(2) === 0.0f)
+    // lum(255,0,0) = 76 → bin 3 + 76*13/256 = 3 + 3
+    assert(math.abs(f(6) - 1.0f) < 1e-6)
+    assert(f.sum > 1.9f && f.sum < 2.1f) // means + histogram both normalized
+  }
+
+  test("synthesized image rows decode to the dimension formula with real pixels") {
+    val imgs = Multimodal.extractFeatures(spark, media)
+      .filter($"modality" === "image").orderBy("media_id").limit(10).collect()
+    imgs.foreach { r =>
+      assert(r.width === (4 + r.media_id % 5).toInt, s"id=${r.media_id}")
+      assert(r.height === (4 + (r.media_id / 5) % 5).toInt, s"id=${r.media_id}")
+      // pixel channels are 32 + (id·31 + i·7) mod 95 ⇒ mean channel value
+      // sits well inside (32, 127)/255 — a decoded, non-degenerate plane
+      assert(r.features(0) > 0.1f && r.features(0) < 0.5f)
+      assert(r.features.slice(3, 16).sum > 0.99f) // histogram mass ≈ 1
+    }
+    assert(imgs.nonEmpty)
   }
 
   test("metadata-only projection prunes the binary column at the scan") {
