@@ -2948,6 +2948,21 @@ object SparkEntry {
       }.mkString("(", " + ", ")")
     /** bucket ∪ its 8 Hamming-1 neighbors (the multi-probe set). */
     val probeMasks: String = "[0,1,2,4,8,16,32,64,128]"
+
+    /** Probe-pruned cosine top-10 vs vec_id 0 — shared by the filter-form
+      * (`emb_lsh_topk`) and the partition-pruned index form
+      * (`emb_lsh_topk_indexed`): identical semantics, different I/O shape.
+      */
+    val lshTopKSql: String =
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+         |q AS (SELECT emb AS qv, ${bucketSql("emb")} AS qb FROM e WHERE vec_id = 0),
+         |probes AS (SELECT DISTINCT xor(qb, t.m) AS b
+         |  FROM q, unnest($probeMasks) AS t(m))
+         |SELECT vec_id, ROUND(list_cosine_similarity(emb, qv), 6) AS cos
+         |FROM e, q WHERE vec_id <> 0
+         |  AND ${bucketSql("emb")} IN (SELECT b FROM probes)
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
   }
 
   private def embQueries: Seq[Q] = Seq(
@@ -3028,15 +3043,25 @@ object SparkEntry {
           .head().getSeq[Float](0).map(_.toDouble)
         Similarity.lshTopK(e.filter(col("vec_id") =!= 0), qv, 10)
       },
-      Some(s"""WITH e AS (SELECT vec_id,
-             |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
-             |q AS (SELECT emb AS qv, ${LshOracle.bucketSql("emb")} AS qb FROM e WHERE vec_id = 0),
-             |probes AS (SELECT DISTINCT xor(qb, t.m) AS b
-             |  FROM q, unnest(${LshOracle.probeMasks}) AS t(m))
-             |SELECT vec_id, ROUND(list_cosine_similarity(emb, qv), 6) AS cos
-             |FROM e, q WHERE vec_id <> 0
-             |  AND ${LshOracle.bucketSql("emb")} IN (SELECT b FROM probes)
-             |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
+      Some(LshOracle.lshTopKSql)),
+
+    Q("emb_lsh_topk_indexed", // the same probe through a PERSISTED
+      // LSH-bucketed layout: Hive-partitioned by bucket id, so the probe
+      // set prunes directories (PartitionFilters) instead of filtering a
+      // full scan — the index form ANN needs at 100 TB. Written once
+      // (warmup pass), read-only when timed; pruning plan-pinned in
+      // PlanQualitySpec.
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val path = s"/tmp/graft_lsh_idx_${new java.io.File(d).getName}"
+        // the searched corpus excludes the probe row, same as emb_lsh_topk
+        if (!new java.io.File(path, "_SUCCESS").exists())
+          Similarity.writeLshIndex(e.filter(col("vec_id") =!= 0), path)
+        val qv = e.filter(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0).map(_.toDouble)
+        Similarity.lshTopKIndexed(s, path, qv, 10)
+      },
+      Some(LshOracle.lshTopKSql)),
 
     Q("emb_ivf_topk",
       (s, d) => {

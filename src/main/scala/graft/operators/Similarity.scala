@@ -56,6 +56,53 @@ object Similarity {
       .limit(k)
   }
 
+  /** Driver-side bucket id of a query vector (same formula as
+    * [[lshBucket]], plain Scala).
+    */
+  def bucketOf(queryVec: Seq[Double], planes: Seq[Seq[Double]]): Long =
+    planes.zipWithIndex.map { case (p, i) =>
+      val d = p.zip(queryVec).map { case (a, b) => a * b }.sum
+      if (d >= 0.0) 1L << i else 0L
+    }.reduce(_ | _)
+
+  /** Persist an LSH-bucketed embedding INDEX: Hive-partitioned by bucket
+    * id, one file per bucket directory (the repartition keys every bucket
+    * into exactly one task — no small-file spray). This is the layout half
+    * of ANN at 100 TB: a probe read then prunes DIRECTORIES, so candidate
+    * I/O is probes/2^nPlanes of the index instead of a full scan that
+    * filters rows after decoding them.
+    */
+  def writeLshIndex(
+      emb: DataFrame, path: String,
+      dim: Int = 64, nPlanes: Int = 8, seed: Long = 42L,
+      vecCol: String = "embedding"): Unit = {
+    val planes = hyperplanes(dim, nPlanes, seed)
+    emb.withColumn("_bucket", lshBucket(col(vecCol), planes))
+      .repartition(col("_bucket"))
+      .write.mode("overwrite").partitionBy("_bucket").parquet(path)
+  }
+
+  /** [[lshTopK]] over a persisted [[writeLshIndex]] layout: the probe set
+    * becomes partition pruning (`PartitionFilters` on `_bucket`) — only
+    * the probe directories' files are opened (plan-pinned in
+    * PlanQualitySpec).
+    */
+  def lshTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queryVec: Seq[Double], k: Int,
+      dim: Int = 64, nPlanes: Int = 8, seed: Long = 42L,
+      probeRadius: Int = 1,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    val planes = hyperplanes(dim, nPlanes, seed)
+    val probes = probeSet(bucketOf(queryVec, planes), nPlanes, probeRadius)
+    spark.read.parquet(path)
+      .filter(col("_bucket").isin(probes: _*))
+      .select(col(idCol), round(cosine(col(vecCol), vecLit(queryVec)), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** ANN top-k: restrict the scan to the query's LSH bucket and its
     * Hamming-1 probes, then exact-rank inside the candidate set.
     */
@@ -67,11 +114,7 @@ object Similarity {
     graft.plans.GraftFunctions.register(emb.sparkSession)
     val planes = hyperplanes(dim, nPlanes, seed)
     // query bucket computed driver-side (same formula, plain Scala)
-    val qb = planes.zipWithIndex.map { case (p, i) =>
-      val d = p.zip(queryVec).map { case (a, b) => a * b }.sum
-      if (d >= 0.0) 1L << i else 0L
-    }.reduce(_ | _)
-    val probes = probeSet(qb, nPlanes, probeRadius)
+    val probes = probeSet(bucketOf(queryVec, planes), nPlanes, probeRadius)
     emb
       .withColumn("_bucket", lshBucket(col(vecCol), planes))
       .filter(col("_bucket").isin(probes: _*))

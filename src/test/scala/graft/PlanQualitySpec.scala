@@ -32,6 +32,25 @@ class PlanQualitySpec extends SparkSuite {
     assert(!p.contains("payload"), p.take(600))
   }
 
+  test("indexed LSH probe prunes bucket directories, not rows") {
+    val df = SparkEntry.queries("emb_lsh_topk_indexed")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the probe set must land in the scan's PARTITION filters (directory
+    // pruning) — not in PushedFilters/row predicates after a full scan
+    assert(p.contains("PartitionFilters"), p.take(800))
+    val pf = p.substring(p.indexOf("PartitionFilters"))
+    assert(pf.take(400).contains("_bucket"), pf.take(400))
+    // and the scan must open at most the 9 probe directories' files
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    val partitionsRead = scan.metrics.get("numPartitions").map(_.value)
+      .getOrElse(scan.metrics("numFiles").value)
+    assert(partitionsRead <= 9, s"probe read $partitionsRead partitions; " +
+      "the Hamming-1 probe set is 9 buckets")
+  }
+
   test("lineitem aggregate keeps partial aggregation before its shuffle") {
     val p = plan("q1_lineitem_agg")
     // map-side combine: a HashAggregate on each side of the exchange
