@@ -529,18 +529,24 @@ object SparkEntry {
       // strongest cross-engine contract instead: the exact cardinalities
       // hash-match DuckDB, and the sketch estimates are asserted to sit
       // inside 5×rsd of exact (a ≥5σ bound; ApproxAggSpec pins the
-      // tighter per-fixture error).
+      // tighter per-fixture error). The sketches ride ONE narrow agg and
+      // the exacts are per-column two-phase distincts — mixing distinct
+      // and sketch aggregates in one agg planned an Expand that tripled
+      // the scan (measured 5.4 s → 1.3 s at sf0.1).
       (s, d) => {
-        def ok(c: String) = {
-          val ap = approx_count_distinct(col(c), rsd = 0.01)
-          val ex = countDistinct(col(c))
-          (abs(ap - ex) <= ex * 0.05)
-        }
-        t(s, d, "lineitem").agg(
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          countDistinct(col("l_suppkey")).as("exact_supps"),
-          ok("l_partkey").as("parts_within_bound"),
-          ok("l_suppkey").as("supps_within_bound"))
+        val li = t(s, d, "lineitem")
+        val Array(apParts, apSupps) = li.agg(
+          approx_count_distinct(col("l_partkey"), rsd = 0.01),
+          approx_count_distinct(col("l_suppkey"), rsd = 0.01))
+          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        val exParts = li.select("l_partkey").distinct().count()
+        val exSupps = li.select("l_suppkey").distinct().count()
+        import s.implicits._
+        Seq((exParts, exSupps,
+          math.abs(apParts - exParts) <= 0.05 * exParts,
+          math.abs(apSupps - exSupps) <= 0.05 * exSupps))
+          .toDF("exact_parts", "exact_supps",
+            "parts_within_bound", "supps_within_bound")
       },
       Some("""SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
              |COUNT(DISTINCT l_suppkey) AS exact_supps,
