@@ -2366,16 +2366,79 @@ object SparkEntry {
              |GROUP BY 1, 2 HAVING COUNT(*) >= 2
              |ORDER BY id_a, id_b""".stripMargin)),
 
-    Q("doc_minhash_neardups",
-      (s, d) => Dedup.minhashNearDups(t(s, d, "documents"), threshold = 0.2)
+    Q("doc_minhash_neardups", // §2.11 dedup: banded MinHash LSH via the
+      // PORTABLE signature (md5 shingle hash + affine lane family,
+      // plain-string band keys) — the complete pipeline is reproduced in
+      // the oracle; the xxhash64 native path stays pinned by its
+      // bit-identical HOF differential.
+      (s, d) => Dedup.minhashNearDupsPortable(t(s, d, "documents"), threshold = 0.2)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b"),
-      None),
+      Some("""WITH d AS (
+             |  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\s+') AS t
+             |  FROM documents
+             |), s AS (
+             |  SELECT id, list_distinct(list_transform(
+             |    range(0, greatest(len(t) - 2, 1)),
+             |    i -> array_to_string(t[(i+1):(i+3)], ' '))) AS sh
+             |  FROM d
+             |), hm AS (
+             |  SELECT id, sh, list_transform(sh,
+             |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647) AS hs
+             |  FROM s
+             |), sig AS (
+             |  SELECT id, list_transform(range(0, 64), j -> list_min(
+             |    list_transform(hs, h -> ((j*2+1) * h + j*12347 + 1) % 2147483647))) AS g
+             |  FROM hm
+             |), banded AS (
+             |  SELECT id, b.b AS band,
+             |    array_to_string(g[(b.b*4+1):(b.b*4+4)], ',') AS bucket
+             |  FROM sig, range(0, 16) AS b(b)
+             |), cand AS (
+             |  SELECT DISTINCT a.id AS id_a, c.id AS id_b
+             |  FROM banded a JOIN banded c
+             |    ON a.band = c.band AND a.bucket = c.bucket AND a.id < c.id
+             |)
+             |SELECT id_a, id_b,
+             |  ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             |    / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+             |FROM cand JOIN s x ON cand.id_a = x.id JOIN s y ON cand.id_b = y.id
+             |WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             |    / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.2
+             |ORDER BY id_a, id_b""".stripMargin)),
 
-    Q("doc_simhash_neardups",
-      (s, d) => Dedup.simhashNearDups(t(s, d, "documents"), maxDist = 8)
+    Q("doc_simhash_neardups", // §2.11 dedup: simhash chunk-blocked pairs
+      // via the PORTABLE md5 signature, so the whole pipeline — token
+      // hashes, majority vote, 15-bit chunk candidates, Hamming verify —
+      // is reproduced in the oracle; the xxhash64 native twin stays
+      // pinned by TextExpressionsSpec's differential.
+      (s, d) => Dedup.simhashNearDupsPortable(t(s, d, "documents"), maxDist = 8)
         .orderBy("id_a", "id_b"),
-      None),
+      Some("""WITH d AS (
+             |  SELECT doc_id AS id,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS t
+             |  FROM documents
+             |), tokh AS (
+             |  SELECT id, ('0x' || substr(md5(t.x), 1, 15))::BIGINT AS h
+             |  FROM d, unnest(d.t) AS t(x) WHERE len(d.t) > 0
+             |), votes AS (
+             |  SELECT id, b.b,
+             |    SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+             |  FROM tokh, range(0, 60) AS b(b) GROUP BY id, b.b
+             |), sig AS (
+             |  SELECT id, SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS sig
+             |  FROM votes GROUP BY id
+             |), ch AS (
+             |  SELECT id, sig, c.c AS chunk, (sig >> (c.c * 15)) & 32767 AS ckey
+             |  FROM sig, range(0, 4) AS c(c)
+             |), pairs AS (
+             |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             |    bit_count(xor(a.sig, b.sig)) AS dist
+             |  FROM ch a JOIN ch b
+             |    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.id < b.id
+             |)
+             |SELECT id_a, id_b, dist FROM pairs WHERE dist <= 8
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     Q("doc_dedup_normalized", // §2.11 dedup: canonicalized-form cardinality
       (s, d) => t(s, d, "documents").agg(
@@ -2947,9 +3010,13 @@ object SparkEntry {
     */
   private object LshOracle {
     private val planes = Similarity.hyperplanes(64, 8, 42L)
-    /** `(CASE WHEN dot(v, plane_i) >= 0 THEN 2^i ELSE 0 END) + ...` */
-    def bucketSql(vecExpr: String): String =
-      planes.zipWithIndex.map { case (p, i) =>
+    /** `(CASE WHEN dot(v, plane_i) >= 0 THEN 2^i ELSE 0 END) + ...` —
+      * an nPlanes < 8 prefix shares the same RNG stream, so fewer-plane
+      * operators (e.g. embeddingNearDups at 4) inline a prefix of the
+      * same constants.
+      */
+    def bucketSql(vecExpr: String, nPlanes: Int = 8): String =
+      planes.take(nPlanes).zipWithIndex.map { case (p, i) =>
         s"(CASE WHEN list_dot_product($vecExpr, ${p.mkString("[", ",", "]")}) >= 0.0 THEN ${1L << i} ELSE 0 END)"
       }.mkString("(", " + ", ")")
     /** bucket ∪ its 8 Hamming-1 neighbors (the multi-probe set). */
@@ -3117,12 +3184,21 @@ object SparkEntry {
 
     Q("emb_neardup_pairs",
       // fixture max pairwise cosine is ~0.51 → 0.3 with 4 planes yields a
-      // non-trivial candidate set; recall properties pinned in DedupSpec
+      // non-trivial candidate set; recall properties pinned in DedupSpec.
+      // The 4-plane bucket join is oracle-checked exactly — the planes are
+      // a deterministic prefix of the same inlined constants.
       (s, d) => Dedup.embeddingNearDups(t(s, d, "embeddings"),
           nPlanes = 4, threshold = 0.3)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy("id_a", "id_b"),
-      None),
+      Some(s"""WITH e AS (SELECT vec_id AS id,
+             |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+             |b AS (SELECT id, v, ${LshOracle.bucketSql("v", 4)} AS bucket FROM e)
+             |SELECT a.id AS id_a, b2.id AS id_b,
+             |  ROUND(list_cosine_similarity(a.v, b2.v), 6) AS cos
+             |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id
+             |WHERE list_cosine_similarity(a.v, b2.v) >= 0.3
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     Q("emb_knn_join", // batch k-NN join, LSH-blocked — the full blocked
       // pipeline (bucket both sides, Hamming-1 probe explosion, bucket

@@ -118,6 +118,62 @@ object Dedup {
       (acc, h) => zip_with(acc, lanes, (a, j) => least(a, xxhash64(h, j))))
   }
 
+  /** ENGINE-PORTABLE minhash signature: each shingle is hashed ONCE with
+    * md5 (its first 15 hex chars parsed as an integer, reduced mod the
+    * Mersenne prime 2³¹−1), and lane j derives through the affine family
+    * h_j(x) = ((2j+1)·x + 12347·j + 1) mod p — products stay under 2³⁸,
+    * so the arithmetic is exact in any 64-bit engine, ANSI included. One
+    * interpreted fold; the md5 pass is the collection argument, evaluated
+    * exactly once per row.
+    */
+  def minhashSignaturePortable(shingleCol: Column, numHashes: Int = 64): Column = {
+    val p = 2147483647L
+    val lanes = sequence(lit(0), lit(numHashes - 1)) // foldable → constant
+    aggregate(
+      transform(shingleCol,
+        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long") % p),
+      array_repeat(lit(p), numHashes),
+      (acc, hm) => zip_with(acc, lanes, (a, j) =>
+        least(a, ((j * 2 + 1) * hm + j * 12347 + 1) % p)))
+  }
+
+  /** [[minhashNearDups]] with the portable signature and PLAIN-STRING band
+    * keys (the joined lane values — no engine-private hash in the bucket
+    * key), so the complete banded-LSH pipeline — shingles, signature,
+    * banding, candidate join, exact Jaccard verify — is reproduced by the
+    * SQL oracle. The xxhash64 native path stays pinned by its
+    * bit-identical HOF differential in TextExpressionsSpec.
+    */
+  def minhashNearDupsPortable(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      shingleK: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val rows = numHashes / bands
+    val sigd = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+      .withColumn("sig", minhashSignaturePortable(col("sh"), numHashes))
+    val banded = sigd.select(
+      col("id"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val cands = cappedPostings(banded, Seq("band", "bucket"), col("id"), maxBucket)
+      .select(explode(pairCombinations(col("ps"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
+    val sh = sigd.select(col("id"), col("sh"))
+    cands
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Candidate near-duplicate pairs via banded LSH, then exact Jaccard
     * verification. Output: (id_a, id_b, jaccard) with id_a < id_b, one row
     * per pair, jaccard ≥ threshold.
@@ -599,6 +655,61 @@ object Dedup {
   }
 
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** ENGINE-PORTABLE SimHash: 60-bit signature over md5-derived token
+    * hashes (the first 15 md5 hex chars parsed as an integer — the one
+    * hash construction Spark and DuckDB can both compute, cf. the
+    * portable winnowing twin). Same ±1-per-lane majority vote as
+    * [[simhash]]; one interpreted fold, the collection argument hashed
+    * exactly once. Empty token arrays are the caller's concern (the
+    * portable pair op below excludes them on both engines).
+    */
+  def simhashPortable(ts: Column): Column = {
+    val lanes = sequence(lit(0), lit(59)) // foldable → constant
+    val counters = aggregate(
+      transform(ts, t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")),
+      array_repeat(lit(0), 60),
+      (acc, h) => zip_with(acc, lanes, (c, j) =>
+        c + when(call_function("shiftright", h, j).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)))
+    aggregate(
+      zip_with(counters, lanes, (c, j) =>
+        when(c > 0, call_function("shiftleft", lit(1L), j)).otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** [[simhashNearDups]] with the portable signature: 60-bit simhash in
+    * four 15-bit chunks (pigeonhole: ≤3 differing bits leave one chunk
+    * identical; candidates past that ride chunk collisions, identically
+    * in both engines) — the oracle-checkable twin of the xxhash64 native
+    * path. Documents with no tokens are excluded (a shared all-zero
+    * signature would pair every empty doc with every other).
+    */
+  def simhashNearDupsPortable(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxDist: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val toks = array_remove(TextAnalysis.tokens(lower(col(textCol))), "")
+    val sigd = docs
+      .filter(size(toks) > 0)
+      .select(col(idCol).as("id"), simhashPortable(toks).as("sig"))
+    val chunked = sigd.select(
+      col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        c => call_function("shiftright", col("sig"), c * 15).bitwiseAND(0x7fffL))))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ckey")
+    cappedPostings(chunked, Seq("chunk", "ckey"),
+      struct(col("id"), col("sig")), maxBucket)
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+          y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+            hamming64(x.getField("sig"), y.getField("sig")).as("dist")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
 
   /** Near-dup pairs with Hamming distance ≤ maxDist, blocked on 16-bit
     * signature chunks (pigeonhole: ≤3 differing bits over 4 chunks leaves

@@ -97,6 +97,21 @@ class DedupSpec extends SparkSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("portable minhash/simhash surface exact duplicates at the extremes") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"), // = 1
+      (3L, "completely different text about catalyst physical plans here"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val mh = Dedup.minhashNearDupsPortable(docs, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(mh === Seq((1L, 2L, 1.0))) // identical docs: J = 1, nothing else
+    val sh = Dedup.simhashNearDupsPortable(docs, maxDist = 0)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(sh === Seq((1L, 2L, 0))) // identical signature, dist 0; empty doc excluded
+  }
+
   test("editDistancePairs matches a naive blocked self-join") {
     val df = Seq(
       ("b1", 1L, "alpha"), ("b1", 2L, "alphb"),  // dist 1
