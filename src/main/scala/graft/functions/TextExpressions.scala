@@ -32,6 +32,81 @@ object TextExpressions {
     */
   @inline def hashElem(arr: ArrayData, i: Int): Long =
     if (arr.isNullAt(i)) Seed else XXH64.hashUTF8String(arr.getUTF8String(i), Seed)
+
+  // -- engine-portable md5 primitives ---------------------------------------
+
+  /** The Mersenne prime 2³¹−1 — modulus of the portable minhash family. */
+  final val PortableP = 2147483647L
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits of md5(s) as a non-negative long — the one hash
+    * primitive Spark and DuckDB both compute
+    * (`('0x' || substr(md5(s), 1, 15))::BIGINT` /
+    * `conv(substring(md5(s), 1, 15), 16, 10)`).
+    */
+  def md5Prefix60(s: UTF8String): Long = {
+    val md = md5Local.get(); md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+
+  /** 60-bit md5 SimHash — the native twin of `Dedup.simhashPortableHof`.
+    * Null elements vote −1 on every lane (what the HOF's three-valued
+    * `when` does on a null hash).
+    */
+  def simhashMd5(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val cnt = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) {
+        var j = 0; while (j < 60) { cnt(j) -= 1; j += 1 }
+      } else {
+        val h = md5Prefix60(arr.getUTF8String(i))
+        var j = 0
+        while (j < 60) {
+          cnt(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 60) { if (cnt(j) > 0) sig |= 1L << j; j += 1 }
+    sig
+  }
+
+  /** Portable minhash lanes — the native twin of
+    * `Dedup.minhashSignaturePortableHof`: hm = md5Prefix60 mod p, lane j
+    * tracks min of ((2j+1)·hm + 12347·j + 1) mod p. Null elements are
+    * skipped (the HOF's `least(acc, null)` keeps the accumulator).
+    */
+  def minhashMd5(arr: ArrayData, numHashes: Int): ArrayData = {
+    val n = arr.numElements()
+    val sig = Array.fill(numHashes)(PortableP)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val hm = md5Prefix60(arr.getUTF8String(i)) % PortableP
+        var j = 0
+        while (j < numHashes) {
+          val v = ((j * 2 + 1) * hm + j * 12347L + 1) % PortableP
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
 }
 
 private[functions] trait StringArrayInput { self: Expression =>
@@ -169,6 +244,64 @@ case class MinHashSig(child: Expression, numHashes: Int)
          |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
          |  .fromPrimitiveArray($sig);
        """.stripMargin
+    })
+}
+
+/** 60-bit ENGINE-PORTABLE SimHash (md5 token hashes) in one pass. SQL
+  * name: `graft_simhash_md5`. The native fast path of
+  * [[graft.operators.Dedup.simhashPortable]] — bit-identical to its
+  * higher-order twin, and reproducible by the DuckDB oracle because the
+  * only hash involved is md5. Empty input → 0L; null input → null.
+  */
+case class SimHashMd5(child: Expression) extends UnaryExpression with StringArrayInput {
+  import TextExpressions._
+
+  override protected def arrayChild: Expression = child
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = checkStringArray()
+  override def prettyName: String = "graft_simhash_md5"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    simhashMd5(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      // the md5 loop lives in a static helper: the generated code stays a
+      // single call inside the whole-stage pipeline (same shape as the
+      // XXH64 static calls above; scalac emits static forwarders for
+      // object methods)
+      s"${ev.value} = graft.functions.TextExpressions.simhashMd5($a);"
+    })
+}
+
+/** ENGINE-PORTABLE minhash lanes (md5 + affine family mod 2³¹−1) in one
+  * pass. SQL name: `graft_minhash_md5(shingles, numHashes)`. Native fast
+  * path of [[graft.operators.Dedup.minhashSignaturePortable]] —
+  * bit-identical to its higher-order twin. Empty input → all-p lanes;
+  * null input → null.
+  */
+case class MinHashSigMd5(child: Expression, numHashes: Int)
+    extends UnaryExpression with StringArrayInput {
+  import TextExpressions._
+
+  override protected def arrayChild: Expression = child
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (numHashes <= 0) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires numHashes > 0, got $numHashes")
+    else checkStringArray()
+  override def prettyName: String = "graft_minhash_md5"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    minhashMd5(input.asInstanceOf[ArrayData], numHashes)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"${ev.value} = graft.functions.TextExpressions.minhashMd5($a, $numHashes);"
     })
 }
 

@@ -122,11 +122,19 @@ object Dedup {
     * md5 (its first 15 hex chars parsed as an integer, reduced mod the
     * Mersenne prime 2³¹−1), and lane j derives through the affine family
     * h_j(x) = ((2j+1)·x + 12347·j + 1) mod p — products stay under 2³⁸,
-    * so the arithmetic is exact in any 64-bit engine, ANSI included. One
-    * interpreted fold; the md5 pass is the collection argument, evaluated
-    * exactly once per row.
+    * so the arithmetic is exact in any 64-bit engine, ANSI included.
+    * Native codegen'd loop ([[graft.functions.MinHashSigMd5]]);
+    * bit-identical to [[minhashSignaturePortableHof]] (measured 3× on the
+    * sf0.1 bench: the HOF fold pays tokens×lanes interpreted lambdas).
     */
-  def minhashSignaturePortable(shingleCol: Column, numHashes: Int = 64): Column = {
+  def minhashSignaturePortable(shingleCol: Column, numHashes: Int = 64): Column =
+    call_function("graft_minhash_md5", shingleCol, lit(numHashes))
+
+  /** [[minhashSignaturePortable]] as one interpreted higher-order fold —
+    * the differential-test partner (see [[minhashSignatureHof]] on why
+    * the single-fold shape matters even interpreted).
+    */
+  def minhashSignaturePortableHof(shingleCol: Column, numHashes: Int = 64): Column = {
     val p = 2147483647L
     val lanes = sequence(lit(0), lit(numHashes - 1)) // foldable → constant
     aggregate(
@@ -153,6 +161,7 @@ object Dedup {
       threshold: Double = 0.5,
       shingleK: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
     val rows = numHashes / bands
     val sigd = docs
       .select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
@@ -660,11 +669,18 @@ object Dedup {
     * hashes (the first 15 md5 hex chars parsed as an integer — the one
     * hash construction Spark and DuckDB can both compute, cf. the
     * portable winnowing twin). Same ±1-per-lane majority vote as
-    * [[simhash]]; one interpreted fold, the collection argument hashed
-    * exactly once. Empty token arrays are the caller's concern (the
-    * portable pair op below excludes them on both engines).
+    * [[simhash]]. Native codegen'd loop ([[graft.functions.SimHashMd5]]);
+    * bit-identical to [[simhashPortableHof]]. Empty token arrays are the
+    * caller's concern (the portable pair op below excludes them on both
+    * engines).
     */
-  def simhashPortable(ts: Column): Column = {
+  def simhashPortable(ts: Column): Column =
+    call_function("graft_simhash_md5", ts)
+
+  /** [[simhashPortable]] as one interpreted higher-order fold — the
+    * differential-test partner.
+    */
+  def simhashPortableHof(ts: Column): Column = {
     val lanes = sequence(lit(0), lit(59)) // foldable → constant
     val counters = aggregate(
       transform(ts, t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")),
@@ -691,6 +707,7 @@ object Dedup {
       idCol: String = "doc_id",
       maxDist: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
     val toks = array_remove(TextAnalysis.tokens(lower(col(textCol))), "")
     val sigd = docs
       .filter(size(toks) > 0)

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{BestLangByHits, CharTrigrams, CosineSimilarity, DotProduct, MinHashSig, ModeCount, SimHash64, StopwordHits, WinnowSig, WordKGrams}
+import graft.functions.{BestLangByHits, CharTrigrams, CosineSimilarity, DotProduct, MinHashSig, MinHashSigMd5, ModeCount, SimHash64, SimHashMd5, StopwordHits, WinnowSig, WordKGrams}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -34,6 +34,14 @@ object GraftFunctions {
         case Literal(n: Int, IntegerType) => MinHashSig(es(0), n)
         case other => throw new IllegalArgumentException(
           s"graft_minhash numHashes must be an integer literal, got $other")
+      } }),
+    ("graft_simhash_md5", info("graft_simhash_md5", classOf[SimHashMd5]),
+      (es: Seq[Expression]) => { arity("graft_simhash_md5", es, 1); SimHashMd5(es(0)) }),
+    ("graft_minhash_md5", info("graft_minhash_md5", classOf[MinHashSigMd5]),
+      (es: Seq[Expression]) => { arity("graft_minhash_md5", es, 2); es(1) match {
+        case Literal(n: Int, IntegerType) => MinHashSigMd5(es(0), n)
+        case other => throw new IllegalArgumentException(
+          s"graft_minhash_md5 numHashes must be an integer literal, got $other")
       } }),
     ("graft_stopword_hits", info("graft_stopword_hits", classOf[StopwordHits]),
       (es: Seq[Expression]) => { arity("graft_stopword_hits", es, 2); StopwordHits(es(0), es(1)) }),

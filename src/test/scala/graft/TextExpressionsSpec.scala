@@ -69,6 +69,45 @@ class TextExpressionsSpec extends SparkSuite {
     assert(row._1 === row._2)
   }
 
+  test("graft_simhash_md5 is bit-identical to the portable HOF simhash on all docs") {
+    val toks = org.apache.spark.sql.functions.array_remove(
+      TextAnalysis.tokens(org.apache.spark.sql.functions.lower($"text")), "")
+    val mismatches = docs.select(
+        Dedup.simhashPortable(toks).as("fast"),
+        Dedup.simhashPortableHof(toks).as("slow"))
+      .filter($"fast" =!= $"slow")
+      .count()
+    assert(mismatches === 0)
+  }
+
+  test("graft_minhash_md5 is bit-identical to the portable HOF minhash on all docs") {
+    val sh = Dedup.shingles($"text")
+    val mismatches = docs.select(
+        Dedup.minhashSignaturePortable(sh, 64).as("fast"),
+        Dedup.minhashSignaturePortableHof(sh, 64).as("slow"))
+      .filter($"fast" =!= $"slow")
+      .count()
+    assert(mismatches === 0)
+    val short = docs.limit(1).select(
+        Dedup.minhashSignaturePortable(sh, 16).as("fast"),
+        Dedup.minhashSignaturePortableHof(sh, 16).as("slow"))
+      .as[(Seq[Long], Seq[Long])].head()
+    assert(short._1.length === 16 && short._1 === short._2)
+  }
+
+  test("md5Prefix60 equals Spark's conv(substring(md5)) construction") {
+    import org.apache.spark.sql.functions._
+    val rows = docs.limit(50).select(
+        $"text",
+        conv(substring(md5($"text"), 1, 15), 16, 10).cast("long").as("sql"))
+      .as[(String, Long)].collect()
+    rows.foreach { case (t, sqlV) =>
+      val native = graft.functions.TextExpressions.md5Prefix60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      assert(native === sqlV, t.take(40))
+    }
+  }
+
   test("graft_stopword_hits matches the HOF hit count for every language dict") {
     TextAnalysis.stopwords.foreach { case (lang, words) =>
       val mismatches = docs.select(
