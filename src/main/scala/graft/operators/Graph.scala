@@ -77,6 +77,12 @@ object Graph {
       ranks = next
       iter += 1
     }
+    // the returned vector is checkpoint-backed (lineage truncated), so the
+    // working caches can be dropped — a long-lived session running many
+    // pageRank calls must not accumulate per-call cache entries
+    ed.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    e.unpersist(blocking = false)
     ranks
   }
 }
