@@ -2192,6 +2192,57 @@ object SparkEntry {
              |AND p.event_type = 'purchase' AND c.event_type = 'click'
              |AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts""".stripMargin)),
 
+    Q("doc_stream_dedup_lsh", // §2.9 × §2.11: dedup-at-ingest — arriving
+      // documents stream-static join a persisted minhash band index of
+      // the already-accepted corpus, verify Jaccard, and the colliding
+      // docs emit as the reject stream. The streaming plan is STATELESS
+      // (the corpus index carries all the memory), and because the
+      // signature pipeline is the portable md5 one, the whole gate —
+      // shingles, signatures, banding, collision, verify — is reproduced
+      // by the batch oracle.
+      (s, d) => {
+        val index = graft.streaming.DocStream.bandIndex(t(s, d, "documents"))
+        withStreamPartitions(s) {
+          val q = graft.streaming.DocStream
+            .startLshDedupStream(s, d, index, "doc_stream_dedup", threshold = 0.2)
+          q.awaitTermination(180000)
+        }
+        s.sql("""SELECT DISTINCT doc_id, dup_of, jaccard FROM doc_stream_dedup
+                |ORDER BY doc_id, dup_of""".stripMargin)
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\s+') AS t
+             |  FROM documents
+             |), s AS (
+             |  SELECT id, list_distinct(list_transform(
+             |    range(0, greatest(len(t) - 2, 1)),
+             |    i -> array_to_string(t[(i+1):(i+3)], ' '))) AS sh
+             |  FROM d
+             |), hm AS (
+             |  SELECT id, sh, list_transform(sh,
+             |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647) AS hs
+             |  FROM s
+             |), sig AS (
+             |  SELECT id, list_transform(range(0, 64), j -> list_min(
+             |    list_transform(hs, h -> ((j*2+1) * h + j*12347 + 1) % 2147483647))) AS g
+             |  FROM hm
+             |), banded AS (
+             |  SELECT id, b.b AS band,
+             |    array_to_string(g[(b.b*4+1):(b.b*4+4)], ',') AS bucket
+             |  FROM sig, range(0, 16) AS b(b)
+             |), cand AS (
+             |  SELECT DISTINCT a.id AS doc_id, c.id AS dup_of
+             |  FROM banded a JOIN banded c
+             |    ON a.band = c.band AND a.bucket = c.bucket AND a.id <> c.id
+             |)
+             |SELECT doc_id, dup_of,
+             |  ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             |    / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+             |FROM cand JOIN s x ON cand.doc_id = x.id JOIN s y ON cand.dup_of = y.id
+             |WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             |    / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.2
+             |ORDER BY doc_id, dup_of""".stripMargin)),
+
     Q("events_stream_upsert", // §2.9: foreachBatch MERGE sink — the
       // stream maintains a mutable latest-row-per-user view in keyed
       // parquet state (full-outer merge per micro-batch, atomic swap).
