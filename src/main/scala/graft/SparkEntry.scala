@@ -3316,17 +3316,22 @@ object SparkEntry {
       Some("""WITH m AS (
              |  SELECT doc_id, text,
              |    (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
-             |    4 + doc_id % 5 AS w, 4 + (doc_id // 5) % 5 AS h
+             |    4 + doc_id % 5 AS w, 4 + (doc_id // 5) % 5 AS h,
+             |    -- WAV data length: text bytes padded to a whole s16 sample
+             |    octet_length(encode(text)) + octet_length(encode(text)) % 2 AS dl
              |  FROM documents)
              |SELECT doc_id AS media_id, modality,
              |CASE WHEN modality = 'image'
              |  -- 'P6\n' + w + ' ' + h + '\n255\n' header, then 3·w·h pixels
              |  THEN CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
              |       + 3 * w * h AS INT)
+             |  WHEN modality = 'audio' THEN CAST(44 + dl AS INT) -- RIFF header + PCM
              |  ELSE CAST(octet_length(encode(text)) AS INT) END AS n_bytes,
              |CASE WHEN modality = 'image' THEN CAST(w AS INT)
+             |  WHEN modality = 'audio' THEN CAST(dl // 2 AS INT) -- decoded sample count
              |  ELSE CAST(16 + octet_length(encode(text)) % 64 AS INT) END AS width,
              |CASE WHEN modality = 'image' THEN CAST(h AS INT)
+             |  WHEN modality = 'audio' THEN 0
              |  ELSE CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INT) END AS height
              |FROM m ORDER BY media_id""".stripMargin)))
 

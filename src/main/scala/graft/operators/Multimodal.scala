@@ -116,8 +116,92 @@ object Multimodal {
     }
   }
 
-  /** ??? real audio/video codec goes here ??? — deterministic fake for the
-    * non-image modalities: "decodes" a payload into dimensions derived from
+  /** REAL audio codec: RIFF/WAVE, PCM s16le mono. Parses the RIFF
+    * container chunk-by-chunk (a real file may interleave LIST/fact
+    * chunks before `data`), accepts only the canonical PCM shape, and
+    * returns the decoded sample stream. Pure Scala, no native deps.
+    */
+  object WavCodec {
+    val featureDim = 16
+
+    def encode(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(sampleRate).putInt(sampleRate * 2)
+        .putShort(2).putShort(16) // block align, bits
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+
+    /** None for anything that isn't complete PCM s16le mono WAVE. */
+    def decode(bytes: Array[Byte]): Option[(Int, Array[Short])] = {
+      if (bytes == null || bytes.length < 44) return None
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII")
+      }
+      if (tag() != "RIFF") return None
+      bb.getInt // riff size (trust the chunk walk, not this)
+      if (tag() != "WAVE") return None
+      var rate = -1
+      while (bb.remaining() >= 8) {
+        val id = tag(); val size = bb.getInt
+        if (size < 0 || size > bb.remaining()) return None
+        id match {
+          case "fmt " =>
+            val fmt = bb.getShort; val ch = bb.getShort
+            rate = bb.getInt; bb.getInt; val align = bb.getShort
+            val bits = bb.getShort
+            if (fmt != 1 || ch != 1 || align != 2 || bits != 16) return None
+            bb.position(bb.position() + (size - 16))
+          case "data" =>
+            if (rate <= 0 || size % 2 != 0) return None
+            val out = new Array[Short](size / 2)
+            var i = 0
+            while (i < out.length) { out(i) = bb.getShort; i += 1 }
+            return Some((rate, out))
+          case _ => bb.position(bb.position() + size) // skip LIST/fact/...
+        }
+      }
+      None
+    }
+
+    /** 16-dim features from DECODED samples: [0] RMS, [1] mean (both in
+      * [-1,1]-normalized units), [2] zero-crossing rate, [3..15] a 13-bin
+      * amplitude histogram (fractions).
+      */
+    def features(samples: Array[Short]): Array[Float] = {
+      val f = new Array[Float](featureDim)
+      val n = samples.length
+      if (n == 0) return f
+      var sumSq = 0.0; var sum = 0.0; var zc = 0
+      var i = 0
+      while (i < n) {
+        val s = samples(i).toDouble
+        sumSq += s * s; sum += s
+        if (i > 0 && (samples(i) ^ samples(i - 1)) < 0) zc += 1
+        val bin = ((samples(i) + 32768) * 13) >>> 16
+        f(3 + bin) += 1f
+        i += 1
+      }
+      f(0) = (math.sqrt(sumSq / n) / 32768.0).toFloat
+      f(1) = (sum / n / 32768.0).toFloat
+      f(2) = if (n > 1) zc.toFloat / (n - 1) else 0f
+      var j = 3
+      while (j < featureDim) { f(j) /= n; j += 1 }
+      f
+    }
+  }
+
+  /** ??? real video codec goes here ??? — deterministic fake for the
+    * video modality: "decodes" a payload into dimensions derived from
     * its length and a 16-dim feature vector from a rolling byte hash. Same
     * signature a real decoder would have.
     */
@@ -158,15 +242,34 @@ object Multimodal {
     val pixels = array_join(
       transform(sequence(lit(0), w * h * lit(3) - 1),
         i => chr(lit(32) + pmod(col("doc_id") * 31 + i * 7, lit(95)))), "")
-    val header = concat_ws("", lit("P6\n"), w.cast("string"), lit(" "),
+    val ppmHeader = concat_ws("", lit("P6\n"), w.cast("string"), lit(" "),
       h.cast("string"), lit("\n255\n"))
+    // audio: a genuine RIFF/WAVE PCM s16le mono payload whose sample
+    // bytes are the text bytes (any byte is valid PCM), padded to a whole
+    // sample; the header's little-endian length fields assemble through
+    // hex strings + unhex, keeping the synthesis pure column expressions
+    def le32(v: Column): Column = {
+      val x = lpad(lower(hex(v)), 8, "0")
+      concat(substring(x, 7, 2), substring(x, 5, 2),
+        substring(x, 3, 2), substring(x, 1, 2))
+    }
+    val tb = encode(col("text"), "UTF-8")
+    val dataLen = (length(tb) + pmod(length(tb), lit(2))).cast("int")
+    val wavFixed = // "WAVEfmt " + size 16 + PCM,mono + 16 kHz + 32 kB/s + align 2 + 16 bit + "data"
+      "57415645666d74201000000001000100803e0000007d00000200100064617461"
+    val wav = concat(
+      unhex(concat(lit("52494646"), le32(dataLen + 36), lit(wavFixed), le32(dataLen))),
+      tb,
+      when(pmod(length(tb), lit(2)) === 1, unhex(lit("00"))).otherwise(unhex(lit(""))))
     docs.select(
       col("doc_id").as("media_id"),
       modality.as("modality"),
-      when(modality === "image", encode(concat(header, pixels), "UTF-8"))
+      when(modality === "image", encode(concat(ppmHeader, pixels), "UTF-8"))
+        .when(modality === "audio", wav)
         .otherwise(encode(col("text"), "UTF-8")).as("content"),
       struct(
         when(modality === "image", lit("image/x-portable-pixmap"))
+          .when(modality === "audio", lit("audio/wav"))
           .otherwise(lit("application/octet-stream")).as("mime"),
         lit(null).cast(IntegerType).as("width"), // decode fills dimensions
         lit(null).cast(IntegerType).as("height"),
@@ -194,9 +297,15 @@ object Multimodal {
               // come from the parsed header and actual pixel plane
               MediaFeatures(r.media_id, r.modality, nBytes, w, h,
                 PpmCodec.features(w, h, rgb))
-            case None => // non-image payloads: stub codec stand-in
-              val (w, h, f) = FakeCodec.decode(r.content)
-              MediaFeatures(r.media_id, r.modality, nBytes, w, h, f)
+            case None => WavCodec.decode(r.content) match {
+              case Some((_, samples)) => // real audio decode: "width" is
+                // the sample count, features from the decoded stream
+                MediaFeatures(r.media_id, r.modality, nBytes,
+                  samples.length, 0, WavCodec.features(samples))
+              case None => // remaining payloads (video): stub stand-in
+                val (w, h, f) = FakeCodec.decode(r.content)
+                MediaFeatures(r.media_id, r.modality, nBytes, w, h, f)
+            }
           }
         }
       }

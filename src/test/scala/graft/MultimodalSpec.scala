@@ -90,6 +90,50 @@ class MultimodalSpec extends SparkSuite {
     assert(f.sum > 1.9f && f.sum < 2.1f) // means + histogram both normalized
   }
 
+  // -- real WAV codec -------------------------------------------------------
+
+  test("WavCodec roundtrip: encode → decode is the identity") {
+    val samples = Array.tabulate(100)(i => ((i * 613) % 65536 - 32768).toShort)
+    val Some((rate, back)) = Multimodal.WavCodec.decode(
+      Multimodal.WavCodec.encode(16000, samples))
+    assert(rate === 16000 && back.toSeq === samples.toSeq)
+  }
+
+  test("WavCodec rejects malformed and non-PCM payloads") {
+    val ok = Multimodal.WavCodec.encode(8000, Array[Short](1, 2, 3))
+    assert(Multimodal.WavCodec.decode(ok).isDefined)
+    assert(Multimodal.WavCodec.decode(null).isEmpty)
+    assert(Multimodal.WavCodec.decode(ok.take(20)).isEmpty)
+    val stereo = ok.clone; stereo(22) = 2 // numChannels = 2
+    assert(Multimodal.WavCodec.decode(stereo).isEmpty)
+    val notRiff = ok.clone; notRiff(0) = 'X'.toByte
+    assert(Multimodal.WavCodec.decode(notRiff).isEmpty)
+  }
+
+  test("WavCodec features come from the decoded samples") {
+    // a constant positive signal: RMS = mean = value, zero crossings = 0
+    val const = Array.fill[Short](64)(16384)
+    val f = Multimodal.WavCodec.features(const)
+    assert(math.abs(f(0) - 0.5f) < 1e-3 && math.abs(f(1) - 0.5f) < 1e-3)
+    assert(f(2) === 0.0f)
+    // an alternating signal crosses zero at every step
+    val alt = Array.tabulate[Short](64)(i => if (i % 2 == 0) 1000 else -1000)
+    assert(Multimodal.WavCodec.features(alt)(2) === 1.0f)
+  }
+
+  test("synthesized audio rows are genuine decodable WAVs") {
+    val rows = Multimodal.synthesizeFromDocuments(
+        Tables.load(spark, sfDir, "documents"))
+      .filter($"modality" === "audio").limit(10)
+      .select("media_id", "content").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val Some((rate, samples)) = Multimodal.WavCodec.decode(r.getAs[Array[Byte]](1))
+      assert(rate === 16000, s"id=${r.getLong(0)}")
+      assert(samples.length === (r.getAs[Array[Byte]](1).length - 44) / 2)
+    }
+  }
+
   test("synthesized image rows decode to the dimension formula with real pixels") {
     val imgs = Multimodal.extractFeatures(spark, media)
       .filter($"modality" === "image").orderBy("media_id").limit(10).collect()
