@@ -3210,6 +3210,52 @@ object SparkEntry {
              |FROM el, q WHERE el.label IN (SELECT label FROM near)
              |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
 
+    Q("emb_lloyd_ivf_topk", // IVF over DETERMINISTIC Lloyd-learned
+      // inverted lists: fixed init (lowest-id vectors), total-order
+      // tie-breaks, 3 rounds — the trained index is a pure function of
+      // the data, so the oracle re-trains it round by round in SQL and
+      // must land on the identical probe. The seeded-MLlib twin below
+      // keeps the production index-build shape.
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val qv = e.filter(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0).map(_.toDouble)
+        Similarity.lloydIvfTopK(e.filter(col("vec_id") =!= 0), qv, 10)
+      },
+      Some {
+        def assign(src: String, cents: String, out: String): String =
+          s"""$out AS (SELECT vec_id, v, cl FROM (
+             |  SELECT $src.vec_id AS vec_id, $src.v AS v, $cents.cl AS cl,
+             |    row_number() OVER (PARTITION BY $src.vec_id
+             |      ORDER BY list_sum(list_transform(range(1, 65),
+             |        i -> ($src.v[i] - $cents.c[i]) * ($src.v[i] - $cents.c[i]))),
+             |        $cents.cl) AS rn
+             |  FROM $src, $cents) WHERE rn = 1)""".stripMargin
+        def round(prev: String, cur: String): String =
+          s"""${assign("e", prev, s"a$cur")},
+             |m$cur AS (SELECT cl, t.dim, AVG(v[t.dim]) AS m
+             |  FROM a$cur, range(1, 65) AS t(dim) GROUP BY cl, t.dim),
+             |n$cur AS (SELECT cl, list(m ORDER BY dim) AS c FROM m$cur GROUP BY cl),
+             |$cur AS (SELECT $prev.cl, COALESCE(n$cur.c, $prev.c) AS c
+             |  FROM $prev LEFT JOIN n$cur ON $prev.cl = n$cur.cl)""".stripMargin
+        s"""WITH e AS (SELECT vec_id,
+           |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings WHERE vec_id <> 0),
+           |q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           |  FROM embeddings WHERE vec_id = 0),
+           |c0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cl, v AS c
+           |  FROM e ORDER BY vec_id LIMIT 8),
+           |${round("c0", "c1")},
+           |${round("c1", "c2")},
+           |${round("c2", "c3")},
+           |near AS (SELECT cl FROM c3, q
+           |  ORDER BY list_cosine_similarity(c, qv) DESC, cl LIMIT 3),
+           |${assign("e", "c3", "af")}
+           |SELECT vec_id, ROUND(list_cosine_similarity(v, qv), 6) AS cos
+           |FROM af, q WHERE cl IN (SELECT cl FROM near)
+           |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+      }),
+
     Q("emb_kmeans_ivf_topk", // IVF over MLlib-KMeans-learned inverted
       // lists (seeded) — the production index-build shape; recall and the
       // full-probe == exact identity are pinned in SimilaritySpec

@@ -157,6 +157,60 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF with DETERMINISTIC learned centroids: plain Lloyd iterations with
+    * a fixed init (the vectors of the `numClusters` smallest ids) and a
+    * total-order tie-break (lowest cluster wins equal distances) — every
+    * step is a pure function of the data, so an independent SQL engine
+    * reproduces the trained index exactly, unrolled round by round. The
+    * engine-reproducible twin of [[kmeansIvfTopK]] (MLlib's seeded init).
+    *
+    * Scale shape: the model state (numClusters × dim doubles) rides the
+    * driver↔executor boundary each round — the standard broadcast-model
+    * training loop; assignment is a codegen'd argmin over centroid
+    * literals (array_min over (distance, cluster) structs — struct
+    * ordering IS the tie-break), and the mean update is one
+    * (cluster, dim)-keyed aggregation.
+    */
+  def lloydIvfTopK(
+      emb: DataFrame, queryVec: Seq[Double], k: Int,
+      numClusters: Int = 8, iters: Int = 3, nProbe: Int = 3,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val e = emb.select(col(idCol), col(vecCol).as("v"))
+    var cents: Array[Seq[Double]] = e.orderBy(col(idCol)).limit(numClusters)
+      .select("v").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble): Seq[Double])
+    def assignExpr: Column = {
+      val alts = cents.zipWithIndex.map { case (c, i) =>
+        struct(l2Sq(col("v"), vecLit(c)).as("d"), lit(i).as("cl"))
+      }
+      array_min(array(alts.toIndexedSeq: _*)).getField("cl")
+    }
+    (1 to iters).foreach { _ =>
+      val means = e.withColumn("cl", assignExpr)
+        .select(col("cl"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cl", "dim").agg(avg("x").as("m"))
+        .groupBy("cl").agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("p"))
+        .select(col("cl"), transform(col("p"), q => q.getField("m")).as("c"))
+        .collect().map(r => r.getInt(0) -> (r.getSeq[Double](1): Seq[Double])).toMap
+      // an emptied cluster keeps its previous centroid (deterministic)
+      cents = cents.zipWithIndex.map { case (old, i) => means.getOrElse(i, old) }
+    }
+    // probe the nProbe centroids nearest to the query (ties → lowest id)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      if (d == 0) 0.0 else a.zip(b).map { case (x, y) => x * y }.sum / d
+    }
+    val probed = cents.zipWithIndex
+      .map { case (c, i) => (cos(c, queryVec), i) }
+      .sortBy { case (s, i) => (-s, i) }.take(nProbe).map(_._2)
+    e.withColumn("cl", assignExpr)
+      .filter(col("cl").isin(probed: _*))
+      .select(col(idCol), round(cosine(col("v"), vecLit(queryVec)), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** IVF with LEARNED coarse centroids: MLlib k-means (seeded, fixed
     * iterations) trains the inverted lists instead of borrowing a label
     * column — the production IVF shape, where cluster quality controls

@@ -80,6 +80,23 @@ class SimilaritySpec extends SparkSuite {
     assert(all === exact, "probing every learned list must equal brute force")
   }
 
+  test("lloydIvfTopK(nProbe=3) recall@10 >= 0.5; full probe equals brute force") {
+    val exact = topIds(Similarity.bruteForceTopK(base, queryVec, 10))
+    val approx = topIds(Similarity.lloydIvfTopK(base, queryVec, 10,
+      numClusters = 8, nProbe = 3)).toSet
+    val recall = (exact.toSet & approx).size / 10.0
+    assert(recall >= 0.5, s"lloyd-ivf recall $recall")
+    val all = topIds(Similarity.lloydIvfTopK(base, queryVec, 10,
+      numClusters = 8, nProbe = 8))
+    assert(all === exact, "probing every learned list must equal brute force")
+  }
+
+  test("lloydIvfTopK is deterministic across invocations (no seed anywhere)") {
+    val a = topIds(Similarity.lloydIvfTopK(base, queryVec, 10))
+    val b = topIds(Similarity.lloydIvfTopK(base, queryVec, 10))
+    assert(a === b)
+  }
+
   test("centroids: one row per label, 64-dim, matches manual mean on one dim") {
     val c = Similarity.centroids(emb).collect()
     assert(c.length === emb.select("label").distinct().count().toInt)
