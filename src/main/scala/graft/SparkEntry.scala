@@ -2349,6 +2349,58 @@ object SparkEntry {
              |    + (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 4.0, 2) AS quality
              |FROM m ORDER BY doc_id""".stripMargin)),
 
+    Q("doc_admission_report", // the CAPSTONE intake query: every
+      // per-document admission gate — exact-dup keep-one, language
+      // consistency, quality floor — in ONE plan, one scan, one shuffle
+      // (Cleanse.admissionReport). The oracle composes the same gates
+      // from the already-proven quality and language-ID CTEs.
+      (s, d) => graft.operators.Cleanse.admissionReport(t(s, d, "documents"))
+        .orderBy("doc_id"),
+      Some("""WITH f AS (
+             |  SELECT doc_id, lang, text,
+             |    string_split_regex(lower(trim(text)), '\s+') AS toks,
+             |    len(string_split_regex(trim(text), '\s+')) AS n,
+             |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+             |  FROM documents
+             |), m AS (
+             |  SELECT doc_id, lang, text, toks, n, rn,
+             |    CASE WHEN length(text) = 0 THEN 0.0
+             |      ELSE CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) / length(text) END AS pr,
+             |    CASE WHEN n = 0 THEN 0.0
+             |      ELSE CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE) / n END AS sr,
+             |    CASE WHEN n = 0 THEN 0.0
+             |      ELSE CAST(list_aggregate(list_transform(string_split_regex(trim(text), '\s+'), t -> length(t)), 'sum') AS DOUBLE) / n END AS mtl
+             |  FROM f
+             |), g AS (
+             |  SELECT doc_id, lang, rn,
+             |    ROUND(((CASE WHEN n BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.0 END)
+             |      + (CASE WHEN pr < 0.2 THEN 1.0 ELSE 0.0 END)
+             |      + (CASE WHEN sr > 0.01 THEN 1.0 ELSE 0.0 END)
+             |      + (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 4.0, 2) AS quality,
+             |    CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+             |         WHEN greatest(
+             |             len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))),
+             |             len(list_filter(toks, t -> list_contains(['le','la','les','de','et','un','une','est','que','pour'], t))),
+             |             len(list_filter(toks, t -> list_contains(['el','la','los','de','y','un','una','es','que','por'], t))),
+             |             len(list_filter(toks, t -> list_contains(['der','die','das','und','ein','eine','ist','zu','den','für'], t)))) >= 1 THEN
+             |           CASE WHEN len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) >= len(list_filter(toks, t -> list_contains(['le','la','les','de','et','un','une','est','que','pour'], t)))
+             |                 AND len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) >= len(list_filter(toks, t -> list_contains(['el','la','los','de','y','un','una','es','que','por'], t)))
+             |                 AND len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) >= len(list_filter(toks, t -> list_contains(['der','die','das','und','ein','eine','ist','zu','den','für'], t))) THEN 'en'
+             |                WHEN len(list_filter(toks, t -> list_contains(['le','la','les','de','et','un','une','est','que','pour'], t))) >= len(list_filter(toks, t -> list_contains(['el','la','los','de','y','un','una','es','que','por'], t)))
+             |                 AND len(list_filter(toks, t -> list_contains(['le','la','les','de','et','un','une','est','que','pour'], t))) >= len(list_filter(toks, t -> list_contains(['der','die','das','und','ein','eine','ist','zu','den','für'], t))) THEN 'fr'
+             |                WHEN len(list_filter(toks, t -> list_contains(['el','la','los','de','y','un','una','es','que','por'], t))) >= len(list_filter(toks, t -> list_contains(['der','die','das','und','ein','eine','ist','zu','den','für'], t))) THEN 'es'
+             |                ELSE 'de' END
+             |         ELSE 'und' END AS pred
+             |  FROM m
+             |)
+             |SELECT doc_id,
+             |  CASE WHEN rn > 1 THEN 'duplicate'
+             |       WHEN pred <> lang THEN 'language'
+             |       WHEN quality < 0.75 THEN 'quality'
+             |       ELSE 'admitted' END AS verdict,
+             |  quality
+             |FROM g ORDER BY doc_id""".stripMargin)),
+
     Q("doc_exact_dup_groups", // §2.11 dedup: exact, hash-groupBy
       (s, d) => Dedup.exactDupGroups(t(s, d, "documents"))
         .select(col("keep_id"), col("n_dups"))

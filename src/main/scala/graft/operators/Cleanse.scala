@@ -170,4 +170,45 @@ object Cleanse {
       .withColumn("n_phones", phoneCount(t))
       .withColumn("n_urls", urlCount(t))
   }
+
+  /** The ADMISSION PIPELINE: every per-document gate of a training-data
+    * intake — exact-dup keep-one, language-consistency, quality floor —
+    * composed as ONE relational plan: a single scan computes every
+    * feature, one text-keyed window decides dup survivors, and the
+    * verdict is a first-failing-gate CASE. No gate re-reads the corpus;
+    * at 100 TB the whole intake costs one shuffle (the dup window) on
+    * top of the scan.
+    *
+    * Output: (doc_id, verdict ∈ duplicate|language|quality|admitted,
+    * quality) — per-document, deterministic, fully oracle-expressible.
+    */
+  def admissionReport(
+      docs: DataFrame,
+      minQuality: Double = 0.75,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      langCol: String = "lang"): DataFrame = {
+    import graft.operators.TextAnalysis
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val t = col(textCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(t).orderBy(col(idCol))
+    docs
+      .select(col(idCol), col(langCol),
+        row_number().over(w).as("rn"),
+        TextAnalysis.tokenCount(t).as("n_tok"),
+        TextAnalysis.punctRatio(t).as("pr"),
+        TextAnalysis.stopwordRatio(t).as("sr"),
+        TextAnalysis.meanTokenLen(t).as("mtl"),
+        TextAnalysis.langId(t).as("pred"))
+      .select(col(idCol), col(langCol), col("rn"), col("pred"),
+        TextAnalysis.qualityFrom(col("n_tok"), col("pr"), col("sr"),
+          col("mtl")).as("quality"))
+      .select(col(idCol),
+        when(col("rn") > 1, "duplicate")
+          .when(col("pred") =!= col(langCol), "language")
+          .when(col("quality") < minQuality, "quality")
+          .otherwise("admitted").as("verdict"),
+        col("quality"))
+  }
 }

@@ -120,6 +120,25 @@ class CleanseSpec extends SparkSuite {
     driverCc.foreach { case (_, lbl) => assert(driverCc(lbl) === lbl) }
   }
 
+  test("admissionReport: gates fire in order, one verdict per doc") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again", "en"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again", "en"), // dup of 1
+      (3L, "le chat est sur la table et la chaise est pour le chien", "en"),     // fr text labeled en
+      // recognized English (three 'the' hits) but punct-heavy with
+      // over-long tokens → fails 2 of 4 quality components → 0.5 < 0.75
+      (4L, "the ########################## the !!!!!!!!!!!!!!!!!!!!!!!!!! the", "en"),
+      (5L, "this is a perfectly reasonable sentence that should be admitted for training", "en")
+    ).toDF("doc_id", "text", "lang")
+    val got = Cleanse.admissionReport(docs)
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    assert(got(1L) === "admitted")
+    assert(got(2L) === "duplicate") // higher id of the identical pair
+    assert(got(3L) === "language")
+    assert(got(4L) === "quality")
+    assert(got(5L) === "admitted")
+  }
+
   test("dupClusters groups near-dup pairs beyond direct edges") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog", "a"),
