@@ -3321,15 +3321,60 @@ object SparkEntry {
       None),
 
     Q("emb_pq_error", // product quantization: 64 floats → 4 codes; the
-      // per-label reconstruction MSE summarizes codebook quality.
-      // Seeded k-means internals → rows-only; monotonicity and bounds
-      // pinned in SimilaritySpec.
-      (s, d) => Similarity.pqTrainEncode(t(s, d, "embeddings"))
+      // per-label reconstruction MSE summarizes codebook quality. The
+      // codebooks train with the DETERMINISTIC Lloyd loop (fixed init,
+      // total-order tie-breaks), so the oracle RE-TRAINS all four
+      // sub-codebooks in SQL and reproduces every code and error; the
+      // seeded-MLlib trainer stays pinned in SimilaritySpec.
+      (s, d) => Similarity.pqTrainEncodeLloyd(t(s, d, "embeddings"))
         .join(t(s, d, "embeddings").select("vec_id", "label"), Seq("vec_id"))
         .groupBy("label")
         .agg(count(lit(1)).as("n"), round(avg("mse"), 6).as("avg_mse"))
         .orderBy("label"),
-      None),
+      Some {
+        val subDim = 16
+        def sub(i: Int): String = {
+          val lo = i * subDim + 1; val hi = (i + 1) * subDim
+          def dist(s: String, p: String) =
+            s"list_sum(list_transform(range(1, 17), t -> ($s.sv[t] - $p.c[t]) * ($s.sv[t] - $p.c[t])))"
+          def round(r: Int): String = {
+            val prev = s"s${i}c${r - 1}"
+            s"""s${i}a$r AS (SELECT vec_id, sv, cl FROM (
+               |  SELECT s.vec_id AS vec_id, s.sv AS sv, p.cl AS cl,
+               |    row_number() OVER (PARTITION BY s.vec_id
+               |      ORDER BY ${dist("s", "p")}, p.cl) AS rn
+               |  FROM sub$i s, $prev p) WHERE rn = 1),
+               |s${i}m$r AS (SELECT cl, t.dim, AVG(sv[t.dim]) AS mn
+               |  FROM s${i}a$r, range(1, 17) AS t(dim) GROUP BY cl, t.dim),
+               |s${i}n$r AS (SELECT cl, list(mn ORDER BY dim) AS c FROM s${i}m$r GROUP BY cl),
+               |s${i}c$r AS (SELECT p.cl, COALESCE(n.c, p.c) AS c
+               |  FROM s${i}c${r - 1} p LEFT JOIN s${i}n$r n ON p.cl = n.cl)""".stripMargin
+          }
+          s"""sub$i AS (SELECT vec_id, v[$lo:$hi] AS sv FROM e),
+             |s${i}c0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cl, sv AS c
+             |  FROM sub$i ORDER BY vec_id LIMIT 16),
+             |${round(1)},
+             |${round(2)},
+             |${round(3)},
+             |s${i}f AS (SELECT vec_id, err FROM (
+             |  SELECT s.vec_id AS vec_id, ${dist("s", "p")} AS err,
+             |    row_number() OVER (PARTITION BY s.vec_id
+             |      ORDER BY ${dist("s", "p")}, p.cl) AS rn
+             |  FROM sub$i s, s${i}c3 p) WHERE rn = 1)""".stripMargin
+        }
+        s"""WITH e AS (SELECT vec_id,
+           |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+           |${sub(0)},
+           |${sub(1)},
+           |${sub(2)},
+           |${sub(3)}
+           |SELECT label, COUNT(*) AS n, ROUND(AVG(mse), 6) AS avg_mse FROM (
+           |  SELECT emb.label,
+           |    ROUND((a.err + b.err + c.err + d.err) / 64, 6) AS mse
+           |  FROM s0f a JOIN s1f b USING (vec_id) JOIN s2f c USING (vec_id)
+           |  JOIN s3f d USING (vec_id) JOIN embeddings emb USING (vec_id))
+           |GROUP BY label ORDER BY label""".stripMargin
+      }),
 
     Q("emb_neardup_pairs",
       // fixture max pairwise cosine is ~0.51 → 0.3 with 4 planes yields a

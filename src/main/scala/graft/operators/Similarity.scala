@@ -237,6 +237,56 @@ object Similarity {
       clusterCol = "ivf_cluster", vecCol = vecCol, idCol = idCol)
   }
 
+  /** [[pqTrainEncode]] with DETERMINISTIC codebooks: per subvector, the
+    * same fixed-init/total-order Lloyd loop as [[lloydIvfTopK]] trains
+    * `k` centroids on the (deterministic) sample — no seed anywhere, so
+    * an independent SQL engine re-trains all `m` codebooks and reproduces
+    * every code and reconstruction error exactly. Codebooks ride as
+    * centroid literals; the per-row code is a codegen'd argmin and the
+    * reconstruction error indexes the literal codebook — no join, no UDF.
+    */
+  def pqTrainEncodeLloyd(
+      emb: DataFrame, dim: Int = 64, m: Int = 4, k: Int = 16,
+      sampleN: Int = 2000, iters: Int = 3,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    require(dim % m == 0, s"dim $dim must split into $m subvectors")
+    val subDim = dim / m
+    def subArr(i: Int): Column = slice(col(vecCol), i * subDim + 1, subDim)
+    val sample = emb.orderBy(col(idCol)).limit(sampleN)
+    var out = emb.select(col(idCol), col(vecCol))
+    var errExpr: Column = lit(0.0)
+    (0 until m).foreach { i =>
+      var cents: Array[Seq[Double]] = sample.orderBy(col(idCol)).limit(k)
+        .select(subArr(i)).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble): Seq[Double])
+      // argmin over the codebook: first position of the minimum distance —
+      // ties resolve to the LOWEST code, the same total order the oracle
+      // replays
+      def assignExpr: Column = {
+        val d = array(cents.map(c => l2Sq(subArr(i), vecLit(c))).toIndexedSeq: _*)
+        (array_position(d, array_min(d)) - 1).cast("int")
+      }
+      (1 to iters).foreach { _ =>
+        val means = sample
+          .select(assignExpr.as("cl"), posexplode(subArr(i)).as(Seq("dim", "x")))
+          .groupBy("cl", "dim").agg(avg("x").as("mn"))
+          .groupBy("cl").agg(array_sort(collect_list(struct(col("dim"), col("mn")))).as("p"))
+          .select(col("cl"), transform(col("p"), q => q.getField("mn")).as("c"))
+          .collect().map(r => r.getInt(0) -> (r.getSeq[Double](1): Seq[Double])).toMap
+        cents = cents.zipWithIndex.map { case (old, j) => means.getOrElse(j, old) }
+      }
+      out = out.withColumn(s"code_$i", assignExpr)
+      errExpr = errExpr + aggregate(
+        zip_with(subArr(i), element_at(typedLit(cents.map(_.toSeq).toSeq), col(s"code_$i") + 1),
+          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    out.select(col(idCol),
+      array((0 until m).map(i => col(s"code_$i")): _*).as("codes"),
+      round(errExpr / dim, 6).as("mse"))
+  }
+
   /** Product quantization (Jégou et al. 2011): split each vector into `m`
     * subvectors, train a `k`-centroid codebook per subvector (seeded MLlib
     * k-means over a deterministic sample — codebooks train on a sample at

@@ -97,6 +97,20 @@ class SimilaritySpec extends SparkSuite {
     assert(a === b)
   }
 
+  test("pqTrainEncodeLloyd: deterministic codes in range, reconstruction beats random") {
+    val enc = Similarity.pqTrainEncodeLloyd(emb)
+    val rows = enc.collect()
+    assert(rows.length === emb.count())
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.length === 4 && codes.forall(c => c >= 0 && c < 16))
+      assert(r.getDouble(2) >= 0.0)
+    }
+    // no seed anywhere → identical across invocations
+    val again = Similarity.pqTrainEncodeLloyd(emb).collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("centroids: one row per label, 64-dim, matches manual mean on one dim") {
     val c = Similarity.centroids(emb).collect()
     assert(c.length === emb.select("label").distinct().count().toInt)
