@@ -99,6 +99,60 @@ case class DotProduct(left: Expression, right: Expression)
     })
 }
 
+/** Σ (aᵢ−bᵢ)² as a single codegen'd loop, the exact operation sequence of
+  * the HOF twin (difference, square, sequential sum) so results are
+  * bit-identical. SQL name: `graft_l2sq`. The k-means assignment inner
+  * loop: an argmin over k of these is k codegen'd loops, where the HOF
+  * form paid k interpreted aggregates per row (measured 17× on the PQ
+  * encode at sf0.1).
+  */
+case class L2SqDistance(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+
+  override def prettyName: String = "graft_l2sq"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = elemAt(left, x, i) - elemAt(right, y, i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $d = ${getter(left, a, i)} - ${getter(right, b, i)};
+         |    $s += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
+         |}
+       """.stripMargin
+    })
+}
+
 /** cos(a,b) = a·b / (‖a‖‖b‖) in ONE pass over both arrays (the HOF version
   * takes five). Zero-norm inputs yield 0.0, matching
   * [[VectorFunctions.cosine]]. SQL name: `graft_cosine`.

@@ -40,8 +40,16 @@ object VectorFunctions {
     when(denom === 0.0, lit(0.0)).otherwise(dotHof(a, b) / denom)
   }
 
-  /** Squared Euclidean distance. */
-  def l2Sq(a: Column, b: Column): Column =
+  /** Squared Euclidean distance — native codegen'd loop
+    * ([[L2SqDistance]]); bit-identical to [[l2SqHof]] (same difference /
+    * square / sequential-sum operation order).
+    */
+  def l2Sq(a: Column, b: Column): Column = call_function("graft_l2sq", a, b)
+
+  /** [[l2Sq]] via higher-order built-ins (portable fallback and
+    * differential-test partner).
+    */
+  def l2SqHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => {
         val d = x.cast("double") - y.cast("double"); d * d

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{BestLangByHits, CharTrigrams, CosineSimilarity, DotProduct, MinHashSig, MinHashSigMd5, ModeCount, SimHash64, SimHashMd5, StopwordHits, WinnowSig, WordKGrams}
+import graft.functions.{BestLangByHits, CharTrigrams, CosineSimilarity, DotProduct, L2SqDistance, MinHashSig, MinHashSigMd5, ModeCount, SimHash64, SimHashMd5, StopwordHits, WinnowSig, WordKGrams}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -27,6 +27,8 @@ object GraftFunctions {
       (es: Seq[Expression]) => { arity("graft_dot", es, 2); DotProduct(es(0), es(1)) }),
     ("graft_cosine", info("graft_cosine", classOf[CosineSimilarity]),
       (es: Seq[Expression]) => { arity("graft_cosine", es, 2); CosineSimilarity(es(0), es(1)) }),
+    ("graft_l2sq", info("graft_l2sq", classOf[L2SqDistance]),
+      (es: Seq[Expression]) => { arity("graft_l2sq", es, 2); L2SqDistance(es(0), es(1)) }),
     ("graft_simhash", info("graft_simhash", classOf[SimHash64]),
       (es: Seq[Expression]) => { arity("graft_simhash", es, 1); SimHash64(es(0)) }),
     ("graft_minhash", info("graft_minhash", classOf[MinHashSig]),

@@ -35,6 +35,21 @@ class VectorExpressionsSpec extends SparkSuite {
     assert(mismatches === 0)
   }
 
+  test("graft_l2sq is bit-identical to the HOF l2sq on all fixture embeddings") {
+    val shifted = emb.select(
+      $"vec_id", $"embedding",
+      lead($"embedding", 1).over(
+        org.apache.spark.sql.expressions.Window.orderBy("vec_id")).as("other"))
+      .filter($"other".isNotNull)
+    // bit-identical, not just close: same difference/square/sum order
+    val mismatches = shifted.select(
+        VectorFunctions.l2Sq($"embedding", $"other").as("fast"),
+        VectorFunctions.l2SqHof($"embedding", $"other").as("slow"))
+      .filter($"fast" =!= $"slow")
+      .count()
+    assert(mismatches === 0)
+  }
+
   test("graft_cosine matches the HOF cosine on all fixture embeddings") {
     val paired = emb.as("a").crossJoin(emb.as("b").limit(3))
       .select(col("a.embedding").as("x"), col("b.embedding").as("y"))
