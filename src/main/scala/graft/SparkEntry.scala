@@ -2698,17 +2698,57 @@ object SparkEntry {
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     Q("doc_bpe_merges", // BPE training rounds (Sennrich et al. 2016),
-      // word-level: 3 merge decisions — relational pair counting + argmax
-      // per round, typed map for the sequential in-row rewrite. Driver
-      // scalars only for the 3 argmax pairs (the scalar-subquery
-      // pattern); rows-only (iterative rewrites aren't one SQL statement),
-      // pinned against an independent reference in TextAnalysisSpec.
+      // token-level: 3 merge decisions — relational pair counting + argmax
+      // per round, typed map for the sequential in-row rewrite. The oracle
+      // replays the greedy rewrite as a RECURSIVE CTE merging the leftmost
+      // occurrence per step (provably identical here: a merge of (a,b)
+      // can never create a new (a,b) adjacency, so repeated-leftmost ≡
+      // one greedy scan), and pairs order as a\\x01b strings — \\x01 sorts
+      // below every token char, so concat order equals tuple order.
+      // Independent reference also pinned in TextAnalysisSpec.
       (s, d) => {
         val merges = graft.operators.TextAnalysis
           .bpeTrain(t(s, d, "documents"), rounds = 3)
         s.createDataFrame(merges).orderBy("round")
       },
-      None),
+      Some {
+        def pairsOf(ts: String): String =
+          s"list_transform(range(1, greatest(len($ts), 1)), i -> $ts[i] || chr(1) || $ts[i+1])"
+        def round(r: Int, src: String): String =
+          s"""p$r AS (
+             |  SELECT u.p AS pr, COUNT(*) AS n FROM $src, unnest(${pairsOf("ts")}) AS u(p)
+             |  GROUP BY u.p ORDER BY n DESC, u.p LIMIT 1),
+             |m$r AS (
+             |  SELECT id, ts FROM $src
+             |  UNION
+             |  SELECT id, list_concat(list_concat(ts[1:lp-1],
+             |      [replace((SELECT pr FROM p$r), chr(1), '_')]), ts[lp+2:]) AS ts
+             |  FROM (SELECT id, ts,
+             |          list_position(${pairsOf("ts")}, (SELECT pr FROM p$r)) AS lp
+             |        FROM m$r)
+             |  WHERE lp IS NOT NULL AND lp > 0
+             |),
+             |c$r AS (SELECT id, ts FROM m$r
+             |  WHERE COALESCE(list_position(${pairsOf("ts")}, (SELECT pr FROM p$r)), 0) = 0)""".stripMargin
+        s"""WITH RECURSIVE c0 AS (
+           |  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+           |  FROM documents
+           |),
+           |${round(1, "c0")},
+           |${round(2, "c1")},
+           |${round(3, "c2")}
+           |SELECT * FROM (
+           |  SELECT 1 AS round, split_part(pr, chr(1), 1) AS first,
+           |    split_part(pr, chr(1), 2) AS second,
+           |    replace(pr, chr(1), '_') AS merged, n AS "count" FROM p1
+           |  UNION ALL
+           |  SELECT 2, split_part(pr, chr(1), 1), split_part(pr, chr(1), 2),
+           |    replace(pr, chr(1), '_'), n FROM p2
+           |  UNION ALL
+           |  SELECT 3, split_part(pr, chr(1), 1), split_part(pr, chr(1), 2),
+           |    replace(pr, chr(1), '_'), n FROM p3
+           |) ORDER BY round""".stripMargin
+      }),
 
     Q("doc_weighted_sample", // deterministic weighted sampling without
       // replacement (Efraimidis–Spirakis A-ES): key = u^(1/w), take the
