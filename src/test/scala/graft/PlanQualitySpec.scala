@@ -32,6 +32,16 @@ class PlanQualitySpec extends SparkSuite {
     assert(!p.contains("payload"), p.take(600))
   }
 
+  test("admission pipeline runs every gate in one scan and one data shuffle") {
+    val p = plan("doc_admission_report")
+    // one parquet scan (all features in a single pass over the corpus)
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") === 1, p.take(800))
+    // exchanges: the dup-window hash partitioning + the final presentation
+    // sort's range partitioning — nothing else may shuffle
+    val exchanges = p.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges <= 2, s"admission gates must not add shuffles ($exchanges):\n" + p.take(800))
+  }
+
   test("indexed LSH probe prunes bucket directories, not rows") {
     val df = SparkEntry.queries("emb_lsh_topk_indexed")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
