@@ -2086,6 +2086,9 @@ object SparkEntry {
         val daily = t(s, d, "events")
           .groupBy(date_trunc("day", col("ts")).as("day"))
           .agg(countDistinct("user_id").as("dau"))
+        // unpartitioned window BY DESIGN over the bounded day aggregate —
+        // the WindowExec "No Partition Defined" warning this logs is the
+        // audited, benign case (≤365 rows reach the single partition)
         val w = Window.orderBy(col("day")).rowsBetween(-6, Window.currentRow)
         daily
           .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("dau"),

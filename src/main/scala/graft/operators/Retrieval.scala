@@ -160,6 +160,10 @@ object Retrieval {
       vecCol: String = "embedding"): DataFrame = {
     import graft.functions.VectorFunctions
     graft.plans.GraftFunctions.register(docs.sparkSession)
+    // unpartitioned rank window BY DESIGN: it only ever sees the
+    // ≤`candidates` rows that survive each retriever's limit, so the
+    // WindowExec "No Partition Defined" warning is the audited, benign
+    // case here
     val wAll = org.apache.spark.sql.expressions.Window
       .orderBy(col("score").desc, col("id"))
     val bmRanks = bm25(docs, terms, idCol, textCol)
