@@ -41,10 +41,11 @@ object Graph {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().cache()
     val n = nodes.count()
-    // degree joined into the edge list ONCE: each round's DAG reuses the
-    // cached (src, dst, deg) instead of re-running the degree aggregation
-    val ed = e.join(e.groupBy("src").agg(count(lit(1)).cast("double").as("deg")),
-      "src").cache()
+    // the degree table is node-sized, not edge-sized: cache IT and join
+    // rank/deg on the small side each round, so the wide edge list is
+    // cached once bare and never re-materializes with annotations
+    val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
+      .cache()
     val small = n <= broadcastNodeLimit
     def rankSide(r: DataFrame): DataFrame =
       if (small) broadcast(r) else r
@@ -56,18 +57,26 @@ object Graph {
     var iter = 0
     var converged = false
     while (iter < iters && !converged) {
-      val mass = ed
-        .join(rankSide(ranks.withColumnRenamed("id", "src")), Seq("src"))
-        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+      // per-source contribution weight rank/deg computed on the two
+      // NODE-sized frames, then pushed into the edge join as one small
+      // side — the edge list streams through untouched
+      val contrib = deg
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("src"), (col("rank") / col("deg")).as("c"))
+      val mass = e
+        .join(rankSide(contrib), Seq("src"))
+        .select(col("dst").as("id"), col("c"))
         .groupBy("id").agg(sum("c").as("in_mass"))
       val next = nodes.join(mass, Seq("id"), "left_outer")
         .select(col("id"),
           (lit(teleport) + lit(damping) * coalesce(col("in_mass"), lit(0.0)))
             .as("rank"))
         // truncate the lineage: the rank vector is small (one row per
-        // node); materializing it per round keeps round k's plan from
-        // embedding rounds 1..k-1 and is what makes 20+ iterations viable
-        .localCheckpoint()
+        // node); checkpointing per round keeps round k's plan from
+        // embedding rounds 1..k-1 and is what makes 20+ iterations
+        // viable. LAZY: the next round's broadcast/shuffle materializes
+        // it anyway — eager would add a second driver barrier per round
+        .localCheckpoint(eager = false)
       if (tol > 0.0) {
         val delta = ranks.select(col("id"), col("rank").as("r0"))
           .join(next.select(col("id"), col("rank").as("r1")), Seq("id"))
@@ -80,7 +89,7 @@ object Graph {
     // the returned vector is checkpoint-backed (lineage truncated), so the
     // working caches can be dropped — a long-lived session running many
     // pageRank calls must not accumulate per-call cache entries
-    ed.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     e.unpersist(blocking = false)
     ranks
