@@ -938,6 +938,35 @@ object SparkEntry {
       Some("""SELECT o_orderpriority, COUNT(*) AS n, ROUND(AVG(o_totalprice), 2) AS avg_price
              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    Q("events_delete_propagation", // right-to-be-forgotten at 100 TB:
+      // deleting a user cohort (user_id % 97 = 0 stands in for the
+      // deletion list) updates the daily aggregate INCREMENTALLY — one
+      // narrow scan of only the deleted users' rows builds a delta that
+      // subtracts from the maintained aggregate, instead of a full
+      // recompute over the corpus. The oracle IS the full recompute:
+      // old − delta must equal the direct aggregate over survivors.
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val old = ev
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("n"), sum("value").as("v"))
+        // the deletion delta touches only the cohort's rows (a pushed-down
+        // predicate scan at scale, not a second full pass)
+        val delta = ev.filter(pmod(col("user_id"), lit(97)) === 0)
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("dn"), sum("value").as("dv"))
+        old.join(delta, Seq("day"), "left_outer")
+          .select(col("day").cast("string").as("day"),
+            (col("n") - coalesce(col("dn"), lit(0L))).as("n"),
+            round(col("v") - coalesce(col("dv"), lit(0.0)), 2).as("total_value"))
+          .filter(col("n") > 0)
+          .orderBy("day")
+      },
+      Some("""SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, COUNT(*) AS n,
+             |ROUND(SUM(value), 2) AS total_value
+             |FROM events WHERE user_id % 97 <> 0
+             |GROUP BY CAST(ts AS DATE) ORDER BY day""".stripMargin)),
+
     Q("subq_q17_small_qty", // TPC-H Q17 shape: correlated scalar subquery;
       // Catalyst decorrelates it into a per-partkey aggregate joined back —
       // no per-row re-execution (plan pinned in PlanQualitySpec)
