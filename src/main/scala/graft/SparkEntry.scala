@@ -3293,6 +3293,36 @@ object SparkEntry {
       },
       Some(LshOracle.lshTopKSql)),
 
+    Q("emb_drift_report", // distribution-shift monitor between two corpus
+      // cohorts (vec_id parity stands in for yesterday/today snapshots):
+      // per-dimension mean shift, top-10 drifting dimensions. One
+      // posexplode + one (cohort, dim)-keyed aggregation — the shape that
+      // monitors a 100 TB embedding store without ever joining vectors.
+      (s, d) => t(s, d, "embeddings")
+        .select(when(pmod(col("vec_id"), lit(2)) === 0, "a").otherwise("b").as("cohort"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("dim")
+        .agg(
+          avg(when(col("cohort") === "a", col("x"))).as("mean_a"),
+          avg(when(col("cohort") === "b", col("x"))).as("mean_b"))
+        .select(col("dim"), round(col("mean_a"), 6).as("mean_a"),
+          round(col("mean_b"), 6).as("mean_b"),
+          round(abs(col("mean_a") - col("mean_b")), 6).as("abs_shift"))
+        .orderBy(col("abs_shift").desc, col("dim")).limit(10),
+      Some("""WITH x AS (
+             |  SELECT CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS cohort,
+             |    t.dim - 1 AS dim, CAST(embedding[t.dim] AS DOUBLE) AS x
+             |  FROM embeddings, range(1, 65) AS t(dim)
+             |), m AS (
+             |  SELECT dim,
+             |    AVG(CASE WHEN cohort = 'a' THEN x END) AS mean_a,
+             |    AVG(CASE WHEN cohort = 'b' THEN x END) AS mean_b
+             |  FROM x GROUP BY dim
+             |)
+             |SELECT dim, ROUND(mean_a, 6) AS mean_a, ROUND(mean_b, 6) AS mean_b,
+             |  ROUND(ABS(mean_a - mean_b), 6) AS abs_shift
+             |FROM m ORDER BY abs_shift DESC, dim LIMIT 10""".stripMargin)),
+
     Q("emb_lsh_topk_indexed", // the same probe through a PERSISTED
       // LSH-bucketed layout: Hive-partitioned by bucket id, so the probe
       // set prunes directories (PartitionFilters) instead of filtering a
