@@ -617,6 +617,33 @@ object SparkEntry {
              |            WHEN 'zh' THEN '1a' ELSE '00' END
              |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    Q("doc_mixture_sample", // dataset mixing to a target recipe: each
+      // source gets a budget from its mixture weight (here 2·(i mod 4 + 1)
+      // docs for source srcI — a 100-doc recipe over 20 sources), filled
+      // with the budget-many smallest md5(doc_id) of that source. Hash
+      // order makes the recipe reproducible across engines, runs and
+      // re-partitionings — the property a training "data recipe" needs —
+      // and the whole selection is one window over (source, hash).
+      (s, d) => {
+        val idx = regexp_extract(col("source"), "src(\\d+)", 1).cast("int")
+        val w = Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        t(s, d, "documents")
+          .withColumn("budget", (pmod(idx, lit(4)) + 1) * 2)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= col("budget"))
+          .select("doc_id", "source")
+          .orderBy("doc_id")
+      },
+      Some("""WITH r AS (
+             |  SELECT doc_id, source,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             |    2 * (CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) % 4 + 1) AS budget
+             |  FROM documents)
+             |SELECT doc_id, source FROM r WHERE rn <= budget
+             |ORDER BY doc_id""".stripMargin)),
+
     Q("agg_heavy_hitters", // two-pass EXACT heavy hitters: Misra-Gries
       // candidate sketch (no shuffle) + exact recount of candidates only
       // through a pushed-down IN filter — 2 narrow scans instead of a
