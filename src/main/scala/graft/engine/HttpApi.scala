@@ -42,7 +42,7 @@ object HttpApi {
               case 'n' => sb += '\n'; i += 2
               case 't' => sb += '\t'; i += 2
               case 'r' => sb += '\r'; i += 2
-              case 'u' if i + 5 < raw.length + 1 =>
+              case 'u' if i + 6 <= raw.length =>
                 sb += Integer.parseInt(raw.substring(i + 2, i + 6), 16).toChar
                 i += 6
               case other => sb += other; i += 2

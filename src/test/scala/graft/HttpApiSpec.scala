@@ -73,5 +73,8 @@ class HttpApiSpec extends SparkSuite {
     assert(HttpApi.extractQuery("""{"query": "a \"quoted\" word"}""") ===
       Some("""a "quoted" word"""))
     assert(HttpApi.extractQuery("""{"query": "tab\tend"}""") === Some("tab\tend"))
+    assert(HttpApi.extractQuery("""{"query": "ok \u0041"}""") === Some("ok A"))
+    // a truncated \uXX escape must not throw
+    assert(HttpApi.extractQuery("{\"query\": \"bad \\u12\"}").isDefined)
   }
 }
