@@ -3129,18 +3129,26 @@ object SparkEntry {
 
     Q("cust_fuzzy_pairs", // entity resolution: bounded-Levenshtein name
       // pairs blocked by nation (threshold-bounded levenshtein abandons a
-      // pair at k+1, so cost is O(k·len) per pair, not O(len²))
+      // pair at k+1, so cost is O(k·len) per pair, not O(len²)); each
+      // block capped at its 10000 lowest ids — the structural guard that
+      // keeps a degenerate blocking key from going quadratic, mirrored in
+      // the oracle
       (s, d) => Dedup.editDistancePairs(
           t(s, d, "customer"), blockCol = "c_nationkey",
           strCol = "c_name", idCol = "c_custkey", maxDist = 2)
         .groupBy(col("blk").as("nationkey"))
         .agg(count(lit(1)).as("n_pairs"), min(col("dist")).as("min_dist"))
         .orderBy("nationkey"),
-      Some("""SELECT a.c_nationkey AS nationkey, COUNT(*) AS n_pairs,
+      Some("""WITH c AS (
+             |  SELECT c_nationkey, c_custkey, c_name,
+             |    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+             |  FROM customer)
+             |SELECT a.c_nationkey AS nationkey, COUNT(*) AS n_pairs,
              |MIN(levenshtein(a.c_name, b.c_name)) AS min_dist
-             |FROM customer a JOIN customer b
+             |FROM c a JOIN c b
              |ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
-             |WHERE levenshtein(a.c_name, b.c_name) <= 2
+             |WHERE a.rn <= 10000 AND b.rn <= 10000
+             |AND levenshtein(a.c_name, b.c_name) <= 2
              |GROUP BY a.c_nationkey ORDER BY nationkey""".stripMargin)),
 
     Q("doc_hybrid_rrf", // hybrid retrieval: BM25 ∪ vector candidates fused

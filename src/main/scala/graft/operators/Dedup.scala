@@ -421,17 +421,28 @@ object Dedup {
     * distance exceeds k, so cost per pair is O(k·min(len)) not O(len²) —
     * at a 100 TB corpus that bound is the difference between a feasible
     * and an impossible pass.
+    *
+    * `maxBlock` is the structural skew cap (the [[cappedPostings]]
+    * contract applied to blocks): only each block's `maxBlock` lowest ids
+    * participate, so a degenerate blocking key cannot go quadratic past
+    * maxBlock² — production picks a key whose blocks fit the cap; the cap
+    * is the guard rail, deterministic and oracle-mirrorable.
     */
   def editDistancePairs(
       df: DataFrame,
       blockCol: String,
       strCol: String,
       idCol: String = "doc_id",
-      maxDist: Int = 2): DataFrame = {
+      maxDist: Int = 2,
+      maxBlock: Int = 10000): DataFrame = {
     require(maxDist >= 0, "maxDist must be >= 0")
     val shufflePartitions = df.sparkSession.sessionState.conf.numShufflePartitions
-    val d = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      col(strCol).as("s"), length(col(strCol)).as("len"))
+    val wBlk = Window.partitionBy(col(blockCol)).orderBy(col(idCol))
+    val d = df
+      .withColumn("_rnblk", row_number().over(wBlk))
+      .filter(col("_rnblk") <= maxBlock)
+      .select(col(blockCol).as("blk"), col(idCol).as("id"),
+        col(strCol).as("s"), length(col(strCol)).as("len"))
     val a = d.select(col("blk"), col("id").as("id_a"), col("s").as("s_a"),
       col("len").as("len_a"))
       .repartition(shufflePartitions)
