@@ -3559,8 +3559,8 @@ object SparkEntry {
 
   // Multimodal plumbing (north-star): binary payload + typed metadata over
   // a media table synthesized deterministically from `documents`, so the
-  // metadata math is DuckDB-expressible while the decode stub stays
-  // Spark-side (schema/partitioning/batch shape are the real contract).
+  // metadata/container math is DuckDB-expressible while the pure-Scala
+  // codecs (PPM/WAV/AVI) decode the payloads Spark-side.
   private def mmQueries: Seq[Q] = Seq(
     Q("mm_metadata_pruned", // metadata-only projection; binary col pruned
       (s, d) => graft.operators.Multimodal.metadataOnly(
@@ -3584,11 +3584,11 @@ object SparkEntry {
              |FROM documents WHERE CAST(doc_id % 3 AS INT) = 2
              |ORDER BY media_id""".stripMargin)),
 
-    Q("mm_features", // mapPartitions batch decode. Image rows REALLY
-      // decode: the oracle reproduces the P6 payload arithmetic (header
-      // bytes + 3·w·h pixels) and the parsed dimensions; the decoded-pixel
-      // feature vector itself is pinned in MultimodalSpec. Audio/video
-      // rows go through the documented stub codec.
+    Q("mm_features", // mapPartitions batch decode. Every modality REALLY
+      // decodes (P6 PPM / RIFF WAVE / uncompressed-DIB AVI): the oracle
+      // reproduces each container's payload arithmetic and the
+      // parsed-header dimensions; the decoded-pixel/sample feature
+      // vectors themselves are pinned in MultimodalSpec.
       (s, d) => graft.operators.Multimodal.extractFeatures(s,
           graft.operators.Multimodal.synthesizeFromDocuments(t(s, d, "documents")))
         .toDF().select("media_id", "modality", "n_bytes", "width", "height")
@@ -3598,7 +3598,9 @@ object SparkEntry {
              |    (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
              |    4 + doc_id % 5 AS w, 4 + (doc_id // 5) % 5 AS h,
              |    -- WAV data length: text bytes padded to a whole s16 sample
-             |    octet_length(encode(text)) + octet_length(encode(text)) % 2 AS dl
+             |    octet_length(encode(text)) + octet_length(encode(text)) % 2 AS dl,
+             |    -- AVI frame count: text bytes padded to whole 4×4×3 planes
+             |    greatest(1, (octet_length(encode(text)) + 47) // 48) AS nf
              |  FROM documents)
              |SELECT doc_id AS media_id, modality,
              |CASE WHEN modality = 'image'
@@ -3606,13 +3608,14 @@ object SparkEntry {
              |  THEN CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
              |       + 3 * w * h AS INT)
              |  WHEN modality = 'audio' THEN CAST(44 + dl AS INT) -- RIFF header + PCM
-             |  ELSE CAST(octet_length(encode(text)) AS INT) END AS n_bytes,
+             |  -- RIFF+hdrl scaffolding is 224 B; each '00db' frame chunk 8+48 B
+             |  ELSE CAST(224 + nf * 56 AS INT) END AS n_bytes,
              |CASE WHEN modality = 'image' THEN CAST(w AS INT)
              |  WHEN modality = 'audio' THEN CAST(dl // 2 AS INT) -- decoded sample count
-             |  ELSE CAST(16 + octet_length(encode(text)) % 64 AS INT) END AS width,
+             |  ELSE 4 END AS width, -- video: BITMAPINFOHEADER dims
              |CASE WHEN modality = 'image' THEN CAST(h AS INT)
              |  WHEN modality = 'audio' THEN 0
-             |  ELSE CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INT) END AS height
+             |  ELSE 4 END AS height
              |FROM m ORDER BY media_id""".stripMargin)))
 
   // -- driver contract ------------------------------------------------------

@@ -9,14 +9,19 @@ import org.apache.spark.sql.types._
   * stages run as `mapPartitions` over a typed Dataset (the Scala analogue of
   * `mapInPandas` batch UDFs — one iterator per partition, amortized setup).
   *
-  * IMAGE rows carry REAL payloads: binary P6 PPM (netpbm), parsed by
-  * [[PpmCodec]] — a complete pure-Scala decoder (magic, comments,
-  * whitespace grammar, maxval, pixel plane) with features computed from
-  * the actually-decoded pixels, and a real nearest-neighbor resampler in
-  * [[resize]]. Audio/video payloads stay opaque byte streams behind the
-  * clearly-marked [[FakeCodec]] stand-in (this container ships no
-  * audio/video libraries); the contract — bytes in, fixed-width feature
-  * vector + dimensions out — is identical, so a JNI/JavaCV codec swaps in
+  * All three modalities carry REAL payloads decoded by complete pure-Scala
+  * parsers (this container ships no media libraries, so each codec targets
+  * the canonical uncompressed form of a public format):
+  *   - IMAGE: binary P6 PPM (netpbm) via [[PpmCodec]] — magic, comments,
+  *     whitespace grammar, maxval, pixel plane — with features computed
+  *     from the actually-decoded pixels and a real nearest-neighbor
+  *     resampler in [[resize]];
+  *   - AUDIO: RIFF/WAVE PCM s16le mono via [[WavCodec]], chunk-by-chunk;
+  *   - VIDEO: AVI via [[AviCodec]] — RIFF chunk tree (hdrl → strl → strf
+  *     BITMAPINFOHEADER, movi frame list) with uncompressed BI_RGB 24-bit
+  *     DIB frames unpacked from bottom-up padded BGR rows.
+  * The shared contract — bytes in, dimensions + fixed-width feature vector
+  * out — is what a JNI/JavaCV codec for compressed formats would slot into
   * per modality.
   *
   * Scale notes: payload bytes never pass through a shuffle here — all
@@ -200,26 +205,153 @@ object Multimodal {
     }
   }
 
-  /** ??? real video codec goes here ??? — deterministic fake for the
-    * video modality: "decodes" a payload into dimensions derived from
-    * its length and a 16-dim feature vector from a rolling byte hash. Same
-    * signature a real decoder would have.
+  /** REAL video codec: AVI — a RIFF container holding one uncompressed
+    * 24-bit BI_RGB DIB video stream (`'vids'`/`'DIB '`, biCompression 0),
+    * the canonical uncompressed-video form any AVI tool reads and writes.
+    * [[decode]] walks the RIFF chunk tree (hdrl → strl → strf
+    * BITMAPINFOHEADER for dimensions and pixel format, the movi list for
+    * `00db`/`00dc` frame chunks, even-byte chunk padding) and unpacks each
+    * frame's bottom-up, 4-byte-row-aligned BGR plane into top-down packed
+    * RGB. Pure Scala, no native deps.
     */
-  object FakeCodec {
+  object AviCodec {
     val featureDim = 16
-    def decode(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
-      val n = if (bytes == null) 0 else bytes.length
-      val w = 16 + (n % 64) // fake "width"
-      val h = 16 + ((n / 64) % 64) // fake "height"
-      val feats = new Array[Float](featureDim)
-      var acc = 1469598103934665603L
-      var i = 0
-      while (i < n) {
-        acc = acc * 1099511628211L + (bytes(i) & 0xff)
-        feats(i % featureDim) += ((acc >>> 40) & 0xff).toFloat / 255f
-        i += 1
+
+    /** Frames are top-down packed RGB, `3·w·h` bytes each. Emits 1 fps
+      * timing and the same fixed header fields [[synthesizeFromDocuments]]
+      * assembles from column expressions, so encode is its exact twin.
+      */
+    def encode(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      require(frames.forall(_.length == 3 * w * h), s"need ${3 * w * h} bytes per frame")
+      val stride = (w * 3 + 3) / 4 * 4
+      val frameBytes = stride * h
+      val moviSize = 4 + frames.length * (8 + frameBytes)
+      val bb = java.nio.ByteBuffer.allocate(8 + 4 + 200 + 8 + moviSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+      tag("RIFF"); bb.putInt(4 + 200 + 8 + moviSize); tag("AVI ")
+      tag("LIST"); bb.putInt(192); tag("hdrl")
+      tag("avih"); bb.putInt(56)
+      bb.putInt(1000000).putInt(0).putInt(0).putInt(0) // µs/frame, maxBps, padGran, flags
+        .putInt(frames.length).putInt(0).putInt(1).putInt(frameBytes + 8) // totalFrames, initial, streams, sugBuf
+        .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0) // dims + reserved[4]
+      tag("LIST"); bb.putInt(116); tag("strl")
+      tag("strh"); bb.putInt(56)
+      tag("vids"); tag("DIB ")
+      bb.putInt(0).putInt(0).putInt(0) // flags, prio+lang, initialFrames
+        .putInt(1).putInt(1).putInt(0) // scale, rate, start
+        .putInt(frames.length).putInt(frameBytes + 8).putInt(0).putInt(0) // length, sugBuf, quality, sampleSize
+        .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort) // rcFrame
+      tag("strf"); bb.putInt(40)
+      bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24) // BITMAPINFOHEADER
+        .putInt(0).putInt(frameBytes).putInt(0).putInt(0).putInt(0).putInt(0)
+      tag("LIST"); bb.putInt(moviSize); tag("movi")
+      frames.foreach { rgb =>
+        tag("00db"); bb.putInt(frameBytes)
+        var y = h - 1 // stored rows are bottom-up BGR
+        while (y >= 0) {
+          var x = 0
+          while (x < w) {
+            val s = 3 * (y * w + x)
+            bb.put(rgb(s + 2)).put(rgb(s + 1)).put(rgb(s))
+            x += 1
+          }
+          var p = w * 3
+          while (p < stride) { bb.put(0.toByte); p += 1 }
+          y -= 1
+        }
       }
-      (w, h, feats)
+      bb.array()
+    }
+
+    /** None for anything that isn't a complete uncompressed-DIB AVI.
+      * Returns (width, height, frames as top-down packed RGB).
+      */
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]])] = {
+      if (bytes == null || bytes.length < 12) return None
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII")
+      }
+      if (tag() != "RIFF") return None
+      bb.getInt // trust the chunk walk, not the declared size
+      if (tag() != "AVI ") return None
+      var w = 0; var biH = 0; var haveFmt = false
+      val stored = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      def walk(end: Int): Boolean = { // false on malformed
+        while (bb.position() + 8 <= end) {
+          val id = tag(); val size = bb.getInt
+          if (size < 0 || bb.position() + size > end) return false
+          val next = math.min(bb.position() + size + (size & 1), end) // RIFF pads chunks to even
+          id match {
+            case "LIST" =>
+              val lt = tag()
+              if ((lt == "hdrl" || lt == "strl" || lt == "movi") &&
+                !walk(bb.position() + size - 4)) return false
+            case "strf" =>
+              if (size < 40 || haveFmt) return false
+              bb.getInt // biSize (≥40; trailing palette bytes are skipped by `next`)
+              w = bb.getInt; biH = bb.getInt
+              val planes = bb.getShort; val bits = bb.getShort
+              val compression = bb.getInt
+              if (w <= 0 || biH == 0 || planes != 1 || bits != 24 ||
+                compression != 0) return false // BI_RGB only
+              haveFmt = true
+            case "00db" | "00dc" =>
+              val f = new Array[Byte](size); bb.get(f); stored += f
+            case _ => // strh/avih/JUNK/idx1/...: sized skip
+          }
+          bb.position(next)
+        }
+        true
+      }
+      if (!walk(bytes.length) || !haveFmt) return None
+      val h = math.abs(biH) // negative biHeight = stored top-down
+      val bottomUp = biH > 0
+      val stride = (w * 3 + 3) / 4 * 4
+      if (stored.exists(_.length != stride * h)) return None
+      val frames = stored.map { f =>
+        val rgb = new Array[Byte](3 * w * h)
+        var y = 0
+        while (y < h) {
+          val sy = if (bottomUp) h - 1 - y else y
+          var x = 0
+          while (x < w) {
+            val s = sy * stride + 3 * x; val d = 3 * (y * w + x)
+            rgb(d) = f(s + 2); rgb(d + 1) = f(s + 1); rgb(d + 2) = f(s)
+            x += 1
+          }
+          y += 1
+        }
+        rgb
+      }
+      Some((w, h, frames.toSeq))
+    }
+
+    /** Same formula as [[PpmCodec.features]], pooled across every decoded
+      * frame: [0..2] mean R/G/B in [0,1], [3..15] a 13-bin ITU-R 601
+      * luminance histogram (fractions).
+      */
+    def features(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Float] = {
+      val f = new Array[Float](featureDim)
+      val n = w * h * frames.length
+      if (n == 0) return f
+      frames.foreach { rgb =>
+        var i = 0
+        while (i < w * h) {
+          val r = rgb(3 * i) & 0xff
+          val g = rgb(3 * i + 1) & 0xff
+          val b = rgb(3 * i + 2) & 0xff
+          f(0) += r; f(1) += g; f(2) += b
+          val lum = (r * 299 + g * 587 + b * 114) / 1000
+          f(3 + lum * 13 / 256) += 255f
+          i += 1
+        }
+      }
+      var j = 0
+      while (j < featureDim) { f(j) /= (255f * n); j += 1 }
+      f
     }
   }
 
@@ -229,8 +361,9 @@ object Multimodal {
     * 4–8 × 4–8 px, pixel channels a deterministic function of doc_id,
     * restricted to the ASCII range so the payload assembles from pure
     * column expressions — the whole synthesis stays codegen'd and
-    * column-prunable, no UDF). Audio/video rows keep the opaque text-byte
-    * payload.
+    * column-prunable, no UDF). Audio rows carry a genuine RIFF/WAVE PCM
+    * payload and video rows a genuine uncompressed-DIB AVI, both with the
+    * text bytes as the sample/pixel stream.
     */
   def synthesizeFromDocuments(docs: DataFrame): DataFrame = {
     val modality = element_at(typedLit(Seq("image", "audio", "video")),
@@ -261,16 +394,50 @@ object Multimodal {
       unhex(concat(lit("52494646"), le32(dataLen + 36), lit(wavFixed), le32(dataLen))),
       tb,
       when(pmod(length(tb), lit(2)) === 1, unhex(lit("00"))).otherwise(unhex(lit(""))))
+    // video: a genuine AVI — RIFF('AVI ') with a 200-byte hdrl list (avih +
+    // one 'vids'/'DIB ' stream header + BITMAPINFOHEADER at 4×4×24bpp
+    // BI_RGB) and a movi list of '00db' frames whose stored DIB planes are
+    // the text bytes (any byte is a valid BGR sample; 4 px × 3 B = 12 B
+    // rows are already 4-byte aligned), space-padded to whole 48-byte
+    // frames. Every little-endian length/count field assembles through
+    // hex + unhex, keeping the synthesis pure column expressions that
+    // AviCodec.encode reproduces byte-for-byte.
+    val nFrames = greatest(lit(1), floor((length(tb) + lit(47)) / lit(48)).cast("int"))
+    val framePad = (nFrames * 48 - length(tb)).cast("int")
+    val aviFixedA = // LIST 192 'hdrl'; 'avih' 56: 1e6 µs/frame, maxBps/padGran/flags 0
+      "4c495354c00000006864726c617669683800000040420f00" + "00" * 12
+    val aviFixedB = // avih tail: initialFrames 0, streams 1, sugBuf 56, 4×4, reserved[4];
+      // LIST 116 'strl'; 'strh' 56: 'vids'/'DIB ', flags/prio/initFrames 0,
+      // scale 1, rate 1, start 0
+      "0000000001000000380000000400000004000000" + "00" * 16 +
+        "4c495354740000007374726c7374726838000000" +
+        "7669647344494220" + "00" * 12 + "010000000100000000000000"
+    val aviFixedC = // strh tail: sugBuf 56, quality/sampleSize 0, rcFrame {0,0,4,4};
+      // 'strf' 40: BITMAPINFOHEADER 40, 4×4, planes 1 + 24bpp, BI_RGB,
+      // sizeImage 48, x/y ppm + palette counts 0; then the movi LIST tag
+      "380000000000000000000000" + "0000000004000400" +
+        "737472662800000028000000040000000400000001001800000000003000000" +
+        "0" + "00" * 16 + "4c495354"
+    val aviHead = unhex(concat(
+      lit("52494646"), le32(nFrames * 56 + 216), lit("41564920" + aviFixedA),
+      le32(nFrames), lit(aviFixedB), le32(nFrames), lit(aviFixedC),
+      le32(nFrames * 56 + 4), lit("6d6f7669")))
+    val paddedPixels = // empty text still needs one whole 48-byte frame
+      concat(tb, encode(lit(" " * 48), "UTF-8").substr(lit(1), framePad))
+    val avi = concat(aviHead,
+      aggregate(sequence(lit(0), nFrames - 1), lit(Array.emptyByteArray),
+        (acc, i) => concat(acc, unhex(lit("3030646230000000")), // '00db' 48
+          paddedPixels.substr(i * 48 + 1, lit(48)))))
     docs.select(
       col("doc_id").as("media_id"),
       modality.as("modality"),
       when(modality === "image", encode(concat(ppmHeader, pixels), "UTF-8"))
         .when(modality === "audio", wav)
-        .otherwise(encode(col("text"), "UTF-8")).as("content"),
+        .otherwise(avi).as("content"),
       struct(
         when(modality === "image", lit("image/x-portable-pixmap"))
           .when(modality === "audio", lit("audio/wav"))
-          .otherwise(lit("application/octet-stream")).as("mime"),
+          .otherwise(lit("video/x-msvideo")).as("mime"),
         lit(null).cast(IntegerType).as("width"), // decode fills dimensions
         lit(null).cast(IntegerType).as("height"),
         (length(col("text")) * 10L).as("duration_ms"),
@@ -302,9 +469,16 @@ object Multimodal {
                 // the sample count, features from the decoded stream
                 MediaFeatures(r.media_id, r.modality, nBytes,
                   samples.length, 0, WavCodec.features(samples))
-              case None => // remaining payloads (video): stub stand-in
-                val (w, h, f) = FakeCodec.decode(r.content)
-                MediaFeatures(r.media_id, r.modality, nBytes, w, h, f)
+              case None => AviCodec.decode(r.content) match {
+                case Some((w, h, frames)) => // real video decode: dims from
+                  // BITMAPINFOHEADER, features pooled over decoded frames
+                  MediaFeatures(r.media_id, r.modality, nBytes, w, h,
+                    AviCodec.features(w, h, frames))
+                case None => // unparseable payload: zero vector, 0×0 —
+                  // honest "no decode", never fabricated features
+                  MediaFeatures(r.media_id, r.modality, nBytes, 0, 0,
+                    new Array[Float](PpmCodec.featureDim))
+              }
             }
           }
         }

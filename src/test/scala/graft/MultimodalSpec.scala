@@ -26,14 +26,22 @@ class MultimodalSpec extends SparkSuite {
       .orderBy("media_id").limit(5).collect()
     val f2 = Multimodal.extractFeatures(spark, media)
       .orderBy("media_id").limit(5).collect()
-    assert(f1.forall(_.features.length === Multimodal.FakeCodec.featureDim))
+    assert(f1.forall(_.features.length === Multimodal.PpmCodec.featureDim))
     assert(f1.map(_.features.toSeq).toSeq === f2.map(_.features.toSeq).toSeq)
     assert(f1.forall(r => r.n_bytes > 0))
   }
 
-  test("codec handles null/empty payloads") {
-    val (w, h, f) = Multimodal.FakeCodec.decode(null)
-    assert(w === 16 && h === 16 && f.length === Multimodal.FakeCodec.featureDim)
+  test("codecs reject null payloads; unparseable bytes yield an honest zero row") {
+    assert(Multimodal.PpmCodec.decode(null).isEmpty)
+    assert(Multimodal.WavCodec.decode(null).isEmpty)
+    assert(Multimodal.AviCodec.decode(null).isEmpty)
+    val junk = Seq(Multimodal.MediaRow(1L, "video", "not a container".getBytes,
+      None, None, None, None, None)).toDF()
+      .select($"media_id", $"modality", $"content",
+        org.apache.spark.sql.functions.struct($"mime", $"width", $"height",
+          $"duration_ms", $"sample_rate").as("meta"))
+    val r = Multimodal.extractFeatures(spark, junk).collect().head
+    assert(r.width === 0 && r.height === 0 && r.features.forall(_ === 0f))
   }
 
   test("frameSampleTimestamps: ~1 frame per second of fake duration") {
@@ -131,6 +139,69 @@ class MultimodalSpec extends SparkSuite {
       val Some((rate, samples)) = Multimodal.WavCodec.decode(r.getAs[Array[Byte]](1))
       assert(rate === 16000, s"id=${r.getLong(0)}")
       assert(samples.length === (r.getAs[Array[Byte]](1).length - 44) / 2)
+    }
+  }
+
+  // -- real AVI codec -------------------------------------------------------
+
+  test("AviCodec roundtrip: encode → decode is the identity") {
+    val frames = Seq.tabulate(3)(f =>
+      Array.tabulate(3 * 5 * 4)(i => ((i * 31 + f * 7) % 256).toByte))
+    val Some((w, h, back)) = Multimodal.AviCodec.decode(
+      Multimodal.AviCodec.encode(5, 4, frames))
+    assert(w === 5 && h === 4 && back.length === 3)
+    assert(back.map(_.toSeq) === frames.map(_.toSeq))
+  }
+
+  test("AviCodec handles row stride padding (width not a multiple of 4)") {
+    // 5 px × 3 B = 15 B rows stored at stride 16 — decode must skip the pad
+    val frame = Array.tabulate(3 * 5 * 2)(i => (i + 1).toByte)
+    val Some((w, h, back)) = Multimodal.AviCodec.decode(
+      Multimodal.AviCodec.encode(5, 2, Seq(frame)))
+    assert(w === 5 && h === 2 && back.head.toSeq === frame.toSeq)
+  }
+
+  test("AviCodec rejects malformed and compressed payloads") {
+    val ok = Multimodal.AviCodec.encode(4, 4, Seq(new Array[Byte](48)))
+    assert(Multimodal.AviCodec.decode(ok).isDefined)
+    assert(Multimodal.AviCodec.decode(ok.take(40)).isEmpty)
+    val notAvi = ok.clone; notAvi(8) = 'X'.toByte // 'AVI ' fourcc
+    assert(Multimodal.AviCodec.decode(notAvi).isEmpty)
+    // biCompression lives at strf data offset +16; flip BI_RGB → BI_RLE8
+    val compressed = ok.clone
+    val strf = {
+      var i = 0
+      while (!(compressed(i) == 's' && compressed(i + 1) == 't' &&
+        compressed(i + 2) == 'r' && compressed(i + 3) == 'f')) i += 1
+      i + 8
+    }
+    compressed(strf + 16) = 1
+    assert(Multimodal.AviCodec.decode(compressed).isEmpty)
+  }
+
+  test("AviCodec features pool over every decoded frame") {
+    // frame 1 all-red, frame 2 all-blue ⇒ means R = B = 0.5, G = 0
+    val red = Array.tabulate(3 * 16)(i => if (i % 3 == 0) 255.toByte else 0.toByte)
+    val blue = Array.tabulate(3 * 16)(i => if (i % 3 == 2) 255.toByte else 0.toByte)
+    val f = Multimodal.AviCodec.features(4, 4, Seq(red, blue))
+    assert(math.abs(f(0) - 0.5f) < 1e-6 && f(1) === 0.0f &&
+      math.abs(f(2) - 0.5f) < 1e-6)
+    assert(f.slice(3, 16).sum > 0.99f) // histogram mass ≈ 1
+  }
+
+  test("synthesized video rows are genuine decodable AVIs the encoder reproduces") {
+    val rows = media.filter($"modality" === "video").limit(10)
+      .select("media_id", "content").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bytes = r.getAs[Array[Byte]](1)
+      val Some((w, h, frames)) = Multimodal.AviCodec.decode(bytes)
+      assert(w === 4 && h === 4, s"id=${r.getLong(0)}")
+      assert(bytes.length === 224 + frames.length * 56)
+      // encode ∘ decode reproduces the column-assembled payload exactly —
+      // the Scala encoder and the SQL-expression synthesis are twins
+      assert(Multimodal.AviCodec.encode(w, h, frames).toSeq === bytes.toSeq,
+        s"id=${r.getLong(0)}")
     }
   }
 
