@@ -59,15 +59,17 @@ object Graph {
     while (iter < iters && !converged) {
       // per-source contribution weight rank/deg computed on the two
       // NODE-sized frames, then pushed into the edge join as one small
-      // side — the edge list streams through untouched
+      // side — the edge list streams through untouched. Every node-sized
+      // join rides the same broadcast threshold, so below the limit the
+      // ONLY shuffle per round is the destination-key aggregation
       val contrib = deg
-        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .join(rankSide(ranks.withColumnRenamed("id", "src")), Seq("src"))
         .select(col("src"), (col("rank") / col("deg")).as("c"))
       val mass = e
         .join(rankSide(contrib), Seq("src"))
         .select(col("dst").as("id"), col("c"))
         .groupBy("id").agg(sum("c").as("in_mass"))
-      val next = nodes.join(mass, Seq("id"), "left_outer")
+      val next = nodes.join(rankSide(mass), Seq("id"), "left_outer")
         .select(col("id"),
           (lit(teleport) + lit(damping) * coalesce(col("in_mass"), lit(0.0)))
             .as("rank"))
