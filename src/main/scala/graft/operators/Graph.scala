@@ -12,10 +12,10 @@ object Graph {
 
   /** Up to `iters` rounds of PageRank (Page et al. 1999) over a directed
     * edge list (src, dst), damping 0.85. Each round joins the rank vector
-    * against the degree-annotated edge list (built ONCE, cached — the
-    * degree aggregation never re-runs inside the loop), aggregates
-    * contributions on the destination key, and left-joins back to the
-    * node set so sources without in-edges keep the teleport mass.
+    * (which carries the out-degree, attached once before the loop — the
+    * degree aggregation never re-runs) against the bare cached edge list,
+    * aggregates contributions on the destination key, and left-joins back
+    * to the node set so sources without in-edges keep the teleport mass.
     *
     * Scale shape: while the node count is at most `broadcastNodeLimit`
     * the rank vector rides a broadcast — every round is then ONE shuffle
@@ -39,13 +39,16 @@ object Graph {
       tol: Double = 0.0, broadcastNodeLimit: Long = 10000000L): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct().cache()
     val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().cache()
-    val n = nodes.count()
-    // the degree table is node-sized, not edge-sized: cache IT and join
-    // rank/deg on the small side each round, so the wide edge list is
+      .union(e.select(col("dst").as("id"))).distinct()
+    // the out-degree is loop-invariant and node-sized: attach it to the
+    // node set ONCE and let it ride inside the rank vector, so every
+    // round is a single edge-scan join + destination-key aggregation —
+    // no separate per-round degree join, and the wide edge list is
     // cached once bare and never re-materializes with annotations
-    val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
-      .cache()
+    val deg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).cast("double").as("deg"))
+    val nd = nodes.join(deg, Seq("id"), "left_outer").cache()
+    val n = nd.count()
     val small = n <= broadcastNodeLimit
     def rankSide(r: DataFrame): DataFrame =
       if (small) broadcast(r) else r
@@ -53,24 +56,21 @@ object Graph {
     // oracle runs: (1 − d)/n evaluated as 0.15/n, not as a pre-reduced
     // Scala constant with different rounding
     val teleport = (1.0 - damping) / n
-    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    var ranks = nd.withColumn("rank", lit(1.0 / n))
     var iter = 0
     var converged = false
     while (iter < iters && !converged) {
-      // per-source contribution weight rank/deg computed on the two
-      // NODE-sized frames, then pushed into the edge join as one small
-      // side — the edge list streams through untouched. Every node-sized
-      // join rides the same broadcast threshold, so below the limit the
-      // ONLY shuffle per round is the destination-key aggregation
-      val contrib = deg
-        .join(rankSide(ranks.withColumnRenamed("id", "src")), Seq("src"))
-        .select(col("src"), (col("rank") / col("deg")).as("c"))
+      // rank/deg is computed inside the edge join itself: the rank
+      // vector (with its degree column) is the one small side, so below
+      // the broadcast limit the ONLY shuffle per round is the
+      // destination-key aggregation. Sinks never appear as a src, so
+      // their NULL deg never reaches the division
       val mass = e
-        .join(rankSide(contrib), Seq("src"))
-        .select(col("dst").as("id"), col("c"))
+        .join(rankSide(ranks.withColumnRenamed("id", "src")), Seq("src"))
+        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
         .groupBy("id").agg(sum("c").as("in_mass"))
-      val next = nodes.join(rankSide(mass), Seq("id"), "left_outer")
-        .select(col("id"),
+      val next = nd.join(rankSide(mass), Seq("id"), "left_outer")
+        .select(col("id"), col("deg"),
           (lit(teleport) + lit(damping) * coalesce(col("in_mass"), lit(0.0)))
             .as("rank"))
         // truncate the lineage: the rank vector is small (one row per
@@ -91,9 +91,8 @@ object Graph {
     // the returned vector is checkpoint-backed (lineage truncated), so the
     // working caches can be dropped — a long-lived session running many
     // pageRank calls must not accumulate per-call cache entries
-    deg.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
+    nd.unpersist(blocking = false)
     e.unpersist(blocking = false)
-    ranks
+    ranks.select(col("id"), col("rank"))
   }
 }
