@@ -2657,6 +2657,31 @@ object SparkEntry {
              |SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
              |FROM tok GROUP BY term ORDER BY tf DESC, term LIMIT 50""".stripMargin)),
 
+    Q("doc_vocab_oov", // tokenizer-coverage gate: top-200 corpus vocab
+      // (deterministic tf/term order), per-language OOV token rate via a
+      // broadcast join of the 200-row vocab back onto the token stream.
+      (s, d) => graft.operators.TextAnalysis
+        .oovReport(t(s, d, "documents"), vocabSize = 200),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, lang,
+             |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+             |  FROM documents
+             |), vocab AS (
+             |  SELECT term FROM (
+             |    SELECT term, COUNT(*) AS tf FROM tok GROUP BY term
+             |    ORDER BY tf DESC, term LIMIT 200)
+             |), pd AS (
+             |  SELECT t.doc_id, t.lang, COUNT(*) AS n_tok,
+             |    SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov
+             |  FROM tok t LEFT JOIN vocab v ON t.term = v.term
+             |  GROUP BY t.doc_id, t.lang
+             |)
+             |SELECT lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             |  CAST(SUM(n_oov) AS BIGINT) AS n_oov,
+             |  ROUND(CAST(SUM(n_oov) AS DOUBLE) / SUM(n_tok), 4) AS oov_rate
+             |FROM pd GROUP BY lang ORDER BY lang""".stripMargin)),
+
     Q("doc_tfidf_keywords", // per-document keyword extraction: top-3 terms
       // by TF-IDF; document frequencies join back on the term key (NOT
       // broadcast — vocabulary grows with the corpus), the per-doc top-k
@@ -3081,6 +3106,75 @@ object SparkEntry {
              |SELECT source, CAST(cum_before // 500 AS INT) AS shard_id,
              |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS shard_tokens
              |FROM c GROUP BY source, shard_id ORDER BY source, shard_id""".stripMargin)),
+
+    Q("doc_pack_sequences", // EXACT next-fit context packing: unlike the
+      // cumulative-offset shards above, no sequence exceeds the 256-token
+      // budget (oversize docs ride alone). Sequential per-group scan via
+      // one repartition + sortWithinPartitions + O(1)-state mapPartitions;
+      // the oracle replays the same carried-dependency scan as a
+      // recursive CTE stepping one row per group per iteration.
+      (s, d) => graft.operators.Retrieval
+        .packSequences(t(s, d, "documents"), budget = 256)
+        .orderBy("lang", "doc_id"),
+      Some("""WITH RECURSIVE ord AS (
+             |  SELECT lang, doc_id,
+             |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+             |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+             |  FROM documents
+             |), rec AS (
+             |  SELECT lang, doc_id, n_tok, rn,
+             |    CAST(0 AS BIGINT) AS seq_id, n_tok AS seq_fill
+             |  FROM ord WHERE rn = 1
+             |  UNION ALL
+             |  SELECT o.lang, o.doc_id, o.n_tok, o.rn,
+             |    CASE WHEN r.seq_fill + o.n_tok > 256
+             |         THEN r.seq_id + 1 ELSE r.seq_id END,
+             |    CASE WHEN r.seq_fill + o.n_tok > 256
+             |         THEN o.n_tok ELSE r.seq_fill + o.n_tok END
+             |  FROM rec r JOIN ord o ON o.lang = r.lang AND o.rn = r.rn + 1
+             |)
+             |SELECT lang, doc_id, n_tok, seq_id, seq_fill
+             |FROM rec ORDER BY lang, doc_id""".stripMargin)),
+
+    Q("doc_length_batches", // padded-tensor batching report: docs bucket
+      // by 32-token length bands, batch in id order within the band, pad
+      // to the batch max — pad_waste is the fraction of padded compute a
+      // naive batcher would burn, per band. Window + two aggregations.
+      (s, d) => graft.operators.Retrieval
+        .lengthBucketBatches(t(s, d, "documents"))
+        .groupBy("bucket", "batch_id")
+        .agg(count(lit(1)).as("n_docs"), max("n_tok").as("mx"),
+          sum("n_tok").as("real"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_batches"),
+          sum("n_docs").as("n_docs"),
+          sum("real").as("real_tokens"),
+          sum(col("n_docs") * col("mx")).as("padded_tokens"),
+          round(lit(1.0) - sum("real") / sum(col("n_docs") * col("mx")), 4)
+            .as("pad_waste"))
+        .orderBy("bucket"),
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+             |  FROM documents
+             |), b AS (
+             |  SELECT doc_id, n_tok, CAST(n_tok // 32 AS INT) AS bucket FROM tok
+             |), r AS (
+             |  SELECT bucket, n_tok,
+             |    (row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) // 8
+             |      AS batch_id
+             |  FROM b
+             |), g AS (
+             |  SELECT bucket, batch_id, COUNT(*) AS n_docs, MAX(n_tok) AS mx,
+             |    SUM(n_tok) AS real FROM r GROUP BY bucket, batch_id
+             |)
+             |SELECT bucket, COUNT(*) AS n_batches,
+             |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+             |  CAST(SUM(real) AS BIGINT) AS real_tokens,
+             |  CAST(SUM(n_docs * mx) AS BIGINT) AS padded_tokens,
+             |  ROUND(1.0 - CAST(SUM(real) AS DOUBLE) / SUM(n_docs * mx), 4)
+             |    AS pad_waste
+             |FROM g GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
     Q("doc_quality_percentile", // per-language quality gate: keep the top
       // half by quality percentile WITHIN each language — absolute-score

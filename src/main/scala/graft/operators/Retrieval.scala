@@ -137,6 +137,109 @@ object Retrieval {
       .drop("cum_before")
   }
 
+  /** EXACT greedy next-fit sequence packing for fixed-context training:
+    * within each `groupCol` stream (ordered by `idCol`), a document joins
+    * the open sequence iff it fits the remaining token budget, else it
+    * opens the next sequence. Unlike [[packShards]]' cumulative-offset
+    * shards (which may overshoot by one document), no packed sequence
+    * exceeds `budget` — except a single oversize document, which is kept
+    * whole in a sequence of its own rather than dropped or split.
+    *
+    * Next-fit is inherently sequential per group (each placement depends
+    * on the running fill), so no window expression computes it: the rows
+    * are hash-partitioned on the (optionally sub-sharded) group key,
+    * sorted (group, id) within partitions, and packed by one O(1)-state
+    * streaming scan per partition — the Spark shape for any
+    * carried-loop-dependency scan. One shuffle total; nothing
+    * driver-side; a group never spans partitions, so the scan state
+    * resets exactly at group boundaries.
+    *
+    * Scale design: one giant group serializes into one task, the same
+    * constraint as [[packShards]] — `subShards` > 1 salts the packing key
+    * with hash(id) mod k so a skewed group packs as k independent
+    * sequential streams (k partial-fill tail sequences is the accepted
+    * cost; the deterministic default 1 is what a differential oracle
+    * replays).
+    *
+    * Output: (groupCol, idCol, n_tok, seq_id, seq_fill) — `seq_id`
+    * numbers sequences within the (group, sub-shard) stream from 0,
+    * `seq_fill` is the sequence's running token count after this
+    * document lands (the last row of a sequence carries its final fill).
+    */
+  def packSequences(
+      docs: DataFrame,
+      budget: Long,
+      groupCol: String = "lang",
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      subShards: Int = 1): DataFrame = {
+    require(budget > 0, "budget must be > 0")
+    require(subShards > 0, "subShards must be > 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs.select(
+      col(groupCol).cast("string").as("grp"),
+      col(idCol).cast("long").as("id"),
+      size(tokens(col(textCol))).cast("long").as("n_tok"),
+      if (subShards == 1) lit(0)
+      else pmod(xxhash64(col(idCol)), lit(subShards)).cast("int").as("sub"))
+      .toDF("grp", "id", "n_tok", "sub")
+    val packed = keyed
+      .repartition(col("grp"), col("sub"))
+      .sortWithinPartitions(col("grp"), col("sub"), col("id"))
+      .as[(String, Long, Long, Int)]
+      .mapPartitions { it =>
+        var curGrp: String = null
+        var curSub = -1
+        var seq = -1L
+        var fill = 0L
+        it.map { case (g, id, n, sub) =>
+          if (g != curGrp || sub != curSub) {
+            curGrp = g; curSub = sub; seq = -1L; fill = 0L
+          }
+          if (seq < 0L || fill + n > budget) { seq += 1L; fill = n }
+          else fill += n
+          (g, id, n, seq, fill)
+        }
+      }
+      .toDF("grp", "id", "n_tok", "seq_id", "seq_fill")
+    packed.select(col("grp").as(groupCol), col("id").as(idCol),
+      col("n_tok"), col("seq_id"), col("seq_fill"))
+  }
+
+  /** Length-bucketed batch construction for padded-tensor training: docs
+    * are bucketed by token count (`bucketWidth`-token linear buckets —
+    * integer arithmetic, no float log2 edge cases), then grouped into
+    * fixed-`batchSize` batches in id order within each bucket. A batch
+    * pads every member to its own max length, so the padding waste a
+    * batching policy costs is `1 − Σreal / Σ(n·max)` — THE number that
+    * justifies length bucketing over naive id-order batching.
+    *
+    * Scale design: one shuffle (the per-bucket window). Bucket count is
+    * small, so at 100 TB the window key must be salted the same way as
+    * [[packSequences]]' `subShards` — batches only need to be formed
+    * WITHIN a stream, never across the whole bucket; the deterministic
+    * single-stream default is what the oracle replays.
+    *
+    * Output: one row per doc — (idCol, n_tok, bucket, batch_id).
+    */
+  def lengthBucketBatches(
+      docs: DataFrame,
+      bucketWidth: Int = 32,
+      batchSize: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(bucketWidth > 0 && batchSize > 0, "width and batch must be > 0")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col(idCol))
+    docs
+      .select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tok"))
+      .withColumn("bucket", floor(col("n_tok") / bucketWidth).cast("int"))
+      .withColumn("batch_id",
+        floor((row_number().over(w) - 1).cast("long") / batchSize))
+      .select(col(idCol), col("n_tok"), col("bucket"), col("batch_id"))
+  }
+
   /** Reciprocal-rank fusion of two ranked lists over the same id space:
     * keyword (BM25) and vector (cosine-vs-probe) retrieval. Each list
     * contributes 1/(k + rank) for ids it contains; ids in either list

@@ -224,6 +224,48 @@ object TextAnalysis {
     merges.toList
   }
 
+  /** Tokenizer-coverage / out-of-vocabulary report: build the top
+    * `vocabSize` corpus vocabulary (term frequency, term-lexicographic
+    * tie-break — a deterministic total order), then measure what fraction
+    * of each language's token stream falls outside it. The number that
+    * decides whether a tokenizer's vocab budget fits a corpus before any
+    * training run burns on it.
+    *
+    * Scale design: two passes over the exploded token stream — one
+    * term-keyed aggregation to rank the vocabulary (top-V via
+    * TakeOrderedAndProject, never a global sort), one broadcast left
+    * join of the V-row vocab back onto the stream with a per-(doc, lang)
+    * aggregation. The token explode is the dominant cost and both passes
+    * are partial-aggregated before their shuffles; nothing pairwise,
+    * nothing driver-side.
+    *
+    * Output: (langCol, n_docs, n_tokens, n_oov, oov_rate) per language.
+    */
+  def oovReport(
+      docs: DataFrame,
+      vocabSize: Int = 200,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      langCol: String = "lang"): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be > 0")
+    val toks = docs.select(col(idCol), col(langCol),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term")).limit(vocabSize)
+      .select(col("term"), lit(1).as("in_v"))
+    toks
+      .join(broadcast(vocab), Seq("term"), "left_outer")
+      .groupBy(col(idCol), col(langCol))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .groupBy(col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        sum("n_oov").as("n_oov"),
+        round(sum("n_oov") / sum("n_tok"), 4).as("oov_rate"))
+      .orderBy(col(langCol))
+  }
+
   /** Convenience: annotate a documents frame with the full feature set. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)

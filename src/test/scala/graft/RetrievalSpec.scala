@@ -83,6 +83,86 @@ class RetrievalSpec extends SparkSuite {
     rows.foreach { case (tot, mx) => assert(tot < 500 + mx) }
   }
 
+  test("packSequences: exact next-fit on a hand-checked stream") {
+    val docs = Seq(
+      ("g", 1L, "a b c"), ("g", 2L, "d e"), ("g", 3L, "f g h i"),
+      ("g", 4L, "j"), ("h", 10L, "one two three four five six seven")
+    ).toDF("lang", "doc_id", "text")
+    val out = Retrieval.packSequences(docs, budget = 5)
+      .select("lang", "doc_id", "seq_id", "seq_fill")
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    // g tokens 3,2,4,1 budget 5 → (seq0 fill3), (seq0 fill5 — exact fit
+    // admitted), (seq1 fill4 — 5+4 overflows), (seq1 fill5)
+    assert(out.filter(_._1 == "g").map(r => (r._3, r._4)).toSeq ===
+      Seq((0L, 3L), (0L, 5L), (1L, 4L), (1L, 5L)))
+    // an oversize doc rides alone in its own sequence, kept whole
+    assert(out.filter(_._1 == "h").map(r => (r._3, r._4)).toSeq ===
+      Seq((0L, 7L)))
+  }
+
+  test("packSequences fixture invariants: exact budget cap + next-fit tightness") {
+    val docs = engine.Tables.load(spark, sfDir, "documents")
+    val budget = 256L
+    val rows = Retrieval.packSequences(docs, budget)
+      .select("lang", "doc_id", "n_tok", "seq_id", "seq_fill")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.length === docs.count()) // total assignment, no dup/drop
+    val bySeq = rows.groupBy(r => (r._1, r._4))
+    bySeq.values.foreach { seq =>
+      val tot = seq.map(_._3).sum
+      // a sequence only exceeds the budget when it IS one oversize doc
+      assert(tot <= budget || seq.length == 1)
+      // seq_fill of the last doc (max id) is the sequence total
+      assert(seq.maxBy(_._2)._5 === tot)
+    }
+    // next-fit tightness: the first doc of sequence k (k>0) did NOT fit
+    // the final fill of sequence k-1
+    bySeq.toSeq.sortBy(_._1).foreach { case ((lang, sid), seq) =>
+      if (sid > 0) {
+        val prevFill = bySeq((lang, sid - 1)).maxBy(_._2)._5
+        assert(prevFill + seq.minBy(_._2)._3 > budget)
+      }
+    }
+  }
+
+  test("packSequences subShards>1: every doc still assigned exactly once") {
+    val docs = engine.Tables.load(spark, sfDir, "documents")
+    val out = Retrieval.packSequences(docs, budget = 256, subShards = 4)
+      .select("doc_id", "n_tok", "seq_id")
+      .as[(Long, Long, Long)].collect()
+    assert(out.length === docs.count())
+    assert(out.map(_._1).distinct.length === out.length)
+  }
+
+  test("lengthBucketBatches: buckets by token band, batches of batchSize in id order") {
+    val docs = Seq(
+      (1L, Seq.fill(3)("t").mkString(" ")),   // 3 tok  → bucket 0
+      (2L, Seq.fill(40)("t").mkString(" ")),  // 40 tok → bucket 1
+      (3L, Seq.fill(35)("t").mkString(" ")),  // 35 tok → bucket 1
+      (4L, Seq.fill(33)("t").mkString(" "))   // 33 tok → bucket 1
+    ).toDF("doc_id", "text")
+    val out = Retrieval.lengthBucketBatches(docs, bucketWidth = 32, batchSize = 2)
+      .select("doc_id", "n_tok", "bucket", "batch_id")
+      .as[(Long, Long, Int, Long)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._3, r._4)).toSeq ===
+      Seq((1L, 0, 0L), (2L, 1, 0L), (3L, 1, 0L), (4L, 1, 1L)))
+  }
+
+  test("lengthBucketBatches fixture invariants: batch size cap, bucket homogeneity") {
+    val docs = engine.Tables.load(spark, sfDir, "documents")
+    val rows = Retrieval.lengthBucketBatches(docs)
+      .select("doc_id", "n_tok", "bucket", "batch_id")
+      .as[(Long, Long, Int, Long)].collect()
+    assert(rows.length === docs.count())
+    rows.foreach { case (_, n, b, _) => assert(b === (n / 32).toInt) }
+    rows.groupBy(r => (r._3, r._4)).foreach { case ((_, bid), batch) =>
+      assert(batch.length <= 8)
+      // only the highest-numbered batch of a bucket may run short
+      if (batch.length < 8)
+        assert(bid === rows.filter(_._3 == batch.head._3).map(_._4).max)
+    }
+  }
+
   test("hybridRrf fuses keyword and vector ranks; both-list docs dominate") {
     val docs = Seq(
       (1L, "spark join window"), // keyword hit

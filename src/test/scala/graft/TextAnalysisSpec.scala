@@ -118,4 +118,33 @@ class TextAnalysisSpec extends SparkSuite {
     assert(r2 === Vector("x", "a_b", "a_b"))
     assert(TextAnalysis.mergePair(Vector("a"), "a", "a", "a_a") === Vector("a"))
   }
+
+  test("oovReport: hand-checked OOV counts on a 2-term vocabulary") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "the the cat"),
+      (2L, "en", "the dog"),
+      (3L, "fr", "zut alors zut")
+    ).toDF("doc_id", "lang", "text")
+    // corpus tf: the=3, zut=2, cat=dog=alors=1 → vocab(2) = {the, zut};
+    // OOV per doc: cat (1), dog (1), alors (1)
+    val out = TextAnalysis.oovReport(docs, vocabSize = 2)
+      .select("lang", "n_docs", "n_tokens", "n_oov")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(("en", 2L, 5L, 2L), ("fr", 1L, 3L, 1L)))
+  }
+
+  test("oovReport fixture: rates bounded and monotone in vocabulary size") {
+    val docs = engine.Tables.load(spark, sfDir, "documents")
+    def rates(v: Int): Map[String, Double] =
+      TextAnalysis.oovReport(docs, vocabSize = v)
+        .select("lang", "oov_rate").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val r200 = rates(200)
+    val r1000 = rates(1000)
+    assert(r200.keySet === Set("de", "en", "es", "fr", "zh"))
+    r200.foreach { case (_, v) => assert(v >= 0.0 && v <= 1.0) }
+    // a strictly larger vocabulary can only shrink the OOV token count
+    r1000.foreach { case (lang, v) => assert(v <= r200(lang) + 1e-9) }
+  }
 }
