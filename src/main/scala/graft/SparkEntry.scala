@@ -3087,6 +3087,88 @@ object SparkEntry {
              |AND doc_id NOT IN (SELECT doc_id FROM cont)
              |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    Q("doc_split_report", { // leakage-safe train/val/test split: the split
+      // is a pure hash function of the NEAR-DUP CLUSTER id, so duplicates
+      // can never straddle a train/eval boundary. The report aggregates
+      // per split and carries a self-certifying cross_split_pairs column
+      // (near-dup pairs whose two sides landed in different splits — 0 by
+      // construction, and the oracle recomputes it independently).
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val asg = graft.operators.Dedup
+          .leakageSafeSplit(docs, "source", threshold = 0.02)
+          .select(col("doc_id"), col("cluster_id"), col("n_chars"),
+            col("split"))
+        val pairs = graft.operators.Dedup
+          .ngramJaccardPairs(docs, "source", threshold = 0.02)
+        val leaks = pairs
+          .join(asg.select(col("doc_id").as("id_a"), col("split").as("_sa")),
+            "id_a")
+          .join(asg.select(col("doc_id").as("id_b"), col("split").as("_sb")),
+            "id_b")
+          .filter(col("_sa") =!= col("_sb"))
+          .groupBy(col("_sa").as("split")).agg(count(lit(1)).as("_n_leak"))
+        asg.groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct("cluster_id").as("n_clusters"),
+            sum("n_chars").as("total_chars"))
+          .join(leaks, Seq("split"), "left")
+          .withColumn("cross_split_pairs", coalesce(col("_n_leak"), lit(0L)))
+          .drop("_n_leak")
+          .orderBy("split")
+      }
+    }, {
+      // the cut-points are floats rounded exactly once, in Scala, then
+      // inlined so both engines compare against identical integers
+      val (trainCut, valCut) = graft.operators.Dedup.splitCuts(0.8, 0.1)
+      Some(s"""WITH RECURSIVE d AS (
+             |  SELECT source, doc_id,
+             |    list_distinct(list_transform(
+             |      range(0, greatest(len(t) - 2, 1)),
+             |      i -> array_to_string(t[(i+1):(i+3)], ' '))) AS sh
+             |  FROM (SELECT source, doc_id,
+             |          string_split_regex(lower(trim(text)), '\\s+') AS t
+             |        FROM documents)
+             |), pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.02
+             |), edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs
+             |), reach(id, r) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+             |), comp AS (
+             |  SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+             |), lab AS (
+             |  SELECT doc_id, n_chars, cluster_id,
+             |    CASE WHEN u < $trainCut THEN 'train'
+             |         WHEN u < $valCut THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM (
+             |    SELECT dd.doc_id, dd.n_chars,
+             |      COALESCE(c.cluster_id, dd.doc_id) AS cluster_id,
+             |      ('0x' || substr(md5(CAST(COALESCE(c.cluster_id, dd.doc_id)
+             |        AS VARCHAR)), 1, 8))::BIGINT AS u
+             |    FROM documents dd LEFT JOIN comp c ON dd.doc_id = c.id)
+             |), leaks AS (
+             |  SELECT la.split, COUNT(*) AS n_leak
+             |  FROM pairs p
+             |  JOIN lab la ON p.id_a = la.doc_id
+             |  JOIN lab lb ON p.id_b = lb.doc_id
+             |  WHERE la.split <> lb.split GROUP BY la.split
+             |)
+             |SELECT l.split, COUNT(*) AS n_docs,
+             |  COUNT(DISTINCT l.cluster_id) AS n_clusters,
+             |  CAST(SUM(l.n_chars) AS BIGINT) AS total_chars,
+             |  CAST(COALESCE(MAX(k.n_leak), 0) AS BIGINT) AS cross_split_pairs
+             |FROM lab l LEFT JOIN leaks k ON l.split = k.split
+             |GROUP BY l.split ORDER BY l.split""".stripMargin)
+    }),
+
     Q("doc_pack_shards", // token-budget training shards: cumulative token
       // offset per source stream → shard id; one window pass per source
       (s, d) => graft.operators.Retrieval

@@ -624,6 +624,62 @@ object Dedup {
     docs.join(losers, docs(idCol) === col("_loser"), "left_anti")
   }
 
+  /** Leakage-safe train/val/test split: assign the split per NEAR-DUP
+    * CLUSTER, not per document, so two near-identical documents can never
+    * land on opposite sides of a train/eval boundary (per-doc random
+    * splits leak eval content into training through duplicates — the
+    * classic contamination bug this operator exists to prevent).
+    *
+    * Mechanics: n-gram-Jaccard pairs → connected components → every doc
+    * joins its cluster label (singletons fall back to their own id), and
+    * the split is a pure function of the cluster id — the first 8 hex
+    * chars of md5(cluster_id) read as a uniform 32-bit integer compared
+    * against fraction cut-points. Deterministic across engines, runs and
+    * partitionings; adding documents never flips an existing cluster's
+    * split (the hash has no corpus-global state).
+    *
+    * Scale: the label table is only the docs that appear in a pair (the
+    * small output of dedup detection); one key join re-attaches it and
+    * the hash assignment is map-only — nothing here adds a shuffle
+    * beyond the pair machinery itself.
+    */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      blockCol: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleK: Int = 3,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000,
+      trainFrac: Double = 0.8,
+      valFrac: Double = 0.1): DataFrame = {
+    val labels = connectedComponents(
+      ngramJaccardPairs(docs, blockCol, textCol, idCol, shingleK, threshold,
+        maxBucket))
+    val (trainCut, valCut) = splitCuts(trainFrac, valFrac)
+    docs.join(labels, docs(idCol) === labels("id"), "left")
+      .drop("id")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("_u",
+        conv(substring(md5(col("cluster_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+      .withColumn("split",
+        when(col("_u") < trainCut, "train")
+          .when(col("_u") < valCut, "val")
+          .otherwise("test"))
+      .drop("_u")
+  }
+
+  /** The split cut-points as exact integers on the md5-prefix scale, so
+    * the oracle SQL can inline the very same constants (floating-point
+    * rounding must happen exactly once, here).
+    */
+  def splitCuts(trainFrac: Double, valFrac: Double): (Long, Long) = {
+    val scale = 4294967296.0 // 2^32: range of an 8-hex-char md5 prefix
+    (math.floor(trainFrac * scale).toLong,
+      math.floor((trainFrac + valFrac) * scale).toLong)
+  }
+
   /** Benchmark decontamination: drop every corpus document that shares at
     * least one k-shingle with the benchmark set (the training-data hygiene
     * pass that keeps eval questions out of the corpus). The benchmark's

@@ -182,4 +182,37 @@ class DedupSpec extends SparkSuite {
     assert(survivors === want)
     assert(survivors.nonEmpty && survivors.size < corpus.count())
   }
+
+  test("leakageSafeSplit: total, cluster-consistent, and stable under growth") {
+    val asg = Dedup.leakageSafeSplit(docs, "source", threshold = 0.3)
+      .select("doc_id", "cluster_id", "split")
+      .as[(Long, Long, String)].collect()
+    // every document gets exactly one split from the fixed set
+    assert(asg.length === 7)
+    assert(asg.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+    // all members of a cluster share the split — the operator's contract
+    asg.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.map(_._3).distinct.length === 1,
+        s"cluster $c straddles splits: ${members.toSeq}")
+    }
+    // near-dup pairs never straddle splits (belt over the cluster check)
+    val bySplit = asg.map(t => t._1 -> t._3).toMap
+    Dedup.ngramJaccardPairs(docs, "source", threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .foreach { case (a, b) => assert(bySplit(a) === bySplit(b)) }
+    // the split is a pure function of the cluster id: dropping an
+    // unrelated doc must not move anyone else's assignment
+    val shrunk = Dedup
+      .leakageSafeSplit(docs.filter($"doc_id" =!= 7L), "source",
+        threshold = 0.3)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    shrunk.foreach { case (id, s) => assert(bySplit(id) === s) }
+  }
+
+  test("leakageSafeSplit cut-points are exact integers on the md5 scale") {
+    val (t8, v9) = Dedup.splitCuts(0.8, 0.1)
+    assert(t8 === 3435973836L && v9 === 3865470566L)
+    val (all, _) = Dedup.splitCuts(1.0, 0.0)
+    assert(all === 4294967296L) // everything < 2^32 → all train
+  }
 }
