@@ -1861,6 +1861,41 @@ object SparkEntry {
              |FROM orders
              |ORDER BY check_type, target""".stripMargin)),
 
+    Q("cust_kanon_report", // k-anonymity over quasi-identifiers (nation ×
+      // market segment): achieved k, classes below target, suppression
+      // cost, then re-audit AFTER kAnonymize enforces k=10 by suppression
+      // — the survivor floor must clear k. Two groupBys on the QI key +
+      // class-count-sized aggregates; the enforcement path is a semi join
+      // on the same key. Both 1-row sides meet in a broadcast cross.
+      (s, d) => {
+        import graft.operators.DataQuality._
+        val cust = t(s, d, "customer")
+        val qis = Seq("c_nationkey", "c_mktsegment")
+        val survivors = kAnonymize(cust, qis, 10)
+        val survRep = survivors.groupBy(qis.map(col): _*)
+          .agg(count(lit(1)).as("_n"))
+          .agg(coalesce(sum("_n"), lit(0L)).as("n_survivors"),
+            min("_n").as("survivor_k_anonymity"))
+        kAnonymity(cust, qis, 10).crossJoin(broadcast(survRep))
+      },
+      Some("""WITH cls AS (
+             |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+             |  FROM customer GROUP BY 1, 2
+             |), rep AS (
+             |  SELECT COUNT(*) AS n_classes,
+             |    CAST(MIN(n) AS BIGINT) AS k_anonymity,
+             |    CAST(SUM(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS classes_below_k,
+             |    CAST(SUM(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+             |      AS records_suppressed
+             |  FROM cls
+             |), srep AS (
+             |  SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_survivors,
+             |    CAST(MIN(n) AS BIGINT) AS survivor_k_anonymity
+             |  FROM cls WHERE n >= 10
+             |)
+             |SELECT * FROM rep, srep""".stripMargin)),
+
     Q("events_spine_fill", // gap-filled daily series: the date spine is
       // GENERATED (sequence + explode — a few hundred rows from one
       // literal, never collected or ranged on the driver) and left-joins

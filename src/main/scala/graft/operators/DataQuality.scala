@@ -68,4 +68,40 @@ object DataQuality {
         lit("referential").as("check_type"), lit(target).as("target"),
         col("value"), (col("value") >= threshold).as("pass"))
   }
+
+  /** k-anonymity report over quasi-identifier columns: a dataset is
+    * k-anonymous when every combination of quasi-identifiers (the columns
+    * an adversary could link on — location, segment, birth year…) is
+    * shared by at least k records. One row: the achieved k (smallest
+    * equivalence class), class counts below the target, and the records
+    * that suppression would cost.
+    *
+    * Scale: one partial-aggregated groupBy on the quasi-identifier key
+    * builds the class sizes; the report is a second, class-count-sized
+    * aggregate. Nothing touches the driver.
+    */
+  def kAnonymity(df: DataFrame, quasiIds: Seq[String], k: Int): DataFrame = {
+    val classes = df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+    classes.agg(
+      count(lit(1)).as("n_classes"),
+      min("_n").as("k_anonymity"),
+      sum(when(col("_n") < k, 1L).otherwise(0L)).as("classes_below_k"),
+      sum(when(col("_n") < k, col("_n")).otherwise(0L))
+        .as("records_suppressed"))
+  }
+
+  /** Enforce k-anonymity by suppression: drop every row whose
+    * quasi-identifier class has fewer than k members (the standard
+    * minimum-cost cut when generalization hierarchies aren't available).
+    * The surviving-class key set flows through a semi join on the
+    * quasi-identifier key — suppressed rows never shuffle anywhere.
+    */
+  def kAnonymize(df: DataFrame, quasiIds: Seq[String], k: Int): DataFrame = {
+    val keep = df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= k)
+      .select(quasiIds.map(col): _*)
+    df.join(keep, quasiIds, "left_semi")
+  }
 }

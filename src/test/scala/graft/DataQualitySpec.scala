@@ -57,4 +57,35 @@ class DataQualitySpec extends SparkSuite {
       .as[(String, String, Double, Boolean)].collect()
     assert(out(0)._3 === (2.0 / 3 * 1e6).round / 1e6)
   }
+
+  // three quasi-id classes: ("us",1)×3, ("us",2)×2, ("de",1)×1
+  private lazy val people = Seq(
+    (1, "us", 1), (2, "us", 1), (3, "us", 1),
+    (4, "us", 2), (5, "us", 2),
+    (6, "de", 1)
+  ).toDF("id", "region", "bracket")
+
+  test("kAnonymity reports achieved k, small classes, and suppression cost") {
+    val r = DataQuality.kAnonymity(people, Seq("region", "bracket"), 2)
+      .as[(Long, Long, Long, Long)].head()
+    assert(r === ((3L, 1L, 1L, 1L))) // 3 classes, k=1, one class <2, 1 row
+    val strict = DataQuality.kAnonymity(people, Seq("region", "bracket"), 4)
+      .as[(Long, Long, Long, Long)].head()
+    assert(strict === ((3L, 1L, 3L, 6L))) // every class sits below k=4
+  }
+
+  test("kAnonymize suppresses exactly the small classes") {
+    val kept = DataQuality.kAnonymize(people, Seq("region", "bracket"), 2)
+      .select("id").as[Int].collect().sorted
+    assert(kept === Array(1, 2, 3, 4, 5)) // the ("de",1) singleton drops
+    // enforcement achieves the target: re-audit of survivors clears k
+    val k2 = DataQuality
+      .kAnonymity(DataQuality.kAnonymize(people, Seq("region", "bracket"), 2),
+        Seq("region", "bracket"), 2)
+      .select("k_anonymity").as[Long].head()
+    assert(k2 >= 2L)
+    // k above every class size suppresses everything
+    assert(DataQuality.kAnonymize(people, Seq("region", "bracket"), 99)
+      .count() === 0L)
+  }
 }
