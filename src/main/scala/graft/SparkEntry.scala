@@ -2286,6 +2286,57 @@ object SparkEntry {
              |AND p.event_type = 'purchase' AND c.event_type = 'click'
              |AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts""".stripMargin)),
 
+    Q("events_stream_left_join", // §2.9: stream–stream LEFT OUTER interval
+      // join — unmatched purchases emit null-padded on state EVICTION, so
+      // only purchases older than the final watermark (min of both sides'
+      // max event time, minus the 10-minute delay) can surface unmatched.
+      // The oracle reproduces the matched pairs as a plain batch interval
+      // join and the null rows as NOT EXISTS bounded by that watermark.
+      (s, d) => {
+        withStreamPartitions(s) {
+          val q = graft.streaming.EventStream
+            .startLeftOuterJoin(s, d, "stream_loj_verify")
+          q.awaitTermination(180000)
+        }
+        s.sql("""SELECT COUNT(*) AS n_rows,
+                |COUNT(click_id) AS n_matched_pairs,
+                |SUM(CASE WHEN click_id IS NULL THEN 1 ELSE 0 END) AS n_unmatched,
+                |COUNT(DISTINCT purchase_id) AS n_purchases,
+                |ROUND(COALESCE(SUM(CASE WHEN click_id IS NULL THEN value END), 0), 2)
+                |  AS unmatched_value
+                |FROM stream_loj_verify""".stripMargin)
+      },
+      Some("""WITH wm AS (
+             |  SELECT least(
+             |    (SELECT max(ts) FROM events WHERE event_type = 'click'),
+             |    (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+             |    - INTERVAL 10 MINUTE AS w
+             |), matched AS (
+             |  SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.value
+             |  FROM events p JOIN events c
+             |  ON p.user_id = c.user_id
+             |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+             |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+             |), unmatched AS (
+             |  SELECT p.event_id AS purchase_id, p.value
+             |  FROM events p, wm
+             |  WHERE p.event_type = 'purchase' AND p.ts < wm.w
+             |  AND NOT EXISTS (
+             |    SELECT 1 FROM events c
+             |    WHERE c.event_type = 'click' AND c.user_id = p.user_id
+             |    AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts)
+             |)
+             |SELECT
+             |  (SELECT COUNT(*) FROM matched) + (SELECT COUNT(*) FROM unmatched)
+             |    AS n_rows,
+             |  (SELECT COUNT(*) FROM matched) AS n_matched_pairs,
+             |  (SELECT COUNT(*) FROM unmatched) AS n_unmatched,
+             |  (SELECT COUNT(DISTINCT purchase_id) FROM
+             |    (SELECT purchase_id FROM matched
+             |     UNION ALL SELECT purchase_id FROM unmatched) u) AS n_purchases,
+             |  (SELECT ROUND(COALESCE(SUM(value), 0), 2) FROM unmatched)
+             |    AS unmatched_value""".stripMargin)),
+
     Q("doc_stream_dedup_lsh", // §2.9 × §2.11: dedup-at-ingest — arriving
       // documents stream-static join a persisted minhash band index of
       // the already-accepted corpus, verify Jaccard, and the colliding

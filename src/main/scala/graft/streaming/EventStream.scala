@@ -119,6 +119,38 @@ object EventStream {
       .trigger(Trigger.AvailableNow()).start()
   }
 
+  /** Stream–stream LEFT OUTER interval join: like [[startIntervalJoin]],
+    * but purchases with no click in their preceding hour still emit —
+    * null-padded — once the watermark passes their event time and the
+    * state store can prove no matching click can arrive anymore. That
+    * proof is the whole trick of outer joins on unbounded streams: the
+    * null row is emitted by state EVICTION, so purchases younger than
+    * the final watermark (min across both sides' watermark nodes, minus
+    * the 10-minute delay) are still open and never emit unmatched. The
+    * batch oracle reproduces exactly that boundary.
+    */
+  def startLeftOuterJoin(spark: SparkSession, sfDir: String, queryName: String): StreamingQuery = {
+    val clicks = rawStream(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = rawStream(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "10 minutes")
+    purchases.join(clicks,
+        col("p_user") === col("c_user")
+          && col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR")
+          && col("c_ts") <= col("p_ts"),
+        "left_outer")
+      .select(col("purchase_id"), col("p_user"), col("click_id"),
+        col("c_ts"), col("p_ts"), col("value"))
+      .writeStream.outputMode("append").format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow()).start()
+  }
+
   /** foreachBatch upsert sink: each micro-batch MERGEs its latest row
     * per user into a keyed parquet state directory (full-outer +
     * COALESCE, the same keyed-merge shape as the batch

@@ -75,4 +75,39 @@ class EventStreamSpec extends SparkSuite {
     assert(batch.nonEmpty)
     assert(streamed === batch)
   }
+
+  test("left-outer stream join adds exactly the watermark-evicted unmatched rows") {
+    val q = EventStream.startLeftOuterJoin(spark, sfDir, "esloj_test")
+    q.awaitTermination(120000)
+    val out = spark.table("esloj_test")
+    // matched rows are identical to the inner interval join
+    val matchedStreamed = out.filter($"click_id".isNotNull)
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    val e = Tables.load(spark, sfDir, "events")
+    val p = e.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("pu"), $"ts".as("pts"))
+    val c = e.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id".as("cu"), $"ts".as("cts"))
+    val cond = $"pu" === $"cu" &&
+      $"cts" >= $"pts" - expr("INTERVAL 1 HOUR") && $"cts" <= $"pts"
+    val batchMatched = p.join(c, cond)
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(matchedStreamed === batchMatched)
+    // null-padded rows: exactly the unmatched purchases the final
+    // watermark (min of both sides' max ts − 10 min) could evict
+    val wm = e.agg(least(
+        max(when($"event_type" === "click", $"ts")),
+        max(when($"event_type" === "purchase", $"ts")))
+        - expr("INTERVAL 10 MINUTES"))
+      .head().getTimestamp(0)
+    val nullStreamed = out.filter($"click_id".isNull)
+      .select("purchase_id").as[Long].collect().toSet
+    val batchUnmatched = p.join(c, cond, "left_anti")
+      .filter($"pts" < lit(wm))
+      .select("purchase_id").as[Long].collect().toSet
+    assert(nullStreamed === batchUnmatched)
+    assert(nullStreamed.nonEmpty)
+    // and no purchase appears both matched and null-padded
+    assert(nullStreamed.intersect(matchedStreamed.map(_._1)).isEmpty)
+  }
 }
