@@ -2429,6 +2429,42 @@ object SparkEntry {
              |GROUP BY segment ORDER BY segment""".stripMargin)))
 
   // §2.11 — documents: text analysis + dedup family.
+  /** Shared oracle scaffolding for the BPE pair (train + encode): a
+    * 3-round recursive-CTE replay of the greedy merge rewrite. Each
+    * round r defines p$r (the argmax pair), m$r (the recursive
+    * leftmost-merge rewrite) and c$r (the converged corpus after the
+    * round); c0 is the raw tokenized corpus, c3 the fully encoded one.
+    * Pairs order as a\x01b strings — \x01 sorts below every token char,
+    * so concat order equals tuple order.
+    */
+  private lazy val bpeOracleWith: String = {
+    def pairsOf(ts: String): String =
+      s"list_transform(range(1, greatest(len($ts), 1)), i -> $ts[i] || chr(1) || $ts[i+1])"
+    def round(r: Int, src: String): String =
+      s"""p$r AS (
+         |  SELECT u.p AS pr, COUNT(*) AS n FROM $src, unnest(${pairsOf("ts")}) AS u(p)
+         |  GROUP BY u.p ORDER BY n DESC, u.p LIMIT 1),
+         |m$r AS (
+         |  SELECT id, ts FROM $src
+         |  UNION
+         |  SELECT id, list_concat(list_concat(ts[1:lp-1],
+         |      [replace((SELECT pr FROM p$r), chr(1), '_')]), ts[lp+2:]) AS ts
+         |  FROM (SELECT id, ts,
+         |          list_position(${pairsOf("ts")}, (SELECT pr FROM p$r)) AS lp
+         |        FROM m$r)
+         |  WHERE lp IS NOT NULL AND lp > 0
+         |),
+         |c$r AS (SELECT id, ts FROM m$r
+         |  WHERE COALESCE(list_position(${pairsOf("ts")}, (SELECT pr FROM p$r)), 0) = 0)""".stripMargin
+    s"""WITH RECURSIVE c0 AS (
+       |  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+       |  FROM documents
+       |),
+       |${round(1, "c0")},
+       |${round(2, "c1")},
+       |${round(3, "c2")}""".stripMargin
+  }
+
   private def docQueries: Seq[Q] = Seq(
     Q("doc_token_stats",
       (s, d) => t(s, d, "documents").select(
@@ -2868,6 +2904,7 @@ object SparkEntry {
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     Q("doc_bpe_merges", // BPE training rounds (Sennrich et al. 2016),
+      // (shares the recursive-replay oracle scaffolding in bpeOracleWith)
       // token-level: 3 merge decisions — relational pair counting + argmax
       // per round, typed map for the sequential in-row rewrite. The oracle
       // replays the greedy rewrite as a RECURSIVE CTE merging the leftmost
@@ -2881,32 +2918,8 @@ object SparkEntry {
           .bpeTrain(t(s, d, "documents"), rounds = 3)
         s.createDataFrame(merges).orderBy("round")
       },
-      Some {
-        def pairsOf(ts: String): String =
-          s"list_transform(range(1, greatest(len($ts), 1)), i -> $ts[i] || chr(1) || $ts[i+1])"
-        def round(r: Int, src: String): String =
-          s"""p$r AS (
-             |  SELECT u.p AS pr, COUNT(*) AS n FROM $src, unnest(${pairsOf("ts")}) AS u(p)
-             |  GROUP BY u.p ORDER BY n DESC, u.p LIMIT 1),
-             |m$r AS (
-             |  SELECT id, ts FROM $src
-             |  UNION
-             |  SELECT id, list_concat(list_concat(ts[1:lp-1],
-             |      [replace((SELECT pr FROM p$r), chr(1), '_')]), ts[lp+2:]) AS ts
-             |  FROM (SELECT id, ts,
-             |          list_position(${pairsOf("ts")}, (SELECT pr FROM p$r)) AS lp
-             |        FROM m$r)
-             |  WHERE lp IS NOT NULL AND lp > 0
-             |),
-             |c$r AS (SELECT id, ts FROM m$r
-             |  WHERE COALESCE(list_position(${pairsOf("ts")}, (SELECT pr FROM p$r)), 0) = 0)""".stripMargin
-        s"""WITH RECURSIVE c0 AS (
-           |  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\\s+') AS ts
-           |  FROM documents
-           |),
-           |${round(1, "c0")},
-           |${round(2, "c1")},
-           |${round(3, "c2")}
+      Some(
+        s"""$bpeOracleWith
            |SELECT * FROM (
            |  SELECT 1 AS round, split_part(pr, chr(1), 1) AS first,
            |    split_part(pr, chr(1), 2) AS second,
@@ -2917,8 +2930,26 @@ object SparkEntry {
            |  UNION ALL
            |  SELECT 3, split_part(pr, chr(1), 1), split_part(pr, chr(1), 2),
            |    replace(pr, chr(1), '_'), n FROM p3
-           |) ORDER BY round""".stripMargin
-      }),
+           |) ORDER BY round""".stripMargin)),
+
+    Q("doc_bpe_encode", // the tokenizer's APPLICATION side: re-train the
+      // 3 merges, then rewrite every document through them in training
+      // order (one typed map, merge table in the closure — no shuffle).
+      // The oracle's final rewritten corpus c3 from the same recursive
+      // replay IS the encoded corpus, so every per-doc count matches.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val merges = graft.operators.TextAnalysis.bpeTrain(docs, rounds = 3)
+        graft.operators.TextAnalysis.bpeEncode(docs, merges)
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""$bpeOracleWith
+           |SELECT c0.id AS doc_id, CAST(len(c0.ts) AS BIGINT) AS n_raw,
+           |  CAST(len(c3.ts) AS BIGINT) AS n_encoded,
+           |  ROUND(CAST(len(c3.ts) AS DOUBLE) / len(c0.ts), 6) AS compression
+           |FROM c0 JOIN c3 ON c0.id = c3.id
+           |ORDER BY doc_id""".stripMargin)),
 
     Q("doc_weighted_sample", // deterministic weighted sampling without
       // replacement (Efraimidis–Spirakis A-ES): key = u^(1/w), take the

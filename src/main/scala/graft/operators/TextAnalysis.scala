@@ -224,6 +224,34 @@ object TextAnalysis {
     merges.toList
   }
 
+  /** Apply trained BPE merges to every document — the tokenizer's
+    * APPLICATION side, completing [[bpeTrain]]'s training side: each doc's
+    * token stream is rewritten through the merge list in training order
+    * and reported as raw vs encoded token counts plus the compression
+    * the merges bought.
+    *
+    * Scale: the merge table rides in the task closure (it's vocab-sized,
+    * the classic broadcast-side of a tokenizer) and the rewrite is one
+    * typed map — no shuffle, no state; encoding 100 TB is embarrassingly
+    * parallel.
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[BpeMerge],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ms = merges.sortBy(_.round).map(m => (m.first, m.second, m.merged))
+    docs.select(col(idCol).cast("long"), tokens(lower(col(textCol))).as("ts"))
+      .as[(Long, Seq[String])]
+      .map { case (id, ts0) =>
+        var ts = ts0.toIndexedSeq
+        ms.foreach { case (a, b, j) => ts = mergePair(ts, a, b, j) }
+        (id, ts0.length.toLong, ts.length.toLong)
+      }
+      .toDF(idCol, "n_raw", "n_encoded")
+      .withColumn("compression",
+        round(col("n_encoded").cast("double") / col("n_raw"), 6))
+  }
+
   /** Tokenizer-coverage / out-of-vocabulary report: build the top
     * `vocabSize` corpus vocabulary (term frequency, term-lexicographic
     * tie-break — a deterministic total order), then measure what fraction

@@ -111,6 +111,31 @@ class TextAnalysisSpec extends SparkSuite {
     assert(got === bpeRef(texts, 3))
   }
 
+  test("bpeEncode applies merges in training order; counts hand-check") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b c"), // two (a,b) merges, then one (a_b,a_b)? no — see below
+      (2L, "a b"),
+      (3L, "c c c")
+    ).toDF("doc_id", "text")
+    // training over this corpus: round1 argmax (a,b) n=3 → a_b;
+    // round2 counts pairs of rewritten corpus: (a_b,a_b):1, (a_b,c):1,
+    // (c,c):2 → (c,c) wins → c_c
+    val merges = TextAnalysis.bpeTrain(docs, rounds = 2)
+    assert(merges.map(_.merged) === Seq("a_b", "c_c"))
+    val enc = TextAnalysis.bpeEncode(docs, merges)
+      .select("doc_id", "n_raw", "n_encoded")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // doc1: [a b a b c] → [a_b a_b c] (5→3); doc2: [a b] → [a_b] (2→1);
+    // doc3: [c c c] → [c_c c] (3→2)
+    assert(enc.toSeq === Seq((1L, 5L, 3L), (2L, 2L, 1L), (3L, 3L, 2L)))
+    // encoding is idempotent on already-encoded symbols: re-applying the
+    // same merges to nothing-left-to-merge text changes nothing
+    val again = TextAnalysis.bpeEncode(docs, merges ++ merges)
+      .select("doc_id", "n_encoded").as[(Long, Long)].collect().sortBy(_._1)
+    assert(again.map(_._2).toSeq === enc.map(_._3).toSeq)
+  }
+
   test("mergePair is greedy left-to-right and never re-merges its output") {
     val r = TextAnalysis.mergePair(Vector("a", "a", "a"), "a", "a", "a_a")
     assert(r === Vector("a_a", "a"))
