@@ -593,6 +593,37 @@ object SparkEntry {
              |ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
              |ROUND(quantile_cont(l_extendedprice, 0.99), 2) AS p99 FROM lineitem""".stripMargin)),
 
+    Q("lineitem_winsorized_stats", // winsorization: cap extendedprice at
+      // its exact [p01, p99] (distributed range-sort cuts, rounded once,
+      // inlined as literals → the capping pass is map-only); report the
+      // mean shift and how many rows each tail capped
+      (s, d) => {
+        val w = Scale.winsorize(t(s, d, "lineitem"), "l_extendedprice")
+        w.agg(count(lit(1)).as("n"),
+          round(avg("l_extendedprice"), 4).as("mean_raw"),
+          round(avg("l_extendedprice_w"), 4).as("mean_winsorized"),
+          sum(when(col("l_extendedprice_w") > col("l_extendedprice"), 1L)
+            .otherwise(0L)).as("n_capped_low"),
+          sum(when(col("l_extendedprice_w") < col("l_extendedprice"), 1L)
+            .otherwise(0L)).as("n_capped_high"))
+      },
+      Some("""WITH q AS (
+             |  SELECT ROUND(quantile_cont(l_extendedprice, 0.01), 2) AS lo,
+             |         ROUND(quantile_cont(l_extendedprice, 0.99), 2) AS hi
+             |  FROM lineitem
+             |), w AS (
+             |  SELECT l_extendedprice AS v,
+             |    least(greatest(l_extendedprice, lo), hi) AS vw
+             |  FROM lineitem, q
+             |)
+             |SELECT COUNT(*) AS n, ROUND(AVG(v), 4) AS mean_raw,
+             |  ROUND(AVG(vw), 4) AS mean_winsorized,
+             |  CAST(SUM(CASE WHEN vw > v THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_capped_low,
+             |  CAST(SUM(CASE WHEN vw < v THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_capped_high
+             |FROM w""".stripMargin)),
+
     Q("doc_stratified_sample", // per-stratum HASH sampling (training-set
       // rebalancing): md5(key) against a per-stratum hex threshold.
       // Unlike seeded Bernoulli draws this is reproducible across engines,
@@ -1895,6 +1926,28 @@ object SparkEntry {
              |  FROM cls WHERE n >= 10
              |)
              |SELECT * FROM rep, srep""".stripMargin)),
+
+    Q("cust_ldiversity_report", // l-diversity: k-anonymity's complement —
+      // a look-alike class whose members all share one sensitive value
+      // still leaks it. Sensitive attribute = account-balance bracket
+      // (floor to 1000s); same one-groupBy shape with a distinct count
+      // riding the shuffle.
+      (s, d) => graft.operators.DataQuality.lDiversity(
+        t(s, d, "customer")
+          .withColumn("bal_bracket", floor(col("c_acctbal") / 1000)),
+        Seq("c_nationkey", "c_mktsegment"), "bal_bracket", 3),
+      Some("""WITH cls AS (
+             |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+             |    COUNT(DISTINCT FLOOR(c_acctbal / 1000)) AS l
+             |  FROM customer GROUP BY 1, 2
+             |)
+             |SELECT COUNT(*) AS n_classes,
+             |  CAST(MIN(l) AS BIGINT) AS l_diversity,
+             |  CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS classes_below_l,
+             |  CAST(SUM(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT)
+             |    AS records_at_risk
+             |FROM cls""".stripMargin)),
 
     Q("events_spine_fill", // gap-filled daily series: the date spine is
       // GENERATED (sequence + explode — a few hundred rows from one

@@ -91,6 +91,26 @@ object DataQuality {
         .as("records_suppressed"))
   }
 
+  /** l-diversity report: k-anonymity's necessary complement — a class of
+    * k look-alike records still leaks the sensitive attribute if all k
+    * share the same value. A dataset is l-diverse when every
+    * quasi-identifier class carries at least l DISTINCT sensitive
+    * values. Same single-groupBy shape as [[kAnonymity]], with a
+    * distinct-count per class riding the same shuffle.
+    */
+  def lDiversity(df: DataFrame, quasiIds: Seq[String], sensitive: String,
+      l: Int): DataFrame = {
+    val classes = df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("_n"),
+        countDistinct(col(sensitive)).as("_l"))
+    classes.agg(
+      count(lit(1)).as("n_classes"),
+      min("_l").as("l_diversity"),
+      sum(when(col("_l") < l, 1L).otherwise(0L)).as("classes_below_l"),
+      sum(when(col("_l") < l, col("_n")).otherwise(0L))
+        .as("records_at_risk"))
+  }
+
   /** Enforce k-anonymity by suppression: drop every row whose
     * quasi-identifier class has fewer than k members (the standard
     * minimum-cost cut when generalization hierarchies aren't available).

@@ -116,6 +116,24 @@ object Scale {
     } finally { sorted.unpersist(blocking = false); () }
   }
 
+  /** Winsorization: cap a column at its exact [lo, hi] quantiles — the
+    * robust-statistics prep that keeps a handful of outliers from
+    * dominating a model's loss or a report's mean. The cuts come from
+    * [[exactQuantiles]] (distributed range-sort, never a single-node
+    * buffer) and are rounded to `scale` decimals ONCE so both engines
+    * compare against identical constants; the capping itself is map-only
+    * with the two cuts inlined as literals.
+    */
+  def winsorize(df: DataFrame, valueCol: String, lo: Double = 0.01,
+      hi: Double = 0.99, scale: Int = 2): DataFrame = {
+    val cuts = exactQuantiles(df, valueCol, Seq(lo, hi))
+    def r(x: Double) =
+      BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+    df.withColumn(valueCol + "_w",
+      least(greatest(col(valueCol).cast("double"), lit(r(cuts(0)))),
+        lit(r(cuts(1)))))
+  }
+
   def writeBucketed(
       df: DataFrame,
       table: String,

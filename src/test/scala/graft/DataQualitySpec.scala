@@ -74,6 +74,22 @@ class DataQualitySpec extends SparkSuite {
     assert(strict === ((3L, 1L, 3L, 6L))) // every class sits below k=4
   }
 
+  test("lDiversity counts distinct sensitive values per class") {
+    // sensitive column: id parity. ("us",1) carries {1,0,1}→2 values,
+    // ("us",2) carries {0,1}→2, ("de",1) carries {0}→1
+    val withSensitive = people.withColumn("parity", $"id" % 2)
+    val r = DataQuality
+      .lDiversity(withSensitive, Seq("region", "bracket"), "parity", 2)
+      .as[(Long, Long, Long, Long)].head()
+    assert(r === ((3L, 1L, 1L, 1L))) // 3 classes, min l=1, 1 below, 1 row at risk
+    // a constant sensitive column is the worst case: l = 1 everywhere
+    val flat = DataQuality
+      .lDiversity(people.withColumn("s", lit("x")), Seq("region", "bracket"),
+        "s", 2)
+      .as[(Long, Long, Long, Long)].head()
+    assert(flat === ((3L, 1L, 3L, 6L)))
+  }
+
   test("kAnonymize suppresses exactly the small classes") {
     val kept = DataQuality.kAnonymize(people, Seq("region", "bracket"), 2)
       .select("id").as[Int].collect().sorted

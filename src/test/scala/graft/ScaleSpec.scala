@@ -151,4 +151,20 @@ class ScaleSpec extends SparkSuite {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("winsorize caps exactly at the rounded quantile cuts") {
+    // 1..100: p01 = 1.99, p99 = 99.01 under linear interpolation
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val w = Scale.winsorize(df, "v", 0.01, 0.99)
+    val capped = w.select("v", "v_w").as[(Double, Double)].collect().toMap
+    assert(capped(1.0) === 1.99 && capped(100.0) === 99.01)
+    assert(capped(2.0) === 2.0 && capped(99.0) === 99.0) // interior untouched
+    assert(capped(50.0) === 50.0)
+    // capping preserves order statistics' midrange and row count
+    assert(w.count() === 100)
+    // degenerate range: lo = hi = median caps everything to it
+    val all = Scale.winsorize(df, "v", 0.5, 0.5)
+      .select("v_w").distinct().as[Double].collect()
+    assert(all.toSeq === Seq(50.5))
+  }
 }
