@@ -3930,6 +3930,40 @@ object SparkEntry {
              |FROM documents WHERE CAST(doc_id % 3 AS INT) = 2
              |ORDER BY media_id""".stripMargin)),
 
+    Q("mm_dup_frames", { // cross-video duplicate-frame detection over the
+      // REAL AVI decode: frames md5'd map-side (hex only ever shuffles),
+      // hash-groupBy keeps recurring frames. The oracle rebuilds each
+      // DECODED frame from the payload arithmetic — 48-char text slices
+      // space-padded, then the fixed 4×4 bottom-up-BGR → top-down-RGB
+      // byte permutation (inlined below from the same Scala loop the
+      // codec runs) — and md5s the permuted string (payloads are ASCII,
+      // so char = byte).
+      (s: SparkSession, d: String) =>
+        graft.operators.Multimodal.duplicateFrames(s,
+            graft.operators.Multimodal
+              .synthesizeFromDocuments(t(s, d, "documents")))
+          .orderBy("frame_md5")
+    }, {
+      val perm = (for { y <- 0 to 3; x <- 0 to 3; c <- Seq(2, 1, 0) }
+        yield (3 - y) * 12 + 3 * x + c + 1).mkString(", ")
+      Some(s"""WITH v AS (
+             |  SELECT doc_id, text || repeat(' ', 48) AS padded,
+             |    greatest(1, (length(text) + 47) // 48) AS nf
+             |  FROM documents WHERE doc_id % 3 = 2
+             |), f AS (
+             |  SELECT doc_id,
+             |    md5(array_to_string(list_transform([$perm],
+             |      p -> substr(substr(padded, CAST(i*48 + 1 AS BIGINT), 48),
+             |                  CAST(p AS BIGINT), 1)), '')) AS frame_md5
+             |  FROM v, unnest(range(0, nf)) AS u(i)
+             |)
+             |SELECT frame_md5, COUNT(*) AS n_occurrences,
+             |  COUNT(DISTINCT doc_id) AS n_videos,
+             |  CAST(MIN(doc_id) AS BIGINT) AS min_media_id
+             |FROM f GROUP BY frame_md5 HAVING COUNT(*) > 1
+             |ORDER BY frame_md5""".stripMargin)
+    }),
+
     Q("mm_features", // mapPartitions batch decode. Every modality REALLY
       // decodes (P6 PPM / RIFF WAVE / uncompressed-DIB AVI): the oracle
       // reproduces each container's payload arithmetic and the

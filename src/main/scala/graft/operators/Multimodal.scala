@@ -530,6 +530,50 @@ object Multimodal {
       }
   }
 
+  final case class VideoFrame(media_id: Long, frame_idx: Int,
+      frame: Array[Byte])
+
+  /** Explode every video payload into its decoded frames (top-down packed
+    * RGB) — one decoder per partition, iterator-to-iterator, nothing
+    * driver-side. Payloads that don't parse emit no frames (same honest
+    * no-decode stance as [[extractFeatures]]).
+    */
+  def videoFrames(spark: SparkSession, media: DataFrame): Dataset[VideoFrame] = {
+    import spark.implicits._
+    media.filter(col("modality") === "video")
+      .select(col("media_id"), col("modality"), col("content"),
+        col("meta.mime"), col("meta.width"), col("meta.height"),
+        col("meta.duration_ms"), col("meta.sample_rate"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          AviCodec.decode(r.content) match {
+            case Some((_, _, frames)) => frames.iterator.zipWithIndex
+              .map { case (f, i) => VideoFrame(r.media_id, i, f) }
+            case None => Iterator.empty
+          }
+        }
+      }
+  }
+
+  /** Cross-video duplicate-frame detection: md5 each DECODED frame
+    * map-side (only the 32-char hex ever shuffles, never pixel bytes) and
+    * keep the hashes that occur more than once — the static-intro /
+    * boilerplate-frame dedup a video training corpus runs before
+    * sampling. The hash-groupBy is the exact-dedup shape: partial
+    * aggregation before one shuffle on the hash key, no pairwise
+    * comparison anywhere.
+    */
+  def duplicateFrames(spark: SparkSession, media: DataFrame): DataFrame =
+    videoFrames(spark, media)
+      .select(col("media_id"), col("frame_idx"),
+        md5(col("frame")).as("frame_md5"))
+      .groupBy("frame_md5")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct("media_id").as("n_videos"),
+        min("media_id").as("min_media_id"))
+      .filter(col("n_occurrences") > 1)
+
   /** Frame-sample timestamps for video rows from metadata only — pure
     * column math, binary column untouched (and pruned at scan).
     */

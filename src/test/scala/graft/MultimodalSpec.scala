@@ -230,4 +230,31 @@ class MultimodalSpec extends SparkSuite {
     assert(!scan.contains("content"), s"binary column must be pruned from scan:\n$scan")
     assert(meta.count() === docs.count())
   }
+
+  test("videoFrames round-trips every encoded frame; duplicateFrames finds planted dups") {
+    import spark.implicits._
+    // two videos sharing one identical frame, one video all-distinct
+    def frame(seed: Int): Array[Byte] =
+      Array.tabulate(48)(i => ((seed * 31 + i * 7) % 95 + 32).toByte)
+    val shared = frame(1)
+    val media = Seq(
+      (10L, Multimodal.AviCodec.encode(4, 4, Seq(shared, frame(2)))),
+      (11L, Multimodal.AviCodec.encode(4, 4, Seq(frame(3), shared))),
+      (12L, Multimodal.AviCodec.encode(4, 4, Seq(frame(4))))
+    ).toDF("media_id", "content")
+      .withColumn("modality", lit("video"))
+      .withColumn("meta", struct(lit("video/x-msvideo").as("mime"),
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit(0L).as("duration_ms"), lit(0).as("sample_rate")))
+    val frames = Multimodal.videoFrames(spark, media).collect()
+    assert(frames.length === 5)
+    // decode returns the exact packed-RGB planes that went in
+    val f10 = frames.filter(_.media_id == 10L).sortBy(_.frame_idx)
+    assert(f10(0).frame.toSeq === shared.toSeq)
+    assert(f10(1).frame.toSeq === frame(2).toSeq)
+    val dups = Multimodal.duplicateFrames(spark, media)
+      .as[(String, Long, Long, Long)].collect()
+    assert(dups.length === 1) // exactly the planted shared frame
+    assert(dups(0)._2 === 2L && dups(0)._3 === 2L && dups(0)._4 === 10L)
+  }
 }
