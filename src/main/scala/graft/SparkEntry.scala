@@ -1894,21 +1894,13 @@ object SparkEntry {
 
     Q("cust_kanon_report", // k-anonymity over quasi-identifiers (nation ×
       // market segment): achieved k, classes below target, suppression
-      // cost, then re-audit AFTER kAnonymize enforces k=10 by suppression
-      // — the survivor floor must clear k. Two groupBys on the QI key +
-      // class-count-sized aggregates; the enforcement path is a semi join
-      // on the same key. Both 1-row sides meet in a broadcast cross.
-      (s, d) => {
-        import graft.operators.DataQuality._
-        val cust = t(s, d, "customer")
-        val qis = Seq("c_nationkey", "c_mktsegment")
-        val survivors = kAnonymize(cust, qis, 10)
-        val survRep = survivors.groupBy(qis.map(col): _*)
-          .agg(count(lit(1)).as("_n"))
-          .agg(coalesce(sum("_n"), lit(0L)).as("n_survivors"),
-            min("_n").as("survivor_k_anonymity"))
-        kAnonymity(cust, qis, 10).crossJoin(broadcast(survRep))
-      },
+      // cost, AND the post-enforcement audit (survivor count + the floor
+      // survivors achieve, which must clear k) — all from ONE groupBy on
+      // the QI key + a class-count-sized aggregate. kAnonymize's survivor
+      // set ≡ classes ≥ k, so the enforcement outcome needs no second
+      // pass (the equivalence itself is pinned in DataQualitySpec).
+      (s, d) => graft.operators.DataQuality.kAnonymity(
+        t(s, d, "customer"), Seq("c_nationkey", "c_mktsegment"), 10),
       Some("""WITH cls AS (
              |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
              |  FROM customer GROUP BY 1, 2
@@ -3032,6 +3024,24 @@ object SparkEntry {
       Some("""SELECT doc_id FROM documents
              |WHERE contains(text, 'spark window')
              |ORDER BY doc_id""".stripMargin)),
+
+    Q("doc_phrase_search", // token-level EXACT phrase search ("hash agg"
+      // in quotes) over a positional inverted index: postings pruned to
+      // the phrase's terms map-side, later terms join the anchor at
+      // pos+i on the (doc, position) key — what substring search can't
+      // answer honestly (it also matches inside longer tokens)
+      (s, d) => graft.operators.Retrieval
+        .phraseSearch(t(s, d, "documents"), Seq("hash", "agg")),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+             |  FROM documents
+             |), hits AS (
+             |  SELECT doc_id, CAST(len(list_filter(range(1, greatest(len(ts), 1)),
+             |    i -> ts[i] = 'hash' AND ts[i+1] = 'agg')) AS BIGINT) AS n_occurrences
+             |  FROM tok
+             |)
+             |SELECT doc_id, n_occurrences FROM hits
+             |WHERE n_occurrences > 0 ORDER BY doc_id""".stripMargin)),
 
     Q("doc_bm25_search", // ranked keyword retrieval (Okapi BM25, k1=1.2 b=0.75)
       (s, d) => graft.operators.Retrieval.bm25(

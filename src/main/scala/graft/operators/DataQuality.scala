@@ -73,12 +73,15 @@ object DataQuality {
     * k-anonymous when every combination of quasi-identifiers (the columns
     * an adversary could link on — location, segment, birth year…) is
     * shared by at least k records. One row: the achieved k (smallest
-    * equivalence class), class counts below the target, and the records
-    * that suppression would cost.
+    * equivalence class), class counts below the target, the records that
+    * suppression would cost, and the post-suppression audit (survivor
+    * count + the floor the survivors achieve — [[kAnonymize]]'s survivors
+    * are by construction exactly the rows in classes ≥ k, so the
+    * enforcement outcome falls out of the same aggregate).
     *
     * Scale: one partial-aggregated groupBy on the quasi-identifier key
     * builds the class sizes; the report is a second, class-count-sized
-    * aggregate. Nothing touches the driver.
+    * aggregate. One shuffle total, no joins, nothing driver-side.
     */
   def kAnonymity(df: DataFrame, quasiIds: Seq[String], k: Int): DataFrame = {
     val classes = df.groupBy(quasiIds.map(col): _*)
@@ -88,7 +91,10 @@ object DataQuality {
       min("_n").as("k_anonymity"),
       sum(when(col("_n") < k, 1L).otherwise(0L)).as("classes_below_k"),
       sum(when(col("_n") < k, col("_n")).otherwise(0L))
-        .as("records_suppressed"))
+        .as("records_suppressed"),
+      coalesce(sum(when(col("_n") >= k, col("_n"))), lit(0L))
+        .as("n_survivors"),
+      min(when(col("_n") >= k, col("_n"))).as("survivor_k_anonymity"))
   }
 
   /** l-diversity report: k-anonymity's necessary complement — a class of

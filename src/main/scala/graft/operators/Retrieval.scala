@@ -65,6 +65,43 @@ object Retrieval {
 
   import graft.operators.TextAnalysis.tokens
 
+  /** Token-level EXACT phrase search over a positional inverted index —
+    * the `"hash agg"`-in-quotes query a substring scan can't answer
+    * honestly (substrings also match inside longer tokens; token
+    * positions don't). The posting stream is pruned to the phrase's own
+    * terms BEFORE anything shuffles (the map-side `isin` is the
+    * positional index's posting-list lookup), then each later term joins
+    * the anchor at `pos + i` on the (doc, position) key. Output one row
+    * per matching doc with its occurrence count.
+    *
+    * Scale: postings for a handful of terms are a vanishing fraction of
+    * the token stream; every join is keyed and the anchor side shrinks
+    * monotonically with each term. Nothing pairwise, nothing driver-side.
+    */
+  def phraseSearch(
+      docs: DataFrame, phrase: Seq[String],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(phrase.nonEmpty, "phrase search needs at least one term")
+    val terms = phrase.map(_.toLowerCase)
+    val postings = docs
+      .select(col(idCol), posexplode(tokens(lower(col(textCol)))))
+      .toDF(idCol, "pos", "term")
+      .filter(col("term").isin(terms.distinct: _*))
+    val anchor = postings.filter(col("term") === terms.head)
+      .select(col(idCol), col("pos"))
+    val matched = terms.zipWithIndex.drop(1).foldLeft(anchor) {
+      case (acc, (t, i)) =>
+        val side = postings.filter(col("term") === t)
+          .select(col(idCol).as("_id"), (col("pos") - i).as("_pos"))
+        acc.join(side,
+            acc(idCol) === side("_id") && acc("pos") === side("_pos"))
+          .select(acc(idCol), acc("pos"))
+    }
+    matched.groupBy(idCol)
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(idCol)
+  }
+
   /** BM25 scores for documents matching at least one query term.
     * Output: (`idCol`, n_terms, score) — `n_terms` = distinct query terms
     * present — ordered by rounded score descending (doc id tie-break).

@@ -65,13 +65,21 @@ class DataQualitySpec extends SparkSuite {
     (6, "de", 1)
   ).toDF("id", "region", "bracket")
 
-  test("kAnonymity reports achieved k, small classes, and suppression cost") {
+  test("kAnonymity reports achieved k, suppression cost, and survivor audit") {
     val r = DataQuality.kAnonymity(people, Seq("region", "bracket"), 2)
-      .as[(Long, Long, Long, Long)].head()
-    assert(r === ((3L, 1L, 1L, 1L))) // 3 classes, k=1, one class <2, 1 row
+      .as[(Long, Long, Long, Long, Long, Option[Long])].head()
+    // 3 classes, k=1, one class <2 costing 1 row; survivors 3+2=5 at floor 2
+    assert(r === ((3L, 1L, 1L, 1L, 5L, Some(2L))))
     val strict = DataQuality.kAnonymity(people, Seq("region", "bracket"), 4)
-      .as[(Long, Long, Long, Long)].head()
-    assert(strict === ((3L, 1L, 3L, 6L))) // every class sits below k=4
+      .as[(Long, Long, Long, Long, Long, Option[Long])].head()
+    // every class sits below k=4: nothing survives, floor undefined
+    assert(strict === ((3L, 1L, 3L, 6L, 0L, None)))
+    // the report's survivor columns equal an actual kAnonymize re-audit
+    val reAudit = DataQuality
+      .kAnonymize(people, Seq("region", "bracket"), 2)
+      .groupBy("region", "bracket").agg(count(lit(1)).as("n"))
+      .agg(sum("n"), min("n")).as[(Long, Long)].head()
+    assert(reAudit === ((r._5, r._6.get)))
   }
 
   test("lDiversity counts distinct sensitive values per class") {

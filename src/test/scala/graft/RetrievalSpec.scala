@@ -217,4 +217,23 @@ class RetrievalSpec extends SparkSuite {
       .as[(Seq[String], Seq[String])].collect()
     rows.foreach { case (f, sl) => assert(f === sl) }
   }
+
+  test("phraseSearch matches token positions, counts overlaps, beats substring") {
+    val docs = Seq(
+      (1L, "the hash agg runs the hash agg twice"), // 2 occurrences
+      (2L, "hash then agg"),                        // terms present, not adjacent
+      (3L, "rehash aggregate"),                     // substring would match this
+      (4L, "HASH AGG upper case"),                  // case-folded match
+      (5L, "hash hash agg")                         // overlap: one occurrence
+    ).toDF("doc_id", "text")
+    val got = Retrieval.phraseSearch(docs, Seq("hash", "agg"))
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L), (4L, 1L), (5L, 1L)))
+    // three-term phrase anchors through the same fold
+    val tri = Retrieval.phraseSearch(docs, Seq("the", "hash", "agg"))
+      .as[(Long, Long)].collect().toSeq
+    assert(tri === Seq((1L, 2L)))
+    // a phrase absent from every doc returns empty, not an error
+    assert(Retrieval.phraseSearch(docs, Seq("no", "such")).count() === 0)
+  }
 }
