@@ -1762,6 +1762,51 @@ object SparkEntry {
              |SELECT id, ROUND(rank, 8) AS rank FROM r5
              |ORDER BY rank DESC, id LIMIT 30""".stripMargin)),
 
+    Q("graph_label_communities", // synchronous label-propagation
+      // community detection, 3 rounds on the symmetrized purchase graph
+      // (numeric ids: customers even, suppliers odd, so the key spaces
+      // can't collide and the min-label tie-break is a plain long
+      // order). Counts are integers, so the unrolled-CTE oracle matches
+      // bit-exactly — no float addition-order slack needed.
+      (s, d) => {
+        val edges = t(s, d, "orders")
+          .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+        graft.operators.Graph.labelPropagation(edges, iters = 3)
+          .groupBy(col("label").as("community"))
+          .agg(count(lit(1)).as("size"))
+          .orderBy(col("size").desc, col("community")).limit(20)
+      },
+      Some("""WITH e0 AS (
+             |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+             |l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym),
+             |l1 AS (
+             |  SELECT src AS id, label FROM (
+             |    SELECT s.src, l.label,
+             |      ROW_NUMBER() OVER (PARTITION BY s.src
+             |        ORDER BY COUNT(*) DESC, l.label) AS rn
+             |    FROM sym s JOIN l0 l ON s.dst = l.id
+             |    GROUP BY s.src, l.label) WHERE rn = 1),
+             |l2 AS (
+             |  SELECT src AS id, label FROM (
+             |    SELECT s.src, l.label,
+             |      ROW_NUMBER() OVER (PARTITION BY s.src
+             |        ORDER BY COUNT(*) DESC, l.label) AS rn
+             |    FROM sym s JOIN l1 l ON s.dst = l.id
+             |    GROUP BY s.src, l.label) WHERE rn = 1),
+             |l3 AS (
+             |  SELECT src AS id, label FROM (
+             |    SELECT s.src, l.label,
+             |      ROW_NUMBER() OVER (PARTITION BY s.src
+             |        ORDER BY COUNT(*) DESC, l.label) AS rn
+             |    FROM sym s JOIN l2 l ON s.dst = l.id
+             |    GROUP BY s.src, l.label) WHERE rn = 1)
+             |SELECT label AS community, COUNT(*) AS size FROM l3
+             |GROUP BY label ORDER BY size DESC, community LIMIT 20""".stripMargin)),
+
     Q("obs_scan_metrics", // Dataset.observe: operational metrics ride
       // the SAME pass as the query (an accumulator-backed aggregate, no
       // second scan) — how a production pipeline meters rows/volume

@@ -95,4 +95,51 @@ object Graph {
     e.unpersist(blocking = false)
     ranks.select(col("id"), col("rank"))
   }
+
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007) over an undirected graph given as a directed edge list with
+    * LONG node ids (the edge list is symmetrized here). Every node starts
+    * labeled with its own id; each round every node adopts the most
+    * frequent label among its neighbors, ties broken toward the SMALLEST
+    * label — synchronous updates plus the total-order tie-break make the
+    * fixed-round result deterministic, which is what lets a SQL oracle
+    * unroll the identical rounds.
+    *
+    * Scale shape: the label vector is node-sized; below
+    * `broadcastNodeLimit` it rides a broadcast into the edge join, so a
+    * round costs ONE edge scan plus an aggregation keyed on (node,
+    * label) — map-side partials collapse the per-neighbor duplicates
+    * before the shuffle. The argmax is a second node-keyed aggregation
+    * (max of a (count, -label) struct — no window sort over the full
+    * node set). Past the limit the join degrades to a co-partitioned
+    * shuffle, same escape hatch as [[pageRank]]. Per-round
+    * localCheckpoint keeps round k's plan from embedding rounds 1..k-1.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int,
+      broadcastNodeLimit: Long = 10000000L): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    val nodes = sym.select(col("src").as("id")).distinct()
+    val small = nodes.count() <= broadcastNodeLimit
+    def labSide(l: DataFrame): DataFrame = if (small) broadcast(l) else l
+    var labels = nodes.withColumn("label", col("id"))
+    var iter = 0
+    while (iter < iters) {
+      labels = sym
+        .join(labSide(labels.select(col("id").as("dst"),
+          col("label").as("nlbl"))), Seq("dst"))
+        .groupBy(col("src"), col("nlbl")).agg(count(lit(1)).as("c"))
+        // argmax by (count desc, label asc): labels are longs, so the
+        // max of a (c, -label) struct picks the largest count and, on
+        // ties, the smallest label — one aggregate, no per-node sort
+        .groupBy(col("src").as("id"))
+        .agg(max(struct(col("c"), (-col("nlbl")).as("neg"))).as("m"))
+        .select(col("id"), (-col("m.neg")).as("label"))
+        .localCheckpoint(eager = false)
+      iter += 1
+    }
+    sym.unpersist(blocking = false)
+    labels
+  }
 }
