@@ -1986,6 +1986,57 @@ object SparkEntry {
              |    AS records_at_risk
              |FROM cls""".stripMargin)),
 
+    Q("cust_tcloseness_report", // t-closeness: the privacy trio's third
+      // leg — a class can be k-anonymous AND l-diverse yet still leak
+      // when its sensitive-value distribution skews far from the
+      // table's. Total-variation distance per class; absent values fold
+      // in as 1 − Σ_present q, so the cell set never crosses with the
+      // full domain. Same QI key and balance-bracket sensitive as the
+      // sibling reports.
+      (s, d) => graft.operators.DataQuality.tCloseness(
+        t(s, d, "customer")
+          .withColumn("bal_bracket", floor(col("c_acctbal") / 1000)),
+        Seq("c_nationkey", "c_mktsegment"), "bal_bracket", 0.35),
+      Some("""WITH cells AS (
+             |  SELECT c_nationkey, c_mktsegment,
+             |    FLOOR(c_acctbal / 1000) AS sv, COUNT(*) AS nc
+             |  FROM customer GROUP BY 1, 2, 3),
+             |sc AS (
+             |  SELECT nc,
+             |    SUM(nc) OVER (PARTITION BY c_nationkey, c_mktsegment) AS ncl,
+             |    SUM(nc) OVER (PARTITION BY sv) AS nv,
+             |    SUM(nc) OVER () AS nt,
+             |    c_nationkey, c_mktsegment
+             |  FROM cells),
+             |cls AS (
+             |  SELECT c_nationkey, c_mktsegment,
+             |    0.5 * (SUM(ABS(nc / ncl - nv / nt)) + 1.0 - SUM(nv / nt)) AS d,
+             |    MAX(ncl) AS n
+             |  FROM sc GROUP BY 1, 2)
+             |SELECT COUNT(*) AS n_classes, ROUND(MAX(d), 6) AS t_closeness,
+             |  CAST(SUM(CASE WHEN d > 0.35 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS classes_above_t,
+             |  CAST(SUM(CASE WHEN d > 0.35 THEN n ELSE 0 END) AS BIGINT)
+             |    AS records_at_risk
+             |FROM cls""".stripMargin)),
+
+    Q("dp_noisy_histogram", // eps-DP released histogram (Laplace
+      // mechanism, eps=1): noise derived from md5(salt:key) through the
+      // Laplace inverse CDF, so the release is reproducible and the
+      // oracle re-derives every noisy count exactly — both engines run
+      // the identical double arithmetic on the identical 48-bit uniform
+      (s, d) => graft.operators.DataQuality.dpNoisyCount(
+          t(s, d, "customer"), "c_mktsegment", eps = 1.0, salt = "rel2026a")
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment,
+             |  ROUND(n + -1.0 * SIGN(u) * LN(1 - 2 * ABS(u)), 4) AS n_noisy
+             |FROM (
+             |  SELECT c_mktsegment, COUNT(*) AS n,
+             |    ((('0x' || SUBSTR(md5('rel2026a:' || c_mktsegment), 1, 12))::BIGINT)
+             |      / 281474976710656.0) - 0.5 AS u
+             |  FROM customer GROUP BY 1)
+             |ORDER BY c_mktsegment""".stripMargin)),
+
     Q("events_spine_fill", // gap-filled daily series: the date spine is
       // GENERATED (sequence + explode — a few hundred rows from one
       // literal, never collected or ranged on the driver) and left-joins
@@ -3277,6 +3328,31 @@ object SparkEntry {
              |FROM documents
              |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
              |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    Q("doc_novelty", // per-doc novelty: fraction of a doc's distinct
+      // 5-shingles appearing in no other doc — catches cross-document
+      // boilerplate that within-doc repetition filters miss, and is the
+      // standard memorization-risk proxy. df join on the shingle key,
+      // never doc-vs-doc.
+      (s, d) => graft.operators.Dedup
+        .shingleNovelty(t(s, d, "documents"), shingleK = 5)
+        .orderBy("doc_id"),
+      Some("""WITH sh AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_transform(
+             |      range(0, greatest(len(t) - 4, 1)),
+             |      i -> array_to_string(t[(i+1):(i+5)], ' '))) AS sh
+             |  FROM (SELECT doc_id,
+             |          string_split_regex(lower(trim(text)), '\s+') AS t
+             |        FROM documents)
+             |), ds AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+             |dfq AS (SELECT s, COUNT(*) AS df FROM ds GROUP BY s)
+             |SELECT doc_id, COUNT(*) AS n_shingles,
+             |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_unique,
+             |  ROUND(AVG(CASE WHEN df = 1 THEN 1.0 ELSE 0.0 END), 6) AS novelty
+             |FROM ds JOIN dfq USING (s)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     Q("doc_decontaminate", // benchmark decontamination: drop every corpus
       // doc sharing a 5-shingle with the held-out set (doc_id % 97 == 0

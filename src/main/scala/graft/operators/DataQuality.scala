@@ -117,6 +117,73 @@ object DataQuality {
         .as("records_at_risk"))
   }
 
+  /** t-closeness report (Li et al. 2007): l-diversity's refinement — a
+    * class can hold l distinct sensitive values and still leak if its
+    * value DISTRIBUTION diverges from the table's. Distance is total
+    * variation: 0.5·Σ|p_v − q_v| over the sensitive domain, where p is
+    * the class distribution and q the global one. Values ABSENT from a
+    * class contribute Σ_absent q_v = 1 − Σ_present q_v, so the whole
+    * distance folds over only the (class × present-value) cells —
+    * nothing materializes the full class × domain cross product.
+    *
+    * Scale shape: ONE aggregation to (quasi-id, value) cell grain does
+    * all the heavy lifting; the class totals, per-value totals, and
+    * grand total are windows over that cell set, which is bounded by
+    * |classes| × |domain| — orders of magnitude below row count — so
+    * even the partition-less grand-total window is a few thousand rows
+    * on one partition, never row-scale data.
+    */
+  def tCloseness(df: DataFrame, quasiIds: Seq[String], sensitive: String,
+      t: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qi = quasiIds.map(col)
+    val cells = df.groupBy((quasiIds :+ sensitive).map(col): _*)
+      .agg(count(lit(1)).as("_nc"))
+    val scored = cells
+      .withColumn("_ncl", sum("_nc").over(Window.partitionBy(qi: _*)))
+      .withColumn("_nv", sum("_nc").over(Window.partitionBy(col(sensitive))))
+      .withColumn("_nt", sum("_nc").over(Window.partitionBy()))
+      .withColumn("_p", col("_nc") / col("_ncl"))
+      .withColumn("_q", col("_nv") / col("_nt"))
+    val classes = scored.groupBy(qi: _*)
+      .agg((lit(0.5) * (sum(abs(col("_p") - col("_q")))
+          + lit(1.0) - sum(col("_q")))).as("_d"),
+        max("_ncl").as("_n"))
+    classes.agg(
+      count(lit(1)).as("n_classes"),
+      round(max("_d"), 6).as("t_closeness"),
+      sum(when(col("_d") > t, 1L).otherwise(0L)).as("classes_above_t"),
+      sum(when(col("_d") > t, col("_n")).otherwise(0L)).as("records_at_risk"))
+  }
+
+  /** Differentially-private histogram via the Laplace mechanism (Dwork
+    * et al. 2006): per-group counts plus Laplace(1/eps) noise —
+    * count queries have sensitivity 1, so scale b = 1/eps gives
+    * eps-DP. The noise draw is DERIVED, not sampled: a uniform in
+    * (−0.5, 0.5) comes from the md5 of salt+group-key (md5 is the one
+    * hash portable across engines), pushed through the Laplace inverse
+    * CDF −b·sign(u)·ln(1−2|u|). Seeded noise keeps the release
+    * reproducible across reruns AND lets an external oracle re-derive
+    * the exact same noisy counts — the release pipeline equivalent of a
+    * fixed RNG seed, with the salt playing the key role (rotate it per
+    * release; a fixed public salt would let noise be stripped).
+    *
+    * Scale shape: one groupBy; the noise is a per-GROUP scalar
+    * expression on the aggregated (tiny) result — zero extra passes.
+    */
+  def dpNoisyCount(df: DataFrame, key: String, eps: Double,
+      salt: String): DataFrame = {
+    // first 48 md5 bits as an exact double in [0,1) — 2^48 fits a
+    // double's mantissa, so the string→long→double chain is lossless
+    val u = (conv(substring(md5(concat(lit(salt + ":"), col(key))), 1, 12),
+      16, 10).cast("double") / lit(281474976710656.0)) - 0.5
+    val noise = (lit(-1.0 / eps) * signum(u)
+      * log(lit(1.0) - lit(2.0) * abs(u)))
+    df.groupBy(col(key))
+      .agg(count(lit(1)).as("_n"))
+      .select(col(key), round(col("_n") + noise, 4).as("n_noisy"))
+  }
+
   /** Enforce k-anonymity by suppression: drop every row whose
     * quasi-identifier class has fewer than k members (the standard
     * minimum-cost cut when generalization hierarchies aren't available).

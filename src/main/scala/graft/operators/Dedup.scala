@@ -680,6 +680,36 @@ object Dedup {
       math.floor((trainFrac + valFrac) * scale).toLong)
   }
 
+  /** Per-document novelty score: the fraction of a document's distinct
+    * k-shingles that occur in NO other document. Low novelty flags
+    * boilerplate and template text that repetition filters miss (the
+    * repeats live across documents, not within one); it is also the
+    * standard memorization-risk proxy when the corpus is training data.
+    *
+    * Scale shape: explode to (doc, shingle) grain, one groupBy computes
+    * each shingle's document frequency, and one join on the shingle key
+    * brings it back — the same vocabulary-keyed join as TF-IDF's df
+    * (NOT broadcast: the shingle vocabulary grows with the corpus). No
+    * document ever compares against another document.
+    */
+  def shingleNovelty(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleK: Int = 5): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val ds = docs
+      .select(col(idCol), explode(shingles(col(textCol), shingleK)).as("s"))
+      .distinct()
+    val dfreq = ds.groupBy("s").agg(count(lit(1)).as("_df"))
+    ds.join(dfreq, Seq("s"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_df") === 1, 1L).otherwise(0L)).as("n_unique"),
+        round(avg(when(col("_df") === 1, 1.0).otherwise(0.0)), 6)
+          .as("novelty"))
+  }
+
   /** Benchmark decontamination: drop every corpus document that shares at
     * least one k-shingle with the benchmark set (the training-data hygiene
     * pass that keeps eval questions out of the corpus). The benchmark's

@@ -98,6 +98,50 @@ class DataQualitySpec extends SparkSuite {
     assert(flat === ((3L, 1L, 3L, 6L)))
   }
 
+  test("tCloseness computes total-variation distance per class") {
+    // parity sensitive: global q = {0: 1/2, 1: 1/2}. Class distances:
+    // ("us",1) p={1:2/3, 0:1/3} → TVD 1/6; ("us",2) balanced → 0;
+    // ("de",1) all-0 → 0.5 (the absent value contributes its full q)
+    val withSensitive = people.withColumn("parity", $"id" % 2)
+    val r = DataQuality
+      .tCloseness(withSensitive, Seq("region", "bracket"), "parity", 0.3)
+      .as[(Long, Double, Long, Long)].head()
+    assert(r._1 === 3L)
+    assert(math.abs(r._2 - 0.5) < 1e-9)
+    assert(r._3 === 1L) // only the singleton class exceeds t=0.3
+    assert(r._4 === 1L)
+    // tighter t pulls in the 1/6-distance class too
+    val tight = DataQuality
+      .tCloseness(withSensitive, Seq("region", "bracket"), "parity", 0.1)
+      .as[(Long, Double, Long, Long)].head()
+    assert(tight._3 === 2L)
+    assert(tight._4 === 4L)
+    // a sensitive column distributed identically in every class is 0-close
+    val uniform = DataQuality
+      .tCloseness(people.withColumn("s", lit("x")),
+        Seq("region", "bracket"), "s", 0.01)
+      .as[(Long, Double, Long, Long)].head()
+    assert(uniform._2 === 0.0 && uniform._3 === 0L)
+  }
+
+  test("dpNoisyCount noise is seeded, salt-keyed, and scales as 1/eps") {
+    val h = (salt: String, eps: Double) => DataQuality
+      .dpNoisyCount(people, "region", eps, salt)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val a = h("s1", 1.0)
+    assert(a === h("s1", 1.0)) // reruns reproduce the release exactly
+    assert(a !== h("s2", 1.0)) // rotating the salt redraws the noise
+    // same salt at double eps: the identical uniform through half the
+    // scale — noise exactly halves (up to the 4-decimal rounding)
+    val half = h("s1", 2.0)
+    val truth = Map("us" -> 5.0, "de" -> 1.0)
+    truth.keys.foreach { k =>
+      assert(math.abs((half(k) - truth(k)) - (a(k) - truth(k)) / 2) < 1e-3, k)
+      // 48-bit uniforms bound |noise| by ln(2^48)/eps ≈ 33.3
+      assert(math.abs(a(k) - truth(k)) < 34.0, k)
+    }
+  }
+
   test("kAnonymize suppresses exactly the small classes") {
     val kept = DataQuality.kAnonymize(people, Seq("region", "bracket"), 2)
       .select("id").as[Int].collect().sorted

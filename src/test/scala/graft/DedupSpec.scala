@@ -215,4 +215,31 @@ class DedupSpec extends SparkSuite {
     val (all, _) = Dedup.splitCuts(1.0, 0.0)
     assert(all === 4294967296L) // everything < 2^32 → all train
   }
+
+  test("shingleNovelty scores boilerplate low and unique text high") {
+    val docs = Seq(
+      // two docs sharing their entire text: every shingle's df is 2
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      // fully unique doc: every shingle is corpus-unique
+      (3L, "completely different words appear nowhere else at all"),
+      // half boilerplate: opens with the shared phrase, ends unique
+      (4L, "the quick brown fox jumps over something entirely new here")
+    ).toDF("doc_id", "text")
+    val r = Dedup.shingleNovelty(docs, shingleK = 3)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(3)))
+      .toMap
+    assert(r(1L)._2 === 0.0 && r(2L)._2 === 0.0)
+    assert(r(3L)._2 === 1.0)
+    assert(r(4L)._2 > 0.0 && r(4L)._2 < 1.0)
+    // 8 tokens → 6 distinct trigram shingles
+    assert(r(3L)._1 === 6L)
+    // novelty = n_unique / n_shingles by definition
+    val full = Dedup.shingleNovelty(docs, shingleK = 3)
+      .select("n_shingles", "n_unique", "novelty")
+      .as[(Long, Long, Double)].collect()
+    full.foreach { case (n, u, s) =>
+      assert(math.abs(s - u.toDouble / n) < 1e-6)
+    }
+  }
 }

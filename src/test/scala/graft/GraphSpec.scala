@@ -48,4 +48,31 @@ class GraphSpec extends SparkSuite {
     // and the fixpoint matches the analytic stationary distribution sum
     assert(math.abs(converged.values.sum - 1.0) < 1e-9)
   }
+
+  test("label propagation finds two triangles joined by a bridge") {
+    // triangles {1,2,3} and {10,11,12} plus bridge 3-10: within a few
+    // synchronous rounds each triangle agrees on its min label, and the
+    // bridge endpoints stay with their own (majority) triangle
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)).toDF("src", "dst")
+    val labels = Graph.labelPropagation(edges, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).map(labels).distinct === Seq(1L))
+    assert(Seq(10L, 11L, 12L).map(labels).distinct.size === 1)
+    assert(labels(10L) !== labels(1L))
+  }
+
+  test("label propagation is deterministic and broadcast/shuffle-identical") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (5L, 6L))
+      .toDF("src", "dst")
+    val a = Graph.labelPropagation(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.labelPropagation(edges, iters = 3, broadcastNodeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    // labels always come from the node-id space (synchronous LPA may
+    // oscillate on bipartite substructures — the pair 5-6 swaps labels
+    // each round — but never invents a label)
+    assert(a.values.toSet.subsetOf(Set(1L, 2L, 3L, 4L, 5L, 6L)))
+  }
 }
