@@ -2020,6 +2020,25 @@ object SparkEntry {
              |    AS records_at_risk
              |FROM cls""".stripMargin)),
 
+    Q("orders_mad_outliers", // robust outlier gate: modified z-score on
+      // the exact median/MAD — resists the outliers a mean/stddev rule
+      // absorbs. Two scalar-agg passes ride back as one-row broadcasts.
+      (s, d) => graft.operators.DataQuality.madOutlierReport(
+        t(s, d, "orders"), "o_totalprice", threshold = 3.5),
+      Some("""WITH m AS (
+             |  SELECT quantile_cont(o_totalprice, 0.5) AS med FROM orders),
+             |md AS (
+             |  SELECT med,
+             |    quantile_cont(ABS(o_totalprice - med), 0.5) AS mad
+             |  FROM orders, m GROUP BY med)
+             |SELECT ROUND(med, 4) AS median, ROUND(mad, 4) AS mad,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CASE WHEN 0.6745 * ABS(o_totalprice - med) / mad > 3.5
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             |  ROUND(AVG(CASE WHEN 0.6745 * ABS(o_totalprice - med) / mad > 3.5
+             |    THEN 1.0 ELSE 0.0 END), 6) AS outlier_frac
+             |FROM orders, md GROUP BY med, mad""".stripMargin)),
+
     Q("dp_noisy_histogram", // eps-DP released histogram (Laplace
       // mechanism, eps=1): noise derived from md5(salt:key) through the
       // Laplace inverse CDF, so the release is reproducible and the
@@ -3804,6 +3823,37 @@ object SparkEntry {
         Similarity.lshTopK(e.filter(col("vec_id") =!= 0), qv, 10)
       },
       Some(LshOracle.lshTopKSql)),
+
+    Q("emb_matryoshka_recall", // prefix-dimension retrieval eval: recall
+      // of the top-10 by 16/32/48-dim prefix cosine against the full
+      // 64-dim ranking — the acceptance gate before serving truncated
+      // embeddings at a fraction of the index bytes. One scan scores
+      // every prefix; ranks break ties on the rounded cosine then id.
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val qv = e.filter(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0).map(_.toDouble)
+        Similarity.matryoshkaRecall(e.filter(col("vec_id") =!= 0), qv, 10,
+          Seq(16, 32, 48, 64))
+      },
+      Some("""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |dims AS (SELECT unnest([16, 32, 48, 64]) AS pd),
+             |scored AS (
+             |  SELECT pd, vec_id,
+             |    ROUND(list_cosine_similarity(embedding[1:pd], qv[1:pd]), 6) AS cos
+             |  FROM embeddings, q, dims WHERE vec_id <> 0),
+             |top AS (
+             |  SELECT pd, vec_id,
+             |    ROW_NUMBER() OVER (PARTITION BY pd ORDER BY cos DESC, vec_id) AS rn
+             |  FROM scored),
+             |tk AS (SELECT pd, vec_id FROM top WHERE rn <= 10),
+             |f AS (SELECT vec_id FROM tk WHERE pd = 64)
+             |SELECT pd AS dim,
+             |  CAST(SUM(CASE WHEN vec_id IN (SELECT vec_id FROM f)
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+             |  ROUND(SUM(CASE WHEN vec_id IN (SELECT vec_id FROM f)
+             |    THEN 1 ELSE 0 END) / 10.0, 2) AS recall
+             |FROM tk GROUP BY pd ORDER BY dim""".stripMargin)),
 
     Q("emb_drift_report", // distribution-shift monitor between two corpus
       // cohorts (vec_id parity stands in for yesterday/today snapshots):

@@ -184,6 +184,36 @@ object DataQuality {
       .select(col(key), round(col("_n") + noise, 4).as("n_noisy"))
   }
 
+  /** Robust outlier report via the modified z-score (Iglewicz & Hoaglin
+    * 1993): 0.6745·|x − median| / MAD > threshold. Median and MAD resist
+    * the very outliers a mean/stddev rule would absorb — the right gate
+    * for heavy-tailed pipeline metrics, complementing
+    * [[graft.operators.Scale.winsorize]] (which caps; this one counts
+    * and flags).
+    *
+    * Exact medians need a sort, so this is inherently two aggregation
+    * passes plus the scoring scan; each scalar rides back via a one-row
+    * broadcast, never a shuffle of the data itself.
+    */
+  def madOutlierReport(df: DataFrame, valueCol: String,
+      threshold: Double = 3.5): DataFrame = {
+    val x = col(valueCol)
+    val med = df.agg(percentile(x, lit(0.5)).as("_med"))
+    val mad = df.crossJoin(broadcast(med))
+      .groupBy("_med")
+      .agg(percentile(abs(x - col("_med")), lit(0.5)).as("_mad"))
+    val z = lit(0.6745) * abs(x - col("_med")) / col("_mad")
+    df.crossJoin(broadcast(mad))
+      .groupBy("_med", "_mad")
+      .agg(count(lit(1)).as("n"),
+        sum(when(z > threshold, 1L).otherwise(0L)).as("n_outliers"),
+        round(avg(when(z > threshold, 1.0).otherwise(0.0)), 6)
+          .as("outlier_frac"))
+      .select(round(col("_med"), 4).as("median"),
+        round(col("_mad"), 4).as("mad"),
+        col("n"), col("n_outliers"), col("outlier_frac"))
+  }
+
   /** Enforce k-anonymity by suppression: drop every row whose
     * quasi-identifier class has fewer than k members (the standard
     * minimum-cost cut when generalization hierarchies aren't available).

@@ -56,6 +56,46 @@ object Similarity {
       .limit(k)
   }
 
+  /** Matryoshka prefix-dimension retrieval evaluation (Kusupati et al.
+    * 2022): rank by cosine over the first `d` dimensions for each d in
+    * `dims`, and report recall@k of each prefix against the full-width
+    * ranking. This is the acceptance gate for serving truncated
+    * embeddings — a prefix whose recall holds lets the ANN index store
+    * d/full of the bytes.
+    *
+    * Scale shape: ONE scan computes every prefix cosine (the dims list
+    * rides an explode, so a vector is read once); ranking per prefix is
+    * a window keyed on the prefix width. Run it on a sampled eval slice
+    * — per-prefix ranking shuffles (n·|dims|) skinny rows, the right
+    * cost for an evaluation harness, not a serving path (that is
+    * [[lshTopK]]/[[ivfTopK]]). Ties rank on the ROUNDED cosine then id,
+    * so the order is reproducible across engines.
+    */
+  def matryoshkaRecall(
+      emb: DataFrame, queryVec: Seq[Double], k: Int, dims: Seq[Int],
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val full = dims.max
+    val scored = emb.select(col(idCol), col(vecCol),
+        explode(lit(dims.toArray)).as("dim"))
+      .select(col(idCol), col("dim"),
+        round(cosine(slice(col(vecCol), lit(1), col("dim")),
+          slice(vecLit(queryVec), lit(1), col("dim"))), 6).as("cos"))
+    val w = Window.partitionBy("dim").orderBy(col("cos").desc, col(idCol))
+    val top = scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+    // the k full-width winners are the reference set — k rows, broadcast
+    val fullTop = top.filter(col("dim") === full)
+      .select(col(idCol).as("_fid"))
+    top.join(broadcast(fullTop), col(idCol) === col("_fid"), "left")
+      .groupBy("dim")
+      .agg(sum(when(col("_fid").isNotNull, 1L).otherwise(0L)).as("n_overlap"))
+      .select(col("dim"), col("n_overlap"),
+        round(col("n_overlap") / lit(k.toDouble), 2).as("recall"))
+      .orderBy("dim")
+  }
+
   /** Driver-side bucket id of a query vector (same formula as
     * [[lshBucket]], plain Scala).
     */

@@ -142,6 +142,20 @@ class DataQualitySpec extends SparkSuite {
     }
   }
 
+  test("madOutlierReport flags by modified z-score on exact median/MAD") {
+    // values 1,2,3,4,100: median 3, deviations {2,1,0,1,97} → MAD 1;
+    // only 100 crosses 0.6745·97 = 65.4 > 3.5
+    val vals = Seq(1.0, 2.0, 3.0, 4.0, 100.0).toDF("v")
+    val r = DataQuality.madOutlierReport(vals, "v")
+      .as[(Double, Double, Long, Long, Double)].head()
+    assert(r === ((3.0, 1.0, 5L, 1L, 0.2)))
+    // symmetric data with no tail: zero outliers
+    val clean = Seq(1.0, 2.0, 3.0, 4.0, 5.0).toDF("v")
+    val c = DataQuality.madOutlierReport(clean, "v")
+      .as[(Double, Double, Long, Long, Double)].head()
+    assert(c._4 === 0L && c._5 === 0.0)
+  }
+
   test("kAnonymize suppresses exactly the small classes") {
     val kept = DataQuality.kAnonymize(people, Seq("region", "bracket"), 2)
       .select("id").as[Int].collect().sorted

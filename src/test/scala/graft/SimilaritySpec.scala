@@ -145,6 +145,26 @@ class SimilaritySpec extends SparkSuite {
       s"16-code MSE $mseFine not below 2-code MSE $mseCoarse")
   }
 
+  test("matryoshkaRecall: full width is exact; a misleading tail drops prefix recall") {
+    // 8-dim vectors whose FIRST 4 dims rank id 1 closest to the query but
+    // whose tail flips the true winner to id 2 — the 4-dim prefix must
+    // miss at least the order the full width finds
+    val q = Seq(1.0, 0, 0, 0, 1, 1, 1, 1)
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f, -1f, -1f, -1f, -1f)), // great head, bad tail
+      (2L, Array(0.9f, 0.1f, 0f, 0f, 1f, 1f, 1f, 1f)), // true winner
+      (3L, Array(0f, 1f, 0f, 0f, 0f, 0f, 1f, 0f)),
+      (4L, Array(0f, 0f, 1f, 0f, 1f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.matryoshkaRecall(vecs, q, k = 2, dims = Seq(4, 8))
+      .collect().map(x => x.getInt(0) -> (x.getLong(1), x.getDouble(2)))
+      .toMap
+    assert(r(8) === ((2L, 1.0))) // the reference set always matches itself
+    assert(r(4)._1 <= 2L && r(4)._2 <= 1.0)
+    // top-2 at width 4 is {1,2}; at width 8 it's {2,4} → overlap 1
+    assert(r(4) === ((1L, 0.5)))
+  }
+
   test("probeBuckets yields nPlanes+1 distinct buckets") {
     val buckets = spark.range(1)
       .select(Similarity.probeBuckets(lit(5L), 8).as("b"))
