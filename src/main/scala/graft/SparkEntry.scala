@@ -1807,6 +1807,41 @@ object SparkEntry {
              |SELECT label AS community, COUNT(*) AS size FROM l3
              |GROUP BY label ORDER BY size DESC, community LIMIT 20""".stripMargin)),
 
+    Q("graph_triangles", // triangle census of the co-purchase part graph
+      // (parts sharing an order): compact-forward wedge join over
+      // degree-oriented edges — outdeg capped at O(√m), so the wedge
+      // shuffle survives celebrity nodes. Integer counts; only the
+      // clustering coefficient is float, rounded identically both sides.
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val e = li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+          .filter(col("pk") =!= col("pk2"))
+          .select(col("pk").as("src"), col("pk2").as("dst"))
+        graft.operators.Graph.triangleStats(e)
+      },
+      Some("""WITH li AS (
+             |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+             |e AS (
+             |  SELECT DISTINCT LEAST(a.pk, b.pk) AS a, GREATEST(a.pk, b.pk) AS b
+             |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+             |deg AS (
+             |  SELECT id, COUNT(*) AS d FROM (
+             |    SELECT a AS id FROM e UNION ALL SELECT b FROM e) x
+             |  GROUP BY id),
+             |tri AS (
+             |  SELECT COUNT(*) AS t FROM e e1
+             |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+             |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+             |w AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS nw FROM deg)
+             |SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+             |  (SELECT COUNT(*) FROM e) AS n_edges,
+             |  w.nw AS n_wedges,
+             |  CAST(tri.t AS BIGINT) AS n_triangles,
+             |  ROUND(3.0 * tri.t / w.nw, 6) AS clustering_coeff
+             |FROM tri, w""".stripMargin)),
+
     Q("obs_scan_metrics", // Dataset.observe: operational metrics ride
       // the SAME pass as the query (an accumulator-backed aggregate, no
       // second scan) — how a production pipeline meters rows/volume
@@ -2689,6 +2724,56 @@ object SparkEntry {
              |    + (CASE WHEN sr > 0.01 THEN 1.0 ELSE 0.0 END)
              |    + (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 4.0, 2) AS quality
              |FROM m ORDER BY doc_id""".stripMargin)),
+
+    Q("doc_curriculum_order", // curriculum schedule: easy (high-quality)
+      // documents first, order WITHIN a quality band shuffled by a
+      // deterministic md5 of the doc id so no source runs in bursts.
+      // The schedule head is a top-k (TakeOrderedAndProject), not a
+      // global sort; position numbering is a window over the k winners.
+      (s, d) => {
+        val q = t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).as("n_tok"),
+            TextAnalysis.punctRatio(col("text")).as("pr"),
+            TextAnalysis.stopwordRatio(col("text")).as("sr"),
+            TextAnalysis.meanTokenLen(col("text")).as("mtl"))
+          .select(col("doc_id"),
+            TextAnalysis.qualityFrom(col("n_tok"), col("pr"), col("sr"),
+              col("mtl")).as("quality"),
+            md5(concat(lit("cur:"), col("doc_id"))).as("h"))
+        val ord = Seq(col("quality").desc, col("h").asc, col("doc_id").asc)
+        q.orderBy(ord: _*).limit(50)
+          .select(
+            row_number().over(Window.orderBy(ord: _*)).as("pos"),
+            col("doc_id"), col("quality"))
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id, text,
+             |    string_split_regex(lower(trim(text)), '\s+') AS toks,
+             |    len(string_split_regex(trim(text), '\s+')) AS n
+             |  FROM documents
+             |), m AS (
+             |  SELECT doc_id, n,
+             |    CASE WHEN length(text) = 0 THEN 0.0
+             |      ELSE CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) / length(text) END AS pr,
+             |    CASE WHEN n = 0 THEN 0.0
+             |      ELSE CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE) / n END AS sr,
+             |    CASE WHEN n = 0 THEN 0.0
+             |      ELSE CAST(list_aggregate(list_transform(string_split_regex(trim(text), '\s+'), t -> length(t)), 'sum') AS DOUBLE) / n END AS mtl
+             |  FROM f
+             |), s AS (
+             |  SELECT doc_id,
+             |    ROUND(((CASE WHEN n BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.0 END)
+             |      + (CASE WHEN pr < 0.2 THEN 1.0 ELSE 0.0 END)
+             |      + (CASE WHEN sr > 0.01 THEN 1.0 ELSE 0.0 END)
+             |      + (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 4.0, 2) AS quality,
+             |    md5('cur:' || CAST(doc_id AS VARCHAR)) AS h
+             |  FROM m
+             |)
+             |SELECT ROW_NUMBER() OVER (ORDER BY quality DESC, h, doc_id) AS pos,
+             |  doc_id, quality
+             |FROM s ORDER BY quality DESC, h, doc_id LIMIT 50""".stripMargin)),
 
     Q("doc_admission_report", // the CAPSTONE intake query: every
       // per-document admission gate — exact-dup keep-one, language

@@ -75,4 +75,19 @@ class GraphSpec extends SparkSuite {
     // each round — but never invents a label)
     assert(a.values.toSet.subsetOf(Set(1L, 2L, 3L, 4L, 5L, 6L)))
   }
+
+  test("triangleStats counts K4 exactly and canonicalizes noisy edges") {
+    // K4 fed as a noisy list: duplicates and reversed directions must
+    // collapse to 6 undirected edges, 12 wedges, 4 triangles, coeff 1
+    val k4 = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (3L, 2L), (2L, 4L), (3L, 4L), (3L, 4L)).toDF("src", "dst")
+    val r = Graph.triangleStats(k4)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(r === ((4L, 6L, 12L, 4L, 1.0)))
+    // a path has wedges but no triangle; coefficient must be exactly 0
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val p = Graph.triangleStats(path)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(p === ((3L, 2L, 1L, 0L, 0.0)))
+  }
 }
