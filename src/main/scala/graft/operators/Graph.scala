@@ -117,8 +117,15 @@ object Graph {
     */
   def labelPropagation(edges: DataFrame, iters: Int,
       broadcastNodeLimit: Long = 10000000L): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct()
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    // symmetrize with an explode of both directions, NOT a self-union: a
+    // union would re-evaluate the (possibly expensive) upstream plan once
+    // per branch, and one distinct after the explode dedups both input
+    // duplicates and symmetric twins in a single shuffle
+    val sym = edges
+      .select(explode(array(
+        struct(col("src").as("s"), col("dst").as("d")),
+        struct(col("dst").as("s"), col("src").as("d")))).as("e"))
+      .select(col("e.s").as("src"), col("e.d").as("dst"))
       .distinct().cache()
     val nodes = sym.select(col("src").as("id")).distinct()
     val small = nodes.count() <= broadcastNodeLimit
@@ -159,7 +166,8 @@ object Graph {
     * closing join is key-partitioned on the wedge's far pair — never a
     * broadcast of the edge set.
     */
-  def triangleStats(edges: DataFrame): DataFrame = {
+  def triangleStats(edges: DataFrame,
+      broadcastNodeLimit: Long = 10000000L): DataFrame = {
     val und = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
@@ -167,10 +175,19 @@ object Graph {
     val deg = und.select(col("a").as("id"))
       .union(und.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
+      .cache()
+    // the degree table is node-sized: while it fits an executor it rides
+    // a broadcast into both annotation joins, so the (much larger) edge
+    // list never shuffles for orientation — same thresholded escape
+    // hatch as [[pageRank]]'s rank vector
+    val degSide: DataFrame => DataFrame =
+      if (deg.count() <= broadcastNodeLimit) broadcast else identity
     // orient by the (degree, id) total order; carry both endpoints' keys
     val withDeg = und
-      .join(deg.select(col("id").as("a"), col("d").as("da")), Seq("a"))
-      .join(deg.select(col("id").as("b"), col("d").as("db")), Seq("b"))
+      .join(degSide(deg.select(col("id").as("a"), col("d").as("da"))),
+        Seq("a"))
+      .join(degSide(deg.select(col("id").as("b"), col("d").as("db"))),
+        Seq("b"))
     val oriented = withDeg.select(
       when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
         struct(col("a").as("u"), col("b").as("v"), col("da").as("du"),
@@ -180,16 +197,32 @@ object Graph {
       .select(col("e.u").as("u"), col("e.v").as("v"),
         col("e.du").as("du"), col("e.dv").as("dv"))
       .cache()
-    // wedges (u; v<w in orientation order) from oriented out-neighbors
-    val w1 = oriented.select(col("u"), col("v").as("x"),
-      col("du").as("dx0"), col("dv").as("dx"))
+    val nEdges = und.count()
+    // wedges (u; v<w in orientation order) from oriented out-neighbors —
+    // slimmed to the far pair before the closing join: only (x, y) and
+    // row multiplicity matter from here on
+    val w1 = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
     val w2 = oriented.select(col("u"), col("v").as("y"),
       col("dv").as("dy"))
     val wedges = w1.join(w2, Seq("u"))
       .filter(struct(col("dx"), col("x")) < struct(col("dy"), col("y")))
+      .select(col("x"), col("y"))
     // close the wedge: (x, y) must be an oriented edge, and x's
-    // orientation key is below y's by construction above
-    val triangles = wedges.join(
+    // orientation key is below y's by construction above. Wedges
+    // outnumber triangles ~20:1 here, so a bloom filter over the edge
+    // keys kills non-closing wedges MAP-SIDE, before they shuffle — the
+    // filter is edge-count-sized (~1.2 MB/M edges at 1% fpp), so it is
+    // built only while the edge set is driver-collectable; past that the
+    // plain key-partitioned semi join below is the only shuffle anyway
+    val closable =
+      if (nEdges <= 100000000L) {
+        val bf = oriented.select(xxhash64(col("u"), col("v")).as("ek"))
+          .stat.bloomFilter("ek", nEdges, 0.01)
+        val bfBc = edges.sparkSession.sparkContext.broadcast(bf)
+        val mightContain = udf((k: Long) => bfBc.value.mightContainLong(k))
+        wedges.filter(mightContain(xxhash64(col("x"), col("y"))))
+      } else wedges
+    val triangles = closable.join(
       oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"),
       "left_semi")
     val nTri = triangles.agg(count(lit(1))).head().getLong(0)
@@ -197,8 +230,8 @@ object Graph {
       count(lit(1)).as("n_nodes"),
       sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges"))
       .head()
-    val nEdges = und.count()
     und.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
     oriented.unpersist(blocking = false)
     val spark = edges.sparkSession
     import spark.implicits._
