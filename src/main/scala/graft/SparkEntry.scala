@@ -2583,6 +2583,33 @@ object SparkEntry {
              |    / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.2
              |ORDER BY doc_id, dup_of""".stripMargin)),
 
+    Q("events_stream_cep", // §2.9: CEP sequence detection with custom
+      // bounded state — every purchase preceded by ≥2 strictly-earlier
+      // views within 30 min of the same user. flatMapGroupsWithState
+      // keeps only the in-window view timestamps per key; the oracle
+      // replays the same pattern as a correlated time-range count.
+      (s, d) => {
+        withStreamPartitions(s) {
+          val q = graft.streaming.EventStream
+            .startCepStream(s, d, "stream_cep_verify")
+          q.awaitTermination(180000)
+        }
+        s.sql("""SELECT user_id, purchase_id, n_views FROM stream_cep_verify
+                |ORDER BY user_id, purchase_id""".stripMargin)
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms
+             |  FROM events),
+             |hits AS (
+             |  SELECT p.user_id, p.event_id AS purchase_id,
+             |    (SELECT COUNT(*) FROM e v
+             |     WHERE v.user_id = p.user_id AND v.event_type = 'view'
+             |       AND v.ms > p.ms - 1800000 AND v.ms < p.ms) AS n_views
+             |  FROM e p WHERE p.event_type = 'purchase')
+             |SELECT user_id, purchase_id, CAST(n_views AS INT) AS n_views
+             |FROM hits WHERE n_views >= 2
+             |ORDER BY user_id, purchase_id""".stripMargin)),
+
     Q("events_stream_upsert", // §2.9: foreachBatch MERGE sink — the
       // stream maintains a mutable latest-row-per-user view in keyed
       // parquet state (full-outer merge per micro-batch, atomic swap).

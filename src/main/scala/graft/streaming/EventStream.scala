@@ -216,6 +216,58 @@ object EventStream {
   final case class SessionState(start: Long, last: Long, n: Int, total: Double)
   final case class Session(user_id: Long, start_ms: Long, end_ms: Long,
       n_events: Int, total_value: Double)
+  final case class CepState(viewsMs: List[Long])
+  final case class PatternHit(user_id: Long, purchase_id: Long, n_views: Int)
+
+  /** CEP-style sequence detection: emit every purchase preceded by at
+    * least `minViews` view events from the same user STRICTLY earlier
+    * within `windowMs` (the view-burst-then-buy funnel trigger). The
+    * state a key carries is only the view timestamps still inside the
+    * window — pruned on every event, so per-key state is bounded by
+    * view-rate × window no matter how long the stream runs. Works
+    * identically over readStream (one AvailableNow batch) and batch.
+    *
+    * Times compare at millisecond grain (`Timestamp.getTime`), which is
+    * what the external oracle reproduces with `epoch_ms`.
+    */
+  def detectViewBurstPurchases(spark: SparkSession, events: DataFrame,
+      windowMs: Long = 30 * 60 * 1000L, minViews: Int = 2) = {
+    import spark.implicits._
+    events.as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CepState, PatternHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[CepState]) =>
+          // sort within the batch on (ts, id) — deterministic replay;
+          // same-millisecond views never count for a purchase (strict <),
+          // so intra-tick order cannot change the answer
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var views = state.getOption.map(_.viewsMs).getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer.empty[PatternHit]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            e.event_type match {
+              case "purchase" =>
+                val recent = views.count(v => v > t - windowMs && v < t)
+                if (recent >= minViews) out += PatternHit(uid, e.event_id, recent)
+              case "view" =>
+                // prune on insert: views at or before t-window can never
+                // satisfy a later purchase (its cutoff only moves forward)
+                views = (t :: views).filter(_ > t - windowMs)
+              case _ =>
+            }
+          }
+          state.update(CepState(views))
+          out.iterator
+      }
+  }
+
+  /** [[detectViewBurstPurchases]] over the fixture stream, memory sink. */
+  def startCepStream(spark: SparkSession, sfDir: String, queryName: String): StreamingQuery = {
+    detectViewBurstPurchases(spark, rawStream(spark, sfDir))
+      .writeStream.outputMode("append").format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow()).start()
+  }
 
   /** Gap-based sessionization (30-min inactivity) with explicit state —
     * the custom-state primitive a training-data pipeline uses for

@@ -110,4 +110,27 @@ class EventStreamSpec extends SparkSuite {
     // and no purchase appears both matched and null-padded
     assert(nullStreamed.intersect(matchedStreamed.map(_._1)).isEmpty)
   }
+
+  test("CEP view-burst detection honors the window edges and strict order") {
+    def ev(id: Long, ms: Long, uid: Long, tpe: String) =
+      EventStream.Event(id, new java.sql.Timestamp(ms), uid, tpe, 1.0, "{}")
+    val m = 60 * 1000L
+    val events = Seq(
+      // user 1: two views 29 and 5 min before the purchase → hit (n=2)
+      ev(1, 1 * m, 1, "view"), ev(2, 25 * m, 1, "view"),
+      ev(3, 30 * m, 1, "purchase"),
+      // user 2: one view exactly 30 min before (outside: v > t-30m is
+      // strict) and one same-millisecond view (outside: v < t strict)
+      ev(4, 0, 2, "view"), ev(5, 30 * m, 2, "view"),
+      ev(6, 30 * m, 2, "purchase"),
+      // user 3: clicks never count toward the pattern
+      ev(7, 1 * m, 3, "click"), ev(8, 2 * m, 3, "click"),
+      ev(9, 10 * m, 3, "purchase"),
+      // user 1 again, later: old views expired, only one fresh view
+      ev(10, 70 * m, 1, "view"), ev(11, 80 * m, 1, "purchase")
+    ).toDF()
+    val hits = EventStream.detectViewBurstPurchases(spark, events)
+      .collect().map(h => (h.user_id, h.purchase_id, h.n_views)).toSet
+    assert(hits === Set((1L, 3L, 2)))
+  }
 }

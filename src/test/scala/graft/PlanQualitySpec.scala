@@ -142,9 +142,11 @@ class PlanQualitySpec extends SparkSuite {
     // can't be constructed should fail loudly here, not vanish.
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_.startsWith("events_stream_")) // streaming: runs a query, not a static plan
-      .filterNot(Set("doc_bm25_search", "doc_hybrid_rrf")) // 1-row corpus-
+      .filterNot(Set("doc_bm25_search", "doc_hybrid_rrf",
+        "orders_mad_outliers")) // 1-row corpus-
       // stats broadcast: a nested-loop join against a single-row build
       // side is the intended scalar fan-out, not a quadratic pairing
+      // (the MAD report fans its median/MAD scalars out the same way)
       .flatMap { name =>
         try {
           val p = plan(name)
