@@ -1842,6 +1842,81 @@ object SparkEntry {
              |  ROUND(3.0 * tri.t / w.nw, 6) AS clustering_coeff
              |FROM tri, w""".stripMargin)),
 
+    Q("graph_kcore", // fixed-round k-core peeling (k=3, 4 rounds) over
+      // the co-purchase part graph (parts sharing >= 2 orders). Each
+      // round drops nodes whose surviving degree is < k — at sf0.01 the
+      // cascade runs 1243 -> 1078 -> 1019 -> 983 survivors, so the fixed
+      // rounds genuinely iterate. Broadcast semi joins keep the edge
+      // list unshuffled per round (Graph.kCore); the oracle unrolls the
+      // identical four rounds. Survivor degrees are integers — bit-exact.
+      (s, d) => {
+        val op = t(s, d, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct()
+        val a = op.select(col("l_orderkey"), col("l_partkey").as("src"))
+        val b = op.select(col("l_orderkey").as("k2"), col("l_partkey").as("dst"))
+        val edges = a
+          .join(b, col("l_orderkey") === col("k2") && col("src") < col("dst"))
+          .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2).select("src", "dst")
+        graft.operators.Graph.kCore(edges, k = 3, rounds = 4)
+          .orderBy(col("deg").desc, col("id")).limit(100)
+      },
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |p AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+             |  FROM op a JOIN op b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |a0 AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+             |k1 AS (SELECT src AS id FROM a0 GROUP BY src HAVING COUNT(*) >= 3),
+             |a1 AS (SELECT src, dst FROM a0
+             |  WHERE src IN (SELECT id FROM k1) AND dst IN (SELECT id FROM k1)),
+             |k2 AS (SELECT src AS id FROM a1 GROUP BY src HAVING COUNT(*) >= 3),
+             |a2 AS (SELECT src, dst FROM a1
+             |  WHERE src IN (SELECT id FROM k2) AND dst IN (SELECT id FROM k2)),
+             |k3 AS (SELECT src AS id FROM a2 GROUP BY src HAVING COUNT(*) >= 3),
+             |a3 AS (SELECT src, dst FROM a2
+             |  WHERE src IN (SELECT id FROM k3) AND dst IN (SELECT id FROM k3)),
+             |k4 AS (SELECT src AS id FROM a3 GROUP BY src HAVING COUNT(*) >= 3),
+             |a4 AS (SELECT src, dst FROM a3
+             |  WHERE src IN (SELECT id FROM k4) AND dst IN (SELECT id FROM k4))
+             |SELECT src AS id, COUNT(*) AS deg FROM a4 GROUP BY src
+             |ORDER BY deg DESC, id LIMIT 100""".stripMargin)),
+
+    Q("graph_copurchase_recs", // item-to-item collaborative filtering
+      // (Linden et al. 2003 shape): top-3 co-purchased parts per part by
+      // co-order count. The query-part filter lands BEFORE the pair join
+      // (only the `a` side prunes — the co-part side must stay whole),
+      // so the quadratic stage runs over ~5% of parts; per-order pair
+      // blow-up stays bounded by basket size as in basket_part_pairs.
+      (s, d) => {
+        val op = t(s, d, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct()
+        val a = op.filter(col("l_partkey") <= 100)
+          .select(col("l_orderkey"), col("l_partkey").as("part"))
+        val b = op.select(col("l_orderkey").as("k2"),
+          col("l_partkey").as("rec"))
+        val co = a
+          .join(b, col("l_orderkey") === col("k2") && col("part") =!= col("rec"))
+          .groupBy("part", "rec").agg(count(lit(1)).as("n_co"))
+        val w = Window.partitionBy("part")
+          .orderBy(col("n_co").desc, col("rec"))
+        co.withColumn("rec_rank", row_number().over(w))
+          .filter(col("rec_rank") <= 3)
+          .orderBy("part", "rec_rank")
+      },
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |co AS (SELECT a.l_partkey AS part, b.l_partkey AS rec,
+             |    COUNT(*) AS n_co
+             |  FROM op a JOIN op b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+             |  WHERE a.l_partkey <= 100
+             |  GROUP BY 1, 2),
+             |r AS (SELECT part, rec, n_co, ROW_NUMBER() OVER (
+             |    PARTITION BY part ORDER BY n_co DESC, rec) AS rec_rank
+             |  FROM co)
+             |SELECT part, rec, n_co, rec_rank FROM r WHERE rec_rank <= 3
+             |ORDER BY part, rec_rank""".stripMargin)),
+
     Q("obs_scan_metrics", // Dataset.observe: operational metrics ride
       // the SAME pass as the query (an accumulator-backed aggregate, no
       // second scan) — how a production pipeline meters rows/volume
@@ -2074,6 +2149,35 @@ object SparkEntry {
              |    THEN 1.0 ELSE 0.0 END), 6) AS outlier_frac
              |FROM orders, md GROUP BY med, mad""".stripMargin)),
 
+    Q("lineitem_skew_report", // shuffle-planning skew audit of a
+      // prospective join/partitioning key: exact Gini + max/top-1%
+      // concentration of the l_partkey multiplicity distribution,
+      // computed WITHOUT a global per-key sort — per-key counts collapse
+      // to a count-of-counts table and rank-block algebra reproduces the
+      // sorted-rank sums exactly (DataQuality.keySkewReport). The oracle
+      // runs the naive row_number formulation; both are integer-exact up
+      // to the final divisions, so they agree bit-for-bit.
+      (s, d) => graft.operators.DataQuality.keySkewReport(
+        t(s, d, "lineitem"), "l_partkey"),
+      Some("""WITH c AS (
+             |  SELECT l_partkey AS key, COUNT(*) AS c FROM lineitem
+             |  GROUP BY 1),
+             |tot AS (SELECT COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows,
+             |  MAX(c) AS max_c FROM c),
+             |ranked AS (SELECT c,
+             |  ROW_NUMBER() OVER (ORDER BY c, key) AS r,
+             |  ROW_NUMBER() OVER (ORDER BY c DESC, key) AS rd FROM c),
+             |topshare AS (SELECT SUM(c) AS top_c FROM ranked
+             |  WHERE rd <= CAST(CEIL(0.01 * (SELECT n_keys FROM tot)) AS BIGINT)),
+             |g AS (SELECT SUM(r * c) AS rank_sum FROM ranked)
+             |SELECT n_keys, n_rows, max_c,
+             |  ROUND(CAST(n_rows AS DOUBLE) / n_keys, 4) AS avg_c,
+             |  ROUND(CAST(max_c AS DOUBLE) / n_rows, 6) AS max_share,
+             |  ROUND(CAST(top_c AS DOUBLE) / n_rows, 6) AS top1pct_share,
+             |  ROUND(2.0 * rank_sum / (CAST(n_keys AS DOUBLE) * n_rows)
+             |    - CAST(n_keys + 1 AS DOUBLE) / n_keys, 6) AS gini
+             |FROM tot, topshare, g""".stripMargin)),
+
     Q("dp_noisy_histogram", // eps-DP released histogram (Laplace
       // mechanism, eps=1): noise derived from md5(salt:key) through the
       // Laplace inverse CDF, so the release is reproducible and the
@@ -2300,6 +2404,116 @@ object SparkEntry {
       Some("""SELECT date_trunc('day', ts) AS day, COUNT(*) AS n,
              |ROUND(SUM(value), 2) AS total_value
              |FROM events GROUP BY day ORDER BY day""".stripMargin)),
+
+    Q("events_ewma_daily", // EWMA-smoothed daily counts per event type,
+      // alpha = 1/2 BY DESIGN: the recurrence's closed form collapses to
+      // (running_sum(n_i * 2^i) + n_0) / 2^(t+1) — every term a dyadic
+      // rational, exactly representable in doubles, so the smoothed
+      // series is BIT-identical across engines with no float-order
+      // slack at all. One day-grained agg, one bounded window per type.
+      (s, d) => {
+        val w = Window.partitionBy("event_type").orderBy("day")
+        val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "events")
+          .groupBy(col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).cast("double").as("n"))
+          .withColumn("i", row_number().over(w).cast("double") - 1)
+          .withColumn("s", sum(col("n") * pow(lit(2.0), col("i"))).over(wc))
+          .withColumn("f", first("n").over(wc))
+          .select(col("event_type"), col("day"),
+            col("n").cast("long").as("n"),
+            round((col("s") + col("f")) / pow(lit(2.0), col("i") + 1), 4)
+              .as("ewma"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             |    CAST(COUNT(*) AS DOUBLE) AS n
+             |  FROM events GROUP BY 1, 2),
+             |idx AS (SELECT event_type, day, n,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+             |    AS DOUBLE) - 1 AS i
+             |  FROM daily),
+             |acc AS (SELECT event_type, day, n, i,
+             |  SUM(n * POW(2.0, i)) OVER (PARTITION BY event_type ORDER BY i
+             |    ROWS UNBOUNDED PRECEDING) AS s,
+             |  FIRST_VALUE(n) OVER (PARTITION BY event_type ORDER BY i) AS f
+             |  FROM idx)
+             |SELECT event_type, day, CAST(n AS BIGINT) AS n,
+             |  ROUND((s + f) / POW(2.0, i + 1), 4) AS ewma
+             |FROM acc ORDER BY event_type, day""".stripMargin)),
+
+    Q("events_dow_seasonality", // day-of-week seasonal profile: per
+      // (type, ISO weekday) mean daily count and its ratio to the type's
+      // overall mean — the multiplicative seasonal index a forecast
+      // divides out. Integer sums until the final ratios: bit-exact.
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("event_type"), (weekday(col("day")) + 1).as("dow"),
+            col("n"))
+        val per = daily.groupBy("event_type", "dow")
+          .agg(count(lit(1)).as("n_days"), sum("n").as("tot"))
+        val typ = daily.groupBy("event_type")
+          .agg(sum("n").as("t_tot"), count(lit(1)).as("t_days"))
+        per.join(broadcast(typ), Seq("event_type"))
+          .select(col("event_type"), col("dow"), col("n_days"),
+            round(col("tot").cast("double") / col("n_days"), 4).as("avg_n"),
+            round((col("tot").cast("double") / col("n_days"))
+              / (col("t_tot").cast("double") / col("t_days")), 4)
+              .as("seasonal_index"))
+          .orderBy("event_type", "dow")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |dowd AS (SELECT event_type, isodow(day) AS dow, n FROM daily),
+             |per AS (SELECT event_type, dow, COUNT(*) AS n_days,
+             |  SUM(n) AS tot FROM dowd GROUP BY 1, 2),
+             |typ AS (SELECT event_type, SUM(n) AS t_tot, COUNT(*) AS t_days
+             |  FROM dowd GROUP BY 1)
+             |SELECT p.event_type, p.dow, p.n_days,
+             |  ROUND(CAST(p.tot AS DOUBLE) / p.n_days, 4) AS avg_n,
+             |  ROUND((CAST(p.tot AS DOUBLE) / p.n_days)
+             |    / (CAST(t.t_tot AS DOUBLE) / t.t_days), 4) AS seasonal_index
+             |FROM per p JOIN typ t USING (event_type)
+             |ORDER BY event_type, dow""".stripMargin)),
+
+    Q("events_seasonal_naive", // seasonal-naive backtest: forecast each
+      // day with the count seven days earlier, report per-type MAPE/MAE.
+      // The lag is a keyed equi-join on (type, day-7), not a window over
+      // a possibly-gapped series — missing days drop out instead of
+      // silently lagging the wrong row. Error terms are integer-valued,
+      // so only MAPE's ratio sum carries float addition (round 4).
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val prior = daily.select(col("event_type").as("ptype"),
+          col("day").as("pday"), col("n").as("pred"))
+        daily
+          .join(prior, col("event_type") === col("ptype")
+            && date_sub(col("day"), 7) === col("pday"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"),
+            round(avg(abs(col("n").cast("double") - col("pred"))
+              / col("n")), 4).as("mape"),
+            round(avg(abs(col("n").cast("double") - col("pred"))), 4)
+              .as("mae"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+             |  FROM events GROUP BY 1, 2)
+             |SELECT a.event_type, COUNT(*) AS n_days,
+             |  ROUND(AVG(ABS(CAST(a.n AS DOUBLE) - b.n) / a.n), 4) AS mape,
+             |  ROUND(AVG(ABS(CAST(a.n AS DOUBLE) - b.n)), 4) AS mae
+             |FROM daily a JOIN daily b
+             |  ON a.event_type = b.event_type
+             |  AND b.day = a.day - INTERVAL 7 DAY
+             |GROUP BY a.event_type ORDER BY a.event_type""".stripMargin)),
 
     Q("events_hourly_by_type", // window(ts, 1h) ≡ date_trunc hour
       (s, d) => t(s, d, "events")
@@ -2751,6 +2965,42 @@ object SparkEntry {
              |    + (CASE WHEN sr > 0.01 THEN 1.0 ELSE 0.0 END)
              |    + (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 4.0, 2) AS quality
              |FROM m ORDER BY doc_id""".stripMargin)),
+
+    Q("doc_readability", // Flesch reading-ease per document with the
+      // standard regex surrogates (letter-runs = words, [.!?]-runs =
+      // sentence breaks, vowel-group runs = syllables — Kincaid et al.
+      // 1975 applied corpus-side). Map-only codegen'd scan, no shuffle;
+      // counts are integers so the score is bit-deterministic. The
+      // fixture corpus is punctuation-free, which the sentence floor
+      // (>= 1) absorbs — on real corpora the same plan applies.
+      (s, d) => {
+        val words = size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+"), lit(0))).cast("long")
+        val sents = greatest(size(regexp_extract_all(col("text"),
+          lit("[.!?]+"), lit(0))).cast("long"), lit(1L))
+        val sylls = size(regexp_extract_all(lower(col("text")),
+          lit("[aeiouy]+"), lit(0))).cast("long")
+        t(s, d, "documents")
+          .select(col("doc_id"), words.as("n_words"), sents.as("n_sentences"),
+            sylls.as("n_syllables"))
+          .filter(col("n_words") > 0)
+          .withColumn("flesch", round(lit(206.835)
+            - lit(1.015) * col("n_words").cast("double") / col("n_sentences")
+            - lit(84.6) * col("n_syllables").cast("double") / col("n_words"), 2))
+          .orderBy("doc_id")
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id,
+             |    len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+             |    GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+             |      AS n_sentences,
+             |    len(regexp_extract_all(lower(text), '[aeiouy]+'))
+             |      AS n_syllables
+             |  FROM documents)
+             |SELECT doc_id, n_words, n_sentences, n_syllables,
+             |  ROUND(206.835 - 1.015 * CAST(n_words AS DOUBLE) / n_sentences
+             |    - 84.6 * CAST(n_syllables AS DOUBLE) / n_words, 2) AS flesch
+             |FROM f WHERE n_words > 0 ORDER BY doc_id""".stripMargin)),
 
     Q("doc_curriculum_order", // curriculum schedule: easy (high-quality)
       // documents first, order WITHIN a quality band shuffled by a
@@ -4169,6 +4419,41 @@ object SparkEntry {
              |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id
              |WHERE list_cosine_similarity(a.v, b2.v) >= 0.3
              |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("emb_semantic_dedup", // SemDeDup (Abbas et al. 2023) end-to-end:
+      // LSH-bucketed cosine pairs -> connected components -> keep the
+      // min-id representative per semantic cluster. Composes the proven
+      // embeddingNearDups pair machinery with connectedComponents, so
+      // the quadratic stage stays inside LSH buckets and the cluster
+      // step only touches the pair OUTPUT (small side). cluster_id IS
+      // the kept id (labels propagate minima). Oracle: the same inlined
+      // plane constants + a recursive-CTE transitive closure.
+      (s, d) => Dedup.connectedComponents(
+          Dedup.embeddingNearDups(t(s, d, "embeddings"),
+            nPlanes = 4, threshold = 0.3))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          (count(lit(1)) - 1).as("n_dropped"),
+          array_join(transform(array_sort(collect_list(col("id"))),
+            x => x.cast("string")), ",").as("members"))
+        .orderBy("cluster_id"),
+      Some(s"""WITH RECURSIVE e AS (SELECT vec_id AS id,
+             |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+             |b AS (SELECT id, v, ${LshOracle.bucketSql("v", 4)} AS bucket FROM e),
+             |pairs AS (SELECT a.id AS id_a, b2.id AS id_b
+             |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id
+             |  WHERE list_cosine_similarity(a.v, b2.v) >= 0.3),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs),
+             |reach(id, r) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT e2.src, reach.r FROM edges e2 JOIN reach ON e2.dst = reach.id),
+             |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+             |SELECT cluster_id, COUNT(*) AS n_members,
+             |  COUNT(*) - 1 AS n_dropped,
+             |  array_to_string(list_sort(list(id)), ',') AS members
+             |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin)),
 
     Q("emb_knn_join", // batch k-NN join, LSH-blocked — the full blocked
       // pipeline (bucket both sides, Hamming-1 probe explosion, bucket

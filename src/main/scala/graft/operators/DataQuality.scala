@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality audit over DataFrames — the scale-out form of
@@ -212,6 +213,66 @@ object DataQuality {
       .select(round(col("_med"), 4).as("median"),
         round(col("_mad"), 4).as("mad"),
         col("n"), col("n_outliers"), col("outlier_frac"))
+  }
+
+  /** Shuffle-planning skew audit over a prospective partitioning key:
+    * per-key multiplicities → one-row report with the exact max/top-1%
+    * concentration shares and the exact Gini coefficient of the key
+    * distribution. The operator a 100 TB job runs BEFORE choosing a
+    * shuffle key — a max_share near 1/parallelism or a high Gini says
+    * "salt this key" (see [[Scale.saltedJoin]]) long before one reducer
+    * proves it the slow way.
+    *
+    * Scale shape: Gini and top-share are order statistics, but NO global
+    * per-key sort happens — per-key counts collapse to a count-of-counts
+    * table (one row per DISTINCT multiplicity, bounded by the max
+    * multiplicity, tiny in practice), and rank-block algebra over that
+    * table reproduces the sorted-rank sums exactly: keys tied at
+    * multiplicity c occupy a consecutive rank block, and sum(rank*c)
+    * over a block is c * (m*cum_before + m*(m+1)/2) — invariant to
+    * tie order. All sums are integer-exact; the only floating point is
+    * the final three divisions, so the report is bit-deterministic.
+    */
+  def keySkewReport(df: DataFrame, keyCol: String): DataFrame = {
+    val perKey = df.groupBy(col(keyCol).as("_key"))
+      .agg(count(lit(1)).as("_c"))
+    // count-of-counts: _c -> how many keys carry that multiplicity
+    val byVal = perKey.groupBy("_c").agg(count(lit(1)).as("_m"))
+    // the global window spans one row per distinct multiplicity — a
+    // bounded relation (cf. the events_rolling_dau precedent), so the
+    // single-partition window is benign by construction
+    val wAsc = Window.orderBy(col("_c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.orderBy(col("_c").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val annotated = byVal
+      .withColumn("_cumAsc", sum("_m").over(wAsc))
+      .withColumn("_cumDesc", sum("_m").over(wDesc))
+    val stats = annotated.agg(
+      sum("_m").as("n_keys"),
+      sum(col("_m") * col("_c")).as("n_rows"),
+      max("_c").as("max_c"),
+      // sum over keys of rank*count via per-block closed form
+      sum(col("_c") * ((col("_cumAsc") - col("_m")) * col("_m")
+        + col("_m") * (col("_m") + 1) / 2)).as("_rankSum"))
+    val k1 = stats.select(ceil(col("n_keys") * 0.01).cast("long").as("_k1"))
+    // top-1% concentration: walk the descending cum table and take
+    // c * min(m, remaining-budget) per block — ties all share c, so any
+    // subset of a partially-taken block sums identically
+    val topc = annotated.crossJoin(broadcast(k1))
+      .agg(sum(col("_c") * greatest(lit(0L),
+        least(col("_m"), col("_k1") - (col("_cumDesc") - col("_m")))))
+        .as("_topc"))
+    stats.crossJoin(broadcast(topc)).crossJoin(broadcast(k1)).select(
+      col("n_keys"), col("n_rows"), col("max_c"),
+      round(col("n_rows").cast("double") / col("n_keys"), 4).as("avg_c"),
+      round(col("max_c").cast("double") / col("n_rows"), 6).as("max_share"),
+      round(col("_topc").cast("double") / col("n_rows"), 6)
+        .as("top1pct_share"),
+      round(lit(2.0) * col("_rankSum")
+          / (col("n_keys").cast("double") * col("n_rows"))
+        - (col("n_keys") + lit(1L)).cast("double") / col("n_keys"), 6)
+        .as("gini"))
   }
 
   /** Enforce k-anonymity by suppression: drop every row whose

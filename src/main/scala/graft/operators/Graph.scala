@@ -150,6 +150,54 @@ object Graph {
     labels
   }
 
+  /** Fixed-round k-core peeling (Seidman 1983): each round drops every
+    * node whose degree in the SURVIVING subgraph is below `k`, then
+    * recomputes degrees. After enough rounds the survivor set is exactly
+    * the k-core; a FIXED round count keeps the result deterministic and
+    * lets a SQL oracle unroll the identical rounds (the same contract as
+    * [[pageRank]] / [[labelPropagation]]). Returns surviving nodes with
+    * their final within-core degree.
+    *
+    * Scale shape: the survivor set is node-sized, so below
+    * `broadcastNodeLimit` each round is ONE degree aggregation (keyed on
+    * src — map-side partials collapse per-partition duplicates) plus two
+    * broadcast LEFT SEMI joins that never shuffle the edge list. The
+    * symmetrized edges are cached once; per-round localCheckpoint keeps
+    * round r's plan from embedding rounds 1..r-1. Past the limit the
+    * semi joins degrade to co-partitioned shuffles — the standard
+    * escape hatch.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int,
+      broadcastNodeLimit: Long = 10000000L): DataFrame = {
+    val sym = edges
+      .select(explode(array(
+        struct(col("src").as("s"), col("dst").as("d")),
+        struct(col("dst").as("s"), col("src").as("d")))).as("e"))
+      .select(col("e.s").as("src"), col("e.d").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct().cache()
+    val small =
+      sym.select(col("src")).distinct().count() <= broadcastNodeLimit
+    def keepSide(kp: DataFrame): DataFrame = if (small) broadcast(kp) else kp
+    var alive = sym
+    var r = 0
+    while (r < rounds) {
+      val keep = alive.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select("id")
+      alive = alive
+        .join(keepSide(keep.select(col("id").as("src"))), Seq("src"), "left_semi")
+        .join(keepSide(keep.select(col("id").as("dst"))), Seq("dst"), "left_semi")
+        .localCheckpoint(eager = false)
+      r += 1
+    }
+    val out = alive.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg"))
+    sym.unpersist(blocking = false)
+    out
+  }
+
   /** Triangle count plus global clustering coefficient over an
     * undirected graph (edge list in any direction/duplication; it is
     * canonicalized here). The join strategy is compact-forward (Latapy

@@ -170,4 +170,21 @@ class DataQualitySpec extends SparkSuite {
     assert(DataQuality.kAnonymize(people, Seq("region", "bracket"), 99)
       .count() === 0L)
   }
+
+  test("keySkewReport reproduces the hand-computed Gini and shares") {
+    // multiplicities a:4 b:2 c:1 d:1 → ascending counts [1,1,2,4],
+    // rank·count sum = 1+2+6+16 = 25,
+    // gini = 2·25/(4·8) − 5/4 = 0.3125; top-1% budget = ceil(0.04) = 1
+    // key → the c=4 key → share 4/8 = 0.5; max_share likewise 0.5
+    val rows = (Seq.fill(4)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
+      .toDF("k")
+    val r = DataQuality.keySkewReport(rows, "k")
+      .as[(Long, Long, Long, Double, Double, Double, Double)].head()
+    assert(r === ((4L, 8L, 4L, 2.0, 0.5, 0.5, 0.3125)))
+    // uniform distribution: gini exactly 0, every share 1/n_keys
+    val uni = (1 to 4).flatMap(i => Seq.fill(3)(s"k$i")).toDF("k")
+    val u = DataQuality.keySkewReport(uni, "k")
+      .as[(Long, Long, Long, Double, Double, Double, Double)].head()
+    assert(u === ((4L, 12L, 3L, 3.0, 0.25, 0.25, 0.0)))
+  }
 }

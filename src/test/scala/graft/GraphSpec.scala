@@ -90,4 +90,33 @@ class GraphSpec extends SparkSuite {
       .as[(Long, Long, Long, Long, Double)].head()
     assert(p === ((3L, 2L, 1L, 0L, 0.0)))
   }
+
+  test("kCore peels a pendant chain down to the K4 2-core") {
+    // K4 on 1-4 plus a chain 4-5-6: node 6 (deg 1) falls in round 1,
+    // which drops 5 to deg 1 so it falls in round 2 — the cascade the
+    // fixed rounds must reproduce. Survivors are exactly K4, all deg 3.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val core = Graph.kCore(edges, k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // too few rounds must show the intermediate state (6 gone, 5 still
+    // in with its now-dangling edge counted against the survivor set)
+    val one = Graph.kCore(edges, k = 2, rounds = 1)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(one === Set(1L, 2L, 3L, 4L, 5L))
+    // k above the max degree empties the graph
+    assert(Graph.kCore(edges, k = 5, rounds = 2).count() === 0L)
+  }
+
+  test("kCore is broadcast/shuffle-path identical") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val a = Graph.kCore(edges, k = 2, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Graph.kCore(edges, k = 2, rounds = 3, broadcastNodeLimit = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+    assert(a === Set((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
 }
