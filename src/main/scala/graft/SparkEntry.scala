@@ -1974,6 +1974,189 @@ object SparkEntry {
              |FROM supplier JOIN nation ON s_nationkey = n_nationkey
              |GROUP BY n_name ORDER BY n_name""".stripMargin)),
 
+    Q("orders_abc_pareto", // ABC / Pareto revenue classification:
+      // customers ranked by (rounded) lifetime revenue, cumulative share
+      // → class A (first 80%), B (to 95%), C (tail). Orders collapse to
+      // a customer-grained rollup FIRST, so the global rank window sorts
+      // |customers| rows, never |orders|; the unpartitioned windows are
+      // the semantics (a global cumulative share) and run over that
+      // already-aggregated vector. Revenue is rounded BEFORE the cumsum
+      // so the running total adds identical doubles in identical order
+      // in both engines.
+      (s, d) => {
+        val rev = t(s, d, "orders").groupBy("o_custkey")
+          .agg(round(sum("o_totalprice"), 2).as("rev"))
+        val w = Window.orderBy(col("rev").desc, col("o_custkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = Window.partitionBy()
+        rev
+          .withColumn("share", sum("rev").over(w) / sum("rev").over(tot))
+          .withColumn("abc_class",
+            when(col("share") <= 0.80, "A")
+              .when(col("share") <= 0.95, "B").otherwise("C"))
+          .groupBy("abc_class")
+          .agg(count(lit(1)).as("n_customers"),
+            round(sum("rev"), 2).as("class_revenue"))
+          .orderBy("abc_class")
+      },
+      Some("""WITH rev AS (
+             |  SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS rev
+             |  FROM orders GROUP BY 1),
+             |c AS (SELECT rev,
+             |    SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      / SUM(rev) OVER () AS share
+             |  FROM rev)
+             |SELECT CASE WHEN share <= 0.80 THEN 'A'
+             |    WHEN share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class,
+             |  COUNT(*) AS n_customers, ROUND(SUM(rev), 2) AS class_revenue
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("part_skyline", // 2-D pareto frontier (cheapest price, biggest
+      // size): the oracle runs the textbook O(n²) NOT-EXISTS dominance
+      // test; the Spark side never forms a pair — distinct (price, size)
+      // collapses first (bounded by the value domain, not |part|), the
+      // per-price max-size rep wins the equal-price contest in the same
+      // aggregate, and one cummax scan over the price-ordered reps keeps
+      // exactly the points whose size beats every strictly-cheaper rep.
+      // Frontier pairs then broadcast back onto the part table.
+      (s, d) => {
+        val part = t(s, d, "part")
+        val reps = part.groupBy("p_retailprice")
+          .agg(max("p_size").as("max_size"))
+        val w = Window.orderBy("p_retailprice")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val frontier = reps
+          .withColumn("best_cheaper", max("max_size").over(w))
+          .filter(col("best_cheaper").isNull
+            || col("max_size") > col("best_cheaper"))
+          .select(col("p_retailprice").as("f_price"),
+            col("max_size").as("f_size"))
+        part.join(broadcast(frontier),
+            col("p_retailprice") === col("f_price")
+              && col("p_size") === col("f_size"))
+          .select(col("p_partkey"), round(col("p_retailprice"), 2)
+            .as("price"), col("p_size").as("size"))
+          .orderBy("price", "p_partkey")
+      },
+      Some("""SELECT p_partkey, ROUND(p_retailprice, 2) AS price,
+             |  p_size AS size
+             |FROM part a
+             |WHERE NOT EXISTS (SELECT 1 FROM part b
+             |  WHERE b.p_retailprice <= a.p_retailprice
+             |    AND b.p_size >= a.p_size
+             |    AND (b.p_retailprice < a.p_retailprice
+             |      OR b.p_size > a.p_size))
+             |ORDER BY price, p_partkey""".stripMargin)),
+
+    Q("lineitem_equidepth_hist", // exact equi-depth (NTILE) histogram of
+      // extendedprice — the exact-mode auditor for the approx_percentile
+      // sketch: bucket edges from ranked position, not estimate. The
+      // unique (price, orderkey, linenumber) order makes every bucket
+      // assignment deterministic. The global NTILE is a range-partitioned
+      // sort (Spark's sort shuffle); at 100 TB you'd reach for the
+      // sketch and keep this as the sampled cross-check.
+      (s, d) => {
+        val w = Window
+          .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        t(s, d, "lineitem")
+          .select(col("l_extendedprice"), col("l_orderkey"),
+            col("l_linenumber"))
+          .withColumn("bucket", ntile(10).over(w))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"),
+            round(min("l_extendedprice"), 2).as("lo"),
+            round(max("l_extendedprice"), 2).as("hi"))
+          .orderBy("bucket")
+      },
+      Some("""WITH b AS (
+             |  SELECT l_extendedprice,
+             |    NTILE(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+             |      l_linenumber) AS bucket
+             |  FROM lineitem)
+             |SELECT bucket, COUNT(*) AS n,
+             |  ROUND(MIN(l_extendedprice), 2) AS lo,
+             |  ROUND(MAX(l_extendedprice), 2) AS hi
+             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    Q("orders_rfm_segments", // RFM segmentation: per-customer recency /
+      // frequency / monetary quartiles, anchored at the corpus max order
+      // day so the metric is data-pinned, not wall-clock. The three NTILE
+      // windows run over the customer-grained rollup (|customers| rows)
+      // with unique custkey tie-breaks, and monetary is rounded BEFORE
+      // ranking so both engines sort identical doubles.
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val anchor = o.agg(
+          max(date_trunc("day", col("o_orderdate"))).as("mx"))
+        val rfm = o.groupBy("o_custkey").agg(
+            max(date_trunc("day", col("o_orderdate"))).as("last_day"),
+            count(lit(1)).as("freq"),
+            round(sum("o_totalprice"), 2).as("monetary"))
+          .crossJoin(broadcast(anchor))
+          .withColumn("recency_days", datediff(col("mx"), col("last_day")))
+        val rq = ntile(4).over(
+          Window.orderBy(col("recency_days"), col("o_custkey")))
+        val fq = ntile(4).over(
+          Window.orderBy(col("freq").desc, col("o_custkey")))
+        val mq = ntile(4).over(
+          Window.orderBy(col("monetary").desc, col("o_custkey")))
+        rfm.select(col("o_custkey"), col("recency_days"), col("freq"),
+            col("monetary"), rq.as("r_q"), fq.as("f_q"), mq.as("m_q"))
+          .withColumn("segment",
+            concat(col("r_q"), col("f_q"), col("m_q")))
+          .orderBy("o_custkey").limit(25)
+      },
+      Some("""WITH mxd AS (
+             |  SELECT MAX(date_trunc('day', o_orderdate)) AS mx
+             |  FROM orders),
+             |rfm AS (
+             |  SELECT o_custkey,
+             |    MAX(date_trunc('day', o_orderdate)) AS last_day,
+             |    COUNT(*) AS freq,
+             |    ROUND(SUM(o_totalprice), 2) AS monetary
+             |  FROM orders GROUP BY 1),
+             |q AS (
+             |  SELECT o_custkey,
+             |    date_diff('day', CAST(last_day AS DATE), CAST(mx AS DATE))
+             |      AS recency_days,
+             |    freq, monetary,
+             |    NTILE(4) OVER (ORDER BY
+             |      date_diff('day', CAST(last_day AS DATE), CAST(mx AS DATE)),
+             |      o_custkey) AS r_q,
+             |    NTILE(4) OVER (ORDER BY freq DESC, o_custkey) AS f_q,
+             |    NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_q
+             |  FROM rfm, mxd)
+             |SELECT o_custkey, recency_days, freq, monetary, r_q, f_q, m_q,
+             |  CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR)
+             |    || CAST(m_q AS VARCHAR) AS segment
+             |FROM q ORDER BY o_custkey LIMIT 25""".stripMargin)),
+
+    Q("cust_target_encoding", // leave-one-out target encoding of the
+      // market segment against account balance — the leakage-safe
+      // categorical feature for downstream models: each row's own target
+      // leaves via the algebraic (sum − own)/(n − 1) identity, so the
+      // encoding costs ONE segment-grained aggregate + a broadcast join
+      // back, never a per-row window over the fact table.
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val seg = c.groupBy("c_mktsegment").agg(
+          sum("c_acctbal").as("seg_sum"), count(lit(1)).as("seg_n"))
+        c.join(broadcast(seg), Seq("c_mktsegment"))
+          .select(col("c_custkey"), col("c_mktsegment"),
+            round((col("seg_sum") - col("c_acctbal"))
+              / (col("seg_n") - 1), 4).as("loo_enc"))
+          .orderBy("c_custkey").limit(25)
+      },
+      Some("""WITH seg AS (
+             |  SELECT c_mktsegment, SUM(c_acctbal) AS seg_sum,
+             |    COUNT(*) AS seg_n
+             |  FROM customer GROUP BY 1)
+             |SELECT c_custkey, c_mktsegment,
+             |  ROUND((seg_sum - c_acctbal) / (seg_n - 1), 4) AS loo_enc
+             |FROM customer JOIN seg USING (c_mktsegment)
+             |ORDER BY c_custkey LIMIT 25""".stripMargin)),
+
     Q("stats_moments", // second-moment statistics in ONE pass: corr,
       // covariance, stddev, variance are all partial-aggregatable
       // (sum/sum-of-squares/cross-products combine associatively), so the
@@ -2177,6 +2360,40 @@ object SparkEntry {
              |  ROUND(2.0 * rank_sum / (CAST(n_keys AS DOUBLE) * n_rows)
              |    - CAST(n_keys + 1 AS DOUBLE) / n_keys, 6) AS gini
              |FROM tot, topshare, g""".stripMargin)),
+
+    Q("orders_benford_check", // Benford first-digit audit of the order
+      // totals — the classic fabricated-figures screen. First digit via
+      // integer-floor + string head (no log bucketing, so exact),
+      // observed share vs the log10(1+1/d) law per digit. One scan, one
+      // 9-row agg; deviations are the analyst's fraud signal.
+      (s, d) => {
+        val digit = substring(floor(col("o_totalprice")).cast("long")
+          .cast("string"), 1, 1).cast("int")
+        val tot = Window.partitionBy()
+        t(s, d, "orders")
+          .select(digit.as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+          .withColumn("observed",
+            round(col("n").cast("double") / sum("n").over(tot), 4))
+          .withColumn("expected",
+            round(log10(lit(1.0) + lit(1.0) / col("digit")), 4))
+          .withColumn("deviation", round(
+            col("n").cast("double") / sum("n").over(tot)
+              - log10(lit(1.0) + lit(1.0) / col("digit")), 4))
+          .orderBy("digit")
+      },
+      Some("""WITH d AS (
+             |  SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+             |    AS VARCHAR), 1, 1) AS INTEGER) AS digit
+             |  FROM orders),
+             |c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM c)
+             |SELECT digit, n,
+             |  ROUND(CAST(n AS DOUBLE) / t, 4) AS observed,
+             |  ROUND(LOG10(1.0 + 1.0 / digit), 4) AS expected,
+             |  ROUND(CAST(n AS DOUBLE) / t - LOG10(1.0 + 1.0 / digit), 4)
+             |    AS deviation
+             |FROM c, tot ORDER BY digit""".stripMargin)),
 
     Q("dp_noisy_histogram", // eps-DP released histogram (Laplace
       // mechanism, eps=1): noise derived from md5(salt:key) through the
@@ -2515,6 +2732,41 @@ object SparkEntry {
              |  AND b.day = a.day - INTERVAL 7 DAY
              |GROUP BY a.event_type ORDER BY a.event_type""".stripMargin)),
 
+    Q("events_markov_transitions", // first-order Markov model of the
+      // per-user event sequence: next-event lead over the (user, time)
+      // order, transition counts, then row-normalized probabilities.
+      // Ordering is in MICROSECONDS + event_id (the fixture has sub-ms
+      // timestamps; ms truncation could order tied rows differently than
+      // the oracle). The normalizing window spans the 5x5 transition
+      // matrix — bounded by the event-type vocabulary, not the data.
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(unix_micros(col("ts")), col("event_id"))
+        val wt = Window.partitionBy("from_type")
+        t(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("next_type", lead("event_type", 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"),
+            col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p",
+            round(col("n").cast("double") / sum("n").over(wt), 4))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH seq AS (
+             |  SELECT user_id, event_type,
+             |    LEAD(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(ts), event_id) AS next_type
+             |  FROM events),
+             |c AS (SELECT event_type AS from_type, next_type AS to_type,
+             |    COUNT(*) AS n
+             |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT from_type, to_type, n,
+             |  ROUND(CAST(n AS DOUBLE)
+             |    / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 4) AS p
+             |FROM c ORDER BY from_type, to_type""".stripMargin)),
+
     Q("events_hourly_by_type", // window(ts, 1h) ≡ date_trunc hour
       (s, d) => t(s, d, "events")
         .groupBy(window(col("ts"), "1 hour").getField("start").as("hour"),
@@ -2627,6 +2879,64 @@ object SparkEntry {
              |  COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
              |FROM sess GROUP BY user_id, sid
              |ORDER BY user_id, start_ms""".stripMargin)),
+
+    Q("events_psi_drift", // population-stability-index drift monitor:
+      // event-type mix in the later half of the observed day range vs
+      // the earlier half — the production "did the distribution move"
+      // check run before a data refresh is admitted. The half split is
+      // pure integer day arithmetic (2·elapsed < span), add-one
+      // smoothing keeps types absent from one half finite, and every
+      // probability is a single integer÷integer division, so the PSI
+      // terms are bit-identical across engines. One scan, one
+      // type-grained pivot; totals ride a 1-row broadcast.
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val bounds = ev.agg(
+          date_trunc("day", min("ts")).as("lo"),
+          date_trunc("day", max("ts")).as("hi"))
+        val wide = ev.crossJoin(broadcast(bounds))
+          .withColumn("half",
+            when(lit(2) * datediff(col("ts"), col("lo"))
+              < datediff(col("hi"), col("lo")) + 1, "ref")
+              .otherwise("cur"))
+          .groupBy("event_type").pivot("half", Seq("ref", "cur"))
+          .agg(count(lit(1))).na.fill(0, Seq("ref", "cur"))
+        val tot = wide.agg(sum("ref").as("tr"), sum("cur").as("tc"),
+          count(lit(1)).as("k"))
+        val pRef = (col("ref") + 1).cast("double") / (col("tr") + col("k"))
+        val pCur = (col("cur") + 1).cast("double") / (col("tc") + col("k"))
+        wide.crossJoin(broadcast(tot))
+          .select(col("event_type"), col("ref").as("n_ref"),
+            col("cur").as("n_cur"),
+            round(pRef, 6).as("p_ref"), round(pCur, 6).as("p_cur"),
+            round((pCur - pRef) * log(pCur / pRef), 6).as("psi_term"))
+          .orderBy("event_type")
+      },
+      Some("""WITH b AS (
+             |  SELECT date_trunc('day', MIN(ts)) AS lo,
+             |    date_trunc('day', MAX(ts)) AS hi FROM events),
+             |h AS (
+             |  SELECT event_type,
+             |    CASE WHEN 2 * date_diff('day', CAST(lo AS DATE),
+             |        CAST(ts AS DATE))
+             |      < date_diff('day', CAST(lo AS DATE), CAST(hi AS DATE)) + 1
+             |      THEN 'ref' ELSE 'cur' END AS half
+             |  FROM events, b),
+             |c AS (
+             |  SELECT event_type,
+             |    COUNT(CASE WHEN half = 'ref' THEN 1 END) AS n_ref,
+             |    COUNT(CASE WHEN half = 'cur' THEN 1 END) AS n_cur
+             |  FROM h GROUP BY 1),
+             |t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc,
+             |  COUNT(*) AS k FROM c)
+             |SELECT event_type, n_ref, n_cur,
+             |  ROUND(CAST(n_ref + 1 AS DOUBLE) / (tr + k), 6) AS p_ref,
+             |  ROUND(CAST(n_cur + 1 AS DOUBLE) / (tc + k), 6) AS p_cur,
+             |  ROUND((CAST(n_cur + 1 AS DOUBLE) / (tc + k)
+             |      - CAST(n_ref + 1 AS DOUBLE) / (tr + k))
+             |    * LN((CAST(n_cur + 1 AS DOUBLE) / (tc + k))
+             |      / (CAST(n_ref + 1 AS DOUBLE) / (tr + k))), 6) AS psi_term
+             |FROM c, t ORDER BY event_type""".stripMargin)),
 
     Q("events_stream_hourly", // §2.9: REAL readStream (AvailableNow) with a
       // 10-min watermark; append mode emits exactly the watermark-closed
@@ -3300,6 +3610,50 @@ object SparkEntry {
              |)
              |SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
              |FROM tok GROUP BY term ORDER BY tf DESC, term LIMIT 50""".stripMargin)),
+
+    Q("doc_zipf_fit", // Zipf rank-frequency fit over the top-100 terms:
+      // least-squares slope of ln(tf) on ln(rank) — the corpus-health
+      // probe (natural text sits near -1; the fixture's near-uniform
+      // vocabulary reads much flatter, which is exactly what the check
+      // is for). The regression runs over 100 rows post-top-k, so the
+      // rank window and the moment sums are bounded; the corpus-wide
+      // work is the same explode + hash agg as doc_top_terms.
+      (s, d) => {
+        val top = t(s, d, "documents")
+          .select(explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("tf"))
+          .orderBy(col("tf").desc, col("term")).limit(100)
+        val ranked = top.withColumn("r",
+          row_number().over(Window.orderBy(col("tf").desc, col("term"))))
+        val m = ranked.agg(
+          count(lit(1)).as("n_terms"),
+          sum(log(col("r").cast("double"))).as("sx"),
+          sum(log(col("tf").cast("double"))).as("sy"),
+          sum(log(col("r").cast("double"))
+            * log(col("r").cast("double"))).as("sxx"),
+          sum(log(col("r").cast("double"))
+            * log(col("tf").cast("double"))).as("sxy"))
+        val slope = (col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_terms") * col("sxx") - col("sx") * col("sx"))
+        m.select(col("n_terms"),
+          round(slope, 4).as("zipf_slope"),
+          round((col("sy") - slope * col("sx")) / col("n_terms"), 4)
+            .as("intercept"))
+      },
+      Some("""WITH tf AS (
+             |  SELECT term, COUNT(*) AS tf FROM (
+             |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+             |    FROM documents) GROUP BY term
+             |  ORDER BY tf DESC, term LIMIT 100),
+             |rk AS (SELECT tf, ROW_NUMBER() OVER (ORDER BY tf DESC, term) AS r
+             |  FROM tf),
+             |s AS (SELECT COUNT(*) AS n, SUM(LN(r)) AS sx, SUM(LN(tf)) AS sy,
+             |  SUM(LN(r) * LN(r)) AS sxx, SUM(LN(r) * LN(tf)) AS sxy FROM rk)
+             |SELECT n AS n_terms,
+             |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+             |  ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)
+             |    AS intercept
+             |FROM s""".stripMargin)),
 
     Q("doc_vocab_oov", // tokenizer-coverage gate: top-200 corpus vocab
       // (deterministic tf/term order), per-language OOV token rate via a
@@ -4123,6 +4477,93 @@ object SparkEntry {
              |SELECT vec_id, ROUND(list_cosine_similarity(embedding, qv), 6) AS cos
              |FROM embeddings, q WHERE vec_id <> 0
              |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
+
+    Q("emb_mmr_rerank", // Maximal-Marginal-Relevance diversified top-k
+      // (Carbonell & Goldstein 1998): the retrieval side prunes to 20
+      // candidates DISTRIBUTED (same brute-force scan as
+      // emb_cosine_topk); only then does the inherently-sequential
+      // greedy run — single task, 20 rows, O(k²) state — the
+      // prune-distributed / finish-bounded split that keeps MMR viable
+      // at any corpus size. Every cosine and every marginal score is
+      // rounded to 6 with vec_id tie-breaks, so the DuckDB recursive-CTE
+      // replay picks the identical sequence.
+      (s, d) => {
+        import s.implicits._
+        val e = t(s, d, "embeddings")
+        val probe = e.filter(col("vec_id") === 0).take(1)
+        require(probe.nonEmpty, s"probe vector vec_id=0 not found in $d/embeddings")
+        val qv = probe.head.getSeq[Float](e.schema.fieldIndex("embedding")).map(_.toDouble)
+        val cand = Similarity
+          .bruteForceTopK(e.filter(col("vec_id") =!= 0), qv, 20)
+          .join(e.select(col("vec_id"),
+            col("embedding").cast("array<double>").as("emb")), Seq("vec_id"))
+          .select(col("vec_id"), col("cos"), col("emb"))
+          .as[(Long, Double, Seq[Double])]
+        def r6(x: Double): Double =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        def cos(a: Seq[Double], b: Seq[Double]): Double = {
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) {
+            dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+          }
+          dot / (math.sqrt(na) * math.sqrt(nb))
+        }
+        cand.coalesce(1)
+          .sortWithinPartitions(col("cos").desc, col("vec_id"))
+          .mapPartitions { it =>
+            val cs = it.toArray
+            if (cs.isEmpty) Iterator.empty
+            else {
+              val picked = scala.collection.mutable.ArrayBuffer(cs.head)
+              val rest = scala.collection.mutable.ArrayBuffer(cs.tail: _*)
+              while (picked.size < 5 && rest.nonEmpty) {
+                // argmax of round6(λ·rel − (1−λ)·max-sim-to-picked),
+                // ties to the smallest vec_id (rest stays vec_id-sorted
+                // after removals since strict > keeps the first winner)
+                val scored = rest.sortBy(_._1).map { c =>
+                  val red = picked.map(p => r6(cos(c._3, p._3))).max
+                  (c, r6(0.5 * c._2 - 0.5 * red))
+                }
+                val best = scored.maxBy(_._2)(Ordering.Double.TotalOrdering)
+                picked += best._1
+                rest -= best._1
+              }
+              picked.iterator.zipWithIndex.map { case (c, i) =>
+                (i + 1, c._1, c._2)
+              }
+            }
+          }.toDF("rank", "vec_id", "rel")
+      },
+      Some("""WITH RECURSIVE q AS (
+             |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             |cand AS (
+             |  SELECT vec_id, embedding,
+             |    ROUND(list_cosine_similarity(embedding, qv), 6) AS rel
+             |  FROM embeddings, q WHERE vec_id <> 0
+             |  ORDER BY rel DESC, vec_id LIMIT 20),
+             |pair AS (
+             |  SELECT a.vec_id AS ai, b.vec_id AS bi,
+             |    ROUND(list_cosine_similarity(a.embedding, b.embedding), 6)
+             |      AS sim
+             |  FROM cand a, cand b WHERE a.vec_id <> b.vec_id),
+             |g(step, picked) AS (
+             |  SELECT 1, [(SELECT vec_id FROM cand
+             |    ORDER BY rel DESC, vec_id LIMIT 1)]
+             |  UNION ALL
+             |  SELECT step + 1, list_append(picked, (
+             |    SELECT c.vec_id FROM cand c
+             |    WHERE NOT list_contains(picked, c.vec_id)
+             |    ORDER BY ROUND(0.5 * c.rel - 0.5 * (
+             |        SELECT MAX(p.sim) FROM pair p
+             |        WHERE p.ai = c.vec_id
+             |          AND list_contains(picked, p.bi)), 6) DESC,
+             |      c.vec_id
+             |    LIMIT 1))
+             |  FROM g WHERE step < 5),
+             |fin AS (SELECT picked FROM g WHERE step = 5)
+             |SELECT list_position(picked, c.vec_id) AS rank, c.vec_id, c.rel
+             |FROM fin, cand c WHERE list_contains(picked, c.vec_id)
+             |ORDER BY rank""".stripMargin)),
 
     Q("emb_centroids", // per-label mean vectors, flattened (IVF lists)
       (s, d) => Similarity.centroids(t(s, d, "embeddings"))

@@ -143,10 +143,12 @@ class PlanQualitySpec extends SparkSuite {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_.startsWith("events_stream_")) // streaming: runs a query, not a static plan
       .filterNot(Set("doc_bm25_search", "doc_hybrid_rrf",
-        "orders_mad_outliers", "lineitem_skew_report")) // 1-row corpus-
+        "orders_mad_outliers", "lineitem_skew_report",
+        "orders_rfm_segments", "events_psi_drift")) // 1-row corpus-
       // stats broadcast: a nested-loop join against a single-row build
       // side is the intended scalar fan-out, not a quadratic pairing
-      // (the MAD and key-skew reports fan their scalars out the same way)
+      // (the MAD/key-skew reports, the RFM anchor date and the PSI
+      // half-bounds + totals fan their scalars out the same way)
       .flatMap { name =>
         try {
           val p = plan(name)
