@@ -2132,6 +2132,89 @@ object SparkEntry {
              |    || CAST(m_q AS VARCHAR) AS segment
              |FROM q ORDER BY o_custkey LIMIT 25""".stripMargin)),
 
+    Q("orders_survival_km", // Kaplan–Meier survival of the reorder gap:
+      // "how long until a customer orders again", with each customer's
+      // open-ended tail after the last order entering as a CENSORED
+      // observation at the corpus max day — the right-censoring that
+      // makes the naive gap histogram biased and KM the correct
+      // estimator. At-risk counts come from a suffix cumsum over the
+      // duration-grained rollup (never a per-observation window); the
+      // product is exp∘Σln over integer-derived factors, masked through
+      // the d≥n case DuckDB's LN would reject, so both engines emit
+      // bit-identical curves.
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            date_trunc("day", col("o_orderdate")).as("day"))
+        val anchor = o.agg(max("day").as("mx"))
+        val w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+        val gaps = o
+          .withColumn("next_day", lead("day", 1).over(w))
+          .filter(col("next_day").isNotNull)
+          .select(datediff(col("next_day"), col("day")).as("duration"),
+            lit(1L).as("event"))
+        val tails = o.groupBy("o_custkey").agg(max("day").as("last_day"))
+          .crossJoin(broadcast(anchor))
+          .select(datediff(col("mx"), col("last_day")).as("duration"),
+            lit(0L).as("event"))
+        val byDur = gaps.union(tails).groupBy("duration")
+          .agg(count(lit(1)).as("m"), sum("event").as("d_events"))
+        val suffix = Window.orderBy("duration")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val cum = Window.orderBy("duration")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val lnF = when(col("d_events") < col("n_risk"),
+          log(lit(1.0) - col("d_events").cast("double") / col("n_risk")))
+          .otherwise(lit(0.0))
+        byDur
+          .withColumn("n_risk", sum("m").over(suffix))
+          .withColumn("dead", max((col("d_events") >= col("n_risk"))
+            .cast("int")).over(cum))
+          .withColumn("km", when(col("dead") === 1, lit(0.0))
+            .otherwise(round(exp(sum(lnF).over(cum)), 6)))
+          .select(col("duration"), col("n_risk"), col("d_events"),
+            col("km"))
+          .orderBy("duration").limit(40)
+      },
+      Some("""WITH o AS (
+             |  SELECT o_custkey, o_orderkey,
+             |    date_trunc('day', o_orderdate) AS day FROM orders),
+             |mxd AS (SELECT MAX(day) AS mx FROM o),
+             |gaps AS (
+             |  SELECT date_diff('day', CAST(day AS DATE), CAST(
+             |      LEAD(day) OVER (PARTITION BY o_custkey
+             |        ORDER BY day, o_orderkey) AS DATE)) AS duration,
+             |    1 AS event
+             |  FROM o QUALIFY LEAD(day) OVER (PARTITION BY o_custkey
+             |    ORDER BY day, o_orderkey) IS NOT NULL),
+             |tails AS (
+             |  SELECT date_diff('day', CAST(MAX(day) AS DATE),
+             |      CAST(mx AS DATE)) AS duration, 0 AS event
+             |  FROM o, mxd GROUP BY o_custkey, mx),
+             |u AS (SELECT * FROM gaps UNION ALL SELECT * FROM tails),
+             |byd AS (SELECT duration, COUNT(*) AS m,
+             |    CAST(SUM(event) AS BIGINT) AS d_events
+             |  FROM u GROUP BY 1),
+             |r AS (
+             |  SELECT duration, m, d_events,
+             |    CAST(SUM(m) OVER (ORDER BY duration ROWS BETWEEN CURRENT ROW
+             |      AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+             |  FROM byd),
+             |k AS (
+             |  SELECT duration, n_risk, d_events,
+             |    MAX(CASE WHEN d_events >= n_risk THEN 1 ELSE 0 END)
+             |      OVER (ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING
+             |        AND CURRENT ROW) AS dead,
+             |    SUM(CASE WHEN d_events < n_risk
+             |        THEN LN(1.0 - CAST(d_events AS DOUBLE) / n_risk)
+             |        ELSE 0.0 END)
+             |      OVER (ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING
+             |        AND CURRENT ROW) AS lnS
+             |  FROM r)
+             |SELECT duration, n_risk, d_events,
+             |  CASE WHEN dead = 1 THEN 0.0 ELSE ROUND(EXP(lnS), 6) END AS km
+             |FROM k ORDER BY duration LIMIT 40""".stripMargin)),
+
     Q("cust_target_encoding", // leave-one-out target encoding of the
       // market segment against account balance — the leakage-safe
       // categorical feature for downstream models: each row's own target
@@ -2880,6 +2963,83 @@ object SparkEntry {
              |FROM sess GROUP BY user_id, sid
              |ORDER BY user_id, start_ms""".stripMargin)),
 
+    Q("events_sliding_counts", // sliding-window rates: 1-hour windows
+      // every 15 minutes (window/slide §2.5 surface — the tumbling
+      // twin is events_hourly_by_type). Each event fans out to exactly
+      // 4 epoch-aligned windows map-side, then one hash agg; the oracle
+      // reproduces the fan-out with a range(4) cross join onto
+      // time_bucket (both grids are midnight-aligned, so the window
+      // starts coincide).
+      (s, d) => t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes")
+          .getField("start").as("ws"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .orderBy("ws", "event_type"),
+      Some("""SELECT time_bucket(INTERVAL 15 MINUTE, ts)
+             |    - k * INTERVAL 15 MINUTE AS ws,
+             |  event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+             |FROM events, range(0, 4) r(k)
+             |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin)),
+
+    Q("events_anomaly_days", // same-weekday anomaly screen: a day is
+      // anomalous for an event type when its count sits more than 2σ
+      // from that type's same-DOW profile — the seasonality-aware twin
+      // of a plain daily z-score. Both mean and σ are spelled out as
+      // the identical moment formula in both engines (never the
+      // engine's own STDDEV kernel) over exact integer counts, so the
+      // flag threshold compares bit-identical doubles. One day-grained
+      // rollup, one DOW-grained profile join.
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(date_trunc("day", col("ts")).as("day"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("dow", dayofweek(col("day")))
+        val prof = daily.groupBy("event_type", "dow").agg(
+          count(lit(1)).as("k"),
+          sum("n").as("sn"),
+          sum(col("n") * col("n")).as("ssq"))
+        val mean = col("sn").cast("double") / col("k")
+        val variance = (col("ssq").cast("double") - col("k") * mean * mean) /
+          (col("k") - 1)
+        daily.join(broadcast(prof), Seq("event_type", "dow"))
+          .filter(col("k") > 1)
+          .withColumn("mean", mean)
+          .withColumn("sd", sqrt(variance))
+          .withColumn("is_anomaly",
+            (col("sd") > 0.0
+              && abs(col("n") - col("mean")) > lit(2.0) * col("sd"))
+              .cast("int"))
+          .select(col("day"), col("event_type"), col("n"),
+            round(col("mean"), 4).as("dow_mean"),
+            round(col("sd"), 4).as("dow_sd"), col("is_anomaly"))
+          .orderBy("day", "event_type")
+      },
+      Some("""WITH daily AS (
+             |  SELECT date_trunc('day', ts) AS day, event_type,
+             |    COUNT(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |dw AS (SELECT day, event_type, n,
+             |    dayofweek(day) + 1 AS dow FROM daily),
+             |prof AS (
+             |  SELECT event_type, dow, COUNT(*) AS k, SUM(n) AS sn,
+             |    SUM(n * n) AS ssq
+             |  FROM dw GROUP BY 1, 2)
+             |SELECT day, event_type, n,
+             |  ROUND(CAST(sn AS DOUBLE) / k, 4) AS dow_mean,
+             |  ROUND(SQRT((CAST(ssq AS DOUBLE)
+             |    - k * (CAST(sn AS DOUBLE) / k) * (CAST(sn AS DOUBLE) / k))
+             |    / (k - 1)), 4) AS dow_sd,
+             |  CAST(SQRT((CAST(ssq AS DOUBLE)
+             |      - k * (CAST(sn AS DOUBLE) / k) * (CAST(sn AS DOUBLE) / k))
+             |      / (k - 1)) > 0.0
+             |    AND ABS(n - CAST(sn AS DOUBLE) / k)
+             |      > 2.0 * SQRT((CAST(ssq AS DOUBLE)
+             |        - k * (CAST(sn AS DOUBLE) / k) * (CAST(sn AS DOUBLE) / k))
+             |        / (k - 1)) AS INT) AS is_anomaly
+             |FROM dw JOIN prof USING (event_type, dow)
+             |WHERE k > 1 ORDER BY day, event_type""".stripMargin)),
+
     Q("events_psi_drift", // population-stability-index drift monitor:
       // event-type mix in the later half of the observed day range vs
       // the earlier half — the production "did the distribution move"
@@ -3452,6 +3612,69 @@ object SparkEntry {
              |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
              |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("doc_pmi_pairs", // pointwise mutual information of term pairs
+      // co-occurring in a document — collocation mining for tokenizer /
+      // phrase-vocab curation. The pair space is bounded BEFORE any
+      // join: only the corpus top-50 vocabulary (a broadcast) pairs up,
+      // so a document contributes at most C(50,2) candidates and the
+      // self-join key is doc_id, never term×term across documents.
+      // PMI = ln(cooc·N / (df_a·df_b)) — all integers into one ln.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val toks = docs.select(col("doc_id"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+        val vocab = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+          .orderBy(col("tf").desc, col("term")).limit(50)
+          .select("term")
+        val inVocab = toks.join(broadcast(vocab), Seq("term")).distinct()
+        val nDocs = docs.agg(countDistinct("doc_id").as("n_docs"))
+        val df = inVocab.groupBy("term")
+          .agg(count(lit(1)).as("df"))
+        val cooc = inVocab.as("a")
+          .join(inVocab.as("b"), col("a.doc_id") === col("b.doc_id")
+            && col("a.term") < col("b.term"))
+          .groupBy(col("a.term").as("t_a"), col("b.term").as("t_b"))
+          .agg(count(lit(1)).as("cooc"))
+          .filter(col("cooc") >= 5)
+        cooc
+          .join(broadcast(df.select(col("term").as("t_a"),
+            col("df").as("df_a"))), Seq("t_a"))
+          .join(broadcast(df.select(col("term").as("t_b"),
+            col("df").as("df_b"))), Seq("t_b"))
+          .crossJoin(broadcast(nDocs))
+          .select(col("t_a"), col("t_b"), col("cooc"),
+            round(log(col("cooc").cast("double") * col("n_docs")
+              / (col("df_a") * col("df_b"))), 6).as("pmi"))
+          .orderBy(col("pmi").desc, col("t_a"), col("t_b")).limit(30)
+      },
+      Some("""WITH tok AS (
+             |  SELECT DISTINCT doc_id,
+             |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+             |  FROM documents),
+             |alltok AS (
+             |  SELECT doc_id,
+             |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+             |  FROM documents),
+             |vocab AS (
+             |  SELECT term FROM alltok GROUP BY term
+             |  ORDER BY COUNT(*) DESC, term LIMIT 50),
+             |iv AS (SELECT DISTINCT doc_id, term FROM tok
+             |  WHERE term IN (SELECT term FROM vocab)),
+             |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+             |df AS (SELECT term, COUNT(*) AS df FROM iv GROUP BY 1),
+             |cooc AS (
+             |  SELECT a.term AS t_a, b.term AS t_b, COUNT(*) AS cooc
+             |  FROM iv a JOIN iv b
+             |    ON a.doc_id = b.doc_id AND a.term < b.term
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+             |SELECT t_a, t_b, cooc,
+             |  ROUND(LN(CAST(cooc AS DOUBLE) * n_docs / (da.df * db.df)), 6)
+             |    AS pmi
+             |FROM cooc, n
+             |JOIN df da ON da.term = t_a
+             |JOIN df db ON db.term = t_b
+             |ORDER BY pmi DESC, t_a, t_b LIMIT 30""".stripMargin)),
 
     Q("doc_winnow_pairs", // §2.11 dedup: winnowing fingerprints (k-gram
       // hashes, window-min selection) — partial-overlap pairs, via the
