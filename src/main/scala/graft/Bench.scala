@@ -34,7 +34,8 @@ object Bench {
     // by the sf directory; the sf0.001 warmup above only built the sf0.001
     // copies. Run them once against the TARGET sf untimed so the timed
     // pass measures the pruned READ, not the one-time write.
-    Seq("layout_partition_prune", "emb_lsh_topk_indexed")
+    Seq("layout_partition_prune", "emb_lsh_topk_indexed",
+        "scale_bucketed_join")
       .filter(n => only.forall(n.contains) && SparkEntry.queries.contains(n))
       .foreach { n =>
         try SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.count()

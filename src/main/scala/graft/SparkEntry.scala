@@ -1265,7 +1265,42 @@ object SparkEntry {
         .limit(100),
       Some(s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
               |(${mortonSqlExpr("l_partkey", "l_suppkey", 21)}) AS z
-              |FROM lineitem ORDER BY z, l_orderkey, l_linenumber LIMIT 100""".stripMargin)))
+              |FROM lineitem ORDER BY z, l_orderkey, l_linenumber LIMIT 100""".stripMargin)),
+
+    Q("scale_bucketed_join", // co-located fact-fact join through a
+      // persisted BUCKETED layout: both tables hash-bucketed (8 buckets)
+      // and sorted on the join key at write time, so the join reads
+      // pre-shuffled buckets — the plan's SortMergeJoin has NO Exchange
+      // on either input (pinned in PlanQualitySpec); the only shuffle
+      // left is the final small aggregation. At 100 TB this is THE join
+      // strategy for repeated fact-fact joins: the shuffle is paid once
+      // at layout time, not per query. Written once (warmup/setup pass),
+      // read-only when timed.
+      (s, d) => {
+        val tag = new java.io.File(d).getName.replace(".", "_")
+        def ensure(short: String, df: => DataFrame, key: String): String = {
+          val tbl = s"graft_bkt_${short}_$tag"
+          if (!s.catalog.tableExists(tbl))
+            df.write.mode("overwrite").format("parquet")
+              .bucketBy(8, key).sortBy(key)
+              .option("path", s"/tmp/graft_bkt_${short}_$tag")
+              .saveAsTable(tbl)
+          tbl
+        }
+        val ot = ensure("orders", t(s, d, "orders"), "o_orderkey")
+        val lt = ensure("lineitem", t(s, d, "lineitem"), "l_orderkey")
+        s.table(ot).join(s.table(lt),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+              .as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_items,
+             |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)))
 
   /** The same bit-interleave [[Scale.mortonCode]] builds, as DuckDB SQL
     * text (fully parenthesized — DuckDB's bitwise-operator precedence
@@ -1881,6 +1916,49 @@ object SparkEntry {
              |  WHERE src IN (SELECT id FROM k4) AND dst IN (SELECT id FROM k4))
              |SELECT src AS id, COUNT(*) AS deg FROM a4 GROUP BY src
              |ORDER BY deg DESC, id LIMIT 100""".stripMargin)),
+
+    Q("graph_bfs_hops", // BFS k-hop reachability histogram from a seed
+      // set (the 3 smallest node ids) over the symmetrized purchase
+      // graph: 3 rounds of frontier expansion, each ONE edge join with
+      // the node-sized frontier/visited sets on broadcasts — the
+      // relational Pregel-BFS shape (Graph.bfsHops). The oracle unrolls
+      // the identical three frontiers as chained CTEs. Integer ids and
+      // counts — bit-exact.
+      (s, d) => {
+        val edges = t(s, d, "orders")
+          .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+        val nodes = edges.select(col("src").as("id"))
+          .union(edges.select(col("dst").as("id")))
+          .distinct()
+        val seeds = nodes.orderBy("id").limit(3)
+        graft.operators.Graph.bfsHops(edges, seeds, rounds = 3)
+          .groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+          .orderBy("dist")
+      },
+      Some("""WITH e0 AS (
+             |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+             |seeds AS (SELECT id FROM (
+             |    SELECT src AS id FROM sym UNION SELECT dst FROM sym)
+             |  ORDER BY id LIMIT 3),
+             |d0 AS (SELECT id, 0 AS dist FROM seeds),
+             |f1 AS (SELECT DISTINCT dst AS id FROM sym
+             |  JOIN d0 ON sym.src = d0.id
+             |  WHERE dst NOT IN (SELECT id FROM d0)),
+             |v1 AS (SELECT id, dist FROM d0 UNION ALL SELECT id, 1 FROM f1),
+             |f2 AS (SELECT DISTINCT dst AS id FROM sym
+             |  JOIN f1 ON sym.src = f1.id
+             |  WHERE dst NOT IN (SELECT id FROM v1)),
+             |v2 AS (SELECT id, dist FROM v1 UNION ALL SELECT id, 2 FROM f2),
+             |f3 AS (SELECT DISTINCT dst AS id FROM sym
+             |  JOIN f2 ON sym.src = f2.id
+             |  WHERE dst NOT IN (SELECT id FROM v2)),
+             |v3 AS (SELECT id, dist FROM v2 UNION ALL SELECT id, 3 FROM f3)
+             |SELECT dist, COUNT(*) AS n_nodes FROM v3
+             |GROUP BY dist ORDER BY dist""".stripMargin)),
 
     Q("graph_copurchase_recs", // item-to-item collaborative filtering
       // (Linden et al. 2003 shape): top-3 co-purchased parts per part by
@@ -2648,6 +2726,49 @@ object SparkEntry {
              |max(epoch_ms(ts)) AS last_ts_ms
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    Q("events_time_weighted_value", // time-weighted mean of a state
+      // variable: each event's value holds until the user's next event
+      // (LEAD), the final state until the corpus max timestamp — the
+      // correct average for irregularly-sampled state, where the plain
+      // AVG over-weights bursts. Weights are integer (cents × whole
+      // seconds held) so both engines sum EXACTLY — one division at the
+      // end, never a float accumulation.
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val anchor = ev.agg(max(unix_millis(col("ts"))).as("mx_ms"))
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ev.select(col("user_id"), col("ts"), col("event_id"),
+            col("value"))
+          .withColumn("next_ms",
+            lead(unix_millis(col("ts")), 1).over(w))
+          .crossJoin(broadcast(anchor))
+          .withColumn("dur_s",
+            (coalesce(col("next_ms"), col("mx_ms"))
+              - unix_millis(col("ts"))).divide(1000).cast("long"))
+          .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+          .groupBy("user_id")
+          .agg(sum(col("cents") * col("dur_s")).as("wsum"),
+            sum(col("dur_s")).as("held_s"))
+          .filter(col("held_s") > 0)
+          .select(col("user_id"), col("held_s"),
+            round(col("wsum").cast("double") / col("held_s") / 100.0, 6)
+              .as("tw_value"))
+          .orderBy("user_id").limit(100)
+      },
+      Some("""WITH mx AS (SELECT MAX(epoch_ms(ts)) AS mx_ms FROM events),
+             |iv AS (
+             |  SELECT user_id,
+             |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+             |    CAST((COALESCE(LEAD(epoch_ms(ts)) OVER (
+             |        PARTITION BY user_id ORDER BY ts, event_id), mx_ms)
+             |      - epoch_ms(ts)) // 1000 AS BIGINT) AS dur_s
+             |  FROM events, mx)
+             |SELECT user_id, CAST(SUM(dur_s) AS BIGINT) AS held_s,
+             |  ROUND(CAST(SUM(cents * dur_s) AS DOUBLE)
+             |    / SUM(dur_s) / 100.0, 6) AS tw_value
+             |FROM iv GROUP BY user_id HAVING SUM(dur_s) > 0
+             |ORDER BY user_id LIMIT 100""".stripMargin)),
+
     Q("events_json_extract",
       (s, d) => t(s, d, "events")
         .select(col("event_id"),
@@ -3114,7 +3235,34 @@ object SparkEntry {
              |COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
              |FROM events, m
              |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 10 MINUTE
-             |GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin)))
+             |GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin)),
+
+    Q("events_stream_sliding", // §2.9: SLIDING windows (1 h every 15 min)
+      // on a real readStream — each event fans out to 4 window states
+      // map-side; append mode emits exactly the windows whose end passed
+      // the final watermark, which the oracle reproduces with the same
+      // range(4) fan-out and cutoff as the batch twin
+      // events_sliding_counts plus the watermark filter.
+      (s, d) => {
+        withStreamPartitions(s) {
+          val q = graft.streaming.EventStream
+            .startSlidingAgg(s, d, "stream_sliding_verify")
+          q.awaitTermination(180000)
+        }
+        s.sql("""SELECT CAST(window.start AS STRING) AS ws, event_type, n,
+                |total_value
+                |FROM stream_sliding_verify ORDER BY ws, event_type""".stripMargin)
+      },
+      Some("""WITH m AS (SELECT max(ts) AS mx FROM events),
+             |w AS (
+             |  SELECT time_bucket(INTERVAL 15 MINUTE, ts)
+             |      - k * INTERVAL 15 MINUTE AS ws,
+             |    event_type, value, mx
+             |  FROM events, range(0, 4) r(k), m)
+             |SELECT CAST(ws AS VARCHAR) AS ws, event_type, COUNT(*) AS n,
+             |  ROUND(SUM(value), 2) AS total_value
+             |FROM w WHERE ws + INTERVAL 70 MINUTE <= mx
+             |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin)))
 
   private def withStreamPartitions[T](s: SparkSession)(body: => T): T = {
     // state-store partition count is fixed at stream start from
@@ -4311,6 +4459,56 @@ object SparkEntry {
              |  ROUND(AVG(CASE WHEN df = 1 THEN 1.0 ELSE 0.0 END), 6) AS novelty
              |FROM ds JOIN dfq USING (s)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Q("doc_strip_repeats", // repeated-substring span removal (the
+      // exact-match fixed-width form of Lee et al. 2022 suffix-array
+      // dedup): every 5-token window occurring in >= 3 distinct docs is
+      // marked, overlapping/adjacent marks merge into maximal spans per
+      // doc (islands over flagged starts), and the report carries the
+      // surviving-token ratio. df comes from ONE shingle-keyed agg; the
+      // merge window sorts only flagged positions, never the corpus.
+      (s, d) => graft.operators.Dedup
+        .stripRepeatedSpans(t(s, d, "documents"), shingleK = 5, minDf = 3L)
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id,
+             |    string_split_regex(lower(trim(text)), '\s+') AS t
+             |  FROM documents),
+             |sp0 AS (
+             |  SELECT doc_id, unnest(list_transform(range(0, len(t) - 4),
+             |    i -> {'pos': i, 's': array_to_string(t[(i+1):(i+5)], ' ')}))
+             |    AS u
+             |  FROM tk WHERE len(t) >= 5),
+             |sp AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.s AS s
+             |  FROM sp0),
+             |dfq AS (SELECT s FROM (
+             |    SELECT s, COUNT(DISTINCT doc_id) AS df FROM sp GROUP BY s)
+             |  WHERE df >= 3),
+             |fl AS (SELECT doc_id, pos AS st, pos + 4 AS en
+             |  FROM sp JOIN dfq USING (s)),
+             |pm AS (SELECT doc_id, st, en,
+             |    MAX(en) OVER (PARTITION BY doc_id ORDER BY st
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+             |  FROM fl),
+             |brk AS (SELECT doc_id, st, en,
+             |    CASE WHEN pmax IS NULL OR st > pmax + 1 THEN 1 ELSE 0 END AS b
+             |  FROM pm),
+             |gid AS (SELECT doc_id, st, en,
+             |    SUM(b) OVER (PARTITION BY doc_id ORDER BY st
+             |      ROWS UNBOUNDED PRECEDING) AS g
+             |  FROM brk),
+             |mg AS (SELECT doc_id, g, MIN(st) AS st, MAX(en) AS en
+             |  FROM gid GROUP BY 1, 2),
+             |agg AS (SELECT doc_id, COUNT(*) AS n_spans,
+             |    CAST(SUM(en - st + 1) AS BIGINT) AS tokens_removed
+             |  FROM mg GROUP BY 1)
+             |SELECT tk.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             |  COALESCE(n_spans, 0) AS n_spans,
+             |  COALESCE(tokens_removed, 0) AS tokens_removed,
+             |  ROUND(CAST(len(t) - COALESCE(tokens_removed, 0) AS DOUBLE)
+             |    / len(t), 6) AS keep_ratio
+             |FROM tk LEFT JOIN agg USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
 
     Q("doc_decontaminate", // benchmark decontamination: drop every corpus
       // doc sharing a 5-shingle with the held-out set (doc_id % 97 == 0

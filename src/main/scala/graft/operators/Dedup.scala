@@ -896,4 +896,68 @@ object Dedup {
       .select(col("p.id_a"), col("p.id_b"), col("p.cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Repeated-substring (boilerplate) span removal, the exact-match form
+    * of substring-level dedup (Lee et al. 2022 "Deduplicating Training
+    * Data Makes Language Models Better" §4 — suffix-array spans; here the
+    * fixed-width k-token window variant): every k-token window whose
+    * shingle occurs in at least `minDf` DISTINCT documents is marked, and
+    * overlapping/adjacent marked windows are merged into maximal spans per
+    * document (islands-and-gaps over the window start positions). Returns
+    * one row per document with its token count, merged-span count, tokens
+    * covered by removed spans and the surviving-token ratio.
+    *
+    * Scale shape: positional windows explode to one row per token — the
+    * same linear blow-up every shingle pass here already pays — and the
+    * document frequency is a single shingle-keyed aggregation; flagged
+    * windows come back through one join on the shingle key (never
+    * doc-vs-doc). The span merge is a per-document window over only the
+    * FLAGGED positions, so its sort is bounded by the boilerplate volume,
+    * not the corpus.
+    */
+  def stripRepeatedSpans(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleK: Int = 5,
+      minDf: Long = 3L): DataFrame = {
+    val ts = graft.operators.TextAnalysis.tokens(lower(col(textCol)))
+    // positional k-gram windows built by zipping the token array with its
+    // own shifts (each collection evaluated once — see [[shinglesHof]]);
+    // position i covers tokens [i, i+k-1], docs shorter than k yield none
+    val n = size(ts)
+    val windows = (1 until shingleK)
+      .foldLeft(identity(ts): Column)((acc, i) =>
+        zip_with(acc, slice(ts, lit(i + 1), n), (a, b) => concat_ws(" ", a, b)))
+    val toks = docs.select(col(idCol), ts.as("t"))
+    val spans = docs.select(col(idCol),
+      posexplode(slice(windows, lit(1),
+        greatest(n - (shingleK - 1), lit(0)))).as(Seq("pos", "s")))
+    val dfreq = spans.select(col(idCol), col("s")).distinct()
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val flagged = spans.join(dfreq.select("s"), Seq("s"))
+      .select(col(idCol), col("pos").as("st"),
+        (col("pos") + (shingleK - 1)).as("en"))
+    val byDoc = Window.partitionBy(idCol).orderBy("st")
+    val pmax = max("en")
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val merged = flagged
+      .withColumn("brk",
+        when(pmax.isNull || col("st") > pmax + 1, 1L).otherwise(0L))
+      .withColumn("g", sum("brk")
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("g"))
+      .agg(min("st").as("st"), max("en").as("en"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("en") - col("st") + 1).as("tokens_removed"))
+    toks.select(col(idCol), size(col("t")).cast("long").as("n_tokens"))
+      .join(merged, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"),
+        round((col("n_tokens") - coalesce(col("tokens_removed"), lit(0L)))
+          .cast("double") / col("n_tokens"), 6).as("keep_ratio"))
+  }
 }

@@ -290,4 +290,50 @@ object Graph {
       .toDF("n_nodes", "n_edges", "n_wedges", "n_triangles",
         "clustering_coeff")
   }
+
+  /** Breadth-first k-hop distances from a seed set over an undirected
+    * graph (directed edge list symmetrized here): round r expands the
+    * frontier through one edge join, drops already-visited nodes with an
+    * anti join, and stamps distance r. Returns (id, dist) for every node
+    * reached within `rounds` hops — the relational form of Pregel BFS,
+    * and the building block for "within-N-hops" reachability queries.
+    *
+    * Scale shape: the frontier and visited set are node-sized; below
+    * `broadcastNodeLimit` both ride broadcasts, so a round costs ONE
+    * edge-scan join with no edge shuffle (the symmetrized edge list is
+    * cached once). The per-round localCheckpoint keeps round r's plan
+    * from embedding rounds 1..r-1 — the same contract as [[pageRank]].
+    * Past the limit both joins degrade to co-partitioned shuffles.
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int,
+      broadcastNodeLimit: Long = 10000000L): DataFrame = {
+    val sym = edges
+      .select(explode(array(
+        struct(col("src").as("s"), col("dst").as("d")),
+        struct(col("dst").as("s"), col("src").as("d")))).as("e"))
+      .select(col("e.s").as("src"), col("e.d").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct().cache()
+    val small =
+      sym.select(col("src")).distinct().count() <= broadcastNodeLimit
+    def side(f: DataFrame): DataFrame = if (small) broadcast(f) else f
+    var visited = seeds.select(col("id")).distinct()
+      .withColumn("dist", lit(0))
+      .localCheckpoint(eager = false)
+    var frontier = visited.select("id")
+    var r = 1
+    while (r <= rounds) {
+      frontier = sym
+        .join(side(frontier.select(col("id").as("src"))), Seq("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(side(visited.select("id")), Seq("id"), "left_anti")
+        .localCheckpoint(eager = false)
+      visited = visited
+        .union(frontier.withColumn("dist", lit(r)))
+        .localCheckpoint(eager = false)
+      r += 1
+    }
+    sym.unpersist(blocking = false)
+    visited
+  }
 }

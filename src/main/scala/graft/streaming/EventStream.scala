@@ -48,6 +48,24 @@ object EventStream {
       .trigger(Trigger.AvailableNow()).start()
   }
 
+  /** SLIDING 1-hour windows every 15 minutes with a 10-minute watermark —
+    * the overlapping-window rate monitor. Each event fans out to exactly
+    * 4 window states map-side; append mode emits a window only once its
+    * END passes the watermark, so state holds at most ~1 h 10 min of
+    * window slices per type regardless of stream length.
+    */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+
+  def startSlidingAgg(spark: SparkSession, sfDir: String, queryName: String): StreamingQuery = {
+    slidingAgg(rawStream(spark, sfDir))
+      .writeStream.outputMode("append").format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow()).start()
+  }
+
   /** The raw fixture stream (glob-filtered file source, nanos → micros). */
   private def rawStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

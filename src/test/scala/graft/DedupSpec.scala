@@ -242,4 +242,23 @@ class DedupSpec extends SparkSuite {
       assert(math.abs(s - u.toDouble / n) < 1e-6)
     }
   }
+
+  test("stripRepeatedSpans merges overlapping windows into maximal spans") {
+    // "a b c d e f" is shared verbatim by 3 docs → in each doc the two
+    // overlapping 5-gram windows ([0,4] and [1,5]) must merge into ONE
+    // 6-token span; the unique doc reports zero removal
+    val boiler = "a b c d e f"
+    val docs = Seq(
+      (1L, s"$boiler x y z"),
+      (2L, s"p q $boiler"),
+      (3L, boiler),
+      (4L, "entirely novel words only here")).toDF("doc_id", "text")
+    val r = Dedup.stripRepeatedSpans(docs, shingleK = 5, minDf = 3)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) === ((9L, 1L, 6L)))
+    assert(r(2L) === ((8L, 1L, 6L)))
+    assert(r(3L) === ((6L, 1L, 6L)))
+    assert(r(4L) === ((5L, 0L, 0L)))
+  }
 }

@@ -119,4 +119,27 @@ class GraphSpec extends SparkSuite {
     assert(a === b)
     assert(a === Set((1L, 2L), (2L, 2L), (3L, 2L)))
   }
+
+  test("bfsHops stamps exact hop distances on a path with a branch") {
+    // 1-2-3-4-5 plus branch 2-6: from seed {1}, dist = id's path length
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 6L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val got = Graph.bfsHops(edges, seeds, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // 5 is 4 hops out — beyond rounds=3, so absent
+    assert(got === Set((1L, 0), (2L, 1), (3L, 2), (6L, 2), (4L, 3)))
+  }
+
+  test("bfsHops is broadcast/shuffle-path identical and revisit-free") {
+    // a cycle: revisits must not re-stamp shorter-known nodes
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val a = Graph.bfsHops(edges, seeds, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val b = Graph.bfsHops(edges, seeds, rounds = 4, broadcastNodeLimit = 0L)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(a === b)
+    assert(a === Set((1L, 0), (2L, 1), (3L, 1), (4L, 2)))
+  }
 }

@@ -42,6 +42,19 @@ class PlanQualitySpec extends SparkSuite {
     assert(exchanges <= 2, s"admission gates must not add shuffles ($exchanges):\n" + p.take(800))
   }
 
+  test("bucketed fact-fact join reads pre-shuffled buckets, no join exchange") {
+    val p = plan("scale_bucketed_join")
+    // the bucketed layout replaces the join shuffle: the SortMergeJoin's
+    // inputs come straight from the bucketed scans, so the ONLY exchange
+    // left is the final 5-row aggregation/sort
+    assert(p.contains("SortMergeJoin"), p.take(800))
+    val exchanges = p.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges <= 2,
+      s"bucketed join must not shuffle its inputs ($exchanges):\n" + p.take(800))
+    // both scans must expose the bucket layout
+    assert(p.contains("SelectedBucketsCount"), p.take(800))
+  }
+
   test("indexed LSH probe prunes bucket directories, not rows") {
     val df = SparkEntry.queries("emb_lsh_topk_indexed")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
