@@ -7,8 +7,32 @@ import org.apache.spark.sql.functions._
   * (min-label propagation) lives in [[Dedup.connectedComponents]]; this
   * adds numeric iteration — PageRank — as join + aggregate rounds, the
   * shape GraphX/Pregel compiles to anyway.
+  *
+  * Execution shape shared by every iterative operator here: rounds chain
+  * LAZILY — no per-round action, no per-round broadcast build. A
+  * broadcast hint on the node-sized vector would force one
+  * collect-to-driver barrier per round (O(iters) synchronization points);
+  * chaining shuffle joins instead keeps the whole iteration a single job
+  * DAG whose stages the scheduler pipelines, and the per-round joins are
+  * co-partitioned for free because each round's aggregation already hash
+  * partitions on the node key the next join uses. At cluster scale this
+  * is also the only shape that works when the vector outgrows one
+  * executor; on small graphs AQE still converts a join side to broadcast
+  * at runtime when it is cheap. Lineage is truncated with a LAZY
+  * localCheckpoint every `checkpointEvery` rounds, so the analyzer never
+  * sees an unboundedly deep plan yet short iterations pay zero extra
+  * materializations.
   */
 object Graph {
+
+  /** Default lineage-truncation stride: every 8 rounds keeps the plan
+    * depth bounded while letting the common 3-5-round analytics run as
+    * one uninterrupted DAG with zero extra materializations.
+    */
+  val DefaultCheckpointEvery = 8
+
+  private def maybeCkpt(df: DataFrame, round: Int, every: Int): DataFrame =
+    if (round % every == 0) df.localCheckpoint(eager = false) else df
 
   /** Up to `iters` rounds of PageRank (Page et al. 1999) over a directed
     * edge list (src, dst), damping 0.85. Each round joins the rank vector
@@ -17,41 +41,31 @@ object Graph {
     * aggregates contributions on the destination key, and left-joins back
     * to the node set so sources without in-edges keep the teleport mass.
     *
-    * Scale shape: while the node count is at most `broadcastNodeLimit`
-    * the rank vector rides a broadcast — every round is then ONE shuffle
-    * (the destination-key aggregation). Past the limit (billions of
-    * nodes: a rank vector that no longer fits an executor) the join
-    * falls back to a shuffle co-partitioned on the node id — the same
-    * thresholded small-side escape hatch as
-    * [[Dedup.connectedComponents]].
-    *
     * `tol` > 0 adds a convergence early-exit: stop when the max per-node
     * rank change falls below `tol` (an O(n) narrow agg per round on the
-    * already-checkpointed vector). Default 0 keeps the round count exact
-    * — required when a differential oracle unrolls a FIXED number of
-    * rounds.
+    * vector — this DOES force per-round materialization, so only ask for
+    * it when the expected round count is large enough to amortize the
+    * barriers). Default 0 keeps the round count exact — required when a
+    * differential oracle unrolls a FIXED number of rounds.
     *
     * Dangling mass (sinks with no out-edges) is not redistributed — the
     * conventional simplification when ranks are used for ordering, and
     * the semantics the differential oracle reproduces exactly.
     */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
-      tol: Double = 0.0, broadcastNodeLimit: Long = 10000000L): DataFrame = {
+      tol: Double = 0.0,
+      checkpointEvery: Int = DefaultCheckpointEvery): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct().cache()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     // the out-degree is loop-invariant and node-sized: attach it to the
     // node set ONCE and let it ride inside the rank vector, so every
     // round is a single edge-scan join + destination-key aggregation —
-    // no separate per-round degree join, and the wide edge list is
-    // cached once bare and never re-materializes with annotations
+    // no separate per-round degree join
     val deg = e.groupBy(col("src").as("id"))
       .agg(count(lit(1)).cast("double").as("deg"))
     val nd = nodes.join(deg, Seq("id"), "left_outer").cache()
     val n = nd.count()
-    val small = n <= broadcastNodeLimit
-    def rankSide(r: DataFrame): DataFrame =
-      if (small) broadcast(r) else r
     // teleport term computed as the same double literal arithmetic the
     // oracle runs: (1 − d)/n evaluated as 0.15/n, not as a pre-reduced
     // Scala constant with different rounding
@@ -60,25 +74,18 @@ object Graph {
     var iter = 0
     var converged = false
     while (iter < iters && !converged) {
-      // rank/deg is computed inside the edge join itself: the rank
-      // vector (with its degree column) is the one small side, so below
-      // the broadcast limit the ONLY shuffle per round is the
-      // destination-key aggregation. Sinks never appear as a src, so
-      // their NULL deg never reaches the division
+      // rank/deg is computed inside the edge join itself; sinks never
+      // appear as a src, so their NULL deg never reaches the division
       val mass = e
-        .join(rankSide(ranks.withColumnRenamed("id", "src")), Seq("src"))
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
         .groupBy("id").agg(sum("c").as("in_mass"))
-      val next = nd.join(rankSide(mass), Seq("id"), "left_outer")
-        .select(col("id"), col("deg"),
-          (lit(teleport) + lit(damping) * coalesce(col("in_mass"), lit(0.0)))
-            .as("rank"))
-        // truncate the lineage: the rank vector is small (one row per
-        // node); checkpointing per round keeps round k's plan from
-        // embedding rounds 1..k-1 and is what makes 20+ iterations
-        // viable. LAZY: the next round's broadcast/shuffle materializes
-        // it anyway — eager would add a second driver barrier per round
-        .localCheckpoint(eager = false)
+      val next = maybeCkpt(
+        nd.join(mass, Seq("id"), "left_outer")
+          .select(col("id"), col("deg"),
+            (lit(teleport) + lit(damping) * coalesce(col("in_mass"), lit(0.0)))
+              .as("rank")),
+        iter + 1, checkpointEvery)
       if (tol > 0.0) {
         val delta = ranks.select(col("id"), col("rank").as("r0"))
           .join(next.select(col("id"), col("rank").as("r1")), Seq("id"))
@@ -88,11 +95,6 @@ object Graph {
       ranks = next
       iter += 1
     }
-    // the returned vector is checkpoint-backed (lineage truncated), so the
-    // working caches can be dropped — a long-lived session running many
-    // pageRank calls must not accumulate per-call cache entries
-    nd.unpersist(blocking = false)
-    e.unpersist(blocking = false)
     ranks.select(col("id"), col("rank"))
   }
 
@@ -105,18 +107,15 @@ object Graph {
     * fixed-round result deterministic, which is what lets a SQL oracle
     * unroll the identical rounds.
     *
-    * Scale shape: the label vector is node-sized; below
-    * `broadcastNodeLimit` it rides a broadcast into the edge join, so a
-    * round costs ONE edge scan plus an aggregation keyed on (node,
-    * label) — map-side partials collapse the per-neighbor duplicates
-    * before the shuffle. The argmax is a second node-keyed aggregation
-    * (max of a (count, -label) struct — no window sort over the full
-    * node set). Past the limit the join degrades to a co-partitioned
-    * shuffle, same escape hatch as [[pageRank]]. Per-round
-    * localCheckpoint keeps round k's plan from embedding rounds 1..k-1.
+    * A round costs one edge-scan join plus an aggregation keyed on
+    * (node, label) — map-side partials collapse the per-neighbor
+    * duplicates before the shuffle. The argmax is a second node-keyed
+    * aggregation (max of a (count, -label) struct — no window sort over
+    * the full node set), and its hash partitioning on the node key is
+    * exactly what the next round's join consumes.
     */
   def labelPropagation(edges: DataFrame, iters: Int,
-      broadcastNodeLimit: Long = 10000000L): DataFrame = {
+      checkpointEvery: Int = DefaultCheckpointEvery): DataFrame = {
     // symmetrize with an explode of both directions, NOT a self-union: a
     // union would re-evaluate the (possibly expensive) upstream plan once
     // per branch, and one distinct after the explode dedups both input
@@ -128,25 +127,23 @@ object Graph {
       .select(col("e.s").as("src"), col("e.d").as("dst"))
       .distinct().cache()
     val nodes = sym.select(col("src").as("id")).distinct()
-    val small = nodes.count() <= broadcastNodeLimit
-    def labSide(l: DataFrame): DataFrame = if (small) broadcast(l) else l
     var labels = nodes.withColumn("label", col("id"))
     var iter = 0
     while (iter < iters) {
-      labels = sym
-        .join(labSide(labels.select(col("id").as("dst"),
-          col("label").as("nlbl"))), Seq("dst"))
-        .groupBy(col("src"), col("nlbl")).agg(count(lit(1)).as("c"))
-        // argmax by (count desc, label asc): labels are longs, so the
-        // max of a (c, -label) struct picks the largest count and, on
-        // ties, the smallest label — one aggregate, no per-node sort
-        .groupBy(col("src").as("id"))
-        .agg(max(struct(col("c"), (-col("nlbl")).as("neg"))).as("m"))
-        .select(col("id"), (-col("m.neg")).as("label"))
-        .localCheckpoint(eager = false)
+      labels = maybeCkpt(
+        sym
+          .join(labels.select(col("id").as("dst"), col("label").as("nlbl")),
+            Seq("dst"))
+          .groupBy(col("src"), col("nlbl")).agg(count(lit(1)).as("c"))
+          // argmax by (count desc, label asc): labels are longs, so the
+          // max of a (c, -label) struct picks the largest count and, on
+          // ties, the smallest label — one aggregate, no per-node sort
+          .groupBy(col("src").as("id"))
+          .agg(max(struct(col("c"), (-col("nlbl")).as("neg"))).as("m"))
+          .select(col("id"), (-col("m.neg")).as("label")),
+        iter + 1, checkpointEvery)
       iter += 1
     }
-    sym.unpersist(blocking = false)
     labels
   }
 
@@ -158,17 +155,20 @@ object Graph {
     * [[pageRank]] / [[labelPropagation]]). Returns surviving nodes with
     * their final within-core degree.
     *
-    * Scale shape: the survivor set is node-sized, so below
-    * `broadcastNodeLimit` each round is ONE degree aggregation (keyed on
-    * src — map-side partials collapse per-partition duplicates) plus two
-    * broadcast LEFT SEMI joins that never shuffle the edge list. The
-    * symmetrized edges are cached once; per-round localCheckpoint keeps
-    * round r's plan from embedding rounds 1..r-1. Past the limit the
-    * semi joins degrade to co-partitioned shuffles — the standard
-    * escape hatch.
+    * Each round is ONE degree aggregation (keyed on src — map-side
+    * partials collapse per-partition duplicates) plus two LEFT SEMI
+    * joins; the semi-join keys line up with the aggregation's hash
+    * partitioning, and on small survivor sets AQE turns them into
+    * runtime broadcasts without any driver barrier in the plan.
+    *
+    * Unlike [[pageRank]]/[[labelPropagation]] (whose round output feeds
+    * exactly ONE consumer), each round here reads the surviving edge set
+    * THREE times (the degree agg and both semi joins) — a lazy chain
+    * would re-derive round r-1 per consumer and blow up 3^rounds, so the
+    * default truncates (and thereby materializes) EVERY round.
     */
   def kCore(edges: DataFrame, k: Int, rounds: Int,
-      broadcastNodeLimit: Long = 10000000L): DataFrame = {
+      checkpointEvery: Int = 1): DataFrame = {
     val sym = edges
       .select(explode(array(
         struct(col("src").as("s"), col("dst").as("d")),
@@ -176,9 +176,6 @@ object Graph {
       .select(col("e.s").as("src"), col("e.d").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct().cache()
-    val small =
-      sym.select(col("src")).distinct().count() <= broadcastNodeLimit
-    def keepSide(kp: DataFrame): DataFrame = if (small) broadcast(kp) else kp
     var alive = sym
     var r = 0
     while (r < rounds) {
@@ -186,16 +183,15 @@ object Graph {
         .agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select("id")
-      alive = alive
-        .join(keepSide(keep.select(col("id").as("src"))), Seq("src"), "left_semi")
-        .join(keepSide(keep.select(col("id").as("dst"))), Seq("dst"), "left_semi")
-        .localCheckpoint(eager = false)
+      alive = maybeCkpt(
+        alive
+          .join(keep.select(col("id").as("src")), Seq("src"), "left_semi")
+          .join(keep.select(col("id").as("dst")), Seq("dst"), "left_semi"),
+        r + 1, checkpointEvery)
       r += 1
     }
-    val out = alive.groupBy(col("src").as("id"))
+    alive.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("deg"))
-    sym.unpersist(blocking = false)
-    out
   }
 
   /** Triangle count plus global clustering coefficient over an
@@ -213,6 +209,12 @@ object Graph {
     * where the naive neighbor self-join would melt one reducer. The
     * closing join is key-partitioned on the wedge's far pair — never a
     * broadcast of the edge set.
+    *
+    * The single-row result (node/edge/wedge/triangle counts + clustering
+    * coefficient) is assembled RELATIONALLY — a cross join of three
+    * one-row aggregates — so the whole census is one action with no
+    * intermediate collect barriers beyond the one edge count the bloom
+    * sizing needs.
     */
   def triangleStats(edges: DataFrame,
       broadcastNodeLimit: Long = 10000000L): DataFrame = {
@@ -220,16 +222,16 @@ object Graph {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct().cache()
+    val nEdges = und.count()
     val deg = und.select(col("a").as("id"))
       .union(und.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
-      .cache()
-    // the degree table is node-sized: while it fits an executor it rides
-    // a broadcast into both annotation joins, so the (much larger) edge
-    // list never shuffles for orientation — same thresholded escape
-    // hatch as [[pageRank]]'s rank vector
+    // the degree table is node-sized (≤ 2·edges): while the edge count
+    // says it fits an executor it rides a broadcast into both annotation
+    // joins, so the (much larger) edge list never shuffles for
+    // orientation
     val degSide: DataFrame => DataFrame =
-      if (deg.count() <= broadcastNodeLimit) broadcast else identity
+      if (nEdges * 2 <= broadcastNodeLimit) broadcast else identity
     // orient by the (degree, id) total order; carry both endpoints' keys
     val withDeg = und
       .join(degSide(deg.select(col("id").as("a"), col("d").as("da"))),
@@ -245,7 +247,6 @@ object Graph {
       .select(col("e.u").as("u"), col("e.v").as("v"),
         col("e.du").as("du"), col("e.dv").as("dv"))
       .cache()
-    val nEdges = und.count()
     // wedges (u; v<w in orientation order) from oriented out-neighbors —
     // slimmed to the far pair before the closing join: only (x, y) and
     // row multiplicity matter from here on
@@ -266,29 +267,30 @@ object Graph {
       if (nEdges <= 100000000L) {
         val bf = oriented.select(xxhash64(col("u"), col("v")).as("ek"))
           .stat.bloomFilter("ek", nEdges, 0.01)
-        val bfBc = edges.sparkSession.sparkContext.broadcast(bf)
-        val mightContain = udf((k: Long) => bfBc.value.mightContainLong(k))
-        wedges.filter(mightContain(xxhash64(col("x"), col("y"))))
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        // the probe goes through Spark's native BloomFilterMightContain
+        // (registered as graft_bloom_contains) — codegen'd, so the wedge
+        // pipeline stays inside one WholeStageCodegen span instead of
+        // paying a per-row UDF serialization boundary on the (large)
+        // wedge stream
+        graft.plans.GraftFunctions.register(edges.sparkSession)
+        wedges.filter(call_function("graft_bloom_contains",
+          lit(bos.toByteArray), xxhash64(col("x"), col("y"))))
       } else wedges
     val triangles = closable.join(
       oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"),
       "left_semi")
-    val nTri = triangles.agg(count(lit(1))).head().getLong(0)
+    val tri = triangles.agg(count(lit(1)).as("n_triangles"))
     val stats = deg.agg(
       count(lit(1)).as("n_nodes"),
       sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges"))
-      .head()
-    und.unpersist(blocking = false)
-    deg.unpersist(blocking = false)
-    oriented.unpersist(blocking = false)
-    val spark = edges.sparkSession
-    import spark.implicits._
-    Seq((stats.getLong(0), nEdges, stats.getLong(1), nTri,
-      if (stats.getLong(1) == 0) 0.0
-      else BigDecimal(3.0 * nTri / stats.getLong(1))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
-      .toDF("n_nodes", "n_edges", "n_wedges", "n_triangles",
-        "clustering_coeff")
+    stats.crossJoin(tri).select(
+      col("n_nodes"), lit(nEdges).as("n_edges"), col("n_wedges"),
+      col("n_triangles"),
+      when(col("n_wedges") === 0, lit(0.0))
+        .otherwise(round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
+        .as("clustering_coeff"))
   }
 
   /** Breadth-first k-hop distances from a seed set over an undirected
@@ -298,15 +300,15 @@ object Graph {
     * reached within `rounds` hops — the relational form of Pregel BFS,
     * and the building block for "within-N-hops" reachability queries.
     *
-    * Scale shape: the frontier and visited set are node-sized; below
-    * `broadcastNodeLimit` both ride broadcasts, so a round costs ONE
-    * edge-scan join with no edge shuffle (the symmetrized edge list is
-    * cached once). The per-round localCheckpoint keeps round r's plan
-    * from embedding rounds 1..r-1 — the same contract as [[pageRank]].
-    * Past the limit both joins degrade to co-partitioned shuffles.
+    * The frontier/visited sets are node-sized; the visited set doubles
+    * as the anti-join side, so a round is one edge join + one anti join
+    * + a union, all co-partitioned on the node key. Both sets feed TWO
+    * consumers per round (next frontier + the growing visited union), so
+    * like [[kCore]] the default materializes every round — a lazy chain
+    * would re-expand earlier frontiers once per consumer.
     */
   def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int,
-      broadcastNodeLimit: Long = 10000000L): DataFrame = {
+      checkpointEvery: Int = 1): DataFrame = {
     val sym = edges
       .select(explode(array(
         struct(col("src").as("s"), col("dst").as("d")),
@@ -314,26 +316,21 @@ object Graph {
       .select(col("e.s").as("src"), col("e.d").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct().cache()
-    val small =
-      sym.select(col("src")).distinct().count() <= broadcastNodeLimit
-    def side(f: DataFrame): DataFrame = if (small) broadcast(f) else f
     var visited = seeds.select(col("id")).distinct()
       .withColumn("dist", lit(0))
-      .localCheckpoint(eager = false)
     var frontier = visited.select("id")
     var r = 1
     while (r <= rounds) {
-      frontier = sym
-        .join(side(frontier.select(col("id").as("src"))), Seq("src"))
-        .select(col("dst").as("id")).distinct()
-        .join(side(visited.select("id")), Seq("id"), "left_anti")
-        .localCheckpoint(eager = false)
-      visited = visited
-        .union(frontier.withColumn("dist", lit(r)))
-        .localCheckpoint(eager = false)
+      frontier = maybeCkpt(
+        sym
+          .join(frontier.select(col("id").as("src")), Seq("src"))
+          .select(col("dst").as("id")).distinct()
+          .join(visited.select("id"), Seq("id"), "left_anti"),
+        r, checkpointEvery)
+      visited = maybeCkpt(
+        visited.union(frontier.withColumn("dist", lit(r))), r, checkpointEvery)
       r += 1
     }
-    sym.unpersist(blocking = false)
     visited
   }
 }

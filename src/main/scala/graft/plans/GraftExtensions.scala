@@ -60,6 +60,15 @@ object GraftFunctions {
       } }),
     ("graft_trigrams", info("graft_trigrams", classOf[CharTrigrams]),
       (es: Seq[Expression]) => { arity("graft_trigrams", es, 1); CharTrigrams(es(0)) }),
+    // Spark's own codegen'd bloom-membership predicate (the one runtime
+    // row-level filtering injects), surfaced by name so operators can
+    // pre-filter a shuffle with a driver-built sketch WITHOUT dropping
+    // out of whole-stage codegen the way a Scala UDF would. args:
+    // (foldable binary bloom bytes, xxhash64 long of the probe key).
+    ("graft_bloom_contains", info("graft_bloom_contains",
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]),
+      (es: Seq[Expression]) => { arity("graft_bloom_contains", es, 2)
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1)) }),
     ("graft_winnow", info("graft_winnow", classOf[WinnowSig]),
       (es: Seq[Expression]) => { arity("graft_winnow", es, 3); (es(1), es(2)) match {
         case (Literal(k: Int, IntegerType), Literal(w: Int, IntegerType)) =>

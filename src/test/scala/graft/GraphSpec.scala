@@ -25,15 +25,16 @@ class GraphSpec extends SparkSuite {
     assert(math.abs(r.sum - 1.0) < 1e-9)
   }
 
-  test("broadcast and shuffle rank-join paths produce identical ranks") {
+  test("lazy chain and per-round-checkpointed chain produce identical ranks") {
     val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("c", "d"))
       .toDF("src", "dst")
-    val bcast = Graph.pageRank(edges, iters = 4)
+    val lazyChain = Graph.pageRank(edges, iters = 4)
       .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
-    val shuffle = Graph.pageRank(edges, iters = 4, broadcastNodeLimit = 0L)
+    val ckptEvery = Graph.pageRank(edges, iters = 4, checkpointEvery = 1)
       .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
-    assert(bcast.keySet === shuffle.keySet)
-    bcast.foreach { case (k, v) => assert(math.abs(v - shuffle(k)) < 1e-12, k) }
+    assert(lazyChain.keySet === ckptEvery.keySet)
+    lazyChain.foreach { case (k, v) =>
+      assert(math.abs(v - ckptEvery(k)) < 1e-12, k) }
   }
 
   test("tol early-exit stops at the fixpoint without changing converged ranks") {
@@ -62,12 +63,12 @@ class GraphSpec extends SparkSuite {
     assert(labels(10L) !== labels(1L))
   }
 
-  test("label propagation is deterministic and broadcast/shuffle-identical") {
+  test("label propagation is deterministic across checkpoint strides") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (5L, 6L))
       .toDF("src", "dst")
     val a = Graph.labelPropagation(edges, iters = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val b = Graph.labelPropagation(edges, iters = 3, broadcastNodeLimit = 0L)
+    val b = Graph.labelPropagation(edges, iters = 3, checkpointEvery = 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a === b)
     // labels always come from the node-id space (synchronous LPA may
@@ -109,12 +110,12 @@ class GraphSpec extends SparkSuite {
     assert(Graph.kCore(edges, k = 5, rounds = 2).count() === 0L)
   }
 
-  test("kCore is broadcast/shuffle-path identical") {
+  test("kCore is checkpoint-stride identical") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
       .toDF("src", "dst")
     val a = Graph.kCore(edges, k = 2, rounds = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val b = Graph.kCore(edges, k = 2, rounds = 3, broadcastNodeLimit = 0L)
+    val b = Graph.kCore(edges, k = 2, rounds = 3, checkpointEvery = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a === b)
     assert(a === Set((1L, 2L), (2L, 2L), (3L, 2L)))
@@ -131,13 +132,13 @@ class GraphSpec extends SparkSuite {
     assert(got === Set((1L, 0), (2L, 1), (3L, 2), (6L, 2), (4L, 3)))
   }
 
-  test("bfsHops is broadcast/shuffle-path identical and revisit-free") {
+  test("bfsHops is checkpoint-stride identical and revisit-free") {
     // a cycle: revisits must not re-stamp shorter-known nodes
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
     val seeds = Seq(1L).toDF("id")
     val a = Graph.bfsHops(edges, seeds, rounds = 4)
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
-    val b = Graph.bfsHops(edges, seeds, rounds = 4, broadcastNodeLimit = 0L)
+    val b = Graph.bfsHops(edges, seeds, rounds = 4, checkpointEvery = 2)
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(a === b)
     assert(a === Set((1L, 0), (2L, 1), (3L, 1), (4L, 2)))
