@@ -26,19 +26,26 @@ object Tables {
       spark.read.parquet(path(dir, name))
   }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) (TESTDATA.md), which Spark
-    * refuses outright ([PARQUET_TYPE_ILLEGAL]). Read it as a long via the
-    * legacy flag and truncate to microseconds — exactly what DuckDB does
-    * when it casts TIMESTAMP_NS to its native microsecond timestamps, so
-    * both engines see identical values.
+  /** `events.ts` has shipped as either parquet TIMESTAMP(NANOS) — which
+    * Spark refuses outright ([PARQUET_TYPE_ILLEGAL]) — or plain
+    * TIMESTAMP(MICROS) with isAdjustedToUTC=false, depending on fixture
+    * generation. Handle both from the footer schema: nanos read as a long
+    * via the legacy flag and truncate to microseconds (exactly what
+    * DuckDB does casting TIMESTAMP_NS to its native micros), micros read
+    * natively as TIMESTAMP_NTZ and re-type to the session-TZ timestamp
+    * (UTC session ⇒ identical micros value). Downstream always sees a
+    * microsecond TimestampType `ts` either way.
     */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path(dir, "events"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)")) // integer div: `/` would go through double and lose precision at 1e18 ns
-      .select(col("event_id"), col("ts"), col("user_id"),
-        col("event_type"), col("value"), col("props"))
+    val raw = spark.read.parquet(path(dir, "events"))
+    val converted =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)")) // integer div: `/` would go through double and lose precision at 1e18 ns
+      else raw.withColumn("ts", col("ts").cast("timestamp"))
+    converted.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"), col("props"))
   }
 
   /** Register every fixture table as a temp view named after itself. */

@@ -310,6 +310,48 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Overlap-coefficient (containment) near-dup pairs: for documents
+    * sharing at least one k-word shingle, containment =
+    * |A ∩ B| / min(|A|, |B|) — the measure that catches a short document
+    * QUOTED inside a much longer one, which Jaccard structurally misses
+    * (the union term is dominated by the long side, so a full-quote pair
+    * can score arbitrarily low Jaccard yet containment 1.0).
+    *
+    * Same scale shape as [[ngramJaccardPairs]]: inverted shingle index
+    * blocked by `blockCol`, capped posting lists (the cap bounds the
+    * within-bucket quadratic pairing), intersection counted by a
+    * (pair)-keyed aggregation over postings — document pairs never meet
+    * outside a shared shingle's posting list.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      blockCol: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleK: Int = 3,
+      threshold: Double = 0.6,
+      maxBucket: Int = 1000): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val d = docs.select(
+      col(blockCol).as("blk"), col(idCol).as("id"),
+      shingles(col(textCol), shingleK).as("sh"))
+      .select(col("blk"), col("id"), size(col("sh")).as("nsh"),
+        explode(col("sh")).as("s"))
+    val posting = cappedPostings(d, Seq("blk", "s"),
+      struct(col("id"), col("nsh")), maxBucket)
+    val pairs = posting.select(explode(flatten(transform(col("ps"),
+      (x, i) => transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+        y => struct(x.getField("id").as("id_a"), x.getField("nsh").as("nsh_a"),
+          y.getField("id").as("id_b"), y.getField("nsh").as("nsh_b")))))).as("p"))
+    pairs
+      .groupBy("p.id_a", "p.id_b", "p.nsh_a", "p.nsh_b")
+      .agg(count(lit(1)).as("common"))
+      .select(col("id_a"), col("id_b"), col("common"),
+        round(col("common").cast("double") /
+          least(col("nsh_a"), col("nsh_b")), 6).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Partial-overlap candidate pairs via winnowing fingerprints
     * ([[graft.operators.TextAnalysis.winnowFingerprints]]; Schleimer et
     * al. 2003): documents sharing >= `minShared` distinct fingerprints

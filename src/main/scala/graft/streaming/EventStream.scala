@@ -21,13 +21,23 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Raw-file schema: the fixture stores `ts` as parquet TIMESTAMP(NANOS),
-    * which Spark only reads as a long (see Tables.loadEvents) — streamed
-    * reads declare it LongType and convert to microsecond timestamps.
+  /** Raw-file schema when the fixture stores `ts` as parquet
+    * TIMESTAMP(NANOS), which Spark only reads as a long (see
+    * Tables.loadEvents) — streamed reads declare it LongType and convert
+    * to microsecond timestamps. Micros-encoded fixtures stream through
+    * [[ntzEventSchema]] instead; [[rawStream]] picks per footer.
     */
   val rawEventSchema: StructType = StructType(
     eventSchema.fields.map(f =>
       if (f.name == "ts") StructField("ts", LongType) else f))
+
+  /** Raw-file schema for TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * fixtures: `ts` arrives as TIMESTAMP_NTZ and is re-typed to the
+    * session-TZ timestamp (UTC session ⇒ identical micros).
+    */
+  val ntzEventSchema: StructType = StructType(
+    eventSchema.fields.map(f =>
+      if (f.name == "ts") StructField("ts", TimestampNTZType) else f))
 
   /** Tumbling 1-hour windowed counts/sums per event type with a 10-minute
     * watermark — the streaming twin of the batch `events_hourly` query.
@@ -66,12 +76,23 @@ object EventStream {
       .trigger(Trigger.AvailableNow()).start()
   }
 
-  /** The raw fixture stream (glob-filtered file source, nanos → micros). */
+  /** The raw fixture stream (glob-filtered file source; ts normalized to
+    * microsecond TimestampType whichever way the fixture encodes it —
+    * the footer schema of a one-off batch read decides, exactly like
+    * Tables.loadEvents on the batch side).
+    */
   private def rawStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawEventSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val tsIsLong = spark.read.parquet(s"$sfDir/events.parquet")
+      .schema("ts").dataType == LongType
+    if (tsIsLong)
+      spark.readStream.schema(rawEventSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else
+      spark.readStream.schema(ntzEventSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+        .withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** Streaming exactly-once dedup: the input is deliberately doubled
