@@ -56,7 +56,7 @@ object SparkEntry {
 
   private lazy val registry: Seq[Q] = empQueries ++ nlQueries ++ tpchQueries ++
     tpchShapeQueries ++ dqQueries ++ eventQueries ++ streamQueries ++
-    docQueries ++ embQueries ++ mmQueries
+    docQueries ++ embQueries ++ mmQueries ++ trendQueries
 
   // §2.2/§2.4/§2.6/§2.8 — the reference's generated-SQL surface, over the
   // employees bridge view (FIXTURES.md §3).
@@ -5437,6 +5437,275 @@ object SparkEntry {
              |  WHEN modality = 'audio' THEN 0
              |  ELSE 4 END AS height
              |FROM m ORDER BY media_id""".stripMargin)))
+
+  // §2.11 round-5 extensions: time-series diagnostics, robust trends,
+  // cohort economics, link prediction, containment dedup.
+  private def trendQueries: Seq[Q] = Seq(
+    Q("events_acf", // autocorrelation function of the daily event-count
+      // series at lags 1..7 — the seasonality fingerprint (a weekly
+      // cycle surfaces as a lag-7 peak). The series collapses to one row
+      // per day FIRST, so the windows/joins below run over ~30 rows;
+      // every ACF input is an exact integer-valued double (counts and
+      // their products), so the final Pearson formula computes the
+      // identical IEEE-754 value in both engines. The lead() window is
+      // global but bounded by the day-grained rollup — benign.
+      (s, d) => {
+        val w = Window.orderBy("day")
+        val daily = t(s, d, "events")
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).cast("double").as("x"))
+        val leads = daily.select(
+          col("x") +: (1 to 7).map(k => lead(col("x"), k).over(w).as(s"k$k")): _*)
+        leads
+          .select(col("x"), expr(
+            "stack(7, 1,k1, 2,k2, 3,k3, 4,k4, 5,k5, 6,k6, 7,k7) AS (lag_k, y)"))
+          .filter(col("y").isNotNull)
+          .groupBy("lag_k")
+          .agg(count(lit(1)).cast("double").as("np"),
+            sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("lag_k"), col("np").cast("long").as("n_pairs"),
+            round((col("np") * col("sxy") - col("sx") * col("sy")) /
+              sqrt((col("np") * col("sxx") - col("sx") * col("sx")) *
+                (col("np") * col("syy") - col("sy") * col("sy"))), 6).as("acf"))
+          .orderBy("lag_k")
+      },
+      Some("""WITH daily AS (
+             |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+             |    CAST(COUNT(*) AS DOUBLE) AS x
+             |  FROM events GROUP BY 1),
+             |l AS (SELECT x,
+             |  LEAD(x, 1) OVER w AS k1, LEAD(x, 2) OVER w AS k2,
+             |  LEAD(x, 3) OVER w AS k3, LEAD(x, 4) OVER w AS k4,
+             |  LEAD(x, 5) OVER w AS k5, LEAD(x, 6) OVER w AS k6,
+             |  LEAD(x, 7) OVER w AS k7
+             |  FROM daily WINDOW w AS (ORDER BY day)),
+             |p AS (
+             |  SELECT 1 AS lag_k, x, k1 AS y FROM l UNION ALL
+             |  SELECT 2, x, k2 FROM l UNION ALL
+             |  SELECT 3, x, k3 FROM l UNION ALL
+             |  SELECT 4, x, k4 FROM l UNION ALL
+             |  SELECT 5, x, k5 FROM l UNION ALL
+             |  SELECT 6, x, k6 FROM l UNION ALL
+             |  SELECT 7, x, k7 FROM l),
+             |f AS (SELECT lag_k, CAST(COUNT(*) AS DOUBLE) AS np,
+             |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+             |    SUM(x*x) AS sxx, SUM(y*y) AS syy
+             |  FROM p WHERE y IS NOT NULL GROUP BY lag_k)
+             |SELECT lag_k, CAST(np AS BIGINT) AS n_pairs,
+             |  ROUND((np*sxy - sx*sy) /
+             |    sqrt((np*sxx - sx*sx) * (np*syy - sy*sy)), 6) AS acf
+             |FROM f ORDER BY lag_k""".stripMargin)),
+
+    Q("events_cusum_changepoint", // CUSUM changepoint screen: the day
+      // where the running sum of (daily count − global mean) peaks in
+      // magnitude is the most likely level-shift point (Page 1954).
+      // The cumulative sum runs in day order sequentially in BOTH
+      // engines, so the float accumulation is order-identical. The mean
+      // rides a 1-row broadcast (scalar fan-out, not a pairing join);
+      // the ordered window is global but over the ~30-row day rollup.
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).cast("double").as("x"))
+        val m = daily.agg(sum("x").as("sx"),
+          count(lit(1)).cast("double").as("nd"))
+        val wc = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.crossJoin(broadcast(m))
+          .withColumn("sdev", sum(col("x") - col("sx") / col("nd")).over(wc))
+          .select(col("day").as("change_day"),
+            round(abs(col("sdev")), 4).as("cusum_max"),
+            col("nd").cast("long").as("n_days"))
+          .orderBy(col("cusum_max").desc, col("change_day")).limit(1)
+      },
+      Some("""WITH daily AS (
+             |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+             |    CAST(COUNT(*) AS DOUBLE) AS x
+             |  FROM events GROUP BY 1),
+             |m AS (SELECT SUM(x) AS sx, CAST(COUNT(*) AS DOUBLE) AS nd
+             |  FROM daily),
+             |cs AS (SELECT day,
+             |    SUM(x - sx/nd) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+             |      AS sdev, nd
+             |  FROM daily, m)
+             |SELECT day AS change_day, ROUND(ABS(sdev), 4) AS cusum_max,
+             |  CAST(nd AS BIGINT) AS n_days
+             |FROM cs ORDER BY ROUND(ABS(sdev), 4) DESC, day LIMIT 1""".stripMargin)),
+
+    Q("orders_theilsen_trend", // Theil–Sen robust trend of daily revenue
+      // (1996 H1): the MEDIAN of all pairwise slopes shrugs off outlier
+      // days that wreck OLS. The quadratic pair space is generated as a
+      // BANDED equi join (each left row fans out to the bands at-or-after
+      // its own, pairs filter inside the band-pair key) — the plan stays
+      // a hash join on the band key, never a nested-loop product, and at
+      // scale the band count bounds the fan-out exactly like
+      // Scale.binnedRangeJoin. Daily revenue is rounded to 2dp BEFORE
+      // slopes so both engines difference identical doubles; the median
+      // is the LOWER median (rank ⌈n/2⌉) — rank selection, no averaging
+      // convention. The rank window is global but over the bounded pair
+      // set of a half-year day-grained series (~16k rows).
+      (s, d) => {
+        val daily = t(s, d, "orders")
+          .filter(col("o_orderdate") >= ts("1996-01-01")
+            && col("o_orderdate") < ts("1996-07-01"))
+          .groupBy(col("o_orderdate").as("od"))
+          .agg(round(sum("o_totalprice"), 2).as("r"))
+          .select(datediff(col("od"), to_date(ts("1996-01-01"))).as("i"),
+            col("r"))
+        val bw = 32
+        val a = daily.select(col("i").as("i1"), col("r").as("r1"),
+          explode(sequence(expr(s"i div $bw"), lit(5))).as("tb"))
+        val b = daily.select(col("i").as("i2"), col("r").as("r2"),
+          expr(s"i div $bw").as("tb"))
+        val slopes = a.join(b, Seq("tb"))
+          .filter(col("i2") > col("i1"))
+          .select(((col("r2") - col("r1")) / (col("i2") - col("i1")))
+            .as("slope"))
+        slopes
+          .withColumn("rn", row_number().over(Window.orderBy("slope")))
+          .withColumn("np", count(lit(1)).over(Window.partitionBy()))
+          .filter(col("rn") === expr("(np + 1) div 2"))
+          .select(col("np").as("n_pairs"), round(col("slope"), 4).as("median_slope"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT date_diff('day', DATE '1996-01-01',
+             |      CAST(o_orderdate AS DATE)) AS i,
+             |    ROUND(SUM(o_totalprice), 2) AS r
+             |  FROM orders
+             |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |    AND o_orderdate < TIMESTAMP '1996-07-01'
+             |  GROUP BY 1),
+             |p AS (SELECT (b.r - a.r) / (b.i - a.i) AS slope
+             |  FROM daily a JOIN daily b ON b.i > a.i),
+             |rk AS (SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rn,
+             |    COUNT(*) OVER () AS np
+             |  FROM p)
+             |SELECT CAST(np AS BIGINT) AS n_pairs,
+             |  ROUND(slope, 4) AS median_slope
+             |FROM rk WHERE rn = (np + 1) // 2""".stripMargin)),
+
+    Q("orders_cohort_ltv", // cohort lifetime-value triangle: customers
+      // grouped by FIRST-order month, cumulative revenue per customer by
+      // months-since-cohort. Two keyed aggs + one bounded window; the
+      // cohort dim (month-grained) joins back onto the monthly rollup,
+      // never onto raw orders twice. Monthly revenue rounds to 2dp
+      // BEFORE the running sum so both engines accumulate identical
+      // doubles in identical (midx) order.
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+        val fo = o.groupBy("o_custkey").agg(min("o_orderdate").as("fd"))
+          .select(col("o_custkey"), date_format(col("fd"), "yyyy-MM").as("cohort"),
+            (year(col("fd")) * 12 + month(col("fd"))).as("cm"))
+        val sizes = fo.groupBy("cohort").agg(count(lit(1)).as("n_customers"))
+        val monthly = o.join(fo, Seq("o_custkey"))
+          .select(col("cohort"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))
+              - col("cm")).as("midx"),
+            col("o_totalprice"))
+          .filter(col("midx") <= 11)
+          .groupBy("cohort", "midx")
+          .agg(round(sum("o_totalprice"), 2).as("rev"))
+        val wc = Window.partitionBy("cohort").orderBy("midx")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        monthly.join(sizes, Seq("cohort"))
+          .filter(col("cohort") < "1996")
+          .withColumn("cum", sum("rev").over(wc))
+          .select(col("cohort"), col("midx"), col("n_customers"),
+            round(col("cum") / col("n_customers"), 2).as("ltv_per_customer"))
+          .orderBy("cohort", "midx")
+      },
+      Some("""WITH f AS (
+             |  SELECT o_custkey, MIN(o_orderdate) AS fd FROM orders GROUP BY 1),
+             |fo AS (SELECT o_custkey, strftime(fd, '%Y-%m') AS cohort,
+             |    year(fd)*12 + month(fd) AS cm FROM f),
+             |sizes AS (SELECT cohort, COUNT(*) AS n_customers FROM fo GROUP BY 1),
+             |monthly AS (
+             |  SELECT fo.cohort,
+             |    year(o.o_orderdate)*12 + month(o.o_orderdate) - fo.cm AS midx,
+             |    ROUND(SUM(o.o_totalprice), 2) AS rev
+             |  FROM orders o JOIN fo ON o.o_custkey = fo.o_custkey
+             |  WHERE year(o.o_orderdate)*12 + month(o.o_orderdate) - fo.cm <= 11
+             |  GROUP BY 1, 2),
+             |c AS (SELECT cohort, midx,
+             |    SUM(rev) OVER (PARTITION BY cohort ORDER BY midx
+             |      ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM monthly)
+             |SELECT c.cohort, c.midx, s.n_customers,
+             |  ROUND(c.cum / s.n_customers, 2) AS ltv_per_customer
+             |FROM c JOIN sizes s ON c.cohort = s.cohort
+             |WHERE c.cohort < '1996'
+             |ORDER BY c.cohort, c.midx""".stripMargin)),
+
+    Q("graph_adamic_adar", // Adamic–Adar link prediction over the
+      // co-purchase part graph (parts sharing >= 2 orders, the kcore
+      // edge set): non-adjacent pairs scored by Σ 1/ln(deg) over common
+      // neighbors — wedge-generated candidates, never node×node
+      // (Graph.adamicAdar). Scores order on the ROUNDED value: the sum
+      // accumulates floats in engine-specific order.
+      (s, d) => {
+        val op = t(s, d, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct()
+        val a = op.select(col("l_orderkey"), col("l_partkey").as("src"))
+        val b = op.select(col("l_orderkey").as("k2"), col("l_partkey").as("dst"))
+        val edges = a
+          .join(b, col("l_orderkey") === col("k2") && col("src") < col("dst"))
+          .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2).select("src", "dst")
+        graft.operators.Graph.adamicAdar(edges)
+          .select(col("x"), col("y"), col("common_neighbors"),
+            round(col("aa_score"), 6).as("aa_score"))
+          .orderBy(col("aa_score").desc, col("x"), col("y")).limit(25)
+      },
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |p AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+             |  FROM op a JOIN op b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |nbr AS (SELECT src AS u, dst AS n FROM p
+             |  UNION ALL SELECT dst, src FROM p),
+             |deg AS (SELECT u, COUNT(*) AS d FROM nbr GROUP BY u),
+             |c AS (SELECT nbr.u, nbr.n, deg.d FROM nbr
+             |  JOIN deg USING (u) WHERE deg.d >= 2 AND deg.d <= 10000),
+             |w AS (SELECT a.u, a.n AS x, b.n AS y, a.d
+             |  FROM c a JOIN c b ON a.u = b.u AND a.n < b.n),
+             |cand AS (SELECT x, y, d FROM w
+             |  WHERE NOT EXISTS (SELECT 1 FROM p
+             |    WHERE p.src = w.x AND p.dst = w.y)),
+             |sc AS (SELECT x, y, COUNT(*) AS common_neighbors,
+             |    ROUND(SUM(1.0 / ln(d)), 6) AS aa_score
+             |  FROM cand GROUP BY x, y)
+             |SELECT x, y, common_neighbors, aa_score FROM sc
+             |ORDER BY aa_score DESC, x, y LIMIT 25""".stripMargin)),
+
+    Q("doc_containment_pairs", // §2.11 dedup: overlap-coefficient
+      // containment — catches a short document QUOTED inside a longer
+      // one, which Jaccard's union denominator structurally hides
+      // (Dedup.containmentPairs; same inverted-index blocking as
+      // doc_ngram_jaccard).
+      (s, d) => Dedup.containmentPairs(t(s, d, "documents"), "source",
+          shingleK = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH d AS (
+             |  SELECT source, doc_id,
+             |    list_distinct(list_transform(
+             |      range(0, greatest(len(t) - 2, 1)),
+             |      i -> array_to_string(t[(i+1):(i+3)], ' '))) AS sh
+             |  FROM (SELECT source, doc_id,
+             |          string_split_regex(lower(trim(text)), '\s+') AS t
+             |        FROM documents)
+             |)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS common,
+             |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |    / least(len(a.sh), len(b.sh)), 6) AS containment
+             |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+             |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |    / least(len(a.sh), len(b.sh)) >= 0.5
+             |ORDER BY id_a, id_b""".stripMargin)))
 
   // -- driver contract ------------------------------------------------------
 

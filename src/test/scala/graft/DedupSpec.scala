@@ -261,4 +261,26 @@ class DedupSpec extends SparkSuite {
     assert(r(3L) === ((6L, 1L, 6L)))
     assert(r(4L) === ((5L, 0L, 0L)))
   }
+
+  test("containmentPairs catches a full quote that Jaccard hides") {
+    // doc 2 is a verbatim prefix of doc 1: its 3 shingles all land in
+    // doc 1's 6, so containment = 1.0 while Jaccard is only 3/6 = 0.5
+    val docs = Seq(
+      (1L, "a b c d e f g h", "s"),
+      (2L, "a b c d e", "s"),
+      (3L, "totally different words here now", "s"))
+      .toDF("doc_id", "text", "source")
+    val r = Dedup.containmentPairs(docs, "source", shingleK = 3,
+        threshold = 0.8)
+      .collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(0) === 1L && r(0).getLong(1) === 2L)
+    assert(r(0).getLong(2) === 3L)               // common shingles
+    assert(math.abs(r(0).getDouble(3) - 1.0) < 1e-12)
+    // the same pair fails a 0.8 Jaccard gate — the containment measure
+    // is what surfaces quote-in-document duplication
+    val j = Dedup.ngramJaccardPairs(docs, "source", shingleK = 3,
+      threshold = 0.8)
+    assert(j.count() === 0L)
+  }
 }

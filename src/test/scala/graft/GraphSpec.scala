@@ -143,4 +143,29 @@ class GraphSpec extends SparkSuite {
     assert(a === b)
     assert(a === Set((1L, 0), (2L, 1), (3L, 1), (4L, 2)))
   }
+
+  test("adamicAdar scores the square's diagonals and skips existing edges") {
+    // 4-cycle 1-2-3-4-1: the only non-adjacent pairs are the diagonals
+    // (1,3) and (2,4), each with two degree-2 common neighbors
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val r = Graph.adamicAdar(edges)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(r.map(t => (t._1, t._2, t._3)).toSeq === Seq((1L, 3L, 2L), (2L, 4L, 2L)))
+    r.foreach(t => assert(math.abs(t._4 - 2.0 / math.log(2.0)) < 1e-12))
+    // a path 1-2-3 has one wedge; its endpoints score 1/ln(2)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val pr = Graph.adamicAdar(path).collect()
+    assert(pr.length === 1)
+    assert(pr(0).getLong(0) === 1L && pr(0).getLong(1) === 3L)
+    assert(math.abs(pr(0).getDouble(3) - 1.0 / math.log(2.0)) < 1e-12)
+  }
+
+  test("adamicAdar maxCenterDegree excludes hub-mediated candidates") {
+    // star center 0 with leaves 1..4: every leaf pair is hub-mediated;
+    // capping the center degree below 4 must drop them all
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
+    assert(Graph.adamicAdar(star).count() === 6L) // C(4,2) leaf pairs
+    assert(Graph.adamicAdar(star, maxCenterDegree = 3).count() === 0L)
+  }
 }

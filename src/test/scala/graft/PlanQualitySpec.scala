@@ -158,7 +158,8 @@ class PlanQualitySpec extends SparkSuite {
       .filterNot(Set("doc_bm25_search", "doc_hybrid_rrf",
         "orders_mad_outliers", "lineitem_skew_report",
         "orders_rfm_segments", "events_psi_drift",
-        "orders_survival_km", "doc_pmi_pairs")) // 1-row corpus-
+        "orders_survival_km", "doc_pmi_pairs",
+        "events_cusum_changepoint")) // 1-row corpus-
       // stats broadcast: a nested-loop join against a single-row build
       // side is the intended scalar fan-out, not a quadratic pairing
       // (the MAD/key-skew reports, the RFM anchor date and the PSI
