@@ -5705,7 +5705,238 @@ object SparkEntry {
              |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
              |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              |    / least(len(a.sh), len(b.sh)) >= 0.5
-             |ORDER BY id_a, id_b""".stripMargin)))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("doc_dsir_weights", // DSIR-style importance weights (Xie et al.
+      // 2023): score every document by the log-likelihood ratio of its
+      // tokens under a hashed-unigram model of the TARGET slice (here
+      // lang='en') vs the whole corpus. Buckets are the first md5 hex
+      // byte (256 of them) — engine-reproducible, no seeded hashing —
+      // with add-one smoothing. The bucket table is 256 rows, so the
+      // per-token weight joins back map-side (broadcast); the corpus
+      // totals fold in as window sums OVER the 256-row table, never a
+      // scan-side scalar join. Weights order on the ROUNDED value (the
+      // per-doc sum accumulates ln terms in engine-specific order).
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(graft.operators.TextAnalysis.tokens(lower(col("text"))))
+              .as("w"))
+          .withColumn("b", substring(md5(col("w")), 1, 2))
+        val buckets = toks.groupBy("b").agg(
+          count(lit(1)).cast("double").as("ca"),
+          sum(when(col("lang") === "en", 1).otherwise(0)).cast("double").as("ct"))
+        val wAll = Window.partitionBy() // 256-row bucket table: benign
+        val llr = buckets
+          .withColumn("na", sum("ca").over(wAll))
+          .withColumn("nt", sum("ct").over(wAll))
+          .select(col("b"),
+            (log(col("ct") + 1) - log(col("nt") + 256)
+              - log(col("ca") + 1) + log(col("na") + 256)).as("llr"))
+        toks.join(broadcast(llr), Seq("b"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            round(sum("llr"), 4).as("dsir_weight"))
+          .orderBy(col("dsir_weight").desc, col("doc_id")).limit(25)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang, unnest(
+             |      string_split_regex(lower(trim(text)), '\s+')) AS w
+             |  FROM documents),
+             |tb AS (SELECT doc_id, lang, substr(md5(w), 1, 2) AS b FROM toks),
+             |buckets AS (
+             |  SELECT b, CAST(COUNT(*) AS DOUBLE) AS ca,
+             |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) AS ct
+             |  FROM tb GROUP BY b),
+             |llr AS (
+             |  SELECT b, ln(ct + 1) - ln(SUM(ct) OVER () + 256)
+             |    - ln(ca + 1) + ln(SUM(ca) OVER () + 256) AS llr
+             |  FROM buckets)
+             |SELECT tb.doc_id, COUNT(*) AS n_tokens,
+             |  ROUND(SUM(llr.llr), 4) AS dsir_weight
+             |FROM tb JOIN llr ON tb.b = llr.b
+             |GROUP BY tb.doc_id
+             |ORDER BY dsir_weight DESC, doc_id LIMIT 25""".stripMargin)),
+
+    Q("events_user_entropy", // per-user event-type Shannon entropy — the
+      // bot/automation screen: a user hammering one event type scores
+      // near 0, organic mixes score near ln(5). H = ln(n) − (Σ c·ln c)/n
+      // from exact integer counts, one (user, type) agg + one user agg —
+      // no window over the raw stream. Low-entropy heavy users surface
+      // first; ties break on user_id.
+      (s, d) => t(s, d, "events")
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        .groupBy("user_id")
+        .agg(sum("c").as("n_events"),
+          sum(col("c").cast("double") * log(col("c").cast("double"))).as("clc"),
+          count(lit(1)).as("n_types"))
+        .filter(col("n_events") >= 30)
+        .select(col("user_id"), col("n_events"), col("n_types"),
+          round(log(col("n_events").cast("double"))
+            - col("clc") / col("n_events"), 6).as("entropy"))
+        .orderBy(col("entropy"), col("user_id")).limit(50),
+      Some("""WITH tc AS (
+             |  SELECT user_id, event_type, COUNT(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |u AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+             |    SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clc,
+             |    COUNT(*) AS n_types
+             |  FROM tc GROUP BY 1)
+             |SELECT user_id, n_events, n_types,
+             |  ROUND(ln(CAST(n_events AS DOUBLE)) - clc / n_events, 6) AS entropy
+             |FROM u WHERE n_events >= 30
+             |ORDER BY entropy, user_id LIMIT 50""".stripMargin)),
+
+    Q("orders_lift_pairs", // association rules over co-purchased parts:
+      // support / confidence / lift from exact integer counts (pair
+      // count, part marginals, order total). The pair space is the
+      // order-keyed self-join bounded by basket size (the
+      // basket_part_pairs shape) with BOTH sides pruned to parts <= 200
+      // BEFORE the join; the order total rides a 1-row broadcast.
+      (s, d) => {
+        val op = t(s, d, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct()
+        val marg = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("m"))
+        val ntot = op.select(countDistinct("l_orderkey").as("n_orders"))
+        val a = op.filter(col("l_partkey") <= 200)
+          .select(col("l_orderkey"), col("l_partkey").as("pa"))
+        val b = op.filter(col("l_partkey") <= 200)
+          .select(col("l_orderkey").as("k2"), col("l_partkey").as("pb"))
+        val co = a.join(b, col("l_orderkey") === col("k2") && col("pa") < col("pb"))
+          .groupBy("pa", "pb").agg(count(lit(1)).as("n_co"))
+          .filter(col("n_co") >= 2)
+        co.join(broadcast(marg.withColumnRenamed("l_partkey", "pa")
+            .withColumnRenamed("m", "ma")), Seq("pa"))
+          .join(broadcast(marg.withColumnRenamed("l_partkey", "pb")
+            .withColumnRenamed("m", "mb")), Seq("pb"))
+          .crossJoin(broadcast(ntot))
+          .select(col("pa"), col("pb"), col("n_co"),
+            round(col("n_co").cast("double") / col("n_orders"), 6).as("support"),
+            round(col("n_co").cast("double") / col("ma"), 6).as("confidence"),
+            round(col("n_co").cast("double") * col("n_orders")
+              / (col("ma") * col("mb")), 6).as("lift"))
+          .orderBy(col("lift").desc, col("pa"), col("pb")).limit(20)
+      },
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |marg AS (SELECT l_partkey, COUNT(*) AS m FROM op GROUP BY 1),
+             |ntot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op),
+             |co AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             |    COUNT(*) AS n_co
+             |  FROM op a JOIN op b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |  WHERE a.l_partkey <= 200 AND b.l_partkey <= 200
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+             |SELECT pa, pb, n_co,
+             |  ROUND(CAST(n_co AS DOUBLE) / n_orders, 6) AS support,
+             |  ROUND(CAST(n_co AS DOUBLE) / ma.m, 6) AS confidence,
+             |  ROUND(CAST(n_co AS DOUBLE) * n_orders / (ma.m * mb.m), 6) AS lift
+             |FROM co, ntot
+             |JOIN marg ma ON co.pa = ma.l_partkey
+             |JOIN marg mb ON co.pb = mb.l_partkey
+             |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin)),
+
+    Q("doc_tokens_per_byte", // tokenizer-economics screen per source:
+      // BPE-ish tokens and whitespace tokens per character — a cheap
+      // quality/compressibility signal (boilerplate and non-text inflate
+      // tokens-per-byte). Map-only token counting (native codegen'd
+      // expressions), one keyed agg over exact integer sums.
+      (s, d) => t(s, d, "documents")
+        .select(col("source"),
+          graft.operators.TextAnalysis.tokenCount(col("text")).as("nw"),
+          graft.operators.TextAnalysis.bpeTokenCount(col("text")).as("nb"),
+          length(col("text")).as("nc"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("nw").as("n_tokens"),
+          sum("nb").as("n_bpe_tokens"), sum("nc").as("n_chars"),
+          round(sum("nb").cast("double") / sum("nc"), 6).as("bpe_per_char"),
+          round(sum("nb").cast("double") / sum("nw"), 6).as("bpe_per_word"))
+        .orderBy("source"),
+      Some(s"""SELECT source, COUNT(*) AS n_docs,
+              |  CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens,
+              |  CAST(SUM(len(regexp_extract_all(text, '${graft.operators.TextAnalysis.bpeIshPattern}'))) AS BIGINT) AS n_bpe_tokens,
+              |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+              |  ROUND(CAST(SUM(len(regexp_extract_all(text, '${graft.operators.TextAnalysis.bpeIshPattern}'))) AS DOUBLE)
+              |    / SUM(length(text)), 6) AS bpe_per_char,
+              |  ROUND(CAST(SUM(len(regexp_extract_all(text, '${graft.operators.TextAnalysis.bpeIshPattern}'))) AS DOUBLE)
+              |    / SUM(len(string_split_regex(trim(text), '\\s+'))), 6) AS bpe_per_word
+              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    Q("events_ols_trend", // least-squares trend of daily event volume:
+      // slope/intercept/R² from exact integer moment sums (day index ×
+      // integer counts), so both engines evaluate the identical
+      // closed-form doubles. The day-index window is global but over the
+      // ~30-row day rollup — benign.
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).cast("double").as("y"))
+          .withColumn("x",
+            (row_number().over(Window.orderBy("day")) - 1).cast("double"))
+        daily.agg(count(lit(1)).cast("double").as("n"),
+            sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("n").cast("long").as("n_days"),
+            round((col("n") * col("sxy") - col("sx") * col("sy"))
+              / (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+            round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy"))
+              / (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx"))
+              / col("n"), 6).as("intercept"),
+            round(((col("n") * col("sxy") - col("sx") * col("sy"))
+              * (col("n") * col("sxy") - col("sx") * col("sy")))
+              / ((col("n") * col("sxx") - col("sx") * col("sx"))
+                * (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+             |    CAST(COUNT(*) AS DOUBLE) AS y
+             |  FROM events GROUP BY 1),
+             |idx AS (SELECT y,
+             |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS DOUBLE) - 1 AS x
+             |  FROM daily),
+             |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx,
+             |    SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx,
+             |    SUM(y*y) AS syy
+             |  FROM idx)
+             |SELECT CAST(n AS BIGINT) AS n_days,
+             |  ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+             |  ROUND((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6)
+             |    AS intercept,
+             |  ROUND(((n*sxy - sx*sy) * (n*sxy - sx*sy))
+             |    / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+             |FROM m""".stripMargin)),
+
+    Q("nation_supplier_hhi", // supplier concentration per nation: the
+      // Herfindahl–Hirschman index of lineitem share, from exact integer
+      // counts (Σc² / N² per nation). Fact table aggregates FIRST on the
+      // supplier key; the supplier→nation dims broadcast onto the
+      // supplier-grained rollup, never onto raw lineitem.
+      (s, d) => {
+        val perSupp = t(s, d, "lineitem")
+          .groupBy(col("l_suppkey")).agg(count(lit(1)).as("c"))
+        val supp = t(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val nat = t(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name"))
+        perSupp
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"))
+          .agg(count(lit(1)).as("n_suppliers"),
+            sum("c").as("n_lineitems"),
+            round(sum(col("c") * col("c")).cast("double")
+              / (sum("c") * sum("c")), 6).as("hhi"))
+          .orderBy("nation")
+      },
+      Some("""WITH ps AS (
+             |  SELECT l_suppkey, COUNT(*) AS c FROM lineitem GROUP BY 1),
+             |j AS (SELECT n.n_name AS nation, ps.c
+             |  FROM ps JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+             |  JOIN nation n ON s.s_nationkey = n.n_nationkey)
+             |SELECT nation, COUNT(*) AS n_suppliers, CAST(SUM(c) AS BIGINT) AS n_lineitems,
+             |  ROUND(CAST(SUM(c*c) AS DOUBLE) / (SUM(c) * SUM(c)), 6) AS hhi
+             |FROM j GROUP BY nation ORDER BY nation""".stripMargin)))
 
   // -- driver contract ------------------------------------------------------
 

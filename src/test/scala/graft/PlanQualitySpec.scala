@@ -43,7 +43,14 @@ class PlanQualitySpec extends SparkSuite {
   }
 
   test("bucketed fact-fact join reads pre-shuffled buckets, no join exchange") {
-    val p = plan("scale_bucketed_join")
+    // pin the bucket-vs-shuffle property independent of fixture size: at
+    // tiny SF the planner would legitimately broadcast one side, which
+    // proves nothing about the layout — disable broadcast so the join
+    // must either read the buckets or pay an exchange the assert catches
+    val p = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      plan("scale_bucketed_join")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     // the bucketed layout replaces the join shuffle: the SortMergeJoin's
     // inputs come straight from the bucketed scans, so the ONLY exchange
     // left is the final 5-row aggregation/sort
@@ -159,7 +166,10 @@ class PlanQualitySpec extends SparkSuite {
         "orders_mad_outliers", "lineitem_skew_report",
         "orders_rfm_segments", "events_psi_drift",
         "orders_survival_km", "doc_pmi_pairs",
-        "events_cusum_changepoint")) // 1-row corpus-
+        "events_cusum_changepoint", "orders_lift_pairs",
+        "events_time_weighted_value", // 1-row max-timestamp anchor
+        "graph_triangles")) // 1-row stats × 1-row triangle-count assembly
+        // and the other names above: 1-row corpus-
       // stats broadcast: a nested-loop join against a single-row build
       // side is the intended scalar fan-out, not a quadratic pairing
       // (the MAD/key-skew reports, the RFM anchor date and the PSI
