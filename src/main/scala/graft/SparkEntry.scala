@@ -5936,7 +5936,257 @@ object SparkEntry {
              |  JOIN nation n ON s.s_nationkey = n.n_nationkey)
              |SELECT nation, COUNT(*) AS n_suppliers, CAST(SUM(c) AS BIGINT) AS n_lineitems,
              |  ROUND(CAST(SUM(c*c) AS DOUBLE) / (SUM(c) * SUM(c)), 6) AS hhi
-             |FROM j GROUP BY nation ORDER BY nation""".stripMargin)))
+             |FROM j GROUP BY nation ORDER BY nation""".stripMargin)),
+
+    Q("doc_kwic", // keyword-in-context concordance: every occurrence of
+      // the query term with 3 tokens of context either side — the
+      // corpus-inspection primitive behind "show me how this word is
+      // used". One posexplode + per-row slices; the token array never
+      // shuffles (map-only until the bounded presentation sort).
+      (s, d) => {
+        val toks = graft.operators.TextAnalysis.tokens(lower(col("text")))
+        t(s, d, "documents")
+          .select(col("doc_id"), toks.as("tk"))
+          .select(col("doc_id"), col("tk"),
+            posexplode(col("tk")).as(Seq("p0", "w")))
+          .filter(col("w") === "data")
+          .select(col("doc_id"), (col("p0") + 1).as("p"),
+            concat_ws(" ", slice(col("tk"), greatest(col("p0") - 2, lit(1)),
+              col("p0") + 1 - greatest(col("p0") - 2, lit(1)))).as("left_ctx"),
+            col("w").as("keyword"),
+            concat_ws(" ", slice(col("tk"), col("p0") + 2, lit(3))).as("right_ctx"))
+          .orderBy("doc_id", "p").limit(200)
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    string_split_regex(lower(trim(text)), '\s+') AS tk
+             |  FROM documents),
+             |pos AS (SELECT doc_id, tk,
+             |    unnest(range(1, len(tk) + 1)) AS p FROM d)
+             |SELECT doc_id, p,
+             |  COALESCE(array_to_string(tk[greatest(p - 3, 1):(p - 1)], ' '), '')
+             |    AS left_ctx,
+             |  tk[p] AS keyword,
+             |  COALESCE(array_to_string(tk[(p + 1):least(p + 3, len(tk))], ' '), '')
+             |    AS right_ctx
+             |FROM pos WHERE tk[p] = 'data'
+             |ORDER BY doc_id, p LIMIT 200""".stripMargin)),
+
+    Q("lineitem_weekly_control_chart", // SPC x-bar screen over weekly
+      // shipped-quantity means (1996): flag weeks outside ±3σ of the
+      // year's weekly-mean distribution. Weekly means are scaled to
+      // integer millis (ROUND(q̄·1000)) BEFORE the chart statistics, so
+      // the grand mean / σ come from exact integer sums and both engines
+      // compute bit-identical z-scores. The chart stats ride window sums
+      // over the ~52-row weekly rollup — no scalar join, no second scan.
+      (s, d) => {
+        val wk = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= ts("1996-01-01")
+            && col("l_shipdate") < ts("1997-01-01"))
+          .groupBy(date_format(date_trunc("week", col("l_shipdate")),
+            "yyyy-MM-dd").as("week"))
+          .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sq"))
+          .select(col("week"), col("n_items"),
+            round(col("sq") / col("n_items") * 1000, 0).cast("long").as("v"))
+        val wAll = Window.partitionBy()
+        wk.withColumn("k", count(lit(1)).over(wAll).cast("double"))
+          .withColumn("sv", sum("v").over(wAll).cast("double"))
+          .withColumn("svv", sum(col("v") * col("v")).over(wAll).cast("double"))
+          .withColumn("m", col("sv") / col("k"))
+          .withColumn("sd",
+            sqrt(col("svv") / col("k") - col("m") * col("m")))
+          .select(col("week"), col("n_items"),
+            round(col("v") / 1000.0, 3).as("wk_mean"),
+            round((col("v") - col("m")) / col("sd"), 4).as("z"),
+            (abs(round((col("v") - col("m")) / col("sd"), 4)) > 3.0).as("breach"))
+          .orderBy("week")
+      },
+      Some("""WITH wk AS (
+             |  SELECT strftime(date_trunc('week', l_shipdate), '%Y-%m-%d') AS week,
+             |    COUNT(*) AS n_items,
+             |    CAST(ROUND(SUM(l_quantity) / COUNT(*) * 1000, 0) AS BIGINT) AS v
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |    AND l_shipdate < TIMESTAMP '1997-01-01'
+             |  GROUP BY 1),
+             |st AS (SELECT week, n_items, v,
+             |    CAST(COUNT(*) OVER () AS DOUBLE) AS k,
+             |    CAST(SUM(v) OVER () AS DOUBLE) AS sv,
+             |    CAST(SUM(v * v) OVER () AS DOUBLE) AS svv
+             |  FROM wk)
+             |SELECT week, n_items, ROUND(v / 1000.0, 3) AS wk_mean,
+             |  ROUND((v - sv/k) / sqrt(svv/k - (sv/k)*(sv/k)), 4) AS z,
+             |  ABS(ROUND((v - sv/k) / sqrt(svv/k - (sv/k)*(sv/k)), 4)) > 3.0
+             |    AS breach
+             |FROM st ORDER BY week""".stripMargin)),
+
+    Q("events_interarrival_stats", // inter-arrival time distribution per
+      // event type: median/p90/mean of the integer-second gaps between
+      // consecutive events — the load-model input for capacity planning,
+      // and a drift alarm when p90 moves. One LAG window partitioned by
+      // type (total order (ts, event_id) matches the oracle exactly),
+      // one agg; exact percentiles interpolate identically from integer
+      // gaps in both engines.
+      (s, d) => {
+        t(s, d, "events")
+          .select(col("event_type"),
+            col("event_id"), unix_millis(col("ts")).as("ms"))
+          .withColumn("gap_s",
+            expr("(ms - lag(ms, 1) over (partition by event_type order by ms, event_id)) div 1000"))
+          .filter(col("gap_s").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_gaps"),
+            round(sum("gap_s").cast("double") / count(lit(1)), 6).as("mean_s"),
+            round(expr("percentile(gap_s, 0.5)"), 6).as("p50_s"),
+            round(expr("percentile(gap_s, 0.9)"), 6).as("p90_s"))
+          .orderBy("event_type")
+      },
+      Some("""WITH g AS (
+             |  SELECT event_type,
+             |    (epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (
+             |      PARTITION BY event_type ORDER BY epoch_ms(ts), event_id))
+             |      // 1000 AS gap_s
+             |  FROM events)
+             |SELECT event_type, COUNT(*) AS n_gaps,
+             |  ROUND(CAST(SUM(gap_s) AS DOUBLE) / COUNT(*), 6) AS mean_s,
+             |  ROUND(quantile_cont(gap_s, 0.5), 6) AS p50_s,
+             |  ROUND(quantile_cont(gap_s, 0.9), 6) AS p90_s
+             |FROM g WHERE gap_s IS NOT NULL
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    Q("doc_hapax_ratio", // vocabulary-richness screen per source: hapax
+      // legomena share (terms seen once) and type/token ratio — the
+      // classic boilerplate-vs-organic text discriminator (template spam
+      // has few hapaxes; organic prose is hapax-heavy). One exploded
+      // term count keyed (source, term), one source-keyed rollup — the
+      // token stream shuffles once, as aggregated partials.
+      (s, d) => t(s, d, "documents")
+        .select(col("source"),
+          explode(graft.operators.TextAnalysis.tokens(lower(col("text"))))
+            .as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("tf"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("vocab"),
+          sum("tf").as("n_tokens"),
+          sum(when(col("tf") === 1, 1).otherwise(0)).as("hapax"))
+        .select(col("source"), col("vocab"), col("n_tokens"), col("hapax"),
+          round(col("hapax").cast("double") / col("vocab"), 6).as("hapax_ratio"),
+          round(col("vocab").cast("double") / col("n_tokens"), 6).as("ttr"))
+        .orderBy("source"),
+      Some("""WITH tc AS (
+             |  SELECT source, t AS term, COUNT(*) AS tf FROM (
+             |    SELECT source, unnest(
+             |      string_split_regex(lower(trim(text)), '\s+')) AS t
+             |    FROM documents)
+             |  GROUP BY 1, 2)
+             |SELECT source, COUNT(*) AS vocab,
+             |  CAST(SUM(tf) AS BIGINT) AS n_tokens,
+             |  CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+             |  ROUND(CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / COUNT(*), 6) AS hapax_ratio,
+             |  ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(tf), 6) AS ttr
+             |FROM tc GROUP BY source ORDER BY source""".stripMargin)),
+
+    Q("doc_langid_prf", // language-ID model evaluation: per-class
+      // precision / recall / F1 of the heuristic classifier against the
+      // fixture's gold labels — the eval-harness operator a pipeline
+      // needs before trusting a filter model. Rides the same scan as the
+      // confusion matrix; per-class ratios from exact integer counts.
+      (s, d) => {
+        val cm = t(s, d, "documents")
+          .select(col("lang"),
+            graft.operators.TextAnalysis.langId(col("text")).as("pred"))
+        val gold = cm.groupBy("lang").agg(count(lit(1)).as("support"),
+          sum(when(col("pred") === col("lang"), 1).otherwise(0)).as("tp"))
+        val predTot = cm.groupBy(col("pred")).agg(count(lit(1)).as("pp"))
+        // f1 = 2pr/(p+r) collapses to 2·tp/(support+pp) — one division
+        gold.join(broadcast(predTot), col("lang") === col("pred"), "left_outer")
+          .select(col("lang"), col("support"), col("tp"),
+            round(when(col("tp") === 0, 0.0)
+              .otherwise(col("tp").cast("double") / col("pp")), 6).as("precision"),
+            round(col("tp").cast("double") / col("support"), 6).as("recall"),
+            round(when(col("tp") === 0, 0.0)
+              .otherwise(lit(2.0) * col("tp") / (col("support") + col("pp"))), 6)
+              .as("f1"))
+          .orderBy("lang")
+      },
+      Some("""WITH f AS (
+             |  SELECT lang, text,
+             |    string_split_regex(lower(trim(text)), '\s+') AS toks
+             |  FROM documents
+             |), h AS (
+             |  SELECT lang,
+             |    regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS cjk,
+             |    len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS en,
+             |    len(list_filter(toks, t -> list_contains(['le','la','les','de','et','un','une','est','que','pour'], t))) AS fr,
+             |    len(list_filter(toks, t -> list_contains(['el','la','los','de','y','un','una','es','que','por'], t))) AS es,
+             |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ein','eine','ist','zu','den','für'], t))) AS de
+             |  FROM f
+             |), cm AS (
+             |  SELECT lang,
+             |    CASE WHEN cjk THEN 'zh'
+             |         WHEN greatest(en, fr, es, de) >= 1 THEN
+             |           CASE WHEN en >= fr AND en >= es AND en >= de THEN 'en'
+             |                WHEN fr >= es AND fr >= de THEN 'fr'
+             |                WHEN es >= de THEN 'es'
+             |                ELSE 'de' END
+             |         ELSE 'und' END AS pred
+             |  FROM h),
+             |gold AS (SELECT lang, COUNT(*) AS support,
+             |    CAST(SUM(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS tp
+             |  FROM cm GROUP BY lang),
+             |pt AS (SELECT pred, COUNT(*) AS pp FROM cm GROUP BY pred)
+             |SELECT g.lang, g.support, g.tp,
+             |  ROUND(CASE WHEN g.tp = 0 THEN 0.0
+             |    ELSE CAST(g.tp AS DOUBLE) / pt.pp END, 6) AS precision,
+             |  ROUND(CAST(g.tp AS DOUBLE) / g.support, 6) AS recall,
+             |  ROUND(CASE WHEN g.tp = 0 THEN 0.0
+             |    ELSE 2.0 * g.tp / (g.support + pt.pp) END, 6) AS f1
+             |FROM gold g LEFT JOIN pt ON g.lang = pt.pred
+             |ORDER BY g.lang""".stripMargin)),
+
+    Q("emb_bucket_balance", // ANN index health: occupancy statistics of
+      // the 8-plane LSH bucket layout (the emb_lsh_topk index). A skewed
+      // bucket histogram means the probe cost bound is a lie — this is
+      // the report that says "re-plane or re-seed". One bucket-keyed
+      // count + one single-row rollup from exact integer sums.
+      (s, d) => {
+        graft.plans.GraftFunctions.register(s)
+        val planes = Similarity.hyperplanes(64, 8, 42L)
+        val counts = t(s, d, "embeddings")
+          .select(Similarity.lshBucket(
+            transform(col("embedding"), x => x.cast("double")), planes)
+            .as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+        counts.agg(
+            count(lit(1)).as("n_buckets"),
+            sum("n").as("n_vectors"),
+            max("n").as("max_bucket"),
+            sum(col("n") * col("n")).as("snn"))
+          .select(col("n_buckets"), col("n_vectors"), col("max_bucket"),
+            round(col("max_bucket").cast("double") / col("n_vectors"), 6)
+              .as("max_share"),
+            round(sqrt(col("snn").cast("double") / col("n_buckets")
+                - (col("n_vectors").cast("double") / col("n_buckets"))
+                  * (col("n_vectors").cast("double") / col("n_buckets")))
+              / (col("n_vectors").cast("double") / col("n_buckets")), 6)
+              .as("occupancy_cv"))
+      },
+      Some(s"""WITH e AS (SELECT
+              |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+              |  FROM embeddings),
+              |c AS (SELECT ${LshOracle.bucketSql("emb")} AS bucket,
+              |    COUNT(*) AS n
+              |  FROM e GROUP BY 1)
+              |SELECT COUNT(*) AS n_buckets,
+              |  CAST(SUM(n) AS BIGINT) AS n_vectors,
+              |  CAST(MAX(n) AS BIGINT) AS max_bucket,
+              |  ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS max_share,
+              |  ROUND(sqrt(CAST(SUM(n*n) AS DOUBLE) / COUNT(*)
+              |      - (CAST(SUM(n) AS DOUBLE) / COUNT(*))
+              |        * (CAST(SUM(n) AS DOUBLE) / COUNT(*)))
+              |    / (CAST(SUM(n) AS DOUBLE) / COUNT(*)), 6) AS occupancy_cv
+              |FROM c""".stripMargin)))
 
   // -- driver contract ------------------------------------------------------
 
