@@ -4363,29 +4363,7 @@ object SparkEntry {
       (s, d) => graft.operators.Dedup
         .dupClusters(t(s, d, "documents"), "source", threshold = 0.02)
         .orderBy("cluster_id"),
-      Some("""WITH RECURSIVE d AS (
-             |  SELECT source, doc_id,
-             |    list_distinct(list_transform(
-             |      range(0, greatest(len(t) - 2, 1)),
-             |      i -> array_to_string(t[(i+1):(i+3)], ' '))) AS sh
-             |  FROM (SELECT source, doc_id,
-             |          string_split_regex(lower(trim(text)), '\s+') AS t
-             |        FROM documents)
-             |), pairs AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-             |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
-             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.02
-             |), edges AS (
-             |  SELECT id_a AS src, id_b AS dst FROM pairs
-             |  UNION SELECT id_b, id_a FROM pairs
-             |), reach(id, r) AS (
-             |  SELECT src, src FROM edges
-             |  UNION
-             |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
-             |), comp AS (
-             |  SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
-             |)
+      Some(dupClustersCte + """
              |SELECT cluster_id, COUNT(*) AS n_members,
              |  array_to_string(list_sort(list(id)), ',') AS members
              |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin)),
@@ -5438,6 +5416,35 @@ object SparkEntry {
              |  ELSE 4 END AS height
              |FROM m ORDER BY media_id""".stripMargin)))
 
+  /** DuckDB mirror of Dedup.dupClusters at threshold 0.02 — near-dup
+    * pairs → symmetrized edges → recursive transitive closure →
+    * `comp(id, cluster_id)`. Shared by every oracle that grades cluster
+    * shape (members list, size histogram).
+    */
+  private val dupClustersCte: String = """WITH RECURSIVE d AS (
+    |  SELECT source, doc_id,
+    |    list_distinct(list_transform(
+    |      range(0, greatest(len(t) - 2, 1)),
+    |      i -> array_to_string(t[(i+1):(i+3)], ' '))) AS sh
+    |  FROM (SELECT source, doc_id,
+    |          string_split_regex(lower(trim(text)), '\s+') AS t
+    |        FROM documents)
+    |), pairs AS (
+    |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+    |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+    |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.02
+    |), edges AS (
+    |  SELECT id_a AS src, id_b AS dst FROM pairs
+    |  UNION SELECT id_b, id_a FROM pairs
+    |), reach(id, r) AS (
+    |  SELECT src, src FROM edges
+    |  UNION
+    |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+    |), comp AS (
+    |  SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    |)""".stripMargin
+
   // §2.11 round-5 extensions: time-series diagnostics, robust trends,
   // cohort economics, link prediction, containment dedup.
   private def trendQueries: Seq[Q] = Seq(
@@ -6186,7 +6193,203 @@ object SparkEntry {
               |      - (CAST(SUM(n) AS DOUBLE) / COUNT(*))
               |        * (CAST(SUM(n) AS DOUBLE) / COUNT(*)))
               |    / (CAST(SUM(n) AS DOUBLE) / COUNT(*)), 6) AS occupancy_cv
-              |FROM c""".stripMargin)))
+              |FROM c""".stripMargin)),
+
+    Q("doc_cluster_size_hist", // dedup observability: the cluster-size
+      // histogram (how much of the corpus collapses, and into how big a
+      // clump) — the number a dedup run is judged by before anyone
+      // trusts keep-one. Rides the proven connected-components pipeline;
+      // one extra size-keyed count over the (already tiny) cluster table.
+      (s, d) => graft.operators.Dedup
+        .dupClusters(t(s, d, "documents"), "source", threshold = 0.02)
+        .groupBy(col("n_members").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size"),
+      Some(dupClustersCte + """
+             |, sizes AS (
+             |  SELECT cluster_id, COUNT(*) AS cluster_size
+             |  FROM comp GROUP BY cluster_id)
+             |SELECT cluster_size, COUNT(*) AS n_clusters
+             |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin)),
+
+    Q("events_stickiness", // DAU / WAU / MAU + the DAU/MAU stickiness
+      // ratio — the engagement trinity. Computed in ONE pass over the
+      // (user, day) distinct activity: each activity day fans out
+      // map-side to the ≤30 report days it can influence, the per-user
+      // duplicate fan-outs collapse to the MINIMUM offset in one keyed
+      // agg, and DAU/WAU/MAU are then conditional counts on that offset
+      // (0 / ≤6 / ≤29) — three rolling DISTINCT windows for the price of
+      // one shuffle, no per-window re-scan. Report days clip to the
+      // observed range with a semi join against the real day set.
+      (s, d) => {
+        val ud = t(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val fan = ud
+          .select(col("user_id"), col("day"),
+            explode(sequence(lit(0), lit(29))).as("o"))
+          .select(col("user_id"), expr("date_add(day, o)").as("rday"),
+            col("o"))
+          .groupBy("user_id", "rday").agg(min("o").as("mo"))
+        fan
+          .join(ud.select(col("day").as("rday")).distinct(), Seq("rday"),
+            "left_semi")
+          .groupBy("rday")
+          .agg(sum(when(col("mo") === 0, 1).otherwise(0)).as("dau"),
+            sum(when(col("mo") <= 6, 1).otherwise(0)).as("wau"),
+            count(lit(1)).as("mau"))
+          .select(date_format(col("rday"), "yyyy-MM-dd").as("day"),
+            col("dau"), col("wau"), col("mau"),
+            round(col("dau").cast("double") / col("mau"), 6).as("stickiness"))
+          .orderBy("day")
+      },
+      Some("""WITH ud AS (
+             |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+             |fan AS (
+             |  SELECT user_id, day + to_days(CAST(o AS INT)) AS rday,
+             |    MIN(o) AS mo
+             |  FROM ud, unnest(range(0, 30)) AS t(o)
+             |  GROUP BY 1, 2),
+             |clipped AS (
+             |  SELECT f.* FROM fan f
+             |  WHERE f.rday IN (SELECT DISTINCT day FROM ud))
+             |SELECT strftime(rday, '%Y-%m-%d') AS day,
+             |  CAST(SUM(CASE WHEN mo = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dau,
+             |  CAST(SUM(CASE WHEN mo <= 6 THEN 1 ELSE 0 END) AS BIGINT) AS wau,
+             |  COUNT(*) AS mau,
+             |  ROUND(CAST(SUM(CASE WHEN mo = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / COUNT(*), 6) AS stickiness
+             |FROM clipped GROUP BY rday ORDER BY day""".stripMargin)),
+
+    Q("orders_mom_growth", // month-over-month and year-over-year revenue
+      // growth: the reporting staple. One month-grained rollup (revenue
+      // rounded BEFORE the lags so both engines difference identical
+      // doubles), two LAG windows over the bounded ~80-row month series.
+      (s, d) => {
+        val w = Window.orderBy("ym")
+        t(s, d, "orders")
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+          .agg(round(sum("o_totalprice"), 2).as("rev"))
+          .withColumn("prev_m", lag("rev", 1).over(w))
+          .withColumn("prev_y", lag("rev", 12).over(w))
+          .select(col("ym"), col("rev"),
+            round((col("rev") - col("prev_m")) / col("prev_m") * 100, 4)
+              .as("mom_pct"),
+            round((col("rev") - col("prev_y")) / col("prev_y") * 100, 4)
+              .as("yoy_pct"))
+          .orderBy("ym")
+      },
+      Some("""WITH m AS (
+             |  SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+             |    ROUND(SUM(o_totalprice), 2) AS rev
+             |  FROM orders GROUP BY 1),
+             |l AS (SELECT ym, rev,
+             |    LAG(rev, 1) OVER (ORDER BY ym) AS prev_m,
+             |    LAG(rev, 12) OVER (ORDER BY ym) AS prev_y
+             |  FROM m)
+             |SELECT ym, rev,
+             |  ROUND((rev - prev_m) / prev_m * 100, 4) AS mom_pct,
+             |  ROUND((rev - prev_y) / prev_y * 100, 4) AS yoy_pct
+             |FROM l ORDER BY ym""".stripMargin)),
+
+    Q("window_cume_nth", // the remaining §2.5 window family members:
+      // cume_dist (value-based, tie-stable) and nth_value over an
+      // explicit full frame — evaluated per order within its priority
+      // class, on the bounded first-100-customer slice. The nth_value
+      // frame is pinned to the WHOLE partition (default would stop at
+      // the current row) with a total (price, orderkey) order.
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        val wf = w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        t(s, d, "orders")
+          .filter(col("o_custkey") <= 100)
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            round(col("o_totalprice"), 2).as("price"),
+            round(cume_dist().over(w), 6).as("cd"),
+            round(nth_value(col("o_totalprice"), 3).over(wf), 2)
+              .as("third_cheapest"))
+          .orderBy("o_orderpriority", "price", "o_orderkey")
+      },
+      Some("""SELECT o_orderpriority, o_orderkey,
+             |  ROUND(o_totalprice, 2) AS price,
+             |  ROUND(CUME_DIST() OVER w, 6) AS cd,
+             |  ROUND(NTH_VALUE(o_totalprice, 3) OVER (
+             |    PARTITION BY o_orderpriority
+             |    ORDER BY o_totalprice, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+             |    AS third_cheapest
+             |FROM orders WHERE o_custkey <= 100
+             |WINDOW w AS (PARTITION BY o_orderpriority
+             |  ORDER BY o_totalprice, o_orderkey)
+             |ORDER BY o_orderpriority, price, o_orderkey""".stripMargin)),
+
+    Q("events_gap_islands", // gaps-and-islands: each user's longest
+      // streak of CONSECUTIVE active days — the retention feature the
+      // cohort triangle can't see. Island id = day − dense day-rank
+      // (constant within a consecutive run); two windows over the
+      // (user, day) distinct activity, never over raw events; integer
+      // day arithmetic is bit-exact.
+      (s, d) => {
+        val ud = t(s, d, "events")
+          .select(col("user_id"),
+            datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+              .as("dn"))
+          .distinct()
+        val w = Window.partitionBy("user_id").orderBy("dn")
+        val runs = ud
+          .withColumn("grp", col("dn") - row_number().over(w))
+          .groupBy("user_id", "grp")
+          .agg(count(lit(1)).as("len"), min("dn").as("start_dn"))
+        runs.groupBy("user_id")
+          .agg(max(struct(col("len"), col("start_dn"))).as("m"),
+            count(lit(1)).as("n_streaks"))
+          .select(col("user_id"), col("m.len").as("best_streak"),
+            date_format(expr("date_add(DATE '1970-01-01', CAST(m.start_dn AS INT))"),
+              "yyyy-MM-dd").as("best_start"),
+            col("n_streaks"))
+          .orderBy(col("best_streak").desc, col("user_id")).limit(50)
+      },
+      Some("""WITH ud AS (
+             |  SELECT DISTINCT user_id,
+             |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dn
+             |  FROM events),
+             |runs AS (
+             |  SELECT user_id,
+             |    dn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dn) AS grp,
+             |    dn
+             |  FROM ud),
+             |agg AS (
+             |  SELECT user_id, grp, COUNT(*) AS len, MIN(dn) AS start_dn
+             |  FROM runs GROUP BY 1, 2),
+             |best AS (
+             |  SELECT user_id, COUNT(*) AS n_streaks,
+             |    MAX(struct_pack(len := len, start_dn := start_dn)) AS m
+             |  FROM agg GROUP BY user_id)
+             |SELECT user_id, m.len AS best_streak,
+             |  strftime(DATE '1970-01-01' + to_days(CAST(m.start_dn AS INT)),
+             |    '%Y-%m-%d') AS best_start,
+             |  n_streaks
+             |FROM best ORDER BY best_streak DESC, user_id LIMIT 50""".stripMargin)),
+
+    Q("lineitem_return_rates", // monthly return-rate series: items and
+      // quantity share flagged 'R', from exact integer counts — the
+      // service-quality monitor. One month-keyed conditional agg.
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ym"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(when(col("l_returnflag") === "R", 1).otherwise(0)).as("n_returned"))
+        .select(col("ym"), col("n_items"), col("n_returned"),
+          round(col("n_returned").cast("double") / col("n_items"), 6)
+            .as("return_rate"))
+        .orderBy("ym"),
+      Some("""SELECT strftime(l_shipdate, '%Y-%m') AS ym,
+             |  COUNT(*) AS n_items,
+             |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_returned,
+             |  ROUND(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+             |    AS DOUBLE) / COUNT(*), 6) AS return_rate
+             |FROM lineitem GROUP BY 1 ORDER BY ym""".stripMargin)))
 
   // -- driver contract ------------------------------------------------------
 
