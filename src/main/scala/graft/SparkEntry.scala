@@ -1851,8 +1851,11 @@ object SparkEntry {
         val li = t(s, d, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
+        // generate each co-purchase pair ONCE (pk < pk2): the operator
+        // canonicalizes anyway, so the symmetric twin would only double
+        // the join output and the dedup shuffle feeding it
         val e = li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
-          .filter(col("pk") =!= col("pk2"))
+          .filter(col("pk") < col("pk2"))
           .select(col("pk").as("src"), col("pk2").as("dst"))
         graft.operators.Graph.triangleStats(e)
       },
