@@ -35,7 +35,7 @@ object Bench {
     // copies. Run them once against the TARGET sf untimed so the timed
     // pass measures the pruned READ, not the one-time write.
     Seq("layout_partition_prune", "emb_lsh_topk_indexed",
-        "scale_bucketed_join")
+        "scale_bucketed_join", "source_csv_quarantine")
       .filter(n => only.forall(n.contains) && SparkEntry.queries.contains(n))
       .foreach { n =>
         try SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.count()

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -6392,7 +6392,153 @@ object SparkEntry {
              |    AS BIGINT) AS n_returned,
              |  ROUND(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
              |    AS DOUBLE) / COUNT(*), 6) AS return_rate
-             |FROM lineitem GROUP BY 1 ORDER BY ym""".stripMargin)))
+             |FROM lineitem GROUP BY 1 ORDER BY ym""".stripMargin)),
+
+    Q("doc_minhash_calibration", // sketch-quality eval: for every LSH
+      // candidate pair, compare the MinHash ESTIMATE of Jaccard
+      // (matching lanes / 64) against the exact shingle Jaccard — the
+      // report that says whether 64 lanes is enough before anyone trusts
+      // the banded dedup at scale. Signatures ride the portable md5
+      // pipeline the oracle reproduces lane-for-lane; the lane-match
+      // fold runs over 64-element arrays on the (bounded) candidate
+      // pairs only.
+      (s, d) => {
+        graft.plans.GraftFunctions.register(s)
+        val docs = t(s, d, "documents")
+        val sg = docs.select(col("doc_id").as("id"),
+          Dedup.minhashSignaturePortable(
+            Dedup.shingles(col("text"), 3), 64).as("g"))
+        val pairs = Dedup.minhashNearDupsPortable(docs, threshold = 0.05)
+        pairs
+          .join(sg.select(col("id").as("id_a"), col("g").as("ga")), Seq("id_a"))
+          .join(sg.select(col("id").as("id_b"), col("g").as("gb")), Seq("id_b"))
+          .select(col("jaccard"),
+            (aggregate(zip_with(col("ga"), col("gb"),
+                (x, y) => (x === y).cast("int")),
+              lit(0), (acc, v) => acc + v).cast("double") / 64).as("est"))
+          .agg(count(lit(1)).as("n_pairs"),
+            round(avg(abs(col("est") - col("jaccard"))), 6).as("mean_abs_err"),
+            round(max(abs(col("est") - col("jaccard"))), 6).as("max_abs_err"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\s+') AS t
+             |  FROM documents
+             |), s AS (
+             |  SELECT id, list_distinct(list_transform(
+             |    range(0, greatest(len(t) - 2, 1)),
+             |    i -> array_to_string(t[(i+1):(i+3)], ' '))) AS sh
+             |  FROM d
+             |), hm AS (
+             |  SELECT id, sh, list_transform(sh,
+             |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647) AS hs
+             |  FROM s
+             |), sig AS (
+             |  SELECT id, sh, list_transform(range(0, 64), j -> list_min(
+             |    list_transform(hs, h -> ((j*2+1) * h + j*12347 + 1) % 2147483647))) AS g
+             |  FROM hm
+             |), banded AS (
+             |  SELECT id, b.b AS band,
+             |    array_to_string(g[(b.b*4+1):(b.b*4+4)], ',') AS bucket
+             |  FROM sig, range(0, 16) AS b(b)
+             |), cand AS (
+             |  SELECT DISTINCT a.id AS id_a, c.id AS id_b
+             |  FROM banded a JOIN banded c
+             |    ON a.band = c.band AND a.bucket = c.bucket AND a.id < c.id
+             |), scored AS (
+             |  SELECT CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             |      / len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard,
+             |    CAST(len(list_filter(range(64),
+             |      j -> x.g[j+1] = y.g[j+1])) AS DOUBLE) / 64 AS est
+             |  FROM cand JOIN sig x ON cand.id_a = x.id
+             |  JOIN sig y ON cand.id_b = y.id
+             |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             |      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.05
+             |)
+             |SELECT COUNT(*) AS n_pairs,
+             |  ROUND(AVG(ABS(est - jaccard)), 6) AS mean_abs_err,
+             |  ROUND(MAX(ABS(est - jaccard)), 6) AS max_abs_err
+             |FROM scored""".stripMargin)),
+
+    Q("source_csv_quarantine", // malformed-row quarantine for CSV ingest
+      // (the csv twin of events_json_quarantine): a deterministic CSV
+      // copy of customer carries a type-corrupt acctbal on every 10th
+      // key; PERMISSIVE parsing routes those rows to the corrupt-record
+      // lane instead of failing the job, and the good lane's aggregate
+      // proves the parse. The oracle re-derives both counts from the
+      // corruption RULE over the clean table — an independent check that
+      // quarantine catches exactly the planted rows.
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val tag = new java.io.File(d).getName.replace(".", "_")
+        val path = s"/tmp/graft_csvq_$tag"
+        if (!new java.io.File(path).exists()) {
+          t(s, d, "customer")
+            .select(col("c_custkey"), col("c_name"),
+              when(col("c_custkey") % 10 === 0, lit("bad"))
+                .otherwise(col("c_acctbal").cast("string")).as("acctbal"))
+            .coalesce(1)
+            .write.mode("overwrite").option("header", "false").csv(path)
+        }
+        val schema = StructType(Seq(
+          StructField("c_custkey", LongType),
+          StructField("c_name", StringType),
+          StructField("acctbal", DoubleType),
+          StructField("_bad", StringType)))
+        val parsed = s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_bad")
+          .csv(path)
+          .cache()
+        parsed.agg(
+          sum(when(col("_bad").isNull, 1).otherwise(0)).as("n_good"),
+          sum(when(col("_bad").isNotNull, 1).otherwise(0)).as("n_quarantined"),
+          round(sum(when(col("_bad").isNull, col("acctbal"))), 2)
+            .as("good_acctbal_sum"))
+      },
+      Some("""SELECT
+             |  CAST(SUM(CASE WHEN c_custkey % 10 <> 0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_good,
+             |  CAST(SUM(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_quarantined,
+             |  ROUND(SUM(CASE WHEN c_custkey % 10 <> 0 THEN c_acctbal END), 2)
+             |    AS good_acctbal_sum
+             |FROM customer""".stripMargin)),
+
+    Q("dq_freshness_report", // data-freshness audit: per time-bearing
+      // table, the newest record vs the fixture's pinned anchor and the
+      // row count — the staleness monitor every ingestion SLA needs.
+      // Three MAX/COUNT scans unioned; anchors are data-pinned dates
+      // (SURVEY §5), never wall-clock.
+      (s, d) => {
+        def row(name: String, df: DataFrame, tsCol: Column, anchor: String) =
+          df.agg(count(lit(1)).as("n_rows"),
+              max(date_format(tsCol, "yyyy-MM-dd")).as("newest"))
+            .select(lit(name).as("table_name"), col("n_rows"), col("newest"),
+              datediff(lit(anchor).cast("date"), to_date(col("newest")))
+                .as("days_stale"))
+        row("events", t(s, d, "events"), col("ts"), "2024-03-01")
+          .unionByName(row("orders", t(s, d, "orders"), col("o_orderdate"),
+            "2002-01-01"))
+          .unionByName(row("lineitem", t(s, d, "lineitem"), col("l_shipdate"),
+            "2002-01-01"))
+          .orderBy("table_name")
+      },
+      Some("""SELECT 'events' AS table_name, COUNT(*) AS n_rows,
+             |  MAX(strftime(ts, '%Y-%m-%d')) AS newest,
+             |  date_diff('day', MAX(CAST(ts AS DATE)), DATE '2024-03-01')
+             |    AS days_stale
+             |FROM events
+             |UNION ALL
+             |SELECT 'lineitem', COUNT(*),
+             |  MAX(strftime(l_shipdate, '%Y-%m-%d')),
+             |  date_diff('day', MAX(CAST(l_shipdate AS DATE)), DATE '2002-01-01')
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'orders', COUNT(*),
+             |  MAX(strftime(o_orderdate, '%Y-%m-%d')),
+             |  date_diff('day', MAX(CAST(o_orderdate AS DATE)), DATE '2002-01-01')
+             |FROM orders
+             |ORDER BY table_name""".stripMargin)))
 
   // -- driver contract ------------------------------------------------------
 
