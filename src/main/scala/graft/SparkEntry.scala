@@ -6538,7 +6538,186 @@ object SparkEntry {
              |  MAX(strftime(o_orderdate, '%Y-%m-%d')),
              |  date_diff('day', MAX(CAST(o_orderdate AS DATE)), DATE '2002-01-01')
              |FROM orders
-             |ORDER BY table_name""".stripMargin)))
+             |ORDER BY table_name""".stripMargin)),
+
+    Q("lineitem_discount_elasticity", // does discount move quantity?
+      // Per-discount-band average quantity plus the fitted OLS slope of
+      // avg-qty against discount percent — the pricing-analytics staple.
+      // Bands are exact integer cents; per-band sums are exact; the
+      // 11-point regression rides window sums over the band rollup.
+      (s, d) => {
+        val bands = t(s, d, "lineitem")
+          .groupBy(round(col("l_discount") * 100, 0).cast("int").as("discount_pct"))
+          .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sq"))
+          .select(col("discount_pct"), col("n_items"),
+            (col("sq") / col("n_items")).as("aq"))
+        val wAll = Window.partitionBy()
+        bands
+          .withColumn("k", count(lit(1)).over(wAll).cast("double"))
+          .withColumn("sx", sum("discount_pct").over(wAll).cast("double"))
+          .withColumn("sy", sum("aq").over(wAll))
+          .withColumn("sxy", sum(col("discount_pct") * col("aq")).over(wAll))
+          .withColumn("sxx",
+            sum(col("discount_pct") * col("discount_pct")).over(wAll).cast("double"))
+          .select(col("discount_pct"), col("n_items"),
+            round(col("aq"), 6).as("avg_qty"),
+            round((col("k") * col("sxy") - col("sx") * col("sy"))
+              / (col("k") * col("sxx") - col("sx") * col("sx")), 6)
+              .as("qty_per_discount_pt"))
+          .orderBy("discount_pct")
+      },
+      Some("""WITH bands AS (
+             |  SELECT CAST(ROUND(l_discount * 100, 0) AS INT) AS discount_pct,
+             |    COUNT(*) AS n_items, SUM(l_quantity) / COUNT(*) AS aq
+             |  FROM lineitem GROUP BY 1),
+             |st AS (SELECT discount_pct, n_items, aq,
+             |    CAST(COUNT(*) OVER () AS DOUBLE) AS k,
+             |    CAST(SUM(discount_pct) OVER () AS DOUBLE) AS sx,
+             |    SUM(aq) OVER () AS sy,
+             |    SUM(discount_pct * aq) OVER () AS sxy,
+             |    CAST(SUM(discount_pct * discount_pct) OVER () AS DOUBLE) AS sxx
+             |  FROM bands)
+             |SELECT discount_pct, n_items, ROUND(aq, 6) AS avg_qty,
+             |  ROUND((k*sxy - sx*sy) / (k*sxx - sx*sx), 6)
+             |    AS qty_per_discount_pt
+             |FROM st ORDER BY discount_pct""".stripMargin)),
+
+    Q("orders_fulfillment_lag", // order-to-ship lag distribution by ship
+      // month: mean and exact p90 of integer day lags through the
+      // orders⋈lineitem fact join — the operations SLA monitor. The lag
+      // is integer days, so the interpolated percentile computes
+      // identically in both engines.
+      (s, d) => t(s, d, "lineitem")
+        .join(t(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(date_format(col("l_shipdate"), "yyyy-MM").as("ym"),
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+            .as("lag_d"))
+        .groupBy("ym")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum("lag_d").cast("double") / count(lit(1)), 6).as("mean_lag_d"),
+          round(expr("percentile(lag_d, 0.9)"), 6).as("p90_lag_d"))
+        .orderBy("ym"),
+      Some("""WITH j AS (
+             |  SELECT strftime(l_shipdate, '%Y-%m') AS ym,
+             |    date_diff('day', CAST(o_orderdate AS DATE),
+             |      CAST(l_shipdate AS DATE)) AS lag_d
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+             |SELECT ym, COUNT(*) AS n_items,
+             |  ROUND(CAST(SUM(lag_d) AS DOUBLE) / COUNT(*), 6) AS mean_lag_d,
+             |  ROUND(quantile_cont(lag_d, 0.9), 6) AS p90_lag_d
+             |FROM j GROUP BY ym ORDER BY ym""".stripMargin)),
+
+    Q("doc_source_js_divergence", // corpus comparison: Jensen–Shannon
+      // divergence between the unigram distributions of source pairs
+      // (src0..src4) — the principled "are these two slices the same
+      // kind of text" number behind mixture design. Only SHARED terms
+      // ever join (inner join on the term key); each side's disjoint
+      // mass folds in closed-form as (1 − shared_mass)·ln 2, so there is
+      // no vocab×vocab or outer-join blow-up. Totals broadcast from the
+      // 5-row source rollup.
+      (s, d) => {
+        val tc = t(s, d, "documents")
+          .filter(col("source").isin("src0", "src1", "src2", "src3", "src4"))
+          .select(col("source"),
+            explode(graft.operators.TextAnalysis.tokens(lower(col("text"))))
+              .as("term"))
+          .groupBy("source", "term").agg(count(lit(1)).as("c"))
+        val tot = tc.groupBy("source").agg(sum("c").as("n"))
+        val a = tc.select(col("source").as("sa"), col("term"), col("c").as("ca"))
+        val b = tc.select(col("source").as("sb"), col("term"), col("c").as("cb"))
+        val sh = a.join(b, Seq("term")).filter(col("sa") < col("sb"))
+          .join(broadcast(tot.select(col("source").as("sa"), col("n").as("na"))),
+            Seq("sa"))
+          .join(broadcast(tot.select(col("source").as("sb"), col("n").as("nb"))),
+            Seq("sb"))
+          .select(col("sa"), col("sb"),
+            (col("ca").cast("double") / col("na")).as("p"),
+            (col("cb").cast("double") / col("nb")).as("q"))
+        sh.groupBy("sa", "sb")
+          .agg(count(lit(1)).as("shared_terms"),
+            sum("p").as("pm"), sum("q").as("qm"),
+            sum(col("p") * log(lit(2.0) * col("p") / (col("p") + col("q"))))
+              .as("kp"),
+            sum(col("q") * log(lit(2.0) * col("q") / (col("p") + col("q"))))
+              .as("kq"))
+          .select(col("sa").as("src_a"), col("sb").as("src_b"),
+            col("shared_terms"),
+            round((lit(0.5) * (col("kp") + (lit(1.0) - col("pm")) * log(lit(2.0)))
+              + lit(0.5) * (col("kq") + (lit(1.0) - col("qm")) * log(lit(2.0)))), 6)
+              .as("js_divergence"))
+          .orderBy("src_a", "src_b")
+      },
+      Some("""WITH tc AS (
+             |  SELECT source, t AS term, COUNT(*) AS c FROM (
+             |    SELECT source, unnest(
+             |      string_split_regex(lower(trim(text)), '\s+')) AS t
+             |    FROM documents
+             |    WHERE source IN ('src0','src1','src2','src3','src4'))
+             |  GROUP BY 1, 2),
+             |tot AS (SELECT source, SUM(c) AS n FROM tc GROUP BY 1),
+             |sh AS (
+             |  SELECT a.source AS sa, b.source AS sb,
+             |    CAST(a.c AS DOUBLE) / ta.n AS p,
+             |    CAST(b.c AS DOUBLE) / tb.n AS q
+             |  FROM tc a JOIN tc b ON a.term = b.term AND a.source < b.source
+             |  JOIN tot ta ON ta.source = a.source
+             |  JOIN tot tb ON tb.source = b.source)
+             |SELECT sa AS src_a, sb AS src_b, COUNT(*) AS shared_terms,
+             |  ROUND(0.5 * (SUM(p * ln(2.0 * p / (p + q)))
+             |      + (1.0 - SUM(p)) * ln(2.0))
+             |    + 0.5 * (SUM(q * ln(2.0 * q / (p + q)))
+             |      + (1.0 - SUM(q)) * ln(2.0)), 6) AS js_divergence
+             |FROM sh GROUP BY sa, sb ORDER BY src_a, src_b""".stripMargin)),
+
+    Q("emb_silhouette_report", // labeled-embedding cluster quality: each
+      // vector's cosine to its OWN label centroid vs its best OTHER
+      // centroid — per-label mean margin and misassignment count, the
+      // report that grades an embedding space before anyone clusters on
+      // it. Centroid dims round to 6dp first, so both engines score
+      // bit-identical inputs; the 10-row centroid table broadcasts into
+      // a scalar fan-out join.
+      (s, d) => {
+        graft.plans.GraftFunctions.register(s)
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"), x => x.cast("double")).as("emb"))
+        val cents = Similarity.centroids(t(s, d, "embeddings"))
+          .select(col("cluster"),
+            transform(col("centroid"), x => round(x, 6)).as("cent"))
+        val scored = e.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("label"), col("cluster"),
+            VectorFunctions.cosine(col("emb"), col("cent")).as("cos"))
+        scored.groupBy("vec_id", "label")
+          .agg(max(when(col("cluster") === col("label"), col("cos"))).as("own"),
+            max(when(col("cluster") =!= col("label"), col("cos"))).as("bo"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_vectors"),
+            round(avg(col("own") - col("bo")), 6).as("mean_margin"),
+            sum(when(col("bo") > col("own"), 1).otherwise(0)).as("n_misassigned"))
+          .orderBy("label")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, label,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+             |  FROM embeddings),
+             |cd AS (SELECT label AS cluster, i AS dim,
+             |    ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS m
+             |  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
+             |c AS (SELECT cluster, list(m ORDER BY dim) AS cent
+             |  FROM cd GROUP BY cluster),
+             |sc AS (SELECT vec_id, label, cluster,
+             |    list_cosine_similarity(emb, cent) AS cos
+             |  FROM e, c),
+             |a AS (SELECT vec_id, label,
+             |    MAX(CASE WHEN cluster = label THEN cos END) AS own,
+             |    MAX(CASE WHEN cluster <> label THEN cos END) AS bo
+             |  FROM sc GROUP BY 1, 2)
+             |SELECT label, COUNT(*) AS n_vectors,
+             |  ROUND(AVG(own - bo), 6) AS mean_margin,
+             |  CAST(SUM(CASE WHEN bo > own THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_misassigned
+             |FROM a GROUP BY label ORDER BY label""".stripMargin)))
 
   // -- driver contract ------------------------------------------------------
 
