@@ -6717,7 +6717,118 @@ object SparkEntry {
              |  ROUND(AVG(own - bo), 6) AS mean_margin,
              |  CAST(SUM(CASE WHEN bo > own THEN 1 ELSE 0 END) AS BIGINT)
              |    AS n_misassigned
-             |FROM a GROUP BY label ORDER BY label""".stripMargin)))
+             |FROM a GROUP BY label ORDER BY label""".stripMargin)),
+
+    Q("orders_open_backlog", // open-order backlog over time WITHOUT an
+      // interval×day join: each order contributes a +1 delta at its
+      // order date and a −1 at its close (last ship) date, the deltas
+      // collapse to one row per day, and a single ordered cumsum yields
+      // the standing backlog — the interval-stabbing pattern that scales
+      // to billions of intervals where a per-day range join cannot.
+      // Month-end sampling via max_by over the day-grained series.
+      (s, d) => {
+        val closed = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey")).agg(max(col("l_shipdate")).as("cd"))
+        val spans = t(s, d, "orders")
+          .join(closed, col("o_orderkey") === col("l_orderkey"))
+          .select(to_date(col("o_orderdate")).as("od"), to_date(col("cd")).as("cd"))
+        val deltas = spans.select(col("od").as("day"), lit(1).as("delta"))
+          .unionAll(spans.select(col("cd").as("day"), lit(-1).as("delta")))
+          .groupBy("day").agg(sum("delta").as("dd"))
+        val w = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        deltas
+          .withColumn("backlog", sum("dd").over(w))
+          .groupBy(date_format(col("day"), "yyyy-MM").as("ym"))
+          .agg(max_by(col("backlog"), col("day")).as("month_end_backlog"))
+          .orderBy("ym")
+      },
+      Some("""WITH closed AS (
+             |  SELECT l_orderkey, MAX(l_shipdate) AS cd
+             |  FROM lineitem GROUP BY 1),
+             |spans AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS od, CAST(cd AS DATE) AS cd
+             |  FROM orders JOIN closed ON o_orderkey = l_orderkey),
+             |deltas AS (
+             |  SELECT day, SUM(delta) AS dd FROM (
+             |    SELECT od AS day, 1 AS delta FROM spans
+             |    UNION ALL SELECT cd, -1 FROM spans)
+             |  GROUP BY day),
+             |series AS (
+             |  SELECT day,
+             |    SUM(dd) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS backlog
+             |  FROM deltas),
+             |me AS (SELECT strftime(day, '%Y-%m') AS ym, day, backlog,
+             |    ROW_NUMBER() OVER (PARTITION BY strftime(day, '%Y-%m')
+             |      ORDER BY day DESC) AS rn
+             |  FROM series)
+             |SELECT ym, CAST(backlog AS BIGINT) AS month_end_backlog
+             |FROM me WHERE rn = 1 ORDER BY ym""".stripMargin)),
+
+    Q("emb_knn_classifier_eval", // k-NN label-prediction accuracy over
+      // the labeled embedding space: every vector is classified by the
+      // majority label of its 5 nearest neighbors (LSH-blocked kNN join
+      // — never all-pairs), ties toward the smaller label; per-label
+      // coverage and accuracy. The eval that grades an embedding space
+      // as a classifier feature before anyone trains on it. The oracle
+      // replays the identical blocked pipeline from the same plane
+      // constants.
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val lbl = e.select(col("vec_id"), col("label"))
+        val nn = Similarity.knnJoin(e, e, k = 5)
+        val votes = nn
+          .join(broadcast(lbl.select(col("vec_id").as("nn_id"),
+            col("label").as("nn_label"))), Seq("nn_id"))
+          .groupBy(col("q_id"), col("nn_label")).agg(count(lit(1)).as("v"))
+          .groupBy("q_id")
+          .agg(max(struct(col("v"), (-col("nn_label")).as("neg"))).as("m"))
+          .select(col("q_id"), (-col("m.neg")).as("pred"))
+        val graded = lbl
+          .join(votes, col("vec_id") === col("q_id"), "left_outer")
+        graded.groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vectors"),
+            sum(when(col("pred").isNotNull, 1).otherwise(0)).as("n_classified"),
+            sum(when(col("pred") === col("label"), 1).otherwise(0))
+              .as("n_correct"))
+          .select(col("label"), col("n_vectors"), col("n_classified"),
+            col("n_correct"),
+            round(col("n_correct").cast("double") / col("n_classified"), 6)
+              .as("knn_accuracy"))
+          .orderBy("label")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label,
+             |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+             |base AS (SELECT vec_id AS nn_id, label AS nn_label, emb AS nn_vec,
+             |  ${LshOracle.bucketSql("emb")} AS bucket FROM e),
+             |q0 AS (SELECT vec_id AS q_id, emb AS q_vec,
+             |  ${LshOracle.bucketSql("emb")} AS qb FROM e),
+             |qp AS (SELECT q_id, q_vec, xor(qb, t.m) AS bucket
+             |  FROM q0, unnest(${LshOracle.probeMasks}) AS t(m)),
+             |pairs AS (SELECT DISTINCT q_id, nn_id,
+             |  ROUND(list_cosine_similarity(q_vec, nn_vec), 6) AS cos
+             |  FROM qp JOIN base USING (bucket) WHERE q_id <> nn_id),
+             |ranked AS (SELECT q_id, nn_id, cos,
+             |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rank
+             |  FROM pairs),
+             |votes AS (SELECT r.q_id, b.nn_label, COUNT(*) AS v
+             |  FROM ranked r JOIN base b ON r.nn_id = b.nn_id
+             |  WHERE r.rank <= 5 GROUP BY 1, 2),
+             |pred AS (SELECT q_id, nn_label AS pred FROM (
+             |    SELECT q_id, nn_label, ROW_NUMBER() OVER (
+             |      PARTITION BY q_id ORDER BY v DESC, nn_label) AS pr
+             |    FROM votes) WHERE pr = 1),
+             |graded AS (SELECT e.vec_id, e.label, p.pred
+             |  FROM e LEFT JOIN pred p ON e.vec_id = p.q_id)
+             |SELECT label, COUNT(*) AS n_vectors,
+             |  CAST(SUM(CASE WHEN pred IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_classified,
+             |  CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_correct,
+             |  ROUND(CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / SUM(CASE WHEN pred IS NOT NULL THEN 1 ELSE 0 END), 6)
+             |    AS knn_accuracy
+             |FROM graded GROUP BY label ORDER BY label""".stripMargin)))
 
   // -- driver contract ------------------------------------------------------
 
