@@ -6828,7 +6828,111 @@ object SparkEntry {
              |  ROUND(CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS DOUBLE)
              |    / SUM(CASE WHEN pred IS NOT NULL THEN 1 ELSE 0 END), 6)
              |    AS knn_accuracy
-             |FROM graded GROUP BY label ORDER BY label""".stripMargin)))
+             |FROM graded GROUP BY label ORDER BY label""".stripMargin)),
+
+    Q("part_type_brand_share", // hierarchical share-of-share: brand
+      // revenue share WITHIN its part type, and the type's share of
+      // total — the drill-down composition report. One fact rollup to
+      // the (type, brand) grain (revenue rounded there, so every later
+      // ratio divides identical doubles), then two window sums over the
+      // ~150-row rollup — the fact table shuffles once.
+      (s, d) => {
+        val pt = t(s, d, "part")
+          .select(col("p_partkey"), col("p_type"), col("p_brand"))
+        val tb = t(s, d, "lineitem")
+          .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_type").as("ptype"), col("p_brand").as("brand"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("rev"))
+        val wt = Window.partitionBy("ptype")
+        val wa = Window.partitionBy()
+        tb.withColumn("trev", sum("rev").over(wt))
+          .withColumn("arev", sum("rev").over(wa))
+          .select(col("ptype"), col("brand"), col("rev"),
+            round(col("rev") / col("trev"), 6).as("brand_share_of_type"),
+            round(col("trev") / col("arev"), 6).as("type_share_of_total"))
+          .orderBy("ptype", "brand")
+      },
+      Some("""WITH tb AS (
+             |  SELECT p_type AS ptype, p_brand AS brand,
+             |    ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS rev
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  GROUP BY 1, 2)
+             |SELECT ptype, brand, rev,
+             |  ROUND(rev / SUM(rev) OVER (PARTITION BY ptype), 6)
+             |    AS brand_share_of_type,
+             |  ROUND(SUM(rev) OVER (PARTITION BY ptype) / SUM(rev) OVER (), 6)
+             |    AS type_share_of_total
+             |FROM tb ORDER BY ptype, brand""".stripMargin)),
+
+    Q("doc_stopword_discovery", // corpus-driven stopword candidates:
+      // terms present in the highest fraction of documents (document
+      // frequency, not raw counts — a term spammed in one doc doesn't
+      // qualify). The (doc, term) distinct collapses map-side before the
+      // term-keyed count; integer df ratios are exact.
+      (s, d) => {
+        val n = t(s, d, "documents").count()
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(array_distinct(
+              graft.operators.TextAnalysis.tokens(lower(col("text")))))
+              .as("term"))
+          .groupBy("term").agg(count(lit(1)).as("df"))
+          .filter(col("df") * 2 > n)
+          .select(col("term"), col("df"),
+            round(col("df").cast("double") / n, 6).as("df_ratio"))
+          .orderBy(col("df").desc, col("term")).limit(30)
+      },
+      Some("""WITH dt AS (
+             |  SELECT DISTINCT doc_id, t AS term FROM (
+             |    SELECT doc_id, unnest(
+             |      string_split_regex(lower(trim(text)), '\s+')) AS t
+             |    FROM documents)),
+             |n AS (SELECT COUNT(*) AS nd FROM documents)
+             |SELECT term, COUNT(*) AS df,
+             |  ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT nd FROM n), 6)
+             |    AS df_ratio
+             |FROM dt GROUP BY term
+             |HAVING COUNT(*) * 2 > (SELECT nd FROM n)
+             |ORDER BY df DESC, term LIMIT 30""".stripMargin)),
+
+    Q("events_weekend_lift", // weekend vs weekday activity lift per
+      // event type: average events per weekend day over average events
+      // per weekday — the seasonality summary behind staffing/capacity
+      // calls. Day classification uses the ISO weekday so both engines
+      // agree; everything is exact integer counts until the final
+      // divisions.
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("is_we", (weekday(col("day")) >= 5).cast("int"))
+        daily.groupBy("event_type")
+          .agg(sum(when(col("is_we") === 1, col("n"))).as("we_events"),
+            countDistinct(when(col("is_we") === 1, col("day"))).as("we_days"),
+            sum(when(col("is_we") === 0, col("n"))).as("wd_events"),
+            countDistinct(when(col("is_we") === 0, col("day"))).as("wd_days"))
+          .select(col("event_type"), col("we_events"), col("wd_events"),
+            round((col("we_events").cast("double") / col("we_days"))
+              / (col("wd_events").cast("double") / col("wd_days")), 6)
+              .as("weekend_lift"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+             |    CASE WHEN isodow(CAST(ts AS DATE)) >= 6 THEN 1 ELSE 0 END AS is_we
+             |  FROM events GROUP BY 1, 2),
+             |agg AS (
+             |  SELECT event_type,
+             |    CAST(SUM(CASE WHEN is_we = 1 THEN n END) AS BIGINT) AS we_events,
+             |    COUNT(DISTINCT CASE WHEN is_we = 1 THEN day END) AS we_days,
+             |    CAST(SUM(CASE WHEN is_we = 0 THEN n END) AS BIGINT) AS wd_events,
+             |    COUNT(DISTINCT CASE WHEN is_we = 0 THEN day END) AS wd_days
+             |  FROM daily GROUP BY 1)
+             |SELECT event_type, we_events, wd_events,
+             |  ROUND((CAST(we_events AS DOUBLE) / we_days)
+             |    / (CAST(wd_events AS DOUBLE) / wd_days), 6) AS weekend_lift
+             |FROM agg ORDER BY event_type""".stripMargin)))
 
   // -- driver contract ------------------------------------------------------
 
