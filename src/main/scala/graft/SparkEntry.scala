@@ -6932,7 +6932,106 @@ object SparkEntry {
              |SELECT event_type, we_events, wd_events,
              |  ROUND((CAST(we_events AS DOUBLE) / we_days)
              |    / (CAST(wd_events AS DOUBLE) / wd_days), 6) AS weekend_lift
-             |FROM agg ORDER BY event_type""".stripMargin)))
+             |FROM agg ORDER BY event_type""".stripMargin)),
+
+    Q("events_power_users_pareto", // traffic concentration: what share
+      // of events do the top-1% / top-10% most active users generate —
+      // the abuse/capacity skew number. Users rank by exact activity
+      // count (user_id tie-break); cumulative shares ride one window
+      // over the user-grained rollup, integer-exact until the final
+      // divisions.
+      (s, d) => {
+        val per = t(s, d, "events")
+          .groupBy("user_id").agg(count(lit(1)).as("n"))
+        val w = Window.orderBy(col("n").desc, col("user_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy()
+        per
+          .withColumn("cum", sum("n").over(w))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("n").desc, col("user_id"))))
+          .withColumn("nu", count(lit(1)).over(wAll))
+          .withColumn("tot", sum("n").over(wAll))
+          .select(
+            col("nu").as("n_users"), col("tot").as("n_events"),
+            when(col("rk") === greatest((col("nu") / 100).cast("int"), lit(1)),
+              round(col("cum").cast("double") / col("tot"), 6)).as("top1pct_share"),
+            when(col("rk") === greatest((col("nu") / 10).cast("int"), lit(1)),
+              round(col("cum").cast("double") / col("tot"), 6)).as("top10pct_share"))
+          .agg(max("n_users").as("n_users"), max("n_events").as("n_events"),
+            max("top1pct_share").as("top1pct_share"),
+            max("top10pct_share").as("top10pct_share"))
+      },
+      Some("""WITH per AS (
+             |  SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+             |rk AS (SELECT n,
+             |    ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rk,
+             |    SUM(n) OVER (ORDER BY n DESC, user_id
+             |      ROWS UNBOUNDED PRECEDING) AS cum,
+             |    COUNT(*) OVER () AS nu, SUM(n) OVER () AS tot
+             |  FROM per)
+             |SELECT MAX(nu) AS n_users,
+             |  CAST(MAX(tot) AS BIGINT) AS n_events,
+             |  MAX(CASE WHEN rk = greatest(nu // 100, 1)
+             |    THEN ROUND(CAST(cum AS DOUBLE) / tot, 6) END) AS top1pct_share,
+             |  MAX(CASE WHEN rk = greatest(nu // 10, 1)
+             |    THEN ROUND(CAST(cum AS DOUBLE) / tot, 6) END) AS top10pct_share
+             |FROM rk""".stripMargin)),
+
+    Q("cust_balance_histogram", // fixed-width numeric histogram of
+      // customer account balances over literal bounds — the profiling
+      // counterpart of the equi-depth histogram (fixed CUTS, variable
+      // counts vs fixed counts, variable cuts). Bucket arithmetic on
+      // literals is exact; one keyed count.
+      (s, d) => t(s, d, "customer")
+        .select(least(greatest(floor((col("c_acctbal") + 1000) / 600)
+          .cast("int"), lit(0)), lit(10)).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_customers"))
+        .select(col("bucket"),
+          round((lit(-1000) + col("bucket") * 600).cast("double"), 1).as("lo"),
+          round((lit(-1000) + (col("bucket") + 1) * 600).cast("double"), 1).as("hi"),
+          col("n_customers"))
+        .orderBy("bucket"),
+      Some("""SELECT bucket,
+             |  ROUND(-1000 + bucket * 600, 1) AS lo,
+             |  ROUND(-1000 + (bucket + 1) * 600, 1) AS hi,
+             |  COUNT(*) AS n_customers
+             |FROM (SELECT least(greatest(
+             |    CAST(floor((c_acctbal + 1000) / 600) AS INT), 0), 10) AS bucket
+             |  FROM customer)
+             |GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    Q("doc_char_entropy_by_source", // character-level Shannon entropy
+      // per source — the compressibility/noise proxy (binary junk and
+      // repeated boilerplate both depress it). Characters explode
+      // map-side into a (source, char) count; entropy comes from exact
+      // integer counts via H = ln N − (Σ c·ln c)/N.
+      (s, d) => t(s, d, "documents")
+        .select(col("source"),
+          explode(split(col("text"), "")).as("ch"))
+        .filter(length(col("ch")) > 0)
+        .groupBy("source", "ch").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum("c").as("n_chars"), count(lit(1)).as("n_distinct_chars"),
+          sum(col("c").cast("double") * log(col("c").cast("double"))).as("clc"))
+        .select(col("source"), col("n_chars"), col("n_distinct_chars"),
+          round(log(col("n_chars").cast("double"))
+            - col("clc") / col("n_chars"), 6).as("char_entropy"))
+        .orderBy("source"),
+      Some("""WITH cc AS (
+             |  SELECT source, ch, COUNT(*) AS c FROM (
+             |    SELECT source, unnest(regexp_extract_all(text, '.')) AS ch
+             |    FROM documents)
+             |  WHERE length(ch) > 0
+             |  GROUP BY 1, 2),
+             |agg AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_chars,
+             |    COUNT(*) AS n_distinct_chars,
+             |    SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clc
+             |  FROM cc GROUP BY 1)
+             |SELECT source, n_chars, n_distinct_chars,
+             |  ROUND(ln(CAST(n_chars AS DOUBLE)) - clc / n_chars, 6)
+             |    AS char_entropy
+             |FROM agg ORDER BY source""".stripMargin)))
 
   // -- driver contract ------------------------------------------------------
 
