@@ -7031,7 +7031,60 @@ object SparkEntry {
              |SELECT source, n_chars, n_distinct_chars,
              |  ROUND(ln(CAST(n_chars AS DOUBLE)) - clc / n_chars, 6)
              |    AS char_entropy
-             |FROM agg ORDER BY source""".stripMargin)))
+             |FROM agg ORDER BY source""".stripMargin)),
+
+    Q("doc_bigram_entropy", // corpus language complexity: the bigram
+      // model's conditional entropy H(next | current) = H(XY) − H(X)
+      // and its perplexity — the single number that says how predictable
+      // the corpus is (boilerplate → low, organic prose → high). Both
+      // entropy terms reduce to Σ c·ln c over exact integer counts (the
+      // prefix counts are sums of bigram counts, one extra keyed agg),
+      // so the closed form computes identically in both engines.
+      (s, d) => {
+        val bg = t(s, d, "documents")
+          .select(graft.operators.TextAnalysis.tokens(lower(col("text"))).as("ts"))
+          .filter(size(col("ts")) >= 2)
+          .select(explode(transform(sequence(lit(1), size(col("ts")) - 1),
+            i => struct(element_at(col("ts"), i).as("w1"),
+              element_at(col("ts"), i + 1).as("w2")))).as("b"))
+          .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .agg(count(lit(1)).as("c"))
+        val pref = bg.groupBy("w1").agg(sum("c").as("cx"))
+        val sb = bg.agg(sum("c").as("n"),
+          count(lit(1)).as("n_bigram_types"),
+          sum(col("c").cast("double") * log(col("c").cast("double"))).as("sb"))
+        val sx = pref.agg(count(lit(1)).as("n_prefix_types"),
+          sum(col("cx").cast("double") * log(col("cx").cast("double"))).as("sx"))
+        sb.crossJoin(sx)
+          .select(col("n").as("n_bigrams"), col("n_bigram_types"),
+            col("n_prefix_types"),
+            round((col("sx") - col("sb")) / col("n"), 6).as("cond_entropy"),
+            round(exp((col("sx") - col("sb")) / col("n")), 6).as("perplexity"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT string_split_regex(lower(trim(text)), '\s+') AS ts
+             |  FROM documents
+             |), bg AS (
+             |  SELECT b, COUNT(*) AS c FROM (
+             |    SELECT unnest(list_transform(range(1, len(ts)),
+             |      i -> ts[i] || ' ' || ts[i+1])) AS b
+             |    FROM tok WHERE len(ts) >= 2)
+             |  GROUP BY b
+             |), pref AS (
+             |  SELECT string_split(b, ' ')[1] AS w1, SUM(c) AS cx
+             |  FROM bg GROUP BY 1
+             |), sb AS (
+             |  SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_bigram_types,
+             |    SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS sbv
+             |  FROM bg
+             |), sx AS (
+             |  SELECT COUNT(*) AS n_prefix_types,
+             |    SUM(CAST(cx AS DOUBLE) * ln(CAST(cx AS DOUBLE))) AS sxv
+             |  FROM pref)
+             |SELECT n AS n_bigrams, n_bigram_types, n_prefix_types,
+             |  ROUND((sxv - sbv) / n, 6) AS cond_entropy,
+             |  ROUND(exp((sxv - sbv) / n), 6) AS perplexity
+             |FROM sb, sx""".stripMargin)))
 
   // -- driver contract ------------------------------------------------------
 

@@ -168,6 +168,7 @@ class PlanQualitySpec extends SparkSuite {
         "orders_survival_km", "doc_pmi_pairs",
         "events_cusum_changepoint", "orders_lift_pairs",
         "emb_silhouette_report", // 10-row centroid-table fan-out
+        "doc_bigram_entropy", // 1-row x 1-row entropy-terms assembly
         "events_time_weighted_value", // 1-row max-timestamp anchor
         "graph_triangles")) // 1-row stats × 1-row triangle-count assembly
         // and the other names above: 1-row corpus-
