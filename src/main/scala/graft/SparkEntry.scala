@@ -2134,22 +2134,16 @@ object SparkEntry {
       // extendedprice — the exact-mode auditor for the approx_percentile
       // sketch: bucket edges from ranked position, not estimate. The
       // unique (price, orderkey, linenumber) order makes every bucket
-      // assignment deterministic. The global NTILE is a range-partitioned
-      // sort (Spark's sort shuffle); at 100 TB you'd reach for the
-      // sketch and keep this as the sampled cross-check.
-      (s, d) => {
-        val w = Window
-          .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-        t(s, d, "lineitem")
-          .select(col("l_extendedprice"), col("l_orderkey"),
-            col("l_linenumber"))
-          .withColumn("bucket", ntile(10).over(w))
-          .groupBy("bucket")
-          .agg(count(lit(1)).as("n"),
-            round(min("l_extendedprice"), 2).as("lo"),
-            round(max("l_extendedprice"), 2).as("hi"))
-          .orderBy("bucket")
-      },
+      // assignment deterministic. Computed as 2k order statistics over a
+      // distributed range sort (Scale.exactNtileHistogram) — NOT an
+      // unpartitioned NTILE window, whose single-reducer sort grew
+      // super-linearly on the 10× replica probe.
+      (s, d) => Scale.exactNtileHistogram(
+          t(s, d, "lineitem")
+            .select(col("l_extendedprice").cast("double").as("l_extendedprice"),
+              col("l_orderkey"), col("l_linenumber")),
+          "l_extendedprice", Seq("l_orderkey", "l_linenumber"), k = 10)
+        .orderBy("bucket"),
       Some("""WITH b AS (
              |  SELECT l_extendedprice,
              |    NTILE(10) OVER (ORDER BY l_extendedprice, l_orderkey,

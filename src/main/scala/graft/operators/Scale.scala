@@ -134,6 +134,51 @@ object Scale {
         lit(r(cuts(1)))))
   }
 
+  /** Exact equi-depth (NTILE) histogram over a total order WITHOUT the
+    * single-reducer window: an unpartitioned `ntile(k).over(orderBy…)`
+    * funnels every row through ONE task's sort — the 100 TB
+    * anti-pattern (measured 10.7× growth for 10× data on the replica
+    * probe). NTILE's bucket SIZES are pure arithmetic on n (first
+    * n mod k buckets take ⌈n/k⌉ rows), so the whole histogram reduces
+    * to 2k order statistics: the value at each bucket's first and last
+    * rank. Those come from the same TeraSort-style range exchange +
+    * zipWithIndex as [[exactQuantiles]] — every stage cluster-parallel,
+    * only 2k bracketing values ever reach the driver.
+    *
+    * `sortCols` must lead with the value column and form a total order;
+    * output is (bucket, n, lo, hi) with lo/hi rounded to `scale`,
+    * bit-identical to the window-NTILE formulation.
+    */
+  def exactNtileHistogram(df: DataFrame, valueCol: String,
+      tieCols: Seq[String], k: Int, scale: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df
+      .select((valueCol +: tieCols).map(col): _*)
+      .orderBy((valueCol +: tieCols).map(col): _*)
+      .rdd.map(_.getDouble(0))
+      .zipWithIndex().map { case (v, i) => (i, v) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = sorted.count()
+      val q = n / k
+      val rem = (n % k).toInt
+      case class B(b: Int, size: Long, start: Long, end: Long)
+      val buckets = (1 to k).map { b =>
+        val size = q + (if (b <= rem) 1L else 0L)
+        val start = (b - 1) * q + math.min(b - 1, rem)
+        B(b, size, start, start + size - 1)
+      }.filter(_.size > 0)
+      val needed = buckets.flatMap(x => Seq(x.start, x.end)).toSet
+      val vals = sorted.filter { case (i, _) => needed.contains(i) }
+        .collectAsMap()
+      def r(x: Double) =
+        BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+      import spark.implicits._
+      buckets.map(x => (x.b, x.size, r(vals(x.start)), r(vals(x.end))))
+        .toDF("bucket", "n", "lo", "hi")
+    } finally { sorted.unpersist(blocking = false); () }
+  }
+
   def writeBucketed(
       df: DataFrame,
       table: String,

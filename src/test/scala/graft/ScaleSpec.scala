@@ -167,4 +167,28 @@ class ScaleSpec extends SparkSuite {
       .select("v_w").distinct().as[Double].collect()
     assert(all.toSeq === Seq(50.5))
   }
+
+  test("exactNtileHistogram matches the window-NTILE formulation exactly") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // 23 rows into 10 buckets: first 3 buckets take 3 rows, rest take 2 —
+    // the uneven-fill case where a size-formula bug would show
+    val df = (1 to 23).map(i => (i * 1.5, i.toLong, i)).toDF("v", "k1", "k2")
+    val got = Scale.exactNtileHistogram(df, "v", Seq("k1", "k2"), k = 10)
+      .orderBy("bucket")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val w = Window.orderBy("v", "k1", "k2")
+    val want = df.withColumn("bucket", ntile(10).over(w))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), round(min("v"), 2).as("lo"),
+        round(max("v"), 2).as("hi"))
+      .orderBy("bucket")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq === want.toSeq)
+    // fewer rows than buckets: NTILE leaves the tail buckets empty
+    val tiny = (1 to 4).map(i => (i * 1.0, i.toLong, i)).toDF("v", "k1", "k2")
+    val g2 = Scale.exactNtileHistogram(tiny, "v", Seq("k1", "k2"), k = 10)
+    assert(g2.count() === 4L)
+    assert(g2.agg(sum("n")).head().getLong(0) === 4L)
+  }
 }
