@@ -7078,7 +7078,96 @@ object SparkEntry {
              |SELECT n AS n_bigrams, n_bigram_types, n_prefix_types,
              |  ROUND((sxv - sbv) / n, 6) AS cond_entropy,
              |  ROUND(exp((sxv - sbv) / n), 6) AS perplexity
-             |FROM sb, sx""".stripMargin)))
+             |FROM sb, sx""".stripMargin)),
+
+    Q("events_new_vs_returning", // growth accounting: per day, users
+      // active for the FIRST time vs returning users, and the returning
+      // share — the retention pulse. First-touch day is one user-keyed
+      // min; the day split is conditional integer counts on the
+      // (user, day) activity grain.
+      (s, d) => {
+        val ud = t(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val first = ud.groupBy("user_id").agg(min("day").as("fday"))
+        ud.join(first, Seq("user_id"))
+          .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+          .agg(sum(when(col("day") === date_format(col("fday"), "yyyy-MM-dd"), 1)
+              .otherwise(0)).as("new_users"),
+            sum(when(col("day") =!= date_format(col("fday"), "yyyy-MM-dd"), 1)
+              .otherwise(0)).as("returning_users"))
+          .select(col("day"), col("new_users"), col("returning_users"),
+            round(col("returning_users").cast("double")
+              / (col("new_users") + col("returning_users")), 6)
+              .as("returning_share"))
+          .orderBy("day")
+      },
+      Some("""WITH ud AS (
+             |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+             |f AS (SELECT user_id, MIN(day) AS fday FROM ud GROUP BY 1)
+             |SELECT strftime(ud.day, '%Y-%m-%d') AS day,
+             |  CAST(SUM(CASE WHEN ud.day = f.fday THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS new_users,
+             |  CAST(SUM(CASE WHEN ud.day <> f.fday THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS returning_users,
+             |  ROUND(CAST(SUM(CASE WHEN ud.day <> f.fday THEN 1 ELSE 0 END)
+             |    AS DOUBLE) / COUNT(*), 6) AS returning_share
+             |FROM ud JOIN f ON ud.user_id = f.user_id
+             |GROUP BY ud.day ORDER BY day""".stripMargin)),
+
+    Q("nation_trade_balance", // sell-side revenue vs buy-side spend per
+      // nation and the net position — both sides roll to their entity
+      // grain FIRST (supplier / customer) and round there, so the
+      // nation-level sums add identical doubles in both engines; the
+      // nation dim broadcasts onto the entity rollups, never onto facts.
+      (s, d) => {
+        val supRev = t(s, d, "lineitem")
+          .groupBy(col("l_suppkey"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("r"))
+          .join(broadcast(t(s, d, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_nationkey").as("nk"))
+          .agg(round(sum("r"), 2).as("supply_rev"))
+        val demSpend = t(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(round(sum("o_totalprice"), 2).as("r"))
+          .join(broadcast(t(s, d, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").as("nk"))
+          .agg(round(sum("r"), 2).as("demand_spend"))
+        t(s, d, "nation")
+          .select(col("n_nationkey").as("nk"), col("n_name"))
+          .join(supRev, Seq("nk"), "left_outer")
+          .join(demSpend, Seq("nk"), "left_outer")
+          .select(col("n_name").as("nation"),
+            coalesce(col("supply_rev"), lit(0.0)).as("supply_rev"),
+            coalesce(col("demand_spend"), lit(0.0)).as("demand_spend"),
+            round(coalesce(col("supply_rev"), lit(0.0))
+              - coalesce(col("demand_spend"), lit(0.0)), 2).as("net_position"))
+          .orderBy("nation")
+      },
+      Some("""WITH sup AS (
+             |  SELECT l_suppkey,
+             |    ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS r
+             |  FROM lineitem GROUP BY 1),
+             |sr AS (SELECT s_nationkey AS nk, ROUND(SUM(r), 2) AS supply_rev
+             |  FROM sup JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1),
+             |dem AS (
+             |  SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS r
+             |  FROM orders GROUP BY 1),
+             |dr AS (SELECT c_nationkey AS nk, ROUND(SUM(r), 2) AS demand_spend
+             |  FROM dem JOIN customer ON o_custkey = c_custkey GROUP BY 1)
+             |SELECT n_name AS nation,
+             |  COALESCE(supply_rev, 0.0) AS supply_rev,
+             |  COALESCE(demand_spend, 0.0) AS demand_spend,
+             |  ROUND(COALESCE(supply_rev, 0.0) - COALESCE(demand_spend, 0.0), 2)
+             |    AS net_position
+             |FROM nation
+             |LEFT JOIN sr ON n_nationkey = sr.nk
+             |LEFT JOIN dr ON n_nationkey = dr.nk
+             |ORDER BY nation""".stripMargin)))
 
   // -- driver contract ------------------------------------------------------
 
