@@ -7167,7 +7167,53 @@ object SparkEntry {
              |FROM nation
              |LEFT JOIN sr ON n_nationkey = sr.nk
              |LEFT JOIN dr ON n_nationkey = dr.nk
-             |ORDER BY nation""".stripMargin)))
+             |ORDER BY nation""".stripMargin)),
+
+    Q("events_type_affinity", // cross-activity affinity: for every pair
+      // of event types, how much more often does one user do BOTH than
+      // independence predicts (user-level lift) — the cross-sell /
+      // feature-adoption matrix. The pair space is the per-user type set
+      // squared (≤ C(5,2) pairs from ≤5 types per user), marginals and
+      // the user total are exact integers; the total rides a 1-row
+      // broadcast.
+      (s, d) => {
+        val ut = t(s, d, "events")
+          .select(col("user_id"), col("event_type")).distinct()
+        val marg = ut.groupBy(col("event_type")).agg(count(lit(1)).as("m"))
+        val ntot = ut.select(countDistinct("user_id").as("n_users"))
+        val a = ut.select(col("user_id"), col("event_type").as("ta"))
+        val b = ut.select(col("user_id"), col("event_type").as("tb"))
+        a.join(b, Seq("user_id")).filter(col("ta") < col("tb"))
+          .groupBy("ta", "tb").agg(count(lit(1)).as("n_both"))
+          .join(broadcast(marg.select(col("event_type").as("ta"),
+            col("m").as("ma"))), Seq("ta"))
+          .join(broadcast(marg.select(col("event_type").as("tb"),
+            col("m").as("mb"))), Seq("tb"))
+          .crossJoin(broadcast(ntot))
+          .select(col("ta"), col("tb"), col("n_both"),
+            round(col("n_both").cast("double") / col("n_users"), 6)
+              .as("support"),
+            round(col("n_both").cast("double") * col("n_users")
+              / (col("ma") * col("mb")), 6).as("lift"))
+          .orderBy("ta", "tb")
+      },
+      Some("""WITH ut AS (
+             |  SELECT DISTINCT user_id, event_type FROM events),
+             |marg AS (SELECT event_type, COUNT(*) AS m FROM ut GROUP BY 1),
+             |ntot AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ut),
+             |co AS (SELECT a.event_type AS ta, b.event_type AS tb,
+             |    COUNT(*) AS n_both
+             |  FROM ut a JOIN ut b
+             |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+             |  GROUP BY 1, 2)
+             |SELECT ta, tb, n_both,
+             |  ROUND(CAST(n_both AS DOUBLE) / n_users, 6) AS support,
+             |  ROUND(CAST(n_both AS DOUBLE) * n_users / (ma.m * mb.m), 6)
+             |    AS lift
+             |FROM co, ntot
+             |JOIN marg ma ON co.ta = ma.event_type
+             |JOIN marg mb ON co.tb = mb.event_type
+             |ORDER BY ta, tb""".stripMargin)))
 
   // -- driver contract ------------------------------------------------------
 

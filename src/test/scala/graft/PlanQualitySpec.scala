@@ -167,6 +167,7 @@ class PlanQualitySpec extends SparkSuite {
         "orders_rfm_segments", "events_psi_drift",
         "orders_survival_km", "doc_pmi_pairs",
         "events_cusum_changepoint", "orders_lift_pairs",
+        "events_type_affinity",
         "emb_silhouette_report", // 10-row centroid-table fan-out
         "doc_bigram_entropy", // 1-row x 1-row entropy-terms assembly
         "events_time_weighted_value", // 1-row max-timestamp anchor
