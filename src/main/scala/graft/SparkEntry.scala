@@ -7213,8 +7213,78 @@ object SparkEntry {
              |FROM co, ntot
              |JOIN marg ma ON co.ta = ma.event_type
              |JOIN marg mb ON co.tb = mb.event_type
-             |ORDER BY ta, tb""".stripMargin)))
+             |ORDER BY ta, tb""".stripMargin)),
 
+    Q("orders_month_seasonality", // calendar-month seasonal index of
+      // order revenue: each month-of-year's average monthly revenue over
+      // the all-months average — the orders-side twin of the day-of-week
+      // profile. Revenue rounds at the (year, month) grain; the index
+      // divides two sums of identical doubles (the all-months term rides
+      // a window over the 12-row profile).
+      (s, d) => {
+        val ym = t(s, d, "orders")
+          .groupBy(year(col("o_orderdate")).as("y"),
+            month(col("o_orderdate")).as("m"))
+          .agg(round(round(sum("o_totalprice"), 2) * 100, 0).cast("long")
+            .as("cents"))
+        val prof = ym.groupBy("m")
+          .agg(count(lit(1)).as("n_years"), sum("cents").as("tot"))
+          .select(col("m"), col("n_years"),
+            (col("tot").cast("double") / col("n_years") / 100).as("avg_rev"))
+        val wAll = Window.partitionBy()
+        prof
+          .withColumn("base", sum("avg_rev").over(wAll) / count(lit(1)).over(wAll))
+          .select(col("m").as("month"), col("n_years"),
+            round(col("avg_rev"), 2).as("avg_monthly_rev"),
+            round(col("avg_rev") / col("base"), 6).as("seasonal_index"))
+          .orderBy("month")
+      },
+      Some("""WITH ym AS (
+             |  SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+             |    CAST(ROUND(ROUND(SUM(o_totalprice), 2) * 100, 0) AS BIGINT)
+             |      AS cents
+             |  FROM orders GROUP BY 1, 2),
+             |prof AS (
+             |  SELECT m, COUNT(*) AS n_years,
+             |    CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100 AS avg_rev
+             |  FROM ym GROUP BY m)
+             |SELECT m AS month, n_years,
+             |  ROUND(avg_rev, 2) AS avg_monthly_rev,
+             |  ROUND(avg_rev / (SUM(avg_rev) OVER () / COUNT(*) OVER ()), 6)
+             |    AS seasonal_index
+             |FROM prof ORDER BY month""".stripMargin)),
+
+    Q("events_anomaly_iqr", // boxplot-rule anomaly days: daily volumes
+      // outside [q1 − 1.5·IQR, q3 + 1.5·IQR] — the robust complement to
+      // the z-score and MAD screens. Quartiles interpolate exactly over
+      // the ~30 integer daily counts; fences and flags derive from the
+      // same doubles in both engines.
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val wAll = Window.partitionBy()
+        daily
+          .withColumn("q1", expr("percentile(n, 0.25)").over(wAll))
+          .withColumn("q3", expr("percentile(n, 0.75)").over(wAll))
+          .select(col("day"), col("n"),
+            round(col("q1"), 4).as("q1"), round(col("q3"), 4).as("q3"),
+            (col("n") < col("q1") - lit(1.5) * (col("q3") - col("q1"))
+              || col("n") > col("q3") + lit(1.5) * (col("q3") - col("q1")))
+              .as("is_outlier"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+             |  FROM events GROUP BY 1),
+             |q AS (SELECT day, n,
+             |    quantile_cont(n, 0.25) OVER () AS q1,
+             |    quantile_cont(n, 0.75) OVER () AS q3
+             |  FROM daily)
+             |SELECT day, n, ROUND(q1, 4) AS q1, ROUND(q3, 4) AS q3,
+             |  (n < q1 - 1.5 * (q3 - q1) OR n > q3 + 1.5 * (q3 - q1))
+             |    AS is_outlier
+             |FROM q ORDER BY day""".stripMargin)))
   // -- driver contract ------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
