@@ -49,4 +49,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(fns.contains(f), s"missing $f")
     }
   }
+
+  test("graft_bloom_contains probes a serialized sketch with zero false negatives") {
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.plans.GraftFunctions.register(spark)
+    val keys = spark.range(0, 1000).select(xxhash64(col("id")).as("k"))
+    val bf = keys.stat.bloomFilter("k", 1000, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val probe = spark.range(0, 2000)
+      .select(col("id"), call_function("graft_bloom_contains",
+        lit(bos.toByteArray), xxhash64(col("id"))).as("hit"))
+    // every inserted key must hit (bloom filters have no false negatives)
+    assert(probe.filter(col("id") < 1000 && !col("hit")).count() === 0L)
+    // the uninserted half mostly misses (1% fpp target, generous bound)
+    val fp = probe.filter(col("id") >= 1000 && col("hit")).count()
+    assert(fp < 100, s"false-positive count $fp out of 1000")
+  }
 }
