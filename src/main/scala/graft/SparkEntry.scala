@@ -7284,7 +7284,133 @@ object SparkEntry {
              |SELECT day, n, ROUND(q1, 4) AS q1, ROUND(q3, 4) AS q3,
              |  (n < q1 - 1.5 * (q3 - q1) OR n > q3 + 1.5 * (q3 - q1))
              |    AS is_outlier
-             |FROM q ORDER BY day""".stripMargin)))
+             |FROM q ORDER BY day""".stripMargin)),
+
+    Q("doc_template_detect", // boilerplate TEMPLATE detection: documents
+      // sharing an identical opening (first 8 tokens) — the
+      // header/footer template screen that whole-document dedup misses
+      // because the bodies differ. Map-side prefix key, one hash-keyed
+      // group; md5 of the joined prefix keeps the shuffle key fixed
+      // width at any prefix length.
+      (s, d) => {
+        val toks = graft.operators.TextAnalysis.tokens(lower(col("text")))
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            md5(concat_ws(" ", slice(toks, 1, 8))).as("pk"))
+          .groupBy("pk")
+          .agg(count(lit(1)).as("n_docs"),
+            min("doc_id").as("first_doc"))
+          .filter(col("n_docs") >= 3)
+          .select(col("pk").as("prefix_key"), col("n_docs"), col("first_doc"))
+          .orderBy(col("n_docs").desc, col("prefix_key"))
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id, md5(array_to_string(
+             |    (string_split_regex(lower(trim(text)), '\s+'))[1:8], ' '))
+             |    AS pk
+             |  FROM documents)
+             |SELECT pk AS prefix_key, COUNT(*) AS n_docs,
+             |  MIN(doc_id) AS first_doc
+             |FROM p GROUP BY pk HAVING COUNT(*) >= 3
+             |ORDER BY n_docs DESC, prefix_key""".stripMargin)),
+
+    Q("part_supplier_diversity", // supply-chain concentration: how many
+      // distinct suppliers (and supplier nations) does each part's
+      // observed flow have — single-sourced parts are the risk register.
+      // Rolls lineitem to the (part, supplier) grain first; the supplier
+      // dim broadcasts onto that rollup. Output: the diversity histogram
+      // plus the single-sourced share.
+      (s, d) => {
+        val ps = t(s, d, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+          .join(broadcast(t(s, d, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+        val per = ps.groupBy(col("l_partkey"))
+          .agg(countDistinct("l_suppkey").as("n_suppliers"),
+            countDistinct("s_nationkey").as("n_nations"))
+        val wAll = Window.partitionBy()
+        per.groupBy("n_suppliers")
+          .agg(count(lit(1)).as("n_parts"),
+            round(avg(col("n_nations").cast("double")), 4).as("avg_nations"))
+          .withColumn("share",
+            round(col("n_parts").cast("double") / sum("n_parts").over(wAll), 6))
+          .orderBy("n_suppliers")
+      },
+      Some("""WITH ps AS (
+             |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+             |j AS (SELECT ps.l_partkey, ps.l_suppkey, s.s_nationkey
+             |  FROM ps JOIN supplier s ON ps.l_suppkey = s.s_suppkey),
+             |per AS (
+             |  SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS n_suppliers,
+             |    COUNT(DISTINCT s_nationkey) AS n_nations
+             |  FROM j GROUP BY 1),
+             |h AS (SELECT n_suppliers, COUNT(*) AS n_parts,
+             |    ROUND(AVG(CAST(n_nations AS DOUBLE)), 4) AS avg_nations
+             |  FROM per GROUP BY 1)
+             |SELECT n_suppliers, n_parts, avg_nations,
+             |  ROUND(CAST(n_parts AS DOUBLE) / SUM(n_parts) OVER (), 6) AS share
+             |FROM h ORDER BY n_suppliers""".stripMargin)),
+
+    Q("cust_segment_revenue", // revenue by market segment with share —
+      // the one report the c_mktsegment dimension exists for. Orders
+      // roll to the customer grain first (rounded there), the segment
+      // dim broadcasts onto the rollup, and the share window runs over
+      // the 5-row segment table.
+      (s, d) => {
+        val per = t(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("r"))
+          .join(broadcast(t(s, d, "customer")
+            .select(col("c_custkey"), col("c_mktsegment"))),
+            col("o_custkey") === col("c_custkey"))
+        val wAll = Window.partitionBy()
+        per.groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("n_customers"), sum("n").as("n_orders"),
+            round(sum("r"), 2).as("revenue"))
+          .withColumn("revenue_share",
+            round(col("revenue") / sum("revenue").over(wAll), 6))
+          .orderBy("segment")
+      },
+      Some("""WITH per AS (
+             |  SELECT o_custkey, COUNT(*) AS n,
+             |    ROUND(SUM(o_totalprice), 2) AS r
+             |  FROM orders GROUP BY 1),
+             |seg AS (
+             |  SELECT c_mktsegment AS segment, COUNT(*) AS n_customers,
+             |    CAST(SUM(n) AS BIGINT) AS n_orders, ROUND(SUM(r), 2) AS revenue
+             |  FROM per JOIN customer ON o_custkey = c_custkey
+             |  GROUP BY 1)
+             |SELECT segment, n_customers, n_orders, revenue,
+             |  ROUND(revenue / SUM(revenue) OVER (), 6) AS revenue_share
+             |FROM seg ORDER BY segment""".stripMargin)),
+
+    Q("events_burst_ratio", // burstiness index per event type: peak
+      // hourly volume over median hourly volume — the capacity-headroom
+      // number. One hour-grained rollup; max and exact median interpolate
+      // from integer counts identically in both engines.
+      (s, d) => t(s, d, "events")
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"), max("n").as("peak_hourly"),
+          round(expr("percentile(n, 0.5)"), 4).as("median_hourly"))
+        .select(col("event_type"), col("n_hours"), col("peak_hourly"),
+          col("median_hourly"),
+          round(col("peak_hourly") / col("median_hourly"), 4).as("burst_ratio"))
+        .orderBy("event_type"),
+      Some("""WITH hourly AS (
+             |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |agg AS (
+             |  SELECT event_type, COUNT(*) AS n_hours,
+             |    CAST(MAX(n) AS BIGINT) AS peak_hourly,
+             |    ROUND(quantile_cont(n, 0.5), 4) AS median_hourly
+             |  FROM hourly GROUP BY 1)
+             |SELECT event_type, n_hours, peak_hourly, median_hourly,
+             |  ROUND(peak_hourly / median_hourly, 4) AS burst_ratio
+             |FROM agg ORDER BY event_type""".stripMargin)))
   // -- driver contract ------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
