@@ -7410,7 +7410,53 @@ object SparkEntry {
              |  FROM hourly GROUP BY 1)
              |SELECT event_type, n_hours, peak_hourly, median_hourly,
              |  ROUND(peak_hourly / median_hourly, 4) AS burst_ratio
-             |FROM agg ORDER BY event_type""".stripMargin)))
+             |FROM agg ORDER BY event_type""".stripMargin)),
+
+    Q("orders_priority_lag_profile", // does URGENT actually ship
+      // faster? Order-to-ship lag distribution BY priority class —
+      // the SLA-by-class audit. Integer day lags through the fact
+      // join; mean and exact p90 interpolate identically in both
+      // engines.
+      (s, d) => t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+            .as("lag_d"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum("lag_d").cast("double") / count(lit(1)), 6).as("mean_lag_d"),
+          round(expr("percentile(lag_d, 0.9)"), 6).as("p90_lag_d"))
+        .orderBy("o_orderpriority"),
+      Some("""WITH j AS (
+             |  SELECT o_orderpriority,
+             |    date_diff('day', CAST(o_orderdate AS DATE),
+             |      CAST(l_shipdate AS DATE)) AS lag_d
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+             |SELECT o_orderpriority, COUNT(*) AS n_items,
+             |  ROUND(CAST(SUM(lag_d) AS DOUBLE) / COUNT(*), 6) AS mean_lag_d,
+             |  ROUND(quantile_cont(lag_d, 0.9), 6) AS p90_lag_d
+             |FROM j GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
+
+    Q("events_value_summary", // five-number profile of the value column
+      // per event type (min / q1 / median / q3 / max) — the boxplot
+      // feed and the first thing a profiler prints. Exact interpolated
+      // quartiles over the same doubles in both engines; one keyed agg.
+      (s, d) => t(s, d, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(min("value"), 4).as("v_min"),
+          round(expr("percentile(value, 0.25)"), 4).as("v_q1"),
+          round(expr("percentile(value, 0.5)"), 4).as("v_median"),
+          round(expr("percentile(value, 0.75)"), 4).as("v_q3"),
+          round(max("value"), 4).as("v_max"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  ROUND(MIN(value), 4) AS v_min,
+             |  ROUND(quantile_cont(value, 0.25), 4) AS v_q1,
+             |  ROUND(quantile_cont(value, 0.5), 4) AS v_median,
+             |  ROUND(quantile_cont(value, 0.75), 4) AS v_q3,
+             |  ROUND(MAX(value), 4) AS v_max
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)))
   // -- driver contract ------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
