@@ -77,43 +77,79 @@ object Scale {
     * one shuffle now, zero exchanges for every later equi-join or
     * aggregation on `keys` between tables bucketed the same way.
     */
-  /** Exact continuous quantiles (the `quantile_cont` / ANSI
-    * `PERCENTILE_CONT` definition: linear interpolation at rank
-    * q·(n−1)) via a RANGE-PARTITIONED distributed sort plus a global
-    * index probe — every stage is cluster-parallel.
+  /** Rank-indexed view of one numeric column under a deterministic total
+    * order: the (global rank → value) pairs of a TeraSort-style range
+    * exchange, persisted so SEVERAL order-statistics consumers
+    * (quantiles, equi-depth histograms, winsorization cuts) share ONE
+    * sort of the data instead of each paying a full
+    * `orderBy…zipWithIndex` pass. Only the probed ranks' values ever
+    * reach the driver.
     *
-    * Spark's built-in exact `percentile` aggregate funnels a
-    * value→count map from every partition into ONE final buffer; on a
-    * mostly-distinct double column that is an O(n) single-threaded merge
-    * and the whole dataset in one executor's memory — the 100 TB
-    * anti-pattern. Here the sort is Spark's TeraSort-style range
-    * exchange, `zipWithIndex` assigns global ranks with one extra count
-    * job, and only the ≤ 2·|qs| bracketing values ever reach the driver.
+    * The value is cast to double and NULL/NaN rows are dropped before
+    * the sort (the `quantile_cont` population), so DecimalType money
+    * columns are safe. `tieCols` extend the order to a total one when
+    * the consumer's bucket ASSIGNMENT must be deterministic (NTILE); the
+    * rank→value mapping itself is tie-break-invariant, so quantile reads
+    * are correct with or without them.
     */
-  def exactQuantiles(df: DataFrame, valueCol: String, qs: Seq[Double]): Array[Double] = {
-    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
-      "quantiles must lie in [0, 1]")
-    val sorted = df
-      .select(col(valueCol).cast("double").as("v"))
-      .filter(col("v").isNotNull && !col("v").isNaN)
-      .orderBy("v")
-      .rdd.map(_.getDouble(0))
-      .zipWithIndex().map { case (v, i) => (i, v) }
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val n = sorted.count()
+  final class RankedValues private[operators] (
+      private[operators] val rdd: org.apache.spark.rdd.RDD[(Long, Double)],
+      val n: Long) {
+
+    def valuesAt(ranks: Set[Long]): scala.collection.Map[Long, Double] =
+      if (ranks.isEmpty) scala.collection.Map.empty
+      else rdd.filter { case (i, _) => ranks.contains(i) }.collectAsMap()
+
+    /** `quantile_cont` / ANSI PERCENTILE_CONT: linear interpolation at
+      * rank q·(n−1), read as ≤ 2·|qs| bracketing order statistics.
+      */
+    def quantiles(qs: Seq[Double]): Array[Double] = {
+      require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+        "quantiles must lie in [0, 1]")
       if (n == 0) return qs.map(_ => Double.NaN).toArray
       val positions = qs.map(q => q * (n - 1))
-      val needed = positions.flatMap(p =>
-        Seq(math.floor(p).toLong, math.ceil(p).toLong)).toSet
-      val brackets = sorted.filter { case (i, _) => needed.contains(i) }
-        .collectAsMap()
+      val brackets = valuesAt(positions.flatMap(p =>
+        Seq(math.floor(p).toLong, math.ceil(p).toLong)).toSet)
       positions.map { p =>
         val (lo, hi) = (math.floor(p).toLong, math.ceil(p).toLong)
         val (vl, vh) = (brackets(lo), brackets(hi))
         vl + (p - lo) * (vh - vl)
       }.toArray
-    } finally { sorted.unpersist(blocking = false); () }
+    }
+
+    def unpersist(): Unit = { rdd.unpersist(blocking = false); () }
+  }
+
+  /** Build a persisted [[RankedValues]] over `df.valueCol` (order extended
+    * by `tieCols`). Caller owns the lifetime: call `unpersist()` when the
+    * last consumer is done.
+    */
+  def rankValues(df: DataFrame, valueCol: String,
+      tieCols: Seq[String] = Nil): RankedValues = {
+    val v = col(valueCol).cast("double")
+    val sorted = df
+      .select(v.as(valueCol) +: tieCols.map(col): _*)
+      .filter(col(valueCol).isNotNull && !col(valueCol).isNaN)
+      .orderBy((valueCol +: tieCols).map(col): _*)
+      .rdd.map(_.getDouble(0))
+      .zipWithIndex().map { case (x, i) => (i, x) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    new RankedValues(sorted, sorted.count())
+  }
+
+  /** Exact continuous quantiles via a RANGE-PARTITIONED distributed sort
+    * plus a global index probe — every stage is cluster-parallel.
+    *
+    * Spark's built-in exact `percentile` aggregate funnels a
+    * value→count map from every partition into ONE final buffer; on a
+    * mostly-distinct double column that is an O(n) single-threaded merge
+    * and the whole dataset in one executor's memory — the 100 TB
+    * anti-pattern. Several quantile reads over the same column should
+    * share one [[rankValues]] build instead of calling this repeatedly.
+    */
+  def exactQuantiles(df: DataFrame, valueCol: String, qs: Seq[Double]): Array[Double] = {
+    val ranked = rankValues(df, valueCol)
+    try ranked.quantiles(qs) finally ranked.unpersist()
   }
 
   /** Winsorization: cap a column at its exact [lo, hi] quantiles — the
@@ -125,8 +161,15 @@ object Scale {
     * with the two cuts inlined as literals.
     */
   def winsorize(df: DataFrame, valueCol: String, lo: Double = 0.01,
-      hi: Double = 0.99, scale: Int = 2): DataFrame = {
-    val cuts = exactQuantiles(df, valueCol, Seq(lo, hi))
+      hi: Double = 0.99, scale: Int = 2): DataFrame =
+    winsorizeAt(df, valueCol, exactQuantiles(df, valueCol, Seq(lo, hi)), scale)
+
+  /** Map-only winsorization against precomputed [lo, hi] cuts (e.g. from
+    * a shared [[RankedValues]]), rounded to `scale` decimals once so both
+    * engines compare identical constants.
+    */
+  def winsorizeAt(df: DataFrame, valueCol: String, cuts: Array[Double],
+      scale: Int = 2): DataFrame = {
     def r(x: Double) =
       BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
     df.withColumn(valueCol + "_w",
@@ -145,38 +188,40 @@ object Scale {
     * zipWithIndex as [[exactQuantiles]] — every stage cluster-parallel,
     * only 2k bracketing values ever reach the driver.
     *
-    * `sortCols` must lead with the value column and form a total order;
-    * output is (bucket, n, lo, hi) with lo/hi rounded to `scale`,
-    * bit-identical to the window-NTILE formulation.
+    * `valueCol` (cast to double; NULL/NaN rows dropped) plus `tieCols`
+    * must form a total order; output is (bucket, n, lo, hi) with lo/hi
+    * rounded to `scale`, bit-identical to the window-NTILE formulation
+    * on a NULL-free column.
     */
   def exactNtileHistogram(df: DataFrame, valueCol: String,
       tieCols: Seq[String], k: Int, scale: Int = 2): DataFrame = {
-    val spark = df.sparkSession
-    val sorted = df
-      .select((valueCol +: tieCols).map(col): _*)
-      .orderBy((valueCol +: tieCols).map(col): _*)
-      .rdd.map(_.getDouble(0))
-      .zipWithIndex().map { case (v, i) => (i, v) }
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val n = sorted.count()
-      val q = n / k
-      val rem = (n % k).toInt
-      case class B(b: Int, size: Long, start: Long, end: Long)
-      val buckets = (1 to k).map { b =>
-        val size = q + (if (b <= rem) 1L else 0L)
-        val start = (b - 1) * q + math.min(b - 1, rem)
-        B(b, size, start, start + size - 1)
-      }.filter(_.size > 0)
-      val needed = buckets.flatMap(x => Seq(x.start, x.end)).toSet
-      val vals = sorted.filter { case (i, _) => needed.contains(i) }
-        .collectAsMap()
-      def r(x: Double) =
-        BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
-      import spark.implicits._
-      buckets.map(x => (x.b, x.size, r(vals(x.start)), r(vals(x.end))))
-        .toDF("bucket", "n", "lo", "hi")
-    } finally { sorted.unpersist(blocking = false); () }
+    val ranked = rankValues(df, valueCol, tieCols)
+    try ntileHistogramOf(df.sparkSession, ranked, k, scale)
+    finally ranked.unpersist()
+  }
+
+  /** [[exactNtileHistogram]] over an already-built (shared) ranked view:
+    * bucket sizes are pure arithmetic on n, so the histogram is 2k order
+    * statistics read straight off the persisted sort.
+    */
+  def ntileHistogramOf(spark: org.apache.spark.sql.SparkSession,
+      ranked: RankedValues, k: Int, scale: Int = 2): DataFrame = {
+    val n = ranked.n
+    val q = n / k
+    val rem = (n % k).toInt
+    case class B(b: Int, size: Long, start: Long, end: Long)
+    val buckets = (1 to k).map { b =>
+      val size = q + (if (b <= rem) 1L else 0L)
+      val start = (b - 1) * q + math.min(b - 1, rem)
+      B(b, size, start, start + size - 1)
+    }.filter(_.size > 0)
+    val vals = ranked.valuesAt(
+      buckets.flatMap(x => Seq(x.start, x.end)).toSet)
+    def r(x: Double) =
+      BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+    import spark.implicits._
+    buckets.map(x => (x.b, x.size, r(vals(x.start)), r(vals(x.end))))
+      .toDF("bucket", "n", "lo", "hi")
   }
 
   def writeBucketed(
