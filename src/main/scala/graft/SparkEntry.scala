@@ -79,6 +79,46 @@ object SparkEntry {
         "l_extendedprice", Seq("l_orderkey", "l_linenumber"))
     }
 
+  /** Distinct (l_orderkey, l_partkey) — the base relation every
+    * market-basket / co-purchase query starts from. One distinct shuffle
+    * of lineitem, shared by eight queries.
+    */
+  private def orderPartPairs(s: SparkSession, d: String): DataFrame =
+    memoizedDf(s, d, "order_part_pairs") {
+      t(s, d, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    }
+
+  /** Canonical co-purchase pair index over parts: (src < dst, n = co-order
+    * count), deduplicated and self-loop-free by construction — the ONE
+    * edge layout the whole graph family (triangles, k-core, Adamic–Adar,
+    * item recs, basket counts, lift rules) reads, instead of each query
+    * re-deriving the same order-keyed self-join + aggregation. At 100 TB
+    * this is the materialized edge-list layout a production graph store
+    * maintains; here it is built by the first consumer and persisted for
+    * the session.
+    */
+  private def coPurchasePairs(s: SparkSession, d: String): DataFrame =
+    memoizedDf(s, d, "copurchase_pairs") {
+      val op = orderPartPairs(s, d)
+      op.select(col("l_orderkey"), col("l_partkey").as("src"))
+        .join(op.select(col("l_orderkey").as("k2"), col("l_partkey").as("dst")),
+          col("l_orderkey") === col("k2") && col("src") < col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    }
+
+  /** Distinct (customer, supplier) purchase edges from orders⋈lineitem —
+    * the bipartite base graph for PageRank / label propagation / BFS;
+    * each query projects its own id encoding (string-prefixed or
+    * even/odd longs) off this one persisted join.
+    */
+  private def custSuppEdges(s: SparkSession, d: String): DataFrame =
+    memoizedDf(s, d, "cust_supp_edges") {
+      t(s, d, "orders")
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+        .distinct()
+    }
+
   /** NL query end-to-end: rule compiler → guard → spark.sql over the
     * employees view (reference lifecycle §3.1, stages 5-7).
     */
@@ -1707,17 +1747,14 @@ object SparkEntry {
       // ordered together most often. Distinct (order, part) first so
       // multi-line parts don't inflate counts; the self-join is keyed on
       // the order — quadratic only within one order's ~7 distinct parts,
-      // the same bounded blow-up as a posting list
-      (s, d) => {
-        val op = t(s, d, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct()
-        val a = op.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-        val b = op.select(col("l_orderkey").as("k2"), col("l_partkey").as("part_b"))
-        a.join(b, col("l_orderkey") === col("k2") && col("part_a") < col("part_b"))
-          .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_orders"))
-          .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
-          .limit(20)
-      },
+      // the same bounded blow-up as a posting list. Reads the shared
+      // co-purchase pair index (coPurchasePairs) — this aggregation IS
+      // that index, so seven sibling graph/basket queries reuse it.
+      (s, d) => coPurchasePairs(s, d)
+        .select(col("src").as("part_a"), col("dst").as("part_b"),
+          col("n").as("n_orders"))
+        .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+        .limit(20),
       Some("""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
              |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
              |COUNT(*) AS n_orders
@@ -1734,8 +1771,7 @@ object SparkEntry {
       // three self-joins; FpmSpec additionally pins the tree mining.
       (s, d) => {
         import org.apache.spark.ml.fpm.FPGrowth
-        val baskets = t(s, d, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct()
+        val baskets = orderPartPairs(s, d)
           .groupBy("l_orderkey").agg(collect_set("l_partkey").as("items"))
         val model = new FPGrowth().setItemsCol("items")
           .setMinSupport(0.002).fit(baskets)
@@ -1776,11 +1812,11 @@ object SparkEntry {
       // Ranks order on the ROUNDED value: contribution sums are float
       // and the two engines add in different orders.
       (s, d) => {
-        val edges = t(s, d, "orders")
-          .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-          .select(concat(lit("c"), col("o_custkey")).as("src"),
-            concat(lit("s"), col("l_suppkey")).as("dst"))
-        graft.operators.Graph.pageRank(edges, iters = 5)
+        val edges = custSuppEdges(s, d)
+          .select(concat(lit("c"), col("ck")).as("src"),
+            concat(lit("s"), col("sk")).as("dst"))
+        graft.operators.Graph.pageRank(edges, iters = 5,
+            distinctEdges = true)
           .select(col("id"), round(col("rank"), 8).as("rank"))
           .orderBy(col("rank").desc, col("id")).limit(30)
       },
@@ -1841,11 +1877,10 @@ object SparkEntry {
       // order). Counts are integers, so the unrolled-CTE oracle matches
       // bit-exactly — no float addition-order slack needed.
       (s, d) => {
-        val edges = t(s, d, "orders")
-          .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-          .select((col("o_custkey") * 2).as("src"),
-            (col("l_suppkey") * 2 + 1).as("dst"))
-        graft.operators.Graph.labelPropagation(edges, iters = 3)
+        val edges = custSuppEdges(s, d)
+          .select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+        graft.operators.Graph.labelPropagation(edges, iters = 3,
+            canonicalEdges = true)
           .groupBy(col("label").as("community"))
           .agg(count(lit(1)).as("size"))
           .orderBy(col("size").desc, col("community")).limit(20)
@@ -1884,18 +1919,8 @@ object SparkEntry {
       // degree-oriented edges — outdeg capped at O(√m), so the wedge
       // shuffle survives celebrity nodes. Integer counts; only the
       // clustering coefficient is float, rounded identically both sides.
-      (s, d) => {
-        val li = t(s, d, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        // generate each co-purchase pair ONCE (pk < pk2): the operator
-        // canonicalizes anyway, so the symmetric twin would only double
-        // the join output and the dedup shuffle feeding it
-        val e = li.join(li.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
-          .filter(col("pk") < col("pk2"))
-          .select(col("pk").as("src"), col("pk2").as("dst"))
-        graft.operators.Graph.triangleStats(e)
-      },
+      (s, d) => graft.operators.Graph.triangleStats(
+        coPurchasePairs(s, d).select("src", "dst"), canonicalEdges = true),
       Some("""WITH li AS (
              |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
              |e AS (
@@ -1924,18 +1949,10 @@ object SparkEntry {
       // rounds genuinely iterate. Broadcast semi joins keep the edge
       // list unshuffled per round (Graph.kCore); the oracle unrolls the
       // identical four rounds. Survivor degrees are integers — bit-exact.
-      (s, d) => {
-        val op = t(s, d, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct()
-        val a = op.select(col("l_orderkey"), col("l_partkey").as("src"))
-        val b = op.select(col("l_orderkey").as("k2"), col("l_partkey").as("dst"))
-        val edges = a
-          .join(b, col("l_orderkey") === col("k2") && col("src") < col("dst"))
-          .groupBy("src", "dst").agg(count(lit(1)).as("n"))
-          .filter(col("n") >= 2).select("src", "dst")
-        graft.operators.Graph.kCore(edges, k = 3, rounds = 4)
-          .orderBy(col("deg").desc, col("id")).limit(100)
-      },
+      (s, d) => graft.operators.Graph.kCore(
+          coPurchasePairs(s, d).filter(col("n") >= 2).select("src", "dst"),
+          k = 3, rounds = 4, canonicalEdges = true)
+        .orderBy(col("deg").desc, col("id")).limit(100),
       Some("""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
              |p AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
              |  FROM op a JOIN op b
@@ -1965,15 +1982,14 @@ object SparkEntry {
       // the identical three frontiers as chained CTEs. Integer ids and
       // counts — bit-exact.
       (s, d) => {
-        val edges = t(s, d, "orders")
-          .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-          .select((col("o_custkey") * 2).as("src"),
-            (col("l_suppkey") * 2 + 1).as("dst"))
+        val edges = custSuppEdges(s, d)
+          .select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
         val nodes = edges.select(col("src").as("id"))
           .union(edges.select(col("dst").as("id")))
           .distinct()
         val seeds = nodes.orderBy("id").limit(3)
-        graft.operators.Graph.bfsHops(edges, seeds, rounds = 3)
+        graft.operators.Graph.bfsHops(edges, seeds, rounds = 3,
+            canonicalEdges = true)
           .groupBy("dist").agg(count(lit(1)).as("n_nodes"))
           .orderBy("dist")
       },
@@ -2007,15 +2023,16 @@ object SparkEntry {
       // so the quadratic stage runs over ~5% of parts; per-order pair
       // blow-up stays bounded by basket size as in basket_part_pairs.
       (s, d) => {
-        val op = t(s, d, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct()
-        val a = op.filter(col("l_partkey") <= 100)
-          .select(col("l_orderkey"), col("l_partkey").as("part"))
-        val b = op.select(col("l_orderkey").as("k2"),
-          col("l_partkey").as("rec"))
-        val co = a
-          .join(b, col("l_orderkey") === col("k2") && col("part") =!= col("rec"))
-          .groupBy("part", "rec").agg(count(lit(1)).as("n_co"))
+        // both directions of the shared canonical pair index: the co-order
+        // count is symmetric, so (part, rec) rows with part <= 100 are the
+        // src<=100 rows plus the mirrored dst<=100 rows — no re-join
+        val cp = coPurchasePairs(s, d)
+        val co = cp.filter(col("src") <= 100)
+          .select(col("src").as("part"), col("dst").as("rec"),
+            col("n").as("n_co"))
+          .unionByName(cp.filter(col("dst") <= 100)
+            .select(col("dst").as("part"), col("src").as("rec"),
+              col("n").as("n_co")))
         val w = Window.partitionBy("part")
           .orderBy(col("n_co").desc, col("rec"))
         co.withColumn("rec_rank", row_number().over(w))
@@ -5683,20 +5700,12 @@ object SparkEntry {
       // neighbors — wedge-generated candidates, never node×node
       // (Graph.adamicAdar). Scores order on the ROUNDED value: the sum
       // accumulates floats in engine-specific order.
-      (s, d) => {
-        val op = t(s, d, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct()
-        val a = op.select(col("l_orderkey"), col("l_partkey").as("src"))
-        val b = op.select(col("l_orderkey").as("k2"), col("l_partkey").as("dst"))
-        val edges = a
-          .join(b, col("l_orderkey") === col("k2") && col("src") < col("dst"))
-          .groupBy("src", "dst").agg(count(lit(1)).as("n"))
-          .filter(col("n") >= 2).select("src", "dst")
-        graft.operators.Graph.adamicAdar(edges)
-          .select(col("x"), col("y"), col("common_neighbors"),
-            round(col("aa_score"), 6).as("aa_score"))
-          .orderBy(col("aa_score").desc, col("x"), col("y")).limit(25)
-      },
+      (s, d) => graft.operators.Graph.adamicAdar(
+          coPurchasePairs(s, d).filter(col("n") >= 2).select("src", "dst"),
+          canonicalEdges = true)
+        .select(col("x"), col("y"), col("common_neighbors"),
+          round(col("aa_score"), 6).as("aa_score"))
+        .orderBy(col("aa_score").desc, col("x"), col("y")).limit(25),
       Some("""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
              |p AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
              |  FROM op a JOIN op b
@@ -5831,17 +5840,15 @@ object SparkEntry {
       // basket_part_pairs shape) with BOTH sides pruned to parts <= 200
       // BEFORE the join; the order total rides a 1-row broadcast.
       (s, d) => {
-        val op = t(s, d, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct()
+        val op = orderPartPairs(s, d)
         val marg = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("m"))
         val ntot = op.select(countDistinct("l_orderkey").as("n_orders"))
-        val a = op.filter(col("l_partkey") <= 200)
-          .select(col("l_orderkey"), col("l_partkey").as("pa"))
-        val b = op.filter(col("l_partkey") <= 200)
-          .select(col("l_orderkey").as("k2"), col("l_partkey").as("pb"))
-        val co = a.join(b, col("l_orderkey") === col("k2") && col("pa") < col("pb"))
-          .groupBy("pa", "pb").agg(count(lit(1)).as("n_co"))
-          .filter(col("n_co") >= 2)
+        // pair counts read off the shared canonical index; the <=200
+        // pruning commutes with the count (a pair exists iff both parts
+        // share an order, and its n is filter-independent)
+        val co = coPurchasePairs(s, d)
+          .filter(col("src") <= 200 && col("dst") <= 200 && col("n") >= 2)
+          .select(col("src").as("pa"), col("dst").as("pb"), col("n").as("n_co"))
         co.join(broadcast(marg.withColumnRenamed("l_partkey", "pa")
             .withColumnRenamed("m", "ma")), Seq("pa"))
           .join(broadcast(marg.withColumnRenamed("l_partkey", "pb")

@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
   * localCheckpoint every `checkpointEvery` rounds, so the analyzer never
   * sees an unboundedly deep plan yet short iterations pay zero extra
   * materializations.
+  *
+  * Resource contract: every operator RETURNS an eagerly materialized
+  * (checkpointed) frame and unpersists its own working caches before
+  * returning — a session looping graph calls holds no per-call cache
+  * residue. Operators accept a `canonicalEdges`/`distinctEdges` flag for
+  * callers that maintain a shared, externally persisted canonical edge
+  * index (the 100 TB layout pattern): the per-call canonicalization
+  * shuffle and cache are skipped entirely.
   */
 object Graph {
 
@@ -34,6 +42,22 @@ object Graph {
   private def maybeCkpt(df: DataFrame, round: Int, every: Int): DataFrame =
     if (round % every == 0) df.localCheckpoint(eager = false) else df
 
+  /** Materialize `result` (eager localCheckpoint — truncates lineage and
+    * computes it once, distributed), then release this call's working
+    * caches. Every public operator here runs through this on return, so a
+    * long-lived session looping graph calls (the full Verify/Bench suite,
+    * or a service at cluster scale) never accumulates per-call cache
+    * entries: MEMORY_AND_DISK blocks are only evicted by unpersist, and a
+    * lazily-returned frame over per-call caches would leak them for the
+    * session's lifetime.
+    */
+  private def materializeAndRelease(
+      result: DataFrame, working: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(eager = true)
+    working.foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** Up to `iters` rounds of PageRank (Page et al. 1999) over a directed
     * edge list (src, dst), damping 0.85. Each round joins the rank vector
     * (which carries the out-degree, attached once before the loop — the
@@ -42,11 +66,18 @@ object Graph {
     * to the node set so sources without in-edges keep the teleport mass.
     *
     * `tol` > 0 adds a convergence early-exit: stop when the max per-node
-    * rank change falls below `tol` (an O(n) narrow agg per round on the
-    * vector — this DOES force per-round materialization, so only ask for
-    * it when the expected round count is large enough to amortize the
-    * barriers). Default 0 keeps the round count exact — required when a
-    * differential oracle unrolls a FIXED number of rounds.
+    * rank change falls below `tol`. The delta check is an action per
+    * round, so each round is eagerly checkpointed first (effective
+    * checkpoint stride 1) — otherwise every check would re-execute the
+    * whole untruncated chain (O(stride²) recomputation per stride). Only
+    * ask for it when the expected round count is large enough to
+    * amortize the per-round barriers. Default 0 keeps the round count
+    * exact — required when a differential oracle unrolls a FIXED number
+    * of rounds.
+    *
+    * `distinctEdges = true` asserts the input is already a deduplicated
+    * (src, dst) edge list — e.g. a shared, externally persisted edge
+    * index — and skips this call's canonicalization shuffle and cache.
     *
     * Dangling mass (sinks with no out-edges) is not redistributed — the
     * conventional simplification when ranks are used for ordering, and
@@ -54,8 +85,11 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
       tol: Double = 0.0,
-      checkpointEvery: Int = DefaultCheckpointEvery): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().cache()
+      checkpointEvery: Int = DefaultCheckpointEvery,
+      distinctEdges: Boolean = false): DataFrame = {
+    val e =
+      if (distinctEdges) edges.select(col("src"), col("dst"))
+      else edges.select(col("src"), col("dst")).distinct().cache()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     // the out-degree is loop-invariant and node-sized: attach it to the
@@ -80,12 +114,16 @@ object Graph {
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
         .groupBy("id").agg(sum("c").as("in_mass"))
-      val next = maybeCkpt(
-        nd.join(mass, Seq("id"), "left_outer")
-          .select(col("id"), col("deg"),
-            (lit(teleport) + lit(damping) * coalesce(col("in_mass"), lit(0.0)))
-              .as("rank")),
-        iter + 1, checkpointEvery)
+      val stepped = nd.join(mass, Seq("id"), "left_outer")
+        .select(col("id"), col("deg"),
+          (lit(teleport) + lit(damping) * coalesce(col("in_mass"), lit(0.0)))
+            .as("rank"))
+      // tol mode runs an action per round (the delta agg): checkpoint the
+      // round EAGERLY so neither the check nor the next round re-executes
+      // the chain. Fixed-round mode keeps the lazy stride.
+      val next =
+        if (tol > 0.0) stepped.localCheckpoint(eager = true)
+        else maybeCkpt(stepped, iter + 1, checkpointEvery)
       if (tol > 0.0) {
         val delta = ranks.select(col("id"), col("rank").as("r0"))
           .join(next.select(col("id"), col("rank").as("r1")), Seq("id"))
@@ -95,7 +133,9 @@ object Graph {
       ranks = next
       iter += 1
     }
-    ranks.select(col("id"), col("rank"))
+    materializeAndRelease(
+      ranks.select(col("id"), col("rank")),
+      (if (distinctEdges) Nil else Seq(e)) :+ nd: _*)
   }
 
   /** Synchronous label-propagation community detection (Raghavan et al.
@@ -115,17 +155,22 @@ object Graph {
     * exactly what the next round's join consumes.
     */
   def labelPropagation(edges: DataFrame, iters: Int,
-      checkpointEvery: Int = DefaultCheckpointEvery): DataFrame = {
+      checkpointEvery: Int = DefaultCheckpointEvery,
+      canonicalEdges: Boolean = false): DataFrame = {
     // symmetrize with an explode of both directions, NOT a self-union: a
     // union would re-evaluate the (possibly expensive) upstream plan once
     // per branch, and one distinct after the explode dedups both input
-    // duplicates and symmetric twins in a single shuffle
-    val sym = edges
+    // duplicates and symmetric twins in a single shuffle.
+    // canonicalEdges asserts the input is already deduplicated with no
+    // symmetric twins and no self loops (e.g. a shared persisted a<b
+    // pair index): the explode of such a list is distinct by
+    // construction, so the dedup shuffle and this call's cache drop out.
+    val both = edges
       .select(explode(array(
         struct(col("src").as("s"), col("dst").as("d")),
         struct(col("dst").as("s"), col("src").as("d")))).as("e"))
       .select(col("e.s").as("src"), col("e.d").as("dst"))
-      .distinct().cache()
+    val sym = if (canonicalEdges) both else both.distinct().cache()
     val nodes = sym.select(col("src").as("id")).distinct()
     var labels = nodes.withColumn("label", col("id"))
     var iter = 0
@@ -144,7 +189,8 @@ object Graph {
         iter + 1, checkpointEvery)
       iter += 1
     }
-    labels
+    materializeAndRelease(labels,
+      (if (canonicalEdges) Nil else Seq(sym)): _*)
   }
 
   /** Fixed-round k-core peeling (Seidman 1983): each round drops every
@@ -168,14 +214,18 @@ object Graph {
     * default truncates (and thereby materializes) EVERY round.
     */
   def kCore(edges: DataFrame, k: Int, rounds: Int,
-      checkpointEvery: Int = 1): DataFrame = {
-    val sym = edges
+      checkpointEvery: Int = 1,
+      canonicalEdges: Boolean = false): DataFrame = {
+    val both = edges
       .select(explode(array(
         struct(col("src").as("s"), col("dst").as("d")),
         struct(col("dst").as("s"), col("src").as("d")))).as("e"))
       .select(col("e.s").as("src"), col("e.d").as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct().cache()
+    // canonical input (deduplicated a<b pairs, no self loops) explodes to
+    // an already-clean symmetric list — skip the shuffle and the cache
+    val sym =
+      if (canonicalEdges) both
+      else both.filter(col("src") =!= col("dst")).distinct().cache()
     var alive = sym
     var r = 0
     while (r < rounds) {
@@ -190,8 +240,9 @@ object Graph {
         r + 1, checkpointEvery)
       r += 1
     }
-    alive.groupBy(col("src").as("id"))
-      .agg(count(lit(1)).as("deg"))
+    materializeAndRelease(
+      alive.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")),
+      (if (canonicalEdges) Nil else Seq(sym)): _*)
   }
 
   /** Triangle count plus global clustering coefficient over an
@@ -217,11 +268,18 @@ object Graph {
     * sizing needs.
     */
   def triangleStats(edges: DataFrame,
-      broadcastNodeLimit: Long = 10000000L): DataFrame = {
-    val und = edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b")).distinct().cache()
+      broadcastNodeLimit: Long = 10000000L,
+      canonicalEdges: Boolean = false): DataFrame = {
+    // canonical input: already deduplicated src<dst pairs (e.g. a shared
+    // persisted pair index) — they ARE the undirected edge set, so the
+    // least/greatest + distinct shuffle and this call's cache drop out
+    val und =
+      if (canonicalEdges)
+        edges.select(col("src").as("a"), col("dst").as("b"))
+      else edges
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct().cache()
     val nEdges = und.count()
     val deg = und.select(col("a").as("id"))
       .union(und.select(col("b").as("id")))
@@ -287,12 +345,14 @@ object Graph {
     val stats = deg.agg(
       count(lit(1)).as("n_nodes"),
       sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges"))
-    stats.crossJoin(tri).select(
-      col("n_nodes"), lit(nEdges).as("n_edges"), col("n_wedges"),
-      col("n_triangles"),
-      when(col("n_wedges") === 0, lit(0.0))
-        .otherwise(round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
-        .as("clustering_coeff"))
+    materializeAndRelease(
+      stats.crossJoin(tri).select(
+        col("n_nodes"), lit(nEdges).as("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") === 0, lit(0.0))
+          .otherwise(round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
+          .as("clustering_coeff")),
+      (if (canonicalEdges) Nil else Seq(und)) :+ oriented: _*)
   }
 
   /** Breadth-first k-hop distances from a seed set over an undirected
@@ -310,14 +370,16 @@ object Graph {
     * would re-expand earlier frontiers once per consumer.
     */
   def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int,
-      checkpointEvery: Int = 1): DataFrame = {
-    val sym = edges
+      checkpointEvery: Int = 1,
+      canonicalEdges: Boolean = false): DataFrame = {
+    val both = edges
       .select(explode(array(
         struct(col("src").as("s"), col("dst").as("d")),
         struct(col("dst").as("s"), col("src").as("d")))).as("e"))
       .select(col("e.s").as("src"), col("e.d").as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct().cache()
+    val sym =
+      if (canonicalEdges) both
+      else both.filter(col("src") =!= col("dst")).distinct().cache()
     var visited = seeds.select(col("id")).distinct()
       .withColumn("dist", lit(0))
     var frontier = visited.select("id")
@@ -333,7 +395,8 @@ object Graph {
         visited.union(frontier.withColumn("dist", lit(r))), r, checkpointEvery)
       r += 1
     }
-    visited
+    materializeAndRelease(visited,
+      (if (canonicalEdges) Nil else Seq(sym)): _*)
   }
 
   /** Adamic–Adar link prediction (Adamic & Adar 2003) over an undirected
@@ -352,11 +415,15 @@ object Graph {
     * final score is one (x, y)-keyed aggregation.
     */
   def adamicAdar(edges: DataFrame,
-      maxCenterDegree: Int = 10000): DataFrame = {
-    val und = edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b")).distinct().cache()
+      maxCenterDegree: Int = 10000,
+      canonicalEdges: Boolean = false): DataFrame = {
+    val und =
+      if (canonicalEdges)
+        edges.select(col("src").as("a"), col("dst").as("b"))
+      else edges
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct().cache()
     val nbr = und
       .select(explode(array(
         struct(col("a").as("u"), col("b").as("n")),
@@ -374,8 +441,10 @@ object Graph {
     val cand = wedges
       .join(und.select(col("a").as("x"), col("b").as("y")),
         Seq("x", "y"), "left_anti")
-    cand.groupBy("x", "y")
-      .agg(count(lit(1)).as("common_neighbors"),
-        sum(lit(1.0) / log(col("d"))).as("aa_score"))
+    materializeAndRelease(
+      cand.groupBy("x", "y")
+        .agg(count(lit(1)).as("common_neighbors"),
+          sum(lit(1.0) / log(col("d"))).as("aa_score")),
+      (if (canonicalEdges) Nil else Seq(und)): _*)
   }
 }
