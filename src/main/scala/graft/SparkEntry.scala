@@ -119,6 +119,17 @@ object SparkEntry {
         .distinct()
     }
 
+  /** Shared shingle-pair index over documents (blocked by source, k=3):
+    * (id_a, id_b, nsh_a, nsh_b, common) for every pair sharing a
+    * shingle. doc_ngram_jaccard and doc_containment_pairs are both pure
+    * arithmetic over this one build — the posting explode + pair
+    * aggregation is the entire cost of either query.
+    */
+  private def shinglePairIndex(s: SparkSession, d: String): DataFrame =
+    memoizedDf(s, d, "shingle_pair_counts") {
+      Dedup.shinglePairCounts(t(s, d, "documents"), "source")
+    }
+
   /** NL query end-to-end: rule compiler → guard → spark.sql over the
     * employees view (reference lifecycle §3.1, stages 5-7).
     */
@@ -3789,7 +3800,7 @@ object SparkEntry {
              |FROM documents""".stripMargin)),
 
     Q("doc_ngram_jaccard", // §2.11 dedup: n-gram Jaccard, blocked by source
-      (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "source", threshold = 0.2)
+      (s, d) => Dedup.ngramJaccardOf(shinglePairIndex(s, d), threshold = 0.2)
         .orderBy("id_a", "id_b"),
       Some("""WITH d AS (
              |  SELECT source, doc_id,
@@ -5732,8 +5743,7 @@ object SparkEntry {
       // one, which Jaccard's union denominator structurally hides
       // (Dedup.containmentPairs; same inverted-index blocking as
       // doc_ngram_jaccard).
-      (s, d) => Dedup.containmentPairs(t(s, d, "documents"), "source",
-          shingleK = 3, threshold = 0.5)
+      (s, d) => Dedup.containmentOf(shinglePairIndex(s, d), threshold = 0.5)
         .orderBy("id_a", "id_b"),
       Some("""WITH d AS (
              |  SELECT source, doc_id,

@@ -280,13 +280,27 @@ object Dedup {
     * quadratic only within one posting list, the same blow-up the join
     * produced as rows.
     */
-  def ngramJaccardPairs(
+  /** Shared intermediate of the shingle-pair family: for every candidate
+    * document pair that shares at least one k-word shingle within a
+    * block, the pair's shingle-set sizes and intersection size —
+    * (id_a, id_b, nsh_a, nsh_b, common). Jaccard
+    * ([[ngramJaccardOf]]) and containment ([[containmentOf]]) are pure
+    * per-row arithmetic over this ONE relation, so two near-dup passes
+    * over the same corpus should build it once (persist it) instead of
+    * each re-running the explode + posting aggregation — at 100 TB the
+    * posting build IS the cost, the final measure is free.
+    *
+    * Shape: inverted shingle index blocked by `blockCol`, posting lists
+    * capped at `maxBucket` (bounds the within-bucket quadratic pairing),
+    * intersections counted by a pair-keyed aggregation — document pairs
+    * never meet outside a shared shingle's posting list.
+    */
+  def shinglePairCounts(
       docs: DataFrame,
       blockCol: String,
       textCol: String = "text",
       idCol: String = "doc_id",
       shingleK: Int = 3,
-      threshold: Double = 0.5,
       maxBucket: Int = 1000): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
     val d = docs.select(
@@ -304,25 +318,44 @@ object Dedup {
     pairs
       .groupBy("p.id_a", "p.id_b", "p.nsh_a", "p.nsh_b")
       .agg(count(lit(1)).as("common"))
+  }
+
+  /** Jaccard by inclusion–exclusion |A∩B| / (|A|+|B|−|A∩B|) over a
+    * [[shinglePairCounts]] relation — map-only.
+    */
+  def ngramJaccardOf(pairCounts: DataFrame, threshold: Double): DataFrame =
+    pairCounts
       .select(col("id_a"), col("id_b"),
         round(col("common").cast("double") /
           (col("nsh_a") + col("nsh_b") - col("common")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-  }
 
-  /** Overlap-coefficient (containment) near-dup pairs: for documents
-    * sharing at least one k-word shingle, containment =
-    * |A ∩ B| / min(|A|, |B|) — the measure that catches a short document
-    * QUOTED inside a much longer one, which Jaccard structurally misses
-    * (the union term is dominated by the long side, so a full-quote pair
-    * can score arbitrarily low Jaccard yet containment 1.0).
-    *
-    * Same scale shape as [[ngramJaccardPairs]]: inverted shingle index
-    * blocked by `blockCol`, capped posting lists (the cap bounds the
-    * within-bucket quadratic pairing), intersection counted by a
-    * (pair)-keyed aggregation over postings — document pairs never meet
-    * outside a shared shingle's posting list.
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      blockCol: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleK: Int = 3,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame =
+    ngramJaccardOf(
+      shinglePairCounts(docs, blockCol, textCol, idCol, shingleK, maxBucket),
+      threshold)
+
+  /** Overlap coefficient |A∩B| / min(|A|,|B|) over a
+    * [[shinglePairCounts]] relation — map-only. Containment is the
+    * measure that catches a short document QUOTED inside a much longer
+    * one, which Jaccard structurally misses (the union term is dominated
+    * by the long side, so a full-quote pair can score arbitrarily low
+    * Jaccard yet containment 1.0).
     */
+  def containmentOf(pairCounts: DataFrame, threshold: Double): DataFrame =
+    pairCounts
+      .select(col("id_a"), col("id_b"), col("common"),
+        round(col("common").cast("double") /
+          least(col("nsh_a"), col("nsh_b")), 6).as("containment"))
+      .filter(col("containment") >= threshold)
+
   def containmentPairs(
       docs: DataFrame,
       blockCol: String,
@@ -330,27 +363,10 @@ object Dedup {
       idCol: String = "doc_id",
       shingleK: Int = 3,
       threshold: Double = 0.6,
-      maxBucket: Int = 1000): DataFrame = {
-    graft.plans.GraftFunctions.register(docs.sparkSession)
-    val d = docs.select(
-      col(blockCol).as("blk"), col(idCol).as("id"),
-      shingles(col(textCol), shingleK).as("sh"))
-      .select(col("blk"), col("id"), size(col("sh")).as("nsh"),
-        explode(col("sh")).as("s"))
-    val posting = cappedPostings(d, Seq("blk", "s"),
-      struct(col("id"), col("nsh")), maxBucket)
-    val pairs = posting.select(explode(flatten(transform(col("ps"),
-      (x, i) => transform(slice(col("ps"), i + lit(2), size(col("ps"))),
-        y => struct(x.getField("id").as("id_a"), x.getField("nsh").as("nsh_a"),
-          y.getField("id").as("id_b"), y.getField("nsh").as("nsh_b")))))).as("p"))
-    pairs
-      .groupBy("p.id_a", "p.id_b", "p.nsh_a", "p.nsh_b")
-      .agg(count(lit(1)).as("common"))
-      .select(col("id_a"), col("id_b"), col("common"),
-        round(col("common").cast("double") /
-          least(col("nsh_a"), col("nsh_b")), 6).as("containment"))
-      .filter(col("containment") >= threshold)
-  }
+      maxBucket: Int = 1000): DataFrame =
+    containmentOf(
+      shinglePairCounts(docs, blockCol, textCol, idCol, shingleK, maxBucket),
+      threshold)
 
   /** Partial-overlap candidate pairs via winnowing fingerprints
     * ([[graft.operators.TextAnalysis.winnowFingerprints]]; Schleimer et
