@@ -212,3 +212,78 @@ case class CosineSimilarity(left: Expression, right: Expression)
        """.stripMargin
     })
 }
+
+/** Morton (Z-order) bit interleave, shared by the generated code and the
+  * interpreted fallback: bit i of `a` lands at position 2i, bit i of `b`
+  * at 2i+1, inputs masked to the low `bits` bits. The spread is the
+  * binary-magic-numbers constant-mask form (Warren, Hacker's Delight
+  * §7-2) — 5 shift/mask steps per operand instead of a `bits`-term
+  * shift/or tree, so the generated code is a single short static call:
+  * the 42-subexpression composed-Column form compiled ~2 s of janino/JIT
+  * work on first execution, which a cold benchmark run billed to the
+  * first query using it.
+  */
+object Morton {
+  def interleave(a: Long, b: Long, bits: Int): Long = {
+    val mask = (1L << bits) - 1
+    spread(a & mask) | (spread(b & mask) << 1)
+  }
+
+  /** Spread the low 32 bits of x so bit i moves to bit 2i. */
+  private def spread(v: Long): Long = {
+    var x = v & 0xffffffffL
+    x = (x | (x << 16)) & 0x0000ffff0000ffffL
+    x = (x | (x << 8)) & 0x00ff00ff00ff00ffL
+    x = (x | (x << 4)) & 0x0f0f0f0f0f0f0f0fL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+}
+
+/** Z-order code of two non-negative integer columns as ONE native
+  * expression. SQL name: `graft_morton(a, b, bits)` with `bits` a
+  * foldable int literal in [1, 31] (result stays a positive long).
+  * Bit-identical to the composed shift/or Column tree
+  * ([[graft.operators.Scale.mortonCodeComposed]], the differential
+  * partner) and to the unrolled SQL oracle form.
+  */
+case class MortonInterleave(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression {
+
+  require(bits > 0 && bits <= 31, s"bits must be in [1, 31], got $bits")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "graft_morton"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires integral inputs, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  private def asLong(e: Expression, v: Any): Long = e.dataType match {
+    case LongType => v.asInstanceOf[Long]
+    case IntegerType => v.asInstanceOf[Int].toLong
+    case ShortType => v.asInstanceOf[Short].toLong
+    case ByteType => v.asInstanceOf[Byte].toLong
+    case other => throw new IllegalStateException(s"unexpected $other")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Morton.interleave(asLong(left, a), asLong(right, b), bits)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.Morton.interleave((long) $a, (long) $b, $bits);")
+}

@@ -294,11 +294,22 @@ object Scale {
   }
 
   /** Morton (Z-order) code of two non-negative integer columns: bit i of
-    * `a` lands at position 2i, bit i of `b` at 2i+1. Built as a static
-    * tree of `bits` shift/mask/or terms — all codegen'd comparisons, no
-    * loop at runtime. `bits` ≤ 31 keeps the result in a positive long.
+    * `a` lands at position 2i, bit i of `b` at 2i+1. Resolves to the
+    * native [[graft.functions.MortonInterleave]] expression — a single
+    * short codegen'd static call (magic-mask spread), where the composed
+    * `bits`-term shift/or Column tree compiled ~2 s of janino/JIT work on
+    * first execution. `bits` ≤ 31 keeps the result in a positive long.
     */
   def mortonCode(a: Column, b: Column, bits: Int = 21): Column = {
+    require(bits > 0 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    call_function("graft_morton", a.cast("long"), b.cast("long"), lit(bits))
+  }
+
+  /** [[mortonCode]] as a composed Column tree of `bits` shift/mask/or
+    * terms — the registration-free portable form and the differential
+    * partner pinning the native expression bit-for-bit (ScaleSpec).
+    */
+  def mortonCodeComposed(a: Column, b: Column, bits: Int = 21): Column = {
     require(bits > 0 && bits <= 31, s"bits must be in [1, 31], got $bits")
     val al = a.cast("long"); val bl = b.cast("long")
     (0 until bits).map { i =>

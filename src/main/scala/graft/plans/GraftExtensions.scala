@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{BestLangByHits, CharTrigrams, CosineSimilarity, DotProduct, L2SqDistance, MinHashSig, MinHashSigMd5, ModeCount, SimHash64, SimHashMd5, StopwordHits, WinnowSig, WordKGrams}
+import graft.functions.{BestLangByHits, CharTrigrams, CosineSimilarity, DotProduct, L2SqDistance, MinHashSig, MinHashSigMd5, ModeCount, MortonInterleave, SimHash64, SimHashMd5, StopwordHits, WinnowSig, WordKGrams}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -52,6 +52,12 @@ object GraftFunctions {
         BestLangByHits(es(0), es(1), es(2)) }),
     ("graft_mode_count", info("graft_mode_count", classOf[ModeCount]),
       (es: Seq[Expression]) => { arity("graft_mode_count", es, 1); ModeCount(es(0)) }),
+    ("graft_morton", info("graft_morton", classOf[MortonInterleave]),
+      (es: Seq[Expression]) => { arity("graft_morton", es, 3); es(2) match {
+        case Literal(n: Int, IntegerType) => MortonInterleave(es(0), es(1), n)
+        case other => throw new IllegalArgumentException(
+          s"graft_morton bits must be an integer literal, got $other")
+      } }),
     ("graft_shingles", info("graft_shingles", classOf[WordKGrams]),
       (es: Seq[Expression]) => { arity("graft_shingles", es, 2); es(1) match {
         case Literal(n: Int, IntegerType) => WordKGrams(es(0), n)

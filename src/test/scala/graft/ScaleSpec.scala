@@ -99,6 +99,15 @@ class ScaleSpec extends SparkSuite {
     val got = cases.toDF("a", "b")
       .select(Scale.mortonCode($"a", $"b").as("z")).as[Long].collect()
     assert(got.toSeq === cases.map { case (a, b) => ref(a, b) })
+    // the native expression and the composed shift/or tree are
+    // bit-identical twins (including random and mask-boundary inputs)
+    val rnd = new scala.util.Random(7)
+    val fuzz = Seq.fill(200)((rnd.nextLong().abs & ((1L << 22) - 1),
+      rnd.nextLong().abs & ((1L << 22) - 1)))
+    val both = (cases ++ fuzz).toDF("a", "b").select(
+      Scale.mortonCode($"a", $"b").as("zn"),
+      Scale.mortonCodeComposed($"a", $"b").as("zc"))
+    assert(both.filter($"zn" =!= $"zc").isEmpty)
     // locality: fixing high bits of both keys bounds the code range
     assert(ref(1L, 1L) === 3L && ref(2L, 2L) === 12L && ref(3L, 3L) === 15L)
   }
