@@ -3325,7 +3325,10 @@ object SparkEntry {
   private def withStreamPartitions[T](s: SparkSession)(body: => T): T = {
     // state-store partition count is fixed at stream start from
     // spark.sql.shuffle.partitions; 32 partitions for one small file is
-    // pure checkpoint-IO overhead, so scope streams to 4
+    // pure checkpoint-IO overhead, so scope streams to 4 (measured: 1
+    // partition is slightly WORSE — 16.2 s vs 15.0 s family total — the
+    // stream-stream joins lose more parallelism than the state commits
+    // save)
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
