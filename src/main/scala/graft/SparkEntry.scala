@@ -130,6 +130,18 @@ object SparkEntry {
       Dedup.shinglePairCounts(t(s, d, "documents"), "source")
     }
 
+  /** Near-dup cluster labels (id, cluster_id) at the dedup family's
+    * working threshold (Jaccard ≥ 0.02 over the shared shingle-pair
+    * index): cluster listing, size histogram, keep-best and the
+    * leakage-safe split all consume these SAME labels — the iterative
+    * connected-components build runs once per session/fixture.
+    */
+  private def dupClusterLabels(s: SparkSession, d: String): DataFrame =
+    memoizedDf(s, d, "dup_cluster_labels_002") {
+      Dedup.connectedComponents(
+        Dedup.ngramJaccardOf(shinglePairIndex(s, d), threshold = 0.02))
+    }
+
   /** NL query end-to-end: rule compiler → guard → spark.sql over the
     * employees view (reference lifecycle §3.1, stages 5-7).
     */
@@ -4422,7 +4434,7 @@ object SparkEntry {
       // iterative min-label propagation, O(diameter) rounds. Oracle: the
       // same pairs + a recursive-CTE transitive closure.
       (s, d) => graft.operators.Dedup
-        .dupClusters(t(s, d, "documents"), "source", threshold = 0.02)
+        .dupClustersOf(dupClusterLabels(s, d))
         .orderBy("cluster_id"),
       Some(dupClustersCte + """
              |SELECT cluster_id, COUNT(*) AS n_members,
@@ -4434,7 +4446,7 @@ object SparkEntry {
       // survivors never shuffle, only the loser set (the small side)
       // subtracts via anti join. Oracle: recursive-CTE closure + window.
       (s, d) => graft.operators.Dedup
-        .keepBest(t(s, d, "documents"), "source", "n_chars", threshold = 0.02)
+        .keepBestOf(t(s, d, "documents"), dupClusterLabels(s, d), "n_chars")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
         .orderBy("lang"),
@@ -4592,11 +4604,11 @@ object SparkEntry {
       (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents")
         val asg = graft.operators.Dedup
-          .leakageSafeSplit(docs, "source", threshold = 0.02)
+          .leakageSafeSplitOf(docs, dupClusterLabels(s, d))
           .select(col("doc_id"), col("cluster_id"), col("n_chars"),
             col("split"))
         val pairs = graft.operators.Dedup
-          .ngramJaccardPairs(docs, "source", threshold = 0.02)
+          .ngramJaccardOf(shinglePairIndex(s, d), threshold = 0.02)
         val leaks = pairs
           .join(asg.select(col("doc_id").as("id_a"), col("split").as("_sa")),
             "id_a")
@@ -6251,7 +6263,7 @@ object SparkEntry {
       // trusts keep-one. Rides the proven connected-components pipeline;
       // one extra size-keyed count over the (already tiny) cluster table.
       (s, d) => graft.operators.Dedup
-        .dupClusters(t(s, d, "documents"), "source", threshold = 0.02)
+        .dupClustersOf(dupClusterLabels(s, d))
         .groupBy(col("n_members").as("cluster_size"))
         .agg(count(lit(1)).as("n_clusters"))
         .orderBy("cluster_size"),

@@ -643,15 +643,22 @@ object Dedup {
       idCol: String = "doc_id",
       shingleK: Int = 3,
       threshold: Double = 0.5,
-      maxBucket: Int = 1000): DataFrame = {
-    val pairs = ngramJaccardPairs(docs, blockCol, textCol, idCol, shingleK,
-      threshold, maxBucket)
-    connectedComponents(pairs)
+      maxBucket: Int = 1000): DataFrame =
+    dupClustersOf(connectedComponents(
+      ngramJaccardPairs(docs, blockCol, textCol, idCol, shingleK,
+        threshold, maxBucket)))
+
+  /** [[dupClusters]] over precomputed (id, cluster_id) labels — the
+    * cluster rollup alone. Clustering consumers (cluster listing, size
+    * histogram, keep-best, leakage split) should share ONE persisted
+    * label build; the pairs + components iteration is the entire cost.
+    */
+  def dupClustersOf(labels: DataFrame): DataFrame =
+    labels
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("n_members"),
         array_join(transform(array_sort(collect_list(col("id"))),
           x => x.cast("string")), ",").as("members"))
-  }
 
   /** Dedup that KEEPS the best member of every near-dup cluster instead
     * of an arbitrary one: cluster by n-gram Jaccard, rank members by
@@ -669,10 +676,18 @@ object Dedup {
       idCol: String = "doc_id",
       shingleK: Int = 3,
       threshold: Double = 0.5,
-      maxBucket: Int = 1000): DataFrame = {
-    val labels = connectedComponents(
-      ngramJaccardPairs(docs, blockCol, textCol, idCol, shingleK, threshold,
-        maxBucket))
+      maxBucket: Int = 1000): DataFrame =
+    keepBestOf(docs,
+      connectedComponents(ngramJaccardPairs(docs, blockCol, textCol, idCol,
+        shingleK, threshold, maxBucket)),
+      scoreCol, idCol)
+
+  /** [[keepBest]] over precomputed (id, cluster_id) labels. */
+  def keepBestOf(
+      docs: DataFrame,
+      labels: DataFrame,
+      scoreCol: String,
+      idCol: String = "doc_id"): DataFrame = {
     val w = Window.partitionBy("cluster_id")
       .orderBy(col(scoreCol).desc, col(idCol))
     val losers = docs.join(labels, docs(idCol) === labels("id"))
@@ -710,10 +725,19 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Int = 1000,
       trainFrac: Double = 0.8,
+      valFrac: Double = 0.1): DataFrame =
+    leakageSafeSplitOf(docs,
+      connectedComponents(ngramJaccardPairs(docs, blockCol, textCol, idCol,
+        shingleK, threshold, maxBucket)),
+      idCol, trainFrac, valFrac)
+
+  /** [[leakageSafeSplit]] over precomputed (id, cluster_id) labels. */
+  def leakageSafeSplitOf(
+      docs: DataFrame,
+      labels: DataFrame,
+      idCol: String = "doc_id",
+      trainFrac: Double = 0.8,
       valFrac: Double = 0.1): DataFrame = {
-    val labels = connectedComponents(
-      ngramJaccardPairs(docs, blockCol, textCol, idCol, shingleK, threshold,
-        maxBucket))
     val (trainCut, valCut) = splitCuts(trainFrac, valFrac)
     docs.join(labels, docs(idCol) === labels("id"), "left")
       .drop("id")
