@@ -196,4 +196,22 @@ class PlanQualitySpec extends SparkSuite {
     // and the probe vector is an inlined literal, not a joined frame
     assert(!p.contains("Join"), p.take(400))
   }
+
+  test("shared-index families read ONE persisted build, not per-query rebuilds") {
+    // the memoized intermediates (shingle pair counts, co-purchase pair
+    // index, purchase edges, dup-cluster labels) are the round-6
+    // shared-work contract: every family member's plan must read the
+    // persisted build (InMemoryTableScan), and a memo-key drift that
+    // silently forks a second build per query would break exactly this
+    // (graph operators consume their shared edge index inside the eager
+    // build and return a checkpointed frame, so only the families whose
+    // RETURNED plan lazily reads the memo are pinned here)
+    val families = Seq(
+      "doc_ngram_jaccard", "doc_containment_pairs", // shingle pair index
+      "doc_dup_clusters", "doc_cluster_size_hist", // dup-cluster labels
+      "basket_part_pairs", "orders_lift_pairs") // co-purchase pair index
+    val missing = families.filterNot(n => plan(n).contains("InMemoryTableScan"))
+    assert(missing.isEmpty,
+      s"no persisted shared build in the plan of: $missing")
+  }
 }
