@@ -639,8 +639,18 @@ object SparkEntry {
           approx_count_distinct(col("l_partkey"), rsd = 0.01),
           approx_count_distinct(col("l_suppkey"), rsd = 0.01))
           .head().toSeq.map(_.asInstanceOf[Long]).toArray
-        val exParts = li.select("l_partkey").distinct().count()
-        val exSupps = li.select("l_suppkey").distinct().count()
+        // both exact cardinalities in ONE scan + one distinct shuffle: a
+        // tagged explode of (column, key) instead of two per-column jobs
+        // (the mixed distinct+sketch single-agg alternative plans an
+        // Expand that triples the scan — see note above)
+        val ex = li.select(explode(array(
+            struct(lit("p").as("c"), col("l_partkey").as("k")),
+            struct(lit("s").as("c"), col("l_suppkey").as("k")))).as("e"))
+          .select(col("e.c").as("c"), col("e.k").as("k")).distinct()
+          .groupBy("c").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val exParts = ex("p")
+        val exSupps = ex("s")
         import s.implicits._
         Seq((exParts, exSupps,
           math.abs(apParts - exParts) <= 0.05 * exParts,

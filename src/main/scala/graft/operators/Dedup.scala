@@ -163,9 +163,14 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
     val rows = numHashes / bands
+    // sigd feeds THREE consumers (the banding path and both sides of the
+    // verify join); the shingle+signature HOF subtree is the dominant
+    // per-row cost, so materialize it once (lazy checkpoint, blocks freed
+    // by the context cleaner) instead of re-evaluating per consumer
     val sigd = docs
       .select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
       .withColumn("sig", minhashSignaturePortable(col("sh"), numHashes))
+      .localCheckpoint(eager = false)
     val banded = sigd.select(
       col("id"),
       posexplode(transform(
@@ -201,9 +206,11 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)
     val rows = numHashes / bands
+    // three consumers, one materialization — same as the portable twin
     val sigd = docs
       .select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .localCheckpoint(eager = false)
     // candidates travel as bare (band, bucket, id) — the wide shingle
     // arrays are re-joined only for the surviving pairs
     val banded = sigd.select(
@@ -1012,9 +1019,17 @@ object Dedup {
       .foldLeft(identity(ts): Column)((acc, i) =>
         zip_with(acc, slice(ts, lit(i + 1), n), (a, b) => concat_ws(" ", a, b)))
     val toks = docs.select(col(idCol), ts.as("t"))
+    // the window zip_with chain is an interpreted HOF — the single most
+    // expensive per-row expression here — and `spans` feeds BOTH the
+    // document-frequency aggregation and the flag join. A lazy local
+    // checkpoint materializes the exploded frame once at first use and
+    // both consumers read the stored blocks (freed by the context
+    // cleaner when the frame is collected), instead of re-evaluating the
+    // HOF chain per consumer.
     val spans = docs.select(col(idCol),
       posexplode(slice(windows, lit(1),
         greatest(n - (shingleK - 1), lit(0)))).as(Seq("pos", "s")))
+      .localCheckpoint(eager = false)
     val dfreq = spans.select(col(idCol), col("s")).distinct()
       .groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
