@@ -142,6 +142,15 @@ object SparkEntry {
         Dedup.ngramJaccardOf(shinglePairIndex(s, d), threshold = 0.02))
     }
 
+  /** The trained 3-round BPE merge table — doc_bpe_train reports it and
+    * doc_bpe_encode applies it; one iterative training run serves both.
+    */
+  private def bpeMerges(s: SparkSession, d: String)
+      : Seq[graft.operators.TextAnalysis.BpeMerge] =
+    memoized(s, d, "bpe_merges_r3") {
+      graft.operators.TextAnalysis.bpeTrain(t(s, d, "documents"), rounds = 3)
+    }
+
   /** NL query end-to-end: rule compiler → guard → spark.sql over the
     * employees view (reference lifecycle §3.1, stages 5-7).
     */
@@ -4243,11 +4252,7 @@ object SparkEntry {
       // one greedy scan), and pairs order as a\\x01b strings — \\x01 sorts
       // below every token char, so concat order equals tuple order.
       // Independent reference also pinned in TextAnalysisSpec.
-      (s, d) => {
-        val merges = graft.operators.TextAnalysis
-          .bpeTrain(t(s, d, "documents"), rounds = 3)
-        s.createDataFrame(merges).orderBy("round")
-      },
+      (s, d) => s.createDataFrame(bpeMerges(s, d)).orderBy("round"),
       Some(
         s"""$bpeOracleWith
            |SELECT * FROM (
@@ -4267,12 +4272,9 @@ object SparkEntry {
       // order (one typed map, merge table in the closure — no shuffle).
       // The oracle's final rewritten corpus c3 from the same recursive
       // replay IS the encoded corpus, so every per-doc count matches.
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        val merges = graft.operators.TextAnalysis.bpeTrain(docs, rounds = 3)
-        graft.operators.TextAnalysis.bpeEncode(docs, merges)
-          .orderBy("doc_id")
-      },
+      (s, d) => graft.operators.TextAnalysis
+        .bpeEncode(t(s, d, "documents"), bpeMerges(s, d))
+        .orderBy("doc_id"),
       Some(
         s"""$bpeOracleWith
            |SELECT c0.id AS doc_id, CAST(len(c0.ts) AS BIGINT) AS n_raw,
