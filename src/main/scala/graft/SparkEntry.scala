@@ -7538,7 +7538,282 @@ object SparkEntry {
              |  ROUND(quantile_cont(value, 0.5), 4) AS v_median,
              |  ROUND(quantile_cont(value, 0.75), 4) AS v_q3,
              |  ROUND(MAX(value), 4) AS v_max
-             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)))
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    Q("doc_substring_dup_coverage", // EXACT cross-document substring
+      // duplication (the ExactSubstr screen of Lee et al. 2022,
+      // "Deduplicating Training Data Makes Language Models Better",
+      // approximated with fixed-k anchor grams instead of a suffix
+      // array): every 20-char window is an anchor; a window whose gram
+      // appears in >= 2 DISTINCT documents marks its [pos, pos+19] span
+      // as duplicated, and overlapping spans merge per document into
+      // islands (gap > 20 breaks). Per-source report: docs affected,
+      // duplicated chars, duplicated fraction. Scale shape: the gram
+      // explode is map-side, document frequency is one hash aggregation
+      // on the gram key (at 100 TB you'd key on xxhash64(gram) — 8
+      // bytes instead of 20 chars — exactly like the minhash family's
+      // native twins), the span merge is a per-document window. No
+      // suffix array, no doc-vs-doc comparison anywhere.
+      (s, d) => {
+        val k = 20
+        val docs = t(s, d, "documents").select("doc_id", "source", "text")
+        val grams = docs
+          .select(col("doc_id"), col("source"),
+            posexplode(when(length(col("text")) >= k,
+              expr(s"transform(sequence(0, length(text) - $k), " +
+                s"i -> substring(text, i + 1, $k))"))
+              .otherwise(array())).as(Seq("pos", "gram")))
+        val dupGrams = grams.groupBy("gram")
+          .agg(countDistinct("doc_id").as("df"))
+          .filter(col("df") >= 2).select("gram")
+        val dup = grams.join(dupGrams, Seq("gram"))
+          .select("doc_id", "source", "pos")
+        val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+        val islands = dup
+          .withColumn("prev", lag("pos", 1).over(wDoc))
+          .withColumn("brk",
+            when(col("prev").isNull || col("pos") - col("prev") > k, 1L)
+              .otherwise(0L))
+          .withColumn("island", sum("brk").over(
+            wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val cover = islands.groupBy("doc_id", "source", "island")
+          .agg((max("pos") - min("pos") + k).as("span"))
+          .groupBy("doc_id", "source").agg(sum("span").as("dup_chars"))
+        val base = docs.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).as("total_chars"))
+        base.join(cover.groupBy("source")
+            .agg(count(lit(1)).as("docs_with_dup"),
+              sum("dup_chars").as("dup_chars")), Seq("source"), "left")
+          .select(col("source"), col("n_docs"),
+            coalesce(col("docs_with_dup"), lit(0L)).as("docs_with_dup"),
+            coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+            col("total_chars"),
+            round(coalesce(col("dup_chars"), lit(0L)).cast("double")
+              / col("total_chars"), 6).as("dup_frac"))
+          .orderBy("source")
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id, source, u.i AS pos, substr(text, u.i + 1, 20) AS gram
+             |  FROM documents,
+             |    unnest(range(0, greatest(length(text) - 19, 0))) AS u(i)),
+             |dfreq AS (
+             |  SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM g)
+             |  GROUP BY gram HAVING COUNT(*) >= 2),
+             |dup AS (
+             |  SELECT doc_id, source, pos FROM g
+             |  WHERE gram IN (SELECT gram FROM dfreq)),
+             |isl AS (
+             |  SELECT doc_id, source, pos,
+             |    SUM(CASE WHEN prev IS NULL OR pos - prev > 20 THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+             |  FROM (SELECT doc_id, source, pos,
+             |          LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+             |        FROM dup)),
+             |cov AS (
+             |  SELECT doc_id, source, SUM(mx - mn + 20) AS dup_chars
+             |  FROM (SELECT doc_id, source, island, MAX(pos) AS mx, MIN(pos) AS mn
+             |        FROM isl GROUP BY 1, 2, 3)
+             |  GROUP BY 1, 2),
+             |percov AS (
+             |  SELECT source, COUNT(*) AS docs_with_dup,
+             |    CAST(SUM(dup_chars) AS BIGINT) AS dup_chars
+             |  FROM cov GROUP BY 1),
+             |base AS (
+             |  SELECT source, COUNT(*) AS n_docs,
+             |    CAST(SUM(length(text)) AS BIGINT) AS total_chars
+             |  FROM documents GROUP BY 1)
+             |SELECT b.source, b.n_docs,
+             |  COALESCE(p.docs_with_dup, 0) AS docs_with_dup,
+             |  COALESCE(p.dup_chars, 0) AS dup_chars,
+             |  b.total_chars,
+             |  ROUND(CAST(COALESCE(p.dup_chars, 0) AS DOUBLE) / b.total_chars, 6)
+             |    AS dup_frac
+             |FROM base b LEFT JOIN percov p ON p.source = b.source
+             |ORDER BY b.source""".stripMargin)),
+
+    Q("doc_dedup_threshold_sweep", // dedup TUNING report: how many
+      // near-dup pairs (and how many documents they touch) survive at
+      // each candidate Jaccard threshold — the curve an operator reads
+      // before committing a dedup threshold to a 100 TB run. Rides the
+      // SAME shared shingle-pair index as doc_ngram_jaccard /
+      // doc_containment_pairs; the sweep itself is a 5x map-side
+      // fan-out of the (already tiny) pair relation, two keyed aggs.
+      (s, d) => {
+        val ths = Seq(0.01, 0.02, 0.05, 0.1, 0.2)
+        val hit = Dedup.ngramJaccardOf(shinglePairIndex(s, d), threshold = 0.01)
+          .select(explode(array(ths.map(lit): _*)).as("threshold"),
+            col("id_a"), col("id_b"), col("jaccard"))
+          .filter(col("jaccard") >= col("threshold"))
+        val pairs = hit.groupBy("threshold")
+          .agg(count(lit(1)).as("n_pairs"))
+        val docsTouched = hit
+          .select(col("threshold"),
+            explode(array(col("id_a"), col("id_b"))).as("id"))
+          .groupBy("threshold").agg(countDistinct("id").as("n_docs"))
+        pairs.join(docsTouched, Seq("threshold")).orderBy("threshold")
+      },
+      Some("""WITH d AS (
+             |  SELECT source, doc_id,
+             |    list_distinct(list_transform(
+             |      range(0, greatest(len(t) - 2, 1)),
+             |      i -> array_to_string(t[(i+1):(i+3)], ' '))) AS sh
+             |  FROM (SELECT source, doc_id,
+             |          string_split_regex(lower(trim(text)), '\s+') AS t
+             |        FROM documents)),
+             |pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |      / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+             |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+             |  WHERE len(list_intersect(a.sh, b.sh)) > 0),
+             |th AS (SELECT unnest([0.01, 0.02, 0.05, 0.1, 0.2]) AS threshold),
+             |hit AS (
+             |  SELECT th.threshold, p.id_a, p.id_b
+             |  FROM pairs p JOIN th ON p.jaccard >= th.threshold),
+             |pc AS (SELECT threshold, COUNT(*) AS n_pairs FROM hit GROUP BY 1),
+             |dc AS (SELECT threshold, COUNT(DISTINCT id) AS n_docs FROM (
+             |    SELECT threshold, id_a AS id FROM hit
+             |    UNION ALL SELECT threshold, id_b FROM hit) GROUP BY 1)
+             |SELECT pc.threshold, pc.n_pairs, dc.n_docs
+             |FROM pc JOIN dc ON pc.threshold = dc.threshold
+             |ORDER BY pc.threshold""".stripMargin)),
+
+    Q("doc_topic_classify", // seeded topic classification (keyword-list
+      // multinomial scoring — the domain-labeling step a training-data
+      // pipeline runs to steer mixture weights): each topic owns a seed
+      // lexicon, a document scores one point per token in a topic's
+      // list, argmax wins (ties break on topic name; zero hits =>
+      // 'none'). The lexicon is a broadcast; scoring is one exploded
+      // token join + one keyed agg + one per-doc argmax window over <=
+      // 3 rows per doc. Output: per-source topic mix.
+      (s, d) => {
+        import s.implicits._
+        val lexicon = Seq(
+          "engine" -> Seq("agg", "filter", "group", "join", "query",
+            "scan", "sort", "spark", "window"),
+          "storage" -> Seq("batch", "column", "data", "hash", "key",
+            "merge", "part", "row", "table"),
+          "stream" -> Seq("fast", "line", "slow", "stream", "value",
+            "vector")).flatMap { case (tp, ws) => ws.map(w => (tp, w)) }
+          .toDF("topic", "term")
+        val docs = t(s, d, "documents")
+        val toks = docs.select(col("doc_id"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+        val scores = toks.join(broadcast(lexicon), Seq("term"))
+          .groupBy("doc_id", "topic").agg(count(lit(1)).as("hits"))
+        val wDoc = Window.partitionBy("doc_id")
+          .orderBy(col("hits").desc, col("topic"))
+        val best = scores
+          .withColumn("rn", row_number().over(wDoc)).filter(col("rn") === 1)
+          .select("doc_id", "topic", "hits")
+        docs.join(best, Seq("doc_id"), "left")
+          .groupBy(col("source"),
+            coalesce(col("topic"), lit("none")).as("topic"))
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum("hits"), lit(0L)).as("total_hits"))
+          .orderBy("source", "topic")
+      },
+      Some("""WITH lex(topic, term) AS (VALUES
+             |  ('engine','agg'),('engine','filter'),('engine','group'),
+             |  ('engine','join'),('engine','query'),('engine','scan'),
+             |  ('engine','sort'),('engine','spark'),('engine','window'),
+             |  ('storage','batch'),('storage','column'),('storage','data'),
+             |  ('storage','hash'),('storage','key'),('storage','merge'),
+             |  ('storage','part'),('storage','row'),('storage','table'),
+             |  ('stream','fast'),('stream','line'),('stream','slow'),
+             |  ('stream','stream'),('stream','value'),('stream','vector')),
+             |tok AS (
+             |  SELECT doc_id,
+             |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+             |  FROM documents),
+             |sc AS (
+             |  SELECT t.doc_id, l.topic, COUNT(*) AS hits
+             |  FROM tok t JOIN lex l ON t.term = l.term GROUP BY 1, 2),
+             |best AS (
+             |  SELECT doc_id, topic, hits FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             |      ORDER BY hits DESC, topic) AS rn FROM sc) WHERE rn = 1)
+             |SELECT d.source, COALESCE(b.topic, 'none') AS topic,
+             |  COUNT(*) AS n_docs,
+             |  CAST(COALESCE(SUM(b.hits), 0) AS BIGINT) AS total_hits
+             |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+             |GROUP BY 1, 2 ORDER BY source, topic""".stripMargin)),
+
+    Q("graph_modularity", // community-quality score: Newman modularity
+      // Q = intra/m - sum_c(D_c^2)/(4 m^2) of the 3-round
+      // label-propagation partition over the co-purchase part graph —
+      // the number that says whether the communities the LP family
+      // reports are structure or noise. Every aggregate is an INTEGER
+      // (intra-edge count, per-community degree sums, their squares);
+      // Q is ONE final float expression, so both engines compute the
+      // identical IEEE-754 value with no addition-order slack. Rides
+      // the shared co-purchase edge index.
+      (s, d) => {
+        val edges = coPurchasePairs(s, d).filter(col("n") >= 2)
+          .select("src", "dst")
+        val labels = graft.operators.Graph.labelPropagation(
+          edges, iters = 3, canonicalEdges = true)
+        val deg = edges.select(col("src").as("id"))
+          .unionAll(edges.select(col("dst").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("deg"))
+        val mDf = edges.agg(count(lit(1)).as("n_edges"))
+        val intraDf = edges
+          .join(labels.select(col("id").as("src"), col("label").as("la")),
+            Seq("src"))
+          .join(labels.select(col("id").as("dst"), col("label").as("lb")),
+            Seq("dst"))
+          .filter(col("la") === col("lb"))
+          .agg(count(lit(1)).as("intra_edges"))
+        val s2 = deg.join(labels, Seq("id"))
+          .groupBy("label").agg(sum("deg").as("dsum"))
+          .agg(sum(col("dsum") * col("dsum")).as("sum_dsq"),
+            count(lit(1)).as("n_communities"))
+        s2.crossJoin(broadcast(mDf)).crossJoin(broadcast(intraDf))
+          .select(col("n_communities"), col("n_edges"), col("intra_edges"),
+            col("sum_dsq"),
+            round(col("intra_edges").cast("double") / col("n_edges")
+              - col("sum_dsq").cast("double")
+                / (lit(4.0) * col("n_edges") * col("n_edges")), 6)
+              .as("modularity"))
+      },
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |p AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+             |  FROM op a JOIN op b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |sym AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+             |l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym),
+             |l1 AS (SELECT src AS id, label FROM (
+             |    SELECT s.src, l.label, ROW_NUMBER() OVER (PARTITION BY s.src
+             |      ORDER BY COUNT(*) DESC, l.label) AS rn
+             |    FROM sym s JOIN l0 l ON s.dst = l.id
+             |    GROUP BY s.src, l.label) WHERE rn = 1),
+             |l2 AS (SELECT src AS id, label FROM (
+             |    SELECT s.src, l.label, ROW_NUMBER() OVER (PARTITION BY s.src
+             |      ORDER BY COUNT(*) DESC, l.label) AS rn
+             |    FROM sym s JOIN l1 l ON s.dst = l.id
+             |    GROUP BY s.src, l.label) WHERE rn = 1),
+             |l3 AS (SELECT src AS id, label FROM (
+             |    SELECT s.src, l.label, ROW_NUMBER() OVER (PARTITION BY s.src
+             |      ORDER BY COUNT(*) DESC, l.label) AS rn
+             |    FROM sym s JOIN l2 l ON s.dst = l.id
+             |    GROUP BY s.src, l.label) WHERE rn = 1),
+             |m AS (SELECT COUNT(*) AS m FROM p),
+             |intra AS (SELECT COUNT(*) AS intra FROM p
+             |  JOIN l3 a ON p.src = a.id JOIN l3 b ON p.dst = b.id
+             |  WHERE a.label = b.label),
+             |deg AS (SELECT src AS id, COUNT(*) AS d FROM sym GROUP BY 1),
+             |dc AS (SELECT l.label, CAST(SUM(d.d) AS BIGINT) AS dsum
+             |  FROM deg d JOIN l3 l ON d.id = l.id GROUP BY 1),
+             |s2 AS (SELECT CAST(SUM(dsum * dsum) AS BIGINT) AS sum_dsq,
+             |         COUNT(*) AS n_communities FROM dc)
+             |SELECT s2.n_communities, m.m AS n_edges,
+             |  intra.intra AS intra_edges, s2.sum_dsq,
+             |  ROUND(CAST(intra.intra AS DOUBLE) / m.m
+             |    - CAST(s2.sum_dsq AS DOUBLE) / (4.0 * m.m * m.m), 6)
+             |    AS modularity
+             |FROM s2, m, intra""".stripMargin)))
   // -- driver contract ------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
