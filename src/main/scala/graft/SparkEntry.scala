@@ -142,6 +142,15 @@ object SparkEntry {
         Dedup.ngramJaccardOf(shinglePairIndex(s, d), threshold = 0.02))
     }
 
+  /** Shared portable-minhash signature relation (id, sh, sig) — the
+    * near-dup pairing, the estimator calibration, and the band-geometry
+    * sweep all ride this ONE signature scan of the corpus.
+    */
+  private def minhashSigs(s: SparkSession, d: String): DataFrame =
+    memoizedDf(s, d, "minhash_sig_portable_64") {
+      Dedup.minhashPortableSigs(t(s, d, "documents"))
+    }
+
   /** The trained 3-round BPE merge table — doc_bpe_train reports it and
     * doc_bpe_encode applies it; one iterative training run serves both.
     */
@@ -3950,7 +3959,7 @@ object SparkEntry {
       // plain-string band keys) — the complete pipeline is reproduced in
       // the oracle; the xxhash64 native path stays pinned by its
       // bit-identical HOF differential.
-      (s, d) => Dedup.minhashNearDupsPortable(t(s, d, "documents"), threshold = 0.2)
+      (s, d) => Dedup.minhashNearDupsPortableOf(minhashSigs(s, d), threshold = 0.2)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b"),
       Some("""WITH d AS (
@@ -6475,11 +6484,9 @@ object SparkEntry {
       // pairs only.
       (s, d) => {
         graft.plans.GraftFunctions.register(s)
-        val docs = t(s, d, "documents")
-        val sg = docs.select(col("doc_id").as("id"),
-          Dedup.minhashSignaturePortable(
-            Dedup.shingles(col("text"), 3), 64).as("g"))
-        val pairs = Dedup.minhashNearDupsPortable(docs, threshold = 0.05)
+        val sg = minhashSigs(s, d).select(col("id"), col("sig").as("g"))
+        val pairs = Dedup.minhashNearDupsPortableOf(minhashSigs(s, d),
+          threshold = 0.05)
         pairs
           .join(sg.select(col("id").as("id_a"), col("g").as("ga")), Seq("id_a"))
           .join(sg.select(col("id").as("id_b"), col("g").as("gb")), Seq("id_b"))
@@ -7813,7 +7820,110 @@ object SparkEntry {
              |  ROUND(CAST(intra.intra AS DOUBLE) / m.m
              |    - CAST(s2.sum_dsq AS DOUBLE) / (4.0 * m.m * m.m), 6)
              |    AS modularity
-             |FROM s2, m, intra""".stripMargin)))
+             |FROM s2, m, intra""".stripMargin)),
+
+    Q("doc_minhash_band_sweep", // LSH band-geometry DESIGN sweep: how
+      // many candidate pairs does each (bands, rows-per-band) split of
+      // the SAME 64-lane signature generate, and how many documents do
+      // they touch — the cost/recall curve read before committing a
+      // geometry to a corpus-scale dedup run (rows↑ → sharper s-curve →
+      // fewer, higher-precision candidates; the crossover sits near
+      // (1/b)^(1/r)). Rides the ONE memoized signature scan shared with
+      // doc_minhash_neardups / doc_minhash_calibration; each geometry
+      // re-bands the in-memory array only.
+      (s, d) => Dedup.minhashBandSweep(minhashSigs(s, d))
+        .orderBy("bands"),
+      Some("""WITH d AS (
+             |  SELECT doc_id AS id, string_split_regex(lower(trim(text)), '\s+') AS t
+             |  FROM documents
+             |), s AS (
+             |  SELECT id, list_distinct(list_transform(
+             |    range(0, greatest(len(t) - 2, 1)),
+             |    i -> array_to_string(t[(i+1):(i+3)], ' '))) AS sh
+             |  FROM d
+             |), hm AS (
+             |  SELECT id, list_transform(sh,
+             |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647) AS hs
+             |  FROM s
+             |), sig AS (
+             |  SELECT id, list_transform(range(0, 64), j -> list_min(
+             |    list_transform(hs, h -> ((j*2+1) * h + j*12347 + 1) % 2147483647))) AS g
+             |  FROM hm
+             |), cfg AS (SELECT unnest([32, 16, 8]) AS bands,
+             |           unnest([2, 4, 8]) AS rows_per_band
+             |), banded AS (
+             |  SELECT c.bands, c.rows_per_band, sig.id, b.b AS band,
+             |    array_to_string(
+             |      g[(b.b*c.rows_per_band+1):(b.b*c.rows_per_band+c.rows_per_band)],
+             |      ',') AS bucket
+             |  FROM sig, cfg c, range(0, 32) AS b(b)
+             |  WHERE b.b < c.bands
+             |), cand AS (
+             |  SELECT DISTINCT a.bands, a.rows_per_band, a.id AS id_a, c.id AS id_b
+             |  FROM banded a JOIN banded c
+             |    ON a.bands = c.bands AND a.band = c.band AND a.bucket = c.bucket
+             |    AND a.id < c.id
+             |)
+             |SELECT bands, rows_per_band,
+             |  CAST(COUNT(*) / 2 AS BIGINT) AS n_candidate_pairs,
+             |  CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs
+             |FROM (SELECT bands, rows_per_band,
+             |        unnest([id_a, id_b]) AS id FROM cand)
+             |GROUP BY 1, 2 ORDER BY bands""".stripMargin)),
+
+    Q("cust_blocking_quality", // entity-resolution BLOCKING-KEY planner:
+      // for each candidate blocking key over the customer table, the
+      // block-size distribution and the within-block pair budget
+      // Σ b·(b−1)/2 the fuzzy matcher would pay, vs the all-pairs
+      // n·(n−1)/2 — the report that picks a discriminative key BEFORE a
+      // 100 TB fuzzy-dedup run (the quadratic guard cust_fuzzy_pairs'
+      // blockCol contract demands). Three key-grained rollups unioned;
+      // totals ride a one-row broadcast.
+      (s, d) => {
+        val cust = t(s, d, "customer")
+        val total = cust.agg(count(lit(1)).as("n_total"))
+        def report(keyName: String, key: Column): DataFrame =
+          cust.groupBy(key.as("k")).agg(count(lit(1)).as("b"))
+            .agg(count(lit(1)).as("n_blocks"), max("b").as("max_block"),
+              sum(col("b") * (col("b") - 1) / 2).cast("long")
+                .as("candidate_pairs"))
+            .select(lit(keyName).as("blocking_key"), col("n_blocks"),
+              col("max_block"), col("candidate_pairs"))
+        report("nation", col("c_nationkey"))
+          .unionAll(report("segment", col("c_mktsegment")))
+          .unionAll(report("nation_x_segment",
+            concat_ws("|", col("c_nationkey"), col("c_mktsegment"))))
+          .crossJoin(broadcast(total))
+          .select(col("blocking_key"), col("n_blocks"), col("max_block"),
+            col("candidate_pairs"),
+            round(col("candidate_pairs").cast("double")
+              / (col("n_total") * (col("n_total") - 1) / 2), 6)
+              .as("pair_share"))
+          .orderBy("blocking_key")
+      },
+      Some("""WITH tot AS (SELECT COUNT(*) AS n_total FROM customer),
+             |r1 AS (
+             |  SELECT 'nation' AS blocking_key, COUNT(*) AS n_blocks,
+             |    CAST(MAX(b) AS BIGINT) AS max_block,
+             |    CAST(SUM(b * (b - 1) / 2) AS BIGINT) AS candidate_pairs
+             |  FROM (SELECT COUNT(*) AS b FROM customer GROUP BY c_nationkey)),
+             |r2 AS (
+             |  SELECT 'segment', COUNT(*),
+             |    CAST(MAX(b) AS BIGINT),
+             |    CAST(SUM(b * (b - 1) / 2) AS BIGINT)
+             |  FROM (SELECT COUNT(*) AS b FROM customer GROUP BY c_mktsegment)),
+             |r3 AS (
+             |  SELECT 'nation_x_segment', COUNT(*),
+             |    CAST(MAX(b) AS BIGINT),
+             |    CAST(SUM(b * (b - 1) / 2) AS BIGINT)
+             |  FROM (SELECT COUNT(*) AS b FROM customer
+             |        GROUP BY c_nationkey, c_mktsegment)),
+             |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+             |      UNION ALL SELECT * FROM r3)
+             |SELECT blocking_key, n_blocks, max_block, candidate_pairs,
+             |  ROUND(CAST(candidate_pairs AS DOUBLE)
+             |    / (n_total * (n_total - 1) / 2), 6) AS pair_share
+             |FROM u, tot ORDER BY blocking_key""".stripMargin)))
   // -- driver contract ------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {

@@ -152,6 +152,24 @@ object Dedup {
     * SQL oracle. The xxhash64 native path stays pinned by its
     * bit-identical HOF differential in TextExpressionsSpec.
     */
+  /** The shared portable-minhash base relation (id, sh, sig): shingle set
+    * plus the numHashes-lane md5 signature per document. Built once and
+    * persisted/memoized by callers with several minhash consumers
+    * (near-dup pairing, estimator calibration, band-geometry sweep) —
+    * the signature scan is the dominant per-row cost of all of them.
+    */
+  def minhashPortableSigs(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 64,
+      shingleK: Int = 3): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+      .withColumn("sig", minhashSignaturePortable(col("sh"), numHashes))
+  }
+
   def minhashNearDupsPortable(
       docs: DataFrame,
       textCol: String = "text",
@@ -160,17 +178,28 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.5,
       shingleK: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
-    graft.plans.GraftFunctions.register(docs.sparkSession)
-    val rows = numHashes / bands
+      maxBucket: Int = 1000): DataFrame =
     // sigd feeds THREE consumers (the banding path and both sides of the
-    // verify join); the shingle+signature HOF subtree is the dominant
+    // verify join); the shingle+signature subtree is the dominant
     // per-row cost, so materialize it once (lazy checkpoint, blocks freed
     // by the context cleaner) instead of re-evaluating per consumer
-    val sigd = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
-      .withColumn("sig", minhashSignaturePortable(col("sh"), numHashes))
-      .localCheckpoint(eager = false)
+    minhashNearDupsPortableOf(
+      minhashPortableSigs(docs, textCol, idCol, numHashes, shingleK)
+        .localCheckpoint(eager = false),
+      numHashes, bands, threshold, maxBucket)
+
+  /** [[minhashNearDupsPortable]] over a pre-built (and ideally persisted)
+    * [[minhashPortableSigs]] relation — the shape callers with several
+    * minhash consumers use so the signature scan runs once.
+    */
+  def minhashNearDupsPortableOf(
+      sigd: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    graft.plans.GraftFunctions.register(sigd.sparkSession)
+    val rows = numHashes / bands
     val banded = sigd.select(
       col("id"),
       posexplode(transform(
@@ -186,6 +215,45 @@ object Dedup {
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** LSH band-geometry DESIGN sweep: for each candidate (bands, rows)
+    * split of the SAME numHashes-lane signature, how many candidate
+    * pairs does banding generate and how many documents do they touch —
+    * the cost/recall curve an operator reads before committing a band
+    * geometry to a corpus-scale dedup run (more rows per band → sharper
+    * s-curve → fewer, higher-precision candidates). One signature build
+    * (pass a persisted [[minhashPortableSigs]]), one banding + pair
+    * aggregation per geometry over that same array — no re-hash, no
+    * re-shingle, and candidates stay posting-list-bounded exactly like
+    * the production pairing path.
+    */
+  def minhashBandSweep(
+      sigd: DataFrame,
+      numHashes: Int = 64,
+      bandCounts: Seq[Int] = Seq(32, 16, 8),
+      maxBucket: Int = 1000): DataFrame = {
+    graft.plans.GraftFunctions.register(sigd.sparkSession)
+    bandCounts.map { bands =>
+      val rows = numHashes / bands
+      val banded = sigd.select(
+        col("id"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      val cands = cappedPostings(banded, Seq("band", "bucket"), col("id"),
+          maxBucket)
+        .select(explode(pairCombinations(col("ps"))).as("p"))
+        .select(col("p.id_a"), col("p.id_b")).distinct()
+      cands
+        .select(col("id_a"), col("id_b"),
+          explode(array(col("id_a"), col("id_b"))).as("id"))
+        .agg((count(lit(1)) / 2).cast("long").as("n_candidate_pairs"),
+          countDistinct("id").as("n_docs"))
+        .select(lit(bands).as("bands"), lit(rows).as("rows_per_band"),
+          col("n_candidate_pairs"), col("n_docs"))
+    }.reduce(_ unionAll _)
   }
 
   /** Candidate near-duplicate pairs via banded LSH, then exact Jaccard
