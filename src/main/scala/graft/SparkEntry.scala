@@ -7923,7 +7923,110 @@ object SparkEntry {
              |SELECT blocking_key, n_blocks, max_block, candidate_pairs,
              |  ROUND(CAST(candidate_pairs AS DOUBLE)
              |    / (n_total * (n_total - 1) / 2), 6) AS pair_share
-             |FROM u, tot ORDER BY blocking_key""".stripMargin)))
+             |FROM u, tot ORDER BY blocking_key""".stripMargin)),
+
+    Q("emb_ivf_pq_topk", // the PRODUCTION ANN stack in one query: IVF
+      // coarse pruning (deterministic Lloyd, 8 lists, probe 3) → PQ
+      // asymmetric-distance scan over the survivors (4×16 deterministic
+      // codebooks; the query's exact subvectors against each vector's
+      // m-byte code) → exact cosine re-rank of the 50 best ADC
+      // candidates. Both models are driver-side kilobyte literals; the
+      // corpus pass is membership filter + codegen'd argmin + ADC
+      // arithmetic + two bounded top-k merges. The oracle RE-TRAINS
+      // both models in SQL (the same unrolled rounds the lloyd-IVF and
+      // PQ oracles pin) and must land on the identical candidate set,
+      // ADC values, and final ranking.
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val qv = e.filter(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0).map(_.toDouble)
+        Similarity.ivfPqTopK(e.filter(col("vec_id") =!= 0), qv, 10)
+      },
+      Some {
+        // coarse-quantizer rounds (the lloyd-IVF oracle's builders)
+        def assign(src: String, cents: String, out: String): String =
+          s"""$out AS (SELECT vec_id, v, cl FROM (
+             |  SELECT $src.vec_id AS vec_id, $src.v AS v, $cents.cl AS cl,
+             |    row_number() OVER (PARTITION BY $src.vec_id
+             |      ORDER BY list_sum(list_transform(range(1, 65),
+             |        i -> ($src.v[i] - $cents.c[i]) * ($src.v[i] - $cents.c[i]))),
+             |        $cents.cl) AS rn
+             |  FROM $src, $cents) WHERE rn = 1)""".stripMargin
+        def ivfRound(prev: String, cur: String): String =
+          s"""${assign("e", prev, s"a$cur")},
+             |m$cur AS (SELECT cl, t.dim, AVG(v[t.dim]) AS m
+             |  FROM a$cur, range(1, 65) AS t(dim) GROUP BY cl, t.dim),
+             |n$cur AS (SELECT cl, list(m ORDER BY dim) AS c FROM m$cur GROUP BY cl),
+             |$cur AS (SELECT $prev.cl, COALESCE(n$cur.c, $prev.c) AS c
+             |  FROM $prev LEFT JOIN n$cur ON $prev.cl = n$cur.cl)""".stripMargin
+        // per-subvector PQ codebook rounds (the PQ oracle's builders),
+        // trained on the SAME query-free corpus the Spark side trains on
+        def sub(i: Int): String = {
+          val lo = i * 16 + 1; val hi = (i + 1) * 16
+          def dist(s: String, p: String) =
+            s"list_sum(list_transform(range(1, 17), t -> ($s.sv[t] - $p.c[t]) * ($s.sv[t] - $p.c[t])))"
+          def round(r: Int): String = {
+            val prev = s"s${i}c${r - 1}"
+            s"""s${i}a$r AS (SELECT vec_id, sv, cl FROM (
+               |  SELECT s.vec_id AS vec_id, s.sv AS sv, p.cl AS cl,
+               |    row_number() OVER (PARTITION BY s.vec_id
+               |      ORDER BY ${dist("s", "p")}, p.cl) AS rn
+               |  FROM sub$i s, $prev p) WHERE rn = 1),
+               |s${i}m$r AS (SELECT cl, t.dim, AVG(sv[t.dim]) AS mn
+               |  FROM s${i}a$r, range(1, 17) AS t(dim) GROUP BY cl, t.dim),
+               |s${i}n$r AS (SELECT cl, list(mn ORDER BY dim) AS c FROM s${i}m$r GROUP BY cl),
+               |s${i}c$r AS (SELECT p.cl, COALESCE(n.c, p.c) AS c
+               |  FROM s${i}c${r - 1} p LEFT JOIN s${i}n$r n ON p.cl = n.cl)""".stripMargin
+          }
+          // x$i: assign the CANDIDATE's subvector to its nearest code
+          // (the encode step), but expose the QUERY's distance to that
+          // centroid — the asymmetric-distance term
+          s"""sub$i AS (SELECT vec_id, v[$lo:$hi] AS sv FROM e),
+             |s${i}c0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cl, sv AS c
+             |  FROM sub$i ORDER BY vec_id LIMIT 16),
+             |${round(1)},
+             |${round(2)},
+             |${round(3)},
+             |x$i AS (SELECT vec_id, qerr FROM (
+             |  SELECT s.vec_id AS vec_id,
+             |    list_sum(list_transform(range(1, 17),
+             |      t -> (q.qv[$lo - 1 + t] - p.c[t]) * (q.qv[$lo - 1 + t] - p.c[t]))) AS qerr,
+             |    row_number() OVER (PARTITION BY s.vec_id
+             |      ORDER BY ${dist("s", "p")}, p.cl) AS rn
+             |  FROM (SELECT * FROM sub$i WHERE vec_id IN (SELECT vec_id FROM cands)) s,
+             |    s${i}c3 p, q) WHERE rn = 1)""".stripMargin
+        }
+        s"""WITH e AS (SELECT vec_id,
+           |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings WHERE vec_id <> 0),
+           |q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           |  FROM embeddings WHERE vec_id = 0),
+           |c0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cl, v AS c
+           |  FROM e ORDER BY vec_id LIMIT 8),
+           |${ivfRound("c0", "c1")},
+           |${ivfRound("c1", "c2")},
+           |${ivfRound("c2", "c3")},
+           |near AS (SELECT cl FROM c3, q
+           |  ORDER BY list_cosine_similarity(c, qv) DESC, cl LIMIT 3),
+           |${assign("e", "c3", "af")},
+           |cands AS (SELECT vec_id, v FROM af
+           |  WHERE cl IN (SELECT cl FROM near)),
+           |${sub(0)},
+           |${sub(1)},
+           |${sub(2)},
+           |${sub(3)},
+           |scored AS (
+           |  SELECT cd.vec_id,
+           |    ROUND(x0.qerr + x1.qerr + x2.qerr + x3.qerr, 6) AS adc
+           |  FROM cands cd JOIN x0 USING (vec_id) JOIN x1 USING (vec_id)
+           |    JOIN x2 USING (vec_id) JOIN x3 USING (vec_id)),
+           |topc AS (SELECT vec_id, adc FROM scored
+           |  ORDER BY adc, vec_id LIMIT 50)
+           |SELECT t.vec_id, t.adc,
+           |  ROUND(list_cosine_similarity(e.v, q.qv), 6) AS cos
+           |FROM topc t JOIN e ON t.vec_id = e.vec_id, q
+           |ORDER BY cos DESC, t.vec_id LIMIT 10""".stripMargin
+      }))
   // -- driver contract ------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {

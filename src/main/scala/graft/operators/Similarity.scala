@@ -211,23 +211,21 @@ object Similarity {
     * ordering IS the tie-break), and the mean update is one
     * (cluster, dim)-keyed aggregation.
     */
-  def lloydIvfTopK(
-      emb: DataFrame, queryVec: Seq[Double], k: Int,
-      numClusters: Int = 8, iters: Int = 3, nProbe: Int = 3,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    graft.plans.GraftFunctions.register(emb.sparkSession)
-    val e = emb.select(col(idCol), col(vecCol).as("v"))
+  /** Deterministic-Lloyd coarse-centroid training: fixed init (the
+    * `numClusters` smallest-id vectors), argmin assignment with a
+    * lowest-cluster tie-break, one (cluster, dim)-keyed mean aggregation
+    * per round, emptied clusters keep their previous centroid. Shared by
+    * [[lloydIvfTopK]] and [[ivfPqTopK]]; the model state (numClusters ×
+    * dim doubles) is the only thing crossing the driver boundary.
+    */
+  private def trainLloydCentroids(
+      e: DataFrame, idCol: String, numClusters: Int,
+      iters: Int): Array[Seq[Double]] = {
     var cents: Array[Seq[Double]] = e.orderBy(col(idCol)).limit(numClusters)
       .select("v").collect()
       .map(_.getSeq[Float](0).map(_.toDouble): Seq[Double])
-    def assignExpr: Column = {
-      val alts = cents.zipWithIndex.map { case (c, i) =>
-        struct(l2Sq(col("v"), vecLit(c)).as("d"), lit(i).as("cl"))
-      }
-      array_min(array(alts.toIndexedSeq: _*)).getField("cl")
-    }
     (1 to iters).foreach { _ =>
-      val means = e.withColumn("cl", assignExpr)
+      val means = e.withColumn("cl", lloydAssign(cents))
         .select(col("cl"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cl", "dim").agg(avg("x").as("m"))
         .groupBy("cl").agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("p"))
@@ -236,15 +234,41 @@ object Similarity {
       // an emptied cluster keeps its previous centroid (deterministic)
       cents = cents.zipWithIndex.map { case (old, i) => means.getOrElse(i, old) }
     }
-    // probe the nProbe centroids nearest to the query (ties → lowest id)
+    cents
+  }
+
+  /** Argmin-over-centroids assignment: array_min over (distance, cluster)
+    * structs — struct ordering IS the lowest-cluster tie-break. */
+  private def lloydAssign(cents: Array[Seq[Double]]): Column = {
+    val alts = cents.zipWithIndex.map { case (c, i) =>
+      struct(l2Sq(col("v"), vecLit(c)).as("d"), lit(i).as("cl"))
+    }
+    array_min(array(alts.toIndexedSeq: _*)).getField("cl")
+  }
+
+  /** The nProbe centroids nearest the query by cosine (ties → lowest
+    * cluster id), computed driver-side over the k-sized model. */
+  private def probeNearest(
+      cents: Array[Seq[Double]], queryVec: Seq[Double],
+      nProbe: Int): Seq[Int] = {
     def cos(a: Seq[Double], b: Seq[Double]): Double = {
       val d = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
       if (d == 0) 0.0 else a.zip(b).map { case (x, y) => x * y }.sum / d
     }
-    val probed = cents.zipWithIndex
+    cents.zipWithIndex.toSeq
       .map { case (c, i) => (cos(c, queryVec), i) }
       .sortBy { case (s, i) => (-s, i) }.take(nProbe).map(_._2)
-    e.withColumn("cl", assignExpr)
+  }
+
+  def lloydIvfTopK(
+      emb: DataFrame, queryVec: Seq[Double], k: Int,
+      numClusters: Int = 8, iters: Int = 3, nProbe: Int = 3,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val e = emb.select(col(idCol), col(vecCol).as("v"))
+    val cents = trainLloydCentroids(e, idCol, numClusters, iters)
+    val probed = probeNearest(cents, queryVec, nProbe)
+    e.withColumn("cl", lloydAssign(cents))
       .filter(col("cl").isin(probed: _*))
       .select(col(idCol), round(cosine(col("v"), vecLit(queryVec)), 6).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
@@ -285,13 +309,22 @@ object Similarity {
     * centroid literals; the per-row code is a codegen'd argmin and the
     * reconstruction error indexes the literal codebook — no join, no UDF.
     */
-  def pqTrainEncodeLloyd(
-      emb: DataFrame, dim: Int = 64, m: Int = 4, k: Int = 16,
-      sampleN: Int = 2000, iters: Int = 3,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    graft.plans.GraftFunctions.register(emb.sparkSession)
-    require(dim % m == 0, s"dim $dim must split into $m subvectors")
-    val subDim = dim / m
+  /** Deterministic per-subvector PQ codebook training (fixed lowest-id
+    * init, lowest-code tie-break, emptied codes keep their centroid) —
+    * shared by [[pqTrainEncodeLloyd]] and [[ivfPqTopK]]. Returns the m
+    * codebooks of k subDim-dimensional centroids.
+    *
+    * Per-subvector Lloyd rounds: m small independent jobs per iteration
+    * over the cached sample. A fused one-job-per-round variant (explode
+    * over m subvector structs into one (sub, code, dim) aggregation)
+    * measured ~50% SLOWER at sf0.1 — the m-way generator tree costs more
+    * than the driver barriers it saves, and the sample is bounded by
+    * sampleN at any scale, so the extra barriers never grow with data.
+    */
+  private def trainPqBooks(
+      emb: DataFrame, vecCol: String, idCol: String,
+      subDim: Int, m: Int, k: Int, sampleN: Int,
+      iters: Int): Array[Array[Seq[Double]]] = {
     def subArr(i: Int): Column = slice(col(vecCol), i * subDim + 1, subDim)
     // the training sample is re-scanned every Lloyd round — cache the
     // narrow projection once instead of re-reading the source per job
@@ -303,23 +336,11 @@ object Similarity {
       .collect().map(_.getSeq[Float](0).map(_.toDouble))
     var books: Array[Array[Seq[Double]]] = Array.tabulate(m)(i =>
       initRows.map(v => v.slice(i * subDim, (i + 1) * subDim): Seq[Double]))
-    // argmin over codebook i: first position of the minimum distance —
-    // ties resolve to the LOWEST code, the same total order the oracle
-    // replays
-    def assignExpr(i: Int): Column = {
-      val d = array(books(i).map(c => l2Sq(subArr(i), vecLit(c))).toIndexedSeq: _*)
-      (array_position(d, array_min(d)) - 1).cast("int")
-    }
-    // Per-subvector Lloyd rounds: m small independent jobs per iteration
-    // over the cached sample. A fused one-job-per-round variant (explode
-    // over m subvector structs into one (sub, code, dim) aggregation)
-    // measured ~50% SLOWER at sf0.1 — the m-way generator tree costs more
-    // than the driver barriers it saves, and the sample is bounded by
-    // sampleN at any scale, so the extra barriers never grow with data.
     (0 until m).foreach { i =>
       (1 to iters).foreach { _ =>
         val means = sample
-          .select(assignExpr(i).as("cl"), posexplode(subArr(i)).as(Seq("dim", "x")))
+          .select(pqAssign(books, vecCol, subDim)(i).as("cl"),
+            posexplode(subArr(i)).as(Seq("dim", "x")))
           .groupBy("cl", "dim").agg(avg("x").as("mn"))
           .groupBy("cl").agg(array_sort(collect_list(struct(col("dim"), col("mn")))).as("p"))
           .select(col("cl"), transform(col("p"), q => q.getField("mn")).as("c"))
@@ -330,6 +351,30 @@ object Similarity {
         }
       }
     }
+    sample.unpersist(blocking = false)
+    books
+  }
+
+  /** Argmin over codebook i: first position of the minimum distance —
+    * ties resolve to the LOWEST code, the same total order the oracles
+    * replay. */
+  private def pqAssign(books: Array[Array[Seq[Double]]], vecCol: String,
+      subDim: Int)(i: Int): Column = {
+    val sub = slice(col(vecCol), i * subDim + 1, subDim)
+    val d = array(books(i).map(c => l2Sq(sub, vecLit(c))).toIndexedSeq: _*)
+    (array_position(d, array_min(d)) - 1).cast("int")
+  }
+
+  def pqTrainEncodeLloyd(
+      emb: DataFrame, dim: Int = 64, m: Int = 4, k: Int = 16,
+      sampleN: Int = 2000, iters: Int = 3,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    require(dim % m == 0, s"dim $dim must split into $m subvectors")
+    val subDim = dim / m
+    def subArr(i: Int): Column = slice(col(vecCol), i * subDim + 1, subDim)
+    val books = trainPqBooks(emb, vecCol, idCol, subDim, m, k, sampleN, iters)
+    def assignExpr(i: Int): Column = pqAssign(books, vecCol, subDim)(i)
     var out = emb.select(col(idCol), col(vecCol))
     var errExpr: Column = lit(0.0)
     (0 until m).foreach { i =>
@@ -339,10 +384,80 @@ object Similarity {
           (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
         lit(0.0), (acc, x) => acc + x)
     }
-    sample.unpersist(blocking = false)
     out.select(col(idCol),
       array((0 until m).map(i => col(s"code_$i")): _*).as("codes"),
       round(errExpr / dim, 6).as("mse"))
+  }
+
+  /** The production ANN stack in one operator — IVF-PQ with exact
+    * re-rank (Jégou et al. 2011, the composition every billion-vector
+    * serving system runs):
+    *
+    *   1. COARSE QUANTIZER: deterministic-Lloyd IVF centroids prune the
+    *      corpus to the nProbe inverted lists nearest the query.
+    *   2. ADC SCAN: surviving vectors are scored by asymmetric distance
+    *      — the exact query subvectors against each vector's PQ
+    *      codebook centroids, Σᵢ ‖q⁽ⁱ⁾ − cᵢ(codeᵢ)‖² — the m-byte-per-
+    *      vector pass that replaces reading m·subDim floats.
+    *   3. EXACT RE-RANK: only the rerankC best ADC candidates pay the
+    *      full-precision cosine; top-k of those is the answer.
+    *
+    * This variant encodes RAW vectors (IVFFlat-style lists + PQ codes);
+    * production IVFPQ encodes residuals v − centroid(v), which shrinks
+    * quantization error but couples the codebooks to the coarse
+    * quantizer — the deterministic training here keeps the two models
+    * independent so an external engine can replay both exactly.
+    *
+    * Scale shape: both models are driver-side literals (numClusters×dim
+    * + m×k×subDim doubles — kilobytes); the corpus pass is one filter
+    * (list membership) + codegen'd argmin encode + ADC arithmetic, then
+    * TakeOrderedAndProject twice (rerankC, then k). Nothing shuffles
+    * except the two bounded top-k merges.
+    */
+  def ivfPqTopK(
+      emb: DataFrame, queryVec: Seq[Double], k: Int,
+      numClusters: Int = 8, ivfIters: Int = 3, nProbe: Int = 3,
+      dim: Int = 64, m: Int = 4, codeK: Int = 16, sampleN: Int = 2000,
+      pqIters: Int = 3, rerankC: Int = 50,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    require(dim % m == 0, s"dim $dim must split into $m subvectors")
+    val subDim = dim / m
+    val e = emb.select(col(idCol), col(vecCol).as("v"))
+    val cents = trainLloydCentroids(e, idCol, numClusters, ivfIters)
+    val books = trainPqBooks(emb, vecCol, idCol, subDim, m, codeK,
+      sampleN, pqIters)
+    val probed = probeNearest(cents, queryVec, nProbe)
+    // ADC: the query's per-subvector distance to the vector's ASSIGNED
+    // codebook centroid, summed over subvectors in order — one fixed
+    // fold, so an external engine lands on the identical double
+    val adcExpr = (0 until m).map { i =>
+      val qSub = queryVec.slice(i * subDim, (i + 1) * subDim)
+      val code = pqAssign(books, "v", subDim)(i)
+      element_at(
+        typedLit(books(i).map(c => l2sqConst(qSub, c)).toSeq), code + 1)
+    }.reduce(_ + _)
+    val cands = e.withColumn("cl", lloydAssign(cents))
+      .filter(col("cl").isin(probed: _*))
+      .select(col(idCol), col("v"), round(adcExpr, 6).as("adc"))
+      .orderBy(col("adc").asc, col(idCol))
+      .limit(rerankC)
+    cands
+      .select(col(idCol), col("adc"),
+        round(cosine(col("v"), vecLit(queryVec)), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Exact driver-side ‖a−b‖² with the same left-to-right fold order the
+    * in-plan l2 expressions and DuckDB's list_sum use. */
+  private def l2sqConst(a: Seq[Double], b: Seq[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) {
+      val d = a(i) - b(i); acc += d * d; i += 1
+    }
+    acc
   }
 
   /** Product quantization (Jégou et al. 2011): split each vector into `m`

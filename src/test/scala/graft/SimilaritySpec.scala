@@ -91,6 +91,30 @@ class SimilaritySpec extends SparkSuite {
     assert(all === exact, "probing every learned list must equal brute force")
   }
 
+  test("ivfPqTopK(nProbe=3) recall@10 >= 0.5; full probe + full rerank equals brute force") {
+    val exact = topIds(Similarity.bruteForceTopK(base, queryVec, 10))
+    val approx = topIds(Similarity.ivfPqTopK(base, queryVec, 10))
+    val recall = approx.toSet.intersect(exact.toSet).size / 10.0
+    assert(recall >= 0.5, s"ivf-pq recall $recall")
+    // probe every list and re-rank every candidate: the PQ layer only
+    // ORDERS the candidate cut, so the exact re-rank must recover the
+    // brute-force answer precisely
+    val n = base.count().toInt
+    val all = topIds(Similarity.ivfPqTopK(base, queryVec, 10,
+      nProbe = 8, rerankC = n))
+    assert(all === exact,
+      "full probe + full rerank must equal brute force")
+  }
+
+  test("ivfPqTopK ADC is monotone-consistent: widening rerankC never hurts recall") {
+    val exact = topIds(Similarity.bruteForceTopK(base, queryVec, 10)).toSet
+    val r50 = topIds(Similarity.ivfPqTopK(base, queryVec, 10, rerankC = 50))
+      .toSet.intersect(exact).size
+    val r200 = topIds(Similarity.ivfPqTopK(base, queryVec, 10, rerankC = 200))
+      .toSet.intersect(exact).size
+    assert(r200 >= r50, s"rerankC=200 recall $r200 < rerankC=50 recall $r50")
+  }
+
   test("lloydIvfTopK is deterministic across invocations (no seed anywhere)") {
     val a = topIds(Similarity.lloydIvfTopK(base, queryVec, 10))
     val b = topIds(Similarity.lloydIvfTopK(base, queryVec, 10))
