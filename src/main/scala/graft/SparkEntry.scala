@@ -8026,7 +8026,266 @@ object SparkEntry {
            |  ROUND(list_cosine_similarity(e.v, q.qv), 6) AS cos
            |FROM topc t JOIN e ON t.vec_id = e.vec_id, q
            |ORDER BY cos DESC, t.vec_id LIMIT 10""".stripMargin
-      }))
+      }),
+
+    Q("cust_gini_revenue", // Gini concentration of customer revenue —
+      // the inequality summary behind "how concentrated is our demand".
+      // Closed form over ONE distributed range sort of the per-customer
+      // rollup (Scale.giniFromRanks): 2·Σ rank·x / (n·Σx) − (n+1)/n,
+      // no O(n²) pairwise |xᵢ−xⱼ| expansion, nothing but two partial
+      // sums at the driver. Ties commute in the formula, so the
+      // tie-break-free sort is still deterministic.
+      (s, d) => {
+        val rev = t(s, d, "orders").groupBy("o_custkey")
+          .agg(sum(col("o_totalprice").cast("double")).as("rev"))
+        val ranked = Scale.rankValues(rev, "rev")
+        val n = ranked.n
+        val g = try Scale.giniFromRanks(ranked) finally ranked.unpersist()
+        import s.implicits._
+        Seq((n, BigDecimal(g)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          .toDF("n_cust", "gini")
+      },
+      Some("""WITH rev AS (
+             |  SELECT o_custkey, SUM(CAST(o_totalprice AS DOUBLE)) AS rev
+             |  FROM orders GROUP BY o_custkey),
+             |r AS (SELECT rev, row_number() OVER (ORDER BY rev) AS rk FROM rev)
+             |SELECT COUNT(*) AS n_cust,
+             |  ROUND(2.0 * SUM(rk * rev) / (COUNT(*) * SUM(rev))
+             |    - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+             |FROM r""".stripMargin)),
+
+    Q("events_ks_drift", // two-sample Kolmogorov–Smirnov drift test per
+      // event type: max CDF gap of `value` between the first and second
+      // half of the month — the distribution-shift gate a training
+      // pipeline runs before mixing a new data window in. Counts
+      // collapse to the (type, value) grain first, then ONE keyed
+      // cumulative window builds both empirical CDFs; every input to
+      // the divisions is an exact integer, so the statistic is
+      // bit-deterministic.
+      (s, d) => {
+        val split = java.sql.Date.valueOf("2024-01-16")
+        val pts = t(s, d, "events")
+          .withColumn("side", (to_date(col("ts")) < lit(split)).cast("long"))
+          .groupBy(col("event_type"), col("value"))
+          .agg(sum(col("side")).as("ca"), sum(lit(1L) - col("side")).as("cb"))
+        val w = Window.partitionBy("event_type").orderBy("value")
+        val tw = Window.partitionBy("event_type")
+        pts
+          .withColumn("cuma", sum("ca").over(w))
+          .withColumn("cumb", sum("cb").over(w))
+          .withColumn("na", sum("ca").over(tw))
+          .withColumn("nb", sum("cb").over(tw))
+          .withColumn("dif", abs(col("cuma").cast("double") / col("na")
+            - col("cumb").cast("double") / col("nb")))
+          .groupBy("event_type")
+          .agg(max("na").as("n_a"), max("nb").as("n_b"),
+            round(max("dif"), 6).as("ks"))
+          .orderBy("event_type")
+      },
+      Some("""WITH pts AS (
+             |  SELECT event_type, value,
+             |    SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+             |        THEN 1 ELSE 0 END) AS ca,
+             |    SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+             |        THEN 0 ELSE 1 END) AS cb
+             |  FROM events GROUP BY 1, 2),
+             |c AS (
+             |  SELECT event_type,
+             |    SUM(ca) OVER (PARTITION BY event_type ORDER BY value) AS cuma,
+             |    SUM(cb) OVER (PARTITION BY event_type ORDER BY value) AS cumb,
+             |    SUM(ca) OVER (PARTITION BY event_type) AS na,
+             |    SUM(cb) OVER (PARTITION BY event_type) AS nb
+             |  FROM pts)
+             |SELECT event_type,
+             |  CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+             |  ROUND(MAX(ABS(CAST(cuma AS DOUBLE) / na
+             |    - CAST(cumb AS DOUBLE) / nb)), 6) AS ks
+             |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    Q("events_chi2_independence", // chi-square test of independence for
+      // event_type × ISO weekday: the "is activity mix day-of-week
+      // dependent" gate. Observed counts collapse to the ≤ types×7
+      // grain before any window touches them, so the margin windows run
+      // over a bounded relation; expected counts and the statistic are
+      // closed-form arithmetic on exact integers.
+      (s, d) => {
+        val o = t(s, d, "events")
+          .groupBy(col("event_type"),
+            (weekday(to_date(col("ts"))) + 1).as("dow"))
+          .agg(count(lit(1)).as("o"))
+        o.withColumn("rt", sum("o").over(Window.partitionBy("event_type")))
+          .withColumn("ct", sum("o").over(Window.partitionBy("dow")))
+          .withColumn("n", sum("o").over(Window.partitionBy()))
+          .withColumn("e", col("rt").cast("double") * col("ct") / col("n"))
+          .agg(round(sum(pow(col("o") - col("e"), 2) / col("e")), 6).as("chi2"),
+            ((countDistinct("event_type") - 1)
+              * (countDistinct("dow") - 1)).as("dof"),
+            max("n").as("n"))
+      },
+      Some("""WITH o AS (
+             |  SELECT event_type, isodow(CAST(ts AS DATE)) AS dow,
+             |    COUNT(*) AS o
+             |  FROM events GROUP BY 1, 2),
+             |x AS (
+             |  SELECT o,
+             |    CAST(SUM(o) OVER (PARTITION BY event_type) AS DOUBLE) AS rt,
+             |    CAST(SUM(o) OVER (PARTITION BY dow) AS DOUBLE) AS ct,
+             |    CAST(SUM(o) OVER () AS DOUBLE) AS n,
+             |    event_type, dow
+             |  FROM o)
+             |SELECT ROUND(SUM((o - rt * ct / n) * (o - rt * ct / n)
+             |    / (rt * ct / n)), 6) AS chi2,
+             |  CAST((COUNT(DISTINCT event_type) - 1)
+             |    * (COUNT(DISTINCT dow) - 1) AS BIGINT) AS dof,
+             |  CAST(MAX(n) AS BIGINT) AS n
+             |FROM x""".stripMargin)),
+
+    Q("events_top_paths", // most common 3-step event-type sequences —
+      // the path-mining view behind funnel design. One per-user ordered
+      // window (total order: ts then event_id) emits each trigram
+      // map-side via LEAD; the count is a plain hash aggregation on the
+      // bounded path key (≤ types³ distinct values).
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("e2", lead("event_type", 1).over(w))
+          .withColumn("e3", lead("event_type", 2).over(w))
+          .filter(col("e3").isNotNull)
+          .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+            .as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path")).limit(20)
+      },
+      Some("""WITH s AS (
+             |  SELECT event_type,
+             |    lead(event_type, 1) OVER
+             |      (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+             |    lead(event_type, 2) OVER
+             |      (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+             |  FROM events)
+             |SELECT event_type || '>' || e2 || '>' || e3 AS path,
+             |  COUNT(*) AS n
+             |FROM s WHERE e3 IS NOT NULL
+             |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin)),
+
+    Q("emb_pca_power", // dominant principal direction of the embedding
+      // Gram matrix by 3-round power iteration — the spectral summary
+      // behind whitening / anisotropy checks on an embedding corpus.
+      // Each round is two distributed passes (s = X·v map-side, then
+      // u = Xᵀ·s as a d-keyed aggregation): the d×d covariance is never
+      // materialized and only a d-vector reaches the driver, which is
+      // the shape that survives 100 TB of vectors. Inputs, per-row
+      // projections, and the iterate are rounded to 6 dp each round so
+      // the oracle replays the identical arithmetic.
+      (s, d) => {
+        val v = Similarity.powerIteration(t(s, d, "embeddings"),
+          "embedding", dim = 64, iters = 3, scale = 6)
+        import s.implicits._
+        v.toSeq.zipWithIndex.map { case (x, i) => (i + 1, x) }
+          .toDF("dim", "loading")
+      },
+      Some {
+        def itr(prev: String, k: Int): String =
+          s"""s$k AS (SELECT vec_id, ROUND(SUM(x * $prev.val), 6) AS s
+             |  FROM e JOIN $prev USING (dim) GROUP BY vec_id),
+             |u$k AS (SELECT dim, SUM(e.x * s$k.s) AS u
+             |  FROM e JOIN s$k USING (vec_id) GROUP BY dim),
+             |n$k AS (SELECT SQRT(SUM(u * u)) AS nrm FROM u$k),
+             |v$k AS (SELECT dim, ROUND(u / (SELECT nrm FROM n$k), 6) AS val
+             |  FROM u$k)""".stripMargin
+        s"""WITH e AS (
+           |  SELECT vec_id, CAST(i AS INT) AS dim,
+           |    ROUND(CAST(embedding[i] AS DOUBLE), 6) AS x
+           |  FROM embeddings, range(1, 65) t(i)),
+           |v0 AS (SELECT CAST(dim AS INT) AS dim, CAST(0.125 AS DOUBLE) AS val
+           |  FROM range(1, 65) t(dim)),
+           |${itr("v0", 1)},
+           |${itr("v1", 2)},
+           |${itr("v2", 3)},
+           |sg AS (SELECT CASE WHEN (SELECT val FROM v3
+           |    ORDER BY ABS(val) DESC, dim LIMIT 1) < 0
+           |  THEN -1.0 ELSE 1.0 END AS s)
+           |SELECT dim, ROUND(val * (SELECT s FROM sg), 6) + 0.0 AS loading
+           |FROM v3 ORDER BY dim""".stripMargin
+      }),
+
+    Q("dq_fd_discovery", // functional-dependency audit over a candidate
+      // set: which column→column determinations hold, and for the ones
+      // that fail, the g1 error (minimum rows to delete for the FD to
+      // hold — the TANE-profiler counting form). Two hash aggregations
+      // per candidate on the lhs key; never pairwise.
+      (s, d) => {
+        val c = t(s, d, "customer")
+        Seq(
+          ("c_custkey->c_nationkey", col("c_custkey"), col("c_nationkey")),
+          ("c_mktsegment->c_nationkey", col("c_mktsegment"), col("c_nationkey")),
+          ("c_name->c_custkey", col("c_name"), col("c_custkey")),
+          ("c_nationkey->c_mktsegment", col("c_nationkey"), col("c_mktsegment")))
+          .map { case (nm, l, r) =>
+            graft.operators.DataQuality.fdAudit(c, nm, l, r)
+          }
+          .reduce(_ unionByName _)
+          .orderBy("fd")
+      },
+      Some {
+        def cand(nm: String, l: String, r: String): String =
+          s"""SELECT '$nm' AS fd,
+             |  CAST(COUNT(*) AS BIGINT) AS lhs_groups,
+             |  CAST(SUM(CASE WHEN nrhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS violating_groups,
+             |  CAST(SUM(tot - mx) AS BIGINT) AS g1_rows
+             |FROM (
+             |  SELECT l, SUM(c) AS tot, MAX(c) AS mx, COUNT(*) AS nrhs
+             |  FROM (SELECT $l AS l, $r AS r, COUNT(*) AS c
+             |        FROM customer GROUP BY 1, 2) g
+             |  GROUP BY l) x""".stripMargin
+        s"""${cand("c_custkey->c_nationkey", "c_custkey", "c_nationkey")}
+           |UNION ALL
+           |${cand("c_mktsegment->c_nationkey", "c_mktsegment", "c_nationkey")}
+           |UNION ALL
+           |${cand("c_name->c_custkey", "c_name", "c_custkey")}
+           |UNION ALL
+           |${cand("c_nationkey->c_mktsegment", "c_nationkey", "c_mktsegment")}
+           |ORDER BY fd""".stripMargin
+      }),
+
+    Q("doc_vocab_coverage", // cumulative token-coverage curve: what
+      // share of all token occurrences the top-k vocabulary entries
+      // cover, at k ∈ {1,2,4,8,16} — the curve that sizes a tokenizer
+      // vocabulary. The explode collapses map-side into the
+      // vocabulary-sized term grain before the (benign, bounded)
+      // global-order window runs.
+      (s, d) => {
+        val counts = t(s, d, "documents")
+          .select(explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("tf"))
+        val w = Window.orderBy(col("tf").desc, col("term"))
+        counts
+          .withColumn("rk", row_number().over(w))
+          .withColumn("cum", sum("tf").over(w))
+          .withColumn("tot", sum("tf").over(Window.partitionBy()))
+          .filter(col("rk").isin(1, 2, 4, 8, 16))
+          .select(col("rk").as("vocab_k"),
+            round(col("cum").cast("double") / col("tot"), 6).as("coverage"))
+          .orderBy("vocab_k")
+      },
+      Some("""WITH tf AS (
+             |  SELECT term, COUNT(*) AS tf FROM (
+             |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+             |      AS term
+             |    FROM documents) GROUP BY term),
+             |r AS (
+             |  SELECT CAST(row_number() OVER (ORDER BY tf DESC, term) AS INT)
+             |      AS vocab_k,
+             |    SUM(tf) OVER (ORDER BY tf DESC, term) AS cum,
+             |    SUM(tf) OVER () AS tot
+             |  FROM tf)
+             |SELECT vocab_k, ROUND(CAST(cum AS DOUBLE) / tot, 6) AS coverage
+             |FROM r WHERE vocab_k IN (1, 2, 4, 8, 16)
+             |ORDER BY vocab_k""".stripMargin)))
   // -- driver contract ------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {

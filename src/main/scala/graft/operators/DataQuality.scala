@@ -233,6 +233,24 @@ object DataQuality {
     * tie order. All sums are integer-exact; the only floating point is
     * the final three divisions, so the report is bit-deterministic.
     */
+  /** Functional-dependency audit for one candidate `lhs → rhs`: does each
+    * lhs value determine a single rhs value, and if not, how far off is
+    * the data? `g1_rows` is the classic g1 error from the FD-discovery
+    * literature (TANE-family profilers) — the minimum number of rows to
+    * delete so the FD holds exactly, N − Σ_lhs max_rhs count — computed
+    * as two keyed hash aggregations on the lhs key, never a pairwise
+    * comparison, so the shape is two shuffles regardless of table size.
+    */
+  def fdAudit(df: DataFrame, name: String, lhs: Column, rhs: Column): DataFrame =
+    df.groupBy(lhs.as("_l"), rhs.as("_r")).agg(count(lit(1)).as("_c"))
+      .groupBy("_l").agg(sum("_c").as("_tot"), max("_c").as("_mx"),
+        count(lit(1)).as("_nrhs"))
+      .agg(count(lit(1)).as("lhs_groups"),
+        sum(when(col("_nrhs") > 1, 1L).otherwise(0L)).as("violating_groups"),
+        sum(col("_tot") - col("_mx")).as("g1_rows"))
+      .select(lit(name).as("fd"), col("lhs_groups"),
+        col("violating_groups"), col("g1_rows"))
+
   def keySkewReport(df: DataFrame, keyCol: String): DataFrame = {
     val perKey = df.groupBy(col(keyCol).as("_key"))
       .agg(count(lit(1)).as("_c"))

@@ -177,6 +177,31 @@ object Scale {
         lit(r(cuts(1)))))
   }
 
+  /** Gini concentration coefficient over an already-ranked value view:
+    * with values sorted ascending (0-based ranks i), the closed form is
+    *   G = 2·Σ(i+1)·xᵢ / (n·Σxᵢ) − (n+1)/n,
+    * i.e. ONE distributed pass of (rank·value, value) partial sums over
+    * the shared range sort — no pairwise |xᵢ−xⱼ| expansion (the O(n²)
+    * textbook form) and no single-node sort. Values must be
+    * non-negative (revenue, counts); returns NaN on an empty or
+    * all-zero population.
+    */
+  def giniFromRanks(ranked: RankedValues): Double = {
+    val n = ranked.n
+    if (n == 0) return Double.NaN
+    val (sumRankVal, sumVal) = ranked.rdd
+      .map { case (i, x) => ((i + 1).toDouble * x, x) }
+      .treeReduce { case ((a1, b1), (a2, b2)) => (a1 + a2, b1 + b2) }
+    if (sumVal == 0.0) Double.NaN
+    else 2.0 * sumRankVal / (n.toDouble * sumVal) - (n + 1).toDouble / n
+  }
+
+  /** [[giniFromRanks]] including the sort: one range exchange, one pass. */
+  def gini(df: DataFrame, valueCol: String): Double = {
+    val ranked = rankValues(df, valueCol)
+    try giniFromRanks(ranked) finally ranked.unpersist()
+  }
+
   /** Exact equi-depth (NTILE) histogram over a total order WITHOUT the
     * single-reducer window: an unpartitioned `ntile(k).over(orderBy…)`
     * funnels every row through ONE task's sort — the 100 TB

@@ -177,6 +177,44 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("dim"), col("mean")))).as("pairs"))
       .select(col("cluster"), transform(col("pairs"), p => p.getField("mean")).as("centroid"))
 
+  /** Dominant principal direction of the (uncentered) Gram matrix XᵀX by
+    * fixed-round power iteration, computed as two DISTRIBUTED passes per
+    * round — s = X·v (per-row dot product, map-only) then u = Xᵀ·s (a
+    * d-sized keyed aggregation of per-row x·s contributions) — so the
+    * d×d covariance is never materialized and nothing larger than one
+    * d-vector ever reaches the driver (the same k-sized-model contract
+    * as the Lloyd/PQ trainers above). Inputs and the iterate are
+    * rounded to `scale` decimals each round so an independent engine
+    * (the DuckDB oracle) can replay the arithmetic bit-for-bit; the sign
+    * ambiguity of an eigenvector is fixed by making the largest-|loading|
+    * component (smallest dim on ties) positive.
+    */
+  def powerIteration(emb: DataFrame, vecCol: String = "embedding",
+      dim: Int = 64, iters: Int = 3, scale: Int = 6): Array[Double] = {
+    def rnd(x: Double) = BigDecimal(x)
+      .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val base = emb
+      .select(transform(col(vecCol), c => round(c.cast("double"), scale)).as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var v: Array[Double] = Array.fill(dim)(rnd(1.0 / math.sqrt(dim.toDouble)))
+      for (_ <- 1 to iters) {
+        val vLit = array(v.map(lit).toIndexedSeq: _*)
+        val dot = aggregate(zip_with(col("x"), vLit, (a, b) => a * b),
+          lit(0.0), (acc, e) => acc + e)
+        val u = base.withColumn("s", round(dot, scale))
+          .select(posexplode(col("x")).as(Seq("dim0", "xi")), col("s"))
+          .groupBy("dim0").agg(sum(col("xi") * col("s")).as("u"))
+          .orderBy("dim0").collect().map(_.getDouble(1))
+        val norm = math.sqrt(u.map(t => t * t).sum)
+        v = u.map(t => rnd(t / norm))
+      }
+      val lead = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      val signed = if (v(lead) < 0) v.map(t => -t) else v
+      signed.map(t => if (t == 0.0) 0.0 else t)
+    } finally { base.unpersist(blocking = false); () }
+  }
+
   /** IVF ANN top-k: rank centroids against the query driver-side is not
     * needed — do it in-plan: pick the nProbe nearest inverted lists, then
     * exact-rank only rows in those lists. Two narrow joins, one broadcast.

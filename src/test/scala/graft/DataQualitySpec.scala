@@ -187,4 +187,19 @@ class DataQualitySpec extends SparkSuite {
       .as[(Long, Long, Long, Double, Double, Double, Double)].head()
     assert(u === ((4L, 12L, 3L, 3.0, 0.25, 0.25, 0.0)))
   }
+
+  test("fdAudit: holding FD reports zero error; broken FD counts g1 exactly") {
+    val df = Seq(
+      ("a", 1, "x"), ("a", 1, "y"), ("b", 2, "x"),
+      ("b", 2, "x"), ("c", 2, "y")).toDF("k", "n", "s")
+    // k -> n holds: every k maps to one n
+    val hold = DataQuality.fdAudit(df, "k->n", col("k"), col("n"))
+      .as[(String, Long, Long, Long)].head()
+    assert(hold === (("k->n", 3L, 0L, 0L)))
+    // n -> s broken for n=2 (x,x,y): delete 1 row to fix; n=1 has (x,y):
+    // delete 1 row -> 2 violating groups, g1 = 2
+    val broken = DataQuality.fdAudit(df, "n->s", col("n"), col("s"))
+      .as[(String, Long, Long, Long)].head()
+    assert(broken === (("n->s", 2L, 2L, 2L)))
+  }
 }

@@ -171,6 +171,8 @@ class PlanQualitySpec extends SparkSuite {
         "emb_silhouette_report", // 10-row centroid-table fan-out
         "doc_bigram_entropy", // 1-row x 1-row entropy-terms assembly
         "events_time_weighted_value", // 1-row max-timestamp anchor
+        "graph_modularity", // 1-row m × 1-row intra-edge-count assembly
+        "cust_blocking_quality", // 1-row n_total broadcast onto 3 report rows
         "graph_triangles")) // 1-row stats × 1-row triangle-count assembly
         // and the other names above: 1-row corpus-
       // stats broadcast: a nested-loop join against a single-row build

@@ -200,4 +200,19 @@ class ScaleSpec extends SparkSuite {
     assert(g2.count() === 4L)
     assert(g2.agg(sum("n")).head().getLong(0) === 4L)
   }
+
+  test("gini: uniform 1..n hits the closed form, equality is 0, spike is (n-1)/n") {
+    // uniform 1..n has G = (n-1)/(3n); n=4 -> 0.25
+    val uniform = (1 to 4).map(_.toDouble).toDF("v")
+    assert(math.abs(Scale.gini(uniform, "v") - 0.25) < 1e-12)
+    // perfectly equal values -> 0 regardless of tie order
+    val equalVals = Seq.fill(7)(3.5).toDF("v")
+    assert(math.abs(Scale.gini(equalVals, "v")) < 1e-12)
+    // all mass on one holder -> (n-1)/n
+    val spike = (Seq.fill(9)(0.0) :+ 100.0).toDF("v")
+    assert(math.abs(Scale.gini(spike, "v") - 0.9) < 1e-12)
+    // empty and all-zero populations are undefined, not garbage
+    assert(Scale.gini(Seq.empty[Double].toDF("v"), "v").isNaN)
+    assert(Scale.gini(Seq(0.0, 0.0).toDF("v"), "v").isNaN)
+  }
 }

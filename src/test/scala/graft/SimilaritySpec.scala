@@ -197,4 +197,22 @@ class SimilaritySpec extends SparkSuite {
     assert(buckets.distinct.length === 9)
     assert(buckets.head === 5L)
   }
+
+  test("powerIteration recovers the dominant direction, unit norm, fixed sign") {
+    // corpus dominated by ±e1 with small noise on e2: the top singular
+    // direction of X is e1; the sign convention must make it +e1 even
+    // though half the rows point the other way
+    val rows = (1 to 16).map { i =>
+      val s = if (i % 2 == 0) 1.0f else -1.0f
+      Tuple1(Seq(10.0f * s, 0.1f * (i % 3), 0.0f, 0.0f))
+    }
+    val df = rows.toDF("embedding")
+    val v = Similarity.powerIteration(df, "embedding", dim = 4, iters = 3)
+    assert(v.length === 4)
+    assert(v(0) > 0.99, s"dominant loading not recovered: ${v.toSeq}")
+    assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-4)
+    // deterministic across invocations (no randomness anywhere)
+    val v2 = Similarity.powerIteration(df, "embedding", dim = 4, iters = 3)
+    assert(v.toSeq === v2.toSeq)
+  }
 }
