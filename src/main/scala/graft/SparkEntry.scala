@@ -8285,7 +8285,197 @@ object SparkEntry {
              |  FROM tf)
              |SELECT vocab_k, ROUND(CAST(cum AS DOUBLE) / tot, 6) AS coverage
              |FROM r WHERE vocab_k IN (1, 2, 4, 8, 16)
-             |ORDER BY vocab_k""".stripMargin)))
+             |ORDER BY vocab_k""".stripMargin)),
+
+    Q("cust_er_golden", // entity resolution end-to-end: the fuzzy name
+      // pairs (nation-blocked bounded Levenshtein, the cust_fuzzy_pairs
+      // candidate scheme) collapse through connected components into
+      // golden-record clusters — canonical id = min reachable key, one
+      // row per merged entity with its member set. The pair list is the
+      // small side (output of matching, not the corpus), so components
+      // run on edges only; the oracle closes the same pairs with a
+      // recursive CTE.
+      (s, d) => {
+        val pairs = Dedup.editDistancePairs(
+          t(s, d, "customer"), blockCol = "c_nationkey",
+          strCol = "c_name", idCol = "c_custkey", maxDist = 2)
+        Dedup.dupClustersOf(Dedup.connectedComponents(pairs))
+          .withColumnRenamed("cluster_id", "canonical_id")
+          .orderBy("canonical_id")
+      },
+      Some("""WITH RECURSIVE c AS (
+             |  SELECT c_nationkey, c_custkey, c_name,
+             |    row_number() OVER (PARTITION BY c_nationkey
+             |      ORDER BY c_custkey) AS rn
+             |  FROM customer),
+             |p AS (
+             |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+             |  FROM c a JOIN c b
+             |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+             |  WHERE a.rn <= 10000 AND b.rn <= 10000
+             |    AND levenshtein(a.c_name, b.c_name) <= 2),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+             |          UNION SELECT id_b, id_a FROM p),
+             |reach(id, r) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+             |comp AS (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id)
+             |SELECT canonical_id, COUNT(*) AS n_members,
+             |  array_to_string(list_sort(list(id)), ',') AS members
+             |FROM comp GROUP BY canonical_id ORDER BY canonical_id""".stripMargin)),
+
+    Q("events_mannwhitney_weekend", // Mann–Whitney rank-sum test per
+      // event type: does `value` distribute differently on weekends?
+      // The nonparametric two-sample companion to events_ks_drift.
+      // Midranks come from ONE keyed cumulative window over the
+      // (type, value) grain; every term is an exact integer or exact
+      // half, so U and the rank-biserial effect size are
+      // bit-deterministic with no tolerance.
+      (s, d) => {
+        val pts = t(s, d, "events")
+          .withColumn("we",
+            (weekday(to_date(col("ts"))) >= 5).cast("long"))
+          .groupBy(col("event_type"), col("value"))
+          .agg(sum(col("we")).as("ca"), sum(lit(1L) - col("we")).as("cb"))
+        val w = Window.partitionBy("event_type").orderBy("value")
+        pts.withColumn("c", col("ca") + col("cb"))
+          .withColumn("mid",
+            (sum("c").over(w) - col("c")).cast("double")
+              + (col("c") + lit(1)).cast("double") / 2)
+          .groupBy("event_type")
+          .agg(sum("ca").as("n_we"), sum("cb").as("n_wd"),
+            sum(col("ca") * col("mid")).as("r_we"))
+          .withColumn("u_we", col("r_we")
+            - col("n_we").cast("double") * (col("n_we") + 1) / 2)
+          .select(col("event_type"), col("n_we"), col("n_wd"),
+            round(col("u_we"), 1).as("u_we"),
+            round(lit(2.0) * col("u_we")
+              / (col("n_we") * col("n_wd")) - 1, 6).as("rank_biserial"))
+          .orderBy("event_type")
+      },
+      Some("""WITH pts AS (
+             |  SELECT event_type, value,
+             |    SUM(CASE WHEN isodow(CAST(ts AS DATE)) >= 6
+             |        THEN 1 ELSE 0 END) AS ca,
+             |    SUM(CASE WHEN isodow(CAST(ts AS DATE)) >= 6
+             |        THEN 0 ELSE 1 END) AS cb
+             |  FROM events GROUP BY 1, 2),
+             |m AS (
+             |  SELECT event_type, ca, cb,
+             |    CAST(SUM(ca + cb) OVER (PARTITION BY event_type
+             |        ORDER BY value) - (ca + cb) AS DOUBLE)
+             |      + (ca + cb + 1) / 2.0 AS mid
+             |  FROM pts),
+             |agg AS (
+             |  SELECT event_type,
+             |    CAST(SUM(ca) AS BIGINT) AS n_we,
+             |    CAST(SUM(cb) AS BIGINT) AS n_wd,
+             |    SUM(ca * mid) AS r_we
+             |  FROM m GROUP BY event_type)
+             |SELECT event_type, n_we, n_wd,
+             |  ROUND(r_we - CAST(n_we AS DOUBLE) * (n_we + 1) / 2, 1) AS u_we,
+             |  ROUND(2.0 * (r_we - CAST(n_we AS DOUBLE) * (n_we + 1) / 2)
+             |    / (n_we * n_wd) - 1, 6) AS rank_biserial
+             |FROM agg ORDER BY event_type""".stripMargin)),
+
+    Q("events_mutual_information", // mutual information between event
+      // type and hour-of-day (plus both marginal entropies and the
+      // normalized MI): the dependence summary that — unlike chi-square
+      // — is in interpretable nats and feeds feature-selection
+      // pipelines directly. Counts collapse to the ≤ types×24 grain
+      // before the margin windows; every probability is an exact
+      // integer ratio.
+      (s, d) => {
+        val o = t(s, d, "events")
+          .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+          .agg(count(lit(1)).as("o"))
+        o.withColumn("rt", sum("o").over(Window.partitionBy("event_type")))
+          .withColumn("ct", sum("o").over(Window.partitionBy("hr")))
+          .withColumn("n", sum("o").over(Window.partitionBy()))
+          .withColumn("p", col("o").cast("double") / col("n"))
+          .agg(
+            round(sum(col("p") * log(col("o").cast("double") * col("n")
+              / (col("rt") * col("ct")))), 6).as("mi_nats"),
+            round(-sum(col("p")
+              * log(col("rt").cast("double") / col("n"))), 6).as("h_type"),
+            round(-sum(col("p")
+              * log(col("ct").cast("double") / col("n"))), 6).as("h_hour"))
+          .withColumn("nmi", round(col("mi_nats")
+            / least(col("h_type"), col("h_hour")), 6))
+      },
+      Some("""WITH o AS (
+             |  SELECT event_type, hour(ts) AS hr, COUNT(*) AS o
+             |  FROM events GROUP BY 1, 2),
+             |x AS (
+             |  SELECT o,
+             |    SUM(o) OVER (PARTITION BY event_type) AS rt,
+             |    SUM(o) OVER (PARTITION BY hr) AS ct,
+             |    SUM(o) OVER () AS n
+             |  FROM o),
+             |agg AS (
+             |  SELECT
+             |    ROUND(SUM((CAST(o AS DOUBLE) / n)
+             |      * ln(CAST(o AS DOUBLE) * n / (rt * ct))), 6) AS mi_nats,
+             |    ROUND(-SUM((CAST(o AS DOUBLE) / n)
+             |      * ln(CAST(rt AS DOUBLE) / n)), 6) AS h_type,
+             |    ROUND(-SUM((CAST(o AS DOUBLE) / n)
+             |      * ln(CAST(ct AS DOUBLE) / n)), 6) AS h_hour
+             |  FROM x)
+             |SELECT mi_nats, h_type, h_hour,
+             |  ROUND(mi_nats / least(h_type, h_hour), 6) AS nmi
+             |FROM agg""".stripMargin)),
+
+    Q("orders_kendall_tau", // Kendall τ-b rank correlation between time
+      // and monthly order volume — the robust monotone-trend companion
+      // to the OLS/Theil–Sen fits. Orders roll to the bounded ~80-row
+      // month grain FIRST; the pairwise pass is a self-join of that
+      // bounded series (≈3k pairs, a deliberate small-relation
+      // cross-product like the Theil–Sen oracle), with the tie
+      // correction from a count-of-counts aggregate. All concordance
+      // counts are exact integers.
+      (s, d) => {
+        val m = t(s, d, "orders")
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+          .agg(count(lit(1)).as("cnt"))
+        val a = m.select(col("ym").as("ym_a"), col("cnt").as("cnt_a"))
+        val b = m.select(col("ym").as("ym_b"), col("cnt").as("cnt_b"))
+        val pairs = a.join(b, col("ym_a") < col("ym_b"))
+          .agg(
+            sum(when(col("cnt_b") > col("cnt_a"), 1L).otherwise(0L))
+              .as("concordant"),
+            sum(when(col("cnt_b") < col("cnt_a"), 1L).otherwise(0L))
+              .as("discordant"))
+        val ties = m.groupBy("cnt").agg(count(lit(1)).as("tb"))
+          .agg(sum(col("tb") * (col("tb") - 1) / 2).as("n2"),
+            sum(col("tb")).as("n"))
+        pairs.crossJoin(broadcast(ties))
+          .select(col("n").as("n_months"), col("concordant"),
+            col("discordant"),
+            round((col("concordant") - col("discordant")).cast("double")
+              / sqrt((col("n") * (col("n") - 1) / 2).cast("double")
+                * ((col("n") * (col("n") - 1) / 2) - col("n2"))), 6)
+              .as("tau_b"))
+      },
+      Some("""WITH m AS (
+             |  SELECT strftime(o_orderdate, '%Y-%m') AS ym, COUNT(*) AS cnt
+             |  FROM orders GROUP BY 1),
+             |p AS (
+             |  SELECT
+             |    CAST(SUM(CASE WHEN b.cnt > a.cnt THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS concordant,
+             |    CAST(SUM(CASE WHEN b.cnt < a.cnt THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS discordant
+             |  FROM m a JOIN m b ON a.ym < b.ym),
+             |t AS (
+             |  SELECT CAST(SUM(tb * (tb - 1) / 2) AS BIGINT) AS n2,
+             |    CAST(SUM(tb) AS BIGINT) AS n
+             |  FROM (SELECT cnt, COUNT(*) AS tb FROM m GROUP BY cnt))
+             |SELECT n AS n_months, concordant, discordant,
+             |  ROUND((concordant - discordant)
+             |    / sqrt(CAST(n * (n - 1) / 2 AS DOUBLE)
+             |      * (n * (n - 1) / 2 - n2)), 6) AS tau_b
+             |FROM p, t""".stripMargin)))
   // -- driver contract ------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
