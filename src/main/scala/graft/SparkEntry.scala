@@ -8475,7 +8475,220 @@ object SparkEntry {
              |  ROUND((concordant - discordant)
              |    / sqrt(CAST(n * (n - 1) / 2 AS DOUBLE)
              |      * (n * (n - 1) / 2 - n2)), 6) AS tau_b
-             |FROM p, t""".stripMargin)))
+             |FROM p, t""".stripMargin)),
+
+    Q("emb_davies_bouldin", // Davies–Bouldin cluster-quality report in
+      // cosine distance: per label, within-cluster scatter s_i (mean
+      // 1−cos to the own centroid) and the worst (s_i+s_j)/d_ij ratio
+      // against every other centroid — the second standard clustering
+      // index next to emb_silhouette_report, graded per cluster so the
+      // offender is named. Centroid dims round to 6dp first and the
+      // scatters round BEFORE the ratio, so both engines divide
+      // identical numbers; all centroid-grid work is a bounded k×k
+      // fan-out.
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"), x => x.cast("double")).as("emb"))
+        val cents = Similarity.centroids(t(s, d, "embeddings"))
+          .select(col("cluster"),
+            transform(col("centroid"), x => round(x, 6)).as("cent"))
+        val scatter = e
+          .join(broadcast(cents), col("label") === col("cluster"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vectors"),
+            round(avg(lit(1.0)
+              - VectorFunctions.cosine(col("emb"), col("cent"))), 6)
+              .as("s_own"))
+        val a = cents.select(col("cluster").as("la"), col("cent").as("ca"))
+        val b = cents.select(col("cluster").as("lb"), col("cent").as("cb"))
+        val grid = a.crossJoin(broadcast(b)).filter(col("la") =!= col("lb"))
+          .select(col("la"), col("lb"),
+            (lit(1.0) - VectorFunctions.cosine(col("ca"), col("cb")))
+              .as("d_ij"))
+        val sa = scatter.select(col("label").as("la"), col("n_vectors"),
+          col("s_own").as("sa"))
+        val sb = scatter.select(col("label").as("lb"), col("s_own").as("sb"))
+        val wPick = Window.partitionBy("la")
+          .orderBy(col("ratio").desc, col("lb"))
+        grid.join(sa, Seq("la")).join(sb, Seq("lb"))
+          .withColumn("ratio", (col("sa") + col("sb")) / col("d_ij"))
+          .withColumn("rn", row_number().over(wPick))
+          .filter(col("rn") === 1)
+          .select(col("la").as("label"), col("n_vectors"),
+            col("sa").as("s_own"), col("lb").as("worst_other"),
+            round(col("ratio"), 6).as("db_ratio"))
+          .orderBy("label")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, label,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+             |  FROM embeddings),
+             |cd AS (SELECT label AS cluster, i AS dim,
+             |    ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS m
+             |  FROM embeddings, range(1, 65) t(i) GROUP BY 1, 2),
+             |c AS (SELECT cluster, list(m ORDER BY dim) AS cent
+             |  FROM cd GROUP BY cluster),
+             |sc AS (
+             |  SELECT e.label, COUNT(*) AS n_vectors,
+             |    ROUND(AVG(1.0 - list_cosine_similarity(emb, cent)), 6) AS s_own
+             |  FROM e JOIN c ON e.label = c.cluster GROUP BY e.label),
+             |grid AS (
+             |  SELECT a.cluster AS la, b.cluster AS lb,
+             |    1.0 - list_cosine_similarity(a.cent, b.cent) AS d_ij
+             |  FROM c a JOIN c b ON a.cluster <> b.cluster),
+             |r AS (
+             |  SELECT la, lb, sa.n_vectors, sa.s_own AS sa, sb.s_own AS sb,
+             |    (sa.s_own + sb.s_own) / d_ij AS ratio
+             |  FROM grid
+             |  JOIN sc sa ON grid.la = sa.label
+             |  JOIN sc sb ON grid.lb = sb.label),
+             |pick AS (
+             |  SELECT la, lb, n_vectors, sa, ratio, row_number() OVER (
+             |    PARTITION BY la ORDER BY ratio DESC, lb) AS rn
+             |  FROM r)
+             |SELECT la AS label, n_vectors, sa AS s_own,
+             |  lb AS worst_other, ROUND(ratio, 6) AS db_ratio
+             |FROM pick WHERE rn = 1 ORDER BY label""".stripMargin)),
+
+    Q("emb_pca_explained", // explained-variance ratio of the top
+      // principal direction: the Rayleigh quotient Σ(x·v)² over the
+      // total energy Σ‖x‖², with v the emb_pca_power iterate — the
+      // "how anisotropic is this embedding space" number that decides
+      // whether whitening is worth a pipeline stage. Two map-side
+      // passes; per-row projections round to 6dp exactly as the
+      // iteration rounds them, so both engines square identical
+      // numbers; λ is sign-invariant so no flip is needed.
+      (s, d) => {
+        val v = Similarity.powerIteration(t(s, d, "embeddings"),
+          "embedding", dim = 64, iters = 3, scale = 6)
+        val vLit = array(v.map(lit).toIndexedSeq: _*)
+        val x = transform(col("embedding"), c => round(c.cast("double"), 6))
+        val proj = round(aggregate(zip_with(x, vLit, (a, b) => a * b),
+          lit(0.0), (acc, e) => acc + e), 6)
+        val energy = aggregate(transform(x, c => c * c),
+          lit(0.0), (acc, e) => acc + e)
+        t(s, d, "embeddings")
+          .select(proj.as("s"), energy.as("en"))
+          .agg(round(sum(col("s") * col("s")), 4).as("lambda1"),
+            round(sum(col("en")), 4).as("total_var"),
+            round(sum(col("s") * col("s")) / sum(col("en")), 6).as("evr"))
+      },
+      Some {
+        def itr(prev: String, k: Int): String =
+          s"""s$k AS (SELECT vec_id, ROUND(SUM(x * $prev.val), 6) AS s
+             |  FROM e JOIN $prev USING (dim) GROUP BY vec_id),
+             |u$k AS (SELECT dim, SUM(e.x * s$k.s) AS u
+             |  FROM e JOIN s$k USING (vec_id) GROUP BY dim),
+             |n$k AS (SELECT SQRT(SUM(u * u)) AS nrm FROM u$k),
+             |v$k AS (SELECT dim, ROUND(u / (SELECT nrm FROM n$k), 6) AS val
+             |  FROM u$k)""".stripMargin
+        s"""WITH e AS (
+           |  SELECT vec_id, CAST(i AS INT) AS dim,
+           |    ROUND(CAST(embedding[i] AS DOUBLE), 6) AS x
+           |  FROM embeddings, range(1, 65) t(i)),
+           |v0 AS (SELECT CAST(dim AS INT) AS dim, CAST(0.125 AS DOUBLE) AS val
+           |  FROM range(1, 65) t(dim)),
+           |${itr("v0", 1)},
+           |${itr("v1", 2)},
+           |${itr("v2", 3)},
+           |proj AS (SELECT vec_id, ROUND(SUM(x * v3.val), 6) AS s
+           |  FROM e JOIN v3 USING (dim) GROUP BY vec_id),
+           |tot AS (SELECT SUM(x * x) AS en FROM e)
+           |SELECT ROUND(SUM(s * s), 4) AS lambda1,
+           |  ROUND((SELECT en FROM tot), 4) AS total_var,
+           |  ROUND(SUM(s * s) / (SELECT en FROM tot), 6) AS evr
+           |FROM proj""".stripMargin
+      }),
+
+    Q("graph_degree_powerlaw", // co-purchase degree distribution with a
+      // Hill/Clauset tail-exponent estimate (continuous MLE with the
+      // −0.5 discreteness correction at dmin = 4): the one-number check
+      // that the graph family's hub guards (degree caps, bloom kills)
+      // face the heavy tail they assume. Degrees are one aggregation
+      // over the SHARED co-purchase pair index; the estimate is a
+      // closed-form aggregate over the tail nodes.
+      (s, d) => {
+        val deg = coPurchasePairs(s, d)
+          .select(col("src").as("id"))
+          .unionAll(coPurchasePairs(s, d).select(col("dst").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("deg"))
+        val dmin = 4
+        deg.agg(count(lit(1)).as("n_nodes"), max("deg").as("max_deg"),
+            sum(when(col("deg") >= dmin, 1L).otherwise(0L)).as("n_tail"),
+            sum(when(col("deg") >= dmin,
+              log(col("deg").cast("double") / (dmin - 0.5)))).as("lsum"))
+          .select(col("n_nodes"), col("max_deg"), col("n_tail"),
+            round(lit(1.0) + col("n_tail") / col("lsum"), 6).as("alpha"))
+      },
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |p AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+             |  FROM op a JOIN op b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             |deg AS (
+             |  SELECT id, COUNT(*) AS deg FROM (
+             |    SELECT src AS id FROM p UNION ALL SELECT dst FROM p)
+             |  GROUP BY id)
+             |SELECT COUNT(*) AS n_nodes, CAST(MAX(deg) AS BIGINT) AS max_deg,
+             |  CAST(SUM(CASE WHEN deg >= 4 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_tail,
+             |  ROUND(1.0 + SUM(CASE WHEN deg >= 4 THEN 1 ELSE 0 END)
+             |    / SUM(CASE WHEN deg >= 4
+             |          THEN ln(deg / 3.5) END), 6) AS alpha
+             |FROM deg""".stripMargin)),
+
+    Q("events_entropy_rate", // entropy rate of the per-user event-type
+      // Markov chain: −Σ p(s,t)·ln p(t|s) in nats, plus the ln(k)
+      // normalization — how predictable the NEXT event is given the
+      // current one, the sequence-compressibility summary the
+      // transition matrix alone doesn't give. Transition counts are
+      // the bounded k×k grain; everything after is closed-form exact
+      // integer ratios.
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(unix_micros(col("ts")), col("event_id"))
+        val c = t(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("ts"),
+            col("event_id"))
+          .withColumn("next_type", lead("event_type", 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"),
+            col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        c.withColumn("ns", sum("n").over(Window.partitionBy("from_type")))
+          .withColumn("nt", sum("n").over(Window.partitionBy()))
+          .agg(max("nt").as("n_transitions"),
+            countDistinct("to_type").as("k_states"),
+            round(-sum((col("n").cast("double") / col("nt"))
+              * log(col("n").cast("double") / col("ns"))), 6)
+              .as("entropy_rate_nats"))
+          .withColumn("h_norm", round(col("entropy_rate_nats")
+            / log(col("k_states").cast("double")), 6))
+      },
+      Some("""WITH seq AS (
+             |  SELECT user_id, event_type,
+             |    LEAD(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(ts), event_id) AS next_type
+             |  FROM events),
+             |c AS (SELECT event_type AS from_type, next_type AS to_type,
+             |    COUNT(*) AS n
+             |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+             |x AS (
+             |  SELECT n,
+             |    SUM(n) OVER (PARTITION BY from_type) AS ns,
+             |    SUM(n) OVER () AS nt,
+             |    to_type
+             |  FROM c),
+             |agg AS (
+             |  SELECT CAST(MAX(nt) AS BIGINT) AS n_transitions,
+             |    CAST(COUNT(DISTINCT to_type) AS BIGINT) AS k_states,
+             |    ROUND(-SUM((CAST(n AS DOUBLE) / nt)
+             |      * ln(CAST(n AS DOUBLE) / ns)), 6) AS entropy_rate_nats
+             |  FROM x)
+             |SELECT n_transitions, k_states, entropy_rate_nats,
+             |  ROUND(entropy_rate_nats / ln(CAST(k_states AS DOUBLE)), 6)
+             |    AS h_norm
+             |FROM agg""".stripMargin)))
   // -- driver contract ------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {

@@ -169,6 +169,7 @@ class PlanQualitySpec extends SparkSuite {
         "events_cusum_changepoint", "orders_lift_pairs",
         "events_type_affinity",
         "emb_silhouette_report", // 10-row centroid-table fan-out
+        "emb_davies_bouldin", // bounded 10×10 centroid-grid fan-out
         "doc_bigram_entropy", // 1-row x 1-row entropy-terms assembly
         "events_time_weighted_value", // 1-row max-timestamp anchor
         "graph_modularity", // 1-row m × 1-row intra-edge-count assembly
