@@ -8688,7 +8688,157 @@ object SparkEntry {
              |SELECT n_transitions, k_states, entropy_rate_nats,
              |  ROUND(entropy_rate_nats / ln(CAST(k_states AS DOUBLE)), 6)
              |    AS h_norm
-             |FROM agg""".stripMargin)))
+             |FROM agg""".stripMargin)),
+
+    Q("events_welch_weekend", // Welch's unequal-variance t statistic for
+      // weekend vs weekday `value` per event type — the parametric
+      // companion to the rank-sum test, with the Welch–Satterthwaite
+      // degrees of freedom. ONE keyed aggregation collects (n, Σx, Σx²)
+      // per side; everything after is closed-form arithmetic, so no
+      // second pass for the variances.
+      (s, d) => {
+        val we = (weekday(to_date(col("ts"))) >= 5).cast("long")
+        val v = col("value")
+        val g = t(s, d, "events")
+          .groupBy("event_type")
+          .agg(sum(we).as("na"), sum(we * v).as("sa"),
+            sum(we * v * v).as("qa"),
+            sum(lit(1L) - we).as("nb"), sum((lit(1L) - we) * v).as("sb"),
+            sum((lit(1L) - we) * v * v).as("qb"))
+        val ma = col("sa") / col("na")
+        val mb = col("sb") / col("nb")
+        val va = (col("qa") - col("sa") * col("sa") / col("na")) /
+          (col("na") - 1)
+        val vb = (col("qb") - col("sb") * col("sb") / col("nb")) /
+          (col("nb") - 1)
+        val sea = va / col("na")
+        val seb = vb / col("nb")
+        g.select(col("event_type"), col("na").as("n_we"),
+            col("nb").as("n_wd"),
+            round(ma - mb, 6).as("mean_diff"),
+            round((ma - mb) / sqrt(sea + seb), 4).as("t_welch"),
+            round(pow(sea + seb, 2)
+              / (pow(sea, 2) / (col("na") - 1)
+                + pow(seb, 2) / (col("nb") - 1)), 2).as("df"))
+          .orderBy("event_type")
+      },
+      Some("""WITH g AS (
+             |  SELECT event_type,
+             |    SUM(CASE WHEN isodow(CAST(ts AS DATE)) >= 6
+             |        THEN 1 ELSE 0 END) AS na,
+             |    SUM(CASE WHEN isodow(CAST(ts AS DATE)) >= 6
+             |        THEN value ELSE 0 END) AS sa,
+             |    SUM(CASE WHEN isodow(CAST(ts AS DATE)) >= 6
+             |        THEN value * value ELSE 0 END) AS qa,
+             |    SUM(CASE WHEN isodow(CAST(ts AS DATE)) >= 6
+             |        THEN 0 ELSE 1 END) AS nb,
+             |    SUM(CASE WHEN isodow(CAST(ts AS DATE)) >= 6
+             |        THEN 0 ELSE value END) AS sb,
+             |    SUM(CASE WHEN isodow(CAST(ts AS DATE)) >= 6
+             |        THEN 0 ELSE value * value END) AS qb
+             |  FROM events GROUP BY event_type),
+             |x AS (
+             |  SELECT event_type, na, nb,
+             |    sa / na AS ma, sb / nb AS mb,
+             |    ((qa - sa * sa / na) / (na - 1)) / na AS sea,
+             |    ((qb - sb * sb / nb) / (nb - 1)) / nb AS seb
+             |  FROM g)
+             |SELECT event_type,
+             |  CAST(na AS BIGINT) AS n_we, CAST(nb AS BIGINT) AS n_wd,
+             |  ROUND(ma - mb, 6) AS mean_diff,
+             |  ROUND((ma - mb) / sqrt(sea + seb), 4) AS t_welch,
+             |  ROUND((sea + seb) * (sea + seb)
+             |    / (sea * sea / (na - 1) + seb * seb / (nb - 1)), 2) AS df
+             |FROM x ORDER BY event_type""".stripMargin)),
+
+    Q("lineitem_price_qty_corr", // Pearson correlation of quantity vs
+      // extended price per return flag — the covariance-structure probe
+      // over the fact table. One keyed aggregation collects the five
+      // moment sums; the coefficient is the textbook closed form so
+      // both engines divide identical expressions (no reliance on
+      // either engine's internal corr() algorithm).
+      (s, d) => {
+        val x = col("l_quantity").cast("double")
+        val y = col("l_extendedprice").cast("double")
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+            sum(x * x).as("sxx"), sum(y * y).as("syy"),
+            sum(x * y).as("sxy"))
+          .select(col("l_returnflag"), col("n"),
+            round((col("n") * col("sxy") - col("sx") * col("sy"))
+              / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                * (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+              .as("pearson_r"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH g AS (
+             |  SELECT l_returnflag, COUNT(*) AS n,
+             |    SUM(CAST(l_quantity AS DOUBLE)) AS sx,
+             |    SUM(CAST(l_extendedprice AS DOUBLE)) AS sy,
+             |    SUM(CAST(l_quantity AS DOUBLE)
+             |      * CAST(l_quantity AS DOUBLE)) AS sxx,
+             |    SUM(CAST(l_extendedprice AS DOUBLE)
+             |      * CAST(l_extendedprice AS DOUBLE)) AS syy,
+             |    SUM(CAST(l_quantity AS DOUBLE)
+             |      * CAST(l_extendedprice AS DOUBLE)) AS sxy
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, n,
+             |  ROUND((n * sxy - sx * sy)
+             |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             |    AS pearson_r
+             |FROM g ORDER BY l_returnflag""".stripMargin)),
+
+    Q("graph_assortativity", // degree assortativity of the co-purchase
+      // graph: Pearson correlation of endpoint degrees over the
+      // directed edge list — do hubs link to hubs? The number that
+      // decides whether the graph family's hub caps bite on a
+      // correlated core or scattered spokes. Degrees come off the
+      // SHARED pair index; by symmetry only three integer sums are
+      // needed, all exact until the single final division.
+      (s, d) => {
+        val pairs = coPurchasePairs(s, d).select("src", "dst")
+        val deg = pairs.select(col("src").as("id"))
+          .unionAll(pairs.select(col("dst").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("deg"))
+        val directed = pairs
+          .unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
+        val ends = directed
+          .join(deg.select(col("id").as("src"), col("deg").as("du")), "src")
+          .join(deg.select(col("id").as("dst"), col("deg").as("dv")), "dst")
+        ends.agg(count(lit(1)).as("m2"), sum("du").as("sx"),
+            sum(col("du") * col("du")).as("sxx"),
+            sum(col("du") * col("dv")).as("sxy"))
+          .select((col("m2") / 2).cast("long").as("n_edges"),
+            round((col("m2").cast("double") * col("sxy")
+              - col("sx").cast("double") * col("sx"))
+              / (col("m2").cast("double") * col("sxx")
+                - col("sx").cast("double") * col("sx")), 6)
+              .as("assortativity"))
+      },
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |p AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+             |  FROM op a JOIN op b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+             |deg AS (
+             |  SELECT id, COUNT(*) AS deg FROM (
+             |    SELECT src AS id FROM p UNION ALL SELECT dst FROM p)
+             |  GROUP BY id),
+             |dir AS (SELECT src, dst FROM p
+             |        UNION ALL SELECT dst, src FROM p),
+             |ends AS (
+             |  SELECT da.deg AS du, db.deg AS dv
+             |  FROM dir JOIN deg da ON dir.src = da.id
+             |           JOIN deg db ON dir.dst = db.id),
+             |g AS (
+             |  SELECT COUNT(*) AS m2, SUM(du) AS sx,
+             |    SUM(du * du) AS sxx, SUM(du * dv) AS sxy
+             |  FROM ends)
+             |SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+             |  ROUND((CAST(m2 AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)
+             |    / (CAST(m2 AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+             |    AS assortativity
+             |FROM g""".stripMargin)))
   // -- driver contract ------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
