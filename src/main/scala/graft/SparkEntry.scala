@@ -3581,7 +3581,45 @@ object SparkEntry {
              |ROUND(SUM(value), 2) AS total_value
              |FROM events JOIN customer ON user_id = c_custkey
              |WHERE c_custkey < 150
-             |GROUP BY segment ORDER BY segment""".stripMargin)))
+             |GROUP BY segment ORDER BY segment""".stripMargin)),
+
+    Q("events_stream_anomaly", // §2.9: stream–static anomaly gate — the
+      // arriving stream scores against a broadcast per-type baseline
+      // (first-half mean/std rounded once, so stream and oracle score
+      // identical constants) and only |z| ≥ 3 rows reach the sink.
+      // Stateless like the enrich join: the baseline carries the
+      // memory, which is what keeps an anomaly screen viable on an
+      // unbounded 100 TB ingest.
+      (s, d) => {
+        val base = t(s, d, "events")
+          .filter(to_date(col("ts")) <
+            lit(java.sql.Date.valueOf("2024-01-16")))
+          .groupBy(col("event_type").as("b_type"))
+          .agg(round(avg("value"), 6).as("mu"),
+            round(stddev("value"), 6).as("sigma"))
+        withStreamPartitions(s) {
+          val q = graft.streaming.EventStream
+            .startAnomalyStream(s, d, base, "stream_anomaly_verify")
+          q.awaitTermination(180000)
+        }
+        s.sql("""SELECT event_type, COUNT(*) AS n_anomalies,
+                |ROUND(MAX(ABS(z)), 4) AS max_abs_z
+                |FROM stream_anomaly_verify
+                |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      Some("""WITH b AS (
+             |  SELECT event_type AS b_type,
+             |    ROUND(AVG(value), 6) AS mu,
+             |    ROUND(stddev(value), 6) AS sigma
+             |  FROM events
+             |  WHERE CAST(ts AS DATE) < DATE '2024-01-16' GROUP BY 1),
+             |z AS (
+             |  SELECT event_type, ABS((value - mu) / sigma) AS az
+             |  FROM events JOIN b ON event_type = b_type
+             |  WHERE ABS((value - mu) / sigma) >= 3.0)
+             |SELECT event_type, COUNT(*) AS n_anomalies,
+             |  ROUND(MAX(az), 4) AS max_abs_z
+             |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin)))
 
   // §2.11 — documents: text analysis + dedup family.
   /** Shared oracle scaffolding for the BPE pair (train + encode): a

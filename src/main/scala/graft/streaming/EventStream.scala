@@ -129,6 +129,31 @@ object EventStream {
       .trigger(Trigger.AvailableNow()).start()
   }
 
+  /** Stream–static anomaly gate: each arriving event scores against a
+    * PRECOMPUTED per-type baseline (mean/std, rounded once so the
+    * stream, any replay, and the oracle all score identical constants)
+    * broadcast into the stream; rows with |z| ≥ `zCut` are emitted.
+    * Stateless — the baseline table carries all the memory, so the gate
+    * runs forever on an unbounded ingest; refreshing the baseline is a
+    * static-side swap, not a state migration.
+    */
+  def startAnomalyStream(
+      spark: SparkSession,
+      sfDir: String,
+      baseline: DataFrame,
+      queryName: String,
+      zCut: Double = 3.0): StreamingQuery = {
+    val stream = rawStream(spark, sfDir)
+    stream.join(broadcast(baseline),
+        stream("event_type") === baseline("b_type"))
+      .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+      .filter(abs(col("z")) >= zCut)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("z"), 4).as("z"))
+      .writeStream.outputMode("append").format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow()).start()
+  }
+
   /** Stream–stream interval join: each purchase pairs with the same
     * user's clicks from the preceding hour. Both sides carry watermarks
     * and the join condition time-bounds the click relative to the
