@@ -8103,22 +8103,11 @@ object SparkEntry {
       // bit-deterministic.
       (s, d) => {
         val split = java.sql.Date.valueOf("2024-01-16")
-        val pts = t(s, d, "events")
-          .withColumn("side", (to_date(col("ts")) < lit(split)).cast("long"))
-          .groupBy(col("event_type"), col("value"))
-          .agg(sum(col("side")).as("ca"), sum(lit(1L) - col("side")).as("cb"))
-        val w = Window.partitionBy("event_type").orderBy("value")
-        val tw = Window.partitionBy("event_type")
-        pts
-          .withColumn("cuma", sum("ca").over(w))
-          .withColumn("cumb", sum("cb").over(w))
-          .withColumn("na", sum("ca").over(tw))
-          .withColumn("nb", sum("cb").over(tw))
-          .withColumn("dif", abs(col("cuma").cast("double") / col("na")
-            - col("cumb").cast("double") / col("nb")))
-          .groupBy("event_type")
-          .agg(max("na").as("n_a"), max("nb").as("n_b"),
-            round(max("dif"), 6).as("ks"))
+        graft.operators.Stats
+          .ks2Sample(t(s, d, "events"), "event_type", "value",
+            to_date(col("ts")) < lit(split))
+          .select(col("event_type"), col("n_a"), col("n_b"),
+            round(col("ks"), 6).as("ks"))
           .orderBy("event_type")
       },
       Some("""WITH pts AS (
@@ -8147,20 +8136,10 @@ object SparkEntry {
       // grain before any window touches them, so the margin windows run
       // over a bounded relation; expected counts and the statistic are
       // closed-form arithmetic on exact integers.
-      (s, d) => {
-        val o = t(s, d, "events")
-          .groupBy(col("event_type"),
-            (weekday(to_date(col("ts"))) + 1).as("dow"))
-          .agg(count(lit(1)).as("o"))
-        o.withColumn("rt", sum("o").over(Window.partitionBy("event_type")))
-          .withColumn("ct", sum("o").over(Window.partitionBy("dow")))
-          .withColumn("n", sum("o").over(Window.partitionBy()))
-          .withColumn("e", col("rt").cast("double") * col("ct") / col("n"))
-          .agg(round(sum(pow(col("o") - col("e"), 2) / col("e")), 6).as("chi2"),
-            ((countDistinct("event_type") - 1)
-              * (countDistinct("dow") - 1)).as("dof"),
-            max("n").as("n"))
-      },
+      (s, d) => graft.operators.Stats
+        .chiSquare(t(s, d, "events"), col("event_type"),
+          weekday(to_date(col("ts"))) + 1)
+        .select(round(col("chi2"), 6).as("chi2"), col("dof"), col("n")),
       Some("""WITH o AS (
              |  SELECT event_type, isodow(CAST(ts AS DATE)) AS dow,
              |    COUNT(*) AS o
@@ -8370,28 +8349,13 @@ object SparkEntry {
       // (type, value) grain; every term is an exact integer or exact
       // half, so U and the rank-biserial effect size are
       // bit-deterministic with no tolerance.
-      (s, d) => {
-        val pts = t(s, d, "events")
-          .withColumn("we",
-            (weekday(to_date(col("ts"))) >= 5).cast("long"))
-          .groupBy(col("event_type"), col("value"))
-          .agg(sum(col("we")).as("ca"), sum(lit(1L) - col("we")).as("cb"))
-        val w = Window.partitionBy("event_type").orderBy("value")
-        pts.withColumn("c", col("ca") + col("cb"))
-          .withColumn("mid",
-            (sum("c").over(w) - col("c")).cast("double")
-              + (col("c") + lit(1)).cast("double") / 2)
-          .groupBy("event_type")
-          .agg(sum("ca").as("n_we"), sum("cb").as("n_wd"),
-            sum(col("ca") * col("mid")).as("r_we"))
-          .withColumn("u_we", col("r_we")
-            - col("n_we").cast("double") * (col("n_we") + 1) / 2)
-          .select(col("event_type"), col("n_we"), col("n_wd"),
-            round(col("u_we"), 1).as("u_we"),
-            round(lit(2.0) * col("u_we")
-              / (col("n_we") * col("n_wd")) - 1, 6).as("rank_biserial"))
-          .orderBy("event_type")
-      },
+      (s, d) => graft.operators.Stats
+        .mannWhitney(t(s, d, "events"), "event_type", "value",
+          weekday(to_date(col("ts"))) >= 5)
+        .select(col("event_type"), col("n_a").as("n_we"),
+          col("n_b").as("n_wd"), round(col("u_a"), 1).as("u_we"),
+          round(col("rank_biserial"), 6).as("rank_biserial"))
+        .orderBy("event_type"),
       Some("""WITH pts AS (
              |  SELECT event_type, value,
              |    SUM(CASE WHEN isodow(CAST(ts AS DATE)) >= 6
@@ -8424,24 +8388,14 @@ object SparkEntry {
       // pipelines directly. Counts collapse to the ≤ types×24 grain
       // before the margin windows; every probability is an exact
       // integer ratio.
-      (s, d) => {
-        val o = t(s, d, "events")
-          .groupBy(col("event_type"), hour(col("ts")).as("hr"))
-          .agg(count(lit(1)).as("o"))
-        o.withColumn("rt", sum("o").over(Window.partitionBy("event_type")))
-          .withColumn("ct", sum("o").over(Window.partitionBy("hr")))
-          .withColumn("n", sum("o").over(Window.partitionBy()))
-          .withColumn("p", col("o").cast("double") / col("n"))
-          .agg(
-            round(sum(col("p") * log(col("o").cast("double") * col("n")
-              / (col("rt") * col("ct")))), 6).as("mi_nats"),
-            round(-sum(col("p")
-              * log(col("rt").cast("double") / col("n"))), 6).as("h_type"),
-            round(-sum(col("p")
-              * log(col("ct").cast("double") / col("n"))), 6).as("h_hour"))
-          .withColumn("nmi", round(col("mi_nats")
-            / least(col("h_type"), col("h_hour")), 6))
-      },
+      (s, d) => graft.operators.Stats
+        .mutualInformation(t(s, d, "events"), col("event_type"),
+          hour(col("ts")))
+        .select(round(col("mi_nats"), 6).as("mi_nats"),
+          round(col("h_x"), 6).as("h_type"),
+          round(col("h_y"), 6).as("h_hour"))
+        .withColumn("nmi", round(col("mi_nats")
+          / least(col("h_type"), col("h_hour")), 6)),
       Some("""WITH o AS (
              |  SELECT event_type, hour(ts) AS hr, COUNT(*) AS o
              |  FROM events GROUP BY 1, 2),
@@ -8472,29 +8426,14 @@ object SparkEntry {
       // cross-product like the Theil–Sen oracle), with the tie
       // correction from a count-of-counts aggregate. All concordance
       // counts are exact integers.
-      (s, d) => {
-        val m = t(s, d, "orders")
-          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
-          .agg(count(lit(1)).as("cnt"))
-        val a = m.select(col("ym").as("ym_a"), col("cnt").as("cnt_a"))
-        val b = m.select(col("ym").as("ym_b"), col("cnt").as("cnt_b"))
-        val pairs = a.join(b, col("ym_a") < col("ym_b"))
-          .agg(
-            sum(when(col("cnt_b") > col("cnt_a"), 1L).otherwise(0L))
-              .as("concordant"),
-            sum(when(col("cnt_b") < col("cnt_a"), 1L).otherwise(0L))
-              .as("discordant"))
-        val ties = m.groupBy("cnt").agg(count(lit(1)).as("tb"))
-          .agg(sum(col("tb") * (col("tb") - 1) / 2).as("n2"),
-            sum(col("tb")).as("n"))
-        pairs.crossJoin(broadcast(ties))
-          .select(col("n").as("n_months"), col("concordant"),
-            col("discordant"),
-            round((col("concordant") - col("discordant")).cast("double")
-              / sqrt((col("n") * (col("n") - 1) / 2).cast("double")
-                * ((col("n") * (col("n") - 1) / 2) - col("n2"))), 6)
-              .as("tau_b"))
-      },
+      (s, d) => graft.operators.Stats
+        .kendallTauB(
+          t(s, d, "orders")
+            .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+            .agg(count(lit(1)).as("cnt")),
+          "ym", "cnt")
+        .select(col("n").as("n_months"), col("concordant"),
+          col("discordant"), round(col("tau_b"), 6).as("tau_b")),
       Some("""WITH m AS (
              |  SELECT strftime(o_orderdate, '%Y-%m') AS ym, COUNT(*) AS cnt
              |  FROM orders GROUP BY 1),
@@ -8734,32 +8673,15 @@ object SparkEntry {
       // degrees of freedom. ONE keyed aggregation collects (n, Σx, Σx²)
       // per side; everything after is closed-form arithmetic, so no
       // second pass for the variances.
-      (s, d) => {
-        val we = (weekday(to_date(col("ts"))) >= 5).cast("long")
-        val v = col("value")
-        val g = t(s, d, "events")
-          .groupBy("event_type")
-          .agg(sum(we).as("na"), sum(we * v).as("sa"),
-            sum(we * v * v).as("qa"),
-            sum(lit(1L) - we).as("nb"), sum((lit(1L) - we) * v).as("sb"),
-            sum((lit(1L) - we) * v * v).as("qb"))
-        val ma = col("sa") / col("na")
-        val mb = col("sb") / col("nb")
-        val va = (col("qa") - col("sa") * col("sa") / col("na")) /
-          (col("na") - 1)
-        val vb = (col("qb") - col("sb") * col("sb") / col("nb")) /
-          (col("nb") - 1)
-        val sea = va / col("na")
-        val seb = vb / col("nb")
-        g.select(col("event_type"), col("na").as("n_we"),
-            col("nb").as("n_wd"),
-            round(ma - mb, 6).as("mean_diff"),
-            round((ma - mb) / sqrt(sea + seb), 4).as("t_welch"),
-            round(pow(sea + seb, 2)
-              / (pow(sea, 2) / (col("na") - 1)
-                + pow(seb, 2) / (col("nb") - 1)), 2).as("df"))
-          .orderBy("event_type")
-      },
+      (s, d) => graft.operators.Stats
+        .welchT(t(s, d, "events"), "event_type", "value",
+          weekday(to_date(col("ts"))) >= 5)
+        .select(col("event_type"), col("n_a").as("n_we"),
+          col("n_b").as("n_wd"),
+          round(col("mean_diff"), 6).as("mean_diff"),
+          round(col("t_welch"), 4).as("t_welch"),
+          round(col("df"), 2).as("df"))
+        .orderBy("event_type"),
       Some("""WITH g AS (
              |  SELECT event_type,
              |    SUM(CASE WHEN isodow(CAST(ts AS DATE)) >= 6
@@ -8795,21 +8717,12 @@ object SparkEntry {
       // moment sums; the coefficient is the textbook closed form so
       // both engines divide identical expressions (no reliance on
       // either engine's internal corr() algorithm).
-      (s, d) => {
-        val x = col("l_quantity").cast("double")
-        val y = col("l_extendedprice").cast("double")
-        t(s, d, "lineitem")
-          .groupBy("l_returnflag")
-          .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
-            sum(x * x).as("sxx"), sum(y * y).as("syy"),
-            sum(x * y).as("sxy"))
-          .select(col("l_returnflag"), col("n"),
-            round((col("n") * col("sxy") - col("sx") * col("sy"))
-              / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
-                * (col("n") * col("syy") - col("sy") * col("sy"))), 6)
-              .as("pearson_r"))
-          .orderBy("l_returnflag")
-      },
+      (s, d) => graft.operators.Stats
+        .pearsonByGroup(t(s, d, "lineitem"), "l_returnflag",
+          col("l_quantity"), col("l_extendedprice"))
+        .select(col("l_returnflag"), col("n"),
+          round(col("pearson_r"), 6).as("pearson_r"))
+        .orderBy("l_returnflag"),
       Some("""WITH g AS (
              |  SELECT l_returnflag, COUNT(*) AS n,
              |    SUM(CAST(l_quantity AS DOUBLE)) AS sx,

@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed statistical tests and dependence measures.
+  *
+  * Design rules shared by every function here:
+  *   - inputs collapse to the smallest sufficient grain FIRST (the
+  *     (key, value) distinct grain for rank statistics, the contingency
+  *     grain for categorical measures, moment sums for parametric
+  *     tests), so the expensive relation is aggregated before any
+  *     window or join touches it;
+  *   - per-key cumulative windows are keyed on the caller's group
+  *     column — the same skew profile as any per-key CDF — never a
+  *     global single-partition window;
+  *   - everything stays an exact integer (or exact half, for midranks)
+  *     until the final closed-form division, so results are
+  *     bit-deterministic across engines with no float-sum slack. The
+  *     exceptions are the parametric moment sums (Welch, Pearson) and
+  *     the ~k·log(k) information terms, where the addition-order slack
+  *     is bounded by the grain and callers round the output.
+  *
+  * Each function returns full-precision columns; presentation rounding
+  * is the caller's concern (the SparkEntry registry rounds to match its
+  * DuckDB oracles).
+  */
+object Stats {
+
+  /** Two-sample Kolmogorov–Smirnov statistic per key: max CDF gap of
+    * `valueCol` between the rows where `sideA` is true and the rest.
+    * Output: (key, n_a, n_b, ks). Counts collapse to the (key, value)
+    * grain before the one keyed cumulative window builds both
+    * empirical CDFs; every division input is an exact integer.
+    */
+  def ks2Sample(df: DataFrame, keyCol: String, valueCol: String,
+      sideA: Column): DataFrame = {
+    val pts = df
+      .withColumn("_sa", sideA.cast("long"))
+      .groupBy(col(keyCol), col(valueCol))
+      .agg(sum(col("_sa")).as("_ca"), sum(lit(1L) - col("_sa")).as("_cb"))
+    val w = Window.partitionBy(keyCol).orderBy(valueCol)
+    val tw = Window.partitionBy(keyCol)
+    pts
+      .withColumn("_cuma", sum("_ca").over(w))
+      .withColumn("_cumb", sum("_cb").over(w))
+      .withColumn("_na", sum("_ca").over(tw))
+      .withColumn("_nb", sum("_cb").over(tw))
+      .withColumn("_dif", abs(col("_cuma").cast("double") / col("_na")
+        - col("_cumb").cast("double") / col("_nb")))
+      .groupBy(keyCol)
+      .agg(max("_na").as("n_a"), max("_nb").as("n_b"),
+        max("_dif").as("ks"))
+  }
+
+  /** Mann–Whitney rank-sum test per key with tie midranks. Output:
+    * (key, n_a, n_b, u_a, rank_biserial). Midranks come from ONE keyed
+    * cumulative window over the (key, value) grain; every term is an
+    * exact integer or exact half, so U is bit-deterministic.
+    */
+  def mannWhitney(df: DataFrame, keyCol: String, valueCol: String,
+      sideA: Column): DataFrame = {
+    val pts = df
+      .withColumn("_sa", sideA.cast("long"))
+      .groupBy(col(keyCol), col(valueCol))
+      .agg(sum(col("_sa")).as("_ca"), sum(lit(1L) - col("_sa")).as("_cb"))
+    val w = Window.partitionBy(keyCol).orderBy(valueCol)
+    pts.withColumn("_c", col("_ca") + col("_cb"))
+      .withColumn("_mid",
+        (sum("_c").over(w) - col("_c")).cast("double")
+          + (col("_c") + lit(1)).cast("double") / 2)
+      .groupBy(keyCol)
+      .agg(sum("_ca").as("n_a"), sum("_cb").as("n_b"),
+        sum(col("_ca") * col("_mid")).as("_ra"))
+      .withColumn("u_a", col("_ra")
+        - col("n_a").cast("double") * (col("n_a") + 1) / 2)
+      .withColumn("rank_biserial",
+        lit(2.0) * col("u_a") / (col("n_a") * col("n_b")) - 1)
+      .drop("_ra")
+  }
+
+  /** Welch's unequal-variance t test per key. Output: (key, n_a, n_b,
+    * mean_diff, t_welch, df) with the Welch–Satterthwaite degrees of
+    * freedom. ONE keyed aggregation collects (n, Σx, Σx²) per side;
+    * everything after is closed-form arithmetic — no second pass.
+    */
+  def welchT(df: DataFrame, keyCol: String, valueCol: String,
+      sideA: Column): DataFrame = {
+    val a = sideA.cast("long")
+    val v = col(valueCol)
+    val g = df.groupBy(col(keyCol))
+      .agg(sum(a).as("n_a"), sum(a * v).as("_sa"),
+        sum(a * v * v).as("_qa"),
+        sum(lit(1L) - a).as("n_b"), sum((lit(1L) - a) * v).as("_sb"),
+        sum((lit(1L) - a) * v * v).as("_qb"))
+    val ma = col("_sa") / col("n_a")
+    val mb = col("_sb") / col("n_b")
+    val va = (col("_qa") - col("_sa") * col("_sa") / col("n_a")) /
+      (col("n_a") - 1)
+    val vb = (col("_qb") - col("_sb") * col("_sb") / col("n_b")) /
+      (col("n_b") - 1)
+    val sea = va / col("n_a")
+    val seb = vb / col("n_b")
+    g.select(col(keyCol), col("n_a"), col("n_b"),
+      (ma - mb).as("mean_diff"),
+      ((ma - mb) / sqrt(sea + seb)).as("t_welch"),
+      (pow(sea + seb, 2)
+        / (pow(sea, 2) / (col("n_a") - 1)
+          + pow(seb, 2) / (col("n_b") - 1))).as("df"))
+  }
+
+  /** Chi-square test of independence between two categorical columns.
+    * Output: 1 row (chi2, dof, n). Observed counts collapse to the
+    * |X|×|Y| contingency grain before the margin windows run, so the
+    * windows span a bounded relation regardless of input size.
+    */
+  def chiSquare(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val o = df.groupBy(xCol.as("_x"), yCol.as("_y"))
+      .agg(count(lit(1)).as("_o"))
+    o.withColumn("_rt", sum("_o").over(Window.partitionBy("_x")))
+      .withColumn("_ct", sum("_o").over(Window.partitionBy("_y")))
+      .withColumn("_n", sum("_o").over(Window.partitionBy()))
+      .withColumn("_e", col("_rt").cast("double") * col("_ct") / col("_n"))
+      .agg(sum(pow(col("_o") - col("_e"), 2) / col("_e")).as("chi2"),
+        ((countDistinct("_x") - 1) * (countDistinct("_y") - 1)).as("dof"),
+        max("_n").as("n"))
+  }
+
+  /** Mutual information (nats) between two categorical columns, with
+    * both marginal entropies and the min-entropy-normalized MI.
+    * Output: 1 row (mi_nats, h_x, h_y, nmi). Same bounded contingency
+    * grain as [[chiSquare]]; every probability is an exact integer
+    * ratio.
+    */
+  def mutualInformation(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val o = df.groupBy(xCol.as("_x"), yCol.as("_y"))
+      .agg(count(lit(1)).as("_o"))
+    o.withColumn("_rt", sum("_o").over(Window.partitionBy("_x")))
+      .withColumn("_ct", sum("_o").over(Window.partitionBy("_y")))
+      .withColumn("_n", sum("_o").over(Window.partitionBy()))
+      .withColumn("_p", col("_o").cast("double") / col("_n"))
+      .agg(
+        sum(col("_p") * log(col("_o").cast("double") * col("_n")
+          / (col("_rt") * col("_ct")))).as("mi_nats"),
+        (-sum(col("_p")
+          * log(col("_rt").cast("double") / col("_n")))).as("h_x"),
+        (-sum(col("_p")
+          * log(col("_ct").cast("double") / col("_n")))).as("h_y"))
+      .withColumn("nmi", col("mi_nats") / least(col("h_x"), col("h_y")))
+  }
+
+  /** Kendall τ-b rank correlation between an ordering column and a value
+    * column, over a relation the CALLER has already reduced to a bounded
+    * grain (a calendar rollup, a small report table): the pairwise pass
+    * is a deliberate small-relation cross product and must never see a
+    * fact table. Output: 1 row (n, concordant, discordant, tau_b) with
+    * the tie correction for `valCol` (ties in `ordCol` are assumed
+    * absent — it is the caller's rollup key).
+    */
+  def kendallTauB(df: DataFrame, ordCol: String, valCol: String): DataFrame = {
+    val m = df.select(col(ordCol).as("_k"), col(valCol).as("_v"))
+    val a = m.select(col("_k").as("_ka"), col("_v").as("_va"))
+    val b = m.select(col("_k").as("_kb"), col("_v").as("_vb"))
+    val pairs = a.join(b, col("_ka") < col("_kb"))
+      .agg(
+        sum(when(col("_vb") > col("_va"), 1L).otherwise(0L))
+          .as("concordant"),
+        sum(when(col("_vb") < col("_va"), 1L).otherwise(0L))
+          .as("discordant"))
+    val ties = m.groupBy("_v").agg(count(lit(1)).as("_tb"))
+      .agg(sum(col("_tb") * (col("_tb") - 1) / 2).as("_n2"),
+        sum(col("_tb")).as("n"))
+    pairs.crossJoin(broadcast(ties))
+      .select(col("n"), col("concordant"), col("discordant"),
+        ((col("concordant") - col("discordant")).cast("double")
+          / sqrt((col("n") * (col("n") - 1) / 2).cast("double")
+            * ((col("n") * (col("n") - 1) / 2) - col("_n2"))))
+          .as("tau_b"))
+  }
+
+  /** Pearson correlation of two numeric columns per key via the five
+    * moment sums in ONE keyed aggregation — the textbook closed form,
+    * so cross-engine comparison never depends on an engine's internal
+    * corr() algorithm. Output: (key, n, pearson_r).
+    */
+  def pearsonByGroup(df: DataFrame, keyCol: String, xCol: Column,
+      yCol: Column): DataFrame = {
+    val x = xCol.cast("double")
+    val y = yCol.cast("double")
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(x).as("_sx"), sum(y).as("_sy"),
+        sum(x * x).as("_sxx"), sum(y * y).as("_syy"),
+        sum(x * y).as("_sxy"))
+      .select(col(keyCol), col("n"),
+        ((col("n") * col("_sxy") - col("_sx") * col("_sy"))
+          / sqrt((col("n") * col("_sxx") - col("_sx") * col("_sx"))
+            * (col("n") * col("_syy") - col("_sy") * col("_sy"))))
+          .as("pearson_r"))
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Stats
+
+/** The statistical tests must satisfy their textbook identities exactly —
+  * these are the invariants that hold for ANY data, checked on small
+  * constructed inputs where the closed forms are hand-computable.
+  */
+class StatsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("ks2Sample: 0 on identical sides, 1 on disjoint supports, in [0,1]") {
+    // identical distributions on both sides -> every CDF gap is 0
+    val same = (1 to 20).map(i => ("k", i % 5, i % 2 == 0)).toDF("k", "v", "s")
+    val r0 = Stats.ks2Sample(same, "k", "v", col("s")).head()
+    assert(r0.getAs[Double]("ks") === 0.0)
+    // disjoint supports -> the gap reaches exactly 1
+    val disj = ((1 to 5).map(i => ("k", i, true))
+      ++ (11 to 15).map(i => ("k", i, false))).toDF("k", "v", "s")
+    val r1 = Stats.ks2Sample(disj, "k", "v", col("s")).head()
+    assert(r1.getAs[Double]("ks") === 1.0)
+    assert(r1.getAs[Long]("n_a") === 5L && r1.getAs[Long]("n_b") === 5L)
+  }
+
+  test("mannWhitney: U_a + U_b = n_a*n_b (midrank identity), symmetric null") {
+    val df = (1 to 30).map(i => ("k", (i * 7) % 13, i % 3 == 0))
+      .toDF("k", "v", "s")
+    val r = Stats.mannWhitney(df, "k", "v", col("s")).head()
+    val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    val ua = r.getAs[Double]("u_a")
+    // U_b from the flipped side must complement exactly, ties included
+    val rb = Stats.mannWhitney(df, "k", "v", !col("s")).head()
+    assert(ua + rb.getAs[Double]("u_a") === (na * nb).toDouble)
+    // rank-biserial is the same identity rescaled to [-1, 1]
+    assert(math.abs(r.getAs[Double]("rank_biserial")
+      + rb.getAs[Double]("rank_biserial")) < 1e-12)
+  }
+
+  test("welchT: equal groups give t = 0; sign follows the mean difference") {
+    val eq = (1 to 10).flatMap(i => Seq(("k", i.toDouble, true),
+      ("k", i.toDouble, false))).toDF("k", "v", "s")
+    val r = Stats.welchT(eq, "k", "v", col("s")).head()
+    assert(r.getAs[Double]("mean_diff") === 0.0)
+    assert(r.getAs[Double]("t_welch") === 0.0)
+    val shifted = ((1 to 10).map(i => ("k", i + 100.0, true))
+      ++ (1 to 10).map(i => ("k", i.toDouble, false))).toDF("k", "v", "s")
+    val rs = Stats.welchT(shifted, "k", "v", col("s")).head()
+    assert(rs.getAs[Double]("mean_diff") === 100.0)
+    assert(rs.getAs[Double]("t_welch") > 0)
+    assert(rs.getAs[Double]("df") > 0)
+  }
+
+  test("chiSquare: exactly 0 under constructed independence") {
+    // counts(x, y) = f(x)*g(y) -> observed == expected in every cell
+    val rows = for {
+      (x, fx) <- Seq(("a", 1), ("b", 2))
+      (y, gy) <- Seq(("p", 3), ("q", 1))
+      _ <- 1 to fx * gy
+    } yield (x, y)
+    val df = rows.toDF("x", "y")
+    val r = Stats.chiSquare(df, col("x"), col("y")).head()
+    assert(math.abs(r.getAs[Double]("chi2")) < 1e-9)
+    assert(r.getAs[Long]("dof") === 1L)
+    assert(r.getAs[Long]("n") === 12L)
+  }
+
+  test("mutualInformation: 0 under independence, H(X) when Y determines X") {
+    val indep = (for {
+      (x, fx) <- Seq(("a", 1), ("b", 2)); (y, gy) <- Seq(("p", 3), ("q", 1))
+      _ <- 1 to fx * gy
+    } yield (x, y)).toDF("x", "y")
+    val ri = Stats.mutualInformation(indep, col("x"), col("y")).head()
+    assert(math.abs(ri.getAs[Double]("mi_nats")) < 1e-9)
+    // Y = X (perfect dependence): MI = H(X) = H(Y), NMI = 1
+    val dep = Seq("a", "a", "b", "c").map(x => (x, x)).toDF("x", "y")
+    val rd = Stats.mutualInformation(dep, col("x"), col("y")).head()
+    assert(math.abs(rd.getAs[Double]("mi_nats")
+      - rd.getAs[Double]("h_x")) < 1e-9)
+    assert(math.abs(rd.getAs[Double]("nmi") - 1.0) < 1e-9)
+  }
+
+  test("kendallTauB: +1 on a strictly rising series, -1 falling, ties shrink |tau|") {
+    val up = (1 to 10).map(i => (f"m$i%02d", i.toLong)).toDF("k", "v")
+    assert(Stats.kendallTauB(up, "k", "v").head().getAs[Double]("tau_b") === 1.0)
+    val down = (1 to 10).map(i => (f"m$i%02d", (11 - i).toLong)).toDF("k", "v")
+    assert(Stats.kendallTauB(down, "k", "v").head()
+      .getAs[Double]("tau_b") === -1.0)
+    // a tie removes concordant mass AND shrinks the denominator, |tau| < 1
+    val tied = Seq(("a", 1L), ("b", 2L), ("c", 2L), ("d", 3L)).toDF("k", "v")
+    val rt = Stats.kendallTauB(tied, "k", "v").head()
+    assert(rt.getAs[Long]("concordant") === 5L)
+    assert(rt.getAs[Long]("discordant") === 0L)
+    val tb = rt.getAs[Double]("tau_b")
+    assert(tb > 0.9 && tb < 1.0) // 5 / sqrt(6*5) ~= 0.9129
+  }
+
+  test("pearsonByGroup: exactly ±1 on affine data, n per group") {
+    val df = (1 to 20).map { i =>
+      val g = if (i % 2 == 0) "up" else "down"
+      val y = if (g == "up") 3.0 * i + 7 else -2.0 * i + 1
+      (g, i.toDouble, y)
+    }.toDF("g", "x", "y")
+    val r = Stats.pearsonByGroup(df, "g", col("x"), col("y"))
+      .collect().map(row => row.getString(0) ->
+        (row.getLong(1), row.getAs[Double]("pearson_r"))).toMap
+    assert(r("up")._1 === 10L && math.abs(r("up")._2 - 1.0) < 1e-12)
+    assert(r("down")._1 === 10L && math.abs(r("down")._2 + 1.0) < 1e-12)
+  }
+}
