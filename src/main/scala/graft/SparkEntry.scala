@@ -3619,7 +3619,132 @@ object SparkEntry {
              |  WHERE ABS((value - mu) / sigma) >= 3.0)
              |SELECT event_type, COUNT(*) AS n_anomalies,
              |  ROUND(MAX(az), 4) AS max_abs_z
-             |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin)))
+             |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    Q("events_funnel_latency", // step-latency profile of the funnel
+      // events_funnel counts: per converting user, seconds from first
+      // view to first click and first click to first purchase, with
+      // mean / exact median / p90 per step. Same shape as the funnel —
+      // one hash agg to first-touch timestamps, predicates on the
+      // 1-row-per-user result — then exact interpolated percentiles
+      // over the bounded per-step latency sets (microsecond integers
+      // exact in a double after the /1e6).
+      (s, d) => {
+        def firstTs(et: String) =
+          min(when(col("event_type") === et, unix_micros(col("ts"))))
+            .as(s"t_$et")
+        val ft = t(s, d, "events").groupBy("user_id")
+          .agg(firstTs("view"), firstTs("click"), firstTs("purchase"))
+        val s1 = ft.filter(col("t_click") > col("t_view"))
+          .select(lit("1_view_to_click").as("step"),
+            ((col("t_click") - col("t_view")) / 1e6).as("lat"))
+        val s2 = ft.filter(col("t_purchase") > col("t_click")
+            && col("t_click") > col("t_view"))
+          .select(lit("2_click_to_purchase").as("step"),
+            ((col("t_purchase") - col("t_click")) / 1e6).as("lat"))
+        s1.unionAll(s2).groupBy("step")
+          .agg(count(lit(1)).as("n"),
+            round(avg("lat"), 4).as("mean_s"),
+            round(expr("percentile(lat, 0.5)"), 4).as("median_s"),
+            round(expr("percentile(lat, 0.9)"), 4).as("p90_s"))
+          .orderBy("step")
+      },
+      Some("""WITH t AS (
+             |  SELECT user_id,
+             |    min(CASE WHEN event_type = 'view'
+             |        THEN epoch_us(ts) END) AS t_view,
+             |    min(CASE WHEN event_type = 'click'
+             |        THEN epoch_us(ts) END) AS t_click,
+             |    min(CASE WHEN event_type = 'purchase'
+             |        THEN epoch_us(ts) END) AS t_purchase
+             |  FROM events GROUP BY user_id),
+             |l AS (
+             |  SELECT '1_view_to_click' AS step,
+             |    (t_click - t_view) / 1e6 AS lat
+             |  FROM t WHERE t_click > t_view
+             |  UNION ALL
+             |  SELECT '2_click_to_purchase',
+             |    (t_purchase - t_click) / 1e6
+             |  FROM t WHERE t_purchase > t_click AND t_click > t_view)
+             |SELECT step, COUNT(*) AS n,
+             |  ROUND(AVG(lat), 4) AS mean_s,
+             |  ROUND(quantile_cont(lat, 0.5), 4) AS median_s,
+             |  ROUND(quantile_cont(lat, 0.9), 4) AS p90_s
+             |FROM l GROUP BY step ORDER BY step""".stripMargin)),
+
+    Q("events_decile_drift", // decile-shift table between the two month
+      // halves per event type: WHERE the distribution moved and by how
+      // much — the magnitude companion to events_ks_drift's single max
+      // statistic. One keyed agg computes both 9-point quantile
+      // vectors (the per-key percentile escape on the bounded
+      // per-type grain); the zip/explode is map-side.
+      (s, d) => {
+        val split = lit(java.sql.Date.valueOf("2024-01-16"))
+        val qs = "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D)"
+        t(s, d, "events")
+          .withColumn("va", when(to_date(col("ts")) < split, col("value")))
+          .withColumn("vb", when(to_date(col("ts")) >= split, col("value")))
+          .groupBy("event_type")
+          .agg(expr(s"percentile(va, $qs)").as("da"),
+            expr(s"percentile(vb, $qs)").as("db"))
+          .select(col("event_type"),
+            posexplode(arrays_zip(col("da"), col("db"))))
+          .select(col("event_type"), ((col("pos") + 1) * 10).as("decile"),
+            round(col("col.da"), 4).as("v_first"),
+            round(col("col.db"), 4).as("v_second"),
+            round(abs(col("col.da") - col("col.db")), 4).as("abs_shift"))
+          .orderBy("event_type", "decile")
+      },
+      Some("""WITH g AS (
+             |  SELECT event_type,
+             |    quantile_cont(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+             |        THEN value END,
+             |      [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS da,
+             |    quantile_cont(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+             |        THEN value END,
+             |      [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS db
+             |  FROM events GROUP BY event_type),
+             |x AS (SELECT event_type, unnest(range(1, 10)) AS i, da, db
+             |      FROM g)
+             |SELECT event_type, CAST(i * 10 AS INT) AS decile,
+             |  ROUND(da[i], 4) AS v_first, ROUND(db[i], 4) AS v_second,
+             |  ROUND(ABS(da[i] - db[i]), 4) AS abs_shift
+             |FROM x ORDER BY event_type, decile""".stripMargin)),
+
+    Q("orders_seasonal_strength", // how much of monthly revenue variance
+      // the calendar-month profile explains (one-way eta²: between-month
+      // sum of squares over total) — the single number that says whether
+      // the seasonal index orders_month_seasonality reports is signal.
+      // Revenue rounds to cents at the bounded month grain first, so
+      // both engines decompose identical doubles.
+      (s, d) => {
+        val m = t(s, d, "orders")
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+            month(col("o_orderdate")).as("moy"))
+          .agg(round(sum("o_totalprice"), 2).as("rev"))
+        val g = m.withColumn("gmean", avg("rev").over(Window.partitionBy()))
+          .withColumn("mmean",
+            avg("rev").over(Window.partitionBy("moy")))
+        g.agg(count(lit(1)).as("n_months"),
+            sum(pow(col("mmean") - col("gmean"), 2)).as("ssb"),
+            sum(pow(col("rev") - col("gmean"), 2)).as("sst"))
+          .select(col("n_months"),
+            round(col("ssb") / col("sst"), 6).as("eta_sq"))
+      },
+      Some("""WITH m AS (
+             |  SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+             |    month(o_orderdate) AS moy,
+             |    ROUND(SUM(o_totalprice), 2) AS rev
+             |  FROM orders GROUP BY 1, 2),
+             |g AS (
+             |  SELECT rev,
+             |    AVG(rev) OVER () AS gmean,
+             |    AVG(rev) OVER (PARTITION BY moy) AS mmean
+             |  FROM m)
+             |SELECT COUNT(*) AS n_months,
+             |  ROUND(SUM((mmean - gmean) * (mmean - gmean))
+             |    / SUM((rev - gmean) * (rev - gmean)), 6) AS eta_sq
+             |FROM g""".stripMargin)))
 
   // §2.11 — documents: text analysis + dedup family.
   /** Shared oracle scaffolding for the BPE pair (train + encode): a
