@@ -3744,7 +3744,79 @@ object SparkEntry {
              |SELECT COUNT(*) AS n_months,
              |  ROUND(SUM((mmean - gmean) * (mmean - gmean))
              |    / SUM((rev - gmean) * (rev - gmean)), 6) AS eta_sq
-             |FROM g""".stripMargin)))
+             |FROM g""".stripMargin)),
+
+    Q("doc_prf_expansion", // pseudo-relevance-feedback retrieval (RM3
+      // lite): BM25 top-10 for the seed query is the feedback set, its
+      // length-normalized term mass (Σ 1/dl per occurrence, rounded
+      // before ranking so both engines pick identical terms) yields 3
+      // expansion terms, and the corpus is rescored with the expanded
+      // query — the classic recall-widening loop. Two bounded BM25
+      // passes; only the 3 expansion terms ever reach the driver.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val seed = Seq("spark", "join", "window")
+        val top10 = graft.operators.Retrieval.bm25(docs, seed).limit(10)
+          .select(col("doc_id"))
+        val toks = docs.select(col("doc_id"),
+          graft.operators.TextAnalysis.tokens(lower(col("text"))).as("toks"))
+        val fb = toks.join(top10, "doc_id")
+          .select(size(col("toks")).as("dl"), explode(col("toks")).as("term"))
+          .filter(!col("term").isInCollection(seed))
+          .groupBy("term").agg(round(sum(lit(1.0) / col("dl")), 6).as("w"))
+          .orderBy(col("w").desc, col("term")).limit(3)
+        val exp = fb.select("term").collect().map(_.getString(0)).toSeq
+        graft.operators.Retrieval.bm25(docs, seed ++ exp).limit(20)
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+')
+             |    AS toks
+             |  FROM documents),
+             |stats AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl
+             |          FROM tok),
+             |m1 AS (
+             |  SELECT doc_id, len(toks) AS dl,
+             |    unnest(list_filter(toks,
+             |      t -> list_contains(['spark','join','window'], t))) AS term
+             |  FROM tok),
+             |tf1 AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+             |        FROM m1 GROUP BY 1, 2, 3),
+             |df1 AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+             |        FROM tf1 GROUP BY 1),
+             |bm1 AS (
+             |  SELECT doc_id, ROUND(SUM(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+             |    * (tf * 2.2)
+             |    / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+             |  FROM tf1 JOIN df1 USING (term) CROSS JOIN stats
+             |  GROUP BY doc_id),
+             |top10 AS (SELECT doc_id FROM bm1
+             |          ORDER BY score DESC, doc_id LIMIT 10),
+             |fb AS (
+             |  SELECT u.t AS term, ROUND(SUM(1.0 / len(toks)), 6) AS w
+             |  FROM tok JOIN top10 USING (doc_id), unnest(toks) AS u(t)
+             |  WHERE NOT list_contains(['spark','join','window'], u.t)
+             |  GROUP BY u.t),
+             |top3 AS (SELECT term FROM fb ORDER BY w DESC, term LIMIT 3),
+             |terms2 AS (SELECT unnest(['spark','join','window']) AS term
+             |           UNION ALL SELECT term FROM top3),
+             |m2 AS (
+             |  SELECT doc_id, len(toks) AS dl, u.t AS term
+             |  FROM tok, unnest(toks) AS u(t)
+             |  WHERE u.t IN (SELECT term FROM terms2)),
+             |tf2 AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+             |        FROM m2 GROUP BY 1, 2, 3),
+             |df2 AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+             |        FROM tf2 GROUP BY 1),
+             |bm2 AS (
+             |  SELECT doc_id, COUNT(DISTINCT term) AS n_terms,
+             |    ROUND(SUM(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+             |      * (tf * 2.2)
+             |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4)
+             |      AS score
+             |  FROM tf2 JOIN df2 USING (term) CROSS JOIN stats
+             |  GROUP BY doc_id)
+             |SELECT doc_id, n_terms, score
+             |FROM bm2 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)))
 
   // §2.11 — documents: text analysis + dedup family.
   /** Shared oracle scaffolding for the BPE pair (train + encode): a

@@ -163,6 +163,7 @@ class PlanQualitySpec extends SparkSuite {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_.startsWith("events_stream_")) // streaming: runs a query, not a static plan
       .filterNot(Set("doc_bm25_search", "doc_hybrid_rrf",
+        "doc_prf_expansion", // 1-row corpus-stats broadcast (BM25 passes)
         "orders_mad_outliers", "lineitem_skew_report",
         "orders_rfm_segments", "events_psi_drift",
         "orders_survival_km", "doc_pmi_pairs",
