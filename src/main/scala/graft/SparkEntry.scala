@@ -3816,7 +3816,77 @@ object SparkEntry {
              |  FROM tf2 JOIN df2 USING (term) CROSS JOIN stats
              |  GROUP BY doc_id)
              |SELECT doc_id, n_terms, score
-             |FROM bm2 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)))
+             |FROM bm2 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    Q("lineitem_returnflag_anova", // one-way ANOVA of extended price
+      // across return flags: F statistic + eta² from ONE keyed
+      // aggregation of per-group moment sums (Stats.anovaF) — does the
+      // return outcome segment the price distribution at all? The
+      // closed form keeps every stage a hash aggregate.
+      (s, d) => graft.operators.Stats
+        .anovaF(t(s, d, "lineitem"), "l_returnflag", "l_extendedprice")
+        .select(col("k"), col("n"), round(col("f_stat"), 4).as("f_stat"),
+          col("dof_between"), col("dof_within"),
+          round(col("eta_sq"), 6).as("eta_sq")),
+      Some("""WITH g AS (
+             |  SELECT l_returnflag, COUNT(*) AS n,
+             |    SUM(CAST(l_extendedprice AS DOUBLE)) AS s,
+             |    SUM(CAST(l_extendedprice AS DOUBLE)
+             |      * CAST(l_extendedprice AS DOUBLE)) AS q
+             |  FROM lineitem GROUP BY l_returnflag),
+             |a AS (
+             |  SELECT COUNT(*) AS k, SUM(n) AS n, SUM(s) AS ts,
+             |    SUM(q) AS tq, SUM(s * s / n) AS b
+             |  FROM g)
+             |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+             |  ROUND(((b - ts * ts / n) / (k - 1))
+             |    / ((tq - b) / (n - k)), 4) AS f_stat,
+             |  CAST(k - 1 AS BIGINT) AS dof_between,
+             |  CAST(n - k AS BIGINT) AS dof_within,
+             |  ROUND((b - ts * ts / n) / (tq - ts * ts / n), 6) AS eta_sq
+             |FROM a""".stripMargin)),
+
+    Q("orders_interpurchase_by_segment", // inter-purchase gap profile
+      // per market segment: days between a customer's consecutive
+      // orders (per-customer LAG window, total order), rolled to the
+      // 5-segment grain with mean and exact interpolated median/p90 —
+      // the repeat-purchase cadence behind reorder forecasting. The
+      // customer dim broadcasts onto the gap rows.
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+        val seg = t(s, d, "customer")
+          .select(col("c_custkey").as("o_custkey"),
+            col("c_mktsegment").as("segment"))
+        t(s, d, "orders")
+          .withColumn("prev", lag("o_orderdate", 1).over(w))
+          .filter(col("prev").isNotNull)
+          .withColumn("gap",
+            datediff(col("o_orderdate"), col("prev")).cast("double"))
+          .join(broadcast(seg), "o_custkey")
+          .groupBy("segment")
+          .agg(count(lit(1)).as("n_gaps"),
+            round(avg("gap"), 4).as("mean_days"),
+            round(expr("percentile(gap, 0.5)"), 4).as("median_days"),
+            round(expr("percentile(gap, 0.9)"), 4).as("p90_days"))
+          .orderBy("segment")
+      },
+      Some("""WITH gaps AS (
+             |  SELECT o_custkey,
+             |    CAST(date_diff('day',
+             |      lag(o_orderdate) OVER (PARTITION BY o_custkey
+             |        ORDER BY o_orderdate, o_orderkey),
+             |      o_orderdate) AS DOUBLE) AS gap
+             |  FROM orders),
+             |j AS (
+             |  SELECT c_mktsegment AS segment, gap
+             |  FROM gaps JOIN customer ON o_custkey = c_custkey
+             |  WHERE gap IS NOT NULL)
+             |SELECT segment, COUNT(*) AS n_gaps,
+             |  ROUND(AVG(gap), 4) AS mean_days,
+             |  ROUND(quantile_cont(gap, 0.5), 4) AS median_days,
+             |  ROUND(quantile_cont(gap, 0.9), 4) AS p90_days
+             |FROM j GROUP BY segment ORDER BY segment""".stripMargin)))
 
   // §2.11 — documents: text analysis + dedup family.
   /** Shared oracle scaffolding for the BPE pair (train + encode): a

@@ -179,6 +179,30 @@ object Stats {
           .as("tau_b"))
   }
 
+  /** One-way ANOVA across the groups of `keyCol`: F statistic, both
+    * degrees of freedom, and the eta² effect size, all from ONE keyed
+    * aggregation of (n, Σx, Σx²) per group — no second pass, no
+    * per-group collect. Output: 1 row (k, n, f_stat, dof_between,
+    * dof_within, eta_sq).
+    */
+  def anovaF(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val g = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("_n"), sum(v).as("_s"), sum(v * v).as("_q"))
+    val ssb = col("_B") - col("_S") * col("_S") / col("n")
+    val ssw = col("_Q") - col("_B")
+    val sst = col("_Q") - col("_S") * col("_S") / col("n")
+    g.agg(count(lit(1)).as("k"), sum("_n").as("n"),
+        sum(col("_s")).as("_S"), sum(col("_q")).as("_Q"),
+        sum(col("_s") * col("_s") / col("_n")).as("_B"))
+      .select(col("k"), col("n"),
+        ((ssb / (col("k") - 1)) / (ssw / (col("n") - col("k"))))
+          .as("f_stat"),
+        (col("k") - 1).as("dof_between"),
+        (col("n") - col("k")).as("dof_within"),
+        (ssb / sst).as("eta_sq"))
+  }
+
   /** Pearson correlation of two numeric columns per key via the five
     * moment sums in ONE keyed aggregation — the textbook closed form,
     * so cross-engine comparison never depends on an engine's internal

@@ -95,6 +95,24 @@ class StatsSpec extends SparkSuite {
     assert(tb > 0.9 && tb < 1.0) // 5 / sqrt(6*5) ~= 0.9129
   }
 
+  test("anovaF: 0 when group means coincide; eta_sq -> 1 as groups separate") {
+    // identical group means (different spreads): SSB = 0 -> F = 0
+    val flat = Seq(("a", 1.0), ("a", 3.0), ("b", 2.0), ("b", 2.0),
+      ("c", 0.0), ("c", 4.0)).toDF("g", "v")
+    val r = Stats.anovaF(flat, "g", "v").head()
+    assert(math.abs(r.getAs[Double]("f_stat")) < 1e-9)
+    assert(math.abs(r.getAs[Double]("eta_sq")) < 1e-9)
+    assert(r.getAs[Long]("k") === 3L && r.getAs[Long]("n") === 6L)
+    assert(r.getAs[Long]("dof_between") === 2L
+      && r.getAs[Long]("dof_within") === 3L)
+    // widely separated tight groups: eta_sq near 1, F large
+    val sep = Seq(("a", 0.0), ("a", 0.1), ("b", 100.0), ("b", 100.1))
+      .toDF("g", "v")
+    val rs = Stats.anovaF(sep, "g", "v").head()
+    assert(rs.getAs[Double]("eta_sq") > 0.999)
+    assert(rs.getAs[Double]("f_stat") > 1000)
+  }
+
   test("pearsonByGroup: exactly ±1 on affine data, n per group") {
     val df = (1 to 20).map { i =>
       val g = if (i % 2 == 0) "up" else "down"
