@@ -3886,7 +3886,86 @@ object SparkEntry {
              |  ROUND(AVG(gap), 4) AS mean_days,
              |  ROUND(quantile_cont(gap, 0.5), 4) AS median_days,
              |  ROUND(quantile_cont(gap, 0.9), 4) AS p90_days
-             |FROM j GROUP BY segment ORDER BY segment""".stripMargin)))
+             |FROM j GROUP BY segment ORDER BY segment""".stripMargin)),
+
+    Q("events_session_stats", // session-duration profile by ISO weekday
+      // of the session start: n, mean and exact median/p90 duration,
+      // mean events — the engagement summary over the SAME 30-min-gap
+      // sessions events_sessionize emits. Sessions collapse to the
+      // bounded 7-row weekday grain before the percentile escape runs.
+      (s, d) => {
+        val sess = graft.streaming.EventStream
+          .sessionize(s, t(s, d, "events")).toDF()
+          .withColumn("dur",
+            (col("end_ms") - col("start_ms")).cast("double") / 1000)
+          .withColumn("dow",
+            weekday(to_date(timestamp_millis(col("start_ms")))) + 1)
+        sess.groupBy("dow")
+          .agg(count(lit(1)).as("n_sessions"),
+            round(avg("dur"), 4).as("mean_dur_s"),
+            round(expr("percentile(dur, 0.5)"), 4).as("median_dur_s"),
+            round(expr("percentile(dur, 0.9)"), 4).as("p90_dur_s"),
+            round(avg(col("n_events").cast("double")), 4).as("mean_events"))
+          .orderBy("dow")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM events WINDOW w AS (PARTITION BY user_id
+             |    ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT user_id, ts,
+             |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM g),
+             |s2 AS (
+             |  SELECT user_id, sid,
+             |    epoch_ms(MIN(ts)) AS start_ms,
+             |    (epoch_ms(MAX(ts)) - epoch_ms(MIN(ts))) / 1000.0 AS dur,
+             |    COUNT(*) AS n_events
+             |  FROM sess GROUP BY user_id, sid)
+             |SELECT isodow(CAST(epoch_ms(start_ms) AS DATE)) AS dow,
+             |  COUNT(*) AS n_sessions,
+             |  ROUND(AVG(dur), 4) AS mean_dur_s,
+             |  ROUND(quantile_cont(dur, 0.5), 4) AS median_dur_s,
+             |  ROUND(quantile_cont(dur, 0.9), 4) AS p90_dur_s,
+             |  ROUND(AVG(CAST(n_events AS DOUBLE)), 4) AS mean_events
+             |FROM s2 GROUP BY dow ORDER BY dow""".stripMargin)),
+
+    Q("nation_customer_gini", // demand-concentration map: per-nation
+      // Gini of per-customer order revenue (Stats.giniByGroup — the
+      // keyed-window closed form, ranks shuffled on the nation key,
+      // never a global sort). Which national markets are whale-driven
+      // and which are flat?
+      (s, d) => {
+        val rev = t(s, d, "orders").groupBy("o_custkey")
+          .agg(sum(col("o_totalprice").cast("double")).as("rev"))
+        val cust = t(s, d, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+        graft.operators.Stats
+          .giniByGroup(rev.join(cust, "o_custkey")
+            .select(col("c_nationkey").as("nationkey"), col("rev")),
+            "nationkey", "rev")
+          .select(col("nationkey"), col("n").as("n_cust"),
+            round(col("gini"), 6).as("gini"))
+          .orderBy("nationkey")
+      },
+      Some("""WITH rev AS (
+             |  SELECT o_custkey, SUM(CAST(o_totalprice AS DOUBLE)) AS rev
+             |  FROM orders GROUP BY o_custkey),
+             |j AS (
+             |  SELECT c_nationkey AS nationkey, rev
+             |  FROM rev JOIN customer ON o_custkey = c_custkey),
+             |r AS (
+             |  SELECT nationkey, rev, row_number() OVER (
+             |    PARTITION BY nationkey ORDER BY rev) AS rk
+             |  FROM j)
+             |SELECT nationkey, COUNT(*) AS n_cust,
+             |  ROUND(2.0 * SUM(rk * rev) / (COUNT(*) * SUM(rev))
+             |    - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+             |FROM r GROUP BY nationkey ORDER BY nationkey""".stripMargin)))
 
   // §2.11 — documents: text analysis + dedup family.
   /** Shared oracle scaffolding for the BPE pair (train + encode): a

@@ -179,6 +179,27 @@ object Stats {
           .as("tau_b"))
   }
 
+  /** Gini concentration coefficient per key: the keyed-window companion
+    * to `Scale.gini`'s global range-sort form. Ranks come from one
+    * per-key window sort (the shuffle is keyed on `keyCol`, so skew
+    * follows the caller's grouping, never a global single partition);
+    * ties commute in the closed form, so the tie-break-free rank is
+    * still deterministic. NULL/NaN values are dropped. Output:
+    * (key, n, gini).
+    */
+  def giniByGroup(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val ranked = df.select(col(keyCol), v.as("_v"))
+      .filter(col("_v").isNotNull && !col("_v").isNaN)
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(keyCol).orderBy(col("_v"))))
+    ranked.groupBy(keyCol)
+      .agg(count(lit(1)).as("n"),
+        ((lit(2.0) * sum(col("_r") * col("_v")))
+          / (count(lit(1)) * sum(col("_v")))
+          - (count(lit(1)) + lit(1.0)) / count(lit(1))).as("gini"))
+  }
+
   /** One-way ANOVA across the groups of `keyCol`: F statistic, both
     * degrees of freedom, and the eta² effect size, all from ONE keyed
     * aggregation of (n, Σx, Σx²) per group — no second pass, no

@@ -95,6 +95,20 @@ class StatsSpec extends SparkSuite {
     assert(tb > 0.9 && tb < 1.0) // 5 / sqrt(6*5) ~= 0.9129
   }
 
+  test("giniByGroup: per-key closed forms match the global formula") {
+    val df = ((1 to 4).map(i => ("uniform", i.toDouble))
+      ++ Seq.fill(7)(("equal", 3.5))
+      ++ ((Seq.fill(9)(0.0) :+ 100.0).map(v => ("spike", v))))
+      .toDF("k", "v")
+    val r = Stats.giniByGroup(df, "k", "v")
+      .collect().map(row => row.getString(0) ->
+        (row.getLong(1), row.getAs[Double]("gini"))).toMap
+    assert(r("uniform")._1 === 4L
+      && math.abs(r("uniform")._2 - 0.25) < 1e-12)
+    assert(math.abs(r("equal")._2) < 1e-12)
+    assert(math.abs(r("spike")._2 - 0.9) < 1e-12)
+  }
+
   test("anovaF: 0 when group means coincide; eta_sq -> 1 as groups separate") {
     // identical group means (different spreads): SSB = 0 -> F = 0
     val flat = Seq(("a", 1.0), ("a", 3.0), ("b", 2.0), ("b", 2.0),
