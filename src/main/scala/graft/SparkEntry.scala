@@ -3965,7 +3965,76 @@ object SparkEntry {
              |SELECT nationkey, COUNT(*) AS n_cust,
              |  ROUND(2.0 * SUM(rk * rev) / (COUNT(*) * SUM(rev))
              |    - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
-             |FROM r GROUP BY nationkey ORDER BY nationkey""".stripMargin)))
+             |FROM r GROUP BY nationkey ORDER BY nationkey""".stripMargin)),
+
+    Q("orders_runs_test", // Wald–Wolfowitz runs test on the direction of
+      // monthly revenue — is the up/down sequence random, trending, or
+      // oscillating? Completes the trend-diagnostic family (OLS,
+      // Theil–Sen, Kendall τ-b) with a pure randomness check. Revenue
+      // rounds to cents at the bounded month grain before the signs.
+      (s, d) => graft.operators.Stats
+        .runsTest(
+          t(s, d, "orders")
+            .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+            .agg(round(sum("o_totalprice"), 2).as("rev")),
+          "ym", "rev")
+        .select(col("n_up"), col("n_down"), col("runs"),
+          round(col("z"), 4).as("z")),
+      Some("""WITH m AS (
+             |  SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+             |    ROUND(SUM(o_totalprice), 2) AS rev
+             |  FROM orders GROUP BY 1),
+             |s AS (
+             |  SELECT ym, sign(rev - lag(rev) OVER (ORDER BY ym)) AS sg
+             |  FROM m QUALIFY sg IS NOT NULL AND sg <> 0),
+             |r AS (
+             |  SELECT
+             |    CAST(SUM(CASE WHEN sg > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_up,
+             |    CAST(SUM(CASE WHEN sg < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_down,
+             |    CAST(SUM(CASE WHEN prev IS NULL OR sg <> prev
+             |        THEN 1 ELSE 0 END) AS BIGINT) AS runs
+             |  FROM (SELECT sg, lag(sg) OVER (ORDER BY ym) AS prev FROM s))
+             |SELECT n_up, n_down, runs,
+             |  ROUND((runs - (2.0 * n_up * n_down / (n_up + n_down) + 1))
+             |    / sqrt((2.0 * n_up * n_down
+             |        * (2.0 * n_up * n_down - n_up - n_down))
+             |      / ((n_up + n_down) * (n_up + n_down)
+             |        * (n_up + n_down - 1))), 4) AS z
+             |FROM r""".stripMargin)),
+
+    Q("events_poisson_dispersion", // Fano factor + dispersion statistic
+      // of daily event counts per type: variance/mean of a Poisson
+      // process is 1, so the index (and (n−1)·var/mean, ≈ χ²ₙ₋₁ under
+      // the null) flags burstiness or over-regularity. Counts collapse
+      // to the (type, day) grain; moments are one keyed aggregation of
+      // exact integers.
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"),
+            round(avg("n"), 4).as("mean_daily"),
+            round(var_samp(col("n").cast("double")), 4).as("var_daily"),
+            round(var_samp(col("n").cast("double")) / avg("n"), 4)
+              .as("fano"),
+            round((count(lit(1)) - 1)
+              * var_samp(col("n").cast("double")) / avg("n"), 4)
+              .as("dispersion_chi2"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+             |  FROM events GROUP BY 1, 2)
+             |SELECT event_type, COUNT(*) AS n_days,
+             |  ROUND(AVG(n), 4) AS mean_daily,
+             |  ROUND(var_samp(CAST(n AS DOUBLE)), 4) AS var_daily,
+             |  ROUND(var_samp(CAST(n AS DOUBLE)) / AVG(n), 4) AS fano,
+             |  ROUND((COUNT(*) - 1) * var_samp(CAST(n AS DOUBLE))
+             |    / AVG(n), 4) AS dispersion_chi2
+             |FROM daily GROUP BY event_type ORDER BY event_type""".stripMargin)))
 
   // §2.11 — documents: text analysis + dedup family.
   /** Shared oracle scaffolding for the BPE pair (train + encode): a

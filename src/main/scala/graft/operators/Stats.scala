@@ -179,6 +179,43 @@ object Stats {
           .as("tau_b"))
   }
 
+  /** Wald–Wolfowitz runs test for randomness of a series' direction:
+    * signs of consecutive differences of `valCol` under the `ordCol`
+    * total order (zero diffs dropped), run count R against its
+    * null-hypothesis mean and variance. Like [[kendallTauB]], the
+    * input must already be a caller-bounded grain (a calendar rollup)
+    * — the ordering window is global over that bounded relation by
+    * design. Output: 1 row (n_up, n_down, runs, z).
+    */
+  def runsTest(df: DataFrame, ordCol: String, valCol: String): DataFrame = {
+    val w = Window.orderBy(ordCol)
+    val signs = df
+      .withColumn("_d", col(valCol) - lag(valCol, 1).over(w))
+      .filter(col("_d").isNotNull && col("_d") =!= 0)
+      .withColumn("_s", signum(col("_d")))
+    val runs = signs
+      .withColumn("_chg",
+        when(lag("_s", 1).over(Window.orderBy(ordCol)).isNull
+          || col("_s") =!= lag("_s", 1).over(Window.orderBy(ordCol)), 1L)
+          .otherwise(0L))
+      .agg(sum(when(col("_s") > 0, 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("_s") < 0, 1L).otherwise(0L)).as("n_down"),
+        sum("_chg").as("runs"))
+    val n1 = col("n_up").cast("double")
+    val n2 = col("n_down").cast("double")
+    val er = lit(2.0) * n1 * n2 / (n1 + n2) + 1
+    // guard on the RAW numerator/denominator, not the assembled
+    // variance: a one-sided or length-≤2 sign series zeroes both, and
+    // ANSI mode throws on 0/0 even inside the variance expression —
+    // the test is undefined there, so emit NULL
+    val num = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n1 - n2)
+    val den = (n1 + n2) * (n1 + n2) * (n1 + n2 - 1)
+    runs.select(col("n_up"), col("n_down"), col("runs"),
+      when(num > 0 && den > 0,
+        (col("runs") - er) / sqrt(num / den))
+        .otherwise(lit(null).cast("double")).as("z"))
+  }
+
   /** Gini concentration coefficient per key: the keyed-window companion
     * to `Scale.gini`'s global range-sort form. Ranks come from one
     * per-key window sort (the shuffle is keyed on `keyCol`, so skew

@@ -95,6 +95,26 @@ class StatsSpec extends SparkSuite {
     assert(tb > 0.9 && tb < 1.0) // 5 / sqrt(6*5) ~= 0.9129
   }
 
+  test("runsTest: alternating series maxes runs, monotone series has 1 run") {
+    // values 1,0,2,0,3,0 -> signs -,+,-,+,- : n_up=2 n_down=3, R=5 (max)
+    val alt = Seq(1.0, 0.0, 2.0, 0.0, 3.0, 0.0).zipWithIndex
+      .map { case (v, i) => (f"t$i%02d", v) }.toDF("k", "v")
+    val ra = Stats.runsTest(alt, "k", "v").head()
+    assert(ra.getAs[Long]("n_up") === 2L && ra.getAs[Long]("n_down") === 3L)
+    assert(ra.getAs[Long]("runs") === 5L)
+    assert(ra.getAs[Double]("z") > 0) // more runs than E[R] = 3.4
+    // strictly rising -> one run; the one-sided null variance is 0, so
+    // z is undefined (NULL), not an ANSI division error
+    val up = (1 to 8).map(i => (f"t$i%02d", i.toDouble)).toDF("k", "v")
+    val ru = Stats.runsTest(up, "k", "v").head()
+    assert(ru.getAs[Long]("runs") === 1L && ru.getAs[Long]("n_down") === 0L)
+    assert(ru.isNullAt(ru.fieldIndex("z")))
+    // zero diffs are dropped, not counted as runs
+    val flat = Seq(("t1", 2.0), ("t2", 2.0), ("t3", 2.0), ("t4", 3.0))
+      .toDF("k", "v")
+    assert(Stats.runsTest(flat, "k", "v").head().getAs[Long]("runs") === 1L)
+  }
+
   test("giniByGroup: per-key closed forms match the global formula") {
     val df = ((1 to 4).map(i => ("uniform", i.toDouble))
       ++ Seq.fill(7)(("equal", 3.5))
