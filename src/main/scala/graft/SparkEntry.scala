@@ -4034,7 +4034,107 @@ object SparkEntry {
              |  ROUND(var_samp(CAST(n AS DOUBLE)) / AVG(n), 4) AS fano,
              |  ROUND((COUNT(*) - 1) * var_samp(CAST(n AS DOUBLE))
              |    / AVG(n), 4) AS dispersion_chi2
-             |FROM daily GROUP BY event_type ORDER BY event_type""".stripMargin)))
+             |FROM daily GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    Q("events_error_pchart", // attribute control chart (p-chart) for the
+      // daily error-event share: each day's proportion against the
+      // binomial 3σ limits around the overall rate — the categorical
+      // companion to the value control chart. Day proportions are exact
+      // integer ratios; the centerline rides a one-row broadcast.
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L))
+              .as("err"))
+        val center = daily.agg(
+          (sum("err").cast("double") / sum("n")).as("pbar"))
+        daily.crossJoin(broadcast(center))
+          .withColumn("p", col("err").cast("double") / col("n"))
+          .withColumn("sigma",
+            sqrt(col("pbar") * (lit(1.0) - col("pbar")) / col("n")))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n"), col("err"), round(col("p"), 6).as("p"),
+            round(col("pbar") + lit(3.0) * col("sigma"), 6).as("ucl"),
+            round(col("pbar") - lit(3.0) * col("sigma"), 6).as("lcl"),
+            (col("p") > col("pbar") + lit(3.0) * col("sigma")
+              || col("p") < col("pbar") - lit(3.0) * col("sigma"))
+              .as("out_of_control"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+             |    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             |      AS err
+             |  FROM events GROUP BY 1),
+             |c AS (SELECT CAST(SUM(err) AS DOUBLE) / SUM(n) AS pbar
+             |      FROM daily)
+             |SELECT CAST(day AS VARCHAR) AS day, n, CAST(err AS BIGINT)
+             |    AS err,
+             |  ROUND(CAST(err AS DOUBLE) / n, 6) AS p,
+             |  ROUND(pbar + 3.0 * sqrt(pbar * (1.0 - pbar) / n), 6) AS ucl,
+             |  ROUND(pbar - 3.0 * sqrt(pbar * (1.0 - pbar) / n), 6) AS lcl,
+             |  (CAST(err AS DOUBLE) / n
+             |      > pbar + 3.0 * sqrt(pbar * (1.0 - pbar) / n)
+             |    OR CAST(err AS DOUBLE) / n
+             |      < pbar - 3.0 * sqrt(pbar * (1.0 - pbar) / n))
+             |    AS out_of_control
+             |FROM daily, c ORDER BY day""".stripMargin)),
+
+    Q("orders_priority_mix_chi2", // did the order-priority mix shift
+      // between the first and second half of the order history? The
+      // same Stats.chiSquare the weekday test uses, pointed at a second
+      // domain — one categorical-drift gate, any pair of columns.
+      (s, d) => graft.operators.Stats
+        .chiSquare(t(s, d, "orders"),
+          (year(col("o_orderdate")) <= 1995).cast("int"),
+          col("o_orderpriority"))
+        .select(round(col("chi2"), 6).as("chi2"), col("dof"), col("n")),
+      Some("""WITH o AS (
+             |  SELECT CASE WHEN year(o_orderdate) <= 1995 THEN 1 ELSE 0 END
+             |      AS era,
+             |    o_orderpriority, COUNT(*) AS o
+             |  FROM orders GROUP BY 1, 2),
+             |x AS (
+             |  SELECT o,
+             |    CAST(SUM(o) OVER (PARTITION BY era) AS DOUBLE) AS rt,
+             |    CAST(SUM(o) OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+             |      AS ct,
+             |    CAST(SUM(o) OVER () AS DOUBLE) AS n,
+             |    era, o_orderpriority
+             |  FROM o)
+             |SELECT ROUND(SUM((o - rt * ct / n) * (o - rt * ct / n)
+             |    / (rt * ct / n)), 6) AS chi2,
+             |  CAST((COUNT(DISTINCT era) - 1)
+             |    * (COUNT(DISTINCT o_orderpriority) - 1) AS BIGINT) AS dof,
+             |  CAST(MAX(n) AS BIGINT) AS n
+             |FROM x""".stripMargin)),
+
+    Q("doc_source_length_anova", // does document length segment by
+      // source? Stats.anovaF on a third domain (text corpus) — the
+      // sanity gate before treating per-source length stats as
+      // interchangeable.
+      (s, d) => graft.operators.Stats
+        .anovaF(t(s, d, "documents"), "source", "n_chars")
+        .select(col("k"), col("n"), round(col("f_stat"), 4).as("f_stat"),
+          col("dof_between"), col("dof_within"),
+          round(col("eta_sq"), 6).as("eta_sq")),
+      Some("""WITH g AS (
+             |  SELECT source, COUNT(*) AS n,
+             |    SUM(CAST(n_chars AS DOUBLE)) AS s,
+             |    SUM(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)) AS q
+             |  FROM documents GROUP BY source),
+             |a AS (
+             |  SELECT COUNT(*) AS k, SUM(n) AS n, SUM(s) AS ts,
+             |    SUM(q) AS tq, SUM(s * s / n) AS b
+             |  FROM g)
+             |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+             |  ROUND(((b - ts * ts / n) / (k - 1))
+             |    / ((tq - b) / (n - k)), 4) AS f_stat,
+             |  CAST(k - 1 AS BIGINT) AS dof_between,
+             |  CAST(n - k AS BIGINT) AS dof_within,
+             |  ROUND((b - ts * ts / n) / (tq - ts * ts / n), 6) AS eta_sq
+             |FROM a""".stripMargin)))
 
   // §2.11 — documents: text analysis + dedup family.
   /** Shared oracle scaffolding for the BPE pair (train + encode): a

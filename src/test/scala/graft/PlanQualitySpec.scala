@@ -176,6 +176,7 @@ class PlanQualitySpec extends SparkSuite {
         "graph_modularity", // 1-row m × 1-row intra-edge-count assembly
         "cust_blocking_quality", // 1-row n_total broadcast onto 3 report rows
         "orders_kendall_tau", // pairwise pass over the bounded ~80-row month grain
+        "events_error_pchart", // 1-row centerline broadcast onto the day grain
         "graph_triangles")) // 1-row stats × 1-row triangle-count assembly
         // and the other names above: 1-row corpus-
       // stats broadcast: a nested-loop join against a single-row build
