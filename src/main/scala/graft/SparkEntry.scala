@@ -4134,7 +4134,44 @@ object SparkEntry {
              |  CAST(k - 1 AS BIGINT) AS dof_between,
              |  CAST(n - k AS BIGINT) AS dof_within,
              |  ROUND((b - ts * ts / n) / (tq - ts * ts / n), 6) AS eta_sq
-             |FROM a""".stripMargin)))
+             |FROM a""".stripMargin)),
+
+    Q("events_forecast_backtest", // backtest of the seasonal-naive
+      // forecaster (events_seasonal_naive's model: tomorrow = same
+      // weekday last week) over the daily series: MAE, RMSE, MAPE and
+      // sMAPE — the evaluation half a forecasting pipeline needs
+      // before trusting any forecast. LAG(7) over the bounded
+      // ~30-row day grain; every error term is an exact integer ratio.
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.orderBy("day")
+        val nD = col("n").cast("double")
+        val fD = col("fc").cast("double")
+        daily.withColumn("fc", lag("n", 7).over(w))
+          .filter(col("fc").isNotNull)
+          .agg(count(lit(1)).as("n_days"),
+            round(avg(abs(nD - fD)), 4).as("mae"),
+            round(sqrt(avg(pow(nD - fD, 2))), 4).as("rmse"),
+            round(avg(abs(nD - fD) / nD) * 100, 4).as("mape_pct"),
+            round(avg(abs(nD - fD) / ((nD + fD) / 2)) * 100, 4)
+              .as("smape_pct"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+             |  FROM events GROUP BY 1),
+             |f AS (
+             |  SELECT CAST(n AS DOUBLE) AS n,
+             |    CAST(lag(n, 7) OVER (ORDER BY day) AS DOUBLE) AS fc
+             |  FROM daily QUALIFY fc IS NOT NULL)
+             |SELECT COUNT(*) AS n_days,
+             |  ROUND(AVG(ABS(n - fc)), 4) AS mae,
+             |  ROUND(sqrt(AVG((n - fc) * (n - fc))), 4) AS rmse,
+             |  ROUND(AVG(ABS(n - fc) / n) * 100, 4) AS mape_pct,
+             |  ROUND(AVG(ABS(n - fc) / ((n + fc) / 2)) * 100, 4)
+             |    AS smape_pct
+             |FROM f""".stripMargin)))
 
   // §2.11 — documents: text analysis + dedup family.
   /** Shared oracle scaffolding for the BPE pair (train + encode): a
