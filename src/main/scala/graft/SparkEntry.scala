@@ -57,10 +57,24 @@ object SparkEntry {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(Int, String, String), AnyRef]()
 
+  // NOT computeIfAbsent: several builders are NESTED (dupClusterLabels
+  // builds on shinglePairIndex, coPurchasePairs on orderPartPairs), and
+  // a computeIfAbsent whose lambda re-enters the same ConcurrentHashMap
+  // throws IllegalStateException("Recursive update") whenever the two
+  // keys happen to share a bin — a JVM-layout-dependent flake. Plain
+  // get/putIfAbsent tolerates re-entry; queries run sequentially in
+  // Verify/Bench, so the lost atomicity only risks a redundant build.
   private def memoized[T <: AnyRef](s: SparkSession, d: String, key: String)(
-      build: => T): T =
-    memo.computeIfAbsent((System.identityHashCode(s), d, key),
-      _ => build).asInstanceOf[T]
+      build: => T): T = {
+    val k = (System.identityHashCode(s), d, key)
+    val existing = memo.get(k)
+    if (existing != null) existing.asInstanceOf[T]
+    else {
+      val built = build.asInstanceOf[AnyRef]
+      val prior = memo.putIfAbsent(k, built)
+      (if (prior != null) prior else built).asInstanceOf[T]
+    }
+  }
 
   private def memoizedDf(s: SparkSession, d: String, key: String)(
       build: => DataFrame): DataFrame =
