@@ -4185,7 +4185,105 @@ object SparkEntry {
              |  ROUND(AVG(ABS(n - fc) / n) * 100, 4) AS mape_pct,
              |  ROUND(AVG(ABS(n - fc) / ((n + fc) / 2)) * 100, 4)
              |    AS smape_pct
-             |FROM f""".stripMargin)))
+             |FROM f""".stripMargin)),
+
+    Q("lineitem_qty_uniformity_chi2", // chi-square GOODNESS-OF-FIT of
+      // order quantities against the uniform 1..50 the TPC-H generator
+      // promises — the distribution-conformance gate (the independence
+      // tests above answer a different question). Observed counts
+      // collapse to the 50-cell grain; expected is pure arithmetic on
+      // the total, so the statistic is one bounded aggregation.
+      (s, d) => {
+        val o = t(s, d, "lineitem")
+          .groupBy(col("l_quantity").cast("int").as("qty"))
+          .agg(count(lit(1)).as("o"))
+        o.withColumn("n", sum("o").over(Window.partitionBy()))
+          .withColumn("e", col("n").cast("double") / 50)
+          .agg(max("n").as("n"),
+            count(lit(1)).as("cells"),
+            round(sum(pow(col("o") - col("e"), 2) / col("e")), 6)
+              .as("chi2"),
+            (count(lit(1)) - 1).as("dof"))
+      },
+      Some("""WITH o AS (
+             |  SELECT CAST(l_quantity AS INT) AS qty, COUNT(*) AS o
+             |  FROM lineitem GROUP BY 1),
+             |x AS (
+             |  SELECT o, SUM(o) OVER () AS n,
+             |    CAST(SUM(o) OVER () AS DOUBLE) / 50 AS e
+             |  FROM o)
+             |SELECT CAST(MAX(n) AS BIGINT) AS n,
+             |  COUNT(*) AS cells,
+             |  ROUND(SUM((o - e) * (o - e) / e), 6) AS chi2,
+             |  CAST(COUNT(*) - 1 AS BIGINT) AS dof
+             |FROM x""".stripMargin)),
+
+    Q("emb_pca_second_component", // second principal direction by
+      // DEFLATION: rerun the power iteration with a per-round
+      // Gram–Schmidt projection against the top component (the
+      // d-vector arithmetic happens on the driver; the corpus passes
+      // stay the same two distributed matvecs per round). Chaining
+      // deflations yields a top-k basis with the covariance never
+      // materialized — the scale path to whitening. The projection
+      // coefficient rounds like every iterate, so the oracle replays
+      // the identical arithmetic; the deflation is sign-invariant in
+      // the first component.
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val v1 = Similarity.powerIteration(e, "embedding", dim = 64,
+          iters = 3, scale = 6)
+        val v2 = Similarity.powerIterationDeflated(e, "embedding", dim = 64,
+          iters = 3, scale = 6, v1 = v1)
+        import s.implicits._
+        v2.toSeq.zipWithIndex.map { case (x, i) => (i + 1, x) }
+          .toDF("dim", "loading2")
+      },
+      Some {
+        // every multi-consumer stage is MATERIALIZED and the 1-row
+        // scalars cross-join in — without this DuckDB re-inlines the
+        // whole upstream chain per reference and the nested chains go
+        // combinatorial (measured: >2 min plain, 0.5 s materialized)
+        def itr(prev: String, k: Int): String =
+          s"""s$k AS MATERIALIZED (
+             |  SELECT vec_id, ROUND(SUM(x * $prev.val), 6) AS s
+             |  FROM e JOIN $prev USING (dim) GROUP BY vec_id),
+             |u$k AS MATERIALIZED (SELECT dim, SUM(e.x * s$k.s) AS u
+             |  FROM e JOIN s$k USING (vec_id) GROUP BY dim),
+             |n$k AS (SELECT SQRT(SUM(u * u)) AS nrm FROM u$k),
+             |v$k AS MATERIALIZED (SELECT dim, ROUND(u / nrm, 6) AS val
+             |  FROM u$k, n$k)""".stripMargin
+        def ditr(prev: String, k: Int): String =
+          s"""t$k AS MATERIALIZED (
+             |  SELECT vec_id, ROUND(SUM(x * $prev.val), 6) AS s
+             |  FROM e JOIN $prev USING (dim) GROUP BY vec_id),
+             |y$k AS MATERIALIZED (SELECT dim, SUM(e.x * t$k.s) AS u
+             |  FROM e JOIN t$k USING (vec_id) GROUP BY dim),
+             |c$k AS (SELECT ROUND(SUM(y$k.u * v3.val), 6) AS dt
+             |  FROM y$k JOIN v3 USING (dim)),
+             |o$k AS MATERIALIZED (SELECT y$k.dim,
+             |    y$k.u - c$k.dt * v3.val AS u
+             |  FROM y$k JOIN v3 USING (dim), c$k),
+             |m$k AS (SELECT SQRT(SUM(u * u)) AS nrm FROM o$k),
+             |w$k AS MATERIALIZED (SELECT dim, ROUND(u / nrm, 6) AS val
+             |  FROM o$k, m$k)""".stripMargin
+        s"""WITH e AS MATERIALIZED (
+           |  SELECT vec_id, CAST(i AS INT) AS dim,
+           |    ROUND(CAST(embedding[i] AS DOUBLE), 6) AS x
+           |  FROM embeddings, range(1, 65) t(i)),
+           |v0 AS (SELECT CAST(dim AS INT) AS dim, CAST(0.125 AS DOUBLE) AS val
+           |  FROM range(1, 65) t(dim)),
+           |${itr("v0", 1)},
+           |${itr("v1", 2)},
+           |${itr("v2", 3)},
+           |${ditr("v0", 1)},
+           |${ditr("w1", 2)},
+           |${ditr("w2", 3)},
+           |sg AS (SELECT CASE WHEN (SELECT val FROM w3
+           |    ORDER BY ABS(val) DESC, dim LIMIT 1) < 0
+           |  THEN -1.0 ELSE 1.0 END AS s)
+           |SELECT dim, ROUND(val * (SELECT s FROM sg), 6) + 0.0 AS loading2
+           |FROM w3 ORDER BY dim""".stripMargin
+      }))
 
   // §2.11 — documents: text analysis + dedup family.
   /** Shared oracle scaffolding for the BPE pair (train + encode): a

@@ -190,7 +190,22 @@ object Similarity {
     * component (smallest dim on ties) positive.
     */
   def powerIteration(emb: DataFrame, vecCol: String = "embedding",
-      dim: Int = 64, iters: Int = 3, scale: Int = 6): Array[Double] = {
+      dim: Int = 64, iters: Int = 3, scale: Int = 6): Array[Double] =
+    powerIterationImpl(emb, vecCol, dim, iters, scale, None)
+
+  /** The SECOND principal direction by deflation: the same two
+    * distributed passes per round, with a Gram–Schmidt projection
+    * against `v1` applied to the d-vector on the driver each round
+    * (u ← u − (v1·u)·v1, the projection coefficient rounded like every
+    * other iterate so the oracle replays it). Chaining k deflations
+    * yields a top-k basis without ever materializing a covariance.
+    */
+  def powerIterationDeflated(emb: DataFrame, vecCol: String, dim: Int,
+      iters: Int, scale: Int, v1: Array[Double]): Array[Double] =
+    powerIterationImpl(emb, vecCol, dim, iters, scale, Some(v1))
+
+  private def powerIterationImpl(emb: DataFrame, vecCol: String, dim: Int,
+      iters: Int, scale: Int, orthoTo: Option[Array[Double]]): Array[Double] = {
     def rnd(x: Double) = BigDecimal(x)
       .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
     val base = emb
@@ -202,10 +217,16 @@ object Similarity {
         val vLit = array(v.map(lit).toIndexedSeq: _*)
         val dot = aggregate(zip_with(col("x"), vLit, (a, b) => a * b),
           lit(0.0), (acc, e) => acc + e)
-        val u = base.withColumn("s", round(dot, scale))
+        val u0 = base.withColumn("s", round(dot, scale))
           .select(posexplode(col("x")).as(Seq("dim0", "xi")), col("s"))
           .groupBy("dim0").agg(sum(col("xi") * col("s")).as("u"))
           .orderBy("dim0").collect().map(_.getDouble(1))
+        val u = orthoTo match {
+          case Some(w) =>
+            val coef = rnd(u0.zip(w).map { case (a, b) => a * b }.sum)
+            u0.zip(w).map { case (ui, wi) => ui - coef * wi }
+          case None => u0
+        }
         val norm = math.sqrt(u.map(t => t * t).sum)
         v = u.map(t => rnd(t / norm))
       }

@@ -215,4 +215,20 @@ class SimilaritySpec extends SparkSuite {
     val v2 = Similarity.powerIteration(df, "embedding", dim = 4, iters = 3)
     assert(v.toSeq === v2.toSeq)
   }
+
+  test("powerIterationDeflated: orthogonal to v1, unit norm, finds dim 2") {
+    val rows = (1 to 16).map { i =>
+      val s = if (i % 2 == 0) 1.0f else -1.0f
+      // dominant ±e1 axis, secondary signal on e2, nothing on e3/e4
+      Tuple1(Seq(10.0f * s, 2.0f * (if (i % 4 < 2) 1 else -1), 0.0f, 0.0f))
+    }
+    val df = rows.toDF("embedding")
+    val v1 = Similarity.powerIteration(df, "embedding", dim = 4, iters = 3)
+    val w = Similarity.powerIterationDeflated(df, "embedding", dim = 4,
+      iters = 3, scale = 6, v1 = v1)
+    assert(math.abs(math.sqrt(w.map(x => x * x).sum) - 1.0) < 1e-4)
+    val dot = v1.zip(w).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) < 1e-3, s"not orthogonal: dot=$dot")
+    assert(math.abs(w(1)) > 0.99, s"second axis not recovered: ${w.toSeq}")
+  }
 }
