@@ -4283,7 +4283,48 @@ object SparkEntry {
            |  THEN -1.0 ELSE 1.0 END AS s)
            |SELECT dim, ROUND(val * (SELECT s FROM sg), 6) + 0.0 AS loading2
            |FROM w3 ORDER BY dim""".stripMargin
-      }))
+      }),
+
+    Q("events_user_lifecycle", // user-lifecycle profile: activity ratio
+      // (active days over calendar lifespan) per user, summarized with
+      // mean and exact p50/p90. The percentiles come from the SAME
+      // distributed range-sort machinery as the lineitem order
+      // statistics (Scale.rankValues) — at billions of users an
+      // ungrouped percentile() would funnel the user table through one
+      // buffer; this shape never does.
+      (s, d) => {
+        val u = t(s, d, "events").groupBy("user_id")
+          .agg(countDistinct(to_date(col("ts"))).as("active_days"),
+            (datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+              + 1).as("lifespan"))
+          .withColumn("ratio",
+            col("active_days").cast("double") / col("lifespan"))
+        val ranked = Scale.rankValues(u, "ratio", Seq("user_id"))
+        val qs = try ranked.quantiles(Seq(0.5, 0.9))
+          finally ranked.unpersist()
+        def r6(x: Double) = BigDecimal(x)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        u.agg(count(lit(1)).as("n_users"),
+            round(avg("ratio"), 6).as("mean_ratio"),
+            round(avg("active_days"), 4).as("mean_active_days"))
+          .withColumn("p50_ratio", lit(r6(qs(0))))
+          .withColumn("p90_ratio", lit(r6(qs(1))))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |    COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
+             |    date_diff('day', MIN(CAST(ts AS DATE)),
+             |      MAX(CAST(ts AS DATE))) + 1 AS lifespan
+             |  FROM events GROUP BY user_id),
+             |r AS (SELECT active_days,
+             |        CAST(active_days AS DOUBLE) / lifespan AS ratio
+             |      FROM u)
+             |SELECT COUNT(*) AS n_users,
+             |  ROUND(AVG(ratio), 6) AS mean_ratio,
+             |  ROUND(AVG(active_days), 4) AS mean_active_days,
+             |  ROUND(quantile_cont(ratio, 0.5), 6) AS p50_ratio,
+             |  ROUND(quantile_cont(ratio, 0.9), 6) AS p90_ratio
+             |FROM r""".stripMargin)))
 
   // §2.11 — documents: text analysis + dedup family.
   /** Shared oracle scaffolding for the BPE pair (train + encode): a
