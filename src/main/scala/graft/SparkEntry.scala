@@ -3701,6 +3701,15 @@ object SparkEntry {
           .groupBy("event_type")
           .agg(expr(s"percentile(va, $qs)").as("da"),
             expr(s"percentile(vb, $qs)").as("db"))
+          // a type with rows in only one half gets a NULL quantile
+          // vector; arrays_zip(null, …) would make posexplode emit ZERO
+          // rows while the oracle's unnest(range(1,10)) still emits 9
+          // NULL-decile rows — coalesce to a 9-NULL vector so both
+          // engines report the one-sided type as 9 rows of NULL shift
+          .withColumn("da", coalesce(col("da"),
+            array(Seq.fill(9)(lit(null).cast("double")): _*)))
+          .withColumn("db", coalesce(col("db"),
+            array(Seq.fill(9)(lit(null).cast("double")): _*)))
           .select(col("event_type"),
             posexplode(arrays_zip(col("da"), col("db"))))
           .select(col("event_type"), ((col("pos") + 1) * 10).as("decile"),
@@ -4194,8 +4203,12 @@ object SparkEntry {
       // collapse to the 50-cell grain; expected is pure arithmetic on
       // the total, so the statistic is one bounded aggregation.
       (s, d) => {
+        // floor() before the int cast: Spark's decimal→int cast
+        // truncates while DuckDB's rounds half-away — TPC-H quantities
+        // are integral so both agreed, but floor on BOTH sides keeps the
+        // bucket rule portable to non-integral inputs
         val o = t(s, d, "lineitem")
-          .groupBy(col("l_quantity").cast("int").as("qty"))
+          .groupBy(floor(col("l_quantity")).cast("int").as("qty"))
           .agg(count(lit(1)).as("o"))
         o.withColumn("n", sum("o").over(Window.partitionBy()))
           .withColumn("e", col("n").cast("double") / 50)
@@ -4206,7 +4219,7 @@ object SparkEntry {
             (count(lit(1)) - 1).as("dof"))
       },
       Some("""WITH o AS (
-             |  SELECT CAST(l_quantity AS INT) AS qty, COUNT(*) AS o
+             |  SELECT CAST(FLOOR(l_quantity) AS INT) AS qty, COUNT(*) AS o
              |  FROM lineitem GROUP BY 1),
              |x AS (
              |  SELECT o, SUM(o) OVER () AS n,

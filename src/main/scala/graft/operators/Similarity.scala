@@ -373,45 +373,57 @@ object Similarity {
     * shared by [[pqTrainEncodeLloyd]] and [[ivfPqTopK]]. Returns the m
     * codebooks of k subDim-dimensional centroids.
     *
-    * Per-subvector Lloyd rounds: m small independent jobs per iteration
-    * over the cached sample. A fused one-job-per-round variant (explode
-    * over m subvector structs into one (sub, code, dim) aggregation)
-    * measured ~50% SLOWER at sf0.1 — the m-way generator tree costs more
-    * than the driver barriers it saves, and the sample is bounded by
-    * sampleN at any scale, so the extra barriers never grow with data.
+    * The training set is BOUNDED at `sampleN` rows by definition at any
+    * corpus scale, so the Lloyd loop runs on the DRIVER over one collect
+    * of sampleN×dim floats (≤ a few MB) — the FAISS shape: codebooks are
+    * model state, trained host-side on a sample; the distributed work of
+    * PQ is the corpus-wide ENCODE pass, which is unchanged below. The
+    * previous m×iters distributed jobs (and the ~50%-slower fused
+    * one-job-per-round variant) were pure scheduling overhead around a
+    * 2000-row scan — see PLANS.md round 7 for the measurements. The
+    * arithmetic is the exact loop the DuckDB oracle replays: sequential
+    * double diff/square/sum distances (the [[graft.functions.VectorFunctions.l2Sq]]
+    * fold order), strict-< argmin = lowest-code tie-break, per-(code,dim)
+    * means, emptied codes keep their previous centroid.
     */
   private def trainPqBooks(
       emb: DataFrame, vecCol: String, idCol: String,
       subDim: Int, m: Int, k: Int, sampleN: Int,
       iters: Int): Array[Array[Seq[Double]]] = {
-    def subArr(i: Int): Column = slice(col(vecCol), i * subDim + 1, subDim)
-    // the training sample is re-scanned every Lloyd round — cache the
-    // narrow projection once instead of re-reading the source per job
-    val sample = emb.orderBy(col(idCol)).limit(sampleN)
-      .select(col(idCol), col(vecCol)).cache()
-    // fixed init for ALL m codebooks from one job: the k smallest-id
-    // sample vectors, sliced per subvector driver-side
-    val initRows = sample.orderBy(col(idCol)).limit(k).select(col(vecCol))
-      .collect().map(_.getSeq[Float](0).map(_.toDouble))
-    var books: Array[Array[Seq[Double]]] = Array.tabulate(m)(i =>
-      initRows.map(v => v.slice(i * subDim, (i + 1) * subDim): Seq[Double]))
-    (0 until m).foreach { i =>
-      (1 to iters).foreach { _ =>
-        val means = sample
-          .select(pqAssign(books, vecCol, subDim)(i).as("cl"),
-            posexplode(subArr(i)).as(Seq("dim", "x")))
-          .groupBy("cl", "dim").agg(avg("x").as("mn"))
-          .groupBy("cl").agg(array_sort(collect_list(struct(col("dim"), col("mn")))).as("p"))
-          .select(col("cl"), transform(col("p"), q => q.getField("mn")).as("c"))
-          .collect().map(r => r.getInt(0) -> (r.getSeq[Double](1): Seq[Double])).toMap
-        // an emptied code keeps its previous centroid (deterministic)
-        books(i) = books(i).zipWithIndex.map {
-          case (old, j) => means.getOrElse(j, old)
+    val rows: Array[Array[Double]] = emb.orderBy(col(idCol)).limit(sampleN)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    Array.tabulate(m) { i =>
+      val sub: Array[Array[Double]] =
+        rows.map(v => java.util.Arrays.copyOfRange(v, i * subDim, (i + 1) * subDim))
+      // fixed init: the k smallest-id sample subvectors (rows are already
+      // in id order from the bounded sort above)
+      var book: Array[Array[Double]] = sub.take(k).map(_.clone)
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(k)(new Array[Double](subDim))
+        val counts = new Array[Long](k)
+        sub.foreach { v =>
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            var d = 0.0
+            var j = 0
+            while (j < subDim) { val t = v(j) - book(c)(j); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = c } // strict < → lowest code wins ties
+            c += 1
+          }
+          counts(best) += 1
+          var j = 0
+          while (j < subDim) { sums(best)(j) += v(j); j += 1 }
+        }
+        book = book.zipWithIndex.map { case (old, c) =>
+          if (counts(c) == 0L) old // an emptied code keeps its centroid
+          else sums(c).map(_ / counts(c))
         }
       }
+      book.map(c => c.toSeq: Seq[Double])
     }
-    sample.unpersist(blocking = false)
-    books
   }
 
   /** Argmin over codebook i: first position of the minimum distance —

@@ -51,7 +51,13 @@ object Stats {
         - col("_cumb").cast("double") / col("_nb")))
       .groupBy(keyCol)
       .agg(max("_na").as("n_a"), max("_nb").as("n_b"),
-        max("_dif").as("ks"))
+        max("_dif").as("_ks"))
+      // a key present on only one side has no second CDF: the gap is
+      // undefined (the raw division yields NaN/Inf, never an error), so
+      // report NULL — same contract as runsTest's degenerate guard
+      .withColumn("ks", when(col("n_a") > 0 && col("n_b") > 0, col("_ks"))
+        .otherwise(lit(null).cast("double")))
+      .drop("_ks")
   }
 
   /** Mann–Whitney rank-sum test per key with tie midranks. Output:
@@ -102,12 +108,19 @@ object Stats {
       (col("n_b") - 1)
     val sea = va / col("n_a")
     val seb = vb / col("n_b")
+    // the test is undefined unless BOTH sides have ≥2 rows (n-1 and n
+    // divisions degenerate to NaN/Inf, never an error): report NULL for
+    // degenerate keys — same contract as runsTest's guard
+    val defined = col("n_a") > 1 && col("n_b") > 1
+    val nullD = lit(null).cast("double")
     g.select(col(keyCol), col("n_a"), col("n_b"),
-      (ma - mb).as("mean_diff"),
-      ((ma - mb) / sqrt(sea + seb)).as("t_welch"),
-      (pow(sea + seb, 2)
+      when(col("n_a") > 0 && col("n_b") > 0, ma - mb)
+        .otherwise(nullD).as("mean_diff"),
+      when(defined, (ma - mb) / sqrt(sea + seb))
+        .otherwise(nullD).as("t_welch"),
+      when(defined, pow(sea + seb, 2)
         / (pow(sea, 2) / (col("n_a") - 1)
-          + pow(seb, 2) / (col("n_b") - 1))).as("df"))
+          + pow(seb, 2) / (col("n_b") - 1))).otherwise(nullD).as("df"))
   }
 
   /** Chi-square test of independence between two categorical columns.
@@ -141,8 +154,12 @@ object Stats {
       .withColumn("_n", sum("_o").over(Window.partitionBy()))
       .withColumn("_p", col("_o").cast("double") / col("_n"))
       .agg(
+        // cast BEFORE multiplying the long margins: _rt * _ct as longs
+        // overflows (and throws under ANSI) once n exceeds ~3e9 rows,
+        // while the double product merely loses ulps the log absorbs —
+        // consistent with chiSquare's expected-count arithmetic
         sum(col("_p") * log(col("_o").cast("double") * col("_n")
-          / (col("_rt") * col("_ct")))).as("mi_nats"),
+          / (col("_rt").cast("double") * col("_ct")))).as("mi_nats"),
         (-sum(col("_p")
           * log(col("_rt").cast("double") / col("_n")))).as("h_x"),
         (-sum(col("_p")
