@@ -6026,7 +6026,10 @@ object SparkEntry {
 
     Q("emb_kmeans_ivf_topk", // IVF over MLlib-KMeans-learned inverted
       // lists (seeded) — the production index-build shape; recall and the
-      // full-probe == exact identity are pinned in SimilaritySpec
+      // full-probe == exact identity are pinned in SimilaritySpec. The
+      // oracle is attached lazily (kmeansIvfOracleSql): the seeded model
+      // is deterministic, so its 8 learned centers are inlined as SQL
+      // literals and everything downstream of the model replays in SQL.
       (s, d) => {
         val e = t(s, d, "embeddings")
         val qv = e.filter(col("vec_id") === 0).select("embedding")
@@ -9520,5 +9523,56 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] =
-    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap ++
+      kmeansIvfOracleSql.map("emb_kmeans_ivf_topk" -> _)
+
+  /** Oracle for `emb_kmeans_ivf_topk`, attached lazily: the seeded MLlib
+    * KMeans model is a deterministic function of (fixture, seed), so its
+    * 8 learned centers are trained here once against the DECLARED sf0.01
+    * fixture and inlined as SQL literals — the same model-constants
+    * pattern the LSH-plane oracles use — while everything downstream of
+    * the model (argmin assignment with the lowest-cluster tie-break, the
+    * per-list mean centroids, the cosine probe, the final ranking)
+    * replays in portable SQL. Training needs a live session and the
+    * fixture on disk; when either is missing this degrades to None and
+    * the driver records its weaker rows-only check, exactly as before.
+    */
+  private lazy val kmeansIvfOracleSql: Option[String] = scala.util.Try {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val s = SparkSession.builder().getOrCreate()
+    val withFeat = t(s, "/root/testdata/sf0.01", "embeddings")
+      .filter(col("vec_id") =!= 0)
+      .withColumn("features",
+        array_to_vector(col("embedding").cast("array<double>")))
+    val model = new KMeans().setK(8).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("ivf_cluster")
+      .fit(withFeat)
+    // Double.toString is the shortest round-trip decimal: DuckDB parses
+    // it back to the identical IEEE double the assignment compares
+    val centerRows = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.toArray.map(_.toString).mkString(", ")}])"
+    }.mkString(",\n|    ")
+    s"""WITH e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings WHERE vec_id <> 0),
+       |q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+       |  FROM embeddings WHERE vec_id = 0),
+       |cm AS (SELECT * FROM (VALUES
+       |    $centerRows) AS t(cl, c)),
+       |am AS MATERIALIZED (SELECT vec_id, v, cl FROM (
+       |  SELECT e.vec_id AS vec_id, e.v AS v, cm.cl AS cl,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_sum(list_transform(range(1, 65),
+       |        i -> (e.v[i] - cm.c[i]) * (e.v[i] - cm.c[i]))), cm.cl) AS rn
+       |  FROM e, cm) WHERE rn = 1),
+       |mm AS (SELECT cl, t.dim, AVG(v[t.dim]) AS m
+       |  FROM am, range(1, 65) AS t(dim) GROUP BY cl, t.dim),
+       |nn AS (SELECT cl, list(m ORDER BY dim) AS c FROM mm GROUP BY cl),
+       |near AS (SELECT nn.cl FROM nn, q
+       |  ORDER BY list_cosine_similarity(nn.c, qv) DESC, nn.cl LIMIT 3)
+       |SELECT vec_id, ROUND(list_cosine_similarity(v, qv), 6) AS cos
+       |FROM am, q WHERE cl IN (SELECT cl FROM near)
+       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+  }.toOption
 }
