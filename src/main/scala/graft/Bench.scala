@@ -11,8 +11,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // optional substring filter for focused optimization runs
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    // optional comma-separated substring filter for focused runs
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    def selected(name: String): Boolean = only.forall(_.exists(name.contains))
     // Warmup: one untimed pass of the full suite at the smallest scale
     // factor. Each query's plan shape compiles identical generated source
     // at any sf (paths live in plan metadata, not codegen), so this fills
@@ -24,7 +25,7 @@ object Bench {
     if (!sys.env.contains("SPARK_GRAFT_NOWARM")) {
       val warmDir = "/root/testdata/sf0.001"
       SparkEntry.queries
-        .filter { case (name, _) => only.forall(name.contains) }
+        .filter { case (name, _) => selected(name) }
         .foreach { case (_, fn) =>
           try fn(spark, warmDir).queryExecution.toRdd.count()
           catch { case _: Throwable => () }
@@ -36,7 +37,7 @@ object Bench {
     // pass measures the pruned READ, not the one-time write.
     Seq("layout_partition_prune", "emb_lsh_topk_indexed",
         "scale_bucketed_join", "source_csv_quarantine")
-      .filter(n => only.forall(n.contains) && SparkEntry.queries.contains(n))
+      .filter(n => selected(n) && SparkEntry.queries.contains(n))
       .foreach { n =>
         try SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.count()
         catch { case _: Throwable => () }
@@ -59,7 +60,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val timed = SparkEntry.queries
-      .filter { case (name, _) => only.forall(name.contains) }
+      .filter { case (name, _) => selected(name) }
       .map { case (name, fn) =>
         val cold = timeOnce(fn)
         val second = timeOnce(fn)
@@ -90,7 +91,8 @@ object Bench {
     println(headline)
     try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("/root/repo/bench_out.json"),
+        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+          "/root/repo/bench_out.json")),
         full.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     spark.stop()

@@ -5589,25 +5589,43 @@ object SparkEntry {
              |FROM sc QUALIFY prank <= 0.5 ORDER BY lang, prank, doc_id""".stripMargin)),
 
     Q("cust_fuzzy_pairs", // entity resolution: bounded-Levenshtein name
-      // pairs blocked by nation (threshold-bounded levenshtein abandons a
-      // pair at k+1, so cost is O(k·len) per pair, not O(len²)); each
-      // block capped at its 10000 lowest ids — the structural guard that
-      // keeps a degenerate blocking key from going quadratic, mirrored in
-      // the oracle
+      // pairs (threshold-bounded levenshtein abandons a pair at k+1, so
+      // cost is O(k·len) per pair, not O(len²)) within a DISCRIMINATIVE
+      // composite block: nation × all-but-the-last-2-chars of the name
+      // (a positional q-gram key). The plain nation block — the r6
+      // declaration — degenerates as the corpus grows (every name shares
+      // a constant prefix, so blocks grow linearly and in-block pairs
+      // quadratically: 21.7× wall at the 10× probe); this key is the one
+      // cust_blocking_quality's own report picks (max_block ≤ ~100 at
+      // ANY scale vs corpus/25 for nation), and bounds the pair budget
+      // to n·occupancy/2. Candidate recall is the standard blocking
+      // trade: pairs differing only in their last 2 chars (the
+      // edit-cluster structure of this corpus) are all kept. The 10000
+      // per-block id cap stays as the structural guard, mirrored in the
+      // oracle.
       (s, d) => Dedup.editDistancePairs(
-          t(s, d, "customer"), blockCol = "c_nationkey",
+          t(s, d, "customer").withColumn("blk_key", concat_ws("|",
+            col("c_nationkey"),
+            expr("substring(c_name, 1, length(c_name) - 2)"))),
+          blockCol = "blk_key",
           strCol = "c_name", idCol = "c_custkey", maxDist = 2)
-        .groupBy(col("blk").as("nationkey"))
+        .groupBy(substring_index(col("blk"), "|", 1).cast("bigint")
+          .as("nationkey"))
         .agg(count(lit(1)).as("n_pairs"), min(col("dist")).as("min_dist"))
         .orderBy("nationkey"),
       Some("""WITH c AS (
              |  SELECT c_nationkey, c_custkey, c_name,
-             |    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+             |    row_number() OVER (
+             |      PARTITION BY c_nationkey, substr(c_name, 1, length(c_name) - 2)
+             |      ORDER BY c_custkey) AS rn
              |  FROM customer)
              |SELECT a.c_nationkey AS nationkey, COUNT(*) AS n_pairs,
              |MIN(levenshtein(a.c_name, b.c_name)) AS min_dist
              |FROM c a JOIN c b
-             |ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+             |ON a.c_nationkey = b.c_nationkey
+             |AND substr(a.c_name, 1, length(a.c_name) - 2)
+             |  = substr(b.c_name, 1, length(b.c_name) - 2)
+             |AND a.c_custkey < b.c_custkey
              |WHERE a.rn <= 10000 AND b.rn <= 10000
              |AND levenshtein(a.c_name, b.c_name) <= 2
              |GROUP BY a.c_nationkey ORDER BY nationkey""".stripMargin)),
@@ -6096,12 +6114,16 @@ object SparkEntry {
       }),
 
     Q("emb_neardup_pairs",
-      // fixture max pairwise cosine is ~0.51 → 0.3 with 4 planes yields a
-      // non-trivial candidate set; recall properties pinned in DedupSpec.
-      // The 4-plane bucket join is oracle-checked exactly — the planes are
-      // a deterministic prefix of the same inlined constants.
+      // AUTO-PLANED: nPlanes derives from corpus size at a constant
+      // expected occupancy of 32 (Similarity.autoPlanes), so the
+      // per-bucket quadratic candidate budget stays flat as the corpus
+      // grows — at the declared sf0.01 fixture (500 vectors) that is 4
+      // planes, which is what the oracle's inlined plane constants pin;
+      // at 10× the operator re-plans to 6-8 planes by itself. Fixture
+      // max pairwise cosine is ~0.51 → 0.3 yields a non-trivial
+      // candidate set; recall properties pinned in DedupSpec.
       (s, d) => Dedup.embeddingNearDups(t(s, d, "embeddings"),
-          nPlanes = 4, threshold = 0.3)
+          threshold = 0.3)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy("id_a", "id_b"),
       Some(s"""WITH e AS (SELECT vec_id AS id,
@@ -6121,9 +6143,10 @@ object SparkEntry {
       // step only touches the pair OUTPUT (small side). cluster_id IS
       // the kept id (labels propagate minima). Oracle: the same inlined
       // plane constants + a recursive-CTE transitive closure.
+      // (auto-planed like emb_neardup_pairs: 4 planes at this fixture)
       (s, d) => Dedup.connectedComponents(
           Dedup.embeddingNearDups(t(s, d, "embeddings"),
-            nPlanes = 4, threshold = 0.3))
+            threshold = 0.3))
         .groupBy("cluster_id")
         .agg(count(lit(1)).as("n_members"),
           (count(lit(1)) - 1).as("n_dropped"),
@@ -7612,9 +7635,11 @@ object SparkEntry {
       // majority label of its 5 nearest neighbors (LSH-blocked kNN join
       // — never all-pairs), ties toward the smaller label; per-label
       // coverage and accuracy. The eval that grades an embedding space
-      // as a classifier feature before anyone trains on it. The oracle
-      // replays the identical blocked pipeline from the same plane
-      // constants.
+      // as a classifier feature before anyone trains on it. The kNN
+      // join is AUTO-PLANED (occupancy target 2 → 8 planes at this
+      // 500-vector fixture, more as the corpus grows); the oracle
+      // replays the identical blocked pipeline from the matching
+      // 8-plane constants.
       (s, d) => {
         val e = t(s, d, "embeddings")
         val lbl = e.select(col("vec_id"), col("label"))
@@ -8652,6 +8677,13 @@ object SparkEntry {
           .unionAll(report("segment", col("c_mktsegment")))
           .unionAll(report("nation_x_segment",
             concat_ws("|", col("c_nationkey"), col("c_mktsegment"))))
+          // the key the fuzzy matcher actually runs on (r7): nation ×
+          // all-but-last-2-chars positional q-gram — max_block stays
+          // bounded (~100) at any corpus size, where the other three
+          // grow linearly with the corpus
+          .unionAll(report("nation_x_name_prefix",
+            concat_ws("|", col("c_nationkey"),
+              expr("substring(c_name, 1, length(c_name) - 2)"))))
           .crossJoin(broadcast(total))
           .select(col("blocking_key"), col("n_blocks"), col("max_block"),
             col("candidate_pairs"),
@@ -8677,8 +8709,15 @@ object SparkEntry {
              |    CAST(SUM(b * (b - 1) / 2) AS BIGINT)
              |  FROM (SELECT COUNT(*) AS b FROM customer
              |        GROUP BY c_nationkey, c_mktsegment)),
+             |r4 AS (
+             |  SELECT 'nation_x_name_prefix', COUNT(*),
+             |    CAST(MAX(b) AS BIGINT),
+             |    CAST(SUM(b * (b - 1) / 2) AS BIGINT)
+             |  FROM (SELECT COUNT(*) AS b FROM customer
+             |        GROUP BY c_nationkey,
+             |          substr(c_name, 1, length(c_name) - 2))),
              |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
-             |      UNION ALL SELECT * FROM r3)
+             |      UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4)
              |SELECT blocking_key, n_blocks, max_block, candidate_pairs,
              |  ROUND(CAST(candidate_pairs AS DOUBLE)
              |    / (n_total * (n_total - 1) / 2), 6) AS pair_share
@@ -9026,16 +9065,21 @@ object SparkEntry {
              |ORDER BY vocab_k""".stripMargin)),
 
     Q("cust_er_golden", // entity resolution end-to-end: the fuzzy name
-      // pairs (nation-blocked bounded Levenshtein, the cust_fuzzy_pairs
-      // candidate scheme) collapse through connected components into
-      // golden-record clusters — canonical id = min reachable key, one
-      // row per merged entity with its member set. The pair list is the
-      // small side (output of matching, not the corpus), so components
-      // run on edges only; the oracle closes the same pairs with a
-      // recursive CTE.
+      // pairs (the cust_fuzzy_pairs candidate scheme — composite
+      // nation × name-prefix blocking, see that query on why the plain
+      // nation block degenerates at scale) collapse through the
+      // threshold-gated connected components into golden-record
+      // clusters — canonical id = min reachable key, one row per merged
+      // entity with its member set. The pair list is the small side
+      // (output of matching, not the corpus), so components run on
+      // edges only; the oracle closes the same pairs with a recursive
+      // CTE.
       (s, d) => {
         val pairs = Dedup.editDistancePairs(
-          t(s, d, "customer"), blockCol = "c_nationkey",
+          t(s, d, "customer").withColumn("blk_key", concat_ws("|",
+            col("c_nationkey"),
+            expr("substring(c_name, 1, length(c_name) - 2)"))),
+          blockCol = "blk_key",
           strCol = "c_name", idCol = "c_custkey", maxDist = 2)
         Dedup.dupClustersOf(Dedup.connectedComponents(pairs))
           .withColumnRenamed("cluster_id", "canonical_id")
@@ -9043,13 +9087,17 @@ object SparkEntry {
       },
       Some("""WITH RECURSIVE c AS (
              |  SELECT c_nationkey, c_custkey, c_name,
-             |    row_number() OVER (PARTITION BY c_nationkey
+             |    row_number() OVER (
+             |      PARTITION BY c_nationkey, substr(c_name, 1, length(c_name) - 2)
              |      ORDER BY c_custkey) AS rn
              |  FROM customer),
              |p AS (
              |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
              |  FROM c a JOIN c b
-             |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+             |  ON a.c_nationkey = b.c_nationkey
+             |  AND substr(a.c_name, 1, length(a.c_name) - 2)
+             |    = substr(b.c_name, 1, length(b.c_name) - 2)
+             |  AND a.c_custkey < b.c_custkey
              |  WHERE a.rn <= 10000 AND b.rn <= 10000
              |    AND levenshtein(a.c_name, b.c_name) <= 2),
              |edges AS (SELECT id_a AS src, id_b AS dst FROM p

@@ -1031,15 +1031,23 @@ object Dedup {
       vecCol: String = "embedding",
       idCol: String = "vec_id",
       dim: Int = 64,
-      nPlanes: Int = 8,
+      nPlanes: Int = 0,
       threshold: Double = 0.95,
       seed: Long = 42L,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      targetOccupancy: Int = 32): DataFrame = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
+    // nPlanes <= 0 → derive from corpus size at a constant expected
+    // occupancy (see [[Similarity.autoPlanes]]): a fixed plane count
+    // lets buckets — and the per-bucket quadratic pair budget — grow
+    // linearly with the corpus. The count is parquet-metadata cheap.
+    val np =
+      if (nPlanes > 0) nPlanes
+      else Similarity.autoPlanes(emb.count(), targetOccupancy)
     // norms are computed once per vector on the narrow side; each candidate
     // pair then costs a single dot product instead of a full cosine
     val bucketed = emb.select(
-      Similarity.lshBucket(col(vecCol), Similarity.hyperplanes(dim, nPlanes, seed)).as("bucket"),
+      Similarity.lshBucket(col(vecCol), Similarity.hyperplanes(dim, np, seed)).as("bucket"),
       col(idCol).as("id"), col(vecCol).as("v"),
       VectorFunctions.l2Norm(col(vecCol)).as("nrm"))
     cappedPostings(bucketed, Seq("bucket"),

@@ -87,9 +87,17 @@ object Graph {
       tol: Double = 0.0,
       checkpointEvery: Int = DefaultCheckpointEvery,
       distinctEdges: Boolean = false): DataFrame = {
+    // One exchange HERE buys iters−1 edge-list exchanges: the per-round
+    // join key is src, but the upstream distinct (or a shared index's
+    // projection) leaves the list partitioned on (src, dst) — or not at
+    // all — so every round would re-shuffle the BIG side. Repartitioned
+    // on src once and cached, each round's join reuses this layout and
+    // only the node-sized rank vector moves per round (measured: see
+    // PLANS.md round 7, graph exchange experiment).
     val e =
-      if (distinctEdges) edges.select(col("src"), col("dst"))
-      else edges.select(col("src"), col("dst")).distinct().cache()
+      (if (distinctEdges) edges.select(col("src"), col("dst"))
+       else edges.select(col("src"), col("dst")).distinct())
+        .repartition(col("src")).cache()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     // the out-degree is loop-invariant and node-sized: attach it to the
@@ -134,8 +142,7 @@ object Graph {
       iter += 1
     }
     materializeAndRelease(
-      ranks.select(col("id"), col("rank")),
-      (if (distinctEdges) Nil else Seq(e)) :+ nd: _*)
+      ranks.select(col("id"), col("rank")), e, nd)
   }
 
   /** Synchronous label-propagation community detection (Raghavan et al.
@@ -170,7 +177,10 @@ object Graph {
         struct(col("src").as("s"), col("dst").as("d")),
         struct(col("dst").as("s"), col("src").as("d")))).as("e"))
       .select(col("e.s").as("src"), col("e.d").as("dst"))
-    val sym = if (canonicalEdges) both else both.distinct().cache()
+    // per-round join key is dst: pre-partition the symmetric list on it
+    // once so rounds reuse the layout (same rationale as [[pageRank]])
+    val sym = (if (canonicalEdges) both else both.distinct())
+      .repartition(col("dst")).cache()
     val nodes = sym.select(col("src").as("id")).distinct()
     var labels = nodes.withColumn("label", col("id"))
     var iter = 0
@@ -189,8 +199,7 @@ object Graph {
         iter + 1, checkpointEvery)
       iter += 1
     }
-    materializeAndRelease(labels,
-      (if (canonicalEdges) Nil else Seq(sym)): _*)
+    materializeAndRelease(labels, sym)
   }
 
   /** Fixed-round k-core peeling (Seidman 1983): each round drops every
@@ -377,9 +386,11 @@ object Graph {
         struct(col("src").as("s"), col("dst").as("d")),
         struct(col("dst").as("s"), col("src").as("d")))).as("e"))
       .select(col("e.s").as("src"), col("e.d").as("dst"))
+    // per-round join key is src: pre-partition once (see [[pageRank]])
     val sym =
-      if (canonicalEdges) both
-      else both.filter(col("src") =!= col("dst")).distinct().cache()
+      (if (canonicalEdges) both
+       else both.filter(col("src") =!= col("dst")).distinct())
+        .repartition(col("src")).cache()
     var visited = seeds.select(col("id")).distinct()
       .withColumn("dist", lit(0))
     var frontier = visited.select("id")
@@ -395,8 +406,7 @@ object Graph {
         visited.union(frontier.withColumn("dist", lit(r))), r, checkpointEvery)
       r += 1
     }
-    materializeAndRelease(visited,
-      (if (canonicalEdges) Nil else Seq(sym)): _*)
+    materializeAndRelease(visited, sym)
   }
 
   /** Adamic–Adar link prediction (Adamic & Adar 2003) over an undirected

@@ -19,6 +19,20 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Plane count for a corpus of `n` vectors at a target EXPECTED bucket
+    * occupancy: nPlanes = ceil(log2(n / targetOccupancy)). Fixed planes
+    * are the recurring scale trap of sign-LSH — occupancy (and so the
+    * per-bucket quadratic candidate budget) grows linearly with the
+    * corpus — so the bucketed operators derive planes from corpus size
+    * at build time and keep occupancy constant: candidates stay
+    * ~n·occupancy/2 at any scale. The ε guards exact powers of two
+    * against FP log slack; the floor of 1 keeps degenerate corpora sane.
+    */
+  def autoPlanes(n: Long, targetOccupancy: Int): Int = {
+    val ratio = math.max(n, 1L).toDouble / targetOccupancy
+    math.max(1, math.ceil(math.log(ratio) / math.log(2.0) - 1e-9).toInt)
+  }
+
   /** Deterministic pseudo-random unit-free hyperplanes (fixed seed). */
   def hyperplanes(dim: Int, nPlanes: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rng = new scala.util.Random(seed)
@@ -582,14 +596,21 @@ object Similarity {
     */
   def knnJoin(
       emb: DataFrame, queries: DataFrame, k: Int,
-      dim: Int = 64, nPlanes: Int = 8, seed: Long = 42L,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      dim: Int = 64, nPlanes: Int = 0, seed: Long = 42L,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      targetOccupancy: Int = 2): DataFrame = {
     graft.plans.GraftFunctions.register(emb.sparkSession)
-    val planes = hyperplanes(dim, nPlanes, seed)
+    // nPlanes <= 0 → derive from the base-corpus size at a constant
+    // expected occupancy ([[autoPlanes]]): with multi-probe the scan per
+    // query is (nPlanes+1)·occupancy candidates, so holding occupancy
+    // constant keeps the kNN join linear in corpus size
+    val np =
+      if (nPlanes > 0) nPlanes else autoPlanes(emb.count(), targetOccupancy)
+    val planes = hyperplanes(dim, np, seed)
     val base = emb.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"),
       lshBucket(col(vecCol), planes).as("bucket"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      explode(probeBuckets(lshBucket(col(vecCol), planes), nPlanes)).as("bucket"))
+      explode(probeBuckets(lshBucket(col(vecCol), planes), np)).as("bucket"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos").desc, col("nn_id"))
     q.join(base, Seq("bucket"))

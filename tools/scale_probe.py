@@ -1,0 +1,129 @@
+#!/usr/bin/env python3
+"""Standing sf1 scale gate (VERDICT r6 #6).
+
+Regenerates the fresh-universe 10x fixture with graft.GenSf, benches a
+pinned subset of known-risk queries at sf0.1 and at the 10x fixture
+(both passes through graft.Bench, best-of-2 per query), and fails when
+any query's wall-clock ratio exceeds its budget:
+
+  - default budget: 5x for 10x data (sub-linear wall is the norm at
+    local[32] because fixed overheads amortize);
+  - LINEAR_SATURATED queries get 10x: their WORK is provably linear in
+    data (disjoint-universe copies; analysis in PLANS.md round 6) and
+    the 32 cores are already saturated at sf0.1, so wall tracks work
+    ~1:1 and a 5x gate would flag honest linearity. 10x still catches
+    super-linear regressions.
+
+Usage: python3 tools/scale_probe.py [--reuse-fixture] [--out report.md]
+Exit status 0 = gate passed, 1 = at least one query over budget.
+"""
+import argparse, json, os, subprocess, sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF01 = "/root/testdata/sf0.1"
+SF1 = "/tmp/graft_sf1_fresh"
+
+# Pinned subset spanning every family a probe has ever flagged plus
+# relational/streaming controls.
+QUERIES = [
+    # ER / fuzzy (r6: 21.7x / 24x under the nation block)
+    "cust_fuzzy_pairs", "cust_er_golden", "cust_blocking_quality",
+    # embedding LSH (r6: 12.5x / 7.1x under fixed planes)
+    "emb_neardup_pairs", "emb_semantic_dedup", "emb_knn_classifier_eval",
+    "emb_lsh_topk",
+    # ANN training + serve
+    "emb_ivf_pq_topk",
+    # shingle / minhash / winnow / substring
+    "doc_minhash_neardups", "doc_winnow_pairs", "doc_containment_pairs",
+    "doc_substring_dup_coverage", "doc_dedup_normalized",
+    # graph
+    "graph_pagerank", "graph_triangles", "graph_kcore",
+    # relational + skew + streaming controls
+    "q9_profit_by_nation", "join_salted_skew", "events_stream_hourly",
+    "events_funnel_latency",
+]
+
+# Work linear in data by construction AND CPU-saturated at sf0.1 ->
+# wall tracks the 10x work. Justifications: PLANS.md round-6 probe table.
+LINEAR_SATURATED = {
+    "graph_triangles": "wedge space scales 10x (disjoint copies)",
+    "emb_knn_classifier_eval":
+        "n queries x constant auto-planed candidate sets: work scales 10x",
+    "doc_minhash_neardups": "signatures + bucket pairs scale 10x",
+    "doc_winnow_pairs": "fingerprint postings scale 10x",
+    "doc_substring_dup_coverage": "gram explode scales 10x",
+    "graph_pagerank": "edge rounds scale 10x",
+    "graph_kcore": "peeling rounds scale 10x",
+}
+
+def run(cmd, env=None):
+    e = dict(os.environ)
+    if env:
+        e.update(env)
+    r = subprocess.run(cmd, cwd=REPO, env=e, capture_output=True, text=True)
+    if r.returncode != 0:
+        sys.stderr.write(r.stdout[-4000:] + r.stderr[-4000:])
+        raise SystemExit(f"command failed: {' '.join(cmd)}")
+    return r.stdout
+
+def bench(sf_dir, out_json):
+    run(["sbt", "-batch", "runMain graft.Bench"], env={
+        "SPARK_GRAFT_SF_DIR": sf_dir,
+        "SPARK_GRAFT_CPUS": "32",
+        "SPARK_GRAFT_ONLY": ",".join(QUERIES),
+        "SPARK_GRAFT_BENCH_OUT": out_json,
+        "SPARK_GRAFT_NOWARM": "1",  # cross-sf comparison: both passes cold-ish, best-of-2 handles JIT
+    })
+    with open(out_json) as f:
+        return json.load(f)["queries"]
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reuse-fixture", action="store_true",
+                    help=f"skip GenSf if {SF1} already exists")
+    ap.add_argument("--out", default="/tmp/scale_probe_report.md")
+    args = ap.parse_args()
+
+    if not (args.reuse_fixture and os.path.isdir(SF1)):
+        print("[scale_probe] building fresh-universe 10x fixture ...")
+        run(["sbt", "-batch", f"runMain graft.GenSf {SF01} {SF1} 10"])
+
+    print("[scale_probe] benching pinned subset at sf0.1 ...")
+    base = bench(SF01, "/tmp/scale_probe_sf01.json")
+    print("[scale_probe] benching pinned subset at 10x ...")
+    big = bench(SF1, "/tmp/scale_probe_sf1.json")
+
+    rows, failed = [], []
+    for q in QUERIES:
+        b, g = base.get(q), big.get(q)
+        if b is None or g is None:
+            failed.append((q, "missing from bench output"))
+            continue
+        ratio = g / b if b > 0 else float("inf")
+        budget = 10.0 if q in LINEAR_SATURATED else 5.0
+        note = LINEAR_SATURATED.get(q, "")
+        ok = ratio <= budget
+        if not ok:
+            failed.append((q, f"{ratio:.1f}x > {budget:.0f}x budget"))
+        rows.append((q, b, g, ratio, budget, "ok" if ok else "FAIL", note))
+
+    lines = ["| query | sf0.1 s | 10x s | ratio | budget | gate | note |",
+             "|---|---|---|---|---|---|---|"]
+    for q, b, g, r, bud, st, note in sorted(rows, key=lambda x: -x[3]):
+        lines.append(f"| `{q}` | {b:.2f} | {g:.2f} | {r:.1f}x | "
+                     f"{bud:.0f}x | {st} | {note} |")
+    report = "\n".join(lines)
+    with open(args.out, "w") as f:
+        f.write("# sf1 scale-probe report (10x fresh-universe fixture)\n\n"
+                + report + "\n")
+    print(report)
+    if failed:
+        print("\n[scale_probe] GATE FAILED:")
+        for q, why in failed:
+            print(f"  {q}: {why}")
+        return 1
+    print("\n[scale_probe] gate passed")
+    return 0
+
+if __name__ == "__main__":
+    sys.exit(main())
