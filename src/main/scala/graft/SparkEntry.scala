@@ -9558,7 +9558,208 @@ object SparkEntry {
              |  ROUND((CAST(m2 AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)
              |    / (CAST(m2 AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
              |    AS assortativity
-             |FROM g""".stripMargin)))
+             |FROM g""".stripMargin)),
+
+    Q("doc_dedup_yield_funnel", // the END-TO-END dedup pipeline summary:
+      // documents and tokens surviving each cumulative stage — raw →
+      // exact (byte-identical) → normalized (canonical form) → near-dup
+      // (shingle-Jaccard clusters) — the single table a 100 TB
+      // training-data run reads to know what each dedup pass actually
+      // bought in token yield. Every stage keeps the min-id
+      // representative (deterministic); the near-dup stage drops
+      // non-canonical members of the SHARED memoized cluster labels
+      // (one connected-components run serves five queries). Each stage
+      // is a window/anti-join over the prior survivors — the corpus
+      // scans once, and percentages divide the one-row raw totals.
+      // One-scan shape: a doc surviving the exact stage is the min id
+      // of its text group; a doc surviving the normalized stage is the
+      // GLOBAL min id of its normalized group (its text group is a
+      // subset of that group, so the global min is automatically an
+      // exact-stage survivor) — so both flags come from two keyed
+      // windows over ONE pass, the near-dup flag from one left join on
+      // the shared labels, and the whole funnel is a single conditional
+      // aggregation unpivoted to 4 rows.
+      (s, d) => {
+        val flags = t(s, d, "documents")
+          .select(col("doc_id"), col("text"),
+            graft.operators.TextAnalysis.tokenCount(col("text")).as("ntok"))
+          .withColumn("_r1", row_number().over(
+            Window.partitionBy("text").orderBy("doc_id")))
+          .withColumn("_r2", row_number().over(
+            Window.partitionBy(Dedup.normalized(col("text")))
+              .orderBy("doc_id")))
+          .join(dupClusterLabels(s, d)
+            .filter(col("cluster_id") =!= col("id"))
+            .select(col("id").as("doc_id"), lit(1).as("_dropped")),
+            Seq("doc_id"), "left_outer")
+        def cnt(cond: Column): Column =
+          sum(when(cond, 1L).otherwise(0L)).cast("long")
+        def tok(cond: Column): Column =
+          sum(when(cond, col("ntok")).otherwise(0L)).cast("long")
+        val s2 = col("_r2") === 1
+        val s3 = s2 && col("_dropped").isNull
+        val one = flags.agg(
+          count(lit(1)).as("d0"), sum("ntok").cast("long").as("t0"),
+          cnt(col("_r1") === 1).as("d1"), tok(col("_r1") === 1).as("t1"),
+          cnt(s2).as("d2"), tok(s2).as("t2"),
+          cnt(s3).as("d3"), tok(s3).as("t3"))
+        def st(name: String, dc: String, tc: String): Column =
+          struct(lit(name).as("stage"), col(dc).as("n_docs"),
+            col(tc).cast("long").as("n_tokens"))
+        one.select(explode(array(
+            st("0_raw", "d0", "t0"), st("1_exact", "d1", "t1"),
+            st("2_normalized", "d2", "t2"), st("3_neardup", "d3", "t3")))
+            .as("x"),
+            col("d0"), col("t0"))
+          .select(col("x.stage").as("stage"), col("x.n_docs").as("n_docs"),
+            col("x.n_tokens").as("n_tokens"),
+            round(col("x.n_docs").cast("double") / col("d0"), 4)
+              .as("doc_yield"),
+            round(col("x.n_tokens").cast("double") / col("t0"), 4)
+              .as("token_yield"))
+          .orderBy("stage")
+      },
+      Some(dupClustersCte + """,
+             |toks AS (SELECT doc_id, text,
+             |  len(string_split_regex(trim(text), '\s+')) AS ntok
+             |  FROM documents),
+             |e1 AS (SELECT * FROM (SELECT doc_id, text, ntok,
+             |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS r
+             |  FROM toks) WHERE r = 1),
+             |e2 AS (SELECT * FROM (SELECT doc_id, text, ntok,
+             |    row_number() OVER (PARTITION BY
+             |      trim(regexp_replace(regexp_replace(lower(text),
+             |        '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))
+             |      ORDER BY doc_id) AS r
+             |  FROM e1) WHERE r = 1),
+             |dropids AS (SELECT id FROM comp WHERE cluster_id <> id),
+             |e3 AS (SELECT * FROM e2 WHERE doc_id NOT IN (SELECT id FROM dropids)),
+             |st AS (
+             |  SELECT '0_raw' AS stage, COUNT(*) AS n_docs,
+             |    CAST(SUM(ntok) AS BIGINT) AS n_tokens FROM toks
+             |  UNION ALL SELECT '1_exact', COUNT(*),
+             |    CAST(SUM(ntok) AS BIGINT) FROM e1
+             |  UNION ALL SELECT '2_normalized', COUNT(*),
+             |    CAST(SUM(ntok) AS BIGINT) FROM e2
+             |  UNION ALL SELECT '3_neardup', COUNT(*),
+             |    CAST(SUM(ntok) AS BIGINT) FROM e3),
+             |raw AS (SELECT n_docs AS d0, n_tokens AS t0 FROM st
+             |        WHERE stage = '0_raw')
+             |SELECT stage, n_docs, n_tokens,
+             |  ROUND(CAST(n_docs AS DOUBLE) / d0, 4) AS doc_yield,
+             |  ROUND(CAST(n_tokens AS DOUBLE) / t0, 4) AS token_yield
+             |FROM st, raw ORDER BY stage""".stripMargin)),
+
+    Q("doc_source_dup_matrix", // WHICH sources duplicate WHICH: the
+      // simhash near-dup pairs (global chunk-blocked candidates, the
+      // doc_simhash_neardups machinery) rolled up to an unordered
+      // source×source matrix with pair counts and mean Hamming distance
+      // — the provenance report that tells a corpus curator where
+      // cross-source copying concentrates before they pick what to
+      // drop. The pair list is the small side (detector output); two
+      // id-keyed joins attach sources and one bounded rollup follows.
+      (s, d) => {
+        val src = t(s, d, "documents").select(col("doc_id"), col("source"))
+        Dedup.simhashNearDupsPortable(t(s, d, "documents"), maxDist = 8)
+          .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")),
+            Seq("id_a"))
+          .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")),
+            Seq("id_b"))
+          .select(least(col("sa"), col("sb")).as("source_lo"),
+            greatest(col("sa"), col("sb")).as("source_hi"), col("dist"))
+          .groupBy("source_lo", "source_hi")
+          .agg(count(lit(1)).as("n_pairs"),
+            round(avg(col("dist")), 4).as("avg_dist"))
+          .orderBy("source_lo", "source_hi")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id AS id,
+             |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS t
+             |  FROM documents
+             |), tokh AS (
+             |  SELECT id, ('0x' || substr(md5(t.x), 1, 15))::BIGINT AS h
+             |  FROM d, unnest(d.t) AS t(x) WHERE len(d.t) > 0
+             |), votes AS (
+             |  SELECT id, b.b,
+             |    SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+             |  FROM tokh, range(0, 60) AS b(b) GROUP BY id, b.b
+             |), sig AS (
+             |  SELECT id, SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS sig
+             |  FROM votes GROUP BY id
+             |), ch AS (
+             |  SELECT id, sig, c.c AS chunk, (sig >> (c.c * 15)) & 32767 AS ckey
+             |  FROM sig, range(0, 4) AS c(c)
+             |), pairs AS (
+             |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             |    bit_count(xor(a.sig, b.sig)) AS dist
+             |  FROM ch a JOIN ch b
+             |    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.id < b.id
+             |), nd AS (SELECT * FROM pairs WHERE dist <= 8),
+             |s AS (SELECT doc_id, source FROM documents),
+             |m AS (
+             |  SELECT least(sa.source, sb.source) AS source_lo,
+             |    greatest(sa.source, sb.source) AS source_hi, dist
+             |  FROM nd JOIN s sa ON nd.id_a = sa.doc_id
+             |          JOIN s sb ON nd.id_b = sb.doc_id)
+             |SELECT source_lo, source_hi, COUNT(*) AS n_pairs,
+             |  ROUND(AVG(dist), 4) AS avg_dist
+             |FROM m GROUP BY 1, 2 ORDER BY source_lo, source_hi""".stripMargin)),
+
+    Q("emb_ann_recall_report", // the ANN ACCEPTANCE GATE as a query:
+      // recall@k of the 8-plane multi-probe LSH ranking against the
+      // exact brute-force ranking for k ∈ {5, 10, 20} on the standard
+      // probe vector — the number a serving team signs off on before
+      // swapping the exact scan for the index. Both rankings are
+      // bounded top-k frames (TakeOrderedAndProject); the overlap join
+      // and the per-k rollup touch ≤ 20 rows each.
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val qv = e.filter(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0).map(_.toDouble)
+        val base = e.filter(col("vec_id") =!= 0)
+        // rank on the ROUNDED cosine + vec_id — the cross-engine FP
+        // equivalence class every ANN oracle here uses
+        def ranked(df: DataFrame, rCol: String): DataFrame =
+          df.withColumn(rCol, row_number().over(
+            Window.orderBy(col("cos").desc, col("vec_id"))))
+        val brute = ranked(Similarity.bruteForceTopK(base, qv, 20), "r_b")
+          .select(col("vec_id"), col("r_b"))
+        val lsh = ranked(Similarity.lshTopK(base, qv, 20, nPlanes = 8), "r_l")
+          .select(col("vec_id").as("lid"), col("r_l"))
+        brute.join(lsh, col("vec_id") === col("lid"), "left_outer")
+          .select(col("*"), explode(array(lit(5), lit(10), lit(20))).as("k"))
+          .filter(col("r_b") <= col("k"))
+          .groupBy("k")
+          .agg(sum(when(col("r_l").isNotNull && col("r_l") <= col("k"), 1L)
+            .otherwise(0L)).as("n_overlap"))
+          .select(col("k"), col("n_overlap"),
+            round(col("n_overlap").cast("double") / col("k"), 4)
+              .as("recall"))
+          .orderBy("k")
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+             |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+             |q AS (SELECT emb AS qv, ${LshOracle.bucketSql("emb")} AS qb
+             |      FROM e WHERE vec_id = 0),
+             |brute AS (SELECT vec_id, r_b FROM (
+             |  SELECT vec_id, row_number() OVER (ORDER BY
+             |      ROUND(list_cosine_similarity(emb, qv), 6) DESC, vec_id) AS r_b
+             |  FROM e, q WHERE vec_id <> 0) WHERE r_b <= 20),
+             |probes AS (SELECT DISTINCT xor(qb, t.m) AS b
+             |  FROM q, unnest(${LshOracle.probeMasks}) AS t(m)),
+             |lsh AS (SELECT vec_id, r_l FROM (
+             |  SELECT vec_id, row_number() OVER (ORDER BY
+             |      ROUND(list_cosine_similarity(emb, qv), 6) DESC, vec_id) AS r_l
+             |  FROM e, q WHERE vec_id <> 0
+             |    AND ${LshOracle.bucketSql("emb")} IN (SELECT b FROM probes))
+             |  WHERE r_l <= 20),
+             |ks AS (SELECT unnest([5, 10, 20]) AS k)
+             |SELECT k, CAST(SUM(CASE WHEN r_l IS NOT NULL AND r_l <= k
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+             |  ROUND(SUM(CASE WHEN r_l IS NOT NULL AND r_l <= k
+             |    THEN 1 ELSE 0 END) / CAST(k AS DOUBLE), 4) AS recall
+             |FROM brute LEFT JOIN lsh USING (vec_id), ks
+             |WHERE r_b <= k GROUP BY k ORDER BY k""".stripMargin)))
   // -- driver contract ------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
