@@ -47,17 +47,19 @@ object Stats {
       .withColumn("_cumb", sum("_cb").over(w))
       .withColumn("_na", sum("_ca").over(tw))
       .withColumn("_nb", sum("_cb").over(tw))
-      .withColumn("_dif", abs(col("_cuma").cast("double") / col("_na")
-        - col("_cumb").cast("double") / col("_nb")))
+      // a key present on only one side has no second CDF: the gap is
+      // undefined, and the guard must sit on the RAW division — ANSI
+      // mode throws on the zero divisor itself, before any outer
+      // when() around an assembled statistic could mask it — so NULL
+      // rows flow through max() and the key reports ks = NULL (same
+      // contract as runsTest's degenerate guard)
+      .withColumn("_dif",
+        when(col("_na") > 0 && col("_nb") > 0,
+          abs(col("_cuma").cast("double") / col("_na")
+            - col("_cumb").cast("double") / col("_nb"))))
       .groupBy(keyCol)
       .agg(max("_na").as("n_a"), max("_nb").as("n_b"),
-        max("_dif").as("_ks"))
-      // a key present on only one side has no second CDF: the gap is
-      // undefined (the raw division yields NaN/Inf, never an error), so
-      // report NULL — same contract as runsTest's degenerate guard
-      .withColumn("ks", when(col("n_a") > 0 && col("n_b") > 0, col("_ks"))
-        .otherwise(lit(null).cast("double")))
-      .drop("_ks")
+        max("_dif").as("ks"))
   }
 
   /** Mann–Whitney rank-sum test per key with tie midranks. Output:

@@ -283,4 +283,16 @@ class DedupSpec extends SparkSuite {
       threshold = 0.8)
     assert(j.count() === 0L)
   }
+
+  test("embeddingNearDups auto-planes equals the explicitly-planed run at the derived count") {
+    val emb = graft.engine.Tables.load(spark, sfDir, "embeddings")
+    val np = graft.operators.Similarity.autoPlanes(emb.count(), 32)
+    val auto = Dedup.embeddingNearDups(emb, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val explicit = Dedup.embeddingNearDups(emb, nPlanes = np, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(auto === explicit)
+    assert(np === 4) // the sf0.01 declared-fixture identity the oracle pins
+  }
+
 }

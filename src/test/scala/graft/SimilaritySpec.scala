@@ -231,4 +231,30 @@ class SimilaritySpec extends SparkSuite {
     assert(math.abs(dot) < 1e-3, s"not orthogonal: dot=$dot")
     assert(math.abs(w(1)) > 0.99, s"second axis not recovered: ${w.toSeq}")
   }
+
+  test("autoPlanes: occupancy formula, exact powers, floor of 1") {
+    // the declared-fixture identities the inlined-constant oracles rely on
+    assert(Similarity.autoPlanes(500, 32) === 4)
+    assert(Similarity.autoPlanes(2000, 32) === 6)
+    assert(Similarity.autoPlanes(500, 2) === 8)
+    // exact powers of two must not round up through FP log slack
+    assert(Similarity.autoPlanes(1024, 64) === 4)
+    assert(Similarity.autoPlanes(2048, 2) === 10)
+    // degenerate corpora floor at one plane
+    assert(Similarity.autoPlanes(1, 64) === 1)
+    assert(Similarity.autoPlanes(0, 8) === 1)
+    // occupancy stays constant: +1 plane per doubling
+    assert(Similarity.autoPlanes(4000, 32) === Similarity.autoPlanes(2000, 32) + 1)
+  }
+
+  test("knnJoin auto-planes equals the explicitly-planed run at the derived count") {
+    val n = base.count()
+    val np = Similarity.autoPlanes(n, 2)
+    val auto = Similarity.knnJoin(base, base.limit(20), k = 3)
+      .select("q_id", "nn_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val explicit = Similarity.knnJoin(base, base.limit(20), k = 3, nPlanes = np)
+      .select("q_id", "nn_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(auto === explicit)
+  }
+
 }

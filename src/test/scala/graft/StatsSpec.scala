@@ -159,4 +159,37 @@ class StatsSpec extends SparkSuite {
     assert(r("up")._1 === 10L && math.abs(r("up")._2 - 1.0) < 1e-12)
     assert(r("down")._1 === 10L && math.abs(r("down")._2 + 1.0) < 1e-12)
   }
+
+  test("welchT/ks2Sample: one-sided or n<2 keys yield NULL, not NaN/Inf") {
+    import spark.implicits._
+    // key "solo" has every row on side A; key "tiny" has 1 row per side
+    val df = ((1 to 6).map(i => ("solo", i, true))
+      ++ Seq(("tiny", 1, true), ("tiny", 9, false))
+      ++ (1 to 8).map(i => ("ok", i, i % 2 == 0))).toDF("k", "v", "s")
+    val w = Stats.welchT(df, "k", "v", col("s")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(w("solo").isNullAt(w("solo").fieldIndex("t_welch")))
+    assert(w("solo").isNullAt(w("solo").fieldIndex("mean_diff")))
+    assert(w("tiny").isNullAt(w("tiny").fieldIndex("t_welch")))
+    assert(w("tiny").isNullAt(w("tiny").fieldIndex("df")))
+    assert(!w("ok").isNullAt(w("ok").fieldIndex("t_welch")))
+    assert(!w("ok").getAs[Double]("t_welch").isNaN)
+    val k = Stats.ks2Sample(df, "k", "v", col("s")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(k("solo").isNullAt(k("solo").fieldIndex("ks")))
+    assert(k("tiny").getAs[Double]("ks") === 1.0) // 1-vs-1 IS defined
+    assert(!k("ok").isNullAt(k("ok").fieldIndex("ks")))
+  }
+
+  test("mutualInformation: double-cast margins match the exact small-n value") {
+    import spark.implicits._
+    // 2x2 contingency {a,b} x {0,1} with counts 2,1,1,2 -> exact MI
+    val df = Seq(("a",0),("a",0),("a",1),("b",0),("b",1),("b",1))
+      .toDF("x", "y")
+    val r = Stats.mutualInformation(df, col("x"), col("y")).head()
+    val exact = (4.0/6) * math.log(6.0 * 2 / (3 * 3)) +
+      (2.0/6) * math.log(6.0 * 1 / (3 * 3))
+    assert(math.abs(r.getAs[Double]("mi_nats") - exact) < 1e-12)
+  }
+
 }
