@@ -411,16 +411,18 @@ object Similarity {
       val sub: Array[Array[Double]] =
         rows.map(v => java.util.Arrays.copyOfRange(v, i * subDim, (i + 1) * subDim))
       // fixed init: the k smallest-id sample subvectors (rows are already
-      // in id order from the bounded sort above)
+      // in id order from the bounded sort above); a corpus smaller than
+      // k trains the book it can fill — kEff, not k, bounds every loop
       var book: Array[Array[Double]] = sub.take(k).map(_.clone)
+      val kEff = book.length
       for (_ <- 1 to iters) {
-        val sums = Array.fill(k)(new Array[Double](subDim))
-        val counts = new Array[Long](k)
+        val sums = Array.fill(kEff)(new Array[Double](subDim))
+        val counts = new Array[Long](kEff)
         sub.foreach { v =>
           var best = 0
           var bestD = Double.MaxValue
           var c = 0
-          while (c < k) {
+          while (c < kEff) {
             var d = 0.0
             var j = 0
             while (j < subDim) { val t = v(j) - book(c)(j); d += t * t; j += 1 }

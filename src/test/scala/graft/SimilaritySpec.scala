@@ -257,4 +257,13 @@ class SimilaritySpec extends SparkSuite {
     assert(auto === explicit)
   }
 
+  test("pqTrainEncodeLloyd handles a corpus smaller than the codebook size") {
+    // 5 vectors, k=16: the trainer must bound every loop by the book it
+    // could actually fill, not the requested k
+    val tiny = base.limit(5)
+    val r = Similarity.pqTrainEncodeLloyd(tiny, k = 16, sampleN = 5).collect()
+    assert(r.length === 5)
+    assert(r.forall(_.getAs[Double]("mse") >= 0.0))
+  }
+
 }
