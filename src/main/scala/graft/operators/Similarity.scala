@@ -615,11 +615,15 @@ object Similarity {
       explode(probeBuckets(lshBucket(col(vecCol), planes), np)).as("bucket"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos").desc, col("nn_id"))
+    // no dedup needed: a neighbor lives in exactly ONE bucket and the
+    // probe array is distinct, so a (q, nn) pair can match at most once
+    // — the former distinct() re-shuffled the whole candidate set to
+    // remove duplicates that cannot exist (assumes unique ids per side,
+    // the same contract every ANN operator here carries)
     q.join(base, Seq("bucket"))
       .filter(col("q_id") =!= col("nn_id"))
       .select(col("q_id"), col("nn_id"),
         round(cosine(col("q_vec"), col("nn_vec")), 6).as("cos"))
-      .distinct()
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
