@@ -8354,10 +8354,14 @@ object SparkEntry {
               expr(s"transform(sequence(0, length(text) - $k), " +
                 s"i -> substring(text, i + 1, $k))"))
               .otherwise(array())).as(Seq("pos", "gram")))
-        val dupGrams = grams.groupBy("gram")
-          .agg(countDistinct("doc_id").as("df"))
-          .filter(col("df") >= 2).select("gram")
-        val dup = grams.join(dupGrams, Seq("gram"))
+        val gramsOnce = grams
+          .select(col("doc_id"), col("source"), col("pos"),
+            xxhash64(col("gram")).as("gh"))
+          .localCheckpoint(eager = false)
+        val dupGrams = gramsOnce.groupBy("gh")
+          .agg(min("doc_id").as("_dmin"), max("doc_id").as("_dmax"))
+          .filter(col("_dmin") =!= col("_dmax")).select("gh")
+        val dup = gramsOnce.join(dupGrams, Seq("gh"))
           .select("doc_id", "source", "pos")
         val wDoc = Window.partitionBy("doc_id").orderBy("pos")
         val islands = dup
