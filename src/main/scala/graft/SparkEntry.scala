@@ -9763,7 +9763,170 @@ object SparkEntry {
              |  ROUND(SUM(CASE WHEN r_l IS NOT NULL AND r_l <= k
              |    THEN 1 ELSE 0 END) / CAST(k AS DOUBLE), 4) AS recall
              |FROM brute LEFT JOIN lsh USING (vec_id), ks
-             |WHERE r_b <= k GROUP BY k ORDER BY k""".stripMargin)))
+             |WHERE r_b <= k GROUP BY k ORDER BY k""".stripMargin)),
+
+    Q("doc_dup_quality_profile", // do near-dup clusters concentrate in
+      // LOW-quality documents? The curator's question before deciding
+      // drop-vs-keep: Welch t on the C4/Gopher quality score between
+      // cluster members and unique docs. Composes the shared memoized
+      // cluster labels (left join, small side) with the per-row quality
+      // features and ONE moment-sum aggregation (Stats.welchT) — the
+      // corpus scans once. Quality scores are exact quarter multiples,
+      // so both engines sum identical doubles.
+      (s, d) => {
+        val q = t(s, d, "documents")
+          .select(col("doc_id"),
+            graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tok"),
+            graft.operators.TextAnalysis.punctRatio(col("text")).as("pr"),
+            graft.operators.TextAnalysis.stopwordRatio(col("text")).as("sr"),
+            graft.operators.TextAnalysis.meanTokenLen(col("text")).as("mtl"))
+          .select(col("doc_id"),
+            graft.operators.TextAnalysis.qualityFrom(col("n_tok"),
+              col("pr"), col("sr"), col("mtl")).as("quality"))
+        val clustered = dupClusterLabels(s, d)
+          .select(col("id").as("doc_id")).distinct()
+          .withColumn("_c", lit(1))
+        val flagged = q.join(clustered, Seq("doc_id"), "left_outer")
+          .withColumn("_k", lit("all"))
+        graft.operators.Stats
+          .welchT(flagged, "_k", "quality", col("_c").isNotNull)
+          .select(col("n_a").as("n_clustered"), col("n_b").as("n_unique"),
+            round(col("mean_diff"), 6).as("quality_mean_diff"),
+            round(col("t_welch"), 4).as("t_welch"),
+            round(col("df"), 2).as("df_welch"))
+      },
+      Some(dupClustersCte + """,
+             |f2 AS (
+             |  SELECT doc_id, text,
+             |    string_split_regex(lower(trim(text)), '\s+') AS toks,
+             |    len(string_split_regex(trim(text), '\s+')) AS n
+             |  FROM documents),
+             |m2 AS (
+             |  SELECT doc_id, n,
+             |    CASE WHEN length(text) = 0 THEN 0.0
+             |      ELSE CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) / length(text) END AS pr,
+             |    CASE WHEN n = 0 THEN 0.0
+             |      ELSE CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE) / n END AS sr,
+             |    CASE WHEN n = 0 THEN 0.0
+             |      ELSE CAST(list_aggregate(list_transform(string_split_regex(trim(text), '\s+'), t -> length(t)), 'sum') AS DOUBLE) / n END AS mtl
+             |  FROM f2),
+             |qual AS (
+             |  SELECT doc_id,
+             |    ROUND(((CASE WHEN n BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.0 END)
+             |      + (CASE WHEN pr < 0.2 THEN 1.0 ELSE 0.0 END)
+             |      + (CASE WHEN sr > 0.01 THEN 1.0 ELSE 0.0 END)
+             |      + (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 4.0, 2)
+             |      AS quality
+             |  FROM m2),
+             |mem AS (SELECT DISTINCT id FROM comp),
+             |flag AS (
+             |  SELECT quality,
+             |    CASE WHEN mem.id IS NOT NULL THEN 1.0 ELSE 0.0 END AS c
+             |  FROM qual LEFT JOIN mem ON qual.doc_id = mem.id),
+             |g AS (
+             |  SELECT CAST(SUM(c) AS BIGINT) AS n_a,
+             |    CAST(SUM(1.0 - c) AS BIGINT) AS n_b,
+             |    SUM(c * quality) AS sa, SUM(c * quality * quality) AS qa,
+             |    SUM((1.0 - c) * quality) AS sb,
+             |    SUM((1.0 - c) * quality * quality) AS qb
+             |  FROM flag),
+             |w AS (
+             |  SELECT n_a, n_b, sa / n_a - sb / n_b AS md,
+             |    ((qa - sa * sa / n_a) / (n_a - 1)) / n_a AS sea,
+             |    ((qb - sb * sb / n_b) / (n_b - 1)) / n_b AS seb
+             |  FROM g)
+             |SELECT n_a AS n_clustered, n_b AS n_unique,
+             |  ROUND(md, 6) AS quality_mean_diff,
+             |  ROUND(md / sqrt(sea + seb), 4) AS t_welch,
+             |  ROUND((sea + seb) * (sea + seb)
+             |    / (sea * sea / (n_a - 1) + seb * seb / (n_b - 1)), 2)
+             |    AS df_welch
+             |FROM w""".stripMargin)),
+
+    Q("emb_ivf_probe_curve", // the IVF serving knob as a CURVE: one
+      // deterministic-Lloyd training + one assignment pass, then
+      // recall@10 vs brute force for nProbe 1..4 — the table a serving
+      // team reads to pick probe width at a recall target (the
+      // single-point emb_lloyd_ivf_topk answers "is it right", this
+      // answers "what does each probe buy"). The brute top-10 is a
+      // 10-row broadcast; each probe width is a bounded top-k over the
+      // one checkpointed scored frame.
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val qv = e.filter(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0).map(_.toDouble)
+        val base = e.filter(col("vec_id") =!= 0)
+        val curve = Similarity.lloydIvfProbeCurve(base, qv, 10)
+        val brute = Similarity.bruteForceTopK(base, qv, 10)
+          .select(col("vec_id").as("bid"))
+        curve.join(broadcast(brute), col("vec_id") === col("bid"),
+            "left_outer")
+          .groupBy("n_probe")
+          .agg(count(lit(1)).as("n_results"),
+            sum(when(col("bid").isNotNull, 1L).otherwise(0L))
+              .as("n_overlap"))
+          .select(col("n_probe"), col("n_results"), col("n_overlap"),
+            round(col("n_overlap").cast("double") / 10, 4)
+              .as("recall_at_10"))
+          .orderBy("n_probe")
+      },
+      Some {
+        def assign(src: String, cents: String, out: String,
+            materialized: Boolean = false): String = {
+          val kw = if (materialized) " MATERIALIZED" else ""
+          s"""$out AS$kw (SELECT vec_id, v, cl FROM (
+             |  SELECT $src.vec_id AS vec_id, $src.v AS v, $cents.cl AS cl,
+             |    row_number() OVER (PARTITION BY $src.vec_id
+             |      ORDER BY list_sum(list_transform(range(1, 65),
+             |        i -> ($src.v[i] - $cents.c[i]) * ($src.v[i] - $cents.c[i]))),
+             |        $cents.cl) AS rn
+             |  FROM $src, $cents) WHERE rn = 1)""".stripMargin
+        }
+        def round(prev: String, cur: String): String =
+          s"""${assign("e", prev, s"a$cur")},
+             |m$cur AS (SELECT cl, t.dim, AVG(v[t.dim]) AS m
+             |  FROM a$cur, range(1, 65) AS t(dim) GROUP BY cl, t.dim),
+             |n$cur AS (SELECT cl, list(m ORDER BY dim) AS c FROM m$cur GROUP BY cl),
+             |$cur AS (SELECT $prev.cl, COALESCE(n$cur.c, $prev.c) AS c
+             |  FROM $prev LEFT JOIN n$cur ON $prev.cl = n$cur.cl)""".stripMargin
+        s"""WITH e AS (SELECT vec_id,
+           |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings WHERE vec_id <> 0),
+           |q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           |  FROM embeddings WHERE vec_id = 0),
+           |c0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cl, v AS c
+           |  FROM e ORDER BY vec_id LIMIT 8),
+           |${round("c0", "c1")},
+           |${round("c1", "c2")},
+           |${
+             // c3 feeds BOTH the probe ranking and the assignment —
+             // materialize it so DuckDB doesn't re-inline (= re-train)
+             // the whole chain per consumer
+             round("c2", "c3").replace("c3 AS (", "c3 AS MATERIALIZED (")},
+           |${assign("e", "c3", "af", materialized = true)},
+           |cc AS (SELECT c3.cl AS cl, list_cosine_similarity(c3.c, qv) AS ccos
+           |  FROM c3, q),
+           |nr AS MATERIALIZED (SELECT cl,
+           |  row_number() OVER (ORDER BY ccos DESC, cl) AS pr FROM cc),
+           |ps AS (SELECT unnest([1, 2, 3, 4]) AS p),
+           |cand AS (
+           |  SELECT ps.p, af.vec_id,
+           |    ROUND(list_cosine_similarity(af.v, q.qv), 6) AS cos
+           |  FROM af JOIN nr ON af.cl = nr.cl, ps, q WHERE nr.pr <= ps.p),
+           |rk AS (SELECT p, vec_id, cos, row_number()
+           |    OVER (PARTITION BY p ORDER BY cos DESC, vec_id) AS r
+           |  FROM cand),
+           |brute AS MATERIALIZED (SELECT vec_id FROM (
+           |  SELECT vec_id, row_number() OVER (ORDER BY
+           |      ROUND(list_cosine_similarity(v, qv), 6) DESC, vec_id) AS r
+           |  FROM e, q) WHERE r <= 10)
+           |SELECT p AS n_probe, COUNT(*) AS n_results,
+           |  CAST(SUM(CASE WHEN vec_id IN (SELECT vec_id FROM brute)
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+           |  ROUND(SUM(CASE WHEN vec_id IN (SELECT vec_id FROM brute)
+           |    THEN 1 ELSE 0 END) / 10.0, 4) AS recall_at_10
+           |FROM rk WHERE r <= 10 GROUP BY p ORDER BY p""".stripMargin
+      }))
   // -- driver contract ------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {

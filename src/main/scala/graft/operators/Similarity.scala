@@ -333,6 +333,33 @@ object Similarity {
       .sortBy { case (s, i) => (-s, i) }.take(nProbe).map(_._2)
   }
 
+  /** Top-k per probe width: ONE deterministic-Lloyd training + ONE
+    * assignment/scoring pass, then each requested nProbe takes its
+    * top-k inside the first-p nearest inverted lists — the
+    * recall-vs-probe-cost CURVE (the serving knob every IVF deployment
+    * tunes) without retraining per point. Emits (n_probe, id, cos).
+    */
+  def lloydIvfProbeCurve(
+      emb: DataFrame, queryVec: Seq[Double], k: Int,
+      numClusters: Int = 8, iters: Int = 3, probes: Seq[Int] = Seq(1, 2, 3, 4),
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val e = emb.select(col(idCol), col(vecCol).as("v"))
+    val cents = trainLloydCentroids(e, idCol, numClusters, iters)
+    // assignment + query scoring materialize once (lazy checkpoint);
+    // every probe width reads the stored blocks instead of re-assigning
+    val scored = e.withColumn("cl", lloydAssign(cents))
+      .select(col(idCol), col("cl"),
+        round(cosine(col("v"), vecLit(queryVec)), 6).as("cos"))
+      .localCheckpoint(eager = false)
+    val order = probeNearest(cents, queryVec, numClusters)
+    probes.map { p =>
+      scored.filter(col("cl").isin(order.take(p): _*))
+        .orderBy(col("cos").desc, col(idCol)).limit(k)
+        .select(lit(p).as("n_probe"), col(idCol), col("cos"))
+    }.reduce(_ unionAll _)
+  }
+
   def lloydIvfTopK(
       emb: DataFrame, queryVec: Seq[Double], k: Int,
       numClusters: Int = 8, iters: Int = 3, nProbe: Int = 3,
