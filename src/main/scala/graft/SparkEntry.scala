@@ -8347,17 +8347,18 @@ object SparkEntry {
       // suffix array, no doc-vs-doc comparison anywhere.
       (s, d) => {
         val k = 20
+        graft.plans.GraftFunctions.register(s)
         val docs = t(s, d, "documents").select("doc_id", "source", "text")
+        // native one-pass anchor-gram hasher: the 20-char window string
+        // exists only inside the expression eval — the explode emits
+        // 8-byte longs (bit-identical to xxhash64(substring(...)), the
+        // interpreted HOF it replaced; differential-pinned in
+        // TextExpressionsSpec)
         val grams = docs
           .select(col("doc_id"), col("source"),
-            posexplode(when(length(col("text")) >= k,
-              expr(s"transform(sequence(0, length(text) - $k), " +
-                s"i -> substring(text, i + 1, $k))"))
-              .otherwise(array())).as(Seq("pos", "gram")))
-        val gramsOnce = grams
-          .select(col("doc_id"), col("source"), col("pos"),
-            xxhash64(col("gram")).as("gh"))
-          .localCheckpoint(eager = false)
+            posexplode(call_function("graft_char_gram_hashes",
+              col("text"), lit(k))).as(Seq("pos", "gh")))
+        val gramsOnce = grams.localCheckpoint(eager = false)
         val dupGrams = gramsOnce.groupBy("gh")
           .agg(min("doc_id").as("_dmin"), max("doc_id").as("_dmax"))
           .filter(col("_dmin") =!= col("_dmax")).select("gh")

@@ -708,6 +708,55 @@ case class WinnowSig(child: Expression, k: Int, w: Int)
   * semantics, same as the SQL `substr`), so multi-byte text trigrams
   * identically in both forms.
   */
+/** xxhash64 of every k-char window of a string, positionally — one
+  * UTF8String pass that never materializes the window strings for the
+  * downstream plan. SQL name: `graft_char_gram_hashes(text, k)`;
+  * element i equals `xxhash64(substring(text, i+1, k))` exactly (same
+  * codepoint slicing, same seed-42 hash — pinned by a differential
+  * test), and strings shorter than k yield an empty array. This is the
+  * anchor-gram generator of the exact-substring dedup screen: the
+  * 20-char gram exists only inside this eval, so the explode emits
+  * 8-byte longs instead of 20+-byte strings.
+  */
+case class CharGramHashes(child: Expression, k: Int) extends UnaryExpression {
+  import TextExpressions.Seed
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (k <= 0) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires k > 0, got $k")
+    else child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string input, got ${other.sql}")
+    }
+  override def prettyName: String = "graft_char_gram_hashes"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val n = s.numChars()
+    if (n < k) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val out = new Array[Long](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      out(i) = XXH64.hashUTF8String(s.substring(i, i + k), Seed)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  // the work is UTF8String slicing + hashing (object construction either
+  // way); the surrounding plan still whole-stage-codegens around the
+  // boxed eval call — same stance as CharTrigrams below
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str => {
+      val cls = classOf[CharGramHashes].getName
+      val ref = ctx.addReferenceObj("charGramHashesExpr", this, cls)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($str);"
+    })
+}
+
 case class CharTrigrams(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

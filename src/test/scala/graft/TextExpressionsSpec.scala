@@ -221,4 +221,21 @@ class TextExpressionsSpec extends SparkSuite {
       .as[Seq[Long]].collect().toSeq
     assert(fa.toSet.intersect(fb.toSet).nonEmpty)
   }
+
+  test("graft_char_gram_hashes is bit-identical to xxhash64(substring) per position") {
+    val k = 20
+    val mismatches = docs.filter(length($"text") >= k).select(
+        call_function("graft_char_gram_hashes", $"text", lit(k)).as("fast"),
+        expr(s"transform(sequence(0, length(text) - $k), " +
+          s"i -> xxhash64(substring(text, i + 1, $k)))").as("slow"))
+      .filter($"fast" =!= $"slow").count()
+    assert(mismatches === 0L)
+    // strings shorter than k yield an EMPTY array (the query's explode
+    // then emits no anchor rows for them)
+    val short = Seq("tiny").toDF("text")
+      .select(call_function("graft_char_gram_hashes", $"text", lit(k)).as("h"))
+      .head().getSeq[Long](0)
+    assert(short.isEmpty)
+  }
+
 }
