@@ -757,6 +757,60 @@ case class CharGramHashes(child: Expression, k: Int) extends UnaryExpression {
     })
 }
 
+/** xxhash64 of every k-token window of a token array, positionally —
+  * the word-gram companion of [[CharGramHashes]]. SQL name:
+  * `graft_word_gram_hashes(tokens, k)`; element i equals
+  * `xxhash64(concat_ws(' ', tokens[i..i+k-1]))` exactly (differential-
+  * pinned), arrays shorter than k yield an empty array, null elements
+  * join as empty like concat_ws. One pass replaces the k−1 interpreted
+  * zip_with array allocations per row of the HOF window chain, and the
+  * window string exists only inside the eval.
+  */
+case class WordGramHashes(child: Expression, k: Int)
+    extends UnaryExpression with StringArrayInput {
+  import TextExpressions.Seed
+  override protected def arrayChild: Expression = child
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (k <= 0) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires k > 0, got $k")
+    else checkStringArray()
+  override def prettyName: String = "graft_word_gram_hashes"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < k) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val toks = new Array[UTF8String](n)
+    var j = 0
+    while (j < n) {
+      toks(j) = if (arr.isNullAt(j)) null else arr.getUTF8String(j)
+      j += 1
+    }
+    val out = new Array[Long](n - k + 1)
+    val parts = new Array[UTF8String](k)
+    var i = 0
+    while (i <= n - k) {
+      System.arraycopy(toks, i, parts, 0, k)
+      out(i) = XXH64.hashUTF8String(UTF8String.concatWs(space, parts: _*), Seed)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  // same stance as CharGramHashes: the work is slicing/joining/hashing
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cls = classOf[WordGramHashes].getName
+      val ref = ctx.addReferenceObj("wordGramHashesExpr", this, cls)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($a);"
+    })
+}
+
 case class CharTrigrams(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

@@ -1086,25 +1086,21 @@ object Dedup {
       idCol: String = "doc_id",
       shingleK: Int = 5,
       minDf: Long = 3L): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
     val ts = graft.operators.TextAnalysis.tokens(lower(col(textCol)))
-    // positional k-gram windows built by zipping the token array with its
-    // own shifts (each collection evaluated once — see [[shinglesHof]]);
-    // position i covers tokens [i, i+k-1], docs shorter than k yield none
-    val n = size(ts)
-    val windows = (1 until shingleK)
-      .foldLeft(identity(ts): Column)((acc, i) =>
-        zip_with(acc, slice(ts, lit(i + 1), n), (a, b) => concat_ws(" ", a, b)))
     val toks = docs.select(col(idCol), ts.as("t"))
-    // the window zip_with chain is an interpreted HOF — the single most
-    // expensive per-row expression here — and `spans` feeds BOTH the
-    // document-frequency aggregation and the flag join. A lazy local
-    // checkpoint materializes the exploded frame once at first use and
-    // both consumers read the stored blocks (freed by the context
-    // cleaner when the frame is collected), instead of re-evaluating the
-    // HOF chain per consumer.
+    // positional k-gram window HASHES in one native pass
+    // (graft_word_gram_hashes: position i covers tokens [i, i+k-1], docs
+    // shorter than k yield none) — the window string exists only inside
+    // the expression eval, so the explode emits 8-byte longs, and the
+    // k−1 interpreted zip_with array allocations per row of the former
+    // HOF chain are gone (isolated A/B in PLANS.md round 7). `spans`
+    // feeds BOTH the document-frequency aggregation and the flag join —
+    // the lazy local checkpoint materializes the exploded frame once at
+    // first use and both consumers read the stored blocks.
     val spans = docs.select(col(idCol),
-      posexplode(slice(windows, lit(1),
-        greatest(n - (shingleK - 1), lit(0)))).as(Seq("pos", "s")))
+      posexplode(call_function("graft_word_gram_hashes", ts, lit(shingleK)))
+        .as(Seq("pos", "s")))
       .localCheckpoint(eager = false)
     val dfreq = spans.select(col(idCol), col("s")).distinct()
       .groupBy("s").agg(count(lit(1)).as("df"))

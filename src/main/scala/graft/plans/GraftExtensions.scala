@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{BestLangByHits, CharGramHashes, CharTrigrams, CosineSimilarity, DotProduct, L2SqDistance, MinHashSig, MinHashSigMd5, ModeCount, MortonInterleave, SimHash64, SimHashMd5, StopwordHits, WinnowSig, WordKGrams}
+import graft.functions.{BestLangByHits, CharGramHashes, CharTrigrams, WordGramHashes, CosineSimilarity, DotProduct, L2SqDistance, MinHashSig, MinHashSigMd5, ModeCount, MortonInterleave, SimHash64, SimHashMd5, StopwordHits, WinnowSig, WordKGrams}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -58,6 +58,14 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"graft_morton bits must be an integer literal, got $other")
       } }),
+    ("graft_word_gram_hashes",
+      info("graft_word_gram_hashes", classOf[WordGramHashes]),
+      (es: Seq[Expression]) => { arity("graft_word_gram_hashes", es, 2)
+        es(1) match {
+          case Literal(n: Int, IntegerType) => WordGramHashes(es(0), n)
+          case other => throw new IllegalArgumentException(
+            s"graft_word_gram_hashes k must be an integer literal, got $other")
+        } }),
     ("graft_char_gram_hashes",
       info("graft_char_gram_hashes", classOf[CharGramHashes]),
       (es: Seq[Expression]) => { arity("graft_char_gram_hashes", es, 2)

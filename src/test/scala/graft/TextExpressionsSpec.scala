@@ -238,4 +238,26 @@ class TextExpressionsSpec extends SparkSuite {
     assert(short.isEmpty)
   }
 
+
+  test("graft_word_gram_hashes is bit-identical to xxhash64 over the HOF window chain") {
+    val k = 5
+    val toks = TextAnalysis.tokens(lower($"text"))
+    val n = size(toks)
+    val windows = (1 until k).foldLeft(toks)((acc, i) =>
+      zip_with(acc, slice(toks, lit(i + 1), n), (a, b) => concat_ws(" ", a, b)))
+    val hof = transform(
+      slice(windows, lit(1), greatest(n - (k - 1), lit(0))), w => xxhash64(w))
+    val mismatches = docs.select(
+        call_function("graft_word_gram_hashes", toks, lit(k)).as("fast"),
+        hof.as("slow"))
+      .filter($"fast" =!= $"slow").count()
+    assert(mismatches === 0L)
+    // shorter-than-k token arrays yield an empty array
+    val short = Seq("a b").toDF("text")
+      .select(call_function("graft_word_gram_hashes",
+        TextAnalysis.tokens(lower($"text")), lit(k)).as("h"))
+      .head().getSeq[Long](0)
+    assert(short.isEmpty)
+  }
+
 }
