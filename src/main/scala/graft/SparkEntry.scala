@@ -1877,12 +1877,21 @@ object SparkEntry {
       // Ranks order on the ROUNDED value: contribution sums are float
       // and the two engines add in different orders.
       (s, d) => {
+        // rounds run on LONG ids (even=customer, odd=supplier — the
+        // same collision-free encoding the label-propagation query
+        // uses): five join+agg rounds shuffle 8-byte keys instead of
+        // prefixed strings; the reader-facing 'c'/'s' ids are mapped
+        // back AFTER the iteration, on the node-sized result
         val edges = custSuppEdges(s, d)
-          .select(concat(lit("c"), col("ck")).as("src"),
-            concat(lit("s"), col("sk")).as("dst"))
+          .select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
         graft.operators.Graph.pageRank(edges, iters = 5,
             distinctEdges = true)
-          .select(col("id"), round(col("rank"), 8).as("rank"))
+          .select(
+            when(col("id") % 2 === 0,
+              concat(lit("c"), (col("id") / 2).cast("long")))
+              .otherwise(concat(lit("s"), ((col("id") - 1) / 2).cast("long")))
+              .as("id"),
+            round(col("rank"), 8).as("rank"))
           .orderBy(col("rank").desc, col("id")).limit(30)
       },
       Some("""WITH edges AS (
