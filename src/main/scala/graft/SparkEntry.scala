@@ -1212,6 +1212,40 @@ object SparkEntry {
              |COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    Q("lineitem_unpivot_measures", // §2.4 — unpivot/melt (the pivot's
+      // inverse, wide→long): ONE hash agg computes the four monthly
+      // measure sums, then Dataset.unpivot melts the wide row into
+      // (month, measure, value) rows — the explode happens on the
+      // ~month-count aggregate, never on the fact table, so the long
+      // form costs 4 extra rows per month, not a 4× fact scan.
+      (s, d) => {
+        val wide = t(s, d, "lineitem")
+          .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+          .agg(round(sum("l_quantity").cast("double"), 2).as("sum_qty"),
+            round(sum("l_extendedprice").cast("double"), 2).as("sum_price"),
+            round(sum("l_discount").cast("double"), 2).as("sum_disc"),
+            round(sum("l_tax").cast("double"), 2).as("sum_tax"))
+        wide.unpivot(Array(col("month")),
+            Array(col("sum_qty"), col("sum_price"), col("sum_disc"),
+              col("sum_tax")), "measure", "value")
+          .orderBy("month", "measure")
+      },
+      Some("""WITH wide AS (
+             |  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+             |    ROUND(CAST(SUM(l_quantity) AS DOUBLE), 2) AS sum_qty,
+             |    ROUND(CAST(SUM(l_extendedprice) AS DOUBLE), 2) AS sum_price,
+             |    ROUND(CAST(SUM(l_discount) AS DOUBLE), 2) AS sum_disc,
+             |    ROUND(CAST(SUM(l_tax) AS DOUBLE), 2) AS sum_tax
+             |  FROM lineitem GROUP BY month)
+             |SELECT month, 'sum_qty' AS measure, sum_qty AS value FROM wide
+             |UNION ALL
+             |SELECT month, 'sum_price', sum_price FROM wide
+             |UNION ALL
+             |SELECT month, 'sum_disc', sum_disc FROM wide
+             |UNION ALL
+             |SELECT month, 'sum_tax', sum_tax FROM wide
+             |ORDER BY month, measure""".stripMargin)),
+
     Q("agg_group_percentile", // exact per-group median over a bounded-
       // cardinality group key: the per-group value buffer is the built-in
       // percentile's single-reducer hazard, but HERE each group is one of
@@ -5345,6 +5379,37 @@ object SparkEntry {
              |  ROUND(CAST(len(t) - COALESCE(tokens_removed, 0) AS DOUBLE)
              |    / len(t), 6) AS keep_ratio
              |FROM tk LEFT JOIN agg USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    Q("doc_span_dedup_rewrite", // C4/RefinedWeb-style corpus rewrite:
+      // non-overlapping 10-token spans, every span value keeps its FIRST
+      // (doc_id, span_idx) occurrence corpus-wide, docs re-emitted with
+      // dropped spans removed. Keep-first is a hash-keyed min-struct agg
+      // (8-byte span hashes shuffle, never span strings); the rewrite
+      // re-derives span text locally, so text never shuffles.
+      (s, d) => graft.operators.Dedup
+        .spanDedupRewrite(t(s, d, "documents"), spanTokens = 10)
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+             |  FROM documents),
+             |st AS (
+             |  SELECT doc_id, t, unnest(range(0, len(t), 10)) AS s FROM tk),
+             |sp AS (
+             |  SELECT doc_id, CAST(s / 10 AS BIGINT) AS span_idx,
+             |    array_to_string(t[(s + 1):(s + 10)], ' ') AS sp
+             |  FROM st),
+             |rk AS (
+             |  SELECT doc_id, span_idx, sp,
+             |    ROW_NUMBER() OVER (PARTITION BY sp
+             |      ORDER BY doc_id, span_idx) AS rn
+             |  FROM sp)
+             |SELECT doc_id,
+             |  COUNT(*) AS n_spans,
+             |  COUNT(*) FILTER (WHERE rn > 1) AS n_dropped,
+             |  COALESCE(string_agg(sp, ' ' ORDER BY span_idx)
+             |    FILTER (WHERE rn = 1), '') AS text_kept
+             |FROM rk GROUP BY doc_id
              |ORDER BY doc_id""".stripMargin)),
 
     Q("doc_decontaminate", // benchmark decontamination: drop every corpus

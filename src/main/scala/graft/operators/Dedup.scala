@@ -1129,4 +1129,59 @@ object Dedup {
         round((col("n_tokens") - coalesce(col("tokens_removed"), lit(0L)))
           .cast("double") / col("n_tokens"), 6).as("keep_ratio"))
   }
+
+  /** Corpus-level span dedup WITH document rewrite — the C4/RefinedWeb
+    * pipeline shape: text is cut into NON-overlapping `spanTokens`-token
+    * spans (the last span may be short), every distinct span value keeps
+    * exactly its first occurrence in (doc_id, span_idx) order, and each
+    * document is re-emitted with its dropped spans removed. Differs from
+    * [[stripRepeatedSpans]] (a report over overlapping windows) in that
+    * the deliverable is the rewritten corpus itself, one surviving copy
+    * of every duplicated span included.
+    *
+    * Scale shape: the explode emits one row per span — a k-fold REDUCTION
+    * of the token count, not a blow-up — keyed by the span's xxhash64, so
+    * the keeper aggregation and the drop join shuffle 8-byte longs, never
+    * span strings (collision odds ~n²/2⁶⁴, deterministic; same trade the
+    * substring screen's hashed-gram key records in PLANS.md). Keep-first
+    * is a hash-keyed min(struct(doc, idx)) aggregation — no window, so a
+    * corpus-wide boilerplate span partial-aggregates map-side instead of
+    * buffering one giant partition. Only the dropped (doc, idx) pairs
+    * travel back; the rewrite re-derives span text locally from the
+    * document row, so text never shuffles at all.
+    */
+  def spanDedupRewrite(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      spanTokens: Int = 10): DataFrame = {
+    val k = spanTokens
+    val base = docs.select(col(idCol),
+      split(trim(col(textCol)), "\\s+").as("t"))
+    // ceil(len/k) in integer arithmetic; split("") yields [""], so the
+    // token array is never empty and nSp >= 1 (no descending sequence).
+    val nSp = ((size(col("t")) + (k - 1)) / k).cast("int")
+    def spanArr: Column = transform(sequence(lit(0), nSp - 1),
+      i => array_join(slice(col("t"), i * k + 1, lit(k)), " "))
+    val spans = base
+      .select(col(idCol), posexplode(spanArr).as(Seq("span_idx", "sp")))
+      .select(col(idCol), col("span_idx"), xxhash64(col("sp")).as("h"))
+      .localCheckpoint(eager = false) // feeds keeper agg AND drop join
+    val first = spans.groupBy("h")
+      .agg(min(struct(col(idCol), col("span_idx"))).as("f"))
+    val dropped = spans.join(first, Seq("h"))
+      .filter(col("f").getField(idCol) =!= col(idCol) ||
+        col("f").getField("span_idx") =!= col("span_idx"))
+      .groupBy(idCol)
+      .agg(collect_list("span_idx").as("drop_idx"),
+        count(lit(1)).as("n_dropped"))
+    base.join(dropped, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        nSp.cast("long").as("n_spans"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        array_join(
+          filter(spanArr, (_, i) => !array_contains(
+            coalesce(col("drop_idx"), array().cast("array<int>")), i)),
+          " ").as("text_kept"))
+  }
 }

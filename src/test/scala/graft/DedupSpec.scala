@@ -262,6 +262,27 @@ class DedupSpec extends SparkSuite {
     assert(r(4L) === ((5L, 0L, 0L)))
   }
 
+  test("spanDedupRewrite keeps first span occurrence and rewrites docs") {
+    // span size 3: doc 1 = [abc][def]; doc 2 repeats [abc] twice (one
+    // intra-doc drop, one cross-doc drop) + a novel tail; doc 3 is a
+    // verbatim copy of doc 1 → fully dropped, rewritten to ""
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c a b c x y"),
+      (3L, "a b c d e f")).toDF("doc_id", "text")
+    val r = Dedup.spanDedupRewrite(docs, spanTokens = 3)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L) === ((2L, 0L, "a b c d e f")))
+    // doc 2: spans [abc][abc][x y] — both "a b c" lose to doc 1 span 0
+    assert(r(2L) === ((3L, 2L, "x y")))
+    assert(r(3L) === ((2L, 2L, "")))
+    // surviving spans cover every distinct span value exactly once
+    val kept = Dedup.spanDedupRewrite(docs, spanTokens = 3)
+      .agg(sum("n_spans"), sum("n_dropped")).collect()(0)
+    assert(kept.getLong(0) - kept.getLong(1) === 3L) // abc, def, "x y"
+  }
+
   test("containmentPairs catches a full quote that Jaccard hides") {
     // doc 2 is a verbatim prefix of doc 1: its 3 shingles all land in
     // doc 1's 6, so containment = 1.0 while Jaccard is only 3/6 = 0.5

@@ -36,6 +36,7 @@ QUERIES = [
     # shingle / minhash / winnow / substring
     "doc_minhash_neardups", "doc_winnow_pairs", "doc_containment_pairs",
     "doc_substring_dup_coverage", "doc_dedup_normalized",
+    "doc_span_dedup_rewrite",
     # graph
     "graph_pagerank", "graph_triangles", "graph_kcore",
     # relational + skew + streaming controls
