@@ -5162,6 +5162,67 @@ object SparkEntry {
              |FROM tf JOIN dft USING (term) CROSS JOIN stats
              |GROUP BY doc_id ORDER BY score DESC, doc_id""".stripMargin)),
 
+    Q("doc_search_eval", // IR ranking-quality eval: P@10 / MRR@10 /
+      // NDCG@10 of the BM25 bag-of-words ranker vs exact-PHRASE
+      // relevance (gold = the query terms adjacent and in order) — the
+      // offline eval loop of every index build. Gold ⊆ candidates, so
+      // only (query, doc) pairs join back; ranks order by the ROUNDED
+      // score + doc-id tie-break (the suite's cross-engine protocol).
+      (s, d) => graft.operators.Retrieval.searchEval(
+        t(s, d, "documents"),
+        Seq(1 -> Seq("spark", "join"), 2 -> Seq("window", "table"),
+          3 -> Seq("hash", "merge"))),
+      Some("""WITH qt AS (
+             |  SELECT * FROM (VALUES
+             |    (1, 'spark'), (1, 'join'),
+             |    (2, 'window'), (2, 'table'),
+             |    (3, 'hash'), (3, 'merge')) AS v(query_id, term)),
+             |tok AS (
+             |  SELECT doc_id,
+             |    string_split_regex(lower(trim(text)), '\s+') AS toks
+             |  FROM documents),
+             |gold AS (
+             |  SELECT v.query_id, doc_id
+             |  FROM tok, (VALUES (1, ' spark join '), (2, ' window table '),
+             |    (3, ' hash merge ')) AS v(query_id, ph)
+             |  WHERE instr(' ' || array_to_string(toks, ' ') || ' ', v.ph) > 0),
+             |m AS (
+             |  SELECT doc_id, len(toks) AS dl, unnest(list_filter(toks,
+             |    t -> list_contains(['spark','join','window','table','hash','merge'], t))) AS term
+             |  FROM tok),
+             |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM m GROUP BY 1, 2, 3),
+             |dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+             |stats AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM tok),
+             |sc AS (
+             |  SELECT query_id, doc_id,
+             |    ROUND(SUM(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+             |      * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+             |  FROM tf JOIN dft USING (term) JOIN qt USING (term) CROSS JOIN stats
+             |  GROUP BY 1, 2),
+             |rk AS (
+             |  SELECT query_id, doc_id, score, ROW_NUMBER() OVER (
+             |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+             |  FROM sc),
+             |j AS (
+             |  SELECT rk.*, (gold.doc_id IS NOT NULL) AS g
+             |  FROM rk LEFT JOIN gold USING (query_id, doc_id)),
+             |ag AS (
+             |  SELECT query_id, COUNT(*) AS n_matched,
+             |    COUNT(*) FILTER (WHERE g) AS n_gold,
+             |    COUNT(*) FILTER (WHERE g AND rank <= 10) AS n_hits,
+             |    COALESCE(MAX(1.0 / rank) FILTER (WHERE g AND rank <= 10), 0.0) AS mrr,
+             |    COALESCE(SUM(1.0 / log2(rank + 1.0))
+             |      FILTER (WHERE g AND rank <= 10), 0.0) AS dcg
+             |  FROM j GROUP BY 1)
+             |SELECT query_id, n_matched, n_gold,
+             |  ROUND(n_hits / 10.0, 6) AS p_at_10,
+             |  ROUND(mrr, 6) AS mrr_at_10,
+             |  CASE WHEN n_gold > 0 THEN
+             |    ROUND(dcg / list_sum(list_transform(range(1, least(10, n_gold) + 1),
+             |      i -> 1.0 / log2(i + 1.0))), 6)
+             |  END AS ndcg_at_10
+             |FROM ag ORDER BY query_id""".stripMargin)),
+
     Q("doc_repetition", // Gopher-style repetition filters: top-token /
       // top-bigram mode fraction (per-row sorted-run scan — no explode +
       // groupBy shuffle of rows×tokens cells) + duplicate-line fraction

@@ -142,6 +142,89 @@ object Retrieval {
       .orderBy(col("score").desc, col(idCol))
   }
 
+  /** IR ranking-quality evaluation — precision@k, MRR@k, NDCG@k — of the
+    * [[bm25]] bag-of-words ranker against exact-PHRASE relevance: a
+    * document is relevant to a query iff the query's terms occur
+    * adjacent and in order in the whitespace-normalized lowercased text.
+    * BM25 scores the terms as a bag, so the metrics quantify how well
+    * bag-of-words ranking surfaces true phrase matches — the offline
+    * eval loop a retrieval deployment runs on every index build.
+    *
+    * Scale design: candidate generation reuses bm25's filtered explode
+    * (O(matching tokens) on the wire, never the full token stream); a
+    * phrase match implies every term matches, so gold ⊆ candidates and
+    * only the (query, doc) gold pairs — not document text — join back;
+    * ranking is one row_number per query over its candidate set, bounded
+    * by the query terms' postings; ranks order by the ROUNDED score
+    * (4 dp) with doc-id tie-break, the suite's cross-engine protocol.
+    */
+  def searchEval(
+      docs: DataFrame,
+      queries: Seq[(Int, Seq[String])],
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val allTerms = queries.flatMap(_._2).distinct
+    val qt = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val toks = docs.select(col(idCol).as("id"),
+      tokens(lower(col(textCol))).as("toks"))
+    // gold pairs: per-doc phrase containment flags, filtered map-side to
+    // the (query_id, id) matches — the only relevance rows that travel
+    val gold = toks
+      .select(col("id"),
+        concat(lit(" "), array_join(col("toks"), " "), lit(" ")).as("nt"))
+      .select(col("id"), explode(array(queries.map { case (q, ts) =>
+        struct(lit(q).as("query_id"),
+          col("nt").contains(ts.mkString(" ", " ", " ")).as("g"))
+      }: _*)).as("f"))
+      .filter(col("f.g"))
+      .select(col("f.query_id").as("query_id"), col("id"), lit(true).as("g"))
+    val tf = toks
+      .select(col("id"), size(col("toks")).as("dl"),
+        explode(filter(col("toks"),
+          t => array_contains(typedLit(allTerms), t))).as("term"))
+      .groupBy("id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("term").agg(countDistinct("id").as("df"))
+    val stats = toks.agg(count(lit(1)).as("n"),
+      avg(size(col("toks"))).as("avgdl"))
+    val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val norm = col("tf") +
+      lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
+    val ranked = tf.join(broadcast(dft), "term")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qt), "term")
+      .groupBy("query_id", "id")
+      .agg(round(sum(idf * (col("tf") * (k1 + 1.0)) / norm), 4).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("id"))))
+      .join(gold, Seq("query_id", "id"), "left_outer")
+      .withColumn("g", coalesce(col("g"), lit(false)))
+    val hit = col("g") && col("rank") <= k
+    val idcg = aggregate(
+      sequence(lit(1), least(lit(k), greatest(col("n_gold"), lit(1)).cast("int"))),
+      lit(0.0), (acc, i) => acc + lit(1.0) / log2(i.cast("double") + 1.0))
+    ranked.groupBy("query_id")
+      .agg(count(lit(1)).as("n_matched"),
+        sum(when(col("g"), 1L).otherwise(0L)).as("n_gold"),
+        sum(when(hit, 1L).otherwise(0L)).as("n_hits"),
+        max(when(hit, lit(1.0) / col("rank"))).as("mrr_raw"),
+        sum(when(hit, lit(1.0) / log2(col("rank") + 1.0))).as("dcg"))
+      .select(col("query_id"), col("n_matched"), col("n_gold"),
+        round(col("n_hits") / lit(k.toDouble), 6).as(s"p_at_$k"),
+        round(coalesce(col("mrr_raw"), lit(0.0)), 6).as(s"mrr_at_$k"),
+        when(col("n_gold") > 0,
+          round(coalesce(col("dcg"), lit(0.0)) / idcg, 6))
+          .as(s"ndcg_at_$k"))
+      .orderBy("query_id")
+  }
+
   /** Assign documents to fixed-token-budget training shards: within each
     * `groupCol` stream (ordered by `idCol`), shard k holds the documents
     * whose cumulative token offset falls in [k·budget, (k+1)·budget).

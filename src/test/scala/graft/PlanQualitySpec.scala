@@ -164,6 +164,7 @@ class PlanQualitySpec extends SparkSuite {
       .filterNot(_.startsWith("events_stream_")) // streaming: runs a query, not a static plan
       .filterNot(Set("doc_bm25_search", "doc_hybrid_rrf",
         "doc_prf_expansion", // 1-row corpus-stats broadcast (BM25 passes)
+        "doc_search_eval", // same 1-row BM25 corpus-stats broadcast
         "orders_mad_outliers", "lineitem_skew_report",
         "orders_rfm_segments", "events_psi_drift",
         "orders_survival_km", "doc_pmi_pairs",

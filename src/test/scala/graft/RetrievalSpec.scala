@@ -32,6 +32,31 @@ class RetrievalSpec extends SparkSuite {
     assert(!out.contains(3L)) // zero-match docs never materialize
   }
 
+  test("searchEval: P/MRR/NDCG@k against phrase gold on a hand-checked corpus") {
+    // query terms {a, b}: docs 1-3 contain both (identical tf and dl →
+    // identical score, doc-id tie-break), doc 4 only 'a', doc 5 nothing.
+    // Gold (phrase "a b") = doc 1 only → rank 1 hit: MRR=1, NDCG=1.
+    val docs = Seq(
+      (1L, "a b x y"), (2L, "b a x y"), (3L, "a x b y"),
+      (4L, "a q q q"), (5L, "z z z z")).toDF("doc_id", "text")
+    val r = Retrieval.searchEval(docs, Seq(7 -> Seq("a", "b")), k = 3)
+      .collect()
+    assert(r.length === 1)
+    val row = r(0)
+    assert(row.getInt(0) === 7)
+    assert(row.getLong(1) === 4L)                    // matched: docs 1-4
+    assert(row.getLong(2) === 1L)                    // gold: doc 1
+    assert(math.abs(row.getDouble(3) - 1.0 / 3) < 1e-6)  // p@3
+    assert(row.getDouble(4) === 1.0)                 // mrr@3
+    assert(row.getDouble(5) === 1.0)                 // ndcg@3
+    // phrase " y a " appears nowhere though both terms match docs 1-3:
+    // gold empty → NDCG is NULL (not NaN), MRR degrades to 0
+    val none = Retrieval.searchEval(docs, Seq(1 -> Seq("y", "a")), k = 3)
+      .collect()(0)
+    assert(none.getLong(2) === 0L && none.isNullAt(5))
+    assert(none.getDouble(4) === 0.0)
+  }
+
   test("ranking is score-descending with doc-id tie-break on the fixture") {
     val docs = engine.Tables.load(spark, sfDir, "documents")
     val rows = Retrieval.bm25(docs, Seq("spark", "join", "window"))
