@@ -59,9 +59,23 @@ object Bench {
       catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
+    // Isolate mode (scale probe): drop all cached/persisted state AND the
+    // shared-intermediate memo before each query, so every query's timed
+    // pair is self-contained — shared builds bill deterministically to
+    // EVERY consumer instead of to whichever pinned query happens to run
+    // first, and accumulated suite caches can't inflate late queries via
+    // memory pressure (the round-7 probe flaked exactly this way:
+    // doc_containment_pairs 12x in-suite vs 2.3x isolated). The normal
+    // full-suite bench keeps sharing ON — there the memo IS the measured
+    // production shape and the build is billed once, honestly.
+    val isolate = sys.env.contains("SPARK_GRAFT_ISOLATE")
     val timed = SparkEntry.queries
       .filter { case (name, _) => selected(name) }
       .map { case (name, fn) =>
+        if (isolate) {
+          spark.catalog.clearCache()
+          SparkEntry.clearSharedState()
+        }
         val cold = timeOnce(fn)
         val second = timeOnce(fn)
         name -> (cold, math.min(cold, second))

@@ -457,4 +457,62 @@ object Graph {
           sum(lit(1.0) / log(col("d"))).as("aa_score")),
       (if (canonicalEdges) Nil else Seq(und)): _*)
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999) over a DIRECTED bipartite
+    * edge list — src is the hub side, dst the authority side, and the two
+    * id spaces stay separate throughout (they may overlap numerically):
+    *
+    *   a ← normalize(Σ_{src→dst} h(src));  h ← normalize(Σ_{src→dst} a(dst))
+    *
+    * with L2 normalization after each half-step. Output: one row per
+    * node, `(role ∈ {hub, authority}, id, score)`.
+    *
+    * Scale shape: the edge list is cached TWICE, partitioned on src (the
+    * a-step's join key) and on dst (the h-step's) — two exchanges up
+    * front buy 2·(iters−1) big-side re-shuffles, the same trade the
+    * pageRank layout records in PLANS.md. Each half-step is one edge-scan
+    * join + destination-key hash aggregation (map-side combine collapses
+    * edges to nodes before the wire); the L2 norm is a 1-row aggregate
+    * broadcast back — never a driver action, so all rounds chain lazily
+    * into one DAG like every operator here.
+    */
+  def hitsBipartite(
+      edges: DataFrame,
+      iters: Int,
+      checkpointEvery: Int = DefaultCheckpointEvery,
+      distinctEdges: Boolean = false): DataFrame = {
+    val base =
+      if (distinctEdges) edges.select(col("src"), col("dst"))
+      else edges.select(col("src"), col("dst")).distinct()
+    val eSrc = base.repartition(col("src")).cache()
+    val eDst = base.repartition(col("dst")).cache()
+    var h = eSrc.select(col("src").as("id")).distinct()
+      .withColumn("h", lit(1.0))
+    var a: DataFrame = h // placeholder; iters >= 1 always overwrites
+    require(iters >= 1, "hits needs at least one round")
+    for (i <- 1 to iters) {
+      // each raw half-step feeds BOTH its norm aggregate and the scaled
+      // output: lazily checkpoint so the second consumer reads stored
+      // blocks instead of doubling the lineage every round
+      val aRaw = eSrc.join(h.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum("h").as("s"))
+        .localCheckpoint(eager = false)
+      val aNew = aRaw
+        .crossJoin(broadcast(aRaw.agg(sqrt(sum(col("s") * col("s"))).as("nrm"))))
+        .select(col("id"), (col("s") / col("nrm")).as("a"))
+      val hRaw = eDst.join(aNew.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(sum("a").as("s"))
+        .localCheckpoint(eager = false)
+      val hNew = hRaw
+        .crossJoin(broadcast(hRaw.agg(sqrt(sum(col("s") * col("s"))).as("nrm"))))
+        .select(col("id"), (col("s") / col("nrm")).as("h"))
+      a = maybeCkpt(aNew, i, checkpointEvery)
+      h = maybeCkpt(hNew, i, checkpointEvery)
+    }
+    materializeAndRelease(
+      h.select(lit("hub").as("role"), col("id"), col("h").as("score"))
+        .unionByName(a.select(lit("authority").as("role"), col("id"),
+          col("a").as("score"))),
+      eSrc, eDst)
+  }
 }

@@ -485,6 +485,54 @@ object Multimodal {
       }
   }
 
+  /** Windowed RMS loudness over REAL WAV decode: audio rows only, PCM
+    * stream cut into fixed `window`-sample frames (tail partial dropped),
+    * per-frame energy = exact integer Σ sample² computed inside the
+    * per-partition decode loop — so only (media_id, sample_rate,
+    * n_samples, energy array) leaves the decoder, never samples. Peak
+    * selection and the RMS arithmetic run as column HOFs on the
+    * frame-count-sized array; the frame argmax tie-breaks on the FIRST
+    * occurrence of the exact integer energy (cross-engine safe — no
+    * float compare decides a rank). Streams shorter than one window
+    * report NULL loudness, never NaN.
+    */
+  def audioLoudness(
+      spark: SparkSession, media: DataFrame, window: Int = 50): DataFrame = {
+    import spark.implicits._
+    require(window > 0)
+    val decoded = media.filter(col("modality") === "audio")
+      .select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          WavCodec.decode(bytes).map { case (sr, samples) =>
+            val nw = samples.length / window
+            val energy = Array.tabulate(nw) { wi =>
+              var s = 0L
+              var i = wi * window
+              val end = i + window
+              while (i < end) { val v = samples(i).toLong; s += v * v; i += 1 }
+              s
+            }
+            (id, sr, samples.length, energy)
+          }
+        }
+      }.toDF("media_id", "sample_rate", "n_samples", "energy")
+    val w = lit(window.toDouble)
+    val peak = array_max(col("energy"))
+    decoded.select(col("media_id"), col("sample_rate"),
+      col("n_samples"), size(col("energy")).as("n_windows"),
+      when(size(col("energy")) > 0,
+        (array_position(col("energy"), peak) - 1).cast("int"))
+        .as("peak_window"),
+      when(size(col("energy")) > 0, round(sqrt(peak / w), 6))
+        .as("peak_rms"),
+      when(size(col("energy")) > 0,
+        round(aggregate(col("energy"), lit(0.0),
+          (acc, x) => acc + sqrt(x / w)) / size(col("energy")), 6))
+        .as("mean_rms"))
+  }
+
   final case class ResizedMedia(
       media_id: Long, modality: String, content: Array[Byte],
       width: Int, height: Int)

@@ -283,6 +283,18 @@ class DedupSpec extends SparkSuite {
     assert(kept.getLong(0) - kept.getLong(1) === 3L) // abc, def, "x y"
   }
 
+  test("clearSharedState: a memo consumer recomputes to identical rows (isolate mode)") {
+    // Bench's SPARK_GRAFT_ISOLATE clears cache + memo before each query;
+    // the rebuilt shared shingle index must reproduce the same answer.
+    def run() = SparkEntry.queries("doc_containment_pairs")(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    val first = run()
+    SparkEntry.clearSharedState()
+    spark.catalog.clearCache()
+    val second = run()
+    assert(first.nonEmpty && first === second)
+  }
+
   test("containmentPairs catches a full quote that Jaccard hides") {
     // doc 2 is a verbatim prefix of doc 1: its 3 shingles all land in
     // doc 1's 6, so containment = 1.0 while Jaccard is only 3/6 = 0.5

@@ -50,6 +50,22 @@ class GraphSpec extends SparkSuite {
     assert(math.abs(converged.values.sum - 1.0) < 1e-9)
   }
 
+  test("hitsBipartite matches two hand-computed rounds on a 2x2 graph") {
+    // h1->{a1,a2}, h2->a1. Round 1: a=(2,1)/√5, h=(3,2)/√13.
+    // Round 2: a_raw=(5,3)/√13 → a=(5,3)/√34; h_raw=(8,5)/√34 → h=(8,5)/√89.
+    val edges = Seq((10L, 1L), (10L, 2L), (20L, 1L)).toDF("src", "dst")
+    val r = Graph.hitsBipartite(edges, iters = 2)
+      .collect().map(x => (x.getString(0), x.getLong(1)) -> x.getDouble(2))
+      .toMap
+    assert(math.abs(r(("hub", 10L)) - 8.0 / math.sqrt(89)) < 1e-9)
+    assert(math.abs(r(("hub", 20L)) - 5.0 / math.sqrt(89)) < 1e-9)
+    assert(math.abs(r(("authority", 1L)) - 5.0 / math.sqrt(34)) < 1e-9)
+    assert(math.abs(r(("authority", 2L)) - 3.0 / math.sqrt(34)) < 1e-9)
+    // L2 norms of each side are 1 after the final half-steps
+    val hs = r.collect { case (("hub", _), v) => v * v }.sum
+    assert(math.abs(hs - 1.0) < 1e-9)
+  }
+
   test("label propagation finds two triangles joined by a bridge") {
     // triangles {1,2,3} and {10,11,12} plus bridge 3-10: within a few
     // synchronous rounds each triangle agrees on its min label, and the

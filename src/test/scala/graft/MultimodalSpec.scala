@@ -70,6 +70,25 @@ class MultimodalSpec extends SparkSuite {
 
   // -- real PPM codec -------------------------------------------------------
 
+  test("audioLoudness: hand-checked windowed RMS, tail dropped, short stream NULL") {
+    // samples [3,4 | 0,0 | 5]: window 2 → energies [25, 0], tail dropped.
+    // peak = window 0 (rms √12.5); mean = (√12.5 + 0) / 2
+    val wav = Multimodal.WavCodec.encode(8000, Array[Short](3, 4, 0, 0, 5))
+    val tiny = Multimodal.WavCodec.encode(8000, Array[Short](9)) // < window
+    val media = Seq((1L, "audio", wav), (2L, "audio", tiny),
+      (3L, "image", wav)).toDF("media_id", "modality", "content")
+    val r = Multimodal.audioLoudness(spark, media, window = 2)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(!r.contains(3L)) // non-audio rows never reach the decoder
+    val a = r(1L)
+    assert(a.getInt(1) === 8000 && a.getInt(2) === 5 && a.getInt(3) === 2)
+    assert(a.getInt(4) === 0)
+    assert(math.abs(a.getDouble(5) - math.sqrt(12.5)) < 1e-6)
+    assert(math.abs(a.getDouble(6) - math.sqrt(12.5) / 2) < 1e-6)
+    val t = r(2L)
+    assert(t.getInt(3) === 0 && t.isNullAt(4) && t.isNullAt(5) && t.isNullAt(6))
+  }
+
   test("PpmCodec roundtrip: encode → decode is the identity") {
     val rgb = Array.tabulate(3 * 6 * 5)(i => ((i * 37) % 256).toByte)
     val Some((w, h, back)) = Multimodal.PpmCodec.decode(

@@ -175,6 +175,7 @@ class PlanQualitySpec extends SparkSuite {
         "doc_bigram_entropy", // 1-row x 1-row entropy-terms assembly
         "events_time_weighted_value", // 1-row max-timestamp anchor
         "graph_modularity", // 1-row m × 1-row intra-edge-count assembly
+        "graph_hits_bipartite", // 1-row L2-norm broadcast per half-step
         "cust_blocking_quality", // 1-row n_total broadcast onto 3 report rows
         "orders_kendall_tau", // pairwise pass over the bounded ~80-row month grain
         "events_error_pchart", // 1-row centerline broadcast onto the day grain

@@ -55,6 +55,8 @@ LINEAR_SATURATED = {
     "doc_substring_dup_coverage": "gram explode scales 10x",
     "graph_pagerank": "edge rounds scale 10x",
     "graph_kcore": "peeling rounds scale 10x",
+    "doc_dedup_normalized":
+        "exact hash-dedup of the full corpus: work linear in rows, saturated",
 }
 
 def run(cmd, env=None):
@@ -74,6 +76,10 @@ def bench(sf_dir, out_json):
         "SPARK_GRAFT_ONLY": ",".join(QUERIES),
         "SPARK_GRAFT_BENCH_OUT": out_json,
         "SPARK_GRAFT_NOWARM": "1",  # cross-sf comparison: both passes cold-ish, best-of-2 handles JIT
+        # self-contained per-query state: shared-memo builds bill to every
+        # consumer at BOTH scales and suite cache pressure can't inflate
+        # late queries (r7: containment flaked 12x in-suite vs 2.3x isolated)
+        "SPARK_GRAFT_ISOLATE": "1",
     })
     with open(out_json) as f:
         return json.load(f)["queries"]
