@@ -283,6 +283,42 @@ class DedupSpec extends SparkSuite {
     assert(kept.getLong(0) - kept.getLong(1) === 3L) // abc, def, "x y"
   }
 
+  test("spanDedupRewrite matches a sequential reference model on a seeded random corpus") {
+    // model: group tokens into k-spans, keep the (doc, idx)-min occurrence
+    // of each span value, rewrite from kept spans — O(n) driver Scala
+    def model(docs: Seq[(Long, String)], k: Int): Map[Long, (Long, Long, String)] = {
+      def spansOf(text: String) =
+        text.trim.split("\\s+").toSeq.grouped(k).map(_.mkString(" ")).toSeq
+      val keeper = docs
+        .flatMap { case (id, tx) =>
+          spansOf(tx).zipWithIndex.map { case (v, i) => (v, id, i) } }
+        .groupBy(_._1)
+        .map { case (v, occ) => v -> occ.map(o => (o._2, o._3)).min }
+      docs.map { case (id, tx) =>
+        val sp = spansOf(tx).zipWithIndex
+        val kept = sp.collect { case (v, i) if keeper(v) == ((id, i)) => v }
+        id -> ((sp.length.toLong, (sp.length - kept.length).toLong,
+          kept.mkString(" ")))
+      }.toMap
+    }
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val corpus = (0L until 30L).map { id =>
+      val n = 1 + rnd.nextInt(20)
+      id -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val expect = model(corpus, 4)
+    val got = Dedup.spanDedupRewrite(corpus.toDF("doc_id", "text"), spanTokens = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got === expect)
+    // every distinct span value survives exactly once corpus-wide
+    val distinctSpans = corpus.flatMap { case (_, tx) =>
+      tx.split(" ").toSeq.grouped(4).map(_.mkString(" ")) }.distinct.size
+    assert(got.values.map(v => v._1 - v._2).sum === distinctSpans.toLong)
+  }
+
   test("clearSharedState: a memo consumer recomputes to identical rows (isolate mode)") {
     // Bench's SPARK_GRAFT_ISOLATE clears cache + memo before each query;
     // the rebuilt shared shingle index must reproduce the same answer.
