@@ -378,6 +378,14 @@ object SparkEntry {
       |WHERE o_totalprice > (SELECT 2 * AVG(o_totalprice) FROM orders)
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin
 
+  private val subqLateralSql =
+    """SELECT n_name, c_name, c_acctbal
+      |FROM nation,
+      |LATERAL (SELECT c_name, c_acctbal FROM customer
+      |         WHERE c_nationkey = n_nationkey
+      |         ORDER BY c_acctbal DESC, c_name LIMIT 2) top2
+      |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin
+
   private def tpchQueries: Seq[Q] = Seq(
     Q("q1_lineitem_agg", // TPC-H Q1 shape: map-side partial agg, 6-row result
       (s, d) => t(s, d, "lineitem")
@@ -1196,6 +1204,17 @@ object SparkEntry {
         s.sql(subqAboveAvgSql)
       },
       Some(subqAboveAvgSql)),
+
+    Q("subq_lateral_top2", // correlated LATERAL subquery with ORDER BY +
+      // LIMIT (top-n per outer row): Catalyst's DecorrelateInnerQuery
+      // rewrites it into a per-nation ranked join — no per-row
+      // re-execution — the same plan a window top-k compiles to, but
+      // declared through the ANSI lateral-join surface both engines share.
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(subqLateralSql)
+      },
+      Some(subqLateralSql)),
 
     Q("distinct_count_parts", // COUNT(DISTINCT) — exact, one extra shuffle
       (s, d) => t(s, d, "lineitem").agg(
