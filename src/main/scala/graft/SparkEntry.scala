@@ -6728,12 +6728,13 @@ object SparkEntry {
              |ORDER BY c.cohort, c.midx""".stripMargin)),
 
     Q("graph_hits_bipartite", // HITS hubs & authorities (Kleinberg) on
-      // the customer→part purchase bipartite graph, 2 full rounds with
-      // L2 normalization per half-step. Hub/authority id spaces stay
-      // separate throughout (no prefix needed); the oracle unrolls the
-      // same four half-steps as materialized CTE pairs with scalar-
-      // subquery norms. Scores round to 6 — the engines sum in
-      // different orders.
+      // the customer→part purchase bipartite graph, 2 full rounds.
+      // Rounds run UNNORMALIZED (mid-step norms are scalars that cancel
+      // in the final normalized vectors), so every intermediate is an
+      // exact integer in doubles and round 1's authority update is just
+      // the in-degree; each side normalizes once at the end. The oracle
+      // unrolls the same exact-integer chain; the final division is the
+      // only FP step, rounded to 6.
       (s, d) => {
         val edges = t(s, d, "orders")
           .join(t(s, d, "lineitem"),
@@ -6746,30 +6747,25 @@ object SparkEntry {
       Some("""WITH e AS MATERIALIZED (
              |  SELECT DISTINCT o_custkey AS src, l_partkey AS dst
              |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-             |h0 AS MATERIALIZED (SELECT DISTINCT src AS id, 1.0 AS h FROM e),
-             |a1r AS MATERIALIZED (
-             |  SELECT e.dst AS id, SUM(h0.h) AS s
-             |  FROM e JOIN h0 ON e.src = h0.id GROUP BY 1),
              |a1 AS MATERIALIZED (
-             |  SELECT id, s / (SELECT sqrt(SUM(s * s)) FROM a1r) AS a FROM a1r),
-             |h1r AS MATERIALIZED (
-             |  SELECT e.src AS id, SUM(a1.a) AS s
-             |  FROM e JOIN a1 ON e.dst = a1.id GROUP BY 1),
+             |  SELECT dst AS id, CAST(COUNT(*) AS DOUBLE) AS a
+             |  FROM e GROUP BY 1),
              |h1 AS MATERIALIZED (
-             |  SELECT id, s / (SELECT sqrt(SUM(s * s)) FROM h1r) AS h FROM h1r),
-             |a2r AS MATERIALIZED (
-             |  SELECT e.dst AS id, SUM(h1.h) AS s
-             |  FROM e JOIN h1 ON e.src = h1.id GROUP BY 1),
+             |  SELECT e.src AS id, SUM(a1.a) AS h
+             |  FROM e JOIN a1 ON e.dst = a1.id GROUP BY 1),
              |a2 AS MATERIALIZED (
-             |  SELECT id, s / (SELECT sqrt(SUM(s * s)) FROM a2r) AS a FROM a2r),
-             |h2r AS MATERIALIZED (
-             |  SELECT e.src AS id, SUM(a2.a) AS s
-             |  FROM e JOIN a2 ON e.dst = a2.id GROUP BY 1),
+             |  SELECT e.dst AS id, SUM(h1.h) AS a
+             |  FROM e JOIN h1 ON e.src = h1.id GROUP BY 1),
              |h2 AS MATERIALIZED (
-             |  SELECT id, s / (SELECT sqrt(SUM(s * s)) FROM h2r) AS h FROM h2r)
-             |SELECT 'hub' AS role, id, ROUND(h, 6) AS score FROM h2
+             |  SELECT e.src AS id, SUM(a2.a) AS h
+             |  FROM e JOIN a2 ON e.dst = a2.id GROUP BY 1)
+             |SELECT 'hub' AS role, id,
+             |  ROUND(h / (SELECT sqrt(SUM(h * h)) FROM h2), 6) AS score
+             |FROM h2
              |UNION ALL
-             |SELECT 'authority' AS role, id, ROUND(a, 6) AS score FROM a2
+             |SELECT 'authority' AS role, id,
+             |  ROUND(a / (SELECT sqrt(SUM(a * a)) FROM a2), 6) AS score
+             |FROM a2
              |ORDER BY role, id""".stripMargin)),
 
     Q("graph_adamic_adar", // Adamic–Adar link prediction over the

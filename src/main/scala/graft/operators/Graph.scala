@@ -462,56 +462,71 @@ object Graph {
     * edge list — src is the hub side, dst the authority side, and the two
     * id spaces stay separate throughout (they may overlap numerically):
     *
-    *   a ← normalize(Σ_{src→dst} h(src));  h ← normalize(Σ_{src→dst} a(dst))
+    *   a ← Σ_{src→dst} h(src);  h ← Σ_{src→dst} a(dst)
     *
-    * with L2 normalization after each half-step. Output: one row per
-    * node, `(role ∈ {hub, authority}, id, score)`.
+    * Rounds run UNNORMALIZED: every mid-step L2 norm is a scalar that
+    * cancels in the final normalized vectors (power-iteration
+    * invariance), so each side normalizes exactly once at the end. That
+    * removes 2·iters 1-row norm broadcasts AND keeps every intermediate
+    * an exact integer in doubles (h₀ ≡ 1 ⇒ all sums are edge counts;
+    * exact below 2⁵³ for any realistic depth) — the only FP rounding in
+    * the whole operator is the final division. Round 1's authority
+    * update needs no join at all: Σ h₀ over in-edges IS the in-degree.
+    * Output: one row per node, `(role ∈ {hub, authority}, id, score)`.
     *
     * Scale shape: the edge list is cached TWICE, partitioned on src (the
     * a-step's join key) and on dst (the h-step's) — two exchanges up
-    * front buy 2·(iters−1) big-side re-shuffles, the same trade the
-    * pageRank layout records in PLANS.md. Each half-step is one edge-scan
-    * join + destination-key hash aggregation (map-side combine collapses
-    * edges to nodes before the wire); the L2 norm is a 1-row aggregate
-    * broadcast back — never a driver action, so all rounds chain lazily
-    * into one DAG like every operator here.
+    * front buy the per-round big-side re-shuffles, the same trade the
+    * pageRank layout records in PLANS.md. Each half-step is one
+    * co-partitioned edge-scan join + opposite-key hash aggregation
+    * (map-side combine collapses edges to nodes before the wire), and
+    * the whole iteration chains lazily into one DAG.
     */
   def hitsBipartite(
       edges: DataFrame,
       iters: Int,
       checkpointEvery: Int = DefaultCheckpointEvery,
       distinctEdges: Boolean = false): DataFrame = {
-    val base =
-      if (distinctEdges) edges.select(col("src"), col("dst"))
-      else edges.select(col("src"), col("dst")).distinct()
-    val eSrc = base.repartition(col("src")).cache()
-    val eDst = base.repartition(col("dst")).cache()
-    var h = eSrc.select(col("src").as("id")).distinct()
-      .withColumn("h", lit(1.0))
-    var a: DataFrame = h // placeholder; iters >= 1 always overwrites
     require(iters >= 1, "hits needs at least one round")
-    for (i <- 1 to iters) {
-      // each raw half-step feeds BOTH its norm aggregate and the scaled
-      // output: lazily checkpoint so the second consumer reads stored
-      // blocks instead of doubling the lineage every round
-      val aRaw = eSrc.join(h.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id")).agg(sum("h").as("s"))
-        .localCheckpoint(eager = false)
-      val aNew = aRaw
-        .crossJoin(broadcast(aRaw.agg(sqrt(sum(col("s") * col("s"))).as("nrm"))))
-        .select(col("id"), (col("s") / col("nrm")).as("a"))
-      val hRaw = eDst.join(aNew.withColumnRenamed("id", "dst"), Seq("dst"))
-        .groupBy(col("src").as("id")).agg(sum("a").as("s"))
-        .localCheckpoint(eager = false)
-      val hNew = hRaw
-        .crossJoin(broadcast(hRaw.agg(sqrt(sum(col("s") * col("s"))).as("nrm"))))
-        .select(col("id"), (col("s") / col("nrm")).as("h"))
-      a = maybeCkpt(aNew, i, checkpointEvery)
-      h = maybeCkpt(hNew, i, checkpointEvery)
+    val base = edges.select(col("src"), col("dst"))
+    // one shuffle per layout, not distinct + repartition: dedup runs
+    // INSIDE the key layout (hash(key) already clusters (src, dst), so
+    // dropDuplicates adds no exchange)
+    def layout(key: String): DataFrame = {
+      val r = base.repartition(col(key))
+      if (distinctEdges) r else r.dropDuplicates("src", "dst")
     }
+    val eDst = layout("dst").cache() // used every round + the degree init
+    // the src layout is read iters−1 times: a cache write for a single
+    // consumer is pure overhead
+    val eSrc = if (iters > 2) layout("src").cache() else layout("src")
+    // a₁ = in-degree (h₀ ≡ 1); eDst's layout makes this exchange-free
+    var a = eDst.groupBy(col("dst").as("id"))
+      .agg(count(lit(1)).cast("double").as("a"))
+    var h: DataFrame = null
+    for (i <- 1 to iters) {
+      h = maybeCkpt(
+        eDst.join(a.withColumnRenamed("id", "dst"), Seq("dst"))
+          .groupBy(col("src").as("id")).agg(sum("a").as("h")),
+        i, checkpointEvery)
+      if (i < iters)
+        a = maybeCkpt(
+          eSrc.join(h.withColumnRenamed("id", "src"), Seq("src"))
+            .groupBy(col("dst").as("id")).agg(sum("h").as("a")),
+          i, checkpointEvery)
+    }
+    // final vectors feed BOTH their norm aggregate and the scaled output:
+    // lazily checkpoint so the second consumer reads stored blocks
+    def normalized(df: DataFrame, c: String): DataFrame = {
+      val m = df.localCheckpoint(eager = false)
+      m.crossJoin(broadcast(m.agg(sqrt(sum(col(c) * col(c))).as("nrm"))))
+        .select(col("id"), (col(c) / col("nrm")).as(c))
+    }
+    val hn = normalized(h, "h")
+    val an = normalized(a, "a")
     materializeAndRelease(
-      h.select(lit("hub").as("role"), col("id"), col("h").as("score"))
-        .unionByName(a.select(lit("authority").as("role"), col("id"),
+      hn.select(lit("hub").as("role"), col("id"), col("h").as("score"))
+        .unionByName(an.select(lit("authority").as("role"), col("id"),
           col("a").as("score"))),
       eSrc, eDst)
   }

@@ -51,8 +51,9 @@ class GraphSpec extends SparkSuite {
   }
 
   test("hitsBipartite matches two hand-computed rounds on a 2x2 graph") {
-    // h1->{a1,a2}, h2->a1. Round 1: a=(2,1)/√5, h=(3,2)/√13.
-    // Round 2: a_raw=(5,3)/√13 → a=(5,3)/√34; h_raw=(8,5)/√34 → h=(8,5)/√89.
+    // h1->{a1,a2}, h2->a1. Unnormalized chain: a1=(indeg)=(2,1),
+    // h1=(3,2), a2=(5,3), h2=(8,5); final norms √34 and √89 — identical
+    // to per-half-step normalization (scalars cancel).
     val edges = Seq((10L, 1L), (10L, 2L), (20L, 1L)).toDF("src", "dst")
     val r = Graph.hitsBipartite(edges, iters = 2)
       .collect().map(x => (x.getString(0), x.getLong(1)) -> x.getDouble(2))
