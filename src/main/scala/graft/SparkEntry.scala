@@ -378,6 +378,40 @@ object SparkEntry {
       |WHERE o_totalprice > (SELECT 2 * AVG(o_totalprice) FROM orders)
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin
 
+  private val subqRecursiveSql =
+    """WITH RECURSIVE m(mo) AS (
+      |  SELECT 1 UNION ALL SELECT mo + 1 FROM m WHERE mo < 12
+      |),
+      |o AS (
+      |  SELECT month(o_orderdate) AS mo, COUNT(*) AS n_orders,
+      |    ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS revenue
+      |  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1
+      |)
+      |SELECT m.mo, COALESCE(n_orders, 0) AS n_orders,
+      |  COALESCE(revenue, 0.0) AS revenue
+      |FROM m LEFT JOIN o ON m.mo = o.mo ORDER BY m.mo""".stripMargin
+
+  private val subqRecursiveReachSql =
+    """WITH RECURSIVE op AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |),
+      |e AS (
+      |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM op a JOIN op b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      |),
+      |seed AS (SELECT MIN(src) AS id FROM e),
+      |r(id, hops) AS (
+      |  SELECT id, 0 FROM seed
+      |  UNION ALL
+      |  SELECT e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.id
+      |  WHERE r.hops < 3
+      |)
+      |SELECT hops, COUNT(*) AS n_parts FROM (
+      |  SELECT id, MIN(hops) AS hops FROM r GROUP BY id
+      |) GROUP BY hops ORDER BY hops""".stripMargin
+
   private val subqLateralSql =
     """SELECT n_name, c_name, c_acctbal
       |FROM nation,
@@ -1204,6 +1238,30 @@ object SparkEntry {
         s.sql(subqAboveAvgSql)
       },
       Some(subqAboveAvgSql)),
+
+    Q("subq_recursive_spine", // WITH RECURSIVE (new in Spark 4): a
+      // recursive month spine left-joined to the 1995 order rollup so
+      // zero months surface — the same ANSI text runs on both engines.
+      // The recursion is driver-cheap (12 rows); the rollup is one hash
+      // agg over the pruned year.
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(subqRecursiveSql)
+      },
+      Some(subqRecursiveSql)),
+
+    Q("subq_recursive_reach", // WITH RECURSIVE doing real iteration: a
+      // per-level recursive join walks the >=2-shared-orders co-purchase
+      // edge list 3 hops out from the min-keyed seed part, min-hop
+      // dedup + histogram at the end — the declarative twin of the
+      // DataFrame BFS (graph_bfs_hops), running the same ANSI text on
+      // both engines. Walk count is bounded by the sparse edge set and
+      // the hop cap, the standard UNION ALL recursion contract.
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(subqRecursiveReachSql)
+      },
+      Some(subqRecursiveReachSql)),
 
     Q("subq_lateral_top2", // correlated LATERAL subquery with ORDER BY +
       // LIMIT (top-n per outer row): Catalyst's DecorrelateInnerQuery
