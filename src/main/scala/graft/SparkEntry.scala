@@ -1274,6 +1274,50 @@ object SparkEntry {
       },
       Some(subqLateralSql)),
 
+    Q("agg_sql_udf_net", // Spark 4 SQL scalar UDF (CREATE TEMPORARY
+      // FUNCTION ... RETURN <expr>): the Q1 net-revenue arithmetic as a
+      // declarative reusable function — Catalyst inlines the body, so
+      // the plan is identical to writing the expression inline (stays
+      // codegen'd, no black-box UDF). Oracle inlines the same formula.
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_net(
+                |  p DECIMAL(12,2), disc DECIMAL(12,2), tax DECIMAL(12,2))
+                |RETURNS DOUBLE
+                |RETURN CAST(p * (1 - disc) * (1 + tax) AS DOUBLE)""".stripMargin)
+        s.sql("""SELECT l_returnflag,
+                |  ROUND(SUM(graft_net(l_extendedprice, l_discount, l_tax)), 2)
+                |    AS net_revenue,
+                |  COUNT(*) AS n
+                |FROM lineitem GROUP BY l_returnflag
+                |ORDER BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag,
+             |  ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+             |    * (1 + l_tax) AS DOUBLE)), 2) AS net_revenue,
+             |  COUNT(*) AS n
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    Q("agg_pipe_syntax", // Spark 4 SQL pipe syntax (|>): the linear
+      // scan → filter → aggregate → order dataflow written as a pipe
+      // chain — parses to the identical logical plan as the ANSI form
+      // the oracle runs (DuckDB has no pipes, so the oracle is the
+      // de-sugared twin).
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql("""FROM orders
+                ||> WHERE o_orderstatus = 'O'
+                ||> AGGREGATE COUNT(*) AS n,
+                |     ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS total
+                |   GROUP BY o_orderpriority
+                ||> ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+             |  ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS total
+             |FROM orders WHERE o_orderstatus = 'O'
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     Q("distinct_count_parts", // COUNT(DISTINCT) — exact, one extra shuffle
       (s, d) => t(s, d, "lineitem").agg(
         countDistinct(col("l_partkey")).as("n_parts"),
@@ -3025,6 +3069,30 @@ object SparkEntry {
       Some("""SELECT event_type,
              |ROUND(AVG(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k,
              |COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    Q("events_variant_shred", // Spark 4 VARIANT path: props parse ONCE
+      // into the binary variant encoding, typed extraction via
+      // variant_get — the engine's semi-structured shredding surface,
+      // distinct from the string-path get_json_object twin above. The
+      // rollup asserts extraction totality (n_missing) plus typed
+      // min/avg/max; DuckDB's JSON type is the oracle's equivalent.
+      (s, d) => t(s, d, "events")
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_missing"),
+          round(avg(col("k")), 4).as("avg_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(CASE WHEN json_extract(props, '$.k') IS NULL
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+             |  ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4)
+             |    AS avg_k,
+             |  MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+             |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     Q("events_json_quarantine", // bad-record channel: corrupt JSON rows
       // count into a quarantine lane instead of failing the job
