@@ -391,6 +391,31 @@ object SparkEntry {
       |  COALESCE(revenue, 0.0) AS revenue
       |FROM m LEFT JOIN o ON m.mo = o.mo ORDER BY m.mo""".stripMargin
 
+  /** Spark side of `subq_recursive_reach`: the recursion reads the
+    * MEMOIZED canonical co-purchase index through a temp view — Spark
+    * inlines non-recursive CTEs into every recursion level, so deriving
+    * the edge list inside the WITH would re-run the O(order²) pair
+    * expansion per level (measured: 10.9 s vs 1.3 s). The oracle keeps
+    * the full inline derivation (DuckDB materializes CTEs referenced
+    * from recursion cheaply); both produce the identical edge set.
+    */
+  private val subqRecursiveReachSparkSql =
+    """WITH RECURSIVE e AS (
+      |  SELECT src, dst FROM copurchase_edges
+      |  UNION ALL
+      |  SELECT dst, src FROM copurchase_edges
+      |),
+      |seed AS (SELECT MIN(src) AS id FROM e),
+      |r(id, hops) AS (
+      |  SELECT id, 0 FROM seed
+      |  UNION ALL
+      |  SELECT e.dst, r.hops + 1 FROM r JOIN e ON e.src = r.id
+      |  WHERE r.hops < 3
+      |)
+      |SELECT hops, COUNT(*) AS n_parts FROM (
+      |  SELECT id, MIN(hops) AS hops FROM r GROUP BY id
+      |) GROUP BY hops ORDER BY hops""".stripMargin
+
   private val subqRecursiveReachSql =
     """WITH RECURSIVE op AS (
       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
@@ -1258,8 +1283,9 @@ object SparkEntry {
       // both engines. Walk count is bounded by the sparse edge set and
       // the hop cap, the standard UNION ALL recursion contract.
       (s, d) => {
-        Tables.registerAll(s, d)
-        s.sql(subqRecursiveReachSql)
+        coPurchasePairs(s, d).filter(col("n") >= 2).select("src", "dst")
+          .createOrReplaceTempView("copurchase_edges")
+        s.sql(subqRecursiveReachSparkSql)
       },
       Some(subqRecursiveReachSql)),
 
@@ -3369,6 +3395,35 @@ object SparkEntry {
     Q("events_sessionize", // custom state op: 30-min-gap sessions
       (s, d) => {
         val sessions = graft.streaming.EventStream.sessionize(s, t(s, d, "events"))
+        sessions.toDF()
+          .select(col("user_id"), col("start_ms"), col("end_ms"), col("n_events"),
+            round(col("total_value"), 2).as("total_value"))
+          .orderBy("user_id", "start_ms")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts, value,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |), sess AS (
+             |  SELECT user_id, ts, value,
+             |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM g
+             |)
+             |SELECT user_id, epoch_ms(MIN(ts)) AS start_ms, epoch_ms(MAX(ts)) AS end_ms,
+             |  COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+             |FROM sess GROUP BY user_id, sid
+             |ORDER BY user_id, start_ms""".stripMargin)),
+
+    Q("events_sessionize_tws", // the SAME 30-min-gap sessionization on
+      // Spark 4's transformWithState (StatefulProcessor + typed
+      // ValueState) — the arbitrary-state API superseding
+      // flatMapGroupsWithState; output contract and oracle shared with
+      // events_sessionize, pinning the two state APIs to each other.
+      (s, d) => {
+        val sessions = graft.streaming.EventStream.sessionizeTws(s, t(s, d, "events"))
         sessions.toDF()
           .select(col("user_id"), col("start_ms"), col("end_ms"), col("n_events"),
             round(col("total_value"), 2).as("total_value"))

@@ -333,6 +333,67 @@ object EventStream {
       .trigger(Trigger.AvailableNow()).start()
   }
 
+  /** [[sessionize]] re-expressed on Spark 4's `transformWithState`
+    * (StatefulProcessor + typed ValueState) — the arbitrary-state API
+    * that supersedes flatMapGroupsWithState: named state handles, TTL
+    * config, timers. Same output contract as [[sessionize]], so the two
+    * share one oracle; over `readStream` the state lives in the RocksDB
+    * store instead of this batch execution's in-memory one.
+    */
+  private class SessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, Session] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var st: ValueState[SessionState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessionState](
+        "session", E.product[SessionState], TTLConfig.NONE)
+    override def handleInputRows(
+        uid: Long, rows: Iterator[Event],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[Session] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      val out = scala.collection.mutable.ListBuffer.empty[Session]
+      var cur: Option[SessionState] = if (st.exists()) Some(st.get()) else None
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last <= gapMs =>
+            cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+          case Some(s) =>
+            out += Session(uid, s.start, s.last, s.n, s.total)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur match {
+        case Some(s) =>
+          out += Session(uid, s.start, s.last, s.n, s.total); st.clear()
+        case None =>
+      }
+      out.iterator
+    }
+  }
+
+  def sessionizeTws(spark: SparkSession, events: DataFrame,
+      gapMs: Long = 30 * 60 * 1000L) = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    // batch transformWithState resolves its RocksDB store through the
+    // driver's StateStoreCoordinator endpoint, which only streaming
+    // query startup normally registers — force it up front so the batch
+    // path works in a session that never started a stream
+    // (private[sql] in Scala, public in bytecode — reflective call)
+    val mgr = spark.streams
+    try mgr.getClass.getMethod("stateStoreCoordinator").invoke(mgr)
+    catch { case _: ReflectiveOperationException => () }
+    events.as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Gap-based sessionization (30-min inactivity) with explicit state —
     * the custom-state primitive a training-data pipeline uses for
     * clickstream assembly. Works identically over readStream.

@@ -52,6 +52,18 @@ class EventStreamSpec extends SparkSuite {
     assert(sessions.filter(_.user_id == 2L).head.n_events === 1)
   }
 
+  test("transformWithState sessionizer equals the flatMapGroupsWithState one") {
+    // the two arbitrary-state APIs must produce the identical session set
+    val events = Tables.load(spark, sfDir, "events")
+    val a = EventStream.sessionize(spark, events).collect()
+      .map(s => (s.user_id, s.start_ms, s.end_ms, s.n_events,
+        math.round(s.total_value * 100))).sorted.toSeq
+    val b = EventStream.sessionizeTws(spark, events).collect()
+      .map(s => (s.user_id, s.start_ms, s.end_ms, s.n_events,
+        math.round(s.total_value * 100))).sorted.toSeq
+    assert(a.nonEmpty && a === b)
+  }
+
   test("sessionize on the fixture covers every event exactly once") {
     val events = Tables.load(spark, sfDir, "events")
     val sessions = EventStream.sessionize(spark, events).toDF()
