@@ -3104,7 +3104,10 @@ object SparkEntry {
       // min/avg/max; DuckDB's JSON type is the oracle's equivalent.
       (s, d) => t(s, d, "events")
         .select(col("event_type"),
-          expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+          // try_parse_json, not parse_json: malformed props must surface
+          // as NULL (counted in n_missing) exactly like the oracle's
+          // json_extract — ANSI parse_json would throw instead
+          expr("variant_get(try_parse_json(props), '$.k', 'int')").as("k"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_missing"),

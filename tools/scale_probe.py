@@ -39,6 +39,7 @@ QUERIES = [
     "doc_span_dedup_rewrite",
     # graph
     "graph_pagerank", "graph_triangles", "graph_kcore",
+    "graph_hits_bipartite",
     # relational + skew + streaming controls
     "q9_profit_by_nation", "join_salted_skew", "events_stream_hourly",
     "events_funnel_latency",
@@ -57,6 +58,8 @@ LINEAR_SATURATED = {
     "graph_kcore": "peeling rounds scale 10x",
     "doc_dedup_normalized":
         "exact hash-dedup of the full corpus: work linear in rows, saturated",
+    "graph_hits_bipartite":
+        "distinct (customer, part) edge volume scales 10x; half-steps are edge-sized shuffles",
 }
 
 def run(cmd, env=None):
