@@ -394,6 +394,18 @@ object EventStream {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** [[sessionizeTws]] over the fixture STREAM — transformWithState's
+    * streaming path, which requires the RocksDB state store provider
+    * (the caller sets `spark.sql.streaming.stateStore.providerClass`;
+    * see EventStreamSpec). Memory sink, AvailableNow.
+    */
+  def startTwsSessionize(
+      spark: SparkSession, sfDir: String, queryName: String): StreamingQuery = {
+    sessionizeTws(spark, rawStream(spark, sfDir))
+      .writeStream.outputMode("append").format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow()).start()
+  }
+
   /** Gap-based sessionization (30-min inactivity) with explicit state —
     * the custom-state primitive a training-data pipeline uses for
     * clickstream assembly. Works identically over readStream.

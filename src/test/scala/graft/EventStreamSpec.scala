@@ -64,6 +64,25 @@ class EventStreamSpec extends SparkSuite {
     assert(a.nonEmpty && a === b)
   }
 
+  test("transformWithState sessionizer streams on RocksDB state and matches batch") {
+    // streaming transformWithState requires the RocksDB provider; the
+    // fixture is one parquet file -> one micro-batch, so the streamed
+    // session set equals the batch one exactly
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = EventStream.startTwsSessionize(spark, sfDir, "tws_stream_test")
+      q.awaitTermination(120000)
+      val streamed = spark.table("tws_stream_test")
+        .select("user_id", "start_ms", "end_ms", "n_events")
+        .as[(Long, Long, Long, Int)].collect().toSet
+      val batch = EventStream
+        .sessionize(spark, Tables.load(spark, sfDir, "events")).collect()
+        .map(s => (s.user_id, s.start_ms, s.end_ms, s.n_events)).toSet
+      assert(streamed.nonEmpty && streamed === batch)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("sessionize on the fixture covers every event exactly once") {
     val events = Tables.load(spark, sfDir, "events")
     val sessions = EventStream.sessionize(spark, events).toDF()
