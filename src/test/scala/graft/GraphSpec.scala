@@ -67,6 +67,41 @@ class GraphSpec extends SparkSuite {
     assert(math.abs(hs - 1.0) < 1e-9)
   }
 
+  test("hitsBipartite matches a dense-matrix model on a seeded random graph") {
+    val rnd = new scala.util.Random(99)
+    val hubs = 0L until 12L
+    val auths = 100L until 115L
+    val edges = (for {
+      h <- hubs; a <- auths if rnd.nextDouble() < 0.3
+    } yield (h, a)).distinct
+    // unnormalized power-iteration model: a1 = indeg, h1 = E a1,
+    // a2 = E^T h1, h2 = E a2; normalize each side once at the end
+    val aIds = edges.map(_._2).distinct.sorted
+    val hIds = edges.map(_._1).distinct.sorted
+    var a = aIds.map(i => i -> edges.count(_._2 == i).toDouble).toMap
+    var h = Map.empty[Long, Double]
+    for (round <- 1 to 2) {
+      h = hIds.map(s =>
+        s -> edges.filter(_._1 == s).map(e => a(e._2)).sum).toMap
+      if (round < 2)
+        a = aIds.map(d =>
+          d -> edges.filter(_._2 == d).map(e => h(e._1)).sum).toMap
+    }
+    def norm(m: Map[Long, Double]) = {
+      val z = math.sqrt(m.values.map(v => v * v).sum)
+      m.map { case (k, v) => k -> v / z }
+    }
+    val (hn, an) = (norm(h), norm(a))
+    val got = Graph.hitsBipartite(edges.toDF("src", "dst"), iters = 2)
+      .collect().map(x => (x.getString(0), x.getLong(1)) -> x.getDouble(2))
+      .toMap
+    hn.foreach { case (id, v) =>
+      assert(math.abs(got(("hub", id)) - v) < 1e-9, s"hub $id") }
+    an.foreach { case (id, v) =>
+      assert(math.abs(got(("authority", id)) - v) < 1e-9, s"auth $id") }
+    assert(got.size === hn.size + an.size)
+  }
+
   test("label propagation finds two triangles joined by a bridge") {
     // triangles {1,2,3} and {10,11,12} plus bridge 3-10: within a few
     // synchronous rounds each triangle agrees on its min label, and the

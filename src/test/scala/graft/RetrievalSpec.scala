@@ -57,6 +57,62 @@ class RetrievalSpec extends SparkSuite {
     assert(none.getDouble(4) === 0.0)
   }
 
+  test("searchEval matches a sequential reference model on a seeded random corpus") {
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val corpus = (0L until 40L).map { id =>
+      id -> Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val queries = Seq(1 -> Seq("a", "b"), 2 -> Seq("c", "d"))
+    val k = 5
+    // driver-side BM25 + phrase-gold metrics, straight from the formulas
+    val toks = corpus.map { case (id, tx) => id -> tx.split(" ").toSeq }.toMap
+    val n = corpus.size
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    def expect(qid: Int, terms: Seq[String]) = {
+      val df = terms.map(t => t -> toks.count(_._2.contains(t))).toMap
+      val scored = corpus.flatMap { case (id, _) =>
+        val tl = toks(id)
+        val s = terms.filter(tl.contains).map { t =>
+          val tf = tl.count(_ == t).toDouble
+          math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1.0) * tf * 2.2 /
+            (tf + 1.2 * (0.25 + 0.75 * tl.size / avgdl))
+        }.sum
+        if (terms.exists(tl.contains)) Some(id -> r4(s)) else None
+      }
+      val ranked = scored.sortBy { case (id, s) => (-s, id) }.map(_._1)
+      val gold = corpus.collect {
+        case (id, tx) if (" " + tx + " ").contains(terms.mkString(" ", " ", " ")) => id
+      }.toSet
+      val hits = ranked.take(k).zipWithIndex.collect {
+        case (id, i) if gold(id) => i + 1
+      }
+      val dcg = hits.map(r => 1.0 / (math.log(r + 1.0) / math.log(2))).sum
+      val idcg = (1 to math.min(k, gold.size))
+        .map(r => 1.0 / (math.log(r + 1.0) / math.log(2))).sum
+      (qid, scored.size.toLong, gold.size.toLong, r6(hits.size / k.toDouble),
+        r6(hits.headOption.map(1.0 / _).getOrElse(0.0)),
+        if (gold.nonEmpty) Some(r6(dcg / idcg)) else None)
+    }
+    val got = Retrieval.searchEval(corpus.toDF("doc_id", "text"), queries, k = k)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)))).sortBy(_._1).toSeq
+    val want = queries.map { case (q, ts) => expect(q, ts) }
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 === w._1 && g._2 === w._2 && g._3 === w._3)
+      assert(math.abs(g._4 - w._4) < 1e-6 && math.abs(g._5 - w._5) < 1e-6)
+      (g._6, w._6) match {
+        case (Some(x), Some(y)) => assert(math.abs(x - y) < 1e-6)
+        case (a, b) => assert(a === b)
+      }
+    }
+  }
+
   test("ranking is score-descending with doc-id tie-break on the fixture") {
     val docs = engine.Tables.load(spark, sfDir, "documents")
     val rows = Retrieval.bm25(docs, Seq("spark", "join", "window"))
