@@ -2339,6 +2339,61 @@ object SparkEntry {
              |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
              |AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'""".stripMargin)),
 
+    Q("events_bitmap_distinct", // bitmap aggregate family — the
+      // production pattern for EXACT distinct rollups at scale: user ids
+      // shard into 32k-position buckets (bitmap_bucket_number), each
+      // (month, bucket) builds one bitmap (bitmap_construct_agg), month
+      // counts sum bitmap_count over buckets, and the ALL row re-rolls
+      // the SAME month bitmaps with bitmap_or_agg — the re-aggregation
+      // COUNT(DISTINCT) can't do without rescanning the fact table.
+      // The oracle is the plain exact COUNT(DISTINCT) twin.
+      (s, d) => {
+        val bm = t(s, d, "events")
+          .select(date_format(col("ts"), "yyyy-MM").as("month"), col("user_id"))
+          .groupBy(col("month"), expr("bitmap_bucket_number(user_id)").as("bkt"))
+          .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+          .localCheckpoint(eager = false) // feeds monthly AND the ALL re-roll
+        val monthly = bm
+          .select(col("month"), expr("bitmap_count(bm)").as("c"))
+          .groupBy("month").agg(sum("c").cast("long").as("distinct_users"))
+        val overall = bm
+          .groupBy("bkt").agg(expr("bitmap_or_agg(bm)").as("obm"))
+          .select(expr("bitmap_count(obm)").as("c"))
+          .agg(sum("c").cast("long").as("distinct_users"))
+          .select(lit("ALL").as("month"), col("distinct_users"))
+        monthly.unionByName(overall).orderBy("month")
+      },
+      Some("""SELECT strftime(ts, '%Y-%m') AS month,
+             |  COUNT(DISTINCT user_id) AS distinct_users
+             |FROM events GROUP BY month
+             |UNION ALL
+             |SELECT 'ALL', COUNT(DISTINCT user_id) FROM events
+             |ORDER BY month""".stripMargin)),
+
+    Q("agg_regr_family", // ANSI SQL:2003 linear-regression aggregates
+      // (regr_slope/intercept/r2/count) — one hash agg computes all
+      // four moments in a single pass. The pair is net price vs gross
+      // price, correlated BY CONSTRUCTION (y = x·(1−disc), disc ∈
+      // [0, .1]) so r² ≈ 0.996 and the statistics sit far above
+      // engine summation-order noise; the intercept (a small
+      // difference of ~1e12 sums) rounds to 2 dp for the same reason.
+      (s, d) => t(s, d, "lineitem").groupBy("l_returnflag")
+          .agg(round(expr("regr_slope(l_extendedprice * (1 - l_discount), l_extendedprice)"), 6).as("slope"),
+            round(expr("regr_intercept(l_extendedprice * (1 - l_discount), l_extendedprice)"), 2).as("intercept"),
+            round(expr("regr_r2(l_extendedprice * (1 - l_discount), l_extendedprice)"), 6).as("r2"),
+            expr("regr_count(l_extendedprice * (1 - l_discount), l_extendedprice)").as("n"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  ROUND(regr_slope(CAST(l_extendedprice * (1 - l_discount) AS DOUBLE),
+             |    CAST(l_extendedprice AS DOUBLE)), 6) AS slope,
+             |  ROUND(regr_intercept(CAST(l_extendedprice * (1 - l_discount) AS DOUBLE),
+             |    CAST(l_extendedprice AS DOUBLE)), 2) AS intercept,
+             |  ROUND(regr_r2(CAST(l_extendedprice * (1 - l_discount) AS DOUBLE),
+             |    CAST(l_extendedprice AS DOUBLE)), 6) AS r2,
+             |  regr_count(CAST(l_extendedprice * (1 - l_discount) AS DOUBLE),
+             |    CAST(l_extendedprice AS DOUBLE)) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     Q("agg_boolean_family", // boolean/conditional aggregate family:
       // count_if + bool_and/bool_or ride the same single pass as any
       // other partial-aggregatable function
