@@ -8586,13 +8586,18 @@ object SparkEntry {
             .as("cents"))
         val prof = ym.groupBy("m")
           .agg(count(lit(1)).as("n_years"), sum("cents").as("tot"))
-          .select(col("m"), col("n_years"),
+          .select(col("m"), col("n_years"), col("tot"),
             (col("tot").cast("double") / col("n_years") / 100).as("avg_rev"))
         val wAll = Window.partitionBy()
         prof
           .withColumn("base", sum("avg_rev").over(wAll) / count(lit(1)).over(wAll))
+          // avg revenue rounds to cents in EXACT integer arithmetic
+          // ((2t+n) div 2n = round-half-up) — round(double, 2) on a
+          // quotient that lands exactly on .5¢ differs between engines
+          // (surfaced by the sf0.001 sweep)
           .select(col("m").as("month"), col("n_years"),
-            round(col("avg_rev"), 2).as("avg_monthly_rev"),
+            (expr("(2 * tot + n_years) div (2 * n_years)").cast("double") / 100)
+              .as("avg_monthly_rev"),
             round(col("avg_rev") / col("base"), 6).as("seasonal_index"))
           .orderBy("month")
       },
@@ -8602,11 +8607,12 @@ object SparkEntry {
              |      AS cents
              |  FROM orders GROUP BY 1, 2),
              |prof AS (
-             |  SELECT m, COUNT(*) AS n_years,
+             |  SELECT m, COUNT(*) AS n_years, SUM(cents) AS tot,
              |    CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100 AS avg_rev
              |  FROM ym GROUP BY m)
              |SELECT m AS month, n_years,
-             |  ROUND(avg_rev, 2) AS avg_monthly_rev,
+             |  CAST((2 * tot + n_years) // (2 * n_years) AS DOUBLE) / 100
+             |    AS avg_monthly_rev,
              |  ROUND(avg_rev / (SUM(avg_rev) OVER () / COUNT(*) OVER ()), 6)
              |    AS seasonal_index
              |FROM prof ORDER BY month""".stripMargin)),
