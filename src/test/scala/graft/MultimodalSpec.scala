@@ -89,6 +89,44 @@ class MultimodalSpec extends SparkSuite {
     assert(t.getInt(3) === 0 && t.isNullAt(4) && t.isNullAt(5) && t.isNullAt(6))
   }
 
+  test("audioLoudness matches a sequential model on seeded random PCM") {
+    val rnd = new scala.util.Random(5)
+    val rows = (1L to 20L).map { id =>
+      val n = rnd.nextInt(400)
+      (id, "audio",
+        Multimodal.WavCodec.encode(16000,
+          Array.fill(n)((rnd.nextInt(65536) - 32768).toShort)))
+    }
+    val w = 50
+    def model(samples: Array[Short]) = {
+      val en = samples.grouped(w).filter(_.length == w)
+        .map(_.map(v => v.toLong * v).sum).toSeq
+      val nw = en.size
+      if (nw == 0) (samples.length, 0, None, None, None)
+      else {
+        val peak = en.max
+        (samples.length, nw, Some(en.indexOf(peak)),
+          Some(math.sqrt(peak / 50.0)), Some(en.map(e => math.sqrt(e / 50.0)).sum / nw))
+      }
+    }
+    val got = Multimodal.audioLoudness(spark, rows.toDF("media_id", "modality", "content"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    rows.foreach { case (id, _, wav) =>
+      val Some((_, samples)) = Multimodal.WavCodec.decode(wav)
+      val (n, nw, pw, pr, mr) = model(samples)
+      val g = got(id)
+      assert(g.getInt(2) === n && g.getInt(3) === nw)
+      (pw, pr, mr) match {
+        case (Some(a), Some(b), Some(c)) =>
+          assert(g.getInt(4) === a)
+          assert(math.abs(g.getDouble(5) - b) < 1e-5)
+          assert(math.abs(g.getDouble(6) - c) < 1e-5)
+        case _ =>
+          assert(g.isNullAt(4) && g.isNullAt(5) && g.isNullAt(6))
+      }
+    }
+  }
+
   test("PpmCodec roundtrip: encode → decode is the identity") {
     val rgb = Array.tabulate(3 * 6 * 5)(i => ((i * 37) % 256).toByte)
     val Some((w, h, back)) = Multimodal.PpmCodec.decode(
