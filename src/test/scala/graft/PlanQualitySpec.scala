@@ -89,6 +89,13 @@ class PlanQualitySpec extends SparkSuite {
     assert(firstExchange > 0 && aggs >= 2, p.take(400))
   }
 
+  test("recursive CTEs execute the UnionLoop recursion operator") {
+    // both WITH RECURSIVE queries must run Spark 4's real recursion
+    // node, not silently flatten to something else
+    assert(plan("subq_recursive_spine").contains("UnionLoop"))
+    assert(plan("subq_recursive_reach").contains("UnionLoop"))
+  }
+
   test("top-k by salary compiles to TakeOrderedAndProject, not a global sort") {
     val p = plan("emp_topk_salary")
     assert(p.contains("TakeOrderedAndProject"), p.take(400))
