@@ -8965,6 +8965,50 @@ object SparkEntry {
              |FROM pc JOIN dc ON pc.threshold = dc.threshold
              |ORDER BY pc.threshold""".stripMargin)),
 
+    Q("doc_nb_source_classify", // REAL MLlib inference, oracle-checked:
+      // multinomial NaiveBayes (λ=1) trained on bag-of-words counts
+      // predicts each doc's source; output is the resubstitution
+      // confusion matrix. NB training is closed-form counting — no
+      // seed, no iteration — so the oracle replays MLlib's exact math:
+      // smoothed log-priors ln((n_c+1)/(N+C)), smoothed theta
+      // ln((n_cw+1)/(T_c+V)), per-doc argmax with MLlib's first-max
+      // (= ascending label) tie-break.
+      (s, d) => graft.operators.TextAnalysis
+        .nbSourceClassify(t(s, d, "documents")),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, source,
+             |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+             |  FROM documents),
+             |cw AS (SELECT source AS c, w, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+             |ctot AS (SELECT c, SUM(n) AS tn FROM cw GROUP BY 1),
+             |vocab AS (SELECT DISTINCT w FROM tok),
+             |vs AS (SELECT COUNT(*) AS v FROM vocab),
+             |nc AS (SELECT source AS c, COUNT(*) AS dn FROM documents GROUP BY 1),
+             |prior AS (
+             |  SELECT c, ln((dn + 1.0) / ((SELECT COUNT(*) FROM documents)
+             |    + (SELECT COUNT(*) FROM nc))) AS lp
+             |  FROM nc),
+             |theta AS (
+             |  SELECT ct.c, v.w,
+             |    ln((COALESCE(cw.n, 0) + 1.0) / (ct.tn + vs.v)) AS lt
+             |  FROM ctot ct CROSS JOIN vocab v CROSS JOIN vs
+             |  LEFT JOIN cw ON cw.c = ct.c AND cw.w = v.w),
+             |doctf AS (
+             |  SELECT doc_id, source, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2, 3),
+             |score AS (
+             |  SELECT d.doc_id, d.source, t.c,
+             |    MAX(p.lp) + SUM(d.tf * t.lt) AS s
+             |  FROM doctf d JOIN theta t ON d.w = t.w JOIN prior p ON p.c = t.c
+             |  GROUP BY 1, 2, 3),
+             |pred AS (
+             |  SELECT doc_id, source AS actual, c AS predicted,
+             |    ROW_NUMBER() OVER (PARTITION BY doc_id
+             |      ORDER BY s DESC, c) AS rk
+             |  FROM score)
+             |SELECT actual, predicted, COUNT(*) AS n
+             |FROM pred WHERE rk = 1
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     Q("doc_topic_classify", // seeded topic classification (keyword-list
       // multinomial scoring — the domain-labeling step a training-data
       // pipeline runs to steer mixture weights): each topic owns a seed

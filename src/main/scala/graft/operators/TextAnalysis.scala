@@ -294,6 +294,47 @@ object TextAnalysis {
       .orderBy(col(langCol))
   }
 
+  /** MLlib INFERENCE with a provable twin: train a multinomial Naive
+    * Bayes source classifier (`ml.classification.NaiveBayes`, smoothing
+    * λ=1) on bag-of-words counts and return the resubstitution confusion
+    * matrix `(actual, predicted, n)`. NB training is deterministic
+    * closed-form counting — no seed, no iteration — so the ENTIRE
+    * train+predict path replays exactly in SQL: the oracle recomputes
+    * MLlib's smoothed log-priors ln((n_c+λ)/(N+Cλ)), smoothed theta
+    * ln((n_cw+λ)/(T_c+Vλ)), and the per-doc argmax (first-max tie-break
+    * = ascending label order, MLlib's `Vector.argmax` contract).
+    *
+    * Scale shape: feature vectors assemble from codegen'd HOFs over a
+    * FIXED lexicographic vocabulary (driver-collected — bounded by
+    * design here; a 100 TB corpus swaps in a capped/hashed vocabulary),
+    * bridge to MLlib via `array_to_vector` (no UDF), and fit aggregates
+    * one pass. Inference is one map-side matrix-vector per row.
+    */
+  def nbSourceClassify(docs: DataFrame, textCol: String = "text",
+      labelCol: String = "source"): DataFrame = {
+    import org.apache.spark.ml.classification.NaiveBayes
+    import org.apache.spark.ml.functions.array_to_vector
+    val ts = tokens(lower(col(textCol)))
+    val vocab = docs.select(explode(ts).as("w")).distinct()
+      .orderBy("w").collect().map(_.getString(0))
+    val labels = docs.select(col(labelCol)).distinct()
+      .orderBy(labelCol).collect().map(_.getString(0))
+    val idxUdf = typedLit(labels)
+    val tf = transform(typedLit(vocab.toSeq),
+      w => size(filter(ts, t => t === w)).cast("double"))
+    val feat = docs.select(col(labelCol).as("actual"),
+        array_to_vector(tf).as("features"))
+      .withColumn("label",
+        array_position(idxUdf, col("actual")).cast("double") - 1)
+    val model = new NaiveBayes().setSmoothing(1.0)
+      .setModelType("multinomial").fit(feat)
+    model.transform(feat)
+      .select(col("actual"),
+        element_at(idxUdf, col("prediction").cast("int") + 1).as("predicted"))
+      .groupBy("actual", "predicted").agg(count(lit(1)).as("n"))
+      .orderBy("actual", "predicted")
+  }
+
   /** Convenience: annotate a documents frame with the full feature set. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)

@@ -10,6 +10,20 @@ class TextAnalysisSpec extends SparkSuite {
   private def one[T](c: org.apache.spark.sql.Column)(implicit e: org.apache.spark.sql.Encoder[T]): T =
     spark.range(1).select(c.as("v")).as[T].head()
 
+  test("nbSourceClassify separates a 2-source corpus and matches hand NB math") {
+    // sources use disjoint vocabularies -> the confusion matrix must be
+    // exactly diagonal; a mixed doc with one 'a'-word and two 'b'-words
+    // must land in b (theta dominates the flat prior)
+    val docs = Seq(
+      (1L, "x x y", "a"), (2L, "x y x", "a"), (3L, "y x y", "a"),
+      (4L, "z z w", "b"), (5L, "w z z", "b"), (6L, "x z w", "b"))
+      .toDF("doc_id", "text", "source")
+    val m = TextAnalysis.nbSourceClassify(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(m === Map(("a", "a") -> 3L, ("b", "b") -> 3L))
+  }
+
   test("tokenCount counts whitespace tokens") {
     assert(one[Int](TextAnalysis.tokenCount(lit("a  b\tc  d"))) === 4)
   }

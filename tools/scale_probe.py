@@ -37,6 +37,8 @@ QUERIES = [
     "doc_minhash_neardups", "doc_winnow_pairs", "doc_containment_pairs",
     "doc_substring_dup_coverage", "doc_dedup_normalized",
     "doc_span_dedup_rewrite",
+    # retrieval (postings + per-query ranking windows)
+    "doc_search_eval",
     # graph
     "graph_pagerank", "graph_triangles", "graph_kcore",
     "graph_hits_bipartite",
@@ -60,6 +62,8 @@ LINEAR_SATURATED = {
         "exact hash-dedup of the full corpus: work linear in rows, saturated",
     "graph_hits_bipartite":
         "distinct (customer, part) edge volume scales 10x; half-steps are edge-sized shuffles",
+    "doc_search_eval":
+        "term postings and per-query candidate sets scale 10x; ranking windows grow with them",
 }
 
 def run(cmd, env=None):
