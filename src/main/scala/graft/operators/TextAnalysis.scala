@@ -322,10 +322,13 @@ object TextAnalysis {
     val idxUdf = typedLit(labels)
     val tf = transform(typedLit(vocab.toSeq),
       w => size(filter(ts, t => t === w)).cast("double"))
+    // fit AND transform read the feature frame: materialize the vector
+    // build once instead of running the V×tokens HOF assembly twice
     val feat = docs.select(col(labelCol).as("actual"),
         array_to_vector(tf).as("features"))
       .withColumn("label",
         array_position(idxUdf, col("actual")).cast("double") - 1)
+      .localCheckpoint(eager = false)
     val model = new NaiveBayes().setSmoothing(1.0)
       .setModelType("multinomial").fit(feat)
     model.transform(feat)
