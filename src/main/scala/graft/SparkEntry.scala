@@ -2370,6 +2370,42 @@ object SparkEntry {
              |SELECT 'ALL', COUNT(DISTINCT user_id) FROM events
              |ORDER BY month""".stripMargin)),
 
+    Q("lineitem_mllib_linreg", // MLlib regression with a provable twin:
+      // ml.regression.LinearRegression, solver="normal" — the
+      // closed-form normal-equation solve, deterministic, no seed — fit
+      // on (gross price → net price). The OLS optimum is unique, so the
+      // fitted slope/intercept/r² must equal the ANSI regr_* aggregates
+      // the oracle computes. One aggregation pass builds the Gram
+      // matrix; only the 2×2 solve runs on the driver.
+      (s, d) => {
+        import org.apache.spark.ml.regression.LinearRegression
+        import org.apache.spark.ml.functions.array_to_vector
+        val feat = t(s, d, "lineitem").select(
+          array_to_vector(array(col("l_extendedprice").cast("double")))
+            .as("features"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("double").as("label"))
+        val m = new LinearRegression().setSolver("normal")
+          .setRegParam(0.0).fit(feat)
+        val s2 = feat.sparkSession
+        import s2.implicits._
+        Seq((BigDecimal(m.coefficients(0)).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(m.intercept).setScale(2,
+            BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(m.summary.r2).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble))
+          .toDF("slope", "intercept", "r2")
+      },
+      Some("""SELECT
+             |  ROUND(regr_slope(CAST(l_extendedprice * (1 - l_discount) AS DOUBLE),
+             |    CAST(l_extendedprice AS DOUBLE)), 6) AS slope,
+             |  ROUND(regr_intercept(CAST(l_extendedprice * (1 - l_discount) AS DOUBLE),
+             |    CAST(l_extendedprice AS DOUBLE)), 2) AS intercept,
+             |  ROUND(regr_r2(CAST(l_extendedprice * (1 - l_discount) AS DOUBLE),
+             |    CAST(l_extendedprice AS DOUBLE)), 6) AS r2
+             |FROM lineitem""".stripMargin)),
+
     Q("agg_regr_family", // ANSI SQL:2003 linear-regression aggregates
       // (regr_slope/intercept/r2/count) — one hash agg computes all
       // four moments in a single pass. The pair is net price vs gross
