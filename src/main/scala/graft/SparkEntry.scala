@@ -416,6 +416,30 @@ object SparkEntry {
       |  SELECT id, MIN(hops) AS hops FROM r GROUP BY id
       |) GROUP BY hops ORDER BY hops""".stripMargin
 
+  private val subqNotInSql =
+    """SELECT 'clean' AS variant, COUNT(*) AS n
+      |FROM part WHERE p_partkey NOT IN (
+      |  SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
+      |UNION ALL
+      |SELECT 'null_poisoned', COUNT(*)
+      |FROM part WHERE p_partkey NOT IN (
+      |  SELECT nullif(l_partkey, (SELECT MIN(l_partkey) FROM lineitem
+      |                            WHERE l_quantity > 45))
+      |  FROM lineitem WHERE l_quantity > 45)
+      |ORDER BY variant""".stripMargin
+
+  private val setBagOpsSql =
+    """WITH a AS (SELECT l_partkey AS k FROM lineitem
+      |           WHERE year(l_shipdate) = 1995),
+      |b AS (SELECT l_partkey AS k FROM lineitem
+      |      WHERE year(l_shipdate) = 1996),
+      |i AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b),
+      |e AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+      |SELECT 'intersect_all' AS op, k, COUNT(*) AS n FROM i GROUP BY k
+      |UNION ALL
+      |SELECT 'except_all', k, COUNT(*) FROM e GROUP BY k
+      |ORDER BY op, k""".stripMargin
+
   private val subqRecursiveReachSql =
     """WITH RECURSIVE op AS (
       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
@@ -1263,6 +1287,30 @@ object SparkEntry {
         s.sql(subqAboveAvgSql)
       },
       Some(subqAboveAvgSql)),
+
+    Q("subq_not_in_null_aware", // ANSI three-valued NOT IN: one NULL in
+      // the subquery makes the predicate UNKNOWN for every outer row —
+      // the poisoned variant MUST return 0 while the clean variant
+      // returns the parts never ordered. Spark compiles this to a
+      // null-aware anti join; a naive anti-join rewrite gets the
+      // poisoned count wrong, which is exactly what this pins.
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(subqNotInSql)
+      },
+      Some(subqNotInSql)),
+
+    Q("set_bag_ops", // multiset INTERSECT ALL / EXCEPT ALL (bag
+      // semantics — min / truncated-difference of multiplicities),
+      // distinct from the DISTINCT-flavored set_* queries: the 1995 and
+      // 1996 shipment part bags keep duplicates. The same ANSI text
+      // runs on both engines; the bag result rolls up per key for a
+      // compact deterministic output.
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(setBagOpsSql)
+      },
+      Some(setBagOpsSql)),
 
     Q("subq_recursive_spine", // WITH RECURSIVE (new in Spark 4): a
       // recursive month spine left-joined to the 1995 order rollup so
