@@ -1038,6 +1038,7 @@ object SparkEntry {
         summary(graft.sources.Formats.csvRoundtrip(nation, s"$base/csv"), "csv")
           .union(summary(graft.sources.Formats.jsonRoundtrip(nation, s"$base/json"), "json"))
           .union(summary(graft.sources.Formats.orcRoundtrip(nation, s"$base/orc"), "orc"))
+          .union(summary(graft.sources.Formats.xmlRoundtrip(nation, s"$base/xml"), "xml"))
           .orderBy("format")
       },
       Some("""SELECT 'csv' AS format, COUNT(*) AS n,
@@ -1049,6 +1050,10 @@ object SparkEntry {
              |COUNT(DISTINCT n_name) AS n_names FROM nation
              |UNION ALL
              |SELECT 'orc' AS format, COUNT(*) AS n,
+             |CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+             |COUNT(DISTINCT n_name) AS n_names FROM nation
+             |UNION ALL
+             |SELECT 'xml' AS format, COUNT(*) AS n,
              |CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
              |COUNT(DISTINCT n_name) AS n_names FROM nation
              |ORDER BY format""".stripMargin)),

@@ -42,4 +42,15 @@ object Formats {
     df.write.mode("overwrite").orc(path)
     df.sparkSession.read.orc(path)
   }
+
+  /** Write `df` as XML and read it back — Spark 4 ships the XML data
+    * source built in (the former spark-xml package). Schema is carried
+    * explicitly like the other text formats; `rowTag` frames each row
+    * element.
+    */
+  def xmlRoundtrip(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").option("rowTag", "row").format("xml").save(path)
+    df.sparkSession.read.schema(df.schema)
+      .option("rowTag", "row").format("xml").load(path)
+  }
 }

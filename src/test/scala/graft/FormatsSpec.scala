@@ -17,6 +17,10 @@ class FormatsSpec extends SparkSuite {
     assert(json.schema === nation.schema)
     assert(rows(csv) === rows(nation))
     assert(rows(json) === rows(nation))
+    // Spark 4 built-in XML source: same carried-schema contract
+    val xml = Formats.xmlRoundtrip(nation, "/tmp/graft_fmt_spec/xml")
+    assert(xml.schema === nation.schema)
+    assert(rows(xml) === rows(nation))
   }
 
   test("day-partitioned write + day read returns exactly that day's events") {
