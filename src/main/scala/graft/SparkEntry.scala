@@ -2185,6 +2185,60 @@ object SparkEntry {
              |SELECT id, ROUND(rank, 8) AS rank FROM r5
              |ORDER BY rank DESC, id LIMIT 30""".stripMargin)),
 
+    Q("graph_personalized_pagerank", // localized relevance: 5 rounds of
+      // PageRank whose teleport restarts ONLY into nation-7 customers —
+      // "which suppliers matter to this cohort". Same long-id iteration
+      // and string-id output mapping as graph_pagerank; the Spark side
+      // moves a frontier-sized vector (rank<>0 filter — bitwise
+      // semantics-preserving, see Graph.personalizedPageRank), the
+      // oracle unrolls the identical five seeded rounds.
+      (s, d) => {
+        val edges = custSuppEdges(s, d)
+          .select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+        val seeds = t(s, d, "customer").filter(col("c_nationkey") === 7)
+          .select((col("c_custkey") * 2).as("id"))
+        graft.operators.Graph.personalizedPageRank(edges, seeds, iters = 5,
+            distinctEdges = true)
+          .select(
+            when(col("id") % 2 === 0,
+              concat(lit("c"), (col("id") / 2).cast("long")))
+              .otherwise(concat(lit("s"), ((col("id") - 1) / 2).cast("long")))
+              .as("id"),
+            round(col("rank"), 8).as("rank"))
+          .orderBy(col("rank").desc, col("id")).limit(30)
+      },
+      Some {
+        def rnd(prev: String, cur: String): String =
+          s"""$cur AS (
+             |  SELECT nodes.id,
+             |    (CASE WHEN nodes.id IN (SELECT id FROM sn)
+             |       THEN 0.15 / (SELECT n FROM ns) ELSE 0.0 END)
+             |    + 0.85 * COALESCE(m.mass, 0) AS rank
+             |  FROM nodes LEFT JOIN (
+             |    SELECT dst AS id, SUM(r.rank / deg.deg) AS mass
+             |    FROM edges JOIN $prev r ON edges.src = r.id
+             |    JOIN deg ON edges.src = deg.src
+             |    GROUP BY dst) m ON nodes.id = m.id)""".stripMargin
+        s"""WITH edges AS (
+           |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+           |sn AS (SELECT id FROM nodes
+           |  WHERE id IN (SELECT 'c' || c_custkey FROM customer WHERE c_nationkey = 7)),
+           |ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM sn),
+           |deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
+           |r0 AS (SELECT id,
+           |  CASE WHEN id IN (SELECT id FROM sn)
+           |    THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END AS rank FROM nodes),
+           |${rnd("r0", "r1")},
+           |${rnd("r1", "r2")},
+           |${rnd("r2", "r3")},
+           |${rnd("r3", "r4")},
+           |${rnd("r4", "r5")}
+           |SELECT id, ROUND(rank, 8) AS rank FROM r5
+           |ORDER BY rank DESC, id LIMIT 30""".stripMargin
+      }),
+
     Q("graph_label_communities", // synchronous label-propagation
       // community detection, 3 rounds on the symmetrized purchase graph
       // (numeric ids: customers even, suppliers odd, so the key spaces

@@ -145,6 +145,68 @@ object Graph {
       ranks.select(col("id"), col("rank")), e, nd)
   }
 
+  /** Personalized PageRank (Haveliwala 2002): identical round structure
+    * to [[pageRank]], but the teleport mass restarts ONLY into `seeds`
+    * (uniformly over the seeds present in the graph) instead of every
+    * node — ranks become "relevance to the seed set", the standard
+    * localized-recommendation / related-entity primitive. Seeds not in
+    * the node set are ignored; dangling mass is not redistributed (the
+    * same simplification, and the same oracle contract, as [[pageRank]]).
+    *
+    * Scale shape: seed membership is attached to the node vector ONCE
+    * (like the out-degree) and rides through the rounds. The mass step
+    * filters to `rank <> 0` first — a node is exactly 0.0 iff no mass
+    * has ever reached it, so early rounds move a frontier-sized vector,
+    * not a node-sized one (on a 100 TB graph with a small seed set most
+    * of the graph never activates within 5 hops). Dropping exact-zero
+    * contributions is bitwise semantics-preserving: x + 0.0 == x in
+    * IEEE, so an oracle summing the zero terms lands on the identical
+    * doubles.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+      damping: Double = 0.85,
+      checkpointEvery: Int = DefaultCheckpointEvery,
+      distinctEdges: Boolean = false): DataFrame = {
+    val e =
+      (if (distinctEdges) edges.select(col("src"), col("dst"))
+       else edges.select(col("src"), col("dst")).distinct())
+        .repartition(col("src")).cache()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val deg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).cast("double").as("deg"))
+    val nd = nodes
+      .join(deg, Seq("id"), "left_outer")
+      .join(seeds.select(col("id")).distinct().withColumn("seed", lit(1)),
+        Seq("id"), "left_outer")
+      .cache()
+    val nSeeds = nd.filter(col("seed").isNotNull).count()
+    require(nSeeds > 0, "personalizedPageRank: no seed is a graph node")
+    // same literal-arithmetic contract as pageRank: (1 − d)/|S| evaluated
+    // the way the oracle evaluates it
+    val teleport = (1.0 - damping) / nSeeds
+    var ranks = nd.withColumn("rank",
+      when(col("seed").isNotNull, lit(1.0 / nSeeds)).otherwise(lit(0.0)))
+    var iter = 0
+    while (iter < iters) {
+      val mass = e
+        .join(ranks.filter(col("rank") =!= 0.0)
+          .withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+        .groupBy("id").agg(sum("c").as("in_mass"))
+      ranks = maybeCkpt(
+        nd.join(mass, Seq("id"), "left_outer")
+          .select(col("id"), col("deg"), col("seed"),
+            (when(col("seed").isNotNull, lit(teleport)).otherwise(lit(0.0))
+              + lit(damping) * coalesce(col("in_mass"), lit(0.0)))
+              .as("rank")),
+        iter + 1, checkpointEvery)
+      iter += 1
+    }
+    materializeAndRelease(
+      ranks.select(col("id"), col("rank")), e, nd)
+  }
+
   /** Synchronous label-propagation community detection (Raghavan et al.
     * 2007) over an undirected graph given as a directed edge list with
     * LONG node ids (the edge list is symmetrized here). Every node starts

@@ -50,6 +50,43 @@ class GraphSpec extends SparkSuite {
     assert(math.abs(converged.values.sum - 1.0) < 1e-9)
   }
 
+  test("personalizedPageRank matches hand-computed rounds on a 3-cycle") {
+    // a→b→c→a, seed {a}: r0=(1,0,0); r1=(0.15, 0.85, 0);
+    // r2=(0.15, 0.85·0.15, 0.85·0.85) — mass conserved (no dangling)
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val seeds = Seq("a").toDF("id")
+    val r = Graph.personalizedPageRank(edges, seeds, iters = 2)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r("a") - 0.15) < 1e-12)
+    assert(math.abs(r("b") - 0.85 * 0.15) < 1e-12)
+    assert(math.abs(r("c") - 0.85 * 0.85) < 1e-12)
+    assert(math.abs(r.values.sum - 1.0) < 1e-12)
+  }
+
+  test("personalizedPageRank with all nodes seeded equals plain pageRank") {
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"))
+      .toDF("src", "dst")
+    val allSeeds = Seq("a", "b", "c").toDF("id")
+    val ppr = Graph.personalizedPageRank(edges, allSeeds, iters = 4)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val pr = Graph.pageRank(edges, iters = 4)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    pr.foreach { case (k, v) => assert(math.abs(ppr(k) - v) < 1e-12, k) }
+  }
+
+  test("personalizedPageRank ignores off-graph seeds; requires one on-graph") {
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    // "z" is not a node: the restart distributes 1/1 over {a}, not 1/2
+    val r = Graph.personalizedPageRank(edges, Seq("a", "z").toDF("id"),
+        iters = 1)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r("a") - 0.15) < 1e-12)
+    assert(math.abs(r("b") - 0.85) < 1e-12)
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges, Seq("z").toDF("id"), iters = 1)
+    }
+  }
+
   test("hitsBipartite matches two hand-computed rounds on a 2x2 graph") {
     // h1->{a1,a2}, h2->a1. Unnormalized chain: a1=(indeg)=(2,1),
     // h1=(3,2), a2=(5,3), h2=(8,5); final norms √34 and √89 — identical
