@@ -9152,6 +9152,71 @@ object SparkEntry {
              |FROM pred WHERE rk = 1
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    Q("doc_logreg_langid", // ITERATIVE trainer, oracle-checked: binary
+      // logistic regression (is-English from length + space/vowel
+      // ratios) fit by 6 full-batch GD rounds, lr=2 — the optimizer
+      // class the closed-form trainers (NB counting, normal-equation
+      // regr_*) can't reach. Weights round to 6dp per round (the PCA
+      // power-iteration determinism contract), so the oracle replays
+      // training as 6 chained gradient CTEs and lands on identical
+      // weights; accuracy counts margin signs (pure literal
+      // arithmetic — bit-identical), log-loss is the one libm-touching
+      // output and rounds at 6dp.
+      (s, d) => {
+        val f = t(s, d, "documents").select(
+          (col("n_chars").cast("double") / 1000.0).as("x_len"),
+          ((length(col("text")) - length(regexp_replace(col("text"), " ", "")))
+            .cast("double") / length(col("text"))).as("x_space"),
+          ((length(col("text"))
+            - length(regexp_replace(col("text"), "[aeiou]", "")))
+            .cast("double") / length(col("text"))).as("x_vowel"),
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+        graft.operators.Learn.logisticGd(f,
+          Seq("x_len", "x_space", "x_vowel"), "y", iters = 6, lr = 2.0)._2
+      },
+      Some {
+        def gd(k: Int): String = {
+          val p = s"w${k - 1}"
+          def mg(a: String) =
+            s"w.b + w.w1 * $a.x1 + w.w2 * $a.x2 + w.w3 * $a.x3"
+          s"""g$k AS MATERIALIZED (
+             |  SELECT SUM(p - y) / (SELECT n FROM nn) AS gb,
+             |    SUM((p - y) * x1) / (SELECT n FROM nn) AS g1,
+             |    SUM((p - y) * x2) / (SELECT n FROM nn) AS g2,
+             |    SUM((p - y) * x3) / (SELECT n FROM nn) AS g3
+             |  FROM (SELECT f.*, 1.0 / (1.0 + exp(-(${mg("f")}))) AS p
+             |        FROM f, $p w)),
+             |w$k AS (SELECT ROUND(w.b - 2.0 * g.gb, 6) AS b,
+             |  ROUND(w.w1 - 2.0 * g.g1, 6) AS w1,
+             |  ROUND(w.w2 - 2.0 * g.g2, 6) AS w2,
+             |  ROUND(w.w3 - 2.0 * g.g3, 6) AS w3
+             |  FROM $p w, g$k g)""".stripMargin
+        }
+        s"""WITH f AS MATERIALIZED (
+           |  SELECT CAST(n_chars AS DOUBLE) / 1000.0 AS x1,
+           |    CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+           |      / length(text) AS x2,
+           |    CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))
+           |      AS DOUBLE) / length(text) AS x3,
+           |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+           |  FROM documents),
+           |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM f),
+           |w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+           |${(1 to 6).map(gd).mkString(",\n")},
+           |rep AS (
+           |  SELECT COUNT(*) AS n,
+           |    CAST(SUM(CASE WHEN (mg >= 0) = (y = 1.0) THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_correct,
+           |    ROUND(AVG(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))), 6) AS log_loss
+           |  FROM (SELECT y,
+           |      w.b + w.w1 * x1 + w.w2 * x2 + w.w3 * x3 AS mg,
+           |      1.0 / (1.0 + exp(-(w.b + w.w1 * x1 + w.w2 * x2 + w.w3 * x3))) AS p
+           |    FROM f, w6 w))
+           |SELECT rep.n, w.b AS b, w.w1 AS w_x_len, w.w2 AS w_x_space,
+           |  w.w3 AS w_x_vowel, rep.n_correct, rep.log_loss
+           |FROM rep, w6 w""".stripMargin
+      }),
+
     Q("doc_topic_classify", // seeded topic classification (keyword-list
       // multinomial scoring — the domain-labeling step a training-data
       // pipeline runs to steer mixture weights): each topic owns a seed

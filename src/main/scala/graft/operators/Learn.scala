@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative model fitting expressed as aggregation rounds — the
+  * optimizer class the closed-form trainers (NaiveBayes counting in
+  * [[TextAnalysis]], the normal-equation / regr_* family) can't reach.
+  *
+  * Scale contract, shared with Lloyd/PQ training in [[Similarity]]: the
+  * ONLY data that ever crosses the driver is model state (a handful of
+  * doubles per round); each round is one whole-stage-codegen aggregate
+  * over a persisted feature frame, with map-side partial aggregation
+  * collapsing partitions before the 1-row shuffle. The per-round driver
+  * barrier is inherent to synchronous full-batch descent — round k+1's
+  * expression needs round k's weights as literals.
+  *
+  * Determinism contract (what lets a SQL oracle replay training): the
+  * weight vector is rounded to `roundTo` decimals after every update,
+  * absorbing the cross-engine float-sum order slack of the gradient
+  * aggregate (~1e-13 on thousands of rows) exactly the way the PCA
+  * power-iteration oracle pins its per-round iterate.
+  */
+object Learn {
+
+  private def round6(x: Double, scale: Int): Double =
+    BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Binary logistic regression by full-batch gradient descent:
+    * w ← round(w − lr·∇, roundTo) with ∇ = Σ(σ(w·x) − y)·x / n, run for
+    * exactly `iters` rounds from w = 0 (intercept first). Returns the
+    * final weights alongside a one-row training report:
+    * (n, b, w_<feature>..., n_correct, log_loss) where n_correct counts
+    * margin-sign agreement (σ(m) ≥ ½ ⇔ m ≥ 0 — pure literal arithmetic,
+    * bit-identical across engines) and log_loss is the mean cross
+    * entropy at the final weights, rounded to `roundTo`.
+    */
+  def logisticGd(features: DataFrame, xCols: Seq[String], yCol: String,
+      iters: Int, lr: Double, roundTo: Int = 6): (Array[Double], DataFrame) = {
+    val f = features
+      .select(xCols.map(col) :+ col(yCol).cast("double").as("_y"): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = f.count().toDouble
+    require(n > 0, "logisticGd: empty feature frame")
+    var w = Array.fill(xCols.size + 1)(0.0)
+    // the margin is built left-to-right as b + w1·x1 + w2·x2 + … — the
+    // same association order the oracle's SQL expression uses, so the
+    // per-row double is identical in both engines (no libm involved)
+    def margin(wts: Array[Double]): Column =
+      xCols.zipWithIndex.foldLeft(lit(wts(0)): Column) {
+        case (acc, (c, i)) => acc + lit(wts(i + 1)) * col(c)
+      }
+    for (_ <- 1 to iters) {
+      val p = lit(1.0) / (lit(1.0) + exp(-margin(w)))
+      val resid = p - col("_y")
+      val g = f.agg(
+        (sum(resid) / n).as("_g0"),
+        xCols.zipWithIndex.map { case (c, i) =>
+          (sum(resid * col(c)) / n).as(s"_g${i + 1}") }: _*).head()
+      w = Array.tabulate(w.length)(j =>
+        round6(w(j) - lr * g.getDouble(j), roundTo))
+    }
+    val m = margin(w)
+    val p = lit(1.0) / (lit(1.0) + exp(-m))
+    val report = f.agg(
+      count(lit(1)).as("n"),
+      Seq(
+        sum(when((m >= 0) === (col("_y") === 1.0), 1L).otherwise(0L))
+          .as("n_correct"),
+        round(avg(-(col("_y") * log(p)
+          + (lit(1.0) - col("_y")) * log(lit(1.0) - p))), roundTo)
+          .as("log_loss")): _*)
+      .select(
+        col("n") +:
+        w.zipWithIndex.map { case (v, j) =>
+          lit(v).as(if (j == 0) "b" else s"w_${xCols(j - 1)}") } :+
+        col("n_correct") :+ col("log_loss"): _*)
+    val out = report.localCheckpoint(eager = true)
+    f.unpersist(blocking = false)
+    (w, out)
+  }
+}
