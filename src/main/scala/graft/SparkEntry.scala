@@ -6801,6 +6801,62 @@ object SparkEntry {
              |ORDER BY frame_md5""".stripMargin)
     }),
 
+    Q("mm_phash_neardups", // near-duplicate IMAGE detection over the
+      // REAL P6 decode: 64-bit average hash (8×8 nearest-neighbor grid,
+      // integer ITU-R 601 luminance, strict-mean bits — all integer
+      // arithmetic) computed map-side from decoded pixels, candidates
+      // from a (band, 16-bit value) bucket join, survivors checked with
+      // band-wise bit_count(xor). The oracle rebuilds each hash from
+      // the synthesis arithmetic (pixel byte = 32 + (id·31+i·7) mod 95)
+      // and replays the same banded index — never all-pairs on either
+      // side.
+      (s, d) => graft.operators.Multimodal.nearDupImages(s,
+          graft.operators.Multimodal
+            .synthesizeFromDocuments(t(s, d, "documents")),
+          maxHamming = 4)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH img AS (
+             |  SELECT doc_id, CAST(4 + doc_id % 5 AS BIGINT) AS w,
+             |    CAST(4 + (doc_id // 5) % 5 AS BIGINT) AS h
+             |  FROM documents WHERE doc_id % 3 = 0),
+             |cell AS (
+             |  SELECT doc_id, k,
+             |    3 * ((k // 8) * h // 8 * w + (k % 8) * w // 8) AS i
+             |  FROM img, range(0, 64) t(k)),
+             |lum AS (
+             |  SELECT doc_id, k,
+             |    ((32 + (doc_id * 31 + i * 7) % 95) * 299
+             |     + (32 + (doc_id * 31 + (i + 1) * 7) % 95) * 587
+             |     + (32 + (doc_id * 31 + (i + 2) * 7) % 95) * 114) // 1000 AS l
+             |  FROM cell),
+             |hb AS (
+             |  SELECT doc_id, k // 16 AS band,
+             |    CAST(SUM(CASE WHEN l * 64 > tot THEN (1 << (k % 16))
+             |      ELSE 0 END) AS INT) AS bv
+             |  FROM (SELECT doc_id, k, l,
+             |          SUM(l) OVER (PARTITION BY doc_id) AS tot FROM lum)
+             |  GROUP BY 1, 2),
+             |hv AS (
+             |  SELECT doc_id,
+             |    MAX(CASE WHEN band = 0 THEN bv END) AS b0,
+             |    MAX(CASE WHEN band = 1 THEN bv END) AS b1,
+             |    MAX(CASE WHEN band = 2 THEN bv END) AS b2,
+             |    MAX(CASE WHEN band = 3 THEN bv END) AS b3
+             |  FROM hb GROUP BY 1),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM hb a JOIN hb b ON a.band = b.band AND a.bv = b.bv
+             |    AND a.doc_id < b.doc_id)
+             |SELECT * FROM (
+             |  SELECT c.id_a, c.id_b,
+             |    CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+             |     + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+             |     AS INT) AS hamming
+             |  FROM cand c JOIN hv x ON x.doc_id = c.id_a
+             |    JOIN hv y ON y.doc_id = c.id_b)
+             |WHERE hamming <= 4
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     Q("mm_features", // mapPartitions batch decode. Every modality REALLY
       // decodes (P6 PPM / RIFF WAVE / uncompressed-DIB AVI): the oracle
       // reproduces each container's payload arithmetic and the

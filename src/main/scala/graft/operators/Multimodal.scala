@@ -98,6 +98,36 @@ object Multimodal {
       Some((w, h, java.util.Arrays.copyOfRange(bytes, i, i + need)))
     }
 
+    /** 64-bit average hash (aHash) from DECODED pixels: nearest-neighbor
+      * resample onto an 8×8 grid (the same `x·srcW/8` integer sampling
+      * [[Multimodal.resize]] uses), ITU-R 601 integer luminance per
+      * cell, bit k = y·8+x set iff the cell is STRICTLY brighter than
+      * the grid mean. Every step is integer arithmetic (the mean
+      * compare is `l·64 > Σl` — no division), so the hash is
+      * bit-deterministic across engines and languages.
+      */
+    def aHash(w: Int, h: Int, rgb: Array[Byte]): Long = {
+      val lums = new Array[Int](64)
+      var tot = 0
+      var k = 0
+      while (k < 64) {
+        val sx = (k % 8) * w / 8
+        val sy = (k / 8) * h / 8
+        val i = 3 * (sy * w + sx)
+        val l = ((rgb(i) & 0xff) * 299 + (rgb(i + 1) & 0xff) * 587 +
+          (rgb(i + 2) & 0xff) * 114) / 1000
+        lums(k) = l; tot += l
+        k += 1
+      }
+      var hash = 0L
+      k = 0
+      while (k < 64) {
+        if (lums(k) * 64 > tot) hash |= (1L << k)
+        k += 1
+      }
+      hash
+    }
+
     /** 16-dim features from DECODED pixels: [0..2] mean R/G/B in [0,1],
       * [3..15] a 13-bin ITU-R 601 luminance histogram (fractions).
       */
@@ -621,6 +651,56 @@ object Multimodal {
         countDistinct("media_id").as("n_videos"),
         min("media_id").as("min_media_id"))
       .filter(col("n_occurrences") > 1)
+
+  /** Near-duplicate IMAGE detection by perceptual hash: decode each P6
+    * payload map-side and emit only the 64-bit aHash as four 16-bit
+    * bands (pixel bytes never shuffle — the same contract as
+    * [[duplicateFrames]]); candidate pairs come from a bucket join on
+    * (band index, band value) — the multi-index Hamming search, exact
+    * for distance ≤ 3 by pigeonhole over 4 bands and the standard
+    * near-dup index shape at corpus scale (at 100 TB the band key
+    * would widen with the hash, e.g. 4×32 of a 128-bit pHash) — then
+    * the survivors' full-hash Hamming distance is checked band-wise
+    * with `bit_count(xor)`. Never all-pairs. Output:
+    * (id_a < id_b, hamming ≤ maxHamming).
+    */
+  def nearDupImages(spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 4): DataFrame = {
+    import spark.implicits._
+    val hashed = media.filter(col("modality") === "image")
+      .select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          PpmCodec.decode(bytes).map { case (w, h, rgb) =>
+            val hv = PpmCodec.aHash(w, h, rgb)
+            (id, ((hv >>> 0) & 0xffff).toInt, ((hv >>> 16) & 0xffff).toInt,
+              ((hv >>> 32) & 0xffff).toInt, ((hv >>> 48) & 0xffff).toInt)
+          }
+        }
+      }.toDF("media_id", "b0", "b1", "b2", "b3")
+      .localCheckpoint(eager = false) // two join sides, one decode pass
+    val bands = hashed.select(col("media_id"),
+      col("b0"), col("b1"), col("b2"), col("b3"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("band", "bv")))
+    val a = bands.select(col("media_id").as("id_a"), col("band"),
+      col("bv"), col("b0").as("a0"), col("b1").as("a1"),
+      col("b2").as("a2"), col("b3").as("a3"))
+    val b = bands.select(col("media_id").as("id_b"), col("band"),
+      col("bv"), col("b0").as("c0"), col("b1").as("c1"),
+      col("b2").as("c2"), col("b3").as("c3"))
+    a.join(b, Seq("band", "bv")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("a0").bitwiseXOR(col("c0"))) +
+          bit_count(col("a1").bitwiseXOR(col("c1"))) +
+          bit_count(col("a2").bitwiseXOR(col("c2"))) +
+          bit_count(col("a3").bitwiseXOR(col("c3")))).as("hamming"))
+      // a pair sharing k bands appears k times: one keyed dedup (the
+      // hamming is functionally determined, min is just a reducer)
+      .groupBy("id_a", "id_b").agg(min("hamming").cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 
   /** Frame-sample timestamps for video rows from metadata only — pure
     * column math, binary column untouched (and pruned at scan).

@@ -44,6 +44,45 @@ class MultimodalSpec extends SparkSuite {
     assert(r.width === 0 && r.height === 0 && r.features.forall(_ === 0f))
   }
 
+  test("aHash: strict-mean bits, resample invariance, complement disjointness") {
+    val rnd = new scala.util.Random(7)
+    val rgb = Array.fill(3 * 8 * 8)(rnd.nextInt(256).toByte)
+    val h = Multimodal.PpmCodec.aHash(8, 8, rgb)
+    // 2× nearest-neighbor upscale samples the identical source pixels →
+    // identical hash (the scale-invariance a perceptual hash is for)
+    val up = new Array[Byte](3 * 16 * 16)
+    for (y <- 0 until 16; x <- 0 until 16; c <- 0 until 3)
+      up(3 * (y * 16 + x) + c) = rgb(3 * ((y / 2) * 8 + x / 2) + c)
+    assert(Multimodal.PpmCodec.aHash(16, 16, up) === h)
+    // complementing every channel flips each cell across the mean:
+    // above-mean cells go below — the two hashes share (almost) no bits
+    val inv = rgb.map(b => (255 - (b & 0xff)).toByte)
+    val hi = Multimodal.PpmCodec.aHash(8, 8, inv)
+    assert(java.lang.Long.bitCount(h ^ hi) > 48)
+  }
+
+  test("nearDupImages: exact dup at hamming 0, one-cell tweak found, complement pruned") {
+    import Multimodal.PpmCodec
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(3 * 8 * 8)(rnd.nextInt(256).toByte)
+    // tweak: push ONE grid cell's pixel to full white — flips at most
+    // that cell's bit (and can shift the mean by at most a hair)
+    val tweak = base.clone()
+    tweak(0) = 255.toByte; tweak(1) = 255.toByte; tweak(2) = 255.toByte
+    val inv = base.map(b => (255 - (b & 0xff)).toByte)
+    def row(id: Long, rgb: Array[Byte]) =
+      (id, "image", PpmCodec.encode(8, 8, rgb))
+    val media = Seq(row(1, base), row(2, base), row(3, tweak), row(4, inv))
+      .toDF("media_id", "modality", "content")
+    val pairs = Multimodal.nearDupImages(spark, media, maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) === 0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) <= 4)
+    assert(pairs((1L, 3L)) === pairs((2L, 3L)))
+    // the complement shares no 16-bit band: never even a candidate
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
   test("frameSampleTimestamps: ~1 frame per second of fake duration") {
     val r = Multimodal.frameSampleTimestamps(media, fps = 1.0)
       .select($"media_id", size($"frame_ts_ms").as("n"), $"duration_ms")
