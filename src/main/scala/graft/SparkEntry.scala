@@ -5730,6 +5730,69 @@ object SparkEntry {
              |  array_to_string(list_sort(list(id)), ',') AS members
              |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin)),
 
+    Q("doc_bleu_pairs", // BLEU-2 grade of the dedup pipeline's OWN
+      // cluster pairs — clipped modified 1/2-gram precision + brevity
+      // penalty (Papineni et al. 2002), the overlap metric that
+      // separates true rewrites from topical neighbors. Pairs are the
+      // shared near-dup cluster labels' same-cluster pairs; per-doc
+      // gram multisets aggregate once, each pair is two doc-keyed
+      // joins. Precisions are exact-integer ratios; the only libm
+      // (exp/ln in the geometric mean) rounds at 6dp.
+      (s, d) => {
+        val labels = dupClusterLabels(s, d)
+        val pairs = labels
+          .select(col("id").as("id_a"), col("cluster_id"))
+          .join(labels.select(col("id").as("id_b"), col("cluster_id")),
+            Seq("cluster_id"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+        TextAnalysis.bleu2Pairs(t(s, d, "documents"), pairs)
+          .orderBy("id_a", "id_b")
+      },
+      Some(dupClustersCte + """
+             |, cp AS (
+             |  SELECT a.id AS id_a, b.id AS id_b
+             |  FROM comp a JOIN comp b
+             |    ON a.cluster_id = b.cluster_id AND a.id < b.id
+             |), tk AS (
+             |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+             |  FROM documents
+             |), uni AS (
+             |  SELECT doc_id, g, COUNT(*) AS c
+             |  FROM (SELECT doc_id, unnest(t) AS g FROM tk) GROUP BY 1, 2
+             |), bi AS (
+             |  SELECT doc_id, g, COUNT(*) AS c FROM (
+             |    SELECT doc_id,
+             |      unnest(list_transform(range(1, len(t)),
+             |        i -> t[i] || ' ' || t[i + 1])) AS g
+             |    FROM tk) GROUP BY 1, 2
+             |), c1 AS (
+             |  SELECT cp.id_a, cp.id_b,
+             |    SUM(LEAST(u.c, COALESCE(v.c, 0))) AS clip1, SUM(u.c) AS tot1
+             |  FROM cp JOIN uni u ON u.doc_id = cp.id_a
+             |  LEFT JOIN uni v ON v.doc_id = cp.id_b AND v.g = u.g
+             |  GROUP BY 1, 2
+             |), c2 AS (
+             |  SELECT cp.id_a, cp.id_b,
+             |    SUM(LEAST(u.c, COALESCE(v.c, 0))) AS clip2, SUM(u.c) AS tot2
+             |  FROM cp JOIN bi u ON u.doc_id = cp.id_a
+             |  LEFT JOIN bi v ON v.doc_id = cp.id_b AND v.g = u.g
+             |  GROUP BY 1, 2
+             |), lens AS (SELECT doc_id, len(t) AS n FROM tk)
+             |SELECT c1.id_a, c1.id_b,
+             |  CAST(la.n AS INT) AS n_tok_a, CAST(lb.n AS INT) AS n_tok_b,
+             |  ROUND(clip1 / CAST(tot1 AS DOUBLE), 6) AS p1,
+             |  ROUND(clip2 / CAST(tot2 AS DOUBLE), 6) AS p2,
+             |  CASE WHEN clip1 > 0 AND clip2 > 0 THEN
+             |    ROUND(LEAST(1.0, exp(1.0 - CAST(lb.n AS DOUBLE) / la.n))
+             |      * exp((ln(clip1 / CAST(tot1 AS DOUBLE))
+             |           + ln(clip2 / CAST(tot2 AS DOUBLE))) / 2.0), 6)
+             |  ELSE 0.0 END AS bleu2
+             |FROM c1 JOIN c2 USING (id_a, id_b)
+             |JOIN lens la ON la.doc_id = c1.id_a
+             |JOIN lens lb ON lb.doc_id = c1.id_b
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     Q("doc_dedup_keep_best", // dedup keeping the BEST cluster member
       // (longest text, ties to lowest id) instead of an arbitrary one —
       // survivors never shuffle, only the loser set (the small side)

@@ -338,6 +338,64 @@ object TextAnalysis {
       .orderBy("actual", "predicted")
   }
 
+  /** Pairwise BLEU-2 (Papineni et al. 2002) between document pairs —
+    * the n-gram-precision overlap grade a dedup pipeline runs on its
+    * candidate pairs to separate true rewrites from topical neighbors.
+    * Convention: id_a is the candidate, id_b the reference. For n∈{1,2},
+    * pₙ = Σ_g min(cntₐ(g), cnt_b(g)) / Σ_g cntₐ(g) (clipped modified
+    * precision); BLEU-2 = min(1, e^(1−n_b/nₐ)) · exp((ln p₁ + ln p₂)/2),
+    * 0 when either precision is 0.
+    *
+    * Scale shape: each document's n-gram multiset is aggregated ONCE
+    * (doc-keyed explode → hash agg, map-side combine), then each pair
+    * is two doc-keyed joins + one (id_a, id_b)-keyed aggregation —
+    * cost is bounded by |pairs| · grams-per-doc, never corpus².
+    * Precisions are exact-integer ratios; only the final exp/ln touch
+    * libm, and callers round the output.
+    */
+  def bleu2Pairs(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("_id"),
+      tokens(lower(col(textCol))).as("_t"))
+      .localCheckpoint(eager = false) // feeds 3 gram/length consumers
+    val uni = toks.select(col("_id"), explode(col("_t")).as("_g"))
+      .groupBy("_id", "_g").agg(count(lit(1)).as("_c"))
+    val bi = toks.select(col("_id"),
+        explode(zip_with(
+          slice(col("_t"), lit(1), size(col("_t")) - 1),
+          slice(col("_t"), lit(2), size(col("_t")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("_g"))
+      .groupBy("_id", "_g").agg(count(lit(1)).as("_c"))
+    def clipped(grams: DataFrame, out: String): DataFrame =
+      pairs.select(col("id_a"), col("id_b"))
+        .join(grams.select(col("_id").as("id_a"), col("_g"),
+          col("_c").as("_ca")), Seq("id_a"))
+        .join(grams.select(col("_id").as("id_b"), col("_g"),
+          col("_c").as("_cb")), Seq("id_b", "_g"), "left_outer")
+        .groupBy("id_a", "id_b")
+        .agg(sum(least(col("_ca"), coalesce(col("_cb"), lit(0L))))
+          .as(s"_clip$out"),
+          sum(col("_ca")).as(s"_tot$out"))
+    val lens = toks.select(col("_id"), size(col("_t")).as("_n"))
+    val c1 = clipped(uni, "1")
+    val c2 = clipped(bi, "2")
+    val p1 = col("_clip1").cast("double") / col("_tot1")
+    val p2 = col("_clip2").cast("double") / col("_tot2")
+    c1.join(c2, Seq("id_a", "id_b"))
+      .join(lens.select(col("_id").as("id_a"), col("_n").as("_na")),
+        Seq("id_a"))
+      .join(lens.select(col("_id").as("id_b"), col("_n").as("_nb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        col("_na").as("n_tok_a"), col("_nb").as("n_tok_b"),
+        round(p1, 6).as("p1"), round(p2, 6).as("p2"),
+        when(col("_clip1") > 0 && col("_clip2") > 0,
+          round(least(lit(1.0),
+            exp(lit(1.0) - col("_nb").cast("double") / col("_na")))
+            * exp((log(p1) + log(p2)) / 2.0), 6))
+          .otherwise(lit(0.0)).as("bleu2"))
+  }
+
   /** Convenience: annotate a documents frame with the full feature set. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     graft.plans.GraftFunctions.register(docs.sparkSession)

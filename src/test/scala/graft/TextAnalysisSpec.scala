@@ -186,4 +186,44 @@ class TextAnalysisSpec extends SparkSuite {
     // a strictly larger vocabulary can only shrink the OOV token count
     r1000.foreach { case (lang, v) => assert(v <= r200(lang) + 1e-9) }
   }
+
+  test("bleu2Pairs matches hand-computed clipped precisions") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on a mat"),
+      (3L, "the cat sat on the mat"),
+      (4L, "completely different words entirely")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val r = TextAnalysis.bleu2Pairs(docs, pairs).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getInt(2), x.getInt(3), x.getDouble(4), x.getDouble(5),
+          x.getDouble(6))).toMap
+    // (1,2): clipped unigrams 5/6 ("the" clips 2→1), bigrams 3/5,
+    // equal lengths → BP 1, BLEU = √(5/6 · 3/5) = √½
+    val (na, nb, p1, p2, b) = r((1L, 2L))
+    assert((na, nb) === ((6, 6)))
+    assert(math.abs(p1 - 5.0 / 6) < 1e-6 && math.abs(p2 - 0.6) < 1e-6)
+    assert(math.abs(b - math.sqrt(0.5)) < 1e-6)
+    // identical pair: everything 1
+    assert(r((1L, 3L)) === ((6, 6, 1.0, 1.0, 1.0)))
+    // disjoint pair: zero precisions, BLEU exactly 0 (no ln(0) leak)
+    val (_, _, q1, q2, z) = r((1L, 4L))
+    assert(q1 === 0.0 && q2 === 0.0 && z === 0.0)
+  }
+
+  test("bleu2Pairs brevity penalty punishes a short candidate only") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"), // 8 tokens
+      (2L, "a b c d")).toDF("doc_id", "text") // 4-token prefix
+    // short candidate vs long reference: p1 = 1, p2 = 1, BP = e^(1-2)
+    val shortCand = TextAnalysis.bleu2Pairs(docs,
+      Seq((2L, 1L)).toDF("id_a", "id_b")).head()
+    assert(math.abs(shortCand.getDouble(6) - math.exp(-1.0)) < 1e-6)
+    // long candidate vs short reference: precisions 4/8 and 3/7, BP
+    // clamps to 1 (candidate longer than reference)
+    val longCand = TextAnalysis.bleu2Pairs(docs,
+      Seq((1L, 2L)).toDF("id_a", "id_b")).head()
+    assert(math.abs(longCand.getDouble(6)
+      - math.sqrt(0.5 * 3.0 / 7)) < 1e-6)
+  }
 }
