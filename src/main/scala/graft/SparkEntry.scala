@@ -181,6 +181,71 @@ object SparkEntry {
       graft.operators.TextAnalysis.bpeTrain(t(s, d, "documents"), rounds = 3)
     }
 
+  /** Logistic-regression family (doc_logreg_*): the feature frame
+    * (is-English from length + space/vowel ratios), a memoized 6-round
+    * GD fit shared by the report and calibration queries (one training
+    * run per session/fixture — model state is 4 doubles), and the
+    * oracle-side training chain both oracles splice.
+    */
+  private val logregCols = Seq("x_len", "x_space", "x_vowel")
+
+  private def logregFeatures(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(
+      col("doc_id"),
+      (col("n_chars").cast("double") / 1000.0).as("x_len"),
+      ((length(col("text")) - length(regexp_replace(col("text"), " ", "")))
+        .cast("double") / length(col("text"))).as("x_space"),
+      ((length(col("text"))
+        - length(regexp_replace(col("text"), "[aeiou]", "")))
+        .cast("double") / length(col("text"))).as("x_vowel"),
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+
+  private def logregFit(s: SparkSession, d: String): (Array[Double], DataFrame) =
+    memoized(s, d, "logreg_langid_fit_6r") {
+      graft.operators.Learn.logisticGd(logregFeatures(s, d), logregCols,
+        "y", iters = 6, lr = 2.0)
+    }
+
+  /** The features CTE (`fb`) every logreg oracle starts from. */
+  private val logregFeatureSql: String =
+    """fb AS MATERIALIZED (
+      |  SELECT doc_id, CAST(n_chars AS DOUBLE) / 1000.0 AS x1,
+      |    CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+      |      / length(text) AS x2,
+      |    CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))
+      |      AS DOUBLE) / length(text) AS x3,
+      |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      |  FROM documents)""".stripMargin
+
+  /** One 6-round GD training chain as WITH-clause parts: `${pre}f`
+    * (training rows, optionally `where`-filtered off `fb`) through
+    * `${pre}w6` (the fitted weights). Prefixing lets several chains —
+    * the CV folds — coexist in one statement.
+    */
+  private def logregChainParts(pre: String, where: String): String = {
+    def gd(k: Int): String = {
+      val p = s"${pre}w${k - 1}"
+      s"""${pre}g$k AS MATERIALIZED (
+         |  SELECT SUM(p - y) / (SELECT n FROM ${pre}nn) AS gb,
+         |    SUM((p - y) * x1) / (SELECT n FROM ${pre}nn) AS g1,
+         |    SUM((p - y) * x2) / (SELECT n FROM ${pre}nn) AS g2,
+         |    SUM((p - y) * x3) / (SELECT n FROM ${pre}nn) AS g3
+         |  FROM (SELECT f.*,
+         |          1.0 / (1.0 + exp(-(w.b + w.w1 * f.x1 + w.w2 * f.x2
+         |            + w.w3 * f.x3))) AS p
+         |        FROM ${pre}f f, $p w)),
+         |${pre}w$k AS (SELECT ROUND(w.b - 2.0 * g.gb, 6) AS b,
+         |  ROUND(w.w1 - 2.0 * g.g1, 6) AS w1,
+         |  ROUND(w.w2 - 2.0 * g.g2, 6) AS w2,
+         |  ROUND(w.w3 - 2.0 * g.g3, 6) AS w3
+         |  FROM $p w, ${pre}g$k g)""".stripMargin
+    }
+    s"""${pre}f AS MATERIALIZED (SELECT * FROM fb $where),
+       |${pre}nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM ${pre}f),
+       |${pre}w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+       |${(1 to 6).map(gd).mkString(",\n")}""".stripMargin
+  }
+
   /** NL query end-to-end: rule compiler → guard → spark.sql over the
     * employees view (reference lifecycle §3.1, stages 5-7).
     */
@@ -9281,47 +9346,9 @@ object SparkEntry {
       // weights; accuracy counts margin signs (pure literal
       // arithmetic — bit-identical), log-loss is the one libm-touching
       // output and rounds at 6dp.
-      (s, d) => {
-        val f = t(s, d, "documents").select(
-          (col("n_chars").cast("double") / 1000.0).as("x_len"),
-          ((length(col("text")) - length(regexp_replace(col("text"), " ", "")))
-            .cast("double") / length(col("text"))).as("x_space"),
-          ((length(col("text"))
-            - length(regexp_replace(col("text"), "[aeiou]", "")))
-            .cast("double") / length(col("text"))).as("x_vowel"),
-          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
-        graft.operators.Learn.logisticGd(f,
-          Seq("x_len", "x_space", "x_vowel"), "y", iters = 6, lr = 2.0)._2
-      },
-      Some {
-        def gd(k: Int): String = {
-          val p = s"w${k - 1}"
-          def mg(a: String) =
-            s"w.b + w.w1 * $a.x1 + w.w2 * $a.x2 + w.w3 * $a.x3"
-          s"""g$k AS MATERIALIZED (
-             |  SELECT SUM(p - y) / (SELECT n FROM nn) AS gb,
-             |    SUM((p - y) * x1) / (SELECT n FROM nn) AS g1,
-             |    SUM((p - y) * x2) / (SELECT n FROM nn) AS g2,
-             |    SUM((p - y) * x3) / (SELECT n FROM nn) AS g3
-             |  FROM (SELECT f.*, 1.0 / (1.0 + exp(-(${mg("f")}))) AS p
-             |        FROM f, $p w)),
-             |w$k AS (SELECT ROUND(w.b - 2.0 * g.gb, 6) AS b,
-             |  ROUND(w.w1 - 2.0 * g.g1, 6) AS w1,
-             |  ROUND(w.w2 - 2.0 * g.g2, 6) AS w2,
-             |  ROUND(w.w3 - 2.0 * g.g3, 6) AS w3
-             |  FROM $p w, g$k g)""".stripMargin
-        }
-        s"""WITH f AS MATERIALIZED (
-           |  SELECT CAST(n_chars AS DOUBLE) / 1000.0 AS x1,
-           |    CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
-           |      / length(text) AS x2,
-           |    CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))
-           |      AS DOUBLE) / length(text) AS x3,
-           |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
-           |  FROM documents),
-           |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM f),
-           |w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
-           |${(1 to 6).map(gd).mkString(",\n")},
+      (s, d) => logregFit(s, d)._2,
+      Some(s"""WITH $logregFeatureSql,
+           |${logregChainParts("", "")},
            |rep AS (
            |  SELECT COUNT(*) AS n,
            |    CAST(SUM(CASE WHEN (mg >= 0) = (y = 1.0) THEN 1 ELSE 0 END)
@@ -9330,10 +9357,69 @@ object SparkEntry {
            |  FROM (SELECT y,
            |      w.b + w.w1 * x1 + w.w2 * x2 + w.w3 * x3 AS mg,
            |      1.0 / (1.0 + exp(-(w.b + w.w1 * x1 + w.w2 * x2 + w.w3 * x3))) AS p
-           |    FROM f, w6 w))
+           |    FROM fb, w6 w))
            |SELECT rep.n, w.b AS b, w.w1 AS w_x_len, w.w2 AS w_x_space,
            |  w.w3 AS w_x_vowel, rep.n_correct, rep.log_loss
-           |FROM rep, w6 w""".stripMargin
+           |FROM rep, w6 w""".stripMargin)),
+
+    Q("doc_logreg_calibration", // reliability curve of the SAME fit —
+      // p = σ(margin) binned into probability deciles, per bin the
+      // mean predicted p vs the observed positive rate. Rides the
+      // memoized training run (model state is 4 doubles); the oracle
+      // re-trains through the shared chain and bins identically.
+      (s, d) => graft.operators.Learn.calibrationBins(
+          logregFeatures(s, d), logregCols, "y", logregFit(s, d)._1)
+        .orderBy("bin"),
+      Some(s"""WITH $logregFeatureSql,
+           |${logregChainParts("", "")},
+           |scored AS (
+           |  SELECT y, 1.0 / (1.0 + exp(-(w.b + w.w1 * x1 + w.w2 * x2
+           |    + w.w3 * x3))) AS p
+           |  FROM fb, w6 w)
+           |SELECT LEAST(CAST(floor(p * 10) AS INT), 9) AS bin,
+           |  COUNT(*) AS n, ROUND(AVG(p), 6) AS mean_pred,
+           |  ROUND(SUM(y) / COUNT(*), 6) AS obs_rate
+           |FROM scored GROUP BY 1 ORDER BY bin""".stripMargin)),
+
+    Q("doc_logreg_cv", // 3-fold cross-validation of the GD trainer —
+      // the eval protocol that catches an overfit quality classifier
+      // before it curates a corpus. Folds split on doc_id mod 3; each
+      // fold trains its own 6-round chain on the complement and scores
+      // the holdout (margin-sign accuracy + log-loss). The oracle runs
+      // THREE prefixed training chains in one WITH and evals each
+      // holdout identically.
+      (s, d) => {
+        val fb = logregFeatures(s, d)
+        (0 until 3).map { k =>
+          val train = fb.filter(pmod(col("doc_id"), lit(3)) =!= k)
+          val test = fb.filter(pmod(col("doc_id"), lit(3)) === k)
+          val (w, rep) = graft.operators.Learn.logisticGd(
+            train, logregCols, "y", iters = 6, lr = 2.0)
+          graft.operators.Learn.scoreReport(test, logregCols, "y", w)
+            .select(lit(k).as("fold"), lit(rep.head().getLong(0)).as("n_train"),
+              col("n").as("n_test"), col("n_correct"), col("log_loss"))
+        }.reduce(_.unionByName(_)).orderBy("fold")
+      },
+      Some {
+        def ev(k: Int): String =
+          s"""e$k AS (
+             |  SELECT $k AS fold,
+             |    (SELECT COUNT(*) FROM t${k}_f) AS n_train,
+             |    COUNT(*) AS n_test,
+             |    CAST(SUM(CASE WHEN (mg >= 0) = (y = 1.0) THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_correct,
+             |    ROUND(AVG(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))), 6) AS log_loss
+             |  FROM (SELECT y,
+             |      w.b + w.w1 * x1 + w.w2 * x2 + w.w3 * x3 AS mg,
+             |      1.0 / (1.0 + exp(-(w.b + w.w1 * x1 + w.w2 * x2 + w.w3 * x3))) AS p
+             |    FROM fb, t${k}_w6 w WHERE fb.doc_id % 3 = $k))""".stripMargin
+        s"""WITH $logregFeatureSql,
+           |${(0 until 3).map(k =>
+              logregChainParts(s"t${k}_", s"WHERE doc_id % 3 <> $k"))
+              .mkString(",\n")},
+           |${(0 until 3).map(ev).mkString(",\n")}
+           |SELECT * FROM e0 UNION ALL SELECT * FROM e1
+           |UNION ALL SELECT * FROM e2 ORDER BY fold""".stripMargin
       }),
 
     Q("doc_topic_classify", // seeded topic classification (keyword-list

@@ -27,6 +27,15 @@ object Learn {
   private def round6(x: Double, scale: Int): Double =
     BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** The linear margin b + w₁·x₁ + w₂·x₂ + … as a column, associated
+    * left-to-right — the same order the oracle's SQL expression uses,
+    * so the per-row double is identical in both engines.
+    */
+  def margin(w: Array[Double], xCols: Seq[String]): Column =
+    xCols.zipWithIndex.foldLeft(lit(w(0)): Column) {
+      case (acc, (c, i)) => acc + lit(w(i + 1)) * col(c)
+    }
+
   /** Binary logistic regression by full-batch gradient descent:
     * w ← round(w − lr·∇, roundTo) with ∇ = Σ(σ(w·x) − y)·x / n, run for
     * exactly `iters` rounds from w = 0 (intercept first). Returns the
@@ -44,15 +53,8 @@ object Learn {
     val n = f.count().toDouble
     require(n > 0, "logisticGd: empty feature frame")
     var w = Array.fill(xCols.size + 1)(0.0)
-    // the margin is built left-to-right as b + w1·x1 + w2·x2 + … — the
-    // same association order the oracle's SQL expression uses, so the
-    // per-row double is identical in both engines (no libm involved)
-    def margin(wts: Array[Double]): Column =
-      xCols.zipWithIndex.foldLeft(lit(wts(0)): Column) {
-        case (acc, (c, i)) => acc + lit(wts(i + 1)) * col(c)
-      }
     for (_ <- 1 to iters) {
-      val p = lit(1.0) / (lit(1.0) + exp(-margin(w)))
+      val p = lit(1.0) / (lit(1.0) + exp(-margin(w, xCols)))
       val resid = p - col("_y")
       val g = f.agg(
         (sum(resid) / n).as("_g0"),
@@ -61,7 +63,7 @@ object Learn {
       w = Array.tabulate(w.length)(j =>
         round6(w(j) - lr * g.getDouble(j), roundTo))
     }
-    val m = margin(w)
+    val m = margin(w, xCols)
     val p = lit(1.0) / (lit(1.0) + exp(-m))
     val report = f.agg(
       count(lit(1)).as("n"),
@@ -79,5 +81,41 @@ object Learn {
     val out = report.localCheckpoint(eager = true)
     f.unpersist(blocking = false)
     (w, out)
+  }
+
+  /** Holdout scoring at FIXED weights — the eval half of a
+    * train/test or cross-validation protocol. One codegen'd aggregate:
+    * (n, n_correct, log_loss), correctness by margin sign (literal
+    * arithmetic, bit-identical across engines), log-loss rounded.
+    */
+  def scoreReport(df: DataFrame, xCols: Seq[String], yCol: String,
+      w: Array[Double], roundTo: Int = 6): DataFrame = {
+    val m = margin(w, xCols)
+    val p = lit(1.0) / (lit(1.0) + exp(-m))
+    val y = col(yCol).cast("double")
+    df.agg(
+      count(lit(1)).as("n"),
+      sum(when((m >= 0) === (y === 1.0), 1L).otherwise(0L)).as("n_correct"),
+      round(avg(-(y * log(p) + (lit(1.0) - y) * log(lit(1.0) - p))), roundTo)
+        .as("log_loss"))
+  }
+
+  /** Reliability (calibration) bins at FIXED weights: score p = σ(m),
+    * bin into `bins` equal-width probability bins (floor(p·bins),
+    * top-clamped), and report each bin's size, mean predicted p and
+    * observed positive rate — the curve that says whether 0.8 means
+    * 80%. One scan, one small keyed aggregation; a well-calibrated
+    * model puts mean_pred ≈ obs_rate per bin.
+    */
+  def calibrationBins(df: DataFrame, xCols: Seq[String], yCol: String,
+      w: Array[Double], bins: Int = 10, roundTo: Int = 6): DataFrame = {
+    val p = lit(1.0) / (lit(1.0) + exp(-margin(w, xCols)))
+    df.select(p.as("_p"), col(yCol).cast("double").as("_y"))
+      .withColumn("_bin",
+        least(floor(col("_p") * bins).cast("int"), lit(bins - 1)))
+      .groupBy(col("_bin").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg("_p"), roundTo).as("mean_pred"),
+        round(sum("_y") / count(lit(1)), roundTo).as("obs_rate"))
   }
 }
