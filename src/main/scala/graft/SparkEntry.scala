@@ -6866,7 +6866,38 @@ object SparkEntry {
              |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rank
              |  FROM pairs)
              |SELECT q_id, nn_id, cos, rank FROM ranked WHERE rank <= 5
-             |ORDER BY q_id, rank""".stripMargin)))
+             |ORDER BY q_id, rank""".stripMargin)),
+
+    Q("emb_mutual_knn", // reciprocity filter over the full kNN graph:
+      // (a, b) survives iff each is in the other's top-5 — the
+      // hub-suppression step a semantic-dedup pipeline runs before
+      // clustering (a hub is in everyone's top-k, almost nobody in
+      // its). ONE LSH-blocked kNN build over the corpus; reciprocity
+      // is a (id, id)-keyed self-join of the k·n result. The oracle
+      // replays the identical blocked pipeline and reciprocal join.
+      (s, d) => Similarity.mutualKnn(t(s, d, "embeddings"), k = 5)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH e AS (SELECT vec_id,
+             |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+             |base AS (SELECT vec_id AS nn_id, emb AS nn_vec,
+             |  ${LshOracle.bucketSql("emb")} AS bucket FROM e),
+             |q0 AS (SELECT vec_id AS q_id, emb AS q_vec,
+             |  ${LshOracle.bucketSql("emb")} AS qb FROM e),
+             |qp AS (SELECT q_id, q_vec, xor(qb, t.m) AS bucket
+             |  FROM q0, unnest(${LshOracle.probeMasks}) AS t(m)),
+             |pairs AS (SELECT DISTINCT q_id, nn_id,
+             |  ROUND(list_cosine_similarity(q_vec, nn_vec), 6) AS cos
+             |  FROM qp JOIN base USING (bucket) WHERE q_id <> nn_id),
+             |knn AS (SELECT q_id, nn_id, cos, rank FROM (
+             |  SELECT q_id, nn_id, cos,
+             |    row_number() OVER (PARTITION BY q_id
+             |      ORDER BY cos DESC, nn_id) AS rank
+             |  FROM pairs) WHERE rank <= 5)
+             |SELECT a.q_id AS id_a, a.nn_id AS id_b, a.cos,
+             |  a.rank AS rank_ab, b.rank AS rank_ba
+             |FROM knn a JOIN knn b ON a.q_id = b.nn_id AND a.nn_id = b.q_id
+             |WHERE a.q_id < a.nn_id
+             |ORDER BY id_a, id_b""".stripMargin)))
 
   // Multimodal plumbing (north-star): binary payload + typed metadata over
   // a media table synthesized deterministically from `documents`, so the

@@ -654,4 +654,25 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Mutual-kNN pairs: (a, b) kept iff EACH is in the other's top-k —
+    * the reciprocity filter semantic-dedup pipelines run on a kNN graph
+    * to kill hub-induced false neighbors (a hub vector appears in
+    * everyone's top-k; almost nobody appears in its). One [[knnJoin]]
+    * build feeds both sides of the reciprocity check — the second pass
+    * is a (id, id)-keyed self-join of the k·n result, never a second
+    * corpus scan. Output: (id_a < id_b, cos, rank_ab, rank_ba).
+    */
+  def mutualKnn(
+      emb: DataFrame, k: Int,
+      dim: Int = 64, nPlanes: Int = 0, seed: Long = 42L,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val knn = knnJoin(emb, emb, k, dim, nPlanes, seed, vecCol, idCol)
+      .localCheckpoint(eager = false) // two consumers, one kNN build
+    knn.select(col("q_id").as("id_a"), col("nn_id").as("id_b"),
+        col("cos"), col("rank").as("rank_ab"))
+      .join(knn.select(col("nn_id").as("id_a"), col("q_id").as("id_b"),
+        col("rank").as("rank_ba")), Seq("id_a", "id_b"))
+      .filter(col("id_a") < col("id_b"))
+  }
 }

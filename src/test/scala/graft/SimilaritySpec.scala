@@ -257,6 +257,26 @@ class SimilaritySpec extends SparkSuite {
     assert(auto === explicit)
   }
 
+  test("mutualKnn keeps reciprocal pairs and drops one-way neighbors") {
+    // k=1 on three 2-d points: v1 and v2 are each other's nearest
+    // (mutual); v3's nearest is v2, but v2's nearest is v1 — one-way,
+    // so (2,3) must NOT survive the reciprocity filter
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.99f, 0.14f)),
+      (3L, Array(0.5f, 0.87f))).toDF("vec_id", "embedding")
+    // nPlanes=1 → the Hamming-1 probe covers BOTH half-spaces: full
+    // recall, so the test exercises reciprocity, not LSH luck
+    val r = Similarity.mutualKnn(vecs, k = 1, dim = 2, nPlanes = 1)
+      .select("id_a", "id_b", "rank_ab", "rank_ba")
+      .as[(Long, Long, Int, Int)].collect().toSet
+    assert(r === Set((1L, 2L, 1, 1)))
+    // at k=2 every pair of the triangle is reciprocal
+    val r2 = Similarity.mutualKnn(vecs, k = 2, dim = 2, nPlanes = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(r2 === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("pqTrainEncodeLloyd handles a corpus smaller than the codebook size") {
     // 5 vectors, k=16: the trainer must bound every loop by the book it
     // could actually fill, not the requested k
