@@ -1277,6 +1277,139 @@ object SparkEntry {
              |COUNT(DISTINCT user_id) AS exact_distinct_users,
              |true AS est_within_bound FROM events""".stripMargin)),
 
+    Q("events_cms_user_counts", // RELATIONAL count-min sketch: the
+      // 4×256 cell table is built by ONE hash aggregation (map-side
+      // combine collapses each partition to ≤ depth·width partials —
+      // wire cost is the sketch, not the stream), estimates are
+      // min-over-depth joins against it. The hash family is plain
+      // integer arithmetic ((a·k+b) mod p mod w), so unlike the
+      // built-in CMS object every cell and estimate is replayed
+      // bit-for-bit by the oracle; est ≥ exact is the one-sided
+      // contract (overcount column shows the collision cost).
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val cells = graft.operators.Sketches.countMinCells(ev, "user_id")
+        val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("user_id")).limit(10)
+        graft.operators.Sketches.cmsEstimate(cells, top, "user_id")
+          .join(top, Seq("user_id"))
+          .select(col("user_id"), col("exact_n"), col("cms_est"),
+            (col("cms_est") - col("exact_n")).as("overcount"))
+          .orderBy(col("exact_n").desc, col("user_id"))
+      },
+      Some("""WITH h(i, a, b) AS (VALUES (0, 1000003, 17), (1, 999983, 911),
+             |  (2, 1000033, 3571), (3, 1000037, 7919)),
+             |cells AS (
+             |  SELECT i, ((a * user_id + b) % 2147483647) % 256 AS bucket,
+             |    COUNT(*) AS cnt
+             |  FROM events, h GROUP BY 1, 2),
+             |top AS (
+             |  SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY 1
+             |  ORDER BY exact_n DESC, user_id LIMIT 10),
+             |est AS (
+             |  SELECT t.user_id, MIN(c.cnt) AS cms_est
+             |  FROM top t, h JOIN cells c ON c.i = h.i
+             |    AND c.bucket = ((h.a * t.user_id + h.b) % 2147483647) % 256
+             |  GROUP BY 1)
+             |SELECT t.user_id, t.exact_n, e.cms_est,
+             |  e.cms_est - t.exact_n AS overcount
+             |FROM top t JOIN est e USING (user_id)
+             |ORDER BY exact_n DESC, user_id""".stripMargin)),
+
+    Q("events_bloom_fpr", // RELATIONAL Bloom filter, measured: bits
+      // from day-1 users (3 integer-arithmetic hashes into 1024
+      // positions — a mergeable relation, not an opaque bitmap), later
+      // users probed against it, and the observed false-positive rate
+      // reported next to the (bits_set/m)^k theoretical — the
+      // calibration check a pipeline runs before trusting a bloom
+      // pre-filter at scale. Everything is exact integers except the
+      // two final ratios.
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val d0 = ev.agg(min(col("ts").cast("date"))).head().getDate(0)
+        val s0 = ev.filter(col("ts").cast("date") === lit(d0))
+          .select("user_id").distinct()
+        val bits = graft.operators.Sketches.bloomBits(s0, "user_id")
+          .localCheckpoint(eager = false) // probe join + bit count
+        val probes = ev.select("user_id").distinct()
+          .join(s0, Seq("user_id"), "left_anti")
+        val nMembers = s0.count(); val bitsSet = bits.count()
+        val q = lit(bitsSet.toDouble) / lit(1024.0)
+        graft.operators.Sketches.bloomProbe(bits, probes, "user_id")
+          .agg(count(lit(1)).as("n_probes"),
+            sum(when(col("bloom_positive"), 1L).otherwise(0L))
+              .as("false_positives"))
+          .select(lit(nMembers).as("n_members"), lit(bitsSet).as("bits_set"),
+            col("n_probes"), col("false_positives"),
+            round(col("false_positives").cast("double") / col("n_probes"), 6)
+              .as("fpr_observed"),
+            round(q * q * q, 6).as("fpr_theoretical"))
+      },
+      Some("""WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS day FROM events),
+             |s0 AS (SELECT DISTINCT user_id FROM events
+             |  WHERE CAST(ts AS DATE) = (SELECT day FROM d0)),
+             |h(a, b) AS (VALUES (1000003, 17), (999983, 911), (1000033, 3571)),
+             |bits AS (SELECT DISTINCT ((a * user_id + b) % 2147483647) % 1024 AS pos
+             |  FROM s0, h),
+             |probes AS (SELECT DISTINCT user_id FROM events
+             |  WHERE user_id NOT IN (SELECT user_id FROM s0)),
+             |pp AS (SELECT user_id, ((a * user_id + b) % 2147483647) % 1024 AS pos
+             |  FROM probes, h),
+             |pr AS (SELECT user_id,
+             |    MIN(CASE WHEN pos IN (SELECT pos FROM bits) THEN 1 ELSE 0 END) AS hit
+             |  FROM pp GROUP BY 1)
+             |SELECT (SELECT COUNT(*) FROM s0) AS n_members,
+             |  (SELECT COUNT(*) FROM bits) AS bits_set,
+             |  COUNT(*) AS n_probes,
+             |  CAST(SUM(hit) AS BIGINT) AS false_positives,
+             |  ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6) AS fpr_observed,
+             |  ROUND(((SELECT COUNT(*) FROM bits) / 1024.0)
+             |    * ((SELECT COUNT(*) FROM bits) / 1024.0)
+             |    * ((SELECT COUNT(*) FROM bits) / 1024.0), 6) AS fpr_theoretical
+             |FROM pr""".stripMargin)),
+
+    Q("events_jackknife_ci", // delete-1 jackknife over the daily grain:
+      // the resampling-free CI for "mean daily events" — θᵢ =
+      // (T − tᵢ)/(n−1) is CLOSED FORM off one daily rollup (no loop,
+      // no reshuffle per replicate; the same trick makes jackknife
+      // viable over 100 TB when bootstrap resampling isn't), variance
+      // = (n−1)/n · Σ(θᵢ − θ̂)². Daily counts are exact integers; the
+      // replicate sum is the one float aggregation, rounded.
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        val (tT, n) = {
+          val r = daily.agg(sum("cnt"), count(lit(1))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        val theta = tT.toDouble / n
+        val thetaI = (lit(tT.toDouble) - col("cnt")) / lit((n - 1).toDouble)
+        val se = sqrt(sum((thetaI - lit(theta)) * (thetaI - lit(theta)))
+          * lit((n - 1).toDouble) / lit(n.toDouble))
+        daily.agg(
+          lit(n).as("n_days"),
+          round(lit(theta), 6).as("mean_daily"),
+          round(se, 6).as("jackknife_se"),
+          round(lit(theta) - lit(1.96) * se, 6).as("ci_lo"),
+          round(lit(theta) + lit(1.96) * se, 6).as("ci_hi"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+             |  FROM events GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS T, COUNT(*) AS n FROM daily),
+             |j AS (SELECT (T - cnt) / (n - 1) AS ti, T / n AS th, n
+             |  FROM daily, tot)
+             |SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+             |  ROUND(MAX(th), 6) AS mean_daily,
+             |  ROUND(sqrt(SUM((ti - th) * (ti - th))
+             |    * (MAX(n) - 1.0) / MAX(n)), 6) AS jackknife_se,
+             |  ROUND(MAX(th) - 1.96 * sqrt(SUM((ti - th) * (ti - th))
+             |    * (MAX(n) - 1.0) / MAX(n)), 6) AS ci_lo,
+             |  ROUND(MAX(th) + 1.96 * sqrt(SUM((ti - th) * (ti - th))
+             |    * (MAX(n) - 1.0) / MAX(n)), 6) AS ci_hi
+             |FROM j""".stripMargin)),
+
     Q("events_monthly_from_daily", // incremental rollup: the monthly agg
       // re-aggregates DAY-grained partials (sum of sums / sum of counts) —
       // the materialized-view pattern that turns a 100 TB backfill into a
@@ -5465,6 +5598,43 @@ object SparkEntry {
              |  FROM tf JOIN dft USING (term) CROSS JOIN n
              |) WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin)),
 
+    Q("doc_keyphrases_rake", // RAKE keyphrase extraction (Rose et al.
+      // 2010): maximal stopword-free token runs score Σ deg(w)/freq(w)
+      // — the collocation-aware corpus keyphrase list next to TF-IDF's
+      // per-doc keywords. Segmentation is a per-doc prefix sum (doc-
+      // keyed window); word stats one corpus hash agg on the word key.
+      // Word scores are exact-integer ratios; only the per-phrase sum
+      // is float, rounded at 6dp on both sides.
+      (s, d) => TextAnalysis.rakeKeyphrases(t(s, d, "documents"),
+        stop = TextAnalysis.stopwords.collectFirst {
+          case ("en", ws) => ws }.get),
+      Some("""WITH st(w) AS (VALUES ('the'),('a'),('of'),('and'),('to'),
+             |  ('in'),('is'),('it'),('that'),('for')),
+             |tk AS (SELECT doc_id,
+             |  string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+             |pos AS (SELECT doc_id, i, t[i] AS w
+             |  FROM tk, unnest(range(1, len(t) + 1)) AS r(i)),
+             |ph AS (SELECT doc_id, i, w, s,
+             |    SUM(s) OVER (PARTITION BY doc_id ORDER BY i) AS pid
+             |  FROM (SELECT doc_id, i, w,
+             |    CASE WHEN w IN (SELECT w FROM st) THEN 1 ELSE 0 END AS s
+             |    FROM pos)),
+             |words AS (SELECT doc_id, pid, i, w FROM ph WHERE s = 0),
+             |plen AS (SELECT doc_id, pid, COUNT(*) AS len
+             |  FROM words GROUP BY 1, 2),
+             |wstat AS (SELECT w, COUNT(*) AS freq, SUM(len) AS deg
+             |  FROM words JOIN plen USING (doc_id, pid) GROUP BY w),
+             |phr AS (SELECT doc_id, pid, string_agg(w, ' ' ORDER BY i) AS phrase
+             |  FROM words GROUP BY 1, 2),
+             |sc AS (SELECT words.doc_id, words.pid,
+             |    SUM(CAST(deg AS DOUBLE) / freq) AS psc
+             |  FROM words JOIN wstat USING (w) GROUP BY 1, 2)
+             |SELECT phrase, CAST(MAX(len) AS INT) AS n_words,
+             |  COUNT(*) AS n_occurrences, ROUND(MAX(psc), 6) AS score
+             |FROM phr JOIN sc USING (doc_id, pid)
+             |JOIN plen USING (doc_id, pid)
+             |GROUP BY phrase ORDER BY score DESC, phrase LIMIT 30""".stripMargin)),
+
     Q("doc_bigram_freq", // corpus n-gram LM counts: top-30 bigrams — the
       // bigram stream explodes map-side straight into the hash agg
       (s, d) => t(s, d, "documents")
@@ -5796,29 +5966,29 @@ object SparkEntry {
              |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin)),
 
     Q("doc_bleu_pairs", // BLEU-2 grade of the dedup pipeline's OWN
-      // cluster pairs — clipped modified 1/2-gram precision + brevity
+      // clusters — clipped modified 1/2-gram precision + brevity
       // penalty (Papineni et al. 2002), the overlap metric that
-      // separates true rewrites from topical neighbors. Pairs are the
-      // shared near-dup cluster labels' same-cluster pairs; per-doc
-      // gram multisets aggregate once, each pair is two doc-keyed
-      // joins. Precisions are exact-integer ratios; the only libm
-      // (exp/ln in the geometric mean) rounds at 6dp.
+      // separates true rewrites from topical neighbors. Each member is
+      // graded against its cluster EXEMPLAR (the min-id label the CC
+      // build already assigns) — LINEAR in members, where all-pairs
+      // enumeration is quadratic in cluster size and detonates the
+      // moment a low-threshold jaccard graph percolates (measured: the
+      // all-pairs form OOM'd the 10x probe after 326 s of GC thrash —
+      // PLANS.md round 7 cont.). Per-doc gram multisets aggregate
+      // once, each pair is two doc-keyed joins; precisions are
+      // exact-integer ratios; the only libm (exp/ln in the geometric
+      // mean) rounds at 6dp.
       (s, d) => {
         val labels = dupClusterLabels(s, d)
-        val pairs = labels
-          .select(col("id").as("id_a"), col("cluster_id"))
-          .join(labels.select(col("id").as("id_b"), col("cluster_id")),
-            Seq("cluster_id"))
-          .filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b")
+        val pairs = labels.filter(col("id") =!= col("cluster_id"))
+          .select(col("cluster_id").as("id_a"), col("id").as("id_b"))
         TextAnalysis.bleu2Pairs(t(s, d, "documents"), pairs)
           .orderBy("id_a", "id_b")
       },
       Some(dupClustersCte + """
              |, cp AS (
-             |  SELECT a.id AS id_a, b.id AS id_b
-             |  FROM comp a JOIN comp b
-             |    ON a.cluster_id = b.cluster_id AND a.id < b.id
+             |  SELECT cluster_id AS id_a, id AS id_b FROM comp
+             |  WHERE id <> cluster_id
              |), tk AS (
              |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
              |  FROM documents

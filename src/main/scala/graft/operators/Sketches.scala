@@ -43,6 +43,90 @@ object Sketches {
       .sortBy(_._1).toDF("item", "est")
   }
 
+  /** Default CMS hash family: (a, b) rows of h(x) = ((a·x + b) mod p)
+    * mod width, p = 2³¹−1 (Mersenne). Large primes for a, distinct b —
+    * the standard universal family over long keys, and pure integer
+    * arithmetic any SQL engine replays bit-for-bit.
+    */
+  val DefaultCmsHashes: Seq[(Long, Long)] =
+    Seq((1000003L, 17L), (999983L, 911L), (1000033L, 3571L),
+      (1000037L, 7919L))
+  val CmsPrime: Long = 2147483647L
+
+  private def bucketStructs(keyCol: String, width: Int,
+      hashes: Seq[(Long, Long)], p: Long) =
+    hashes.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("i"),
+        (((lit(a) * col(keyCol) + lit(b)) % p) % width).as("bucket"))
+    }
+
+  /** RELATIONAL count-min sketch build over a long key: the sketch is a
+    * (row, bucket)-keyed relation of depth·width cells produced by ONE
+    * hash aggregation — the explode emits depth rows per input row and
+    * map-side combine collapses each partition to ≤ depth·width partial
+    * cells before the shuffle, so the wire cost is the sketch size, not
+    * the data. Unlike [[heavyHitters]]'s driver-side sketch object, the
+    * cells stay a DataFrame: they merge associatively across sources
+    * (union → re-aggregate), persist like any table, and every estimate
+    * is replayable by a SQL oracle because the hash family is plain
+    * integer arithmetic.
+    */
+  def countMinCells(df: DataFrame, keyCol: String, width: Int = 256,
+      hashes: Seq[(Long, Long)] = DefaultCmsHashes,
+      p: Long = CmsPrime): DataFrame =
+    df.select(explode(array(
+        bucketStructs(keyCol, width, hashes, p): _*)).as("c"))
+      .groupBy(col("c.i").as("i"), col("c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point estimates from [[countMinCells]]: est(k) = minᵢ cells[i, hᵢ(k)]
+    * — the classic one-sided CMS read (est ≥ true count). Probe keys
+    * must occur in the sketched data (their cells then exist by
+    * construction); the probe side explodes its depth buckets and joins
+    * the cell relation on the (row, bucket) key.
+    */
+  def cmsEstimate(cells: DataFrame, probes: DataFrame, keyCol: String,
+      width: Int = 256, hashes: Seq[(Long, Long)] = DefaultCmsHashes,
+      p: Long = CmsPrime): DataFrame =
+    probes.select(col(keyCol),
+        explode(array(bucketStructs(keyCol, width, hashes, p): _*)).as("c"))
+      .select(col(keyCol), col("c.i").as("i"), col("c.bucket").as("bucket"))
+      .join(cells, Seq("i", "bucket"))
+      .groupBy(keyCol)
+      .agg(min("cnt").as("cms_est"))
+
+  /** RELATIONAL Bloom filter build: the filter is the distinct set of
+    * set-bit positions from k = |hashes| integer-arithmetic hashes into
+    * an m-bit space — a relation, not a bitmap object, so it merges by
+    * union, persists like any table, and (unlike the built-in
+    * `stat.bloomFilter` object) every membership decision is replayable
+    * by a SQL oracle. Build cost: one explode + distinct on the
+    * position key (≤ k·|keys| rows, collapsed map-side).
+    */
+  def bloomBits(df: DataFrame, keyCol: String, mBits: Int = 1024,
+      hashes: Seq[(Long, Long)] = DefaultCmsHashes.take(3),
+      p: Long = CmsPrime): DataFrame =
+    df.select(explode(array(hashes.map { case (a, b) =>
+        ((lit(a) * col(keyCol) + lit(b)) % p) % mBits
+      }: _*)).as("pos")).distinct()
+
+  /** Membership probe against [[bloomBits]]: a key is positive iff ALL
+    * k of its positions are set (per-hash, not distinct — two hashes
+    * agreeing on a position must both count). One explode + one
+    * position-keyed left join + one key-keyed min. Output:
+    * (keyCol, bloom_positive).
+    */
+  def bloomProbe(bits: DataFrame, probes: DataFrame, keyCol: String,
+      mBits: Int = 1024,
+      hashes: Seq[(Long, Long)] = DefaultCmsHashes.take(3),
+      p: Long = CmsPrime): DataFrame =
+    probes.select(col(keyCol), explode(array(hashes.map { case (a, b) =>
+        ((lit(a) * col(keyCol) + lit(b)) % p) % mBits
+      }: _*)).as("pos"))
+      .join(bits.withColumn("_hit", lit(1)), Seq("pos"), "left_outer")
+      .groupBy(keyCol)
+      .agg((min(coalesce(col("_hit"), lit(0))) === 1).as("bloom_positive"))
+
   /** EXACT heavy hitters in two narrow passes: the same Misra–Gries
     * candidate sketch (≤ 1/support driver-side rows, no shuffle), then an
     * exact recount of ONLY the candidates through a pushed-down IN filter

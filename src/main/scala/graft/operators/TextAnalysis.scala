@@ -338,6 +338,51 @@ object TextAnalysis {
       .orderBy("actual", "predicted")
   }
 
+  /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    * are maximal stopword-free token runs; each word scores
+    * deg(w)/freq(w) over the corpus (deg counts phrase lengths at every
+    * occurrence — words that live in long collocations outrank equally
+    * frequent loners); a phrase scores the sum of its words. Returns
+    * the `topN` distinct phrases by (score desc, phrase).
+    *
+    * Scale shape: phrase segmentation is a per-doc prefix sum (doc-keyed
+    * window over token positions — partitions are document-sized, never
+    * global); word statistics are one corpus-wide hash aggregation on
+    * the word key; phrase assembly and scoring are (doc, phrase)-keyed
+    * aggregations. Word scores are exact-integer ratios; the only float
+    * sum is the per-phrase score (a handful of terms), rounded.
+    */
+  def rakeKeyphrases(docs: DataFrame, stop: Seq[String], topN: Int = 30,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("_id"),
+      posexplode(tokens(lower(col(textCol)))).as(Seq("_i", "_w")))
+    val w = Window.partitionBy("_id").orderBy("_i")
+    val words = toks
+      .withColumn("_st", col("_w").isin(stop: _*).cast("int"))
+      .withColumn("_pid", sum("_st").over(w))
+      .filter(col("_st") === 0)
+      .select("_id", "_pid", "_i", "_w")
+      .localCheckpoint(eager = false) // 3 consumers, one segmentation
+    val plen = words.groupBy("_id", "_pid").agg(count(lit(1)).as("_len"))
+    val wstat = words.join(plen, Seq("_id", "_pid"))
+      .groupBy("_w").agg(count(lit(1)).as("_freq"), sum("_len").as("_deg"))
+    val phr = words.groupBy("_id", "_pid")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("_i"), col("_w")))),
+        x => x.getField("_w")), " ").as("phrase"))
+    val sc = words.join(wstat, Seq("_w"))
+      .groupBy("_id", "_pid")
+      .agg(sum(col("_deg").cast("double") / col("_freq")).as("_psc"))
+    phr.join(sc, Seq("_id", "_pid")).join(plen, Seq("_id", "_pid"))
+      .groupBy("phrase")
+      .agg(max("_len").cast("int").as("n_words"),
+        count(lit(1)).as("n_occurrences"),
+        round(max("_psc"), 6).as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(topN)
+  }
+
   /** Pairwise BLEU-2 (Papineni et al. 2002) between document pairs —
     * the n-gram-precision overlap grade a dedup pipeline runs on its
     * candidate pairs to separate true rewrites from topical neighbors.

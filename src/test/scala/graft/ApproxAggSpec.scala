@@ -105,4 +105,60 @@ class ApproxAggSpec extends SparkSuite {
     assert(math.abs(est - exact).toDouble / exact <= 0.05,
       s"estimate $est vs exact $exact")
   }
+
+  test("relational CMS: exact without collisions, one-sided with them") {
+    import graft.operators.Sketches
+    val data = Seq(1L, 1L, 5L).toDF("k")
+    // width 8, identity hash: keys 1 and 5 land in distinct buckets —
+    // estimates are exact
+    val wide = Sketches.cmsEstimate(
+      Sketches.countMinCells(data, "k", width = 8, hashes = Seq((1L, 0L))),
+      data.distinct(), "k", width = 8, hashes = Seq((1L, 0L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wide === Map(1L -> 2L, 5L -> 1L))
+    // width 4: 1 and 5 differ by 4, so EVERY (a·x+b) family collides —
+    // both estimates become the merged cell count (one-sided overcount)
+    val narrow = Sketches.cmsEstimate(
+      Sketches.countMinCells(data, "k", width = 4, hashes = Seq((1L, 0L))),
+      data.distinct(), "k", width = 4, hashes = Seq((1L, 0L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(narrow === Map(1L -> 3L, 5L -> 3L))
+  }
+
+  test("relational Bloom: members always positive; FP rate small when sized") {
+    import graft.operators.Sketches
+    val members = Seq(1L, 2L, 3L).toDF("k")
+    val bits = Sketches.bloomBits(members, "k", mBits = 4096)
+    val all = (1L to 50L).toDF("k")
+    val r = Sketches.bloomProbe(bits, all, "k", mBits = 4096)
+      .collect().map(x => x.getLong(0) -> x.getBoolean(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(r(_))) // no false negatives, ever
+    // 9 set bits of 4096: non-members overwhelmingly negative
+    assert((4L to 50L).count(r(_)) < 5)
+    // a saturated 4-bit filter still never loses a member
+    val tinyBits = Sketches.bloomBits(members, "k", mBits = 4)
+    val tiny = Sketches.bloomProbe(tinyBits, members, "k", mBits = 4)
+      .collect().map(_.getBoolean(1))
+    assert(tiny.forall(identity))
+  }
+
+  test("relational CMS: depth-min never under-counts and only helps") {
+    import graft.operators.Sketches
+    val rnd = new scala.util.Random(5)
+    val keys = Seq.fill(500)(rnd.nextInt(40).toLong)
+    val df = keys.toDF("k")
+    val exact = keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val probes = df.distinct()
+    def est(hs: Seq[(Long, Long)]): Map[Long, Long] =
+      Sketches.cmsEstimate(
+        Sketches.countMinCells(df, "k", width = 16, hashes = hs),
+        probes, "k", width = 16, hashes = hs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d1 = est(Sketches.DefaultCmsHashes.take(1))
+    val d4 = est(Sketches.DefaultCmsHashes)
+    exact.foreach { case (k, c) =>
+      assert(d4(k) >= c, s"under-count at $k")      // one-sided
+      assert(d4(k) <= d1(k), s"extra depth hurt $k") // min can only help
+    }
+  }
 }

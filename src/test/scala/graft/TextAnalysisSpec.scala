@@ -187,6 +187,33 @@ class TextAnalysisSpec extends SparkSuite {
     r1000.foreach { case (lang, v) => assert(v <= r200(lang) + 1e-9) }
   }
 
+  test("rakeKeyphrases matches the hand-computed degree/frequency scores") {
+    val docs = Seq(
+      (1L, "deep learning of deep nets"),
+      (2L, "deep learning"),
+      (3L, "nets")).toDF("doc_id", "text")
+    // freq/deg: deep 3/6 → 2, learning 2/4 → 2, nets 2/3 → 1.5
+    val r = TextAnalysis.rakeKeyphrases(docs, stop = Seq("of"))
+      .collect().map(x =>
+        x.getString(0) -> (x.getInt(1), x.getLong(2), x.getDouble(3)))
+    assert(r.map(_._1).toSeq ===
+      Seq("deep learning", "deep nets", "nets")) // score-desc order
+    val m = r.toMap
+    assert(m("deep learning") === ((2, 2L, 4.0)))
+    assert(m("deep nets") === ((2, 1L, 3.5)))
+    assert(m("nets") === ((1, 1L, 1.5)))
+  }
+
+  test("rakeKeyphrases: stopwords never appear inside a phrase; topN caps") {
+    val docs = Seq((1L, "a b the c d the a b")).toDF("doc_id", "text")
+    val all = TextAnalysis.rakeKeyphrases(docs, stop = Seq("the"))
+      .collect().map(_.getString(0))
+    assert(all.toSet === Set("a b", "c d"))
+    assert(!all.exists(_.contains("the")))
+    val one = TextAnalysis.rakeKeyphrases(docs, stop = Seq("the"), topN = 1)
+    assert(one.count() === 1L)
+  }
+
   test("bleu2Pairs matches hand-computed clipped precisions") {
     val docs = Seq(
       (1L, "the cat sat on the mat"),

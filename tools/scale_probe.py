@@ -33,6 +33,11 @@ QUERIES = [
     "emb_lsh_topk",
     # ANN training + serve
     "emb_ivf_pq_topk",
+    # full-corpus kNN join + reciprocity self-join (r7 addition)
+    "emb_mutual_knn",
+    # banded perceptual-hash image index (fixed 16-bit band geometry —
+    # the same fixed-width risk class as fixed nPlanes)
+    "mm_phash_neardups",
     # shingle / minhash / winnow / substring
     "doc_minhash_neardups", "doc_winnow_pairs", "doc_containment_pairs",
     "doc_substring_dup_coverage", "doc_dedup_normalized",
@@ -40,8 +45,10 @@ QUERIES = [
     # retrieval (postings + per-query ranking windows)
     "doc_search_eval",
     # graph
-    "graph_pagerank", "graph_triangles", "graph_kcore",
-    "graph_hits_bipartite",
+    "graph_pagerank", "graph_personalized_pagerank", "graph_triangles",
+    "graph_kcore", "graph_hits_bipartite",
+    # pair-bounded text grading over the cluster pairs (r7 addition)
+    "doc_bleu_pairs",
     # relational + skew + streaming controls
     "q9_profit_by_nation", "join_salted_skew", "events_stream_hourly",
     "events_funnel_latency",
@@ -57,7 +64,10 @@ LINEAR_SATURATED = {
     "doc_winnow_pairs": "fingerprint postings scale 10x",
     "doc_substring_dup_coverage": "gram explode scales 10x",
     "graph_pagerank": "edge rounds scale 10x",
+    "graph_personalized_pagerank": "edge rounds scale 10x",
     "graph_kcore": "peeling rounds scale 10x",
+    "emb_mutual_knn":
+        "n queries x constant auto-planed candidate sets: work scales 10x",
     "doc_dedup_normalized":
         "exact hash-dedup of the full corpus: work linear in rows, saturated",
     "graph_hits_bipartite":
