@@ -2735,6 +2735,60 @@ object SparkEntry {
              |    CAST(l_extendedprice AS DOUBLE)) AS n
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    Q("lineitem_conformal_interval", // split-conformal prediction
+      // interval for the price-vs-quantity OLS fit: q = the
+      // ⌈(n_cal+1)(1−α)⌉-th smallest calibration |residual| (exact
+      // DISTRIBUTED order statistic — Scale.rankValues' range-
+      // partitioned sort, never a global window), coverage of ŷ ± q
+      // reported on the held-out fold — the distribution-free ≥ 1−α
+      // eval a model ships with. Coefficients round (slope 6dp,
+      // intercept 2dp — the agg_regr_family noise precedent) and
+      // residuals round 6dp BEFORE ranking, so the rank order and q
+      // are cross-engine deterministic.
+      (s, d) => {
+        val base = t(s, d, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("x"),
+          col("l_extendedprice").cast("double").as("y"))
+        graft.operators.Learn.splitConformal(
+          base.filter(col("l_orderkey") % 3 =!= 0),
+          base.filter(col("l_orderkey") % 3 === 0
+            && col("l_linenumber") % 2 === 1),
+          base.filter(col("l_orderkey") % 3 === 0
+            && col("l_linenumber") % 2 === 0),
+          "x", "y", Seq("l_orderkey", "l_linenumber"), alpha = 0.1)
+      },
+      Some("""WITH base AS (
+             |  SELECT l_orderkey, l_linenumber,
+             |    CAST(l_quantity AS DOUBLE) AS x,
+             |    CAST(l_extendedprice AS DOUBLE) AS y
+             |  FROM lineitem),
+             |f AS (SELECT ROUND(regr_slope(y, x), 6) AS m,
+             |    ROUND(regr_intercept(y, x), 2) AS b
+             |  FROM base WHERE l_orderkey % 3 <> 0),
+             |cal AS (SELECT ROUND(ABS(y - (b + m * x)), 6) AS r,
+             |    l_orderkey, l_linenumber
+             |  FROM base, f WHERE l_orderkey % 3 = 0 AND l_linenumber % 2 = 1),
+             |nc AS (SELECT COUNT(*) AS n FROM cal),
+             |qv AS (SELECT r FROM (
+             |    SELECT r, row_number() OVER (
+             |      ORDER BY r, l_orderkey, l_linenumber) AS rn FROM cal)
+             |  WHERE rn = LEAST(
+             |    CAST(ceil(((SELECT n FROM nc) + 1) * 0.9) AS BIGINT),
+             |    (SELECT n FROM nc))),
+             |tst AS (SELECT ROUND(ABS(y - (b + m * x)), 6) AS r
+             |  FROM base, f WHERE l_orderkey % 3 = 0 AND l_linenumber % 2 = 0)
+             |SELECT
+             |  (SELECT COUNT(*) FROM base WHERE l_orderkey % 3 <> 0) AS n_train,
+             |  (SELECT n FROM nc) AS n_cal,
+             |  COUNT(*) AS n_test,
+             |  (SELECT m FROM f) AS slope,
+             |  (SELECT b FROM f) AS intercept,
+             |  (SELECT r FROM qv) AS q_alpha,
+             |  ROUND(AVG(CASE WHEN r <= (SELECT r FROM qv)
+             |    THEN 1.0 ELSE 0.0 END), 6) AS coverage
+             |FROM tst""".stripMargin)),
+
     Q("agg_boolean_family", // boolean/conditional aggregate family:
       // count_if + bool_and/bool_or ride the same single pass as any
       // other partial-aggregatable function
@@ -5653,6 +5707,37 @@ object SparkEntry {
              |)
              |SELECT b AS bigram, COUNT(*) AS n FROM bg
              |GROUP BY b ORDER BY n DESC, bigram LIMIT 30""".stripMargin)),
+
+    Q("doc_ppl_transfer", // domain-transfer matrix: one add-1 unigram
+      // LM per source, every source scored under every LM — H(A|B)
+      // tells the mixture planner which domains substitute for which
+      // (the transfer signal behind DSIR-style reweighting). One
+      // (source, word) count aggregation; the matrix expands by the
+      // bounded source dimension (collected list, like a centroid
+      // table), never doc×doc. Counts exact; one rounded ln-sum.
+      (s, d) => TextAnalysis.unigramTransferMatrix(t(s, d, "documents"))
+        .orderBy("src_a", "src_b"),
+      Some("""WITH tok AS (
+             |  SELECT source,
+             |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+             |  FROM documents),
+             |cnt AS (SELECT source, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+             |tot AS (SELECT source, SUM(c) AS tc FROM cnt GROUP BY 1),
+             |v AS (SELECT COUNT(DISTINCT w) AS v FROM tok),
+             |h AS (
+             |  SELECT a.source AS src_a, b.source AS src_b,
+             |    SUM(a.c * ln((COALESCE(cb.c, 0) + 1.0)
+             |      / (tb.tc + (SELECT v FROM v)))) AS s
+             |  FROM cnt a
+             |  CROSS JOIN (SELECT DISTINCT source FROM documents) b
+             |  LEFT JOIN cnt cb ON cb.source = b.source AND cb.w = a.w
+             |  JOIN tot tb ON tb.source = b.source
+             |  GROUP BY 1, 2)
+             |SELECT src_a, src_b,
+             |  ROUND(-s / ta.tc, 6) AS cross_entropy,
+             |  ROUND(exp(-s / ta.tc), 6) AS ppl
+             |FROM h JOIN tot ta ON ta.source = h.src_a
+             |ORDER BY src_a, src_b""".stripMargin)),
 
     Q("doc_lm_score", // n-gram LM fluency score (the CCNet-style quality
       // filter): each document's mean log-probability under the corpus

@@ -100,6 +100,54 @@ object Learn {
         .as("log_loss"))
   }
 
+  /** Split-conformal prediction interval (Papadopoulos et al. 2002;
+    * Lei et al. 2018) for a one-feature OLS model: fit ŷ = b + m·x on
+    * `train` (closed-form regr slope/intercept, rounded to `roundTo` —
+    * the same weight-rounding determinism contract as [[logisticGd]]),
+    * take q = the k-th smallest calibration |residual| with
+    * k = ⌈(n_cal+1)(1−α)⌉, and report the held-out coverage of ŷ ± q —
+    * guaranteed ≥ 1−α in expectation under exchangeability, no
+    * distributional assumption.
+    *
+    * Scale shape: the fit is one aggregate; the order statistic runs
+    * through [[Scale.rankValues]]'s RANGE-PARTITIONED distributed sort
+    * (never a single-partition global window); coverage is one test
+    * aggregate. Residuals round to `roundTo` BEFORE ranking, so the
+    * order statistic — ties broken on `tieCols` — is cross-engine
+    * deterministic.
+    */
+  def splitConformal(train: DataFrame, cal: DataFrame, test: DataFrame,
+      xCol: String, yCol: String, tieCols: Seq[String],
+      alpha: Double = 0.1, roundTo: Int = 6,
+      slopeRound: Int = 6, interceptRound: Int = 2): DataFrame = {
+    val y = col(yCol).cast("double")
+    val x = col(xCol).cast("double")
+    val fit = train.agg(regr_slope(y, x), regr_intercept(y, x)).head()
+    // the intercept is a small difference of large sums — its absolute
+    // summation-order slack can exceed 1e-6 on price-scale data, so it
+    // rounds coarser than the slope (the agg_regr_family precedent)
+    val m = round6(fit.getDouble(0), slopeRound)
+    val b = round6(fit.getDouble(1), interceptRound)
+    def resid(df: DataFrame): DataFrame = df.withColumn("_r",
+      round(abs(y - (lit(b) + lit(m) * x)), roundTo))
+    val calR = resid(cal).select(col("_r") +: tieCols.map(col): _*)
+    val nTrain = train.count()
+    val ranked = Scale.rankValues(calR, "_r", tieCols)
+    val nCal = ranked.n
+    val k = math.min(
+      math.ceil((nCal + 1) * (1.0 - alpha)).toLong, nCal)
+    val q = try ranked.valuesAt(Set(k - 1))(k - 1)
+    finally ranked.unpersist()
+    resid(test).agg(
+      lit(nTrain).as("n_train"),
+      lit(nCal).as("n_cal"),
+      count(lit(1)).as("n_test"),
+      lit(m).as("slope"), lit(b).as("intercept"),
+      lit(q).as("q_alpha"),
+      round(avg(when(col("_r") <= q, 1.0).otherwise(0.0)), roundTo)
+        .as("coverage"))
+  }
+
   /** Reliability (calibration) bins at FIXED weights: score p = σ(m),
     * bin into `bins` equal-width probability bins (floor(p·bins),
     * top-clamped), and report each bin's size, mean predicted p and

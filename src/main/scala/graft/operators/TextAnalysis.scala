@@ -338,6 +338,52 @@ object TextAnalysis {
       .orderBy("actual", "predicted")
   }
 
+  /** Domain-transfer cross-entropy matrix: train one add-1-smoothed
+    * unigram LM per source over the corpus vocabulary, score every
+    * source's token stream under every LM — H(A|B) =
+    * −Σ_w cntₐ(w)·ln p_B(w) / totₐ. The diagonal is each domain's own
+    * entropy; off-diagonal rows tell a mixture planner which domains
+    * substitute for which (the transfer signal behind DSIR-style
+    * source weighting). Output: (src_a, src_b, cross_entropy, ppl).
+    *
+    * Scale shape: one token count per (source, word) — a single hash
+    * aggregation; the matrix expands counts by the SOURCE DIMENSION
+    * only (an explode over the collected source list — bounded
+    * metadata, like a centroid table), then one (word, source)-keyed
+    * left join fills in smoothed zeros and one (A, B) aggregation
+    * reduces. Never a doc×doc or token×token product. Counts are
+    * exact integers; the ln-sum is the one float aggregation, rounded.
+    */
+  def unigramTransferMatrix(docs: DataFrame,
+      srcCol: String = "source", textCol: String = "text",
+      roundTo: Int = 6): DataFrame = {
+    val tok = docs.select(col(srcCol).as("_src"),
+      explode(tokens(lower(col(textCol)))).as("_w"))
+    val cnt = tok.groupBy("_src", "_w").agg(count(lit(1)).as("_c"))
+      .localCheckpoint(eager = false) // expand side + LM side, one count
+    val tot = cnt.groupBy("_src").agg(sum("_c").as("_tc"))
+    val vocab = tok.select("_w").distinct().count()
+    val sources = docs.select(col(srcCol)).distinct()
+      .orderBy(srcCol).collect().map(_.getString(0)).toSeq
+    val scored = cnt
+      .select(col("_src").as("src_a"), col("_w"), col("_c").as("_ca"),
+        explode(typedLit(sources)).as("src_b"))
+      .join(cnt.select(col("_src").as("src_b"), col("_w"),
+        col("_c").as("_cb")), Seq("src_b", "_w"), "left_outer")
+      .join(tot.select(col("_src").as("src_b"), col("_tc").as("_tcb")),
+        Seq("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(sum(col("_ca") * log(
+        (coalesce(col("_cb"), lit(0L)) + lit(1.0))
+          / (col("_tcb") + lit(vocab)))).as("_s"))
+    scored
+      .join(tot.select(col("_src").as("src_a"), col("_tc").as("_ta")),
+        Seq("src_a"))
+      .select(col("src_a"), col("src_b"),
+        round(-col("_s") / col("_ta"), roundTo).as("cross_entropy"),
+        round(exp(-col("_s") / col("_ta")), roundTo).as("ppl"))
+  }
+
   /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
     * are maximal stopword-free token runs; each word scores
     * deg(w)/freq(w) over the corpus (deg counts phrase lengths at every

@@ -63,6 +63,29 @@ class LearnSpec extends SparkSuite {
     assert(w(1) > 0 && w(2) < 0)
   }
 
+  test("splitConformal: exact-line fit gives q from the noise point alone") {
+    // train lies exactly on y = 2x + 1 → slope/intercept recover it and
+    // every on-line residual is 0; one calibration outlier at +5 sets q
+    // when k reaches it
+    val train = Seq((1.0, 3.0, 1L), (2.0, 5.0, 2L), (3.0, 7.0, 3L),
+      (4.0, 9.0, 4L)).toDF("x", "y", "id")
+    val cal = Seq((1.0, 3.0, 10L), (2.0, 5.0, 11L), (3.0, 12.0, 12L))
+      .toDF("x", "y", "id") // residuals 0, 0, 5
+    val test = Seq((5.0, 11.0, 20L), (6.0, 13.0, 21L), (7.0, 20.0, 22L))
+      .toDF("x", "y", "id") // residuals 0, 0, 5
+    // alpha 0.1: k = min(ceil(4·0.9), 3) = 3 → q = 5 → full coverage
+    val r = graft.operators.Learn.splitConformal(
+      train, cal, test, "x", "y", Seq("id"), alpha = 0.1).head()
+    assert(r.getDouble(3) === 2.0 && r.getDouble(4) === 1.0)
+    assert(r.getDouble(5) === 5.0)
+    assert(r.getDouble(6) === 1.0)
+    // alpha 0.5: k = ceil(4·0.5) = 2 → q = 0 → the +5 test point escapes
+    val r2 = graft.operators.Learn.splitConformal(
+      train, cal, test, "x", "y", Seq("id"), alpha = 0.5).head()
+    assert(r2.getDouble(5) === 0.0)
+    assert(math.abs(r2.getDouble(6) - 2.0 / 3) < 1e-6)
+  }
+
   test("report columns: weights are literals, log-loss below chance") {
     val df = Seq((0.2, 1), (0.9, 1), (0.1, 0), (0.4, 0)).toDF("x", "y")
     val (w, report) = Learn.logisticGd(df, Seq("x"), "y", iters = 4, lr = 1.0)

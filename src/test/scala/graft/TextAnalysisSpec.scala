@@ -187,6 +187,27 @@ class TextAnalysisSpec extends SparkSuite {
     r1000.foreach { case (lang, v) => assert(v <= r200(lang) + 1e-9) }
   }
 
+  test("unigramTransferMatrix matches hand-computed smoothed entropies") {
+    // A: "x x y" (tot 3), B: "z z" (tot 2), V = 3
+    // p_A = {x:3/6, y:2/6, z:1/6}; p_B = {x:1/5, y:1/5, z:3/5}
+    val docs = Seq((1L, "x x y", "A"), (2L, "z z", "B"))
+      .toDF("doc_id", "text", "source")
+    val m = TextAnalysis.unigramTransferMatrix(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    def ce(terms: (Long, Double)*)(tot: Long): Double =
+      -terms.map { case (c, p) => c * math.log(p) }.sum / tot
+    assert(math.abs(m(("A", "A"))._1 - ce(2L -> 0.5, 1L -> 2.0 / 6)(3)) < 1e-6)
+    assert(math.abs(m(("A", "B"))._1 - ce(2L -> 0.2, 1L -> 0.2)(3)) < 1e-6)
+    assert(math.abs(m(("B", "B"))._1 - ce(2L -> 0.6)(2)) < 1e-6)
+    assert(math.abs(m(("B", "A"))._1 - ce(2L -> 1.0 / 6)(2)) < 1e-6)
+    // each domain explains itself best, and ppl = e^H
+    assert(m(("A", "A"))._1 < m(("A", "B"))._1)
+    assert(m(("B", "B"))._1 < m(("B", "A"))._1)
+    m.values.foreach { case (h, p) =>
+      assert(math.abs(p - math.exp(h)) < 1e-4) }
+  }
+
   test("rakeKeyphrases matches the hand-computed degree/frequency scores") {
     val docs = Seq(
       (1L, "deep learning of deep nets"),
