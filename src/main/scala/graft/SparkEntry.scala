@@ -1368,6 +1368,71 @@ object SparkEntry {
              |    * ((SELECT COUNT(*) FROM bits) / 1024.0), 6) AS fpr_theoretical
              |FROM pr""".stripMargin)),
 
+    Q("events_cuped", // CUPED variance reduction (Deng et al. 2013):
+      // each user's post-period metric is adjusted by θ·(pre-period
+      // covariate), θ = cov(pre, post)/var(pre) — the standard lever
+      // that shrinks experiment confidence intervals for free. ONE
+      // user-grain rollup + ONE moments aggregate (Σx Σy Σxx Σyy Σxy n)
+      // gives θ, the adjusted variance (var_y − cov²/var_x, closed
+      // form — no second pass over users) and the reduction ratio
+      // (= corr²). Sums are doubles; every output rounds at 6dp.
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val d0 = ev.agg(min(col("ts").cast("date"))).head().getDate(0)
+        val cut = java.sql.Date.valueOf(d0.toLocalDate.plusDays(15))
+        val u = ev.groupBy("user_id").agg(
+          sum(when(col("ts").cast("date") < lit(cut), col("value"))
+            .otherwise(0.0)).as("x"),
+          sum(when(col("ts").cast("date") >= lit(cut), col("value"))
+            .otherwise(0.0)).as("y"))
+        val m = u.agg(count(lit(1)).cast("double").as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        m.select(
+            col("n"),
+            ((col("sxy") - col("sx") * col("sy") / col("n")) / col("n"))
+              .as("cxy"),
+            ((col("sxx") - col("sx") * col("sx") / col("n")) / col("n"))
+              .as("vx"),
+            ((col("syy") - col("sy") * col("sy") / col("n")) / col("n"))
+              .as("vy"),
+            (col("sy") / col("n")).as("my"))
+          .select(col("n").cast("long").as("n_users"),
+            round(col("cxy") / col("vx"), 6).as("theta"),
+            round(col("my"), 6).as("mean_post"),
+            round(col("vy"), 6).as("var_post"),
+            round(col("vy") - col("cxy") * col("cxy") / col("vx"), 6)
+              .as("var_adjusted"),
+            round(col("cxy") * col("cxy") / (col("vx") * col("vy")), 6)
+              .as("var_reduction"))
+      },
+      Some("""WITH cut AS (
+             |  SELECT MIN(CAST(ts AS DATE)) + 15 AS c FROM events),
+             |u AS (
+             |  SELECT user_id,
+             |    SUM(CASE WHEN CAST(ts AS DATE) < (SELECT c FROM cut)
+             |      THEN value ELSE 0.0 END) AS x,
+             |    SUM(CASE WHEN CAST(ts AS DATE) >= (SELECT c FROM cut)
+             |      THEN value ELSE 0.0 END) AS y
+             |  FROM events GROUP BY 1),
+             |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
+             |    SUM(y * y) AS syy, SUM(x * y) AS sxy FROM u),
+             |s AS (SELECT n,
+             |    (sxy - sx * sy / n) / n AS cxy,
+             |    (sxx - sx * sx / n) / n AS vx,
+             |    (syy - sy * sy / n) / n AS vy,
+             |    sy / n AS my FROM m)
+             |SELECT CAST(n AS BIGINT) AS n_users,
+             |  ROUND(cxy / vx, 6) AS theta,
+             |  ROUND(my, 6) AS mean_post,
+             |  ROUND(vy, 6) AS var_post,
+             |  ROUND(vy - cxy * cxy / vx, 6) AS var_adjusted,
+             |  ROUND(cxy * cxy / (vx * vy), 6) AS var_reduction
+             |FROM s""".stripMargin)),
+
     Q("events_jackknife_ci", // delete-1 jackknife over the daily grain:
       // the resampling-free CI for "mean daily events" — θᵢ =
       // (T − tᵢ)/(n−1) is CLOSED FORM off one daily rollup (no loop,
@@ -3756,6 +3821,72 @@ object SparkEntry {
              |  ROUND(CAST(n AS DOUBLE)
              |    / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 4) AS p
              |FROM c ORDER BY from_type, to_type""".stripMargin)),
+
+    Q("events_absorbing_conversion", // absorbing-chain attribution:
+      // with 'purchase'/'error' absorbing, the probability each
+      // transient state converts (hits purchase before error) — the
+      // fundamental-matrix quantity behind Markov removal-effect
+      // attribution, computed as 12 unrolled value iterations
+      // h←P_abs + P_trans·h (monotone from h₀=0; fixed rounds so the
+      // oracle replays them). The DISTRIBUTED work is the transition
+      // count; the ≤|types|² probability matrix is model state
+      // (collected like a centroid table) and the tiny iteration runs
+      // on it — the oracle chains the same 12 rounds as CTEs. Counts
+      // exact; one rounded output.
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(unix_micros(col("ts")), col("event_id"))
+        val tr = t(s, d, "events")
+          .select(col("user_id"), col("event_type").as("cur"),
+            col("ts"), col("event_id"))
+          .withColumn("nxt", lead("cur", 1).over(w))
+          .filter(col("nxt").isNotNull
+            && !col("cur").isin("purchase", "error"))
+          .groupBy("cur", "nxt").agg(count(lit(1)).as("c"))
+        val rows = tr.collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        val tot = rows.groupBy(_._1).map { case (k, v) =>
+          k -> v.map(_._3).sum }
+        val p = rows.map { case (c, n, cnt) => (c, n, cnt.toDouble / tot(c)) }
+        val states = tot.keys.toSeq.sorted
+        var h = states.map(_ -> 0.0).toMap
+        for (_ <- 1 to 12)
+          h = states.map { st =>
+            st -> p.filter(_._1 == st).sortBy(_._2).map { case (_, n, pr) =>
+              if (n == "purchase") pr else pr * h.getOrElse(n, 0.0)
+            }.sum
+          }.toMap
+        import s.implicits._
+        states.map(st => (st, tot(st), BigDecimal(h(st))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          .toDF("state", "n_transitions", "p_convert")
+      },
+      Some {
+        def rnd(k: Int): String =
+          s"""h$k AS (
+             |  SELECT p.cur AS s,
+             |    SUM(CASE WHEN p.nxt = 'purchase' THEN p.p
+             |             ELSE p.p * COALESCE(h.h, 0.0) END) AS h
+             |  FROM p LEFT JOIN h${k - 1} h ON h.s = p.nxt
+             |  GROUP BY 1)""".stripMargin
+        s"""WITH seq AS (
+           |  SELECT user_id, event_type AS cur,
+           |    LEAD(event_type) OVER (PARTITION BY user_id
+           |      ORDER BY epoch_us(ts), event_id) AS nxt
+           |  FROM events),
+           |tr AS (SELECT cur, nxt, COUNT(*) AS c FROM seq
+           |  WHERE nxt IS NOT NULL AND cur NOT IN ('purchase', 'error')
+           |  GROUP BY 1, 2),
+           |tot AS (SELECT cur, SUM(c) AS tc FROM tr GROUP BY 1),
+           |p AS (SELECT tr.cur, tr.nxt, tr.c * 1.0 / tot.tc AS p
+           |  FROM tr JOIN tot USING (cur)),
+           |h0 AS (SELECT cur AS s, 0.0 AS h FROM tot),
+           |${(1 to 12).map(rnd).mkString(",\n")}
+           |SELECT h.s AS state, CAST(tot.tc AS BIGINT) AS n_transitions,
+           |  ROUND(h.h, 6) AS p_convert
+           |FROM h12 h JOIN tot ON tot.cur = h.s
+           |ORDER BY state""".stripMargin
+      }),
 
     Q("events_hourly_by_type", // window(ts, 1h) ≡ date_trunc hour
       (s, d) => t(s, d, "events")
