@@ -7605,6 +7605,99 @@ object SparkEntry {
              |  CAST(nd AS BIGINT) AS n_days
              |FROM cs ORDER BY ROUND(ABS(sdev), 4) DESC, day LIMIT 1""".stripMargin)),
 
+    Q("events_segmented_trend", // broken-stick structural break: fit
+      // two OLS segments around every candidate day (both sides ≥ 3
+      // points) and pick the split minimizing total SSE — the
+      // changepoint model CUSUM only screens for. Every candidate's
+      // two fits are CLOSED FORM off one pass of prefix sums (right
+      // segment = totals − prefix), so the whole search is one
+      // day-rollup window + one argmin — no per-candidate re-scan.
+      // All sums are exact integers (day index × counts, bounded by
+      // the day grain even at 100 TB); the SSE divisions are the only
+      // doubles, computed by the identical expression in both engines,
+      // so the argmin needs no rounding (tie-break on the earlier day).
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("y"))
+        val wd = Window.orderBy("day")
+        val wc = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val pre = daily
+          .withColumn("i", row_number().over(wd).cast("long"))
+          .withColumn("cx", sum(col("i")).over(wc))
+          .withColumn("cy", sum(col("y")).over(wc))
+          .withColumn("cxx", sum(col("i") * col("i")).over(wc))
+          .withColumn("cxy", sum(col("i") * col("y")).over(wc))
+          .withColumn("cyy", sum(col("y") * col("y")).over(wc))
+        val tot = pre.agg(max("i").as("n"), max("cx").as("tx"),
+          max("cy").as("ty"), max("cxx").as("txx"), max("cxy").as("txy"),
+          max("cyy").as("tyy"))
+        def sxx(xx: Column, x: Column, n: Column) =
+          xx - x * x / n.cast("double")
+        def sxy(xy: Column, x: Column, y: Column, n: Column) =
+          xy - x * y / n.cast("double")
+        def syy(yy: Column, y: Column, n: Column) =
+          yy - y * y / n.cast("double")
+        def sse(xx: Column, xy: Column, yy: Column): Column =
+          yy - xy * xy / xx
+        val c = pre.crossJoin(broadcast(tot))
+          .filter(col("i") >= 3 && col("i") <= col("n") - 3)
+          .select(col("day"), col("i"), col("n"),
+            sxx(col("cxx"), col("cx"), col("i")).as("lxx"),
+            sxy(col("cxy"), col("cx"), col("cy"), col("i")).as("lxy"),
+            syy(col("cyy"), col("cy"), col("i")).as("lyy"),
+            sxx(col("txx") - col("cxx"), col("tx") - col("cx"),
+              col("n") - col("i")).as("rxx"),
+            sxy(col("txy") - col("cxy"), col("tx") - col("cx"),
+              col("ty") - col("cy"), col("n") - col("i")).as("rxy"),
+            syy(col("tyy") - col("cyy"), col("ty") - col("cy"),
+              col("n") - col("i")).as("ryy"),
+            sse(sxx(col("txx"), col("tx"), col("n")),
+              sxy(col("txy"), col("tx"), col("ty"), col("n")),
+              syy(col("tyy"), col("ty"), col("n"))).as("sse1"))
+          .withColumn("sse2", sse(col("lxx"), col("lxy"), col("lyy"))
+            + sse(col("rxx"), col("rxy"), col("ryy")))
+        c.orderBy(col("sse2"), col("i")).limit(1)
+          .select(col("day").as("break_day"), col("i").as("k"),
+            col("n").as("n_days"),
+            round(col("lxy") / col("lxx"), 6).as("slope_left"),
+            round(col("rxy") / col("rxx"), 6).as("slope_right"),
+            round(col("sse1"), 4).as("sse_single"),
+            round(col("sse2"), 4).as("sse_two"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS y
+             |  FROM events GROUP BY 1),
+             |pre AS (SELECT day, i, y,
+             |    SUM(i) OVER w AS cx, SUM(y) OVER w AS cy,
+             |    SUM(i * i) OVER w AS cxx, SUM(i * y) OVER w AS cxy,
+             |    SUM(y * y) OVER w AS cyy
+             |  FROM (SELECT day, y, row_number() OVER (ORDER BY day) AS i
+             |        FROM daily)
+             |  WINDOW w AS (ORDER BY i ROWS UNBOUNDED PRECEDING)),
+             |tot AS (SELECT MAX(i) AS n, MAX(cx) AS tx, MAX(cy) AS ty,
+             |    MAX(cxx) AS txx, MAX(cxy) AS txy, MAX(cyy) AS tyy FROM pre),
+             |c AS (SELECT day, i, n,
+             |    cxx - cx * cx / CAST(i AS DOUBLE) AS lxx,
+             |    cxy - cx * cy / CAST(i AS DOUBLE) AS lxy,
+             |    cyy - cy * cy / CAST(i AS DOUBLE) AS lyy,
+             |    (txx - cxx) - (tx - cx) * (tx - cx) / CAST(n - i AS DOUBLE) AS rxx,
+             |    (txy - cxy) - (tx - cx) * (ty - cy) / CAST(n - i AS DOUBLE) AS rxy,
+             |    (tyy - cyy) - (ty - cy) * (ty - cy) / CAST(n - i AS DOUBLE) AS ryy,
+             |    (tyy - ty * ty / CAST(n AS DOUBLE))
+             |      - (txy - tx * ty / CAST(n AS DOUBLE))
+             |        * (txy - tx * ty / CAST(n AS DOUBLE))
+             |        / (txx - tx * tx / CAST(n AS DOUBLE)) AS sse1
+             |  FROM pre, tot WHERE i >= 3 AND i <= n - 3),
+             |sc AS (SELECT *,
+             |    (lyy - lxy * lxy / lxx) + (ryy - rxy * rxy / rxx) AS sse2
+             |  FROM c)
+             |SELECT day AS break_day, i AS k, CAST(n AS BIGINT) AS n_days,
+             |  ROUND(lxy / lxx, 6) AS slope_left,
+             |  ROUND(rxy / rxx, 6) AS slope_right,
+             |  ROUND(sse1, 4) AS sse_single, ROUND(sse2, 4) AS sse_two
+             |FROM sc ORDER BY sse2, i LIMIT 1""".stripMargin)),
+
     Q("orders_theilsen_trend", // Theil–Sen robust trend of daily revenue
       // (1996 H1): the MEDIAN of all pairwise slopes shrugs off outlier
       // days that wreck OLS. The quadratic pair space is generated as a
