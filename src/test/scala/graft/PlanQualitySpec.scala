@@ -176,6 +176,7 @@ class PlanQualitySpec extends SparkSuite {
         "orders_rfm_segments", "events_psi_drift",
         "orders_survival_km", "doc_pmi_pairs",
         "events_cusum_changepoint", "orders_lift_pairs",
+        "events_segmented_trend", // 1-row prefix-sum totals broadcast onto the day grain
         "events_type_affinity",
         "emb_silhouette_report", // 10-row centroid-table fan-out
         "emb_davies_bouldin", // bounded 10×10 centroid-grid fan-out
