@@ -5839,6 +5839,29 @@ object SparkEntry {
              |SELECT b AS bigram, COUNT(*) AS n FROM bg
              |GROUP BY b ORDER BY n DESC, bigram LIMIT 30""".stripMargin)),
 
+    Q("doc_feature_hashing", // the hashing trick (Weinberger et al.
+      // 2009): tokens hash into a FIXED 64-bucket feature space — the
+      // step that turns an unbounded vocabulary into a constant-width
+      // model input with no dictionary to ship. Uses the same portable
+      // md5+Mersenne hash as the minhash family, so the oracle replays
+      // every bucket assignment; output is the collision profile
+      // (tokens + distinct words per bucket) a pipeline checks before
+      // trusting hashed features. One explode → one hash agg.
+      (s, d) => t(s, d, "documents")
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+        .select((conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long")
+          % 2147483647L % 64).as("bucket"), col("w"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_tokens"), countDistinct("w").as("n_words"))
+        .orderBy("bucket"),
+      Some("""WITH tok AS (
+             |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+             |  FROM documents)
+             |SELECT ('0x' || substr(md5(w), 1, 15))::BIGINT
+             |    % 2147483647 % 64 AS bucket,
+             |  COUNT(*) AS n_tokens, COUNT(DISTINCT w) AS n_words
+             |FROM tok GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     Q("doc_ppl_transfer", // domain-transfer matrix: one add-1 unigram
       // LM per source, every source scored under every LM — H(A|B)
       // tells the mixture planner which domains substitute for which
