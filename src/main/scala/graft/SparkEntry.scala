@@ -3888,6 +3888,44 @@ object SparkEntry {
            |ORDER BY state""".stripMargin
       }),
 
+    Q("events_sequence_pattern", // regex over JOURNEYS: each user's
+      // time-ordered event types collapse to an initial-letter string
+      // (c/e/p/s/v) and funnel questions become regexes — 'view then
+      // click then purchase with nothing bought in between', 'error
+      // after purchase' — the lightweight MATCH_RECOGNIZE. The journey
+      // build is one per-user aggregation (bounded by journey length;
+      // a production pipeline caps it) and the pattern scan is
+      // per-user narrow work. Counts exact; one rounded share.
+      (s, d) => {
+        val j = t(s, d, "events").groupBy("user_id").agg(
+          array_join(transform(array_sort(collect_list(struct(
+            unix_micros(col("ts")).as("t"), col("event_id").as("e"),
+            substring(col("event_type"), 1, 1).as("l")))),
+            x => x.getField("l")), "").as("journey"))
+        j.select(col("journey"), explode(typedLit(Seq(
+            "v[^p]*c[^p]*p", "^s", "e.*e.*e", "p.*e"))).as("pattern"))
+          .groupBy("pattern")
+          .agg(count(lit(1)).as("n_users"),
+            sum(when(regexp_like(col("journey"), col("pattern")), 1L)
+              .otherwise(0L)).as("n_matched"))
+          .withColumn("share",
+            round(col("n_matched").cast("double") / col("n_users"), 6))
+          .orderBy("pattern")
+      },
+      Some("""WITH j AS (
+             |  SELECT user_id,
+             |    string_agg(substr(event_type, 1, 1), ''
+             |      ORDER BY epoch_us(ts), event_id) AS journey
+             |  FROM events GROUP BY 1),
+             |p(pattern) AS (VALUES ('v[^p]*c[^p]*p'), ('^s'),
+             |  ('e.*e.*e'), ('p.*e'))
+             |SELECT pattern, COUNT(*) AS n_users,
+             |  CAST(SUM(CASE WHEN regexp_matches(journey, pattern)
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+             |  ROUND(CAST(SUM(CASE WHEN regexp_matches(journey, pattern)
+             |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS share
+             |FROM j, p GROUP BY 1 ORDER BY pattern""".stripMargin)),
+
     Q("events_hourly_by_type", // window(ts, 1h) ≡ date_trunc hour
       (s, d) => t(s, d, "events")
         .groupBy(window(col("ts"), "1 hour").getField("start").as("hour"),
