@@ -4221,6 +4221,48 @@ object SparkEntry {
              |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 10 MINUTE
              |GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin)),
 
+    Q("events_stream_cms", // §2.9 + sketches: the relational count-min
+      // cells maintained as a COMPLETE-mode streaming aggregation —
+      // state is the ≤1024-row cell table however long the stream, and
+      // associative merge means the streamed sketch equals the
+      // batch-built one estimate-for-estimate, so the BATCH oracle
+      // checks the STREAMING result exactly (the mergeable-summary
+      // property, demonstrated bit-for-bit).
+      (s, d) => {
+        withStreamPartitions(s) {
+          val q = graft.streaming.EventStream
+            .startCmsStream(s, d, "stream_cms_verify")
+          q.awaitTermination(180000)
+        }
+        val ev = t(s, d, "events")
+        val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("user_id")).limit(10)
+        graft.operators.Sketches
+          .cmsEstimate(s.table("stream_cms_verify"), top, "user_id")
+          .join(top, Seq("user_id"))
+          .select(col("user_id"), col("exact_n"), col("cms_est"),
+            (col("cms_est") - col("exact_n")).as("overcount"))
+          .orderBy(col("exact_n").desc, col("user_id"))
+      },
+      Some("""WITH h(i, a, b) AS (VALUES (0, 1000003, 17), (1, 999983, 911),
+             |  (2, 1000033, 3571), (3, 1000037, 7919)),
+             |cells AS (
+             |  SELECT i, ((a * user_id + b) % 2147483647) % 256 AS bucket,
+             |    COUNT(*) AS cnt
+             |  FROM events, h GROUP BY 1, 2),
+             |top AS (
+             |  SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY 1
+             |  ORDER BY exact_n DESC, user_id LIMIT 10),
+             |est AS (
+             |  SELECT t.user_id, MIN(c.cnt) AS cms_est
+             |  FROM top t, h JOIN cells c ON c.i = h.i
+             |    AND c.bucket = ((h.a * t.user_id + h.b) % 2147483647) % 256
+             |  GROUP BY 1)
+             |SELECT t.user_id, t.exact_n, e.cms_est,
+             |  e.cms_est - t.exact_n AS overcount
+             |FROM top t JOIN est e USING (user_id)
+             |ORDER BY exact_n DESC, user_id""".stripMargin)),
+
     Q("events_stream_sliding", // §2.9: SLIDING windows (1 h every 15 min)
       // on a real readStream — each event fans out to 4 window states
       // map-side; append mode emits exactly the windows whose end passed

@@ -95,6 +95,23 @@ object EventStream {
         .withColumn("ts", col("ts").cast("timestamp"))
   }
 
+  /** Streaming count-min sketch: the [[graft.operators.Sketches]] cell
+    * relation maintained as a complete-mode streaming aggregation —
+    * the running state IS the depth×width cell table (≤ 1024 rows,
+    * bounded regardless of stream length), and because sketch cells
+    * merge associatively the final micro-batched table equals the
+    * batch-built sketch EXACTLY, estimate for estimate. The mergeable-
+    * summary property is what makes sketches the 100 TB streaming
+    * answer to distinct/frequency questions; here it is demonstrated
+    * bit-for-bit.
+    */
+  def startCmsStream(spark: SparkSession, sfDir: String,
+      queryName: String): StreamingQuery =
+    graft.operators.Sketches.countMinCells(rawStream(spark, sfDir), "user_id")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow()).start()
+
   /** Streaming exactly-once dedup: the input is deliberately doubled
     * (union of two reads of the same source — the at-least-once delivery
     * shape), then `dropDuplicates` on the event key collapses replays.

@@ -32,6 +32,20 @@ class EventStreamSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming CMS cells equal the batch-built sketch cell-for-cell") {
+    val q = EventStream.startCmsStream(spark, sfDir, "cms_test")
+    q.awaitTermination(120000)
+    val streamed = spark.table("cms_test")
+      .as[(Int, Long, Long)].collect().toSet
+    val batch = graft.operators.Sketches
+      .countMinCells(Tables.load(spark, sfDir, "events"), "user_id")
+      .as[(Int, Long, Long)].collect().toSet
+    // associative merge: micro-batched accumulation lands on the exact
+    // batch cells, so every downstream estimate is identical too
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("sessionize: gap > 30 min splits, <= 30 min merges") {
     val base = 1700000000000L
     val events = Seq(
