@@ -10455,6 +10455,44 @@ object SparkEntry {
              |    - CAST(cumb AS DOUBLE) / nb)), 6) AS ks
              |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    Q("events_wasserstein_drift", // 1-Wasserstein (earth-mover) drift
+      // per event type between the month's halves — unlike KS's single
+      // worst gap, W₁ = ∫|F_A − F_B| dx weights HOW FAR the value mass
+      // moved, the distance sample-mixing planners actually budget
+      // against. Same (type, value)-grain + one keyed cumulative
+      // window as the KS twin; the segment sum is the one float
+      // aggregation, rounded.
+      (s, d) => {
+        val split = java.sql.Date.valueOf("2024-01-16")
+        graft.operators.Stats
+          .wasserstein1(t(s, d, "events"), "event_type", "value",
+            to_date(col("ts")) < lit(split))
+          .select(col("event_type"), col("n_a"), col("n_b"),
+            round(col("w1"), 6).as("w1"))
+          .orderBy("event_type")
+      },
+      Some("""WITH pts AS (
+             |  SELECT event_type, value,
+             |    SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+             |        THEN 1 ELSE 0 END) AS ca,
+             |    SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+             |        THEN 0 ELSE 1 END) AS cb
+             |  FROM events GROUP BY 1, 2),
+             |c AS (
+             |  SELECT event_type, value,
+             |    SUM(ca) OVER (PARTITION BY event_type ORDER BY value) AS cuma,
+             |    SUM(cb) OVER (PARTITION BY event_type ORDER BY value) AS cumb,
+             |    SUM(ca) OVER (PARTITION BY event_type) AS na,
+             |    SUM(cb) OVER (PARTITION BY event_type) AS nb,
+             |    LEAD(value) OVER (PARTITION BY event_type ORDER BY value) AS nx
+             |  FROM pts)
+             |SELECT event_type,
+             |  CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+             |  ROUND(SUM(CASE WHEN nx IS NOT NULL
+             |    THEN ABS(CAST(cuma AS DOUBLE) / na
+             |      - CAST(cumb AS DOUBLE) / nb) * (nx - value) END), 6) AS w1
+             |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     Q("events_chi2_independence", // chi-square test of independence for
       // event_type × ISO weekday: the "is activity mix day-of-week
       // dependent" gate. Observed counts collapse to the ≤ types×7

@@ -62,6 +62,45 @@ object Stats {
         max("_dif").as("ks"))
   }
 
+  /** Two-sample 1-Wasserstein (earth-mover) distance per key:
+    * W₁ = ∫|F_A − F_B| dx over the merged support — the drift measure
+    * that weights HOW FAR mass moved, where KS only reports the single
+    * worst gap. Same scale shape as [[ks2Sample]]: collapse to the
+    * (key, value) grain, ONE keyed cumulative window builds both
+    * empirical CDFs, and each grid segment contributes
+    * |F_A − F_B|·(next value − value). A key with either side empty
+    * reports NULL (the runsTest degenerate-guard contract). Output:
+    * (key, n_a, n_b, w1); the segment sum is the one float
+    * aggregation — callers round.
+    */
+  def wasserstein1(df: DataFrame, keyCol: String, valueCol: String,
+      sideA: Column): DataFrame = {
+    val pts = df
+      .withColumn("_sa", sideA.cast("long"))
+      .groupBy(col(keyCol), col(valueCol))
+      .agg(sum(col("_sa")).as("_ca"), sum(lit(1L) - col("_sa")).as("_cb"))
+    val w = Window.partitionBy(keyCol).orderBy(valueCol)
+    val tw = Window.partitionBy(keyCol)
+    pts
+      .withColumn("_cuma", sum("_ca").over(w))
+      .withColumn("_cumb", sum("_cb").over(w))
+      .withColumn("_na", sum("_ca").over(tw))
+      .withColumn("_nb", sum("_cb").over(tw))
+      .withColumn("_nx", lead(valueCol, 1).over(w))
+      // NULL-guarded on the raw divisions (ANSI throws on the zero
+      // divisor itself); the last grid point has no next value and
+      // contributes no segment
+      .withColumn("_seg",
+        when(col("_na") > 0 && col("_nb") > 0 && col("_nx").isNotNull,
+          abs(col("_cuma").cast("double") / col("_na")
+            - col("_cumb").cast("double") / col("_nb"))
+            * (col("_nx").cast("double") - col(valueCol).cast("double"))))
+      .groupBy(keyCol)
+      .agg(max("_na").as("n_a"), max("_nb").as("n_b"),
+        when(max("_na") > 0 && max("_nb") > 0, sum("_seg"))
+          .otherwise(lit(null)).as("w1"))
+  }
+
   /** Mann–Whitney rank-sum test per key with tie midranks. Output:
     * (key, n_a, n_b, u_a, rank_biserial). Midranks come from ONE keyed
     * cumulative window over the (key, value) grain; every term is an

@@ -23,6 +23,35 @@ class StatsSpec extends SparkSuite {
     assert(r1.getAs[Long]("n_a") === 5L && r1.getAs[Long]("n_b") === 5L)
   }
 
+  test("wasserstein1: shift distance exact, 0 on identical, NULL one-sided") {
+    // A = {0,1}, B = {1,2}: a unit shift → W1 = 1 exactly
+    val shift = Seq(("k", 0.0, true), ("k", 1.0, true),
+      ("k", 1.0, false), ("k", 2.0, false)).toDF("k", "v", "s")
+    val r = Stats.wasserstein1(shift, "k", "v", col("s")).head()
+    assert(r.getAs[Double]("w1") === 1.0)
+    assert(r.getAs[Long]("n_a") === 2L && r.getAs[Long]("n_b") === 2L)
+    // identical sides → 0
+    val same = (1 to 20).map(i => ("k", (i % 5).toDouble, i % 2 == 0))
+      .toDF("k", "v", "s")
+    assert(Stats.wasserstein1(same, "k", "v", col("s"))
+      .head().getAs[Double]("w1") === 0.0)
+    // a key with one empty side reports NULL, never NaN/throw
+    val lone = Seq(("k", 1.0, true), ("k", 2.0, true)).toDF("k", "v", "s")
+    assert(Stats.wasserstein1(lone, "k", "v", col("s")).head().isNullAt(3))
+    // general case: matches the O(n log n) sequential pairing model
+    val rnd = new scala.util.Random(3)
+    val xs = Seq.fill(40)(rnd.nextInt(20).toDouble)
+    val ys = Seq.fill(40)(rnd.nextInt(20).toDouble + 5.0)
+    val df = (xs.map(("k", _, true)) ++ ys.map(("k", _, false)))
+      .toDF("k", "v", "s")
+    // equal sizes: W1 = mean |sorted xs - sorted ys|
+    val seqW1 = xs.sorted.zip(ys.sorted).map { case (a, b) =>
+      math.abs(a - b) }.sum / 40
+    val got = Stats.wasserstein1(df, "k", "v", col("s"))
+      .head().getAs[Double]("w1")
+    assert(math.abs(got - seqW1) < 1e-9, s"$got vs $seqW1")
+  }
+
   test("mannWhitney: U_a + U_b = n_a*n_b (midrank identity), symmetric null") {
     val df = (1 to 30).map(i => ("k", (i * 7) % 13, i % 3 == 0))
       .toDF("k", "v", "s")
