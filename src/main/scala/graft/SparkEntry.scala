@@ -9121,6 +9121,57 @@ object SparkEntry {
              |    AS knn_accuracy
              |FROM graded GROUP BY label ORDER BY label""".stripMargin)),
 
+    Q("part_price_index", // fixed-base price indexes over monthly part
+      // unit prices: Laspeyres (base-quantity weights), Paasche
+      // (current-quantity weights) and their Fisher geometric mean —
+      // the standard inflation triple a commerce warehouse reports.
+      // One (month, part) rollup; each month joins the base month on
+      // the part key (restricted to the common basket, as the
+      // definitions require). Unit prices are sum/sum rationals; the
+      // weighted sums are the one float aggregation, rounded.
+      (s, d) => {
+        val mp = t(s, d, "lineitem")
+          .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+            col("l_partkey"))
+          .agg((sum(col("l_extendedprice").cast("double"))
+            / sum(col("l_quantity").cast("double"))).as("p"),
+            sum(col("l_quantity").cast("double")).as("q"))
+          .localCheckpoint(eager = false) // month side + base side
+        val base = mp.agg(min("month")).head().getString(0)
+        val b = mp.filter(col("month") === base)
+          .select(col("l_partkey"), col("p").as("p0"), col("q").as("q0"))
+        mp.join(b, Seq("l_partkey"))
+          .groupBy("month")
+          .agg(count(lit(1)).as("n_parts"),
+            (sum(col("p") * col("q0")) / sum(col("p0") * col("q0")))
+              .as("l_idx"),
+            (sum(col("p") * col("q")) / sum(col("p0") * col("q")))
+              .as("p_idx"))
+          .select(col("month"), col("n_parts"),
+            round(col("l_idx"), 6).as("laspeyres"),
+            round(col("p_idx"), 6).as("paasche"),
+            round(sqrt(col("l_idx") * col("p_idx")), 6).as("fisher"))
+          .orderBy("month")
+      },
+      Some("""WITH mp AS (
+             |  SELECT strftime(l_shipdate, '%Y-%m') AS month, l_partkey,
+             |    SUM(CAST(l_extendedprice AS DOUBLE))
+             |      / SUM(CAST(l_quantity AS DOUBLE)) AS p,
+             |    SUM(CAST(l_quantity AS DOUBLE)) AS q
+             |  FROM lineitem GROUP BY 1, 2),
+             |b AS (SELECT l_partkey, p AS p0, q AS q0 FROM mp
+             |  WHERE month = (SELECT MIN(month) FROM mp)),
+             |j AS (SELECT m.month, m.p, m.q, b.p0, b.q0
+             |  FROM mp m JOIN b USING (l_partkey)),
+             |ix AS (SELECT month, COUNT(*) AS n_parts,
+             |    SUM(p * q0) / SUM(p0 * q0) AS l_idx,
+             |    SUM(p * q) / SUM(p0 * q) AS p_idx
+             |  FROM j GROUP BY 1)
+             |SELECT month, n_parts, ROUND(l_idx, 6) AS laspeyres,
+             |  ROUND(p_idx, 6) AS paasche,
+             |  ROUND(sqrt(l_idx * p_idx), 6) AS fisher
+             |FROM ix ORDER BY month""".stripMargin)),
+
     Q("part_type_brand_share", // hierarchical share-of-share: brand
       // revenue share WITHIN its part type, and the type's share of
       // total — the drill-down composition report. One fact rollup to
