@@ -3162,6 +3162,57 @@ object SparkEntry {
   // Data-quality audit + time-series hygiene — the scale-out form of the
   // reference's introspection/statistics surface (SURVEY.md §1.3, §3.3).
   private def dqQueries: Seq[Q] = Seq(
+    Q("dq_profile_orders", { // one-pass column profiler: null count,
+      // distinct count and min/max for EVERY column of the table in a
+      // single aggregate scan (the pandas-profiling/Deequ "describe"
+      // primitive), unpivoted to one row per column. Doubles render
+      // through DECIMAL(18,2) and timestamps through DATE so the
+      // min/max strings are engine-portable; both the Spark aggregates
+      // and the oracle's UNION ALL are generated from the SAME column
+      // list.
+      val cols = Seq("o_custkey", "o_orderdate", "o_orderkey",
+        "o_orderpriority", "o_orderstatus", "o_totalprice")
+      def render(c: String, x: Column): Column = c match {
+        case "o_totalprice" => x.cast("decimal(18,2)").cast("string")
+        case "o_orderdate" => x.cast("date").cast("string")
+        case _ => x.cast("string")
+      }
+      (s: SparkSession, d: String) => {
+        val o = t(s, d, "orders")
+        val aggs = cols.flatMap(c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+          countDistinct(col(c)).as(s"${c}_nd"),
+          render(c, min(col(c))).as(s"${c}_min"),
+          render(c, max(col(c))).as(s"${c}_max")))
+        o.agg(count(lit(1)).as("_n"), aggs: _*)
+          .select(explode(array(cols.map(c => struct(
+            lit(c).as("col_name"), col("_n").as("n_rows"),
+            col(s"${c}_nulls").as("n_nulls"),
+            col(s"${c}_nd").as("n_distinct"),
+            col(s"${c}_min").as("min_str"),
+            col(s"${c}_max").as("max_str"))): _*)).as("p"))
+          .select("p.*").orderBy("col_name")
+      }
+    }, {
+      val cols = Seq("o_custkey", "o_orderdate", "o_orderkey",
+        "o_orderpriority", "o_orderstatus", "o_totalprice")
+      def renderSql(c: String, agg: String): String = c match {
+        case "o_totalprice" =>
+          s"CAST(CAST($agg($c) AS DECIMAL(18,2)) AS VARCHAR)"
+        case "o_orderdate" => s"CAST(CAST($agg($c) AS DATE) AS VARCHAR)"
+        case _ => s"CAST($agg($c) AS VARCHAR)"
+      }
+      def prof(c: String): String =
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_nulls,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  ${renderSql(c, "MIN")} AS min_str,
+           |  ${renderSql(c, "MAX")} AS max_str
+           |FROM orders""".stripMargin
+      Some(cols.map(prof).mkString("\nUNION ALL\n") + "\nORDER BY col_name")
+    }),
+
     Q("dq_constraint_report", // Deequ-style declarative audit: every
       // single-table check folds into ONE aggregate pass per table
       // (completeness/uniqueness/accepted-values/range are all
