@@ -5970,6 +5970,53 @@ object SparkEntry {
              |SELECT b AS bigram, COUNT(*) AS n FROM bg
              |GROUP BY b ORDER BY n DESC, bigram LIMIT 30""".stripMargin)),
 
+    Q("doc_term_burstiness", // Church–Gale burstiness: the
+      // variance-to-mean ratio of each term's per-document count
+      // (zeros included — closed form off N, Σtf, Σtf²) separates
+      // topical "bursty" words from function words of the same total
+      // frequency, the signal topic-weighting and stopword discovery
+      // both lean on. One doc-term count + one term-keyed aggregation;
+      // every VMR input is an exact integer, so the ranking needs no
+      // rounding (tie-break on the term).
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val nDocs = docs.count()
+        docs.select(col("doc_id"),
+            explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+          .groupBy("w").agg(count(lit(1)).as("n_docs"),
+            sum("c").as("tot"), sum(col("c") * col("c")).as("s2"))
+          .filter(col("tot") >= 20)
+          .withColumn("vmr",
+            (col("s2").cast("double") / nDocs
+              - (col("tot").cast("double") / nDocs)
+                * (col("tot").cast("double") / nDocs))
+              / (col("tot").cast("double") / nDocs))
+          .orderBy(col("vmr").desc, col("w")).limit(30)
+          .select(col("w").as("term"), col("n_docs"), col("tot"),
+            round(col("vmr"), 6).as("vmr"))
+      },
+      Some("""WITH tf AS (
+             |  SELECT doc_id, w, COUNT(*) AS c FROM (
+             |    SELECT doc_id,
+             |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+             |    FROM documents) GROUP BY 1, 2),
+             |nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+             |st AS (SELECT w, COUNT(*) AS n_docs, SUM(c) AS tot,
+             |    SUM(c * c) AS s2
+             |  FROM tf GROUP BY 1 HAVING SUM(c) >= 20)
+             |SELECT w AS term, n_docs, CAST(tot AS BIGINT) AS tot,
+             |  ROUND((CAST(s2 AS DOUBLE) / (SELECT n FROM nd)
+             |    - (CAST(tot AS DOUBLE) / (SELECT n FROM nd))
+             |      * (CAST(tot AS DOUBLE) / (SELECT n FROM nd)))
+             |    / (CAST(tot AS DOUBLE) / (SELECT n FROM nd)), 6) AS vmr
+             |FROM st
+             |ORDER BY (CAST(s2 AS DOUBLE) / (SELECT n FROM nd)
+             |    - (CAST(tot AS DOUBLE) / (SELECT n FROM nd))
+             |      * (CAST(tot AS DOUBLE) / (SELECT n FROM nd)))
+             |    / (CAST(tot AS DOUBLE) / (SELECT n FROM nd)) DESC, term
+             |LIMIT 30""".stripMargin)),
+
     Q("doc_feature_hashing", // the hashing trick (Weinberger et al.
       // 2009): tokens hash into a FIXED 64-bucket feature space — the
       // step that turns an unbounded vocabulary into a constant-width
@@ -11184,6 +11231,46 @@ object SparkEntry {
              |  ROUND((sea + seb) * (sea + seb)
              |    / (sea * sea / (na - 1) + seb * seb / (nb - 1)), 2) AS df
              |FROM x ORDER BY event_type""".stripMargin)),
+
+    Q("lineitem_spearman_corr", // Spearman rank correlation per return
+      // flag — the monotone-association twin of the Pearson probe
+      // (outlier- and curvature-robust). Midranks come from the
+      // (flag, value) grain (one keyed window per axis), map back via
+      // grain-keyed joins, and the coefficient is the same closed-form
+      // moment arithmetic; midrank moments are exactly representable,
+      // so the statistic is bit-deterministic.
+      (s, d) => graft.operators.Stats
+        .spearmanByGroup(t(s, d, "lineitem"), "l_returnflag",
+          "l_quantity", "l_extendedprice")
+        .select(col("l_returnflag"), col("n"),
+          round(col("spearman_rho"), 6).as("spearman_rho"))
+        .orderBy("l_returnflag"),
+      Some {
+        def rk(v: String, out: String) =
+          s"""SELECT l_returnflag, $v,
+             |    CAST(SUM(c) OVER (PARTITION BY l_returnflag ORDER BY $v)
+             |      - c AS DOUBLE) + CAST(c + 1 AS DOUBLE) / 2 AS $out
+             |  FROM (SELECT l_returnflag, $v, COUNT(*) AS c
+             |        FROM lineitem GROUP BY 1, 2)""".stripMargin
+        s"""WITH rx AS (${rk("l_quantity", "mrx")}),
+           |ry AS (${rk("l_extendedprice", "mry")}),
+           |rows_r AS (
+           |  SELECT l.l_returnflag, rx.mrx, ry.mry
+           |  FROM lineitem l
+           |  JOIN rx ON rx.l_returnflag = l.l_returnflag
+           |    AND rx.l_quantity = l.l_quantity
+           |  JOIN ry ON ry.l_returnflag = l.l_returnflag
+           |    AND ry.l_extendedprice = l.l_extendedprice),
+           |g AS (SELECT l_returnflag, COUNT(*) AS n,
+           |    SUM(mrx) AS sx, SUM(mry) AS sy, SUM(mrx * mrx) AS sxx,
+           |    SUM(mry * mry) AS syy, SUM(mrx * mry) AS sxy
+           |  FROM rows_r GROUP BY 1)
+           |SELECT l_returnflag, n,
+           |  ROUND((n * sxy - sx * sy)
+           |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           |    AS spearman_rho
+           |FROM g ORDER BY l_returnflag""".stripMargin
+      }),
 
     Q("lineitem_price_qty_corr", // Pearson correlation of quantity vs
       // extended price per return flag — the covariance-structure probe

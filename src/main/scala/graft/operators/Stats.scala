@@ -338,4 +338,31 @@ object Stats {
             * (col("n") * col("_syy") - col("_sy") * col("_sy"))))
           .as("pearson_r"))
   }
+
+  /** Spearman rank correlation per key: Pearson over tie-midranks —
+    * the monotone-association measure that shrugs off the outliers and
+    * curvature that bend Pearson. Midranks come from the (key, value)
+    * grain (one keyed cumulative window per axis — the [[mannWhitney]]
+    * machinery) and map back to rows through two grain-keyed joins;
+    * the coefficient is [[pearsonByGroup]]'s closed form on the rank
+    * pairs. Midranks are exact halves and their moment sums stay
+    * exactly representable in doubles at any realistic group size, so
+    * the statistic is bit-deterministic across engines.
+    */
+  def spearmanByGroup(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    def ranks(vCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(keyCol).orderBy(vCol)
+      df.groupBy(col(keyCol), col(vCol)).agg(count(lit(1)).as("_c"))
+        .withColumn(out,
+          (sum("_c").over(w) - col("_c")).cast("double")
+            + (col("_c") + lit(1)).cast("double") / 2)
+        .select(col(keyCol), col(vCol), col(out))
+    }
+    val rows = df.select(col(keyCol), col(xCol), col(yCol))
+      .join(ranks(xCol, "_rx"), Seq(keyCol, xCol))
+      .join(ranks(yCol, "_ry"), Seq(keyCol, yCol))
+    pearsonByGroup(rows, keyCol, col("_rx"), col("_ry"))
+      .withColumnRenamed("pearson_r", "spearman_rho")
+  }
 }

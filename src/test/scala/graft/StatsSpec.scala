@@ -23,6 +23,28 @@ class StatsSpec extends SparkSuite {
     assert(r1.getAs[Long]("n_a") === 5L && r1.getAs[Long]("n_b") === 5L)
   }
 
+  test("spearman: 1 on any monotone map, sign flip, ties via midranks") {
+    // y = x³ is monotone but nonlinear: Spearman 1, Pearson < 1
+    val mono = (1 to 12).map(i => ("k", i, i * i * i)).toDF("k", "x", "y")
+    val r = Stats.spearmanByGroup(mono, "k", "x", "y").head()
+    assert(math.abs(r.getAs[Double]("spearman_rho") - 1.0) < 1e-12)
+    val p = Stats.pearsonByGroup(mono, "k", col("x"), col("y"))
+      .head().getAs[Double]("pearson_r")
+    assert(p < 0.99)
+    // reversed order → exactly −1
+    val anti = (1 to 12).map(i => ("k", i, -i)).toDF("k", "x", "y")
+    assert(math.abs(Stats.spearmanByGroup(anti, "k", "x", "y")
+      .head().getAs[Double]("spearman_rho") + 1.0) < 1e-12)
+    // ties: matches scipy-convention midrank value on a hand case
+    // x = (1,2,2,3), y = (1,2,3,4): rx = (1, 2.5, 2.5, 4)
+    val tie = Seq(("k", 1, 1), ("k", 2, 2), ("k", 2, 3), ("k", 3, 4))
+      .toDF("k", "x", "y")
+    val rho = Stats.spearmanByGroup(tie, "k", "x", "y")
+      .head().getAs[Double]("spearman_rho")
+    // hand Pearson over ((1,1),(2.5,2),(2.5,3),(4,4)): r = 0.9486833
+    assert(math.abs(rho - 3.0 / math.sqrt(10.0)) < 1e-9)
+  }
+
   test("wasserstein1: shift distance exact, 0 on identical, NULL one-sided") {
     // A = {0,1}, B = {1,2}: a unit shift → W1 = 1 exactly
     val shift = Seq(("k", 0.0, true), ("k", 1.0, true),
