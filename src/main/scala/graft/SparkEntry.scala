@@ -1151,6 +1151,68 @@ object SparkEntry {
              |JOIN region ON n_regionkey = r_regionkey
              |GROUP BY r_name ORDER BY r_name""".stripMargin)),
 
+    Q("ivm_join_delta", // incremental maintenance of a JOIN view:
+      // V = orders⋈customer rolled up by nation; a ~1% insert batch
+      // (orderkey mod 97 = 0) is folded in as ΔV = Δorders⋈customer —
+      // the delta joins ONLY the new rows against the dim, never
+      // rescanning the base fact (the materialized-view backfill
+      // pattern that turns a 100 TB refresh into a delta-sized one).
+      // Both engines verify base+delta against the full recompute
+      // in-query; counts are exact, revenue rounds at 4dp.
+      (s, d) => {
+        val c = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+        val o = t(s, d, "orders")
+        def view(orders: DataFrame): DataFrame = orders
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").as("nation"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("double")).as("rev"))
+        val base = view(o.filter(col("o_orderkey") % 97 =!= 0))
+          .select(col("nation"), col("n").as("n_base"),
+            col("rev").as("rev_base"))
+        val delta = view(o.filter(col("o_orderkey") % 97 === 0))
+          .select(col("nation"), col("n").as("n_delta"),
+            col("rev").as("rev_delta"))
+        val full = view(o).select(col("nation"), col("n").as("n_full"),
+          col("rev").as("rev_full"))
+        base.join(delta, Seq("nation"), "full_outer")
+          .select(col("nation"),
+            coalesce(col("n_base"), lit(0L)).as("n_base"),
+            coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+            (coalesce(col("n_base"), lit(0L))
+              + coalesce(col("n_delta"), lit(0L))).as("n_after"),
+            (coalesce(col("rev_base"), lit(0.0))
+              + coalesce(col("rev_delta"), lit(0.0))).as("rev_after"))
+          .join(full, Seq("nation"))
+          .select(col("nation"), col("n_base"), col("n_delta"),
+            col("n_after"), round(col("rev_after"), 2).as("rev_after"),
+            (col("n_after") === col("n_full")
+              && abs(col("rev_after") - col("rev_full")) < 1e-6)
+              .as("incremental_matches_full"))
+          .orderBy("nation")
+      },
+      Some("""WITH v AS (
+             |  SELECT c_nationkey AS nation,
+             |    CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END AS is_delta,
+             |    CAST(o_totalprice AS DOUBLE) AS p
+             |  FROM orders JOIN customer ON o_custkey = c_custkey),
+             |agg AS (
+             |  SELECT nation,
+             |    CAST(SUM(1 - is_delta) AS BIGINT) AS n_base,
+             |    CAST(SUM(is_delta) AS BIGINT) AS n_delta,
+             |    SUM(CASE WHEN is_delta = 0 THEN p ELSE 0.0 END) AS rev_base,
+             |    SUM(CASE WHEN is_delta = 1 THEN p ELSE 0.0 END) AS rev_delta,
+             |    COUNT(*) AS n_full, SUM(p) AS rev_full
+             |  FROM v GROUP BY 1)
+             |SELECT nation, n_base, n_delta,
+             |  n_base + n_delta AS n_after,
+             |  ROUND(rev_base + rev_delta, 2) AS rev_after,
+             |  (n_base + n_delta = n_full
+             |    AND ABS(rev_base + rev_delta - rev_full) < 1e-6)
+             |    AS incremental_matches_full
+             |FROM agg ORDER BY nation""".stripMargin)),
+
     Q("schema_drift_union", // schema evolution across batches: an old
       // extract without o_orderpriority unions with a new one that has
       // it (unionByName + allowMissingColumns — positional union would
