@@ -3935,6 +3935,63 @@ object SparkEntry {
              |    / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 4) AS p
              |FROM c ORDER BY from_type, to_type""".stripMargin)),
 
+    Q("events_touch_attribution", // rule-based attribution trio:
+      // every purchase credits its same-user touches (view/click/
+      // signup) within a 1-hour lookback — 1.0 to the first touch,
+      // 1.0 to the last, 1/k to each under linear — the three
+      // baselines the Markov/absorbing models are judged against.
+      // The touch window is a user-keyed equi join with a range
+      // predicate (never a time cross join); per-purchase ranks run
+      // over purchase-sized partitions. First/last credits are exact
+      // integers; linear's Σ1/k rounds at 6dp.
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("us"),
+          col("event_id"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("puid"), col("us").as("pus"),
+            col("event_id").as("pid"))
+        val tch = ev.filter(col("event_type").isin("view", "click", "signup"))
+        val j = tch.join(p, col("user_id") === col("puid")
+          && col("us") < col("pus")
+          && col("us") >= col("pus") - 3600000000L)
+        val w = Window.partitionBy("pid")
+        j.withColumn("k", count(lit(1)).over(w))
+          .withColumn("rf", row_number().over(
+            w.orderBy(col("us"), col("event_id"))))
+          .withColumn("rl", row_number().over(
+            w.orderBy(col("us").desc, col("event_id").desc)))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_touches"),
+            sum(when(col("rf") === 1, 1L).otherwise(0L)).as("first_touch"),
+            sum(when(col("rl") === 1, 1L).otherwise(0L)).as("last_touch"),
+            round(sum(lit(1.0) / col("k")), 6).as("linear"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+             |    event_id FROM events),
+             |p AS (SELECT user_id, us AS pus, event_id AS pid FROM e
+             |  WHERE event_type = 'purchase'),
+             |tch AS (SELECT * FROM e
+             |  WHERE event_type IN ('view', 'click', 'signup')),
+             |j AS (SELECT tch.event_type, tch.us, tch.event_id, p.pid
+             |  FROM tch JOIN p ON tch.user_id = p.user_id
+             |    AND tch.us < p.pus AND tch.us >= p.pus - 3600000000),
+             |r AS (SELECT event_type,
+             |    COUNT(*) OVER (PARTITION BY pid) AS k,
+             |    ROW_NUMBER() OVER (PARTITION BY pid
+             |      ORDER BY us, event_id) AS rf,
+             |    ROW_NUMBER() OVER (PARTITION BY pid
+             |      ORDER BY us DESC, event_id DESC) AS rl
+             |  FROM j)
+             |SELECT event_type, COUNT(*) AS n_touches,
+             |  CAST(SUM(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS first_touch,
+             |  CAST(SUM(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS last_touch,
+             |  ROUND(SUM(1.0 / k), 6) AS linear
+             |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
     Q("events_absorbing_conversion", // absorbing-chain attribution:
       // with 'purchase'/'error' absorbing, the probability each
       // transient state converts (hits purchase before error) — the
