@@ -7229,6 +7229,41 @@ object SparkEntry {
              |ROUND(sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6) AS l2
              |FROM embeddings ORDER BY vec_id LIMIT 100""".stripMargin)),
 
+    Q("emb_mahalanobis_ood", // out-of-distribution screen: squared
+      // Mahalanobis distance to the corpus under a DIAGONAL covariance
+      // (the production OOD gate when the full 64×64 inverse is
+      // overkill) — per-dim μ/σ² from one exploded aggregation
+      // (rounded to 6dp, the model-state rounding contract), then each
+      // vector scores Σ(x−μ)²/σ² through a dim-keyed join against the
+      // 64-row stats table. Top-10 outliers; ranking runs on the raw
+      // score (vector gaps dwarf float-sum slack), output rounds.
+      (s, d) => {
+        val ex = t(s, d, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding"))
+            .as(Seq("d0", "x0")))
+          .select(col("vec_id"), (col("d0") + 1).as("dim"),
+            col("x0").cast("double").as("x"))
+          .localCheckpoint(eager = false) // stats pass + scoring pass
+        val st = ex.groupBy("dim").agg(round(avg("x"), 6).as("mu"),
+          round(avg(col("x") * col("x")) - avg("x") * avg("x"), 6).as("v"))
+        ex.join(st, Seq("dim"))
+          .groupBy("vec_id")
+          .agg(sum((col("x") - col("mu")) * (col("x") - col("mu"))
+            / col("v")).as("m2"))
+          .orderBy(col("m2").desc, col("vec_id")).limit(10)
+          .select(col("vec_id"), round(col("m2"), 6).as("mahalanobis_sq"))
+      },
+      Some("""WITH ex AS (
+             |  SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS x
+             |  FROM embeddings, range(1, 65) t(i)),
+             |st AS (SELECT dim, ROUND(AVG(x), 6) AS mu,
+             |    ROUND(AVG(x * x) - AVG(x) * AVG(x), 6) AS v
+             |  FROM ex GROUP BY 1),
+             |sc AS (SELECT vec_id, SUM((x - mu) * (x - mu) / v) AS m2
+             |  FROM ex JOIN st USING (dim) GROUP BY 1)
+             |SELECT vec_id, ROUND(m2, 6) AS mahalanobis_sq
+             |FROM sc ORDER BY m2 DESC, vec_id LIMIT 10""".stripMargin)),
+
     Q("emb_quantize_err", // int8 symmetric quantization (4× memory, the
       // standard serving compression): per-vector scale 127/max|x|,
       // round-trip through the int grid, cosine error vs the original —
