@@ -2668,6 +2668,61 @@ object SparkEntry {
              |SELECT src AS id, COUNT(*) AS deg FROM a4 GROUP BY src
              |ORDER BY deg DESC, id LIMIT 100""".stripMargin)),
 
+    Q("graph_harmonic_centrality", // harmonic centrality of a seed
+      // cohort: Σ 1/dist over everything the 5 smallest nodes reach in
+      // 4 BFS rounds — the distance-discounted reach score that (unlike
+      // closeness) stays defined on disconnected graphs. Rides the
+      // same relational Pregel-BFS rounds as graph_bfs_hops; the
+      // oracle unrolls four frontiers and sums the identical
+      // reciprocals (rounded — the one float aggregation).
+      (s, d) => {
+        val edges = custSuppEdges(s, d)
+          .select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+        val nodes = edges.select(col("src").as("id"))
+          .union(edges.select(col("dst").as("id")))
+          .distinct()
+        val seeds = nodes.orderBy("id").limit(5)
+        graft.operators.Graph.bfsHops(edges, seeds, rounds = 4,
+            canonicalEdges = true)
+          .agg(
+            sum(when(col("dist") === 0, 1L).otherwise(0L)).as("n_seeds"),
+            sum(when(col("dist") > 0, 1L).otherwise(0L)).as("n_reached"),
+            round(sum(when(col("dist") > 0, lit(1.0) / col("dist"))), 6)
+              .as("harmonic"))
+      },
+      Some("""WITH e0 AS (
+             |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+             |seeds AS (SELECT id FROM (
+             |    SELECT src AS id FROM sym UNION SELECT dst FROM sym)
+             |  ORDER BY id LIMIT 5),
+             |d0 AS (SELECT id, 0 AS dist FROM seeds),
+             |f1 AS (SELECT DISTINCT dst AS id FROM sym
+             |  JOIN d0 ON sym.src = d0.id
+             |  WHERE dst NOT IN (SELECT id FROM d0)),
+             |v1 AS (SELECT id, dist FROM d0 UNION ALL SELECT id, 1 FROM f1),
+             |f2 AS (SELECT DISTINCT dst AS id FROM sym
+             |  JOIN f1 ON sym.src = f1.id
+             |  WHERE dst NOT IN (SELECT id FROM v1)),
+             |v2 AS (SELECT id, dist FROM v1 UNION ALL SELECT id, 2 FROM f2),
+             |f3 AS (SELECT DISTINCT dst AS id FROM sym
+             |  JOIN f2 ON sym.src = f2.id
+             |  WHERE dst NOT IN (SELECT id FROM v2)),
+             |v3 AS (SELECT id, dist FROM v2 UNION ALL SELECT id, 3 FROM f3),
+             |f4 AS (SELECT DISTINCT dst AS id FROM sym
+             |  JOIN f3 ON sym.src = f3.id
+             |  WHERE dst NOT IN (SELECT id FROM v3)),
+             |v4 AS (SELECT id, dist FROM v3 UNION ALL SELECT id, 4 FROM f4)
+             |SELECT
+             |  CAST(SUM(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_seeds,
+             |  CAST(SUM(CASE WHEN dist > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_reached,
+             |  ROUND(SUM(CASE WHEN dist > 0 THEN 1.0 / dist END), 6)
+             |    AS harmonic
+             |FROM v4""".stripMargin)),
+
     Q("graph_bfs_hops", // BFS k-hop reachability histogram from a seed
       // set (the 3 smallest node ids) over the symmetrized purchase
       // graph: 3 rounds of frontier expansion, each ONE edge join with
