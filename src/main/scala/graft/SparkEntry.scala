@@ -1495,6 +1495,41 @@ object SparkEntry {
              |  ROUND(cxy * cxy / (vx * vy), 6) AS var_reduction
              |FROM s""".stripMargin)),
 
+    Q("events_power_analysis", // sample-size calculator: n per arm =
+      // 2(z_α/2+z_β)²σ²/δ² (two-sided α=.05, power .8) for an MDE grid
+      // of 1/2/5/10% of the per-user value mean — the "how long must
+      // this experiment run" table CUPED's variance feeds into. One
+      // user rollup + one moments aggregate; the z constants are
+      // spelled identically in both engines and ceil lands far from
+      // integer boundaries.
+      (s, d) => {
+        val u = t(s, d, "events").groupBy("user_id")
+          .agg(sum("value").as("v"))
+        val z = lit(1.959964) + lit(0.841621)
+        u.agg(avg("v").as("mu"),
+            (avg(col("v") * col("v")) - avg("v") * avg("v")).as("s2"))
+          .select(col("mu"), col("s2"),
+            explode(typedLit(Seq(1, 2, 5, 10))).as("mde_pct"))
+          .select(col("mde_pct"),
+            round(col("mu") * col("mde_pct") / 100.0, 6).as("mde_abs"),
+            ceil(lit(2.0) * z * z * col("s2")
+              / ((col("mu") * col("mde_pct") / 100.0)
+                * (col("mu") * col("mde_pct") / 100.0)))
+              .cast("long").as("n_per_arm"))
+          .orderBy("mde_pct")
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id, SUM(value) AS v FROM events GROUP BY 1),
+             |m AS (SELECT AVG(v) AS mu,
+             |    AVG(v * v) - AVG(v) * AVG(v) AS s2 FROM u),
+             |g AS (SELECT mu, s2, unnest([1, 2, 5, 10]) AS mde_pct FROM m)
+             |SELECT mde_pct,
+             |  ROUND(mu * mde_pct / 100.0, 6) AS mde_abs,
+             |  CAST(ceil(2.0 * (1.959964 + 0.841621) * (1.959964 + 0.841621)
+             |    * s2 / ((mu * mde_pct / 100.0) * (mu * mde_pct / 100.0)))
+             |    AS BIGINT) AS n_per_arm
+             |FROM g ORDER BY mde_pct""".stripMargin)),
+
     Q("events_jackknife_ci", // delete-1 jackknife over the daily grain:
       // the resampling-free CI for "mean daily events" — θᵢ =
       // (T − tᵢ)/(n−1) is CLOSED FORM off one daily rollup (no loop,
@@ -9427,6 +9462,42 @@ object SparkEntry {
              |    / SUM(CASE WHEN pred IS NOT NULL THEN 1 ELSE 0 END), 6)
              |    AS knn_accuracy
              |FROM graded GROUP BY label ORDER BY label""".stripMargin)),
+
+    Q("part_newsvendor_stock", // newsvendor stocking level: at a 9:1
+      // underage:overage cost ratio the optimal stock is the 90th
+      // demand percentile — read as an EXACT order statistic
+      // (PERCENTILE_DISC at rank ⌈0.9·n⌉) of each part's monthly
+      // demand history, part-keyed windows over the (part, month)
+      // rollup. Reported for the 20 highest-volume parts; every value
+      // is an exact integer, bit-deterministic.
+      (s, d) => {
+        val md = t(s, d, "lineitem")
+          .groupBy(col("l_partkey"),
+            date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+          .agg(sum(col("l_quantity").cast("long")).as("q"))
+        val wp = Window.partitionBy("l_partkey")
+        val r = md
+          .withColumn("rn", row_number().over(wp.orderBy("q")))
+          .withColumn("n", count(lit(1)).over(wp))
+          .withColumn("tot", sum("q").over(wp))
+        r.filter(col("rn") === ceil(lit(0.9) * col("n")).cast("int"))
+          .select(col("l_partkey"), col("n").as("n_months"),
+            col("tot").as("total_demand"), col("q").as("stock_q90"))
+          .orderBy(col("total_demand").desc, col("l_partkey")).limit(20)
+      },
+      Some("""WITH md AS (
+             |  SELECT l_partkey, strftime(l_shipdate, '%Y-%m') AS month,
+             |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+             |  FROM lineitem GROUP BY 1, 2),
+             |r AS (SELECT l_partkey, q,
+             |    row_number() OVER (PARTITION BY l_partkey ORDER BY q) AS rn,
+             |    COUNT(*) OVER (PARTITION BY l_partkey) AS n,
+             |    SUM(q) OVER (PARTITION BY l_partkey) AS tot
+             |  FROM md)
+             |SELECT l_partkey, n AS n_months,
+             |  CAST(tot AS BIGINT) AS total_demand, q AS stock_q90
+             |FROM r WHERE rn = CAST(ceil(0.9 * n) AS BIGINT)
+             |ORDER BY total_demand DESC, l_partkey LIMIT 20""".stripMargin)),
 
     Q("part_price_index", // fixed-base price indexes over monthly part
       // unit prices: Laspeyres (base-quantity weights), Paasche
