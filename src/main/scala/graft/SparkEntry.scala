@@ -3329,21 +3329,26 @@ object SparkEntry {
         case "o_orderdate" => x.cast("date").cast("string")
         case _ => x.cast("string")
       }
+      // Shape note (measured, sf0.1 isolated): ONE agg holding all six
+      // countDistincts plans through a 6× Expand of full rows into a
+      // single wide hash agg — 3.83 s best-of-2. Six single-column
+      // aggregates unioned read six PRUNED scans (columnar I/O ≈ the
+      // expand's row volume) and each distinct runs its own two-phase
+      // hash agg — the same total work without the multi-distinct
+      // Expand bottleneck. At 100 TB both shapes scan every profiled
+      // byte once; the union form additionally parallelizes across
+      // columns as independent jobs.
       (s: SparkSession, d: String) => {
         val o = t(s, d, "orders")
-        val aggs = cols.flatMap(c => Seq(
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-          countDistinct(col(c)).as(s"${c}_nd"),
-          render(c, min(col(c))).as(s"${c}_min"),
-          render(c, max(col(c))).as(s"${c}_max")))
-        o.agg(count(lit(1)).as("_n"), aggs: _*)
-          .select(explode(array(cols.map(c => struct(
-            lit(c).as("col_name"), col("_n").as("n_rows"),
-            col(s"${c}_nulls").as("n_nulls"),
-            col(s"${c}_nd").as("n_distinct"),
-            col(s"${c}_min").as("min_str"),
-            col(s"${c}_max").as("max_str"))): _*)).as("p"))
-          .select("p.*").orderBy("col_name")
+        cols.map { c =>
+          o.agg(count(lit(1)).as("n_rows"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+            countDistinct(col(c)).as("n_distinct"),
+            render(c, min(col(c))).as("min_str"),
+            render(c, max(col(c))).as("max_str"))
+            .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+              col("n_distinct"), col("min_str"), col("max_str"))
+        }.reduce(_.unionByName(_)).orderBy("col_name")
       }
     }, {
       val cols = Seq("o_custkey", "o_orderdate", "o_orderkey",
