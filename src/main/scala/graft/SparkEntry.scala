@@ -7503,6 +7503,62 @@ object SparkEntry {
              |FROM el, q WHERE el.label IN (SELECT label FROM near)
              |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)),
 
+    Q("emb_cluster_nmi", // EXTERNAL clustering eval: purity + NMI of
+      // the deterministic-Lloyd partition against the ground-truth
+      // label column — the recover-the-real-structure report the
+      // internal metrics (silhouette, Davies–Bouldin) can't give. One
+      // assignment pass collapses to the ≤ k×|labels| contingency
+      // grain; everything downstream is tiny aggregations over it.
+      // The oracle RE-TRAINS the same 3 Lloyd rounds in SQL (the
+      // lloyd-IVF builders, over the full corpus) and recomputes the
+      // identical information terms.
+      (s, d) => Similarity.lloydClusterEval(t(s, d, "embeddings")),
+      Some {
+        def assign(src: String, cents: String, out: String): String =
+          s"""$out AS (SELECT vec_id, v, cl FROM (
+             |  SELECT $src.vec_id AS vec_id, $src.v AS v, $cents.cl AS cl,
+             |    row_number() OVER (PARTITION BY $src.vec_id
+             |      ORDER BY list_sum(list_transform(range(1, 65),
+             |        i -> ($src.v[i] - $cents.c[i]) * ($src.v[i] - $cents.c[i]))),
+             |        $cents.cl) AS rn
+             |  FROM $src, $cents) WHERE rn = 1)""".stripMargin
+        def rnd(prev: String, cur: String): String =
+          s"""${assign("e", prev, s"a$cur")},
+             |m$cur AS (SELECT cl, t.dim, AVG(v[t.dim]) AS m
+             |  FROM a$cur, range(1, 65) AS t(dim) GROUP BY cl, t.dim),
+             |n$cur AS (SELECT cl, list(m ORDER BY dim) AS c FROM m$cur GROUP BY cl),
+             |$cur AS (SELECT $prev.cl, COALESCE(n$cur.c, $prev.c) AS c
+             |  FROM $prev LEFT JOIN n$cur ON $prev.cl = n$cur.cl)""".stripMargin
+        s"""WITH e AS (SELECT vec_id,
+           |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, label
+           |  FROM embeddings),
+           |c0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cl, v AS c
+           |  FROM e ORDER BY vec_id LIMIT 8),
+           |${rnd("c0", "c1")},
+           |${rnd("c1", "c2")},
+           |${rnd("c2", "c3")},
+           |${assign("e", "c3", "af")},
+           |ct AS (SELECT af.cl, e.label AS lbl, COUNT(*) AS n
+           |  FROM af JOIN e ON af.vec_id = e.vec_id GROUP BY 1, 2),
+           |nt AS (SELECT CAST(SUM(n) AS BIGINT) AS ni FROM ct),
+           |rt AS (SELECT cl, CAST(SUM(n) AS BIGINT) AS a FROM ct GROUP BY 1),
+           |lt AS (SELECT lbl, CAST(SUM(n) AS BIGINT) AS b FROM ct GROUP BY 1),
+           |iv AS (SELECT SUM((CAST(n AS DOUBLE) / (SELECT ni FROM nt))
+           |    * ln(CAST(n * (SELECT ni FROM nt) AS DOUBLE) / (a * b))) AS i
+           |  FROM ct JOIN rt USING (cl) JOIN lt USING (lbl)),
+           |hc AS (SELECT -SUM((CAST(a AS DOUBLE) / (SELECT ni FROM nt))
+           |    * ln(CAST(a AS DOUBLE) / (SELECT ni FROM nt))) AS h FROM rt),
+           |hl AS (SELECT -SUM((CAST(b AS DOUBLE) / (SELECT ni FROM nt))
+           |    * ln(CAST(b AS DOUBLE) / (SELECT ni FROM nt))) AS h FROM lt),
+           |pu AS (SELECT CAST(SUM(m) AS DOUBLE) / (SELECT ni FROM nt) AS p
+           |  FROM (SELECT cl, MAX(n) AS m FROM ct GROUP BY 1))
+           |SELECT (SELECT ni FROM nt) AS n_vecs,
+           |  (SELECT COUNT(*) FROM rt) AS n_clusters_used,
+           |  ROUND((SELECT p FROM pu), 6) AS purity,
+           |  ROUND(2.0 * (SELECT i FROM iv)
+           |    / ((SELECT h FROM hc) + (SELECT h FROM hl)), 6) AS nmi""".stripMargin
+      }),
+
     Q("emb_lloyd_ivf_topk", // IVF over DETERMINISTIC Lloyd-learned
       // inverted lists: fixed init (lowest-id vectors), total-order
       // tie-breaks, 3 rounds — the trained index is a pure function of

@@ -655,6 +655,53 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** EXTERNAL clustering evaluation: purity and normalized mutual
+    * information of the deterministic-Lloyd partition against a
+    * ground-truth label column — the "did the unsupervised index
+    * recover the real structure" report the internal metrics
+    * (silhouette, Davies–Bouldin) can't give. One assignment pass
+    * (codegen'd argmin over centroid literals) collapses to the
+    * ≤ k×|labels| contingency grain; purity, I, H_cluster and H_label
+    * are tiny aggregations over it, and only the four final scalars
+    * cross the driver. Contingency counts are exact integers; the ln
+    * sums are the one float slack, rounded at `roundTo`.
+    */
+  def lloydClusterEval(
+      emb: DataFrame, numClusters: Int = 8, iters: Int = 3,
+      labelCol: String = "label", vecCol: String = "embedding",
+      idCol: String = "vec_id", roundTo: Int = 6): DataFrame = {
+    graft.plans.GraftFunctions.register(emb.sparkSession)
+    val e = emb.select(col(idCol), col(vecCol).as("v"),
+      col(labelCol).as("lbl"))
+    val cents = trainLloydCentroids(
+      e.select(col(idCol), col("v")), idCol, numClusters, iters)
+    val ct = e.withColumn("cl", lloydAssign(cents))
+      .groupBy("cl", "lbl").agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = true) // ≤ k×|labels| rows, 4 consumers
+    val nTot = ct.agg(sum("n")).head().getLong(0)
+    val rowT = ct.groupBy("cl").agg(sum("n").as("a"))
+      .localCheckpoint(eager = false)
+    val colT = ct.groupBy("lbl").agg(sum("n").as("b"))
+    val nUsed = rowT.count()
+    val purity = ct.groupBy("cl").agg(max("n").as("m"))
+      .agg(sum("m")).head().getLong(0).toDouble / nTot
+    val iVal = ct.join(rowT, Seq("cl")).join(colT, Seq("lbl"))
+      .agg(sum((col("n").cast("double") / nTot)
+        * log((col("n") * nTot).cast("double") / (col("a") * col("b")))))
+      .head().getDouble(0)
+    def entropy(tot: DataFrame, c: String): Double =
+      tot.agg(-sum((col(c).cast("double") / nTot)
+        * log(col(c).cast("double") / nTot))).head().getDouble(0)
+    val nmi = 2.0 * iVal / (entropy(rowT, "a") + entropy(colT, "b"))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(roundTo, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val spark = emb.sparkSession
+    import spark.implicits._
+    Seq((nTot, nUsed, r6(purity), r6(nmi)))
+      .toDF("n_vecs", "n_clusters_used", "purity", "nmi")
+  }
+
   /** Mutual-kNN pairs: (a, b) kept iff EACH is in the other's top-k —
     * the reciprocity filter semantic-dedup pipelines run on a kNN graph
     * to kill hub-induced false neighbors (a hub vector appears in
