@@ -10586,6 +10586,64 @@ object SparkEntry {
              |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
              |GROUP BY 1, 2 ORDER BY source, topic""".stripMargin)),
 
+    Q("graph_rich_club", // rich-club coefficient φ(k): edge density
+      // among nodes of degree > k, for a k grid — "do the hubs trade
+      // with each other" (Zhou & Mondragón 2004), the structure number
+      // behind hub-exclusion decisions in the pair-generation family.
+      // Degrees come off the shared canonical co-purchase index; each
+      // k level is a filter over the degree-annotated edge list (the
+      // grid explodes, never re-scans). All-integer counts, exact
+      // ratios rounded.
+      (s, d) => {
+        val edges = coPurchasePairs(s, d).filter(col("n") >= 2)
+          .select("src", "dst")
+        val deg = edges.select(explode(array(col("src"), col("dst")))
+            .as("id"))
+          .groupBy("id").agg(count(lit(1)).as("dg"))
+          .localCheckpoint(eager = false) // node grid + 2 edge joins
+        val ks = Seq(4, 8, 16, 32)
+        val nodesK = deg.select(col("dg"), explode(typedLit(ks)).as("k"))
+          .filter(col("dg") > col("k"))
+          .groupBy("k").agg(count(lit(1)).as("n_nodes"))
+        val edgesK = edges
+          .join(deg.select(col("id").as("src"), col("dg").as("da")),
+            Seq("src"))
+          .join(deg.select(col("id").as("dst"), col("dg").as("db")),
+            Seq("dst"))
+          .select(col("da"), col("db"), explode(typedLit(ks)).as("k"))
+          .filter(col("da") > col("k") && col("db") > col("k"))
+          .groupBy("k").agg(count(lit(1)).as("n_edges"))
+        nodesK.join(edgesK, Seq("k"), "left_outer")
+          .select(col("k"), col("n_nodes"),
+            coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+            when(col("n_nodes") >= 2,
+              round(lit(2.0) * coalesce(col("n_edges"), lit(0L))
+                / (col("n_nodes") * (col("n_nodes") - 1)), 6)).as("phi"))
+          .orderBy("k")
+      },
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |p AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+             |  FROM op a JOIN op b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |deg AS (SELECT id, COUNT(*) AS dg FROM (
+             |    SELECT src AS id FROM p UNION ALL SELECT dst FROM p)
+             |  GROUP BY 1),
+             |ks AS (SELECT unnest([4, 8, 16, 32]) AS k),
+             |nk AS (SELECT k, COUNT(*) AS n_nodes FROM deg, ks
+             |  WHERE dg > k GROUP BY 1),
+             |ek AS (SELECT k, COUNT(*) AS n_edges
+             |  FROM p JOIN deg da ON da.id = p.src
+             |  JOIN deg db ON db.id = p.dst, ks
+             |  WHERE da.dg > k AND db.dg > k GROUP BY 1)
+             |SELECT nk.k, nk.n_nodes,
+             |  CAST(COALESCE(ek.n_edges, 0) AS BIGINT) AS n_edges,
+             |  CASE WHEN nk.n_nodes >= 2 THEN
+             |    ROUND(2.0 * COALESCE(ek.n_edges, 0)
+             |      / (nk.n_nodes * (nk.n_nodes - 1)), 6) END AS phi
+             |FROM nk LEFT JOIN ek ON nk.k = ek.k
+             |ORDER BY nk.k""".stripMargin)),
+
     Q("graph_modularity", // community-quality score: Newman modularity
       // Q = intra/m - sum_c(D_c^2)/(4 m^2) of the 3-round
       // label-propagation partition over the co-purchase part graph —
