@@ -3133,6 +3133,49 @@ object SparkEntry {
              |  ROUND(MAX(l_extendedprice), 2) AS hi
              |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
+    Q("cust_segment_migration", // segment-migration matrix: customers
+      // tertiled by spend (low/mid/high, rank-based with a custkey
+      // tie-break) in each HALF of the order history, and the 3×3
+      // where-did-they-move matrix over customers active in both —
+      // the CRM churn/upsell report next to the static RFM cut. Spend
+      // ranks are exact integer arithmetic off one ordered window per
+      // half; counts are exact.
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val cut = java.sql.Timestamp.valueOf("1995-06-01 00:00:00")
+        def segs(cond: Column, out: String): DataFrame = {
+          val h = o.filter(cond).groupBy("o_custkey")
+            .agg(sum(col("o_totalprice").cast("double")).as("v"))
+          val n = h.count()
+          val w = Window.orderBy(col("v"), col("o_custkey"))
+          h.withColumn("r", row_number().over(w))
+            .select(col("o_custkey"),
+              element_at(typedLit(Seq("low", "mid", "high")),
+                (floor((col("r") - 1) * 3 / lit(n.toDouble)) + 1)
+                  .cast("int")).as(out))
+        }
+        segs(col("o_orderdate") < lit(cut), "seg_h1")
+          .join(segs(col("o_orderdate") >= lit(cut), "seg_h2"),
+            Seq("o_custkey"))
+          .groupBy("seg_h1", "seg_h2").agg(count(lit(1)).as("n_customers"))
+          .orderBy("seg_h1", "seg_h2")
+      },
+      Some {
+        def seg(op: String, out: String): String =
+          s"""(SELECT o_custkey,
+             |  (['low','mid','high'])[CAST(floor((row_number() OVER (
+             |     ORDER BY v, o_custkey) - 1) * 3.0 / COUNT(*) OVER ())
+             |     AS INT) + 1] AS $out
+             | FROM (SELECT o_custkey, SUM(CAST(o_totalprice AS DOUBLE)) AS v
+             |       FROM orders
+             |       WHERE o_orderdate $op TIMESTAMP '1995-06-01 00:00:00'
+             |       GROUP BY 1))""".stripMargin
+        s"""SELECT h1.seg_h1, h2.seg_h2, COUNT(*) AS n_customers
+           |FROM ${seg("<", "seg_h1")} h1
+           |JOIN ${seg(">=", "seg_h2")} h2 USING (o_custkey)
+           |GROUP BY 1, 2 ORDER BY seg_h1, seg_h2""".stripMargin
+      }),
+
     Q("orders_rfm_segments", // RFM segmentation: per-customer recency /
       // frequency / monetary quartiles, anchored at the corpus max order
       // day so the metric is data-pinned, not wall-clock. The three NTILE
