@@ -12156,7 +12156,135 @@ object SparkEntry {
            |  ROUND(SUM(CASE WHEN vec_id IN (SELECT vec_id FROM brute)
            |    THEN 1 ELSE 0 END) / 10.0, 4) AS recall_at_10
            |FROM rk WHERE r <= 10 GROUP BY p ORDER BY p""".stripMargin
-      }))
+      }),
+
+    Q("events_did_estimate", // difference-in-differences: purchase
+      // (treated) vs view (control) mean event value, first half of the
+      // month (pre) vs second (post) — the cohort-assignment causal
+      // estimator that completes the experimentation family (CUPED,
+      // power analysis, attribution). ONE conditional aggregation over
+      // the two event types yields all four cells' sufficient statistics
+      // (n, Σx, Σx²); the DiD point estimate and its pooled standard
+      // error are scalar expressions over that single row, so 12 numbers
+      // cross the final exchange and nothing else.
+      (s, d) => {
+        val e = t(s, d, "events")
+          .filter(col("event_type").isin("purchase", "view"))
+          .select((col("event_type") === "purchase").as("treated"),
+            (dayofmonth(col("ts")) > 15).as("post"), col("value"))
+        def cell(tr: Boolean, po: Boolean, sfx: String) = {
+          val in = when(col("treated") === tr && col("post") === po,
+            col("value"))
+          Seq(count(in).as(s"n_$sfx"), sum(in).as(s"s_$sfx"),
+            sum(in * in).as(s"q_$sfx"))
+        }
+        val cells = cell(true, false, "t_pre") ++ cell(true, true, "t_post") ++
+          cell(false, false, "c_pre") ++ cell(false, true, "c_post")
+        val g = e.agg(cells.head, cells.tail: _*)
+        def m(sfx: String) = col(s"s_$sfx") / col(s"n_$sfx")
+        def v(sfx: String) = (col(s"q_$sfx")
+          - col(s"s_$sfx") * col(s"s_$sfx") / col(s"n_$sfx"))
+          ./(col(s"n_$sfx") - lit(1))
+        val did = (m("t_post") - m("t_pre")) - (m("c_post") - m("c_pre"))
+        val se = sqrt(v("t_pre") / col("n_t_pre")
+          + v("t_post") / col("n_t_post") + v("c_pre") / col("n_c_pre")
+          + v("c_post") / col("n_c_post"))
+        g.select(col("n_t_pre"), col("n_t_post"), col("n_c_pre"),
+          col("n_c_post"), round(m("t_pre"), 6).as("m_t_pre"),
+          round(m("t_post"), 6).as("m_t_post"),
+          round(m("c_pre"), 6).as("m_c_pre"),
+          round(m("c_post"), 6).as("m_c_post"),
+          round(did, 6).as("did"), round(se, 6).as("se"),
+          round(did / se, 4).as("t_stat"))
+      },
+      Some("""WITH e AS (
+             |  SELECT (event_type = 'purchase') AS treated,
+             |    (day(ts) > 15) AS post, value
+             |  FROM events WHERE event_type IN ('purchase', 'view')),
+             |c AS (SELECT
+             |    COUNT(*) FILTER (treated AND NOT post) AS n_t_pre,
+             |    SUM(value) FILTER (treated AND NOT post) AS s_t_pre,
+             |    SUM(value * value) FILTER (treated AND NOT post) AS q_t_pre,
+             |    COUNT(*) FILTER (treated AND post) AS n_t_post,
+             |    SUM(value) FILTER (treated AND post) AS s_t_post,
+             |    SUM(value * value) FILTER (treated AND post) AS q_t_post,
+             |    COUNT(*) FILTER (NOT treated AND NOT post) AS n_c_pre,
+             |    SUM(value) FILTER (NOT treated AND NOT post) AS s_c_pre,
+             |    SUM(value * value) FILTER (NOT treated AND NOT post) AS q_c_pre,
+             |    COUNT(*) FILTER (NOT treated AND post) AS n_c_post,
+             |    SUM(value) FILTER (NOT treated AND post) AS s_c_post,
+             |    SUM(value * value) FILTER (NOT treated AND post) AS q_c_post
+             |  FROM e)
+             |SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+             |  ROUND(s_t_pre / n_t_pre, 6) AS m_t_pre,
+             |  ROUND(s_t_post / n_t_post, 6) AS m_t_post,
+             |  ROUND(s_c_pre / n_c_pre, 6) AS m_c_pre,
+             |  ROUND(s_c_post / n_c_post, 6) AS m_c_post,
+             |  ROUND((s_t_post / n_t_post - s_t_pre / n_t_pre)
+             |    - (s_c_post / n_c_post - s_c_pre / n_c_pre), 6) AS did,
+             |  ROUND(sqrt(
+             |      (q_t_pre - s_t_pre * s_t_pre / n_t_pre) / (n_t_pre - 1) / n_t_pre
+             |    + (q_t_post - s_t_post * s_t_post / n_t_post) / (n_t_post - 1) / n_t_post
+             |    + (q_c_pre - s_c_pre * s_c_pre / n_c_pre) / (n_c_pre - 1) / n_c_pre
+             |    + (q_c_post - s_c_post * s_c_post / n_c_post) / (n_c_post - 1) / n_c_post), 6) AS se,
+             |  ROUND(((s_t_post / n_t_post - s_t_pre / n_t_pre)
+             |    - (s_c_post / n_c_post - s_c_pre / n_c_pre))
+             |    / sqrt(
+             |      (q_t_pre - s_t_pre * s_t_pre / n_t_pre) / (n_t_pre - 1) / n_t_pre
+             |    + (q_t_post - s_t_post * s_t_post / n_t_post) / (n_t_post - 1) / n_t_post
+             |    + (q_c_pre - s_c_pre * s_c_pre / n_c_pre) / (n_c_pre - 1) / n_c_pre
+             |    + (q_c_post - s_c_post * s_c_post / n_c_post) / (n_c_post - 1) / n_c_post), 4) AS t_stat
+             |FROM c""".stripMargin)),
+
+    Q("orders_sprt_monitor", // Wald's sequential probability ratio test
+      // on the monthly urgent-order rate (H0 p=0.18 vs H1 p=0.22,
+      // α=β=0.05) — the always-valid sequential monitor an
+      // experimentation stack runs instead of a fixed-horizon test. One
+      // aggregation collapses orders to the bounded month grain
+      // (n, urgent count); the log-likelihood increment rounds at that
+      // boundary on BOTH engines before the ordered cumulative sum, so
+      // float slack can never flip a decision threshold. The ln
+      // constants are computed once in the JVM and inlined into the
+      // oracle as shortest-round-trip literals (the model-constants
+      // pattern the LSH/KMeans oracles use).
+      (s, d) => {
+        val m = t(s, d, "orders")
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("o_orderpriority") === "1-URGENT", 1L)
+              .otherwise(0L)).as("x"))
+          .withColumn("llr",
+            round(col("x") * lit(SprtLr1) + (col("n") - col("x")) * lit(SprtLr0), 6))
+        val w = Window.orderBy("ym")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        m.withColumn("cum_llr", round(sum("llr").over(w), 6))
+          .select(col("ym"), col("n"), col("x"), col("llr"), col("cum_llr"),
+            when(col("cum_llr") >= SprtBound, "accept_h1")
+              .when(col("cum_llr") <= -SprtBound, "accept_h0")
+              .otherwise("continue").as("decision"))
+          .orderBy("ym")
+      },
+      Some(s"""WITH m AS (
+             |  SELECT strftime(o_orderdate, '%Y-%m') AS ym, COUNT(*) AS n,
+             |    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS x
+             |  FROM orders GROUP BY 1),
+             |l AS (SELECT ym, n, x,
+             |  ROUND(x * ($SprtLr1) + (n - x) * ($SprtLr0), 6) AS llr FROM m),
+             |c AS (SELECT ym, n, x, llr,
+             |  ROUND(SUM(llr) OVER (ORDER BY ym), 6) AS cum_llr FROM l)
+             |SELECT ym, n, x, llr, cum_llr,
+             |  CASE WHEN cum_llr >= $SprtBound THEN 'accept_h1'
+             |       WHEN cum_llr <= -($SprtBound) THEN 'accept_h0'
+             |       ELSE 'continue' END AS decision
+             |FROM c ORDER BY ym""".stripMargin)))
+
+  /** SPRT model constants (H0 p=0.18, H1 p=0.22, α=β=0.05), computed
+    * once JVM-side and inlined into both engines' expressions so neither
+    * engine's `ln` implementation enters the comparison. */
+  private val SprtLr1: Double = math.log(0.22 / 0.18)
+  private val SprtLr0: Double = math.log(0.78 / 0.82)
+  private val SprtBound: Double = math.log(0.95 / 0.05)
   // -- driver contract ------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
