@@ -12277,7 +12277,117 @@ object SparkEntry {
              |  CASE WHEN cum_llr >= $SprtBound THEN 'accept_h1'
              |       WHEN cum_llr <= -($SprtBound) THEN 'accept_h0'
              |       ELSE 'continue' END AS decision
-             |FROM c ORDER BY ym""".stripMargin)))
+             |FROM c ORDER BY ym""".stripMargin)),
+
+    Q("doc_heaps_law", // vocabulary-growth (Heaps' law) curve: cumulative
+      // distinct vocabulary vs cumulative token count at 10 corpus-prefix
+      // milestones, plus the fitted Heaps exponent β from log-log OLS —
+      // the saturation diagnostic that says how much NEW vocabulary the
+      // next 10 TB of corpus will add. Scale shape: tokens collapse to
+      // the doc grain (token counts) and the term grain (first-occurrence
+      // doc) in one explode+agg each; every row then lands in its decile
+      // bucket by EXACT integer arithmetic against a 1-row max-id
+      // broadcast, so the cumulative curve is a 10-row window, never a
+      // doc-grain scan-order window. β is fitted with window aggregates
+      // over those 10 rows — no extra join, no collect.
+      (s, d) => {
+        val dt = t(s, d, "documents").select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        val mx = t(s, d, "documents").agg(max("doc_id").as("mx"))
+        val docn = dt.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+        val tokb = docn.crossJoin(broadcast(mx))
+          .select(expr("greatest((10 * doc_id + mx - 1) div mx, 1)").as("b"),
+            col("n_tok"))
+          .groupBy("b").agg(sum("n_tok").as("nt"))
+        val trmb = dt.groupBy("term").agg(min("doc_id").as("fd"))
+          .crossJoin(broadcast(mx))
+          .select(expr("greatest((10 * fd + mx - 1) div mx, 1)").as("b"))
+          .groupBy("b").agg(count(lit(1)).as("nv"))
+        val grid = mx.select(explode(typedLit((1 to 10).map(_.toLong)))
+          .as("decile"))
+        val wc = Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wa = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        val c = grid
+          .join(tokb.withColumnRenamed("b", "decile"), Seq("decile"), "left_outer")
+          .join(trmb.withColumnRenamed("b", "decile"), Seq("decile"), "left_outer")
+          .select(col("decile"),
+            sum(coalesce(col("nt"), lit(0L))).over(wc).as("n_tokens"),
+            sum(coalesce(col("nv"), lit(0L))).over(wc).as("vocab"))
+          .withColumn("x", log(col("n_tokens")))
+          .withColumn("y", log(col("vocab")))
+          .withColumn("xb", avg("x").over(wa))
+          .withColumn("yb", avg("y").over(wa))
+        c.select(col("decile"), col("n_tokens"), col("vocab"),
+            round((sum((col("x") - col("xb")) * (col("y") - col("yb")))
+              .over(wa))
+              / (sum((col("x") - col("xb")) * (col("x") - col("xb")))
+                .over(wa)), 6).as("heaps_beta"))
+          .orderBy("decile")
+      },
+      Some("""WITH dt AS (
+             |  SELECT doc_id,
+             |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+             |  FROM documents),
+             |mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+             |docn AS (SELECT doc_id, COUNT(*) AS n_tok FROM dt GROUP BY 1),
+             |tokb AS (SELECT GREATEST((10 * doc_id + mx - 1) // mx, 1) AS b,
+             |    CAST(SUM(n_tok) AS BIGINT) AS nt
+             |  FROM docn, mx GROUP BY 1),
+             |fd AS (SELECT term, MIN(doc_id) AS fd FROM dt GROUP BY 1),
+             |trmb AS (SELECT GREATEST((10 * fd + mx - 1) // mx, 1) AS b,
+             |    COUNT(*) AS nv
+             |  FROM fd, mx GROUP BY 1),
+             |g AS (SELECT unnest(range(1, 11)) AS decile),
+             |c AS (SELECT g.decile,
+             |    CAST(SUM(COALESCE(nt, 0)) OVER (ORDER BY g.decile) AS BIGINT)
+             |      AS n_tokens,
+             |    CAST(SUM(COALESCE(nv, 0)) OVER (ORDER BY g.decile) AS BIGINT)
+             |      AS vocab
+             |  FROM g LEFT JOIN tokb ON tokb.b = g.decile
+             |    LEFT JOIN trmb ON trmb.b = g.decile),
+             |l AS (SELECT decile, n_tokens, vocab,
+             |    ln(n_tokens) AS x, ln(vocab) AS y,
+             |    AVG(ln(n_tokens)) OVER () AS xb,
+             |    AVG(ln(vocab)) OVER () AS yb
+             |  FROM c)
+             |SELECT decile, n_tokens, vocab,
+             |  ROUND(SUM((x - xb) * (y - yb)) OVER ()
+             |    / SUM((x - xb) * (x - xb)) OVER (), 6) AS heaps_beta
+             |FROM l ORDER BY decile""".stripMargin)),
+
+    Q("graph_edge_support", // per-edge triangle support histogram — the
+      // k-truss building block over the shared co-purchase part graph:
+      // how many edges sit in 0, 1, 2, … triangles. Degree-oriented
+      // wedge enumeration finds each triangle once, keeps the apex, and
+      // explodes it map-side into its three canonical edges; one hash
+      // aggregation gives every edge's support, a left join brings back
+      // the support-0 edges, and the histogram is a second tiny
+      // aggregation. All counts exact integers.
+      (s, d) => {
+        val edges = coPurchasePairs(s, d).filter(col("n") >= 2)
+          .select("src", "dst")
+        graft.operators.Graph.edgeSupport(edges, canonicalEdges = true)
+          .groupBy("support").agg(count(lit(1)).as("n_edges"))
+          .orderBy("support")
+      },
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |p AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst
+             |  FROM op a JOIN op b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |tri AS MATERIALIZED (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+             |  FROM p e1 JOIN p e2 ON e2.src = e1.dst
+             |  JOIN p e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+             |te AS (SELECT a AS x, b AS y FROM tri
+             |  UNION ALL SELECT a, c FROM tri
+             |  UNION ALL SELECT b, c FROM tri),
+             |sup AS (SELECT p.src, p.dst, COUNT(te.x) AS support
+             |  FROM p LEFT JOIN te ON te.x = p.src AND te.y = p.dst
+             |  GROUP BY 1, 2)
+             |SELECT support, COUNT(*) AS n_edges
+             |FROM sup GROUP BY 1 ORDER BY 1""".stripMargin)))
 
   /** SPRT model constants (H0 p=0.18, H1 p=0.22, α=β=0.05), computed
     * once JVM-side and inlined into both engines' expressions so neither

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph algorithms, relational-style. Connected components
@@ -423,6 +423,71 @@ object Graph {
         when(col("n_wedges") === 0, lit(0.0))
           .otherwise(round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
           .as("clustering_coeff")),
+      (if (canonicalEdges) Nil else Seq(und)) :+ oriented: _*)
+  }
+
+  /** Per-edge triangle support — the k-truss building block: for every
+    * canonical (a < b) edge, how many triangles it closes. Same
+    * degree-oriented wedge enumeration as [[triangleStats]] (each
+    * triangle is found exactly once, wedge fan-out bounded by the
+    * orientation), but the closing join KEEPS the wedge apex so each
+    * triangle explodes map-side into its three canonical edges; ONE
+    * hash aggregation then yields every edge's support, and edges in no
+    * triangle come back with support 0 via a left join against the edge
+    * set itself. No all-pairs step anywhere: cost is the triangle
+    * enumeration plus a 3× explode of the (much smaller) triangle set.
+    */
+  def edgeSupport(edges: DataFrame,
+      broadcastNodeLimit: Long = 10000000L,
+      canonicalEdges: Boolean = false): DataFrame = {
+    val und =
+      if (canonicalEdges)
+        edges.select(col("src").as("a"), col("dst").as("b"))
+      else edges
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct().cache()
+    val nEdges = und.count()
+    val deg = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val degSide: DataFrame => DataFrame =
+      if (nEdges * 2 <= broadcastNodeLimit) broadcast else identity
+    val withDeg = und
+      .join(degSide(deg.select(col("id").as("a"), col("d").as("da"))),
+        Seq("a"))
+      .join(degSide(deg.select(col("id").as("b"), col("d").as("db"))),
+        Seq("b"))
+    val oriented = withDeg.select(
+      when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+        struct(col("a").as("u"), col("b").as("v"), col("da").as("du"),
+          col("db").as("dv")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"),
+          col("db").as("du"), col("da").as("dv"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"),
+        col("e.du").as("du"), col("e.dv").as("dv"))
+      .cache()
+    val w1 = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+    val w2 = oriented.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+    // unlike triangleStats the apex u survives the wedge join: the
+    // closing semi join then yields full (u, x, y) triangles
+    val wedges = w1.join(w2, Seq("u"))
+      .filter(struct(col("dx"), col("x")) < struct(col("dy"), col("y")))
+      .select(col("u"), col("x"), col("y"))
+    val closed = wedges.join(
+      oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"),
+      "left_semi")
+    def ce(p: Column, q: Column): Column =
+      struct(least(p, q).as("a"), greatest(p, q).as("b"))
+    val support = closed
+      .select(explode(array(ce(col("u"), col("x")), ce(col("u"), col("y")),
+        ce(col("x"), col("y")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+    val out = und.join(support, Seq("a", "b"), "left_outer")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+    materializeAndRelease(out,
       (if (canonicalEdges) Nil else Seq(und)) :+ oriented: _*)
   }
 
