@@ -12387,7 +12387,253 @@ object SparkEntry {
              |  FROM p LEFT JOIN te ON te.x = p.src AND te.y = p.dst
              |  GROUP BY 1, 2)
              |SELECT support, COUNT(*) AS n_edges
-             |FROM sup GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |FROM sup GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("orders_poisson_bootstrap_ci", // Poisson bootstrap CI for the mean
+      // order value per priority — the ONLY bootstrap that works at
+      // 100 TB: instead of materializing B resamples of n rows, every
+      // row independently contributes Poisson(1) copies to each of
+      // B=100 replicates (weights from a portable integer hash family,
+      // inverse-CDF thresholds precomputed as integer cutoffs), so the
+      // whole thing is ONE map-side explode into ONE hash aggregation
+      // on the (priority, replicate) grain — 500 cells — followed by
+      // exact order statistics on 100 replicate means per group. All
+      // sums are exact integer cents; each replicate mean is a single
+      // int/int division, so both engines rank bit-identical doubles.
+      (s, d) => {
+        val o = t(s, d, "orders").select(
+          col("o_orderpriority").as("priority"), col("o_orderkey"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        val h1 = (lit(1000003L) * col("o_orderkey") + lit(17L)) % lit(2147483647L)
+        val h2 = (h1 * (col("rep") + lit(13L)) + lit(911L)) % lit(2147483647L)
+        val w = when(h2 < 790015083L, 0L).when(h2 < 1580030167L, 1L)
+          .when(h2 < 1975037709L, 2L).when(h2 < 2106706890L, 3L)
+          .when(h2 < 2139624185L, 4L).when(h2 < 2146207644L, 5L)
+          .otherwise(lit(6L))
+        val rm = o
+          .select(col("priority"), col("o_orderkey"), col("cents"),
+            explode(sequence(lit(1L), lit(100L))).as("rep"))
+          .groupBy("priority", "rep")
+          .agg(sum(w * col("cents")).as("swc"), sum(w).as("sw"))
+          .select(col("priority"), col("rep"),
+            (col("swc").cast("double") / col("sw") / lit(100.0)).as("mean_b"))
+        val rk = rm.withColumn("rk", row_number().over(
+          Window.partitionBy("priority").orderBy("mean_b", "rep")))
+        val ci = rk.groupBy("priority").agg(
+          max(when(col("rk") === 3, col("mean_b"))).as("lo"),
+          max(when(col("rk") === 98, col("mean_b"))).as("hi"))
+        val pt = o.groupBy("priority").agg(count(lit(1)).as("n_orders"),
+          (sum("cents").cast("double") / count(lit(1)) / lit(100.0))
+            .as("mean_price"))
+        pt.join(ci, Seq("priority"))
+          .select(col("priority"), col("n_orders"),
+            round(col("mean_price"), 4).as("mean_price"),
+            round(col("lo"), 4).as("ci_lo"), round(col("hi"), 4).as("ci_hi"))
+          .orderBy("priority")
+      },
+      Some("""WITH o AS MATERIALIZED (SELECT o_orderpriority AS priority,
+             |    o_orderkey,
+             |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+             |  FROM orders),
+             |ww AS (SELECT priority, rep,
+             |    CASE WHEN h2 < 790015083 THEN 0 WHEN h2 < 1580030167 THEN 1
+             |         WHEN h2 < 1975037709 THEN 2 WHEN h2 < 2106706890 THEN 3
+             |         WHEN h2 < 2139624185 THEN 4 WHEN h2 < 2146207644 THEN 5
+             |         ELSE 6 END AS w, cents
+             |  FROM (SELECT priority, rep, cents,
+             |      (((1000003 * o_orderkey + 17) % 2147483647) * (rep + 13)
+             |        + 911) % 2147483647 AS h2
+             |    FROM o, (SELECT unnest(range(1, 101)) AS rep) AS reps)),
+             |rm AS (SELECT priority, rep,
+             |    CAST(SUM(w * cents) AS DOUBLE) / CAST(SUM(w) AS BIGINT)
+             |      / 100.0 AS mean_b
+             |  FROM ww GROUP BY 1, 2),
+             |rk AS (SELECT priority, mean_b,
+             |    ROW_NUMBER() OVER (PARTITION BY priority
+             |      ORDER BY mean_b, rep) AS rk
+             |  FROM rm),
+             |ci AS (SELECT priority,
+             |    MAX(CASE WHEN rk = 3 THEN mean_b END) AS lo,
+             |    MAX(CASE WHEN rk = 98 THEN mean_b END) AS hi
+             |  FROM rk GROUP BY 1),
+             |pt AS (SELECT priority, COUNT(*) AS n_orders,
+             |    CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0 AS mean_price
+             |  FROM o GROUP BY 1)
+             |SELECT pt.priority, n_orders,
+             |  ROUND(mean_price, 4) AS mean_price,
+             |  ROUND(lo, 4) AS ci_lo, ROUND(hi, 4) AS ci_hi
+             |FROM pt JOIN ci USING (priority) ORDER BY priority""".stripMargin)),
+
+    Q("events_holt_linear", // Holt double exponential smoothing (level +
+      // trend) per event type with α = β = 1/2, plus a 7-day-ahead
+      // forecast fan. The coupled recursion has no closed form, but
+      // every step is a handful of IEEE adds and divisions by 2 in a
+      // FIXED sequential order, so Spark's aggregate() fold over the
+      // bounded per-type day series and DuckDB's recursive CTE produce
+      // bit-identical states with no rounding protocol at all. Scale
+      // shape: the corpus collapses to the (type, day) grain in one
+      // aggregation; the fold touches only the ~90-element day arrays —
+      // the documented bounded-grain contract, same as runsTest.
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).cast("double").as("y"))
+        daily.groupBy("event_type")
+          .agg(array_sort(collect_list(struct(col("day"), col("y"))))
+            .as("ys"))
+          .filter(size(col("ys")) >= 2)
+          .withColumn("st", expr(
+            """aggregate(ys,
+              |  named_struct('i', 0, 'l', CAST(0.0 AS DOUBLE),
+              |    'b', CAST(0.0 AS DOUBLE)),
+              |  (acc, e) -> CASE
+              |    WHEN acc.i = 0 THEN named_struct('i', 1, 'l', e.y,
+              |      'b', CAST(0.0 AS DOUBLE))
+              |    WHEN acc.i = 1 THEN named_struct('i', 2, 'l', e.y,
+              |      'b', e.y - acc.l)
+              |    ELSE named_struct('i', acc.i + 1,
+              |      'l', (e.y + acc.l + acc.b) / CAST(2.0 AS DOUBLE),
+              |      'b', (((e.y + acc.l + acc.b) / CAST(2.0 AS DOUBLE))
+              |        - acc.l + acc.b) / CAST(2.0 AS DOUBLE))
+              |  END)""".stripMargin))
+          .select(col("event_type"), col("st.l").as("l"),
+            col("st.b").as("b"),
+            explode(sequence(lit(1L), lit(7L))).as("h"))
+          .select(col("event_type"), col("h"),
+            round(col("l"), 6).as("level"), round(col("b"), 6).as("trend"),
+            round(col("l") + col("h") * col("b"), 6).as("forecast"))
+          .orderBy("event_type", "h")
+      },
+      Some("""WITH RECURSIVE daily AS MATERIALIZED (
+             |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             |    CAST(COUNT(*) AS DOUBLE) AS y
+             |  FROM events GROUP BY 1, 2),
+             |idx AS MATERIALIZED (
+             |  SELECT event_type, y,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+             |      AS t,
+             |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+             |  FROM daily),
+             |r(event_type, t, nd, l, b) AS (
+             |  SELECT a.event_type, 2, a.nd, b.y, b.y - a.y
+             |  FROM idx a JOIN idx b
+             |    ON a.event_type = b.event_type AND a.t = 1 AND b.t = 2
+             |  WHERE a.nd >= 2
+             |  UNION ALL
+             |  SELECT r.event_type, r.t + 1, r.nd,
+             |    (i.y + r.l + r.b) / 2.0,
+             |    (((i.y + r.l + r.b) / 2.0) - r.l + r.b) / 2.0
+             |  FROM r JOIN idx i
+             |    ON i.event_type = r.event_type AND i.t = r.t + 1),
+             |f AS (SELECT event_type, l, b FROM r WHERE t = nd)
+             |SELECT event_type, h, ROUND(l, 6) AS level,
+             |  ROUND(b, 6) AS trend, ROUND(l + h * b, 6) AS forecast
+             |FROM f, (SELECT unnest(range(1, 8)) AS h) AS hs
+             |ORDER BY event_type, h""".stripMargin)),
+
+    Q("lineitem_gmm_em", // two-component Gaussian-mixture EM on
+      // standardized line price — the latent-bimodality decomposition a
+      // curator runs before picking a single quality threshold. Three
+      // relational EM rounds ([[Stats.gmmEm1d]]): each round is ONE
+      // aggregation over the corpus collecting six sufficient sums; the
+      // only driver state is the 5-scalar parameter vector (the
+      // Lloyd/PQ model-state contract), and parameters round at 4dp at
+      // every boundary so both engines re-enter the next E-step from
+      // identical constants. Standardization runs on exact integer
+      // cents with decimal sums — bit-identical z both engines.
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(round(col("l_extendedprice") * 100, 0).cast("long")
+            .as("cents"))
+        graft.operators.Stats.gmmEm1d(li, "cents", 3)
+      },
+      Some("""WITH c AS MATERIALIZED (
+             |  SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS c
+             |  FROM lineitem),
+             |st AS (SELECT COUNT(*) AS n,
+             |    CAST(SUM(c) AS DOUBLE) / COUNT(*) AS mu,
+             |    CAST(SUM(c * c) AS DOUBLE) / COUNT(*) AS e2
+             |  FROM c),
+             |z AS MATERIALIZED (
+             |  SELECT (CAST(c.c AS DOUBLE) - st.mu)
+             |    / sqrt(st.e2 - st.mu * st.mu) AS z
+             |  FROM c, st),
+             |r1 AS (SELECT COUNT(*) AS n, SUM(r) AS sr, SUM(r * z) AS srz,
+             |    SUM(r * z * z) AS srzz, SUM(z) AS sz, SUM(z * z) AS szz,
+             |    SUM(ln(mix)) AS sll
+             |  FROM (SELECT z, 0.5 * f1 / (0.5 * f1 + 0.5 * f2) AS r,
+             |      0.5 * f1 + 0.5 * f2 AS mix
+             |    FROM (SELECT z,
+             |        exp(-((z - -1.0) * (z - -1.0)) / (2.0 * 1.0 * 1.0))
+             |          / (1.0 * 2.5066282746310002) AS f1,
+             |        exp(-((z - 1.0) * (z - 1.0)) / (2.0 * 1.0 * 1.0))
+             |          / (1.0 * 2.5066282746310002) AS f2
+             |      FROM z))),
+             |p1 AS (SELECT n, ROUND(sr / n, 4) AS pi1,
+             |    ROUND(srz / sr, 4) AS mu1,
+             |    ROUND(sqrt(GREATEST(srzz / sr - (srz / sr) * (srz / sr),
+             |      0.00000001)), 4) AS sg1,
+             |    ROUND((sz - srz) / (CAST(n AS DOUBLE) - sr), 4) AS mu2,
+             |    ROUND(sqrt(GREATEST((szz - srzz) / (CAST(n AS DOUBLE) - sr)
+             |      - ((sz - srz) / (CAST(n AS DOUBLE) - sr))
+             |        * ((sz - srz) / (CAST(n AS DOUBLE) - sr)),
+             |      0.00000001)), 4) AS sg2,
+             |    ROUND(sll / n, 6) AS ll
+             |  FROM r1),
+             |r2 AS (SELECT p.n, SUM(r) AS sr, SUM(r * z) AS srz,
+             |    SUM(r * z * z) AS srzz, SUM(z) AS sz, SUM(z * z) AS szz,
+             |    SUM(ln(mix)) AS sll
+             |  FROM (SELECT n, z, pi1 * f1 / (pi1 * f1 + (1 - pi1) * f2) AS r,
+             |      pi1 * f1 + (1 - pi1) * f2 AS mix
+             |    FROM (SELECT p1.n AS n, p1.pi1, z.z AS z,
+             |        exp(-((z.z - p1.mu1) * (z.z - p1.mu1))
+             |          / (2 * p1.sg1 * p1.sg1))
+             |          / (p1.sg1 * 2.5066282746310002) AS f1,
+             |        exp(-((z.z - p1.mu2) * (z.z - p1.mu2))
+             |          / (2 * p1.sg2 * p1.sg2))
+             |          / (p1.sg2 * 2.5066282746310002) AS f2
+             |      FROM z, p1)) AS p GROUP BY p.n),
+             |p2 AS (SELECT n, ROUND(sr / n, 4) AS pi1,
+             |    ROUND(srz / sr, 4) AS mu1,
+             |    ROUND(sqrt(GREATEST(srzz / sr - (srz / sr) * (srz / sr),
+             |      0.00000001)), 4) AS sg1,
+             |    ROUND((sz - srz) / (CAST(n AS DOUBLE) - sr), 4) AS mu2,
+             |    ROUND(sqrt(GREATEST((szz - srzz) / (CAST(n AS DOUBLE) - sr)
+             |      - ((sz - srz) / (CAST(n AS DOUBLE) - sr))
+             |        * ((sz - srz) / (CAST(n AS DOUBLE) - sr)),
+             |      0.00000001)), 4) AS sg2,
+             |    ROUND(sll / n, 6) AS ll
+             |  FROM r2),
+             |r3 AS (SELECT p.n, SUM(r) AS sr, SUM(r * z) AS srz,
+             |    SUM(r * z * z) AS srzz, SUM(z) AS sz, SUM(z * z) AS szz,
+             |    SUM(ln(mix)) AS sll
+             |  FROM (SELECT n, z, pi1 * f1 / (pi1 * f1 + (1 - pi1) * f2) AS r,
+             |      pi1 * f1 + (1 - pi1) * f2 AS mix
+             |    FROM (SELECT p2.n AS n, p2.pi1, z.z AS z,
+             |        exp(-((z.z - p2.mu1) * (z.z - p2.mu1))
+             |          / (2 * p2.sg1 * p2.sg1))
+             |          / (p2.sg1 * 2.5066282746310002) AS f1,
+             |        exp(-((z.z - p2.mu2) * (z.z - p2.mu2))
+             |          / (2 * p2.sg2 * p2.sg2))
+             |          / (p2.sg2 * 2.5066282746310002) AS f2
+             |      FROM z, p2)) AS p GROUP BY p.n),
+             |p3 AS (SELECT n, ROUND(sr / n, 4) AS pi1,
+             |    ROUND(srz / sr, 4) AS mu1,
+             |    ROUND(sqrt(GREATEST(srzz / sr - (srz / sr) * (srz / sr),
+             |      0.00000001)), 4) AS sg1,
+             |    ROUND((sz - srz) / (CAST(n AS DOUBLE) - sr), 4) AS mu2,
+             |    ROUND(sqrt(GREATEST((szz - srzz) / (CAST(n AS DOUBLE) - sr)
+             |      - ((sz - srz) / (CAST(n AS DOUBLE) - sr))
+             |        * ((sz - srz) / (CAST(n AS DOUBLE) - sr)),
+             |      0.00000001)), 4) AS sg2,
+             |    ROUND(sll / n, 6) AS ll
+             |  FROM r3)
+             |SELECT 1 AS round, pi1, mu1, sg1 AS sigma1, mu2,
+             |  sg2 AS sigma2, ll AS avg_loglik FROM p1
+             |UNION ALL SELECT 2, pi1, mu1, sg1, mu2, sg2, ll FROM p2
+             |UNION ALL SELECT 3, pi1, mu1, sg1, mu2, sg2, ll FROM p3
+             |ORDER BY round""".stripMargin)))
 
   /** SPRT model constants (H0 p=0.18, H1 p=0.22, α=β=0.05), computed
     * once JVM-side and inlined into both engines' expressions so neither

@@ -365,4 +365,69 @@ object Stats {
     pearsonByGroup(rows, keyCol, col("_rx"), col("_ry"))
       .withColumnRenamed("pearson_r", "spearman_rho")
   }
+
+  /** Two-component 1-D Gaussian-mixture EM over a standardized column —
+    * the classical latent-bimodality decomposition, run as pure
+    * relational rounds. Each EM round is ONE aggregation over the
+    * standardized values collecting the six sufficient sums
+    * (n, Σr, Σrz, Σrz², Σz, Σz²) plus the mixture log-likelihood; the
+    * only driver state is the 5-scalar parameter vector, the same
+    * model-state-only contract as Lloyd/PQ training. Parameters round at
+    * 4dp at every round boundary (the cross-engine protocol: the next
+    * E-step recomputes responsibilities from identical rounded
+    * constants, so float sum-order slack cannot compound across rounds).
+    * Input standardization runs on exact integer units (`unitCol` must
+    * be an integral-valued long column, e.g. cents) so both engines
+    * derive bit-identical μ/σ from exact decimal sums. Returns one row
+    * per round: (round, pi1, mu1, sigma1, mu2, sigma2, avg_loglik),
+    * the likelihood being the E-step value under that round's INPUT
+    * parameters.
+    */
+  def gmmEm1d(df: DataFrame, unitCol: String, rounds: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stats = df.agg(
+      count(lit(1)).as("n"),
+      sum(col(unitCol).cast("decimal(38,0)")).as("sc"),
+      sum((col(unitCol) * col(unitCol)).cast("decimal(38,0)")).as("sc2"))
+      .head()
+    val n = stats.getLong(0)
+    val mu = stats.getDecimal(1).doubleValue / n
+    val e2 = stats.getDecimal(2).doubleValue / n
+    val sd = math.sqrt(e2 - mu * mu)
+    val z = df.select(((col(unitCol).cast("double") - lit(mu)) / lit(sd))
+      .as("z")).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def phi(m: Double, sg: Double): Column =
+      exp(-((col("z") - lit(m)) * (col("z") - lit(m)))
+        / lit(2.0 * sg * sg)) / lit(sg * 2.5066282746310002)
+    var (pi1, m1, s1, m2, s2) = (0.5, -1.0, 1.0, 1.0, 1.0)
+    val out = (1 to rounds).map { r =>
+      val mix = lit(pi1) * phi(m1, s1) + lit(1.0 - pi1) * phi(m2, s2)
+      val resp = lit(pi1) * phi(m1, s1) / mix
+      val row = z.agg(
+        sum(resp).as("sr"), sum(resp * col("z")).as("srz"),
+        sum(resp * col("z") * col("z")).as("srzz"),
+        sum(col("z")).as("sz"), sum(col("z") * col("z")).as("szz"),
+        sum(log(mix)).as("sll")).head()
+      val (sr, srz, srzz, sz, szz, sll) = (row.getDouble(0),
+        row.getDouble(1), row.getDouble(2), row.getDouble(3),
+        row.getDouble(4), row.getDouble(5))
+      val avgLl = BigDecimal(sll / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      pi1 = round4(sr / n)
+      m1 = round4(srz / sr)
+      s1 = round4(math.sqrt(math.max(srzz / sr - (srz / sr) * (srz / sr),
+        1e-8)))
+      m2 = round4((sz - srz) / (n - sr))
+      s2 = round4(math.sqrt(math.max(
+        (szz - srzz) / (n - sr)
+          - ((sz - srz) / (n - sr)) * ((sz - srz) / (n - sr)), 1e-8)))
+      (r, pi1, m1, s1, m2, s2, avgLl)
+    }
+    z.unpersist()
+    out.toDF("round", "pi1", "mu1", "sigma1", "mu2", "sigma2", "avg_loglik")
+      .orderBy("round")
+  }
 }
