@@ -12633,7 +12633,115 @@ object SparkEntry {
              |  sg2 AS sigma2, ll AS avg_loglik FROM p1
              |UNION ALL SELECT 2, pi1, mu1, sg1, mu2, sg2, ll FROM p2
              |UNION ALL SELECT 3, pi1, mu1, sg1, mu2, sg2, ll FROM p3
-             |ORDER BY round""".stripMargin)))
+             |ORDER BY round""".stripMargin)),
+
+    Q("doc_qlm_search", // query-likelihood retrieval with Dirichlet
+      // smoothing (Zhai & Lafferty 2001, μ=300) — the LM-based ranking
+      // that complements BM25: score(d) = Σ_q ln((tf + μ·P(t|C)) /
+      // (dl + μ)), every document scored including zero-tf ones (the
+      // smoothed mass is the point). Scale shape: one token explode
+      // filtered to the 3 query terms → tf cells; collection stats are
+      // a 3-row cf table and a 1-row token total, both broadcast onto
+      // the doc-length relation — no driver collect, no full-vocab
+      // intermediate. Ranking sorts by the ROUNDED score (engine ln
+      // slack stays below 4dp) with doc_id tie-break.
+      (s, d) => {
+        val terms = Seq("spark", "join", "window")
+        val toks = t(s, d, "documents").select(col("doc_id"),
+          TextAnalysis.tokens(lower(col("text"))).as("ts"))
+        val dl = toks.select(col("doc_id"), size(col("ts")).as("dl"))
+        val tf = toks.select(col("doc_id"), explode(col("ts")).as("w"))
+          .filter(col("w").isin(terms: _*))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val cf = tf.groupBy("w").agg(sum("tf").as("cf"))
+        val tot = dl.agg(sum("dl").as("tot"))
+        dl.select(col("doc_id"), col("dl"),
+            explode(typedLit(terms)).as("w"))
+          .join(tf, Seq("doc_id", "w"), "left_outer")
+          .join(broadcast(cf), Seq("w"))
+          .crossJoin(broadcast(tot))
+          .groupBy("doc_id")
+          .agg(round(sum(log(
+              (coalesce(col("tf"), lit(0L)) + lit(300.0) * col("cf") / col("tot"))
+                / (col("dl") + lit(300.0)))), 4).as("score"),
+            sum(when(col("tf").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
+      },
+      Some("""WITH tok AS MATERIALIZED (
+             |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+             |  FROM documents),
+             |dl AS (SELECT doc_id, len(ts) AS dl FROM tok),
+             |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM (
+             |    SELECT doc_id, unnest(list_filter(ts,
+             |      t -> list_contains(['spark','join','window'], t))) AS w
+             |    FROM tok) GROUP BY 1, 2),
+             |cf AS (SELECT w, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
+             |g AS (SELECT dl.doc_id, dl.dl, q.w
+             |  FROM dl, (SELECT unnest(['spark','join','window']) AS w) AS q)
+             |SELECT g.doc_id,
+             |  ROUND(SUM(ln((COALESCE(tf.tf, 0) + 300.0 * cf.cf / tot.tot)
+             |    / (g.dl + 300.0))), 4) AS score,
+             |  CAST(SUM(CASE WHEN tf.tf IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_hit
+             |FROM g LEFT JOIN tf ON tf.doc_id = g.doc_id AND tf.w = g.w
+             |  JOIN cf ON cf.w = g.w CROSS JOIN tot
+             |GROUP BY g.doc_id ORDER BY score DESC, g.doc_id
+             |LIMIT 20""".stripMargin)),
+
+    Q("doc_kn_bigram_lm", // interpolated Kneser–Ney bigram probabilities
+      // (D=0.75) for the corpus' top-20 bigrams — the smoothing every
+      // production n-gram LM uses, built from FOUR count relations that
+      // all derive from ONE map-side bigram explode + hash aggregation:
+      // bigram counts, context totals c(w1·), follow-set sizes
+      // N1+(w1·), and continuation-set sizes N1+(·w2); the bigram-type
+      // total is the only driver scalar. Exact integers until the two
+      // final probability expressions.
+      (s, d) => {
+        val bg = t(s, d, "documents")
+          .select(TextAnalysis.tokens(lower(col("text"))).as("ts"))
+          .filter(size(col("ts")) >= 2)
+          .select(explode(transform(sequence(lit(1), size(col("ts")) - 1),
+            i => concat(element_at(col("ts"), i), lit(" "),
+              element_at(col("ts"), i + 1)))).as("b"))
+          .groupBy("b").agg(count(lit(1)).as("c"))
+          .withColumn("w1", split(col("b"), " ").getItem(0))
+          .withColumn("w2", split(col("b"), " ").getItem(1))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val types = bg.count()
+        val ctx = bg.groupBy("w1")
+          .agg(sum("c").as("cw1"), count(lit(1)).as("n_follow"))
+        val cont = bg.groupBy("w2").agg(count(lit(1)).as("n_prec"))
+        val out = bg.join(ctx, Seq("w1")).join(cont, Seq("w2"))
+          .select(col("b").as("bigram"), col("c"), col("cw1"),
+            col("n_follow"), col("n_prec"),
+            round(col("c") / col("cw1"), 6).as("p_ml"),
+            round(greatest(col("c") - lit(0.75), lit(0.0)) / col("cw1")
+              + lit(0.75) * col("n_follow") / col("cw1")
+                * (col("n_prec") / lit(types)), 6).as("p_kn"))
+          .orderBy(col("c").desc, col("bigram")).limit(20)
+          .localCheckpoint(eager = true)
+        bg.unpersist(blocking = false)
+        out
+      },
+      Some("""WITH bg AS MATERIALIZED (
+             |  SELECT b, COUNT(*) AS c,
+             |    split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2
+             |  FROM (SELECT unnest(list_transform(range(1, len(ts)),
+             |      i -> ts[i] || ' ' || ts[i+1])) AS b
+             |    FROM (SELECT string_split_regex(lower(trim(text)), '\s+') AS ts
+             |      FROM documents) WHERE len(ts) >= 2)
+             |  GROUP BY 1),
+             |ctx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cw1,
+             |    COUNT(*) AS n_follow FROM bg GROUP BY 1),
+             |cont AS (SELECT w2, COUNT(*) AS n_prec FROM bg GROUP BY 1),
+             |ty AS (SELECT COUNT(*) AS types FROM bg)
+             |SELECT b AS bigram, c, cw1, n_follow, n_prec,
+             |  ROUND(c / cw1, 6) AS p_ml,
+             |  ROUND(GREATEST(c - 0.75, 0.0) / cw1
+             |    + 0.75 * n_follow / cw1 * (n_prec / types), 6) AS p_kn
+             |FROM bg JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN ty
+             |ORDER BY c DESC, bigram LIMIT 20""".stripMargin)))
 
   /** SPRT model constants (H0 p=0.18, H1 p=0.22, α=β=0.05), computed
     * once JVM-side and inlined into both engines' expressions so neither
