@@ -127,6 +127,19 @@ object SparkEntry {
         .groupBy("src", "dst").agg(count(lit(1)).as("n"))
     }
 
+  /** Per-edge triangle support over the n≥2 co-purchase graph — ONE
+    * degree-oriented wedge enumeration ([[graft.operators.Graph
+    * .edgeSupport]]) shared by the support histogram, the
+    * neighborhood-Jaccard ranking and any truss-style consumer, instead
+    * of each query re-running the wedge join.
+    */
+  private def coPurchaseEdgeSupport(s: SparkSession, d: String): DataFrame =
+    memoizedDf(s, d, "copurchase_edge_support") {
+      graft.operators.Graph.edgeSupport(
+        coPurchasePairs(s, d).filter(col("n") >= 2).select("src", "dst"),
+        canonicalEdges = true)
+    }
+
   /** Distinct (customer, supplier) purchase edges from orders⋈lineitem —
     * the bipartite base graph for PageRank / label propagation / BFS;
     * each query projects its own id encoding (string-prefixed or
@@ -12365,13 +12378,9 @@ object SparkEntry {
       // aggregation gives every edge's support, a left join brings back
       // the support-0 edges, and the histogram is a second tiny
       // aggregation. All counts exact integers.
-      (s, d) => {
-        val edges = coPurchasePairs(s, d).filter(col("n") >= 2)
-          .select("src", "dst")
-        graft.operators.Graph.edgeSupport(edges, canonicalEdges = true)
-          .groupBy("support").agg(count(lit(1)).as("n_edges"))
-          .orderBy("support")
-      },
+      (s, d) => coPurchaseEdgeSupport(s, d)
+        .groupBy("support").agg(count(lit(1)).as("n_edges"))
+        .orderBy("support"),
       Some("""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
              |p AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst
              |  FROM op a JOIN op b
@@ -12741,7 +12750,111 @@ object SparkEntry {
              |  ROUND(GREATEST(c - 0.75, 0.0) / cw1
              |    + 0.75 * n_follow / cw1 * (n_prec / types), 6) AS p_kn
              |FROM bg JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN ty
-             |ORDER BY c DESC, bigram LIMIT 20""".stripMargin)))
+             |ORDER BY c DESC, bigram LIMIT 20""".stripMargin)),
+
+    Q("graph_jaccard_neighbors", // neighborhood-Jaccard ranking of
+      // co-purchase edges: an edge's common-neighbor count IS its
+      // triangle support, so this reads the SHARED memoized
+      // edge-support build (one wedge enumeration for the whole truss/
+      // support family) and joins two degree lookups —
+      // J = cn / (da + db − cn). Every input is an exact integer, so
+      // both engines rank the identical double with no rounding
+      // protocol; the (src, dst) tie-break pins equal scores.
+      (s, d) => {
+        val und = coPurchasePairs(s, d).filter(col("n") >= 2)
+        val deg = und.select(col("src").as("id"))
+          .union(und.select(col("dst").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("deg"))
+        val j = col("support") /
+          (col("deg_src") + col("deg_dst") - col("support"))
+        coPurchaseEdgeSupport(s, d)
+          .select(col("a").as("src"), col("b").as("dst"), col("support"))
+          .join(deg.select(col("id").as("src"), col("deg").as("deg_src")),
+            Seq("src"))
+          .join(deg.select(col("id").as("dst"), col("deg").as("deg_dst")),
+            Seq("dst"))
+          .select(col("src"), col("dst"),
+            col("support").as("common_neighbors"),
+            col("deg_src"), col("deg_dst"), round(j, 6).as("jaccard"))
+          .orderBy(j.desc, col("src"), col("dst")).limit(20)
+      },
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |p AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst
+             |  FROM op a JOIN op b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |tri AS MATERIALIZED (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+             |  FROM p e1 JOIN p e2 ON e2.src = e1.dst
+             |  JOIN p e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+             |te AS (SELECT a AS x, b AS y FROM tri
+             |  UNION ALL SELECT a, c FROM tri
+             |  UNION ALL SELECT b, c FROM tri),
+             |sup AS (SELECT p.src, p.dst, COUNT(te.x) AS support
+             |  FROM p LEFT JOIN te ON te.x = p.src AND te.y = p.dst
+             |  GROUP BY 1, 2),
+             |deg AS (SELECT id, COUNT(*) AS deg FROM (
+             |    SELECT src AS id FROM p UNION ALL SELECT dst FROM p)
+             |  GROUP BY 1)
+             |SELECT s.src, s.dst, s.support AS common_neighbors,
+             |  da.deg AS deg_src, db.deg AS deg_dst,
+             |  ROUND(s.support / (da.deg + db.deg - s.support), 6) AS jaccard
+             |FROM sup s JOIN deg da ON da.id = s.src
+             |  JOIN deg db ON db.id = s.dst
+             |ORDER BY s.support / (da.deg + db.deg - s.support) DESC,
+             |  s.src, s.dst LIMIT 20""".stripMargin)),
+
+    Q("graph_ktruss", // bounded 3-truss peel over the co-purchase
+      // graph: three rounds of "recompute per-edge triangle support,
+      // drop edges outside every triangle" ([[graft.operators.Graph
+      // .ktrussPeel]]) — the cohesion decomposition that isolates the
+      // genuinely clustered core a community method can trust. Each
+      // round is one wedge enumeration + one hash aggregation over the
+      // SURVIVING edges (monotonically shrinking); the only driver
+      // state is the per-round edge count, and a zero-drop round ends
+      // recomputation at the mathematical fixpoint.
+      (s, d) => graft.operators.Graph.ktrussPeel(
+        coPurchasePairs(s, d).filter(col("n") >= 2).select("src", "dst"),
+        k = 3, rounds = 3),
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |e0 AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst
+             |  FROM op a JOIN op b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |t1 AS MATERIALIZED (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+             |  FROM e0 e1 JOIN e0 e2 ON e2.src = e1.dst
+             |  JOIN e0 e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+             |s1 AS (SELECT x, y, COUNT(*) AS sup FROM (
+             |    SELECT a AS x, b AS y FROM t1
+             |    UNION ALL SELECT a, c FROM t1
+             |    UNION ALL SELECT b, c FROM t1) GROUP BY 1, 2),
+             |e1 AS MATERIALIZED (SELECT e.src, e.dst FROM e0 e
+             |  JOIN s1 ON s1.x = e.src AND s1.y = e.dst AND s1.sup >= 1),
+             |t2 AS MATERIALIZED (SELECT ea.src AS a, ea.dst AS b, eb.dst AS c
+             |  FROM e1 AS ea JOIN e1 AS eb ON eb.src = ea.dst
+             |  JOIN e1 AS ec ON ec.src = ea.src AND ec.dst = eb.dst),
+             |s2 AS (SELECT x, y, COUNT(*) AS sup FROM (
+             |    SELECT a AS x, b AS y FROM t2
+             |    UNION ALL SELECT a, c FROM t2
+             |    UNION ALL SELECT b, c FROM t2) GROUP BY 1, 2),
+             |e2 AS MATERIALIZED (SELECT e.src, e.dst FROM e1 e
+             |  JOIN s2 ON s2.x = e.src AND s2.y = e.dst AND s2.sup >= 1),
+             |t3 AS MATERIALIZED (SELECT ea.src AS a, ea.dst AS b, eb.dst AS c
+             |  FROM e2 AS ea JOIN e2 AS eb ON eb.src = ea.dst
+             |  JOIN e2 AS ec ON ec.src = ea.src AND ec.dst = eb.dst),
+             |s3 AS (SELECT x, y, COUNT(*) AS sup FROM (
+             |    SELECT a AS x, b AS y FROM t3
+             |    UNION ALL SELECT a, c FROM t3
+             |    UNION ALL SELECT b, c FROM t3) GROUP BY 1, 2),
+             |e3 AS MATERIALIZED (SELECT e.src, e.dst FROM e2 e
+             |  JOIN s3 ON s3.x = e.src AND s3.y = e.dst AND s3.sup >= 1),
+             |n AS (SELECT (SELECT COUNT(*) FROM e0) AS n0,
+             |  (SELECT COUNT(*) FROM e1) AS n1,
+             |  (SELECT COUNT(*) FROM e2) AS n2,
+             |  (SELECT COUNT(*) FROM e3) AS n3)
+             |SELECT 1 AS round, n1 AS n_edges, n0 - n1 AS n_dropped FROM n
+             |UNION ALL SELECT 2, n2, n1 - n2 FROM n
+             |UNION ALL SELECT 3, n3, n2 - n3 FROM n
+             |ORDER BY round""".stripMargin)))
 
   /** SPRT model constants (H0 p=0.18, H1 p=0.22, α=β=0.05), computed
     * once JVM-side and inlined into both engines' expressions so neither

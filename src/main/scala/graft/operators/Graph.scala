@@ -491,6 +491,39 @@ object Graph {
       (if (canonicalEdges) Nil else Seq(und)) :+ oriented: _*)
   }
 
+  /** Bounded k-truss peel: `rounds` iterations of [[edgeSupport]] +
+    * "drop every edge in fewer than k−2 triangles". Each round's
+    * surviving edge set is already eagerly checkpointed by
+    * edgeSupport's materialize, so the lineage never stacks; when a
+    * round drops nothing the peel has reached its fixpoint and the
+    * remaining rounds are emitted without recomputation (support is a
+    * function of the edge set, so a zero-drop round repeats forever).
+    * Production use iterates until that fixpoint; the bounded-round
+    * form here keeps the relational oracle finite. Returns one row per
+    * round: (round, n_edges, n_dropped). The only driver state is the
+    * per-round edge COUNT — never the edges.
+    */
+  def ktrussPeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var cur = edges.select(col("src"), col("dst"))
+    var before = cur.count()
+    var done = false
+    val out = (1 to rounds).map { r =>
+      if (done) (r, before, 0L)
+      else {
+        val next = edgeSupport(cur, canonicalEdges = true)
+          .filter(col("support") >= k - 2)
+          .select(col("a").as("src"), col("b").as("dst"))
+        val after = next.count()
+        val dropped = before - after
+        cur = next; before = after; done = dropped == 0L
+        (r, after, dropped)
+      }
+    }
+    out.toDF("round", "n_edges", "n_dropped").orderBy("round")
+  }
+
   /** Breadth-first k-hop distances from a seed set over an undirected
     * graph (directed edge list symmetrized here): round r expands the
     * frontier through one edge join, drops already-visited nodes with an
