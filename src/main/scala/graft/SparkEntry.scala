@@ -12854,7 +12854,317 @@ object SparkEntry {
              |SELECT 1 AS round, n1 AS n_edges, n0 - n1 AS n_dropped FROM n
              |UNION ALL SELECT 2, n2, n1 - n2 FROM n
              |UNION ALL SELECT 3, n3, n2 - n3 FROM n
-             |ORDER BY round""".stripMargin)))
+             |ORDER BY round""".stripMargin)),
+
+    Q("doc_logreg_pr_curve", // precision/recall/F1 across 9 decision
+      // thresholds for the SAME memoized language-ID fit — the
+      // operating-point table a curator reads before picking the
+      // quality cutoff. One scoring pass map-side-explodes each doc
+      // into its 9 (threshold, outcome) cells → ONE hash aggregation;
+      // F1 uses the closed form 2tp/(2tp+fp+fn) so no null
+      // propagation. The oracle re-trains through the shared 6-round
+      // chain and sweeps identically.
+      (s, d) => {
+        val w = logregFit(s, d)._1
+        val p = lit(1.0) / (lit(1.0)
+          + exp(-graft.operators.Learn.margin(w, logregCols)))
+        val cell = logregFeatures(s, d)
+          .select(col("y"), p.as("p"),
+            explode(sequence(lit(1L), lit(9L))).as("k"))
+          .groupBy("k").agg(
+            sum(when(col("y") === 1.0 && col("p") >= col("k") / lit(10.0),
+              1L).otherwise(0L)).as("tp"),
+            sum(when(col("y") === 0.0 && col("p") >= col("k") / lit(10.0),
+              1L).otherwise(0L)).as("fp"),
+            sum(when(col("y") === 1.0 && col("p") < col("k") / lit(10.0),
+              1L).otherwise(0L)).as("fn"))
+        cell.select((col("k") / lit(10.0)).as("tau"),
+            col("tp"), col("fp"), col("fn"),
+            when(col("tp") + col("fp") > 0,
+              round(col("tp") / (col("tp") + col("fp")), 6)).as("precision"),
+            when(col("tp") + col("fn") > 0,
+              round(col("tp") / (col("tp") + col("fn")), 6)).as("recall"),
+            when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+              round(lit(2.0) * col("tp")
+                / (lit(2L) * col("tp") + col("fp") + col("fn")), 6))
+              .as("f1"))
+          .orderBy("tau")
+      },
+      Some(s"""WITH $logregFeatureSql,
+           |${logregChainParts("", "")},
+           |scored AS (
+           |  SELECT y, 1.0 / (1.0 + exp(-(w.b + w.w1 * x1 + w.w2 * x2
+           |    + w.w3 * x3))) AS p
+           |  FROM fb, w6 w),
+           |cell AS (SELECT k,
+           |    CAST(SUM(CASE WHEN y = 1.0 AND p >= k / 10.0
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           |    CAST(SUM(CASE WHEN y = 0.0 AND p >= k / 10.0
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           |    CAST(SUM(CASE WHEN y = 1.0 AND p < k / 10.0
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS fn
+           |  FROM scored, (SELECT unnest(range(1, 10)) AS k) AS ks
+           |  GROUP BY 1)
+           |SELECT k / 10.0 AS tau, tp, fp, fn,
+           |  CASE WHEN tp + fp > 0 THEN ROUND(tp / (tp + fp), 6) END
+           |    AS precision,
+           |  CASE WHEN tp + fn > 0 THEN ROUND(tp / (tp + fn), 6) END
+           |    AS recall,
+           |  CASE WHEN 2 * tp + fp + fn > 0
+           |    THEN ROUND(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
+           |FROM cell ORDER BY tau""".stripMargin)),
+
+    Q("emb_rp_distortion", // Johnson–Lindenstrauss random-projection
+      // audit: project the 64-d embeddings to 16-d with a deterministic
+      // ±1 sign matrix (portable integer hash of (i,j) — no matrix to
+      // ship, every executor derives its cells), then measure pairwise-
+      // distance distortion over the linear chain of consecutive-id
+      // pairs. Fully relational: ONE posexplode into (vec, coord)
+      // rows, one 16-way sign-weighted hash aggregation builds the
+      // sketch, and distances are coordinate joins — no driver-side
+      // matrix, no all-pairs. The report is the go/no-go gate before
+      // swapping the full vectors for sketches in a 100 TB ANN recall
+      // path.
+      (s, d) => {
+        val xi = t(s, d, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding"))
+            .as(Seq("pos", "x")))
+          .select(col("vec_id"), (col("pos") + 1).as("i"),
+            col("x").cast("double").as("x"))
+        val sign = when(
+          ((lit(1000003L) * (col("i") * 97 + col("j")) + lit(17L))
+            % lit(2147483647L)) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+        val y = xi.select(col("vec_id"), col("i"), col("x"),
+            explode(sequence(lit(1L), lit(16L))).as("j"))
+          .groupBy("vec_id", "j").agg((sum(sign * col("x")) / lit(4.0))
+            .as("y"))
+        val sx = xi.join(
+            xi.select((col("vec_id") - 1).as("vec_id"), col("i"),
+              col("x").as("x2")), Seq("vec_id", "i"))
+          .groupBy("vec_id")
+          .agg(sum((col("x") - col("x2")) * (col("x") - col("x2")))
+            .as("sx"))
+        val sy = y.join(
+            y.select((col("vec_id") - 1).as("vec_id"), col("j"),
+              col("y").as("y2")), Seq("vec_id", "j"))
+          .groupBy("vec_id")
+          .agg(sum((col("y") - col("y2")) * (col("y") - col("y2")))
+            .as("sy"))
+        sx.join(sy, Seq("vec_id")).filter(col("sx") > 0)
+          .select(sqrt(col("sy") / col("sx")).as("ratio"))
+          .agg(count(lit(1)).as("n_pairs"),
+            round(avg("ratio"), 6).as("mean_ratio"),
+            round(min("ratio"), 6).as("min_ratio"),
+            round(max("ratio"), 6).as("max_ratio"),
+            round(avg(abs(col("ratio") - 1.0)), 6).as("mean_abs_distortion"))
+      },
+      Some("""WITH xi AS MATERIALIZED (
+             |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+             |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) AS ii),
+             |y AS MATERIALIZED (
+             |  SELECT vec_id, j,
+             |    SUM(CASE WHEN ((1000003 * (i * 97 + j) + 17) % 2147483647)
+             |      % 2 = 0 THEN 1.0 ELSE -1.0 END * x) / 4.0 AS y
+             |  FROM xi, (SELECT unnest(range(1, 17)) AS j) AS jj
+             |  GROUP BY 1, 2),
+             |sx AS (SELECT a.vec_id,
+             |    SUM((a.x - b.x) * (a.x - b.x)) AS sx
+             |  FROM xi a JOIN xi b
+             |    ON b.vec_id = a.vec_id + 1 AND b.i = a.i
+             |  GROUP BY 1),
+             |sy AS (SELECT a.vec_id,
+             |    SUM((a.y - b.y) * (a.y - b.y)) AS sy
+             |  FROM y a JOIN y b
+             |    ON b.vec_id = a.vec_id + 1 AND b.j = a.j
+             |  GROUP BY 1),
+             |r AS (SELECT sqrt(sy / sx) AS ratio
+             |  FROM sx JOIN sy USING (vec_id) WHERE sx > 0)
+             |SELECT COUNT(*) AS n_pairs,
+             |  ROUND(AVG(ratio), 6) AS mean_ratio,
+             |  ROUND(MIN(ratio), 6) AS min_ratio,
+             |  ROUND(MAX(ratio), 6) AS max_ratio,
+             |  ROUND(AVG(abs(ratio - 1.0)), 6) AS mean_abs_distortion
+             |FROM r""".stripMargin)),
+
+    Q("dq_inclusion_deps", // inclusion-dependency profiling: the
+      // foreign-key discovery pass a fabric runs before trusting
+      // joins — for each candidate (lhs ⊆ rhs) pair, distinct lhs
+      // values, how many exist in rhs, and the containment ratio.
+      // Four true FKs plus one deliberate violation. Each candidate is
+      // a distinct projection + a semi-join count — broadcast when the
+      // rhs key set is small, shuffle otherwise (AQE decides); never a
+      // row-level join back.
+      (s, d) => {
+        def cand(name: String, lhs: DataFrame, rhs: DataFrame): DataFrame = {
+          val l = lhs.toDF("k").distinct()
+          val r = rhs.toDF("k").distinct()
+          val n = l.count(); val c = l.join(r, Seq("k"), "left_semi").count()
+          val s0 = l.sparkSession
+          import s0.implicits._
+          Seq((name, n, c,
+            BigDecimal(c.toDouble / n).setScale(6,
+              BigDecimal.RoundingMode.HALF_UP).toDouble,
+            if (c == n) "holds" else "violated"))
+            .toDF("dependency", "n_lhs", "n_contained", "containment",
+              "verdict")
+        }
+        Seq(
+          cand("lineitem.l_orderkey -> orders.o_orderkey",
+            t(s, d, "lineitem").select("l_orderkey"),
+            t(s, d, "orders").select("o_orderkey")),
+          cand("orders.o_custkey -> customer.c_custkey",
+            t(s, d, "orders").select("o_custkey"),
+            t(s, d, "customer").select("c_custkey")),
+          cand("lineitem.l_partkey -> part.p_partkey",
+            t(s, d, "lineitem").select("l_partkey"),
+            t(s, d, "part").select("p_partkey")),
+          cand("customer.c_nationkey -> nation.n_nationkey",
+            t(s, d, "customer").select("c_nationkey"),
+            t(s, d, "nation").select("n_nationkey")),
+          cand("orders.o_orderkey -> customer.c_custkey",
+            t(s, d, "orders").select("o_orderkey"),
+            t(s, d, "customer").select("c_custkey")))
+          .reduce(_.unionByName(_)).orderBy("dependency")
+      },
+      Some("""WITH c1 AS (SELECT 'lineitem.l_orderkey -> orders.o_orderkey'
+             |    AS dependency, COUNT(*) AS n_lhs,
+             |    CAST(SUM(CASE WHEN r.k IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_contained
+             |  FROM (SELECT DISTINCT l_orderkey AS k FROM lineitem) l
+             |  LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) r
+             |    USING (k)),
+             |c2 AS (SELECT 'orders.o_custkey -> customer.c_custkey',
+             |    COUNT(*),
+             |    CAST(SUM(CASE WHEN r.k IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT)
+             |  FROM (SELECT DISTINCT o_custkey AS k FROM orders) l
+             |  LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) r
+             |    USING (k)),
+             |c3 AS (SELECT 'lineitem.l_partkey -> part.p_partkey', COUNT(*),
+             |    CAST(SUM(CASE WHEN r.k IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT)
+             |  FROM (SELECT DISTINCT l_partkey AS k FROM lineitem) l
+             |  LEFT JOIN (SELECT DISTINCT p_partkey AS k FROM part) r
+             |    USING (k)),
+             |c4 AS (SELECT 'customer.c_nationkey -> nation.n_nationkey',
+             |    COUNT(*),
+             |    CAST(SUM(CASE WHEN r.k IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT)
+             |  FROM (SELECT DISTINCT c_nationkey AS k FROM customer) l
+             |  LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) r
+             |    USING (k)),
+             |c5 AS (SELECT 'orders.o_orderkey -> customer.c_custkey',
+             |    COUNT(*),
+             |    CAST(SUM(CASE WHEN r.k IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT)
+             |  FROM (SELECT DISTINCT o_orderkey AS k FROM orders) l
+             |  LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) r
+             |    USING (k)),
+             |u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+             |  UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4
+             |  UNION ALL SELECT * FROM c5)
+             |SELECT dependency, n_lhs, n_contained,
+             |  ROUND(CAST(n_contained AS DOUBLE) / n_lhs, 6) AS containment,
+             |  CASE WHEN n_contained = n_lhs THEN 'holds'
+             |       ELSE 'violated' END AS verdict
+             |FROM u ORDER BY dependency""".stripMargin)),
+
+    Q("scale_zonemap_prune", // zonemap data-skipping audit — WHY layout
+      // matters at 100 TB: orders are sliced into 64 value-range
+      // "files" under two layouts (clustered by order key vs by order
+      // date, both pure arithmetic off a 1-row min/max broadcast — no
+      // global sort), per-file min/max date zonemaps are computed, and
+      // four date predicates are tested for how many files they can
+      // skip. The date-clustered layout skips nearly everything; the
+      // key-clustered one scans all 64 — the measured case for sorting
+      // /Z-ordering before the scan-heavy workloads land.
+      (s, d) => {
+        val preds = Seq(
+          ("q1_1996q1", "1996-01-01", "1996-04-01"),
+          ("q2_1995sum", "1995-06-01", "1995-09-01"),
+          ("q3_1997y", "1997-01-01", "1998-01-01"),
+          ("q4_2000jan", "2000-01-01", "2000-01-15"))
+        val o = t(s, d, "orders").select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+        val bounds = o.agg(min("o_orderkey").as("k0"),
+          max("o_orderkey").as("k1"), min("day").as("d0"),
+          max("day").as("d1"))
+        val withB = o.crossJoin(broadcast(bounds)).select(col("day"),
+          expr("least((o_orderkey - k0) * 64 div (k1 - k0 + 1), 63)")
+            .as("kb"),
+          expr("""least((datediff(to_date(day), to_date(d0)) * 64)
+                 | div (datediff(to_date(d1), to_date(d0)) + 1),
+                 |63)""".stripMargin).as("db"))
+        def zonemap(b: String, layout: String): DataFrame = withB
+          .groupBy(col(b).as("bucket"))
+          .agg(min("day").as("lo"), max("day").as("hi"),
+            count(lit(1)).as("n_rows"))
+          .select(lit(layout).as("layout"), col("bucket"), col("lo"),
+            col("hi"), col("n_rows"))
+        val zm = zonemap("kb", "key_clustered")
+          .unionByName(zonemap("db", "date_clustered"))
+        val pl = typedLit(preds.map(p => (p._1, p._2, p._3)))
+        val scanned = zm.select(col("layout"), col("lo"), col("hi"),
+            col("n_rows"), explode(pl).as("p"))
+          .select(col("layout"), col("p._1").as("predicate"),
+            col("lo"), col("hi"), col("n_rows"),
+            col("p._2").as("plo"), col("p._3").as("phi"))
+          .groupBy("layout", "predicate")
+          .agg(count(lit(1)).as("n_buckets"),
+            sum(when(col("lo") < col("phi") && col("hi") >= col("plo"), 1L)
+              .otherwise(0L)).as("n_scanned"),
+            sum(when(col("lo") < col("phi") && col("hi") >= col("plo"),
+              col("n_rows")).otherwise(0L)).as("rows_scanned"))
+        val sel = o.select(col("day"), explode(pl).as("p"))
+          .filter(col("day") >= col("p._2") && col("day") < col("p._3"))
+          .groupBy(col("p._1").as("predicate"))
+          .agg(count(lit(1)).as("rows_selected"))
+        scanned.join(sel, Seq("predicate"), "left_outer")
+          .select(col("layout"), col("predicate"), col("n_buckets"),
+            col("n_scanned"),
+            (col("n_buckets") - col("n_scanned")).as("n_skipped"),
+            col("rows_scanned"),
+            coalesce(col("rows_selected"), lit(0L)).as("rows_selected"))
+          .orderBy("layout", "predicate")
+      },
+      Some("""WITH o AS MATERIALIZED (SELECT o_orderkey,
+             |    strftime(o_orderdate, '%Y-%m-%d') AS day
+             |  FROM orders),
+             |bounds AS (SELECT MIN(o_orderkey) AS k0, MAX(o_orderkey) AS k1,
+             |    MIN(day) AS d0, MAX(day) AS d1 FROM o),
+             |wb AS MATERIALIZED (SELECT day,
+             |    LEAST((o_orderkey - k0) * 64 // (k1 - k0 + 1), 63) AS kb,
+             |    LEAST((date_diff('day', strptime(d0, '%Y-%m-%d'),
+             |        strptime(day, '%Y-%m-%d')) * 64)
+             |      // (date_diff('day', strptime(d0, '%Y-%m-%d'),
+             |        strptime(d1, '%Y-%m-%d')) + 1), 63) AS db
+             |  FROM o, bounds),
+             |zm AS (SELECT 'key_clustered' AS layout, kb AS bucket,
+             |    MIN(day) AS lo, MAX(day) AS hi, COUNT(*) AS n_rows
+             |  FROM wb GROUP BY 2
+             |  UNION ALL
+             |  SELECT 'date_clustered', db, MIN(day), MAX(day), COUNT(*)
+             |  FROM wb GROUP BY 2),
+             |preds AS (SELECT * FROM (VALUES
+             |    ('q1_1996q1', '1996-01-01', '1996-04-01'),
+             |    ('q2_1995sum', '1995-06-01', '1995-09-01'),
+             |    ('q3_1997y', '1997-01-01', '1998-01-01'),
+             |    ('q4_2000jan', '2000-01-01', '2000-01-15'))
+             |  AS t(predicate, plo, phi)),
+             |scanned AS (SELECT layout, predicate,
+             |    COUNT(*) AS n_buckets,
+             |    CAST(SUM(CASE WHEN lo < phi AND hi >= plo THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_scanned,
+             |    CAST(SUM(CASE WHEN lo < phi AND hi >= plo THEN n_rows
+             |      ELSE 0 END) AS BIGINT) AS rows_scanned
+             |  FROM zm, preds GROUP BY 1, 2),
+             |sel AS (SELECT predicate, COUNT(*) AS rows_selected
+             |  FROM o, preds WHERE day >= plo AND day < phi GROUP BY 1)
+             |SELECT layout, s.predicate, n_buckets, n_scanned,
+             |  n_buckets - n_scanned AS n_skipped, rows_scanned,
+             |  COALESCE(rows_selected, 0) AS rows_selected
+             |FROM scanned s LEFT JOIN sel USING (predicate)
+             |ORDER BY layout, s.predicate""".stripMargin)))
 
   /** SPRT model constants (H0 p=0.18, H1 p=0.22, α=β=0.05), computed
     * once JVM-side and inlined into both engines' expressions so neither
