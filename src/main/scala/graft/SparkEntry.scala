@@ -13164,7 +13164,172 @@ object SparkEntry {
              |  n_buckets - n_scanned AS n_skipped, rows_scanned,
              |  COALESCE(rows_selected, 0) AS rows_selected
              |FROM scanned s LEFT JOIN sel USING (predicate)
-             |ORDER BY layout, s.predicate""".stripMargin)))
+             |ORDER BY layout, s.predicate""".stripMargin)),
+
+    Q("dp_noisy_mean", // ε-DP mean account balance per market segment:
+      // clip-then-Laplace ([[graft.operators.DataQuality.dpNoisyMean]],
+      // ε=1, clip [0, $5000]) — the numeric-release counterpart of the
+      // noisy histogram. Clipping bounds one customer's influence
+      // BEFORE aggregation (the part analysts forget), balances ride
+      // as exact integer cents so the true sums are slack-free, and
+      // the 48-bit md5 uniform makes the release reproducible — both
+      // engines re-derive the identical noise.
+      (s, d) => graft.operators.DataQuality.dpNoisyMean(
+          t(s, d, "customer").withColumn("cents",
+            round(col("c_acctbal") * 100, 0).cast("long")),
+          "c_mktsegment", col("cents"), 0L, 500000L, eps = 1.0,
+          salt = "rel2026m")
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, n,
+             |  ROUND(sc / 100.0 / n, 6) AS clipped_mean,
+             |  ROUND((sc / 100.0 + -5000.0 * SIGN(u) * LN(1 - 2 * ABS(u)))
+             |    / n, 6) AS noisy_mean
+             |FROM (
+             |  SELECT c_mktsegment, COUNT(*) AS n,
+             |    CAST(SUM(GREATEST(LEAST(
+             |      CAST(ROUND(c_acctbal * 100, 0) AS BIGINT), 500000), 0))
+             |      AS DOUBLE) AS sc,
+             |    ((('0x' || SUBSTR(md5('rel2026m:' || c_mktsegment), 1, 12))
+             |      ::BIGINT) / 281474976710656.0) - 0.5 AS u
+             |  FROM customer GROUP BY 1)
+             |ORDER BY c_mktsegment""".stripMargin)),
+
+    Q("ivm_agg_delta", // incremental maintenance of an AGGREGATE view:
+      // priority-level (count, sum, avg, max) over orders is kept as
+      // mergeable partial state — a month's insert batch is aggregated
+      // ALONE and folded in with pure state algebra (counts/sums add,
+      // max takes greatest, avg re-derives from merged sums), exactly
+      // the merge map-side combine performs; the base fact is never
+      // rescanned. Both engines verify the merged state against a full
+      // recompute in-query — exact integer cents make the check
+      // bit-exact.
+      (s, d) => {
+        val o = t(s, d, "orders").select(col("o_orderpriority")
+            .as("priority"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        def st(f: DataFrame): DataFrame = f.groupBy("priority").agg(
+          count(lit(1)).as("n"), sum("cents").as("sc"),
+          max("cents").as("mx"))
+        val base = st(o.filter(col("day") < "1999-01-01"))
+        val delta = st(o.filter(col("day") >= "1999-01-01"
+          && col("day") < "1999-02-01"))
+        val full = st(o.filter(col("day") < "1999-02-01"))
+        base.join(delta.select(col("priority"), col("n").as("dn"),
+            col("sc").as("dsc"), col("mx").as("dmx")), Seq("priority"),
+            "left_outer")
+          .select(col("priority"), col("n").as("n_base"),
+            coalesce(col("dn"), lit(0L)).as("n_delta"),
+            (col("n") + coalesce(col("dn"), lit(0L))).as("n_new"),
+            (col("sc") + coalesce(col("dsc"), lit(0L))).as("sc_new"),
+            greatest(col("mx"), coalesce(col("dmx"), lit(0L))).as("mx_new"))
+          .join(full.select(col("priority"), col("n").as("fn"),
+            col("sc").as("fsc"), col("mx").as("fmx")), Seq("priority"))
+          .select(col("priority"), col("n_base"), col("n_delta"),
+            col("n_new"),
+            round(col("sc_new").cast("double") / 100.0 / col("n_new"), 6)
+              .as("avg_new"),
+            (col("mx_new").cast("double") / 100.0).as("max_new"),
+            when(col("n_new") === col("fn") && col("sc_new") === col("fsc")
+              && col("mx_new") === col("fmx"), "ok").otherwise("mismatch")
+              .as("verdict"))
+          .orderBy("priority")
+      },
+      Some("""WITH o AS MATERIALIZED (SELECT o_orderpriority AS priority,
+             |    strftime(o_orderdate, '%Y-%m-%d') AS day,
+             |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+             |  FROM orders),
+             |base AS (SELECT priority, COUNT(*) AS n,
+             |    CAST(SUM(cents) AS BIGINT) AS sc, MAX(cents) AS mx
+             |  FROM o WHERE day < '1999-01-01' GROUP BY 1),
+             |delta AS (SELECT priority, COUNT(*) AS dn,
+             |    CAST(SUM(cents) AS BIGINT) AS dsc, MAX(cents) AS dmx
+             |  FROM o WHERE day >= '1999-01-01' AND day < '1999-02-01'
+             |  GROUP BY 1),
+             |fullv AS (SELECT priority, COUNT(*) AS fn,
+             |    CAST(SUM(cents) AS BIGINT) AS fsc, MAX(cents) AS fmx
+             |  FROM o WHERE day < '1999-02-01' GROUP BY 1),
+             |m AS (SELECT b.priority, b.n AS n_base,
+             |    COALESCE(d.dn, 0) AS n_delta,
+             |    b.n + COALESCE(d.dn, 0) AS n_new,
+             |    b.sc + COALESCE(d.dsc, 0) AS sc_new,
+             |    GREATEST(b.mx, COALESCE(d.dmx, 0)) AS mx_new
+             |  FROM base b LEFT JOIN delta d USING (priority))
+             |SELECT m.priority, n_base, n_delta, n_new,
+             |  ROUND(CAST(sc_new AS DOUBLE) / 100.0 / n_new, 6) AS avg_new,
+             |  CAST(mx_new AS DOUBLE) / 100.0 AS max_new,
+             |  CASE WHEN n_new = f.fn AND sc_new = f.fsc AND mx_new = f.fmx
+             |    THEN 'ok' ELSE 'mismatch' END AS verdict
+             |FROM m JOIN fullv f USING (priority)
+             |ORDER BY m.priority""".stripMargin)),
+
+    Q("events_stl_decompose", // additive trend/season/residual
+      // decomposition of the daily series per event type — centered
+      // 7-day moving-average trend (full windows only), day-of-week
+      // seasonal means of the detrended series, and the variance share
+      // each component explains: the one-table answer to "is this
+      // metric trend, weekly rhythm, or noise?". All windows are KEYED
+      // by type (bounded day grain, no global sort); dow comes from
+      // portable day-index arithmetic, not engine weekday functions.
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("y"))
+        val w7 = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-3, 3)
+        val dt = daily
+          .withColumn("trend", avg("y").over(w7))
+          .withColumn("wn", count(lit(1)).over(w7))
+          .filter(col("wn") === 7)
+          .withColumn("dow",
+            pmod(datediff(to_date(col("day")), to_date(lit("1995-01-02"))),
+              lit(7)))
+          .withColumn("detr", col("y") - col("trend"))
+        val seas = dt.groupBy("event_type", "dow")
+          .agg(avg("detr").as("seasonal"))
+        def vshare(x: Column): Column =
+          (avg(x * x) - avg(x) * avg(x))
+        dt.join(seas, Seq("event_type", "dow"))
+          .withColumn("resid", col("detr") - col("seasonal"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"),
+            round(vshare(col("y")), 6).as("var_y"),
+            round(vshare(col("trend")) / vshare(col("y")), 6)
+              .as("trend_share"),
+            round(vshare(col("seasonal")) / vshare(col("y")), 6)
+              .as("seasonal_share"),
+            round(vshare(col("resid")) / vshare(col("y")), 6)
+              .as("resid_share"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS MATERIALIZED (
+             |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             |    COUNT(*) AS y
+             |  FROM events GROUP BY 1, 2),
+             |dt AS MATERIALIZED (SELECT event_type, day, y, trend,
+             |    (date_diff('day', DATE '1995-01-02',
+             |      strptime(day, '%Y-%m-%d')) % 7 + 7) % 7 AS dow,
+             |    y - trend AS detr
+             |  FROM (SELECT event_type, day, y,
+             |      AVG(y) OVER w AS trend, COUNT(*) OVER w AS wn
+             |    FROM daily
+             |    WINDOW w AS (PARTITION BY event_type ORDER BY day
+             |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+             |  WHERE wn = 7),
+             |seas AS (SELECT event_type, dow, AVG(detr) AS seasonal
+             |  FROM dt GROUP BY 1, 2)
+             |SELECT dt.event_type, COUNT(*) AS n_days,
+             |  ROUND(AVG(y * y) - AVG(y) * AVG(y), 6) AS var_y,
+             |  ROUND((AVG(trend * trend) - AVG(trend) * AVG(trend))
+             |    / (AVG(y * y) - AVG(y) * AVG(y)), 6) AS trend_share,
+             |  ROUND((AVG(seasonal * seasonal) - AVG(seasonal) * AVG(seasonal))
+             |    / (AVG(y * y) - AVG(y) * AVG(y)), 6) AS seasonal_share,
+             |  ROUND((AVG(resid * resid) - AVG(resid) * AVG(resid))
+             |    / (AVG(y * y) - AVG(y) * AVG(y)), 6) AS resid_share
+             |FROM (SELECT dt.*, seas.seasonal, dt.detr - seas.seasonal AS resid
+             |  FROM dt JOIN seas USING (event_type, dow)) AS dt
+             |GROUP BY 1 ORDER BY 1""".stripMargin)))
 
   /** SPRT model constants (H0 p=0.18, H1 p=0.22, α=β=0.05), computed
     * once JVM-side and inlined into both engines' expressions so neither

@@ -185,6 +185,33 @@ object DataQuality {
       .select(col(key), round(col("_n") + noise, 4).as("n_noisy"))
   }
 
+  /** ε-DP released MEAN via the clip-then-Laplace mechanism — the
+    * release pattern for numeric aggregates: each value is clipped to
+    * [lo, hi] (bounding one record's influence), the group SUM gets
+    * Laplace((hi−lo)/ε) noise, and the mean divides by the exact count
+    * (released separately in practice; exact here keeps the audit
+    * readable). Values arrive as exact integer cents so the true sums
+    * carry no float slack; the noise uniform is the same reproducible
+    * 48-bit md5 construction as [[dpNoisyCount]].
+    */
+  def dpNoisyMean(df: DataFrame, key: String, centsCol: Column,
+      clipLoCents: Long, clipHiCents: Long, eps: Double,
+      salt: String): DataFrame = {
+    val u = (conv(substring(md5(concat(lit(salt + ":"), col(key))), 1, 12),
+      16, 10).cast("double") / lit(281474976710656.0)) - 0.5
+    val b = ((clipHiCents - clipLoCents) / 100.0) / eps
+    val noise = lit(-b) * signum(u) * log(lit(1.0) - lit(2.0) * abs(u))
+    val clipped = greatest(least(centsCol, lit(clipHiCents)),
+      lit(clipLoCents))
+    df.groupBy(col(key))
+      .agg(count(lit(1)).as("n"), sum(clipped).as("_sc"))
+      .select(col(key), col("n"),
+        round(col("_sc").cast("double") / 100.0 / col("n"), 6)
+          .as("clipped_mean"),
+        round((col("_sc").cast("double") / 100.0 + noise) / col("n"), 6)
+          .as("noisy_mean"))
+  }
+
   /** Robust outlier report via the modified z-score (Iglewicz & Hoaglin
     * 1993): 0.6745·|x − median| / MAD > threshold. Median and MAD resist
     * the very outliers a mean/stddev rule would absorb — the right gate
