@@ -13329,7 +13329,158 @@ object SparkEntry {
              |    / (AVG(y * y) - AVG(y) * AVG(y)), 6) AS resid_share
              |FROM (SELECT dt.*, seas.seasonal, dt.detr - seas.seasonal AS resid
              |  FROM dt JOIN seas USING (event_type, dow)) AS dt
-             |GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("doc_mattr_lexdiv", // moving-average type-token ratio (MATTR,
+      // window 25) per document, rolled up by source — the
+      // length-robust lexical-diversity score (plain TTR collapses as
+      // docs grow; the moving window doesn't). Per-doc work is a
+      // bounded fold over the token array (window count × window
+      // width, the documented bounded-doc-length contract); every
+      // window's distinct count is an exact integer, so the per-doc
+      // MATTR is a deterministic double and only the per-source mean
+      // needs rounding.
+      (s, d) => {
+        val m = t(s, d, "documents")
+          .select(col("source"),
+            TextAnalysis.tokens(lower(col("text"))).as("ts"))
+          .filter(size(col("ts")) >= 25)
+          .select(col("source"),
+            (aggregate(
+              transform(sequence(lit(1), size(col("ts")) - 24),
+                i => size(array_distinct(slice(col("ts"), i, lit(25))))
+                  .cast("long")),
+              lit(0L), (acc, x) => acc + x).cast("double")
+              / (size(col("ts")) - 24) / lit(25.0)).as("mattr"))
+        m.groupBy("source").agg(count(lit(1)).as("n_docs"),
+            round(avg("mattr"), 6).as("mean_mattr"),
+            round(min("mattr"), 6).as("min_mattr"),
+            round(max("mattr"), 6).as("max_mattr"))
+          .orderBy("source")
+      },
+      Some("""WITH m AS (SELECT source,
+             |    CAST(list_sum(list_transform(range(1, len(ts) - 23),
+             |      i -> len(list_distinct(ts[i:i+24])))) AS DOUBLE)
+             |      / (len(ts) - 24) / 25.0 AS mattr
+             |  FROM (SELECT source,
+             |      string_split_regex(lower(trim(text)), '\s+') AS ts
+             |    FROM documents)
+             |  WHERE len(ts) >= 25)
+             |SELECT source, COUNT(*) AS n_docs,
+             |  ROUND(AVG(mattr), 6) AS mean_mattr,
+             |  ROUND(MIN(mattr), 6) AS min_mattr,
+             |  ROUND(MAX(mattr), 6) AS max_mattr
+             |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("events_peak_over_threshold", // extreme-value tail audit (POT):
+      // per type, days whose count exceeds mean + 2σ are "peaks"; the
+      // excesses get method-of-moments GPD parameters (ξ shape,
+      // β scale) — ξ > 0 flags a heavy tail that invalidates normal
+      // capacity planning. The threshold derives from EXACT integer
+      // moment sums (bit-identical across engines, no protocol); only
+      // the few excess values are doubles, and their tiny keyed
+      // aggregations round at 6dp.
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("y"))
+        val st = daily.groupBy("event_type").agg(
+          count(lit(1)).as("n_days"), sum("y").as("sy"),
+          sum(col("y") * col("y")).as("syy"))
+        val u = col("sy") / col("n_days") +
+          lit(2.0) * sqrt(col("syy") / col("n_days") -
+            (col("sy") / col("n_days")) * (col("sy") / col("n_days")))
+        val withU = st.select(col("event_type"), col("n_days"),
+          u.as("u"))
+        val exc = daily.join(broadcast(withU), Seq("event_type"))
+          .filter(col("y") > col("u"))
+          .groupBy("event_type").agg(count(lit(1)).as("k"),
+            sum(col("y") - col("u")).as("se"),
+            sum((col("y") - col("u")) * (col("y") - col("u"))).as("see"))
+        val me = col("se") / col("k")
+        val ve = col("see") / col("k") - me * me
+        withU.join(exc, Seq("event_type"), "left_outer")
+          .select(col("event_type"), col("n_days"),
+            round(col("u"), 4).as("threshold"),
+            coalesce(col("k"), lit(0L)).as("n_exceed"),
+            round(me, 6).as("mean_excess"),
+            when(col("k") >= 2 && ve > 0,
+              round(lit(0.5) * (lit(1.0) - me * me / ve), 6)).as("xi"),
+            when(col("k") >= 2 && ve > 0,
+              round(lit(0.5) * me * (me * me / ve + lit(1.0)), 6))
+              .as("beta"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS MATERIALIZED (
+             |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             |    COUNT(*) AS y
+             |  FROM events GROUP BY 1, 2),
+             |st AS (SELECT event_type, COUNT(*) AS n_days,
+             |    CAST(SUM(y) AS BIGINT) AS sy,
+             |    CAST(SUM(y * y) AS BIGINT) AS syy
+             |  FROM daily GROUP BY 1),
+             |wu AS (SELECT event_type, n_days,
+             |    sy / n_days + 2.0 * sqrt(syy / n_days
+             |      - (sy / n_days) * (sy / n_days)) AS u
+             |  FROM st),
+             |exc AS (SELECT d.event_type, COUNT(*) AS k,
+             |    SUM(d.y - wu.u) AS se,
+             |    SUM((d.y - wu.u) * (d.y - wu.u)) AS see
+             |  FROM daily d JOIN wu USING (event_type)
+             |  WHERE d.y > wu.u GROUP BY 1)
+             |SELECT wu.event_type, n_days, ROUND(u, 4) AS threshold,
+             |  COALESCE(k, 0) AS n_exceed,
+             |  ROUND(se / k, 6) AS mean_excess,
+             |  CASE WHEN k >= 2 AND see / k - (se / k) * (se / k) > 0
+             |    THEN ROUND(0.5 * (1.0 - (se / k) * (se / k)
+             |      / (see / k - (se / k) * (se / k))), 6) END AS xi,
+             |  CASE WHEN k >= 2 AND see / k - (se / k) * (se / k) > 0
+             |    THEN ROUND(0.5 * (se / k) * ((se / k) * (se / k)
+             |      / (see / k - (se / k) * (se / k)) + 1.0), 6) END AS beta
+             |FROM wu LEFT JOIN exc USING (event_type)
+             |ORDER BY wu.event_type""".stripMargin)),
+
+    Q("events_daily_cvar", // value-at-risk / expected shortfall of the
+      // daily value totals per type: VaR90 = exact interpolated p90
+      // over the bounded day grain, CVaR90 = mean of the totals at or
+      // above it — the tail-budget number an SLO is written against.
+      // Daily totals round at the grain boundary (the cross-engine
+      // protocol for float sums) BEFORE ranking, so both engines
+      // select the identical tail set.
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(round(sum("value"), 6).as("t"))
+        val v = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"),
+            expr("percentile(t, 0.9)").as("var90"))
+        daily.join(broadcast(v), Seq("event_type"))
+          .filter(col("t") >= col("var90"))
+          .groupBy("event_type").agg(count(lit(1)).as("n_tail"),
+            round(avg("t"), 6).as("cvar90"))
+          .join(v, Seq("event_type"))
+          .select(col("event_type"), col("n_days"),
+            round(col("var90"), 6).as("var90"), col("n_tail"),
+            col("cvar90"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS MATERIALIZED (
+             |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             |    ROUND(SUM(value), 6) AS t
+             |  FROM events GROUP BY 1, 2),
+             |v AS (SELECT event_type, COUNT(*) AS n_days,
+             |    quantile_cont(t, 0.9) AS var90
+             |  FROM daily GROUP BY 1),
+             |c AS (SELECT d.event_type, COUNT(*) AS n_tail,
+             |    ROUND(AVG(d.t), 6) AS cvar90
+             |  FROM daily d JOIN v USING (event_type)
+             |  WHERE d.t >= v.var90 GROUP BY 1)
+             |SELECT v.event_type, n_days, ROUND(var90, 6) AS var90,
+             |  n_tail, cvar90
+             |FROM v JOIN c USING (event_type)
+             |ORDER BY v.event_type""".stripMargin)))
 
   /** SPRT model constants (H0 p=0.18, H1 p=0.22, α=β=0.05), computed
     * once JVM-side and inlined into both engines' expressions so neither
