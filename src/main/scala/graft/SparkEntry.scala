@@ -13480,7 +13480,186 @@ object SparkEntry {
              |SELECT v.event_type, n_days, ROUND(var90, 6) AS var90,
              |  n_tail, cvar90
              |FROM v JOIN c USING (event_type)
-             |ORDER BY v.event_type""".stripMargin)))
+             |ORDER BY v.event_type""".stripMargin)),
+
+    Q("lineitem_theil_index", // Theil-T inequality of supplier revenue
+      // with its EXACT within/between-nation decomposition — the
+      // property Gini lacks: T = Σ_g w_g·T_g + T_between, w_g = the
+      // group's revenue share. One supplier rollup (exact cents), one
+      // 25-row group rollup broadcast back, ONE pass computing both the
+      // group-relative and global-relative entropy terms; the output
+      // shows total-direct and total-decomposed agreeing at 6dp — the
+      // identity is the test.
+      (s, d) => {
+        val sup = t(s, d, "lineitem")
+          .groupBy(col("l_suppkey"))
+          .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+            .as("c"))
+          .join(t(s, d, "supplier").select(
+            col("s_suppkey").as("l_suppkey"), col("s_nationkey")),
+            Seq("l_suppkey"))
+          .join(broadcast(t(s, d, "nation").select(
+            col("n_nationkey").as("s_nationkey"), col("n_name"))),
+            Seq("s_nationkey"))
+          .select(col("n_name"), col("c"))
+        val glob = sup.agg(count(lit(1)).as("n"), sum("c").as("sc"))
+        val grp = sup.groupBy("n_name")
+          .agg(count(lit(1)).as("ng"), sum("c").as("scg"))
+        val rg = col("c").cast("double") * col("ng") / col("scg")
+        val rt = col("c").cast("double") * col("n") / col("sc")
+        val full = sup.join(broadcast(grp), Seq("n_name"))
+          .crossJoin(broadcast(glob))
+          .groupBy("n_name")
+          .agg(first("ng").as("ng"), first("scg").as("scg"),
+            sum(rg * log(rg)).as("stg"), sum(rt * log(rt)).as("stt"))
+          .crossJoin(broadcast(glob))
+        val between = full.agg(count(lit(1)).as("k"),
+            sum((col("scg").cast("double") / col("sc"))
+              * log(col("scg").cast("double") * col("n")
+                / (col("ng").cast("double") * col("sc")))).as("tb"),
+            sum((col("scg").cast("double") / col("sc"))
+              * (col("stg") / col("ng"))).as("tw"),
+            sum("stt").as("stt_all"), first("n").as("n"))
+        full.select(col("n_name").as("scope"), col("ng").as("n_units"),
+            round(col("scg").cast("double") / col("sc"), 6).as("rev_share"),
+            round(col("stg") / col("ng"), 6).as("theil"))
+          .unionByName(between.select(lit("zz_between").as("scope"),
+            col("k").as("n_units"), lit(null).cast("double").as("rev_share"),
+            round(col("tb"), 6).as("theil")))
+          .unionByName(between.select(lit("zz_total_direct").as("scope"),
+            col("n").as("n_units"), lit(null).cast("double").as("rev_share"),
+            round(col("stt_all") / col("n"), 6).as("theil")))
+          .unionByName(between.select(lit("zz_total_decomposed").as("scope"),
+            col("n").as("n_units"), lit(null).cast("double").as("rev_share"),
+            round(col("tw") + col("tb"), 6).as("theil")))
+          .orderBy("scope")
+      },
+      Some("""WITH sup AS MATERIALIZED (
+             |  SELECT l_suppkey,
+             |    CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+             |      AS BIGINT) AS c
+             |  FROM lineitem GROUP BY 1),
+             |sn AS MATERIALIZED (SELECT n.n_name, sup.c
+             |  FROM sup JOIN supplier s ON s.s_suppkey = sup.l_suppkey
+             |  JOIN nation n ON n.n_nationkey = s.s_nationkey),
+             |gtot AS (SELECT COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS sc
+             |  FROM sn),
+             |grp AS (SELECT n_name, COUNT(*) AS ng,
+             |    CAST(SUM(c) AS BIGINT) AS scg FROM sn GROUP BY 1),
+             |fullg AS (SELECT sn.n_name,
+             |    FIRST(g.ng) AS ng, FIRST(g.scg) AS scg,
+             |    SUM((CAST(sn.c AS DOUBLE) * g.ng / g.scg)
+             |      * ln(CAST(sn.c AS DOUBLE) * g.ng / g.scg)) AS stg,
+             |    SUM((CAST(sn.c AS DOUBLE) * gl.n / gl.sc)
+             |      * ln(CAST(sn.c AS DOUBLE) * gl.n / gl.sc)) AS stt
+             |  FROM sn JOIN grp g USING (n_name) CROSS JOIN gtot gl
+             |  GROUP BY 1),
+             |btw AS (SELECT COUNT(*) AS k,
+             |    SUM((CAST(scg AS DOUBLE) / sc)
+             |      * ln(CAST(scg AS DOUBLE) * n
+             |        / (CAST(ng AS DOUBLE) * sc))) AS tb,
+             |    SUM((CAST(scg AS DOUBLE) / sc) * (stg / ng)) AS tw,
+             |    SUM(stt) AS stt_all, FIRST(n) AS n
+             |  FROM fullg, gtot)
+             |SELECT n_name AS scope, ng AS n_units,
+             |  ROUND(CAST(scg AS DOUBLE) / sc, 6) AS rev_share,
+             |  ROUND(stg / ng, 6) AS theil
+             |FROM fullg, gtot
+             |UNION ALL SELECT 'zz_between', k, NULL, ROUND(tb, 6) FROM btw
+             |UNION ALL SELECT 'zz_total_direct', n, NULL,
+             |  ROUND(stt_all / n, 6) FROM btw
+             |UNION ALL SELECT 'zz_total_decomposed', n, NULL,
+             |  ROUND(tw + tb, 6) FROM btw
+             |ORDER BY scope""".stripMargin)),
+
+    Q("events_crosscorr_lagged", // lead/lag cross-correlation between
+      // the 'view' and 'purchase' daily series at lags −7…+7 — the
+      // table that says which signal LEADS (peak r at positive lag =
+      // views lead purchases). Day counts collapse each series to its
+      // bounded grain; each lag is one integer-key join; Pearson per
+      // lag comes from EXACT integer moment sums, so both engines
+      // compute the identical double — no rounding protocol, 6dp
+      // display only.
+      (s, d) => {
+        val ev = t(s, d, "events")
+        def daily(tp: String, cn: String): DataFrame = ev
+          .filter(col("event_type") === tp)
+          .groupBy(datediff(col("ts").cast("date"),
+            lit("1995-01-01").cast("date")).as("di"))
+          .agg(count(lit(1)).as(cn))
+        val xd = daily("view", "x")
+        val yd = daily("purchase", "y")
+        val m = yd
+          .select(col("di"), col("y"),
+            explode(sequence(lit(-7L), lit(7L))).as("lag"))
+          .select(col("lag"), (col("di") - col("lag")).as("di"), col("y"))
+          .join(xd, Seq("di"))
+          .groupBy("lag")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"),
+            sum(col("x") * col("y")).as("sxy"))
+        val vx = col("n") * col("sxx") - col("sx") * col("sx")
+        val vy = col("n") * col("syy") - col("sy") * col("sy")
+        m.select(col("lag"), col("n").as("n_days"),
+            when(vx > 0 && vy > 0,
+              round((col("n") * col("sxy") - col("sx") * col("sy"))
+                .cast("double")
+                / sqrt(vx.cast("double") * vy.cast("double")), 6)).as("r"))
+          .orderBy("lag")
+      },
+      Some("""WITH xd AS (SELECT date_diff('day', DATE '1995-01-01',
+             |      CAST(ts AS DATE)) AS di, COUNT(*) AS x
+             |  FROM events WHERE event_type = 'view' GROUP BY 1),
+             |yd AS (SELECT date_diff('day', DATE '1995-01-01',
+             |      CAST(ts AS DATE)) AS di, COUNT(*) AS y
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |m AS (SELECT l.lag, COUNT(*) AS n,
+             |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+             |    CAST(SUM(y * y) AS BIGINT) AS syy,
+             |    CAST(SUM(x * y) AS BIGINT) AS sxy
+             |  FROM yd, (SELECT unnest(range(-7, 8)) AS lag) AS l
+             |  JOIN xd ON xd.di = yd.di - l.lag
+             |  GROUP BY 1)
+             |SELECT lag, n AS n_days,
+             |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+             |    THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+             |        * CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS r
+             |FROM m ORDER BY lag""".stripMargin)),
+
+    Q("lineitem_lorenz_curve", // Lorenz curve of line revenue: per
+      // exact NTILE decile of the price order, the decile's revenue
+      // and the cumulative share — the curve behind the Gini number.
+      // Deciles come from the SHARED distributed range sort
+      // ([[rankedExtPrice]] + RankedValues.bucketSums) — never a
+      // single-reducer NTILE window — and the sums run in exact
+      // integer cents, so the distributed reduce is order-independent
+      // and only 10 scalar rows reach the driver.
+      (s, d) => {
+        import s.implicits._
+        val rows = rankedExtPrice(s, d).bucketSums(10, 100.0)
+        val tot = rows.map(_._3).sum
+        val cum = rows.scanLeft(0.0)((a, r) => a + r._3).tail
+        rows.zip(cum).map { case ((b, c, sc), cs) =>
+          (b.toLong, c, sc / 100.0,
+            BigDecimal(cs / tot).setScale(6,
+              BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }.toDF("decile", "n", "revenue", "cum_share").orderBy("decile")
+      },
+      Some("""WITH r AS (SELECT
+             |    CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS c,
+             |    NTILE(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+             |      l_linenumber) AS d
+             |  FROM lineitem),
+             |g AS (SELECT d, COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS sc
+             |  FROM r GROUP BY 1),
+             |t AS (SELECT CAST(SUM(sc) AS BIGINT) AS tot FROM g)
+             |SELECT d AS decile, n, CAST(sc AS DOUBLE) / 100.0 AS revenue,
+             |  ROUND(CAST(SUM(sc) OVER (ORDER BY d) AS DOUBLE) / tot, 6)
+             |    AS cum_share
+             |FROM g, t ORDER BY decile""".stripMargin)))
 
   /** SPRT model constants (H0 p=0.18, H1 p=0.22, α=β=0.05), computed
     * once JVM-side and inlined into both engines' expressions so neither

@@ -117,6 +117,31 @@ object Scale {
       }.toArray
     }
 
+    /** Exact NTILE-bucket (count, value-sum) pairs over the ranked
+      * order — the Lorenz-curve building block. Bucket boundaries use
+      * the standard NTILE rule (first n%k buckets take one extra row),
+      * so the result matches `NTILE(k) OVER (ORDER BY …)` bit-for-bit.
+      * Values are rescaled to exact integer units (`math.rint(v ·
+      * unitScale)`) BEFORE summing: the partials are exact integers in
+      * doubles, so the distributed reduce is order-independent — the
+      * nondeterministic combiner merge order of a float sum can't leak
+      * into the result. Returns k collected rows (scalar report state,
+      * not data).
+      */
+    def bucketSums(k: Int, unitScale: Double): Seq[(Int, Long, Double)] = {
+      val q = n / k
+      val rem = (n % k).toInt
+      val cut = rem.toLong * (q + 1)
+      def bucketOf(i: Long): Int =
+        if (i < cut) (i / (q + 1)).toInt + 1
+        else rem + ((i - cut) / q).toInt + 1
+      rdd.map { case (i, v) => (bucketOf(i), (1L, math.rint(v * unitScale))) }
+        .reduceByKey((a: (Long, Double), b: (Long, Double)) =>
+          (a._1 + b._1, a._2 + b._2))
+        .collect().sortBy(_._1)
+        .map { case (b, (c, s)) => (b, c, s) }.toSeq
+    }
+
     def unpersist(): Unit = { rdd.unpersist(blocking = false); () }
   }
 

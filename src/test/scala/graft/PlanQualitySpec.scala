@@ -188,6 +188,7 @@ class PlanQualitySpec extends SparkSuite {
         "doc_heaps_law", // 1-row max-doc-id broadcast onto the doc/term grains
         "doc_qlm_search", // 1-row collection-token-total broadcast onto doc grain
         "scale_zonemap_prune", // 1-row min/max bounds broadcast onto the order grain
+        "lineitem_theil_index", // 1-row global-moments broadcast onto the supplier grain
         "orders_kendall_tau", // pairwise pass over the bounded ~80-row month grain
         "events_error_pchart", // 1-row centerline broadcast onto the day grain
         "graph_triangles")) // 1-row stats × 1-row triangle-count assembly

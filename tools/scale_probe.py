@@ -52,6 +52,14 @@ QUERIES = [
     # relational + skew + streaming controls
     "q9_profit_by_nation", "join_salted_skew", "events_stream_hourly",
     "events_funnel_latency",
+    # truss/support family (r7 cont.4: shared wedge enumeration,
+    # multi-round peel)
+    "graph_edge_support", "graph_ktruss",
+    # replicate-weight explode (x100), JL sketch explode (x1024),
+    # bigram LM counts, per-doc MATTR fold, EM rounds, vocab curve
+    "orders_poisson_bootstrap_ci", "emb_rp_distortion",
+    "doc_kn_bigram_lm", "doc_mattr_lexdiv", "lineitem_gmm_em",
+    "doc_heaps_law",
 ]
 
 # Work linear in data by construction AND CPU-saturated at sf0.1 ->
@@ -74,6 +82,15 @@ LINEAR_SATURATED = {
         "distinct (customer, part) edge volume scales 10x; half-steps are edge-sized shuffles",
     "doc_search_eval":
         "term postings and per-query candidate sets scale 10x; ranking windows grow with them",
+    "graph_edge_support": "wedge space scales 10x (disjoint copies)",
+    "graph_ktruss":
+        "per-round wedge space scales 10x; rounds bounded at 3",
+    "orders_poisson_bootstrap_ci":
+        "rows x 100 replicate explode: work scales 10x, cores saturated",
+    "emb_rp_distortion":
+        "vecs x 1024 (coord x sketch-dim) explode: work scales 10x, saturated",
+    "doc_mattr_lexdiv":
+        "per-doc window fold: work linear in docs, interpreted HOF saturates cores",
 }
 
 def run(cmd, env=None):
