@@ -13659,7 +13659,218 @@ object SparkEntry {
              |SELECT d AS decile, n, CAST(sc AS DOUBLE) / 100.0 AS revenue,
              |  ROUND(CAST(SUM(sc) OVER (ORDER BY d) AS DOUBLE) / tot, 6)
              |    AS cum_share
-             |FROM g, t ORDER BY decile""".stripMargin)))
+             |FROM g, t ORDER BY decile""".stripMargin)),
+
+    Q("events_session_concurrency", // peak concurrent sessions per day —
+      // the capacity number a serving tier is sized against — via the
+      // TWO-LEVEL sweep line that scales: session endpoints (+1/−1)
+      // partition by day, each day runs its own keyed prefix sum, and
+      // midnight-spanning sessions ride a day-level carry (cumulative
+      // net over the bounded day grain) — never one global ordered
+      // window over all endpoints. Sessions are the proven 30-min-gap
+      // construction; everything is exact integers.
+      (s, d) => {
+        val sess = graft.streaming.EventStream
+          .sessionize(s, t(s, d, "events")).toDF()
+          .select(col("user_id"), col("start_ms"), col("end_ms"))
+        val ep = sess.select(col("user_id"), explode(array(
+            struct(col("start_ms").as("ms"), lit(1L).as("delta")),
+            struct(col("end_ms").as("ms"), lit(-1L).as("delta")))).as("e"))
+          .select(col("user_id"), col("e.ms").as("ms"),
+            col("e.delta").as("delta"))
+          .withColumn("day_idx", expr("ms div 86400000"))
+        val wIntra = Window.partitionBy("day_idx")
+          .orderBy(col("ms"), col("delta").desc, col("user_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val da = ep.withColumn("run", sum("delta").over(wIntra))
+          .groupBy("day_idx")
+          .agg(max("run").as("max_intra"), sum("delta").as("net"),
+            sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_started"))
+        val wc = Window.orderBy("day_idx")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        da.withColumn("carry", sum("net").over(wc) - col("net"))
+          .select(col("day_idx").as("day_epoch"), col("n_started"),
+            (col("carry") + col("max_intra")).as("max_concurrency"))
+          .orderBy("day_epoch")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+             |         THEN 1 ELSE 0 END AS brk
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (SELECT user_id, epoch_ms(MIN(ts)) AS start_ms,
+             |    epoch_ms(MAX(ts)) AS end_ms
+             |  FROM (SELECT user_id, ts,
+             |      SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |    FROM g)
+             |  GROUP BY user_id, sid),
+             |ep AS (SELECT user_id, start_ms AS ms, 1 AS delta FROM sess
+             |  UNION ALL SELECT user_id, end_ms, -1 FROM sess),
+             |intra AS (SELECT ms // 86400000 AS day_idx, delta,
+             |    SUM(delta) OVER (PARTITION BY ms // 86400000
+             |      ORDER BY ms, delta DESC, user_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+             |  FROM ep),
+             |da AS (SELECT day_idx, MAX(run) AS max_intra,
+             |    CAST(SUM(delta) AS BIGINT) AS net,
+             |    CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_started
+             |  FROM intra GROUP BY 1)
+             |SELECT day_idx AS day_epoch, n_started,
+             |  CAST(SUM(net) OVER (ORDER BY day_idx) - net + max_intra
+             |    AS BIGINT) AS max_concurrency
+             |FROM da ORDER BY day_epoch""".stripMargin)),
+
+    Q("events_bot_detection", // per-user behavioral bot screen — the
+      // hygiene pass a training-data pipeline runs before user-level
+      // signals feed anything: inter-arrival regularity (CV of integer
+      // second gaps — bots are too regular), event rate (mean gap),
+      // and event-type entropy (bots repeat). Gap and count moments
+      // are EXACT integer sums, so every metric is a deterministic
+      // double; entropy uses the closed form ln n − (Σ c ln c)/n.
+      // One keyed lag window + two hash aggs; flags are illustrative
+      // thresholds, the metric table is the product.
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("user_id"),
+          col("event_type"), col("event_id"), unix_millis(col("ts")).as("ms"))
+        val gaps = ev.withColumn("gap_s", expr(
+            """(ms - lag(ms, 1) over (partition by user_id
+              | order by ms, event_id)) div 1000""".stripMargin))
+          .filter(col("gap_s").isNotNull)
+          .groupBy("user_id").agg(count(lit(1)).as("k"),
+            sum("gap_s").as("sg"),
+            sum(col("gap_s") * col("gap_s")).as("sgg"))
+        val ent = ev.groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("c"))
+          .groupBy("user_id").agg(count(lit(1)).as("n_types"),
+            sum("c").as("n"), sum(col("c") * log(col("c"))).as("slc"))
+        val mean = col("sg") / col("k")
+        val cv = sqrt(col("sgg") / col("k") - mean * mean) / mean
+        val entropy = log(col("n")) - col("slc") / col("n")
+        gaps.join(ent, Seq("user_id"))
+          .select(col("user_id"), col("n").as("n_events"), col("n_types"),
+            round(mean, 2).as("mean_gap_s"), round(cv, 6).as("cv_gap"),
+            round(entropy, 6).as("type_entropy"),
+            (when(cv < 0.9, 1L).otherwise(0L)
+              + when(mean < 35000.0, 1L).otherwise(0L)
+              + when(entropy < 1.55, 1L).otherwise(0L)).as("bot_flags"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, event_id,
+             |    epoch_ms(ts) AS ms FROM events),
+             |gaps AS (SELECT user_id, COUNT(*) AS k,
+             |    CAST(SUM(gap_s) AS BIGINT) AS sg,
+             |    CAST(SUM(gap_s * gap_s) AS BIGINT) AS sgg
+             |  FROM (SELECT user_id,
+             |      (ms - lag(ms) OVER (PARTITION BY user_id
+             |        ORDER BY ms, event_id)) // 1000 AS gap_s
+             |    FROM e)
+             |  WHERE gap_s IS NOT NULL GROUP BY 1),
+             |ent AS (SELECT user_id, COUNT(*) AS n_types,
+             |    CAST(SUM(c) AS BIGINT) AS n, SUM(c * ln(c)) AS slc
+             |  FROM (SELECT user_id, event_type, COUNT(*) AS c
+             |    FROM e GROUP BY 1, 2)
+             |  GROUP BY 1),
+             |m AS (SELECT user_id, n, n_types,
+             |    sg / k AS mean, sqrt(sgg / k - (sg / k) * (sg / k))
+             |      / (sg / k) AS cv,
+             |    ln(n) - slc / n AS entropy
+             |  FROM gaps JOIN ent USING (user_id))
+             |SELECT user_id, n AS n_events, n_types,
+             |  ROUND(mean, 2) AS mean_gap_s, ROUND(cv, 6) AS cv_gap,
+             |  ROUND(entropy, 6) AS type_entropy,
+             |  CAST((CASE WHEN cv < 0.9 THEN 1 ELSE 0 END)
+             |    + (CASE WHEN mean < 35000.0 THEN 1 ELSE 0 END)
+             |    + (CASE WHEN entropy < 1.55 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS bot_flags
+             |FROM m ORDER BY user_id""".stripMargin)),
+
+    Q("mm_audio_vad_segments", // energy-threshold voice-activity
+      // segmentation over the REAL WAV decode: per-frame exact integer
+      // energies (the shared [[graft.operators.Multimodal
+      // .audioFrameEnergies]] decoder output) explode into frame rows,
+      // each media's threshold is HALF its mean frame energy (exact
+      // integer sums → deterministic double), and voiced runs become
+      // segments through the keyed gap-islands trick (frame − voiced
+      // rank). Only frame-count-sized relations ever exist — samples
+      // never leave the decoder.
+      (s, d) => {
+        val en = graft.operators.Multimodal.audioFrameEnergies(s,
+          graft.operators.Multimodal.synthesizeFromDocuments(
+            t(s, d, "documents")))
+        val fr = en.filter(size(col("energy")) > 0)
+          .select(col("media_id"), size(col("energy")).as("nw"),
+            posexplode(col("energy")).as(Seq("w", "e")))
+        val th = fr.groupBy("media_id")
+          .agg((sum("e").cast("double") / count(lit(1)) / lit(2.0))
+            .as("theta"))
+        val voiced = fr.join(th, Seq("media_id"))
+          .filter(col("e") > col("theta"))
+          .withColumn("isl", col("w") - row_number().over(
+            Window.partitionBy("media_id").orderBy("w")))
+        val seg = voiced.groupBy("media_id", "isl")
+          .agg(count(lit(1)).as("len"))
+          .groupBy("media_id")
+          .agg(count(lit(1)).as("n_segments"), sum("len").as("n_voiced"),
+            max("len").as("longest_segment"))
+        en.filter(size(col("energy")) > 0)
+          .select(col("media_id"), size(col("energy")).cast("long")
+            .as("n_windows"))
+          .join(seg, Seq("media_id"), "left_outer")
+          .select(col("media_id"), col("n_windows"),
+            coalesce(col("n_voiced"), lit(0L)).as("n_voiced"),
+            coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+            coalesce(col("longest_segment"), lit(0L)).as("longest_segment"),
+            round(coalesce(col("n_voiced"), lit(0L)) / col("n_windows"), 6)
+              .as("voiced_share"))
+          .orderBy("media_id")
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id, text, length(text) AS bl,
+             |    (length(text) + length(text) % 2) // 2 AS nsmp
+             |  FROM documents WHERE doc_id % 3 = 1),
+             |s AS (
+             |  SELECT doc_id, nsmp, nsmp // 50 AS nw,
+             |    list_transform(range(0, nsmp), i ->
+             |      CASE WHEN 2 * i + 2 <= bl
+             |        THEN ord(substr(text, CAST(2 * i + 1 AS INT), 1))
+             |          + 256 * ord(substr(text, CAST(2 * i + 2 AS INT), 1))
+             |        ELSE ord(substr(text, CAST(2 * i + 1 AS INT), 1))
+             |      END) AS smp
+             |  FROM a),
+             |e AS (
+             |  SELECT doc_id, nw,
+             |    list_transform(range(0, nw), w ->
+             |      list_sum(list_transform(range(0, 50), j ->
+             |        CAST(smp[CAST(w * 50 + j + 1 AS INT)] AS BIGINT)
+             |          * smp[CAST(w * 50 + j + 1 AS INT)]))) AS en
+             |  FROM s WHERE nw > 0),
+             |fr AS (SELECT doc_id, nw,
+             |    unnest(range(0, nw)) AS w, unnest(en) AS ev
+             |  FROM e),
+             |th AS (SELECT doc_id,
+             |    CAST(SUM(ev) AS DOUBLE) / COUNT(*) / 2.0 AS theta
+             |  FROM fr GROUP BY 1),
+             |voiced AS (SELECT fr.doc_id, w,
+             |    w - ROW_NUMBER() OVER (PARTITION BY fr.doc_id ORDER BY w)
+             |      AS isl
+             |  FROM fr JOIN th USING (doc_id) WHERE ev > theta),
+             |seg AS (SELECT doc_id, COUNT(*) AS len
+             |  FROM voiced GROUP BY doc_id, isl),
+             |agg AS (SELECT doc_id, COUNT(*) AS n_segments,
+             |    CAST(SUM(len) AS BIGINT) AS n_voiced, MAX(len) AS longest
+             |  FROM seg GROUP BY 1)
+             |SELECT e.doc_id AS media_id, CAST(nw AS BIGINT) AS n_windows,
+             |  COALESCE(n_voiced, 0) AS n_voiced,
+             |  COALESCE(n_segments, 0) AS n_segments,
+             |  COALESCE(longest, 0) AS longest_segment,
+             |  ROUND(COALESCE(n_voiced, 0) / CAST(nw AS BIGINT), 6)
+             |    AS voiced_share
+             |FROM e LEFT JOIN agg USING (doc_id)
+             |ORDER BY media_id""".stripMargin)))
 
   /** SPRT model constants (H0 p=0.18, H1 p=0.22, α=β=0.05), computed
     * once JVM-side and inlined into both engines' expressions so neither

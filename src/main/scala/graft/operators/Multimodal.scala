@@ -526,11 +526,18 @@ object Multimodal {
     * float compare decides a rank). Streams shorter than one window
     * report NULL loudness, never NaN.
     */
-  def audioLoudness(
+  /** Per-frame integer energies off the real WAV decode — the shared
+    * front half of [[audioLoudness]] and the VAD segmenter: audio rows
+    * only, PCM cut into `window`-sample frames (tail dropped), energy =
+    * exact integer Σ sample² computed inside the per-partition decode
+    * loop, so only (media_id, sample_rate, n_samples, energy[]) leaves
+    * the decoder — never samples.
+    */
+  def audioFrameEnergies(
       spark: SparkSession, media: DataFrame, window: Int = 50): DataFrame = {
     import spark.implicits._
     require(window > 0)
-    val decoded = media.filter(col("modality") === "audio")
+    media.filter(col("modality") === "audio")
       .select(col("media_id"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
@@ -548,6 +555,11 @@ object Multimodal {
           }
         }
       }.toDF("media_id", "sample_rate", "n_samples", "energy")
+  }
+
+  def audioLoudness(
+      spark: SparkSession, media: DataFrame, window: Int = 50): DataFrame = {
+    val decoded = audioFrameEnergies(spark, media, window)
     val w = lit(window.toDouble)
     val peak = array_max(col("energy"))
     decoded.select(col("media_id"), col("sample_rate"),
