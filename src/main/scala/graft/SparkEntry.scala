@@ -13870,7 +13870,408 @@ object SparkEntry {
              |  ROUND(COALESCE(n_voiced, 0) / CAST(nw AS BIGINT), 6)
              |    AS voiced_share
              |FROM e LEFT JOIN agg USING (doc_id)
-             |ORDER BY media_id""".stripMargin)))
+             |ORDER BY media_id""".stripMargin)),
+
+    Q("doc_posting_compression", // inverted-index compressibility audit:
+      // for the 30 highest-df terms, the Elias-γ cost of the
+      // delta-gapped posting list (bits(x) = 2⌊log₂x⌋+1, first id
+      // delta-coded from −1) versus raw 64-bit postings — the
+      // size-the-index-before-you-build-it number. ⌊log₂⌋ comes from
+      // the binary-string length (exact integer arithmetic — never a
+      // float log at a power-of-two boundary); gaps ride one keyed lag
+      // window over per-term postings.
+      (s, d) => {
+        val post = t(s, d, "documents").select(col("doc_id"),
+          explode(array_distinct(TextAnalysis.tokens(lower(col("text")))))
+            .as("w"))
+        val top = post.groupBy("w").agg(count(lit(1)).as("df"))
+          .orderBy(col("df").desc, col("w")).limit(30)
+        val g = post.join(broadcast(top.select("w")), Seq("w"))
+          .withColumn("gap", coalesce(
+            col("doc_id") - lag("doc_id", 1).over(
+              Window.partitionBy("w").orderBy("doc_id")),
+            col("doc_id") + 1))
+          .withColumn("bits",
+            lit(2L) * (length(bin(col("gap"))) - 1) + lit(1L))
+          .groupBy("w").agg(sum("bits").as("sum_bits"))
+        top.join(g, Seq("w"))
+          .select(col("w").as("term"), col("df"), col("sum_bits"),
+            round(col("sum_bits") / col("df"), 4).as("bits_per_posting"),
+            round(lit(64.0) * col("df") / col("sum_bits"), 4)
+              .as("compression_x"))
+          .orderBy(col("df").desc, col("term"))
+      },
+      Some("""WITH post AS MATERIALIZED (
+             |  SELECT doc_id, unnest(list_distinct(
+             |    string_split_regex(lower(trim(text)), '\s+'))) AS w
+             |  FROM documents),
+             |top AS (SELECT w, COUNT(*) AS df FROM post GROUP BY 1
+             |  ORDER BY df DESC, w LIMIT 30),
+             |g AS (SELECT w,
+             |    COALESCE(doc_id - lag(doc_id) OVER (PARTITION BY w
+             |      ORDER BY doc_id), doc_id + 1) AS gap
+             |  FROM post WHERE w IN (SELECT w FROM top)),
+             |b AS (SELECT w, CAST(SUM(2 * (length(printf('%b', gap)) - 1)
+             |    + 1) AS BIGINT) AS sum_bits
+             |  FROM g GROUP BY 1)
+             |SELECT w AS term, df, sum_bits,
+             |  ROUND(sum_bits / df, 4) AS bits_per_posting,
+             |  ROUND(64.0 * df / sum_bits, 4) AS compression_x
+             |FROM top JOIN b USING (w)
+             |ORDER BY df DESC, term""".stripMargin)),
+
+    Q("part_croston_demand", // Croston's method for intermittent
+      // demand — the forecast that works when most weeks sell ZERO of
+      // a part (plain EWMA collapses): smooth demand SIZES and
+      // demand INTERVALS separately over the nonzero weeks, forecast
+      // rate = size/interval. α = 1/2 BY DESIGN: both smoothers use
+      // the dyadic closed form (running Σ v·2^i), so every output is
+      // bit-identical across engines with no rounding protocol. Two
+      // keyed windows over the per-part demand-week grain.
+      (s, d) => {
+        val weekly = t(s, d, "lineitem")
+          .select(col("l_partkey"),
+            expr("""datediff(cast(l_shipdate as date),
+                   | cast('1995-01-01' as date)) div 7""".stripMargin)
+              .as("wk"),
+            col("l_quantity").cast("long").as("q"))
+          .groupBy("l_partkey", "wk").agg(sum("q").as("qd"))
+        val w = Window.partitionBy("l_partkey").orderBy("wk")
+        val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("l_partkey")
+        def ewmaLast(df: DataFrame, vCol: String, out: String): DataFrame =
+          df.withColumn("i", row_number().over(w).cast("double") - 1)
+            .withColumn("np", count(lit(1)).over(wAll))
+            .withColumn("s",
+              sum(col(vCol).cast("double") * pow(lit(2.0), col("i")))
+                .over(wc))
+            .withColumn("f", first(col(vCol).cast("double")).over(wc))
+            .filter(col("i") === col("np").cast("double") - 1)
+            .select(col("l_partkey"), col("np"),
+              ((col("s") + col("f")) / pow(lit(2.0), col("i") + 1))
+                .as(out))
+        val sizes = ewmaLast(weekly, "qd", "croston_size")
+        val ivals = ewmaLast(
+          weekly.withColumn("g",
+              col("wk") - lag("wk", 1).over(w))
+            .filter(col("g").isNotNull).select(col("l_partkey"),
+              col("wk"), col("g")),
+          "g", "croston_interval")
+        val tot = weekly.groupBy("l_partkey")
+          .agg(sum("qd").as("total_qty"))
+        sizes.filter(col("np") >= 3)
+          .join(ivals.select(col("l_partkey"), col("croston_interval")),
+            Seq("l_partkey"))
+          .join(tot, Seq("l_partkey"))
+          .select(col("l_partkey"), col("np").as("n_periods"),
+            col("total_qty"), round(col("croston_size"), 6)
+              .as("croston_size"),
+            round(col("croston_interval"), 6).as("croston_interval"),
+            round(col("croston_size") / col("croston_interval"), 6)
+              .as("croston_rate"))
+          .orderBy(col("n_periods").desc, col("l_partkey")).limit(20)
+      },
+      Some("""WITH weekly AS MATERIALIZED (
+             |  SELECT l_partkey,
+             |    date_diff('day', DATE '1995-01-01',
+             |      CAST(l_shipdate AS DATE)) // 7 AS wk,
+             |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qd
+             |  FROM lineitem GROUP BY 1, 2),
+             |szi AS (SELECT l_partkey, wk, qd,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY l_partkey
+             |      ORDER BY wk) AS DOUBLE) - 1 AS i,
+             |    COUNT(*) OVER (PARTITION BY l_partkey) AS np
+             |  FROM weekly),
+             |sz AS (SELECT l_partkey, np,
+             |    (s + f) / POW(2.0, i + 1) AS croston_size
+             |  FROM (SELECT l_partkey, i, np,
+             |      SUM(CAST(qd AS DOUBLE) * POW(2.0, i))
+             |        OVER (PARTITION BY l_partkey ORDER BY wk
+             |          ROWS UNBOUNDED PRECEDING) AS s,
+             |      FIRST_VALUE(CAST(qd AS DOUBLE)) OVER (
+             |        PARTITION BY l_partkey ORDER BY wk) AS f
+             |    FROM szi)
+             |  WHERE i = CAST(np AS DOUBLE) - 1),
+             |gaps AS (SELECT l_partkey, wk, g FROM (
+             |    SELECT l_partkey, wk,
+             |      wk - lag(wk) OVER (PARTITION BY l_partkey ORDER BY wk)
+             |        AS g
+             |    FROM weekly) WHERE g IS NOT NULL),
+             |ivi AS (SELECT l_partkey, wk, g,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY l_partkey
+             |      ORDER BY wk) AS DOUBLE) - 1 AS i,
+             |    COUNT(*) OVER (PARTITION BY l_partkey) AS np
+             |  FROM gaps),
+             |iv AS (SELECT l_partkey,
+             |    (s + f) / POW(2.0, i + 1) AS croston_interval
+             |  FROM (SELECT l_partkey, i, np,
+             |      SUM(CAST(g AS DOUBLE) * POW(2.0, i))
+             |        OVER (PARTITION BY l_partkey ORDER BY wk
+             |          ROWS UNBOUNDED PRECEDING) AS s,
+             |      FIRST_VALUE(CAST(g AS DOUBLE)) OVER (
+             |        PARTITION BY l_partkey ORDER BY wk) AS f
+             |    FROM ivi)
+             |  WHERE i = CAST(np AS DOUBLE) - 1),
+             |tot AS (SELECT l_partkey, CAST(SUM(qd) AS BIGINT) AS total_qty
+             |  FROM weekly GROUP BY 1)
+             |SELECT sz.l_partkey, np AS n_periods, total_qty,
+             |  ROUND(croston_size, 6) AS croston_size,
+             |  ROUND(croston_interval, 6) AS croston_interval,
+             |  ROUND(croston_size / croston_interval, 6) AS croston_rate
+             |FROM sz JOIN iv USING (l_partkey) JOIN tot USING (l_partkey)
+             |WHERE np >= 3
+             |ORDER BY n_periods DESC, sz.l_partkey LIMIT 20""".stripMargin)),
+
+    Q("events_weibull_gaps", // Weibull fit of inter-arrival gaps per
+      // type via median-rank regression — the reliability-engineering
+      // estimate of whether arrivals cluster (shape < 1, bursty) or
+      // pace themselves (shape > 1): OLS of ln(−ln(1−mr)) on ln(gap)
+      // over the keyed rank order, mr = (r−0.3)/(n+0.4) (Bernard's
+      // approximation). Gaps are exact integer seconds; ranks come
+      // from one keyed window with a unique event-id tie-break.
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("event_type"),
+          col("event_id"), unix_millis(col("ts")).as("ms"))
+        val gaps = ev.withColumn("gap_s", expr(
+            """(ms - lag(ms, 1) over (partition by event_type
+              | order by ms, event_id)) div 1000""".stripMargin))
+          .filter(col("gap_s").isNotNull && col("gap_s") > 0)
+        val w = Window.partitionBy("event_type")
+          .orderBy("gap_s", "event_id")
+        val wAll = Window.partitionBy("event_type")
+        val pts = gaps
+          .withColumn("r", row_number().over(w).cast("double"))
+          .withColumn("n", count(lit(1)).over(wAll).cast("double"))
+          .withColumn("x", log(col("gap_s")))
+          .withColumn("y", log(-log(lit(1.0)
+            - (col("r") - 0.3) / (col("n") + 0.4))))
+        val m = pts.groupBy("event_type").agg(count(lit(1)).as("k"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        val slope = (col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx"))
+        val icept = (col("sy") - slope * col("sx")) / col("k")
+        m.select(col("event_type"), col("k").as("n_gaps"),
+            round(slope, 6).as("shape"),
+            round(exp(-icept / slope), 2).as("scale_s"))
+          .orderBy("event_type")
+      },
+      Some("""WITH g AS (SELECT event_type,
+             |    (ms - lag(ms) OVER (PARTITION BY event_type
+             |      ORDER BY ms, event_id)) // 1000 AS gap_s, event_id
+             |  FROM (SELECT event_type, event_id, epoch_ms(ts) AS ms
+             |    FROM events)),
+             |p AS (SELECT event_type,
+             |    ln(gap_s) AS x,
+             |    ln(-ln(1.0 - (CAST(ROW_NUMBER() OVER (
+             |      PARTITION BY event_type ORDER BY gap_s, event_id)
+             |        AS DOUBLE) - 0.3)
+             |      / (CAST(COUNT(*) OVER (PARTITION BY event_type)
+             |        AS DOUBLE) + 0.4))) AS y
+             |  FROM g WHERE gap_s IS NOT NULL AND gap_s > 0),
+             |m AS (SELECT event_type, COUNT(*) AS k, SUM(x) AS sx,
+             |    SUM(y) AS sy, SUM(x * x) AS sxx, SUM(x * y) AS sxy
+             |  FROM p GROUP BY 1)
+             |SELECT event_type, k AS n_gaps,
+             |  ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+             |    AS shape,
+             |  ROUND(exp(-((sy - (k * sxy - sx * sy)
+             |    / (k * sxx - sx * sx) * sx) / k)
+             |    / ((k * sxy - sx * sy) / (k * sxx - sx * sx))), 2)
+             |    AS scale_s
+             |FROM m ORDER BY event_type""".stripMargin)),
+
+    Q("window_ntile_balance", // keyed NTILE deciles — the SQL-surface
+      // sibling of the range-sort Lorenz machinery: per nation,
+      // customers split into balance deciles (unique custkey
+      // tie-break), per cell count and exact boundary balances. The
+      // window is KEYED by nation, so at scale every partition sorts
+      // independently — this is the NTILE that's allowed; the global
+      // one is what the Lorenz query's range sort replaces.
+      (s, d) => t(s, d, "customer")
+        .select(col("c_nationkey"), col("c_custkey"),
+          round(col("c_acctbal") * 100, 0).cast("long").as("cents"))
+        .withColumn("decile", ntile(10).over(
+          Window.partitionBy("c_nationkey")
+            .orderBy("cents", "c_custkey")).cast("long"))
+        .groupBy("c_nationkey", "decile")
+        .agg(count(lit(1)).as("n"),
+          (min("cents").cast("double") / 100.0).as("lo_bal"),
+          (max("cents").cast("double") / 100.0).as("hi_bal"))
+        .orderBy("c_nationkey", "decile"),
+      Some("""WITH c AS (SELECT c_nationkey, c_custkey,
+             |    CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents
+             |  FROM customer),
+             |d AS (SELECT c_nationkey, cents,
+             |    NTILE(10) OVER (PARTITION BY c_nationkey
+             |      ORDER BY cents, c_custkey) AS decile
+             |  FROM c)
+             |SELECT c_nationkey, decile, COUNT(*) AS n,
+             |  CAST(MIN(cents) AS DOUBLE) / 100.0 AS lo_bal,
+             |  CAST(MAX(cents) AS DOUBLE) / 100.0 AS hi_bal
+             |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q("doc_logreg_auc", // exact ROC AUC of the memoized language-ID
+      // fit via the rank (Mann–Whitney) identity on a BOUNDED score
+      // grid: scores round to 6dp FIRST, so the cumulative walk runs
+      // over at most 10^6+1 grid cells regardless of corpus size —
+      // never a global window over rows. Ties take the midrank
+      // correction (+a·b/2, doubled to stay integral). Every count and
+      // product is an exact long; the two final divisions are the only
+      // float steps, so both engines emit identical values with no
+      // rounding protocol on the walk itself.
+      (s, d) => {
+        val w = logregFit(s, d)._1
+        val p = lit(1.0) / (lit(1.0)
+          + exp(-graft.operators.Learn.margin(w, logregCols)))
+        val cells = logregFeatures(s, d)
+          .select(round(p, 6).as("pr"), col("y"))
+          .groupBy("pr").agg(
+            sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("a"),
+            sum(when(col("y") === 0.0, 1L).otherwise(0L)).as("b"))
+        val wv = Window.orderBy("pr")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cells
+          .withColumn("cumb", sum("b").over(wv) - col("b"))
+          .agg(
+            sum(lit(2L) * col("a") * col("cumb") + col("a") * col("b"))
+              .as("num2"),
+            sum("a").as("n_pos"), sum("b").as("n_neg"))
+          .select(col("n_pos"), col("n_neg"),
+            round(col("num2").cast("double")
+              / (lit(2L) * col("n_pos") * col("n_neg")), 6).as("auc"),
+            round(col("num2").cast("double")
+              / (col("n_pos") * col("n_neg")) - 1.0, 6).as("gini"))
+      },
+      Some(s"""WITH $logregFeatureSql,
+           |${logregChainParts("", "")},
+           |scored AS (SELECT y,
+           |    ROUND(1.0 / (1.0 + exp(-(w.b + w.w1 * x1 + w.w2 * x2
+           |      + w.w3 * x3))), 6) AS pr
+           |  FROM fb, w6 w),
+           |cells AS (SELECT pr,
+           |    CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS a,
+           |    CAST(SUM(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS b
+           |  FROM scored GROUP BY 1),
+           |cum AS (SELECT a, b, CAST(COALESCE(SUM(b) OVER (ORDER BY pr
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |    AS BIGINT) AS cumb
+           |  FROM cells),
+           |agg AS (SELECT CAST(SUM(2 * a * cumb + a * b) AS BIGINT)
+           |      AS num2,
+           |    CAST(SUM(a) AS BIGINT) AS n_pos,
+           |    CAST(SUM(b) AS BIGINT) AS n_neg
+           |  FROM cum)
+           |SELECT n_pos, n_neg,
+           |  ROUND(CAST(num2 AS DOUBLE) / (2 * n_pos * n_neg), 6) AS auc,
+           |  ROUND(CAST(num2 AS DOUBLE) / (n_pos * n_neg) - 1.0, 6)
+           |    AS gini
+           |FROM agg""".stripMargin)),
+
+    Q("cust_k_anonymity", // k-anonymity / l-diversity audit of the
+      // customer table under the quasi-identifier (nation, $1000
+      // balance band) with market segment as the sensitive attribute —
+      // the release-gate report a privacy review reads next to
+      // dp_noisy_mean. One hash aggregation to QI-class grain (data-
+      // sized, partial-aggregates map-side), then a rollup to the
+      // BOUNDED class-size grain; every metric is an exact integer
+      // except the one avg division.
+      (s, d) => {
+        val cls = t(s, d, "customer")
+          .groupBy(col("c_nationkey"),
+            floor(col("c_acctbal").cast("double") / 1000.0).cast("long")
+              .as("bal_band"))
+          .agg(count(lit(1)).as("k_size"),
+            countDistinct("c_mktsegment").as("l_div"))
+        cls.groupBy("k_size").agg(
+            count(lit(1)).as("n_classes"),
+            sum("l_div").as("sum_l"), min("l_div").as("min_l"))
+          .select(col("k_size"), col("n_classes"),
+            (col("k_size") * col("n_classes")).as("n_records"),
+            col("min_l"),
+            round(col("sum_l").cast("double") / col("n_classes"), 4)
+              .as("avg_l"))
+          .orderBy("k_size")
+      },
+      Some("""WITH cls AS (SELECT c_nationkey,
+             |    CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000.0)
+             |      AS BIGINT) AS bal_band,
+             |    COUNT(*) AS k_size,
+             |    COUNT(DISTINCT c_mktsegment) AS l_div
+             |  FROM customer GROUP BY 1, 2)
+             |SELECT k_size, COUNT(*) AS n_classes,
+             |  CAST(k_size * COUNT(*) AS BIGINT) AS n_records,
+             |  CAST(MIN(l_div) AS BIGINT) AS min_l,
+             |  ROUND(CAST(SUM(l_div) AS DOUBLE) / COUNT(*), 4) AS avg_l
+             |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("doc_cdc_chunks", // content-defined chunking — the storage-layer
+      // dedup the fixed-stride RAG chunker (doc_chunks) cannot do:
+      // a cut lands wherever the portable md5 of the local 8-char
+      // window ≡ 0 (mod 64), so chunk boundaries survive insertions
+      // (they re-synchronize after the edit, unlike fixed-width
+      // blocks). Per-position hashing is a len× map-side explode —
+      // embarrassingly parallel, no shuffle until the chunk-hash agg;
+      // windows are keyed per doc. Output is the bounded power-of-two
+      // length histogram with exact dedup-savings integers.
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("len"))
+        val bnd = docs.filter(col("len") >= 9)
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(2L), col("len") - 7)).as("i"))
+          .filter(conv(substring(md5(col("text")
+              .substr(col("i").cast("int"), lit(8))), 1, 15), 16, 10)
+            .cast("long") % 64 === 0)
+          .select(col("doc_id"), col("i").as("st"))
+        val starts = docs.select(col("doc_id"), lit(1L).as("st"))
+          .union(bnd)
+        val w = Window.partitionBy("doc_id").orderBy("st")
+        val chunks = starts.join(docs, Seq("doc_id"))
+          .withColumn("en",
+            coalesce(lead("st", 1).over(w) - 1, col("len")))
+          .select(md5(col("text").substr(col("st").cast("int"),
+              (col("en") - col("st") + 1).cast("int"))).as("h"),
+            (col("en") - col("st") + 1).as("clen"))
+        chunks.groupBy("h")
+          .agg(count(lit(1)).as("cnt"), max("clen").as("clen"))
+          .groupBy((length(bin(col("clen"))) - 1).cast("long")
+            .as("len_bucket"))
+          .agg(sum("cnt").as("n_chunks"), count(lit(1)).as("n_distinct"),
+            sum(col("cnt") - 1).as("dup_chunks"),
+            sum(col("cnt") * col("clen")).as("bytes"),
+            sum((col("cnt") - 1) * col("clen")).as("dup_bytes"))
+          .orderBy("len_bucket")
+      },
+      Some("""WITH d AS MATERIALIZED (SELECT doc_id, text,
+             |    CAST(length(text) AS BIGINT) AS len FROM documents),
+             |bnd AS (SELECT doc_id, i AS st
+             |  FROM d, unnest(range(2, greatest(len - 7, 1) + 1)) AS r(i)
+             |  WHERE ('0x' || substr(md5(substr(text, CAST(i AS INT), 8)),
+             |    1, 15))::BIGINT % 64 = 0),
+             |starts AS (SELECT doc_id, CAST(1 AS BIGINT) AS st FROM d
+             |  UNION ALL SELECT doc_id, st FROM bnd),
+             |seg AS (SELECT s.doc_id, s.st, d.text, d.len,
+             |    lead(s.st) OVER (PARTITION BY s.doc_id ORDER BY s.st)
+             |      AS nxt
+             |  FROM starts s JOIN d USING (doc_id)),
+             |ch AS (SELECT md5(substr(text, CAST(st AS INT),
+             |      CAST(COALESCE(nxt - 1, len) - st + 1 AS INT))) AS h,
+             |    COALESCE(nxt - 1, len) - st + 1 AS clen
+             |  FROM seg),
+             |ph AS (SELECT h, COUNT(*) AS cnt, MAX(clen) AS clen
+             |  FROM ch GROUP BY 1)
+             |SELECT CAST(length(printf('%b', clen)) - 1 AS BIGINT)
+             |    AS len_bucket,
+             |  CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+             |  COUNT(*) AS n_distinct,
+             |  CAST(SUM(cnt - 1) AS BIGINT) AS dup_chunks,
+             |  CAST(SUM(cnt * clen) AS BIGINT) AS bytes,
+             |  CAST(SUM((cnt - 1) * clen) AS BIGINT) AS dup_bytes
+             |FROM ph GROUP BY 1 ORDER BY 1""".stripMargin)))
 
   /** SPRT model constants (H0 p=0.18, H1 p=0.22, α=β=0.05), computed
     * once JVM-side and inlined into both engines' expressions so neither
