@@ -14271,7 +14271,336 @@ object SparkEntry {
              |  CAST(SUM(cnt - 1) AS BIGINT) AS dup_chunks,
              |  CAST(SUM(cnt * clen) AS BIGINT) AS bytes,
              |  CAST(SUM((cnt - 1) * clen) AS BIGINT) AS dup_bytes
-             |FROM ph GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |FROM ph GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("events_ljung_box", // Ljung–Box portmanteau white-noise test of
+      // each type's daily-count series at lags 1..7 — the formal
+      // verdict the ACF table only eyeballs. The series ZERO-FILLS
+      // missing days (autocorrelation over a gapped grid is a
+      // different statistic); every r_k comes from exact integer
+      // moments expanded around the global mean (sxy − x̄(sxa+sxb)
+      // + np·x̄²), and Q sums the 7 terms in FIXED pivot order, so
+      // both engines walk the identical IEEE sequence. Windows are
+      // keyed per type over the bounded day grain.
+      (s, d) => {
+        val cnt = t(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("c"))
+        val span = cnt.groupBy("event_type")
+          .agg(min("day").as("d0"), max("day").as("d1"))
+        val grid = span.select(col("event_type"),
+          explode(sequence(lit(0), datediff(col("d1"), col("d0"))))
+            .as("idx"))
+        val series = grid.join(
+            cnt.join(span, Seq("event_type"))
+              .select(col("event_type"),
+                datediff(col("day"), col("d0")).as("idx"), col("c")),
+            Seq("event_type", "idx"), "left")
+          .select(col("event_type"), col("idx"),
+            coalesce(col("c"), lit(0L)).as("x"))
+        val glob = series.groupBy("event_type").agg(
+          count(lit(1)).as("n"), sum("x").as("s1"),
+          sum(col("x") * col("x")).as("s2"))
+        val w = Window.partitionBy("event_type").orderBy("idx")
+        val leads = series.select(col("event_type") +: col("x") +:
+          (1 to 7).map(k => lead(col("x"), k).over(w).as(s"k$k")): _*)
+        val perLag = leads.select(col("event_type"), col("x"), expr(
+            "stack(7, 1,k1, 2,k2, 3,k3, 4,k4, 5,k5, 6,k6, 7,k7) AS (lag_k, y)"))
+          .filter(col("y").isNotNull)
+          .groupBy("event_type", "lag_k")
+          .agg(count(lit(1)).as("np"), sum("x").as("sxa"),
+            sum("y").as("sxb"), sum(col("x") * col("y")).as("sxy"))
+          .join(glob, Seq("event_type"))
+        val xbar = col("s1") / col("n")
+        val den = col("s2").cast("double") - col("s1") * col("s1") / col("n")
+        val num = col("sxy").cast("double") - xbar * (col("sxa") + col("sxb")) +
+          col("np") * xbar * xbar
+        val rk = perLag.select(col("event_type"), col("n"), col("lag_k"),
+          when(den > 0, round(num / den, 6)).as("r"))
+        def rc(k: Int): Column =
+          max(when(col("lag_k") === k, col("r"))).as(s"r$k")
+        val piv = rk.groupBy("event_type", "n")
+          .agg(rc(1), rc(2), rc(3), rc(4), rc(5), rc(6), rc(7))
+        val qs = (1 to 7).map(k =>
+            col(s"r$k") * col(s"r$k") / (col("n") - k))
+          .reduce(_ + _)
+        piv.select(col("event_type"), col("n").as("n_days"),
+            col("r1"), col("r2"), col("r3"), col("r4"), col("r5"),
+            col("r6"), col("r7"),
+            round(col("n") * (col("n") + 2) * qs, 4).as("q_stat"),
+            (col("n") * (col("n") + 2) * qs > 14.0671).as("reject_h0"))
+          .orderBy("event_type")
+      },
+      Some("""WITH cnt AS MATERIALIZED (
+             |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |span AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+             |  FROM cnt GROUP BY 1),
+             |series AS (
+             |  SELECT g.event_type, g.idx, COALESCE(c.c, 0) AS x
+             |  FROM (SELECT event_type, d0, i AS idx
+             |        FROM span, unnest(range(0,
+             |          date_diff('day', d0, d1) + 1)) AS r(i)) g
+             |  LEFT JOIN (SELECT c.event_type,
+             |      date_diff('day', s.d0, c.day) AS idx, c.c
+             |    FROM cnt c JOIN span s USING (event_type)) c
+             |  USING (event_type, idx)),
+             |gm AS (SELECT event_type, COUNT(*) AS n,
+             |    CAST(SUM(x) AS BIGINT) AS s1,
+             |    CAST(SUM(x * x) AS BIGINT) AS s2
+             |  FROM series GROUP BY 1),
+             |l AS (SELECT event_type, x,
+             |    LEAD(x, 1) OVER w AS k1, LEAD(x, 2) OVER w AS k2,
+             |    LEAD(x, 3) OVER w AS k3, LEAD(x, 4) OVER w AS k4,
+             |    LEAD(x, 5) OVER w AS k5, LEAD(x, 6) OVER w AS k6,
+             |    LEAD(x, 7) OVER w AS k7
+             |  FROM series
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY idx)),
+             |p AS (
+             |  SELECT event_type, 1 AS lag_k, x, k1 AS y FROM l UNION ALL
+             |  SELECT event_type, 2, x, k2 FROM l UNION ALL
+             |  SELECT event_type, 3, x, k3 FROM l UNION ALL
+             |  SELECT event_type, 4, x, k4 FROM l UNION ALL
+             |  SELECT event_type, 5, x, k5 FROM l UNION ALL
+             |  SELECT event_type, 6, x, k6 FROM l UNION ALL
+             |  SELECT event_type, 7, x, k7 FROM l),
+             |m AS (SELECT event_type, lag_k, COUNT(*) AS np,
+             |    CAST(SUM(x) AS BIGINT) AS sxa,
+             |    CAST(SUM(y) AS BIGINT) AS sxb,
+             |    CAST(SUM(x * y) AS BIGINT) AS sxy
+             |  FROM p WHERE y IS NOT NULL GROUP BY 1, 2),
+             |rk AS (SELECT m.event_type, g.n, m.lag_k,
+             |    CASE WHEN CAST(s2 AS DOUBLE) - s1 * s1 / n > 0 THEN
+             |      ROUND((CAST(sxy AS DOUBLE) - s1 / n * (sxa + sxb)
+             |          + np * (s1 / n) * (s1 / n))
+             |        / (CAST(s2 AS DOUBLE) - s1 * s1 / n), 6) END AS r
+             |  FROM m JOIN gm g USING (event_type)),
+             |piv AS (SELECT event_type, n,
+             |    MAX(CASE WHEN lag_k = 1 THEN r END) AS r1,
+             |    MAX(CASE WHEN lag_k = 2 THEN r END) AS r2,
+             |    MAX(CASE WHEN lag_k = 3 THEN r END) AS r3,
+             |    MAX(CASE WHEN lag_k = 4 THEN r END) AS r4,
+             |    MAX(CASE WHEN lag_k = 5 THEN r END) AS r5,
+             |    MAX(CASE WHEN lag_k = 6 THEN r END) AS r6,
+             |    MAX(CASE WHEN lag_k = 7 THEN r END) AS r7
+             |  FROM rk GROUP BY 1, 2)
+             |SELECT event_type, n AS n_days, r1, r2, r3, r4, r5, r6, r7,
+             |  ROUND(n * (n + 2) * (r1*r1/(n-1) + r2*r2/(n-2) + r3*r3/(n-3)
+             |    + r4*r4/(n-4) + r5*r5/(n-5) + r6*r6/(n-6) + r7*r7/(n-7)),
+             |    4) AS q_stat,
+             |  n * (n + 2) * (r1*r1/(n-1) + r2*r2/(n-2) + r3*r3/(n-3)
+             |    + r4*r4/(n-4) + r5*r5/(n-5) + r6*r6/(n-6) + r7*r7/(n-7))
+             |    > 14.0671 AS reject_h0
+             |FROM piv ORDER BY event_type""".stripMargin)),
+
+    Q("lineitem_stump_split", // optimal decision stump: the exhaustive
+      // information-gain split search over quantity predicting
+      // is-returned — round one of every tree ensemble, run as pure
+      // relations. Values collapse to the BOUNDED 1..50 quantity grid
+      // FIRST (like the AUC score grid), cumulative class counts walk
+      // that grid once, and each candidate split's entropy comes from
+      // exact integer counts via the closed form ln n − (Σ c·ln c)/n —
+      // so every gain is the identical double in both engines. Top-10
+      // splits by rounded gain; on this independent fixture max gain
+      // ≈ 0, which is the stump doing its other job: certifying a
+      // feature as useless before a tree burns depth on it.
+      (s, d) => {
+        val cells = t(s, d, "lineitem")
+          .select(floor(col("l_quantity").cast("double")).cast("long")
+              .as("v"),
+            when(col("l_returnflag") === "R", 1L).otherwise(0L)
+              .as("y"))
+          .groupBy("v").agg(sum("y").as("n1"),
+            sum(lit(1L) - col("y")).as("n0"))
+        val wc = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wa = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        def h(a: Column, b: Column): Column =
+          log(a + b) - (when(a > 0, a.cast("double") * log(a)).otherwise(0.0)
+            + when(b > 0, b.cast("double") * log(b)).otherwise(0.0)) / (a + b)
+        val walk = cells
+          .withColumn("cl1", sum("n1").over(wc))
+          .withColumn("cl0", sum("n0").over(wc))
+          .withColumn("t1", sum("n1").over(wa))
+          .withColumn("t0", sum("n0").over(wa))
+          .withColumn("nl", col("cl1") + col("cl0"))
+          .withColumn("nr", col("t1") + col("t0") - col("cl1") - col("cl0"))
+          .filter(col("nr") > 0)
+        walk.select(col("v").as("threshold"),
+            col("nl").as("n_left"), col("nr").as("n_right"),
+            col("cl1").as("pos_left"),
+            (col("t1") - col("cl1")).as("pos_right"),
+            round(h(col("t1"), col("t0"))
+              - (col("nl") * h(col("cl1"), col("cl0"))
+                + col("nr") * h(col("t1") - col("cl1"),
+                  col("t0") - col("cl0"))) / (col("nl") + col("nr")), 6)
+              .as("gain"))
+          .orderBy(col("gain").desc, col("threshold")).limit(10)
+      },
+      Some("""WITH cells AS (SELECT
+             |    CAST(FLOOR(CAST(l_quantity AS DOUBLE)) AS BIGINT) AS v,
+             |    CAST(SUM(CASE WHEN l_returnflag = 'R'
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |    CAST(SUM(CASE WHEN l_returnflag = 'R'
+             |      THEN 0 ELSE 1 END) AS BIGINT) AS n0
+             |  FROM lineitem GROUP BY 1),
+             |walk AS (SELECT v,
+             |    CAST(SUM(n1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+             |      AS BIGINT) AS cl1,
+             |    CAST(SUM(n0) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+             |      AS BIGINT) AS cl0,
+             |    CAST(SUM(n1) OVER () AS BIGINT) AS t1,
+             |    CAST(SUM(n0) OVER () AS BIGINT) AS t0
+             |  FROM cells),
+             |g AS (SELECT v, cl1, cl0, t1, t0,
+             |    cl1 + cl0 AS nl, t1 + t0 - cl1 - cl0 AS nr
+             |  FROM walk WHERE t1 + t0 - cl1 - cl0 > 0)
+             |SELECT v AS threshold, nl AS n_left, nr AS n_right,
+             |  cl1 AS pos_left, t1 - cl1 AS pos_right,
+             |  ROUND(
+             |    (ln(t1 + t0) - (CASE WHEN t1 > 0 THEN t1 * ln(t1) ELSE 0 END
+             |      + CASE WHEN t0 > 0 THEN t0 * ln(t0) ELSE 0 END) / (t1 + t0))
+             |    - (nl * (ln(cl1 + cl0)
+             |        - (CASE WHEN cl1 > 0 THEN cl1 * ln(cl1) ELSE 0 END
+             |          + CASE WHEN cl0 > 0 THEN cl0 * ln(cl0) ELSE 0 END)
+             |          / (cl1 + cl0))
+             |      + nr * (ln(t1 - cl1 + t0 - cl0)
+             |        - (CASE WHEN t1 - cl1 > 0
+             |            THEN (t1 - cl1) * ln(t1 - cl1) ELSE 0 END
+             |          + CASE WHEN t0 - cl0 > 0
+             |            THEN (t0 - cl0) * ln(t0 - cl0) ELSE 0 END)
+             |          / (t1 - cl1 + t0 - cl0))) / (nl + nr), 6) AS gain
+             |FROM g ORDER BY gain DESC, threshold LIMIT 10""".stripMargin)),
+
+    Q("orders_hurst_exponent", // rescaled-range (R/S) Hurst exponent of
+      // the daily order-count series — the long-memory diagnostic
+      // (H≈0.5 random walk, H>0.5 persistent trends, H<0.5 mean
+      // reversion). Blocks of 16/64/256 days: within each block the
+      // cumulative deviation runs off EXACT integer prefix sums
+      // (cumx − k·S/n — no float accumulation), S from integer
+      // moments; constant blocks are excluded by an exact integer
+      // test. H is the evenly-spaced 3-point OLS slope, which
+      // collapses to ln(rs256/rs16)/ln(16) — the constant inlined
+      // JVM-side so neither engine's libm picks it. Windows are keyed
+      // per (size, block) over the bounded day grain.
+      (s, d) => {
+        val daily = t(s, d, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("x"))
+        val wi = Window.orderBy("day")
+        val rows = daily
+          .withColumn("i", row_number().over(wi).cast("long") - 1)
+          .select(col("i"), col("x"),
+            explode(array(lit(16L), lit(64L), lit(256L))).as("bn"))
+          .withColumn("blk", expr("i DIV bn"))
+          .withColumn("pos", pmod(col("i"), col("bn")))
+        val wb = Window.partitionBy("bn", "blk")
+        val wcum = wb.orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val dev = rows
+          .withColumn("cnt", count(lit(1)).over(wb))
+          .withColumn("s1", sum("x").over(wb))
+          .withColumn("s2", sum(col("x") * col("x")).over(wb))
+          .filter(col("cnt") === col("bn")
+            && col("s2") * col("bn") > col("s1") * col("s1"))
+          .withColumn("cumx", sum("x").over(wcum))
+          .withColumn("dv",
+            col("cumx").cast("double") - (col("pos") + 1) * col("s1") / col("bn"))
+        val rs = dev.groupBy("bn", "blk", "s1", "s2")
+          .agg(max("dv").as("dmax"), min("dv").as("dmin"))
+          .select(col("bn"),
+            ((col("dmax") - col("dmin"))
+              / sqrt(col("s2").cast("double") / col("bn")
+                - (col("s1") / col("bn")) * (col("s1") / col("bn"))))
+              .as("rs"))
+          .groupBy("bn").agg(count(lit(1)).as("n_blocks"),
+            round(avg("rs"), 6).as("avg_rs"))
+        val piv = rs.agg(
+          sum("n_blocks").as("n_blocks_total"),
+          max(when(col("bn") === 16, col("avg_rs"))).as("rs16"),
+          max(when(col("bn") === 64, col("avg_rs"))).as("rs64"),
+          max(when(col("bn") === 256, col("avg_rs"))).as("rs256"))
+        piv.select(col("n_blocks_total"),
+          round(col("rs16"), 4).as("rs16"),
+          round(col("rs64"), 4).as("rs64"),
+          round(col("rs256"), 4).as("rs256"),
+          round((log(col("rs256")) - log(col("rs16")))
+            / lit(HURST_LN16), 4).as("hurst"))
+      },
+      Some(s"""WITH daily AS MATERIALIZED (
+             |  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS x
+             |  FROM orders GROUP BY 1),
+             |rows_ AS (SELECT i, x, bn, i // bn AS blk, i % bn AS pos
+             |  FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY day)
+             |        AS BIGINT) - 1 AS i, x FROM daily),
+             |    (SELECT unnest([16, 64, 256]) AS bn)),
+             |st AS (SELECT bn, blk, COUNT(*) AS cnt,
+             |    CAST(SUM(x) AS BIGINT) AS s1,
+             |    CAST(SUM(x * x) AS BIGINT) AS s2
+             |  FROM rows_ GROUP BY 1, 2),
+             |dev AS (SELECT r.bn, r.blk, s.s1, s.s2,
+             |    CAST(SUM(r.x) OVER (PARTITION BY r.bn, r.blk ORDER BY r.pos
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumx,
+             |    r.pos
+             |  FROM rows_ r JOIN st s ON r.bn = s.bn AND r.blk = s.blk
+             |  WHERE s.cnt = r.bn AND s.s2 * r.bn > s.s1 * s.s1),
+             |rs AS (SELECT bn,
+             |    (MAX(CAST(cumx AS DOUBLE) - (pos + 1) * s1 / bn)
+             |      - MIN(CAST(cumx AS DOUBLE) - (pos + 1) * s1 / bn))
+             |    / sqrt(CAST(s2 AS DOUBLE) / bn - (s1 / bn) * (s1 / bn))
+             |      AS rs
+             |  FROM dev GROUP BY bn, blk, s1, s2),
+             |ag AS (SELECT bn, COUNT(*) AS n_blocks,
+             |    ROUND(AVG(rs), 6) AS avg_rs
+             |  FROM rs GROUP BY 1),
+             |piv AS (SELECT CAST(SUM(n_blocks) AS BIGINT)
+             |      AS n_blocks_total,
+             |    MAX(CASE WHEN bn = 16 THEN avg_rs END) AS rs16,
+             |    MAX(CASE WHEN bn = 64 THEN avg_rs END) AS rs64,
+             |    MAX(CASE WHEN bn = 256 THEN avg_rs END) AS rs256
+             |  FROM ag)
+             |SELECT n_blocks_total, ROUND(rs16, 4) AS rs16,
+             |  ROUND(rs64, 4) AS rs64, ROUND(rs256, 4) AS rs256,
+             |  ROUND((ln(rs256) - ln(rs16)) / $HURST_LN16, 4) AS hurst
+             |FROM piv""".stripMargin)),
+
+    Q("doc_tokenizer_fertility", // tokenizer fertility by language —
+      // tokens-per-word and chars-per-token of the trained BPE applied
+      // to each language's slice: THE table an LLM team reads when
+      // deciding whether a tokenizer's merges transfer across
+      // languages (fertility ≫ 1 on a language = its context windows
+      // shrink). Rides the memoized 3-merge BPE (model state in the
+      // closure) + one doc-grain join to lang; the rollup is exact
+      // integers into two final divisions.
+      (s, d) => graft.operators.TextAnalysis
+        .bpeEncode(t(s, d, "documents"), bpeMerges(s, d))
+        .join(t(s, d, "documents").select(col("doc_id"), col("lang"),
+          col("n_chars")), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_raw").as("n_words"),
+          sum("n_encoded").as("n_tokens"), sum("n_chars").as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("n_words"), 6)
+            .as("fertility"),
+          round(col("n_chars").cast("double") / col("n_tokens"), 6)
+            .as("chars_per_token"))
+        .orderBy("lang"),
+      Some(s"""$bpeOracleWith,
+           |enc AS (SELECT c0.id AS doc_id,
+           |    CAST(len(c0.ts) AS BIGINT) AS n_raw,
+           |    CAST(len(c3.ts) AS BIGINT) AS n_encoded
+           |  FROM c0 JOIN c3 ON c0.id = c3.id)
+           |SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_raw) AS BIGINT) AS n_words,
+           |  CAST(SUM(n_encoded) AS BIGINT) AS n_tokens,
+           |  ROUND(CAST(SUM(n_encoded) AS DOUBLE) / SUM(n_raw), 6)
+           |    AS fertility,
+           |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_encoded), 6)
+           |    AS chars_per_token
+           |FROM enc JOIN documents d ON enc.doc_id = d.doc_id
+           |GROUP BY lang ORDER BY lang""".stripMargin)))
 
   /** SPRT model constants (H0 p=0.18, H1 p=0.22, α=β=0.05), computed
     * once JVM-side and inlined into both engines' expressions so neither
@@ -14279,6 +14608,10 @@ object SparkEntry {
   private val SprtLr1: Double = math.log(0.22 / 0.18)
   private val SprtLr0: Double = math.log(0.78 / 0.82)
   private val SprtBound: Double = math.log(0.95 / 0.05)
+
+  /** ln(256/16) for the evenly-spaced 3-point Hurst OLS slope, inlined
+    * into both engines (the SPRT constant pattern). */
+  private val HURST_LN16: Double = math.log(16.0)
   // -- driver contract ------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
