@@ -14600,7 +14600,187 @@ object SparkEntry {
            |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_encoded), 6)
            |    AS chars_per_token
            |FROM enc JOIN documents d ON enc.doc_id = d.doc_id
-           |GROUP BY lang ORDER BY lang""".stripMargin)))
+           |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    Q("supp_abc_classes", // Pareto/ABC inventory classification of
+      // suppliers by revenue — A carries the first 80% of revenue
+      // walking from the richest down, B to 95%, C the tail. The
+      // cumulative walk that is usually written as one global
+      // descending NTILE runs instead over 100 percentile buckets of
+      // the DISTRIBUTED range sort (RankedValues.bucketSums — the
+      // Lorenz machinery): class boundaries are decided at bucket
+      // grain, which is the scale-safe declaration (at fixture scale
+      // buckets are single suppliers, so it is also exact). Revenue is
+      // exact integer cents; boundary tests are exact integer products.
+      (s, d) => {
+        import s.implicits._
+        val rev = t(s, d, "lineitem")
+          .groupBy(col("l_suppkey"))
+          .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+            .as("cents"))
+          .select(col("cents").cast("double").as("cents_d"),
+            col("l_suppkey"))
+        val ranked = graft.operators.Scale
+          .rankValues(rev, "cents_d", Seq("l_suppkey"))
+        val sums = ranked.bucketSums(100, 1.0)
+        ranked.unpersist()
+        val tot = sums.map(_._3).sum
+        var cumBefore = 0.0
+        val classed = sums.sortBy(-_._1).map { case (_, n, c) =>
+          val cls =
+            if (100.0 * cumBefore < 80.0 * tot) "A"
+            else if (100.0 * cumBefore < 95.0 * tot) "B" else "C"
+          cumBefore += c
+          (cls, n, c)
+        }
+        classed.groupBy(_._1).toSeq.map { case (cls, rs) =>
+          (cls, rs.map(_._2).sum, rs.map(_._3).sum / 100.0,
+            BigDecimal(rs.map(_._3).sum / tot).setScale(6,
+              BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }.toDF("abc_class", "n_suppliers", "revenue", "revenue_share")
+          .orderBy("abc_class")
+      },
+      Some("""WITH rev AS (SELECT l_suppkey,
+             |    CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+             |      AS BIGINT) AS cents
+             |  FROM lineitem GROUP BY 1),
+             |nt AS (SELECT l_suppkey, cents,
+             |    NTILE(100) OVER (ORDER BY CAST(cents AS DOUBLE),
+             |      l_suppkey) AS b
+             |  FROM rev),
+             |bs AS (SELECT b, COUNT(*) AS n,
+             |    CAST(SUM(cents) AS BIGINT) AS c
+             |  FROM nt GROUP BY 1),
+             |cum AS (SELECT b, n, c,
+             |    CAST(COALESCE(SUM(c) OVER (ORDER BY b DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS cb,
+             |    CAST(SUM(c) OVER () AS BIGINT) AS tot
+             |  FROM bs),
+             |cls AS (SELECT CASE WHEN 100 * cb < 80 * tot THEN 'A'
+             |    WHEN 100 * cb < 95 * tot THEN 'B' ELSE 'C' END
+             |      AS abc_class, n, c, tot
+             |  FROM cum)
+             |SELECT abc_class, CAST(SUM(n) AS BIGINT) AS n_suppliers,
+             |  CAST(SUM(c) AS DOUBLE) / 100.0 AS revenue,
+             |  ROUND(CAST(SUM(c) AS DOUBLE) / MAX(tot), 6)
+             |    AS revenue_share
+             |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("scale_compaction_plan", // small-files compaction planner: given
+      // the day-grain file manifest (file ≈ one day's partition, size
+      // ≈ its row count), coalesce adjacent files into ~500-row output
+      // groups the way OPTIMIZE/AQE coalescing actually does it —
+      // order-preserving cumulative packing, group = prefix-rows DIV
+      // target. The window runs over the bounded MANIFEST grain (file
+      // list), never over rows — exactly what a table-format compactor
+      // reads, plans over, and rewrites. All integers; fill_ratio is
+      // the one division.
+      (s, d) => {
+        val files = t(s, d, "orders")
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("nrows"))
+        val wc = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        files
+          .withColumn("cum", sum("nrows").over(wc))
+          .withColumn("group_id", expr("(cum - nrows) DIV 500"))
+          .groupBy("group_id")
+          .agg(count(lit(1)).as("n_files"), sum("nrows").as("rows_total"),
+            min("day").as("first_day"), max("day").as("last_day"))
+          .select(col("group_id"), col("n_files"), col("rows_total"),
+            col("first_day"), col("last_day"),
+            round(col("rows_total").cast("double") / 500, 4)
+              .as("fill_ratio"))
+          .orderBy("group_id")
+      },
+      Some("""WITH f AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+             |    COUNT(*) AS nrows
+             |  FROM orders GROUP BY 1),
+             |c AS (SELECT day, nrows,
+             |    CAST(SUM(nrows) OVER (ORDER BY day
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |  FROM f)
+             |SELECT (cum - nrows) // 500 AS group_id,
+             |  COUNT(*) AS n_files, CAST(SUM(nrows) AS BIGINT)
+             |    AS rows_total,
+             |  MIN(day) AS first_day, MAX(day) AS last_day,
+             |  ROUND(CAST(SUM(nrows) AS DOUBLE) / 500, 4) AS fill_ratio
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("events_disorder_lateness", // out-of-orderness audit that sizes
+      // the watermark: within each day, lateness = running-max(event
+      // time in ARRIVAL order) − event time; the per-day report gives
+      // the late share, the max, and the smallest power-of-two delay
+      // covering ≥99% of events — the number `withWatermark` actually
+      // needs. The fixture ships no arrival column (event_id is
+      // exactly time-ordered), so arrival = ts + a deterministic
+      // 0–120 s network delay from the portable integer hash family —
+      // reproducible disorder, not randomness. The running max is a
+      // KEYED window (day partitions), lateness collapses to the
+      // bounded power-of-two bucket grain before the cumulative 99%
+      // walk, and every test is an exact integer product
+      // (100·cum ≥ 99·n).
+      (s, d) => {
+        val ev = t(s, d, "events").select(
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("event_id"), unix_millis(col("ts")).as("ms"))
+          .withColumn("arr", col("ms")
+            + (lit(1000003L) * col("event_id") + 17) % 2147483647L % 120000L)
+        val w = Window.partitionBy("day").orderBy("arr", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val late = ev.withColumn("lmax", max("ms").over(w))
+          .withColumn("late_s", expr("(lmax - ms) div 1000"))
+        val hist = late.groupBy(col("day"),
+            when(col("late_s") === 0, lit(0L))
+              .otherwise(length(bin(col("late_s"))).cast("long")).as("b"))
+          .agg(count(lit(1)).as("cnt"), max("late_s").as("mx"))
+        val wd = Window.partitionBy("day")
+        val wcum = wd.orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        hist
+          .withColumn("n", sum("cnt").over(wd))
+          .withColumn("cum", sum("cnt").over(wcum))
+          .groupBy("day", "n")
+          .agg(sum(when(col("b") > 0, col("cnt")).otherwise(0L))
+              .as("n_late"),
+            max("mx").as("max_late_s"),
+            min(when(col("cum") * 100 >= col("n") * 99, col("b")))
+              .as("bmin"))
+          .select(col("day"), col("n").as("n_events"),
+            round(col("n_late").cast("double") / col("n"), 6)
+              .as("late_share"),
+            (pow(lit(2.0), col("bmin")).cast("long") - 1)
+              .as("p99_delay_s"),
+            col("max_late_s"))
+          .orderBy("day")
+      },
+      Some("""WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+             |    event_id, epoch_ms(ts) AS ms,
+             |    epoch_ms(ts) + (1000003 * event_id + 17)
+             |      % 2147483647 % 120000 AS arr
+             |  FROM events),
+             |l AS (SELECT day,
+             |    (MAX(ms) OVER (PARTITION BY day ORDER BY arr, event_id
+             |      ROWS UNBOUNDED PRECEDING) - ms) // 1000 AS late_s
+             |  FROM e),
+             |h AS (SELECT day,
+             |    CASE WHEN late_s = 0 THEN 0
+             |      ELSE length(printf('%b', late_s)) END AS b,
+             |    COUNT(*) AS cnt, CAST(MAX(late_s) AS BIGINT) AS mx
+             |  FROM l GROUP BY 1, 2),
+             |x AS (SELECT day, b, cnt, mx,
+             |    CAST(SUM(cnt) OVER (PARTITION BY day) AS BIGINT) AS n,
+             |    CAST(SUM(cnt) OVER (PARTITION BY day ORDER BY b
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |  FROM h)
+             |SELECT day, n AS n_events,
+             |  ROUND(CAST(SUM(CASE WHEN b > 0 THEN cnt ELSE 0 END)
+             |    AS DOUBLE) / n, 6) AS late_share,
+             |  CAST(POW(2, MIN(CASE WHEN cum * 100 >= n * 99 THEN b END))
+             |    AS BIGINT) - 1 AS p99_delay_s,
+             |  CAST(MAX(mx) AS BIGINT) AS max_late_s
+             |FROM x GROUP BY day, n ORDER BY day""".stripMargin)))
 
   /** SPRT model constants (H0 p=0.18, H1 p=0.22, α=β=0.05), computed
     * once JVM-side and inlined into both engines' expressions so neither
