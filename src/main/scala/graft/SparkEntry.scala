@@ -14780,7 +14780,267 @@ object SparkEntry {
              |  CAST(POW(2, MIN(CASE WHEN cum * 100 >= n * 99 THEN b END))
              |    AS BIGINT) - 1 AS p99_delay_s,
              |  CAST(MAX(mx) AS BIGINT) AS max_late_s
-             |FROM x GROUP BY day, n ORDER BY day""".stripMargin)))
+             |FROM x GROUP BY day, n ORDER BY day""".stripMargin)),
+
+    Q("scale_clustering_depth", // clustering-depth audit of the two
+      // zonemap layouts — the Iceberg/Delta metric that PREDICTS
+      // scale_zonemap_prune's outcome without running a predicate: how
+      // many files' [min,max] day ranges stack over any point of the
+      // domain. avg depth = Σ file spans / domain span (pure integer
+      // arithmetic), max depth via a ±1 sweep over the bounded ≤128
+      // file endpoints per layout. Depth ≈ 1 ⇒ every point lives in
+      // one file (skip-friendly); depth ≈ n_files ⇒ zonemaps are
+      // useless and the table wants a sort/Z-order rewrite.
+      (s, d) => {
+        val o = t(s, d, "orders").select(col("o_orderkey"),
+          col("o_orderdate"))
+        val bounds = o.agg(min("o_orderkey").as("k0"),
+          max("o_orderkey").as("k1"), min("o_orderdate").as("dmin"),
+          max("o_orderdate").as("dmax"))
+        val withB = o.crossJoin(broadcast(bounds)).select(
+          datediff(col("o_orderdate"), col("dmin")).as("di"),
+          datediff(col("dmax"), col("dmin")).as("span0"),
+          expr("least((o_orderkey - k0) * 64 div (k1 - k0 + 1), 63)")
+            .as("kb"),
+          expr("""least(datediff(o_orderdate, dmin) * 64
+                 | div (datediff(dmax, dmin) + 1), 63)""".stripMargin)
+            .as("db"))
+        def files(b: String, layout: String): DataFrame = withB
+          .groupBy(col(b).as("bucket"))
+          .agg(min("di").as("lo"), max("di").as("hi"),
+            max("span0").as("span0"))
+          .select(lit(layout).as("layout"), col("bucket"), col("lo"),
+            col("hi"), col("span0"))
+        val f = files("kb", "key_clustered")
+          .unionByName(files("db", "date_clustered"))
+        val ep = f.select(col("layout"), col("span0"), explode(array(
+            struct(col("lo").as("p"), lit(1L).as("delta")),
+            struct((col("hi") + 1).as("p"), lit(-1L).as("delta"))))
+            .as("e"))
+          .select(col("layout"), col("span0"), col("e.p").as("p"),
+            col("e.delta").as("delta"))
+        val wsweep = Window.partitionBy("layout").orderBy("p")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val depth = ep.groupBy("layout", "span0", "p")
+          .agg(sum("delta").as("delta"))
+          .withColumn("depth", sum("delta").over(wsweep))
+        val spans = f.groupBy("layout").agg(count(lit(1)).as("n_files"),
+          sum(col("hi") - col("lo") + 1).as("span_sum"),
+          (max("span0") + 1).as("domain"))
+        depth.groupBy("layout").agg(max("depth").as("max_depth"))
+          .join(spans, Seq("layout"))
+          .select(col("layout"), col("n_files"),
+            round(col("span_sum").cast("double") / col("domain"), 4)
+              .as("avg_depth"),
+            col("max_depth"))
+          .orderBy("layout")
+      },
+      Some("""WITH b AS (SELECT MIN(o_orderkey) AS k0,
+             |    MAX(o_orderkey) AS k1, MIN(o_orderdate) AS dmin,
+             |    MAX(o_orderdate) AS dmax
+             |  FROM orders),
+             |w AS (SELECT date_diff('day', dmin, o_orderdate) AS di,
+             |    date_diff('day', dmin, dmax) AS span0,
+             |    least((o_orderkey - k0) * 64 // (k1 - k0 + 1), 63) AS kb,
+             |    least(date_diff('day', dmin, o_orderdate) * 64
+             |      // (date_diff('day', dmin, dmax) + 1), 63) AS db
+             |  FROM orders, b),
+             |f AS (
+             |  SELECT 'key_clustered' AS layout, kb AS bucket,
+             |    CAST(MIN(di) AS BIGINT) AS lo, CAST(MAX(di) AS BIGINT)
+             |      AS hi, MAX(span0) AS span0
+             |  FROM w GROUP BY 2
+             |  UNION ALL
+             |  SELECT 'date_clustered', db,
+             |    CAST(MIN(di) AS BIGINT), CAST(MAX(di) AS BIGINT),
+             |    MAX(span0)
+             |  FROM w GROUP BY 2),
+             |ep AS (
+             |  SELECT layout, p, CAST(SUM(delta) AS BIGINT) AS delta
+             |  FROM (SELECT layout, lo AS p, 1 AS delta FROM f
+             |    UNION ALL SELECT layout, hi + 1, -1 FROM f)
+             |  GROUP BY 1, 2),
+             |sw AS (SELECT layout,
+             |    CAST(SUM(delta) OVER (PARTITION BY layout ORDER BY p
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS depth
+             |  FROM ep),
+             |sp AS (SELECT layout, COUNT(*) AS n_files,
+             |    CAST(SUM(hi - lo + 1) AS BIGINT) AS span_sum,
+             |    MAX(span0) + 1 AS domain
+             |  FROM f GROUP BY 1)
+             |SELECT layout, n_files,
+             |  ROUND(CAST(span_sum AS DOUBLE) / domain, 4) AS avg_depth,
+             |  (SELECT CAST(MAX(depth) AS BIGINT) FROM sw
+             |    WHERE sw.layout = sp.layout) AS max_depth
+             |FROM sp ORDER BY layout""".stripMargin)),
+
+    Q("emb_dim_health", // per-dimension health table of the embedding
+      // matrix — the pre-ANN audit that catches dead dimensions
+      // (σ ≈ 0 wastes index bits), off-center dims (|μ| ≫ σ breaks
+      // inner-product pruning), and range blowouts. One posexplode →
+      // one 64-cell hash aggregation; μ/σ round to 6dp (the model-state
+      // rounding contract), and the dead flag tests the ROUNDED σ so
+      // both engines flag identically.
+      (s, d) => {
+        val ex = t(s, d, "embeddings")
+          .select(posexplode(col("embedding")).as(Seq("d0", "x0")))
+          .select((col("d0") + 1).as("dim"),
+            col("x0").cast("double").as("x"))
+        ex.groupBy("dim")
+          .agg(count(lit(1)).as("n"),
+            round(avg("x"), 6).as("mu"),
+            round(sqrt(avg(col("x") * col("x"))
+              - avg("x") * avg("x")), 6).as("sigma"),
+            round(min("x"), 6).as("vmin"),
+            round(max("x"), 6).as("vmax"))
+          .select(col("dim"), col("n"), col("mu"), col("sigma"),
+            col("vmin"), col("vmax"),
+            (col("sigma") < 0.05).as("dead_dim"))
+          .orderBy("dim")
+      },
+      Some("""WITH ex AS (
+             |  SELECT i AS dim, CAST(embedding[i] AS DOUBLE) AS x
+             |  FROM embeddings, range(1, 65) t(i)),
+             |st AS (SELECT dim, COUNT(*) AS n,
+             |    ROUND(AVG(x), 6) AS mu,
+             |    ROUND(sqrt(AVG(x * x) - AVG(x) * AVG(x)), 6) AS sigma,
+             |    ROUND(MIN(x), 6) AS vmin, ROUND(MAX(x), 6) AS vmax
+             |  FROM ex GROUP BY 1)
+             |SELECT dim, n, mu, sigma, vmin, vmax,
+             |  sigma < 0.05 AS dead_dim
+             |FROM st ORDER BY dim""".stripMargin)),
+
+    Q("orders_little_law", // Little's law audit (L = λW) of the
+      // order-fulfillment queue: per year, average work-in-progress
+      // (orders whose [orderdate, last shipdate] interval covers the
+      // day) versus arrival rate × mean flow time. WIP comes from the
+      // ±1 endpoint sweep over the bounded day grain (the session-
+      // concurrency shape, not a per-order-per-day explode); every
+      // input is an exact integer, and the ratio ≈ 1 IS the report —
+      // drift from 1 localizes non-stationarity (ramp-up/cut-off
+      // years). The queue is defined over in-contract lines
+      // (0 ≤ ship−order ≤ 120 d): this fixture plants uncorrelated
+      // ship dates years away, and a queue metric only holds for the
+      // population whose intervals are real.
+      (s, d) => {
+        val iv = t(s, d, "lineitem")
+          .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+          .join(t(s, d, "orders").select(col("o_orderkey"),
+            to_date(col("o_orderdate")).as("startd")),
+            col("l_orderkey") === col("o_orderkey"))
+          .filter(datediff(col("sd"), col("startd")).between(0, 120))
+          .groupBy(col("o_orderkey"), col("startd"))
+          .agg(max("sd").as("endd"))
+          .select(col("startd"), col("endd"))
+        val ep = iv.select(explode(array(
+            struct(col("startd").as("day"), lit(1L).as("delta")),
+            struct(date_add(col("endd"), 1).as("day"),
+              lit(-1L).as("delta")))).as("e"))
+          .select(col("e.day").as("day"), col("e.delta").as("delta"))
+          .groupBy("day").agg(sum("delta").as("delta"))
+        val wsweep = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wip = ep.withColumn("wip", sum("delta").over(wsweep))
+          .withColumn("nxt", lead("day", 1).over(Window.orderBy("day")))
+          .filter(col("nxt").isNotNull)
+          .select(year(col("day")).as("yr"),
+            (col("wip") * datediff(col("nxt"), col("day"))).as("wip_days"))
+          .groupBy("yr").agg(sum("wip_days").as("wip_days"))
+        val lam = iv.groupBy(year(col("startd")).as("yr"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(datediff(col("endd"), col("startd")) + 1).as("flow_days"))
+        wip.join(lam, Seq("yr"))
+          .select(col("yr").as("year"), col("n_orders"),
+            round(col("wip_days").cast("double") / 365.0, 4).as("l_wip"),
+            round(col("n_orders").cast("double") / 365.0, 6).as("lambda"),
+            round(col("flow_days").cast("double") / col("n_orders"), 4)
+              .as("w_flow"),
+            round((col("wip_days").cast("double") / 365.0)
+              / ((col("n_orders").cast("double") / 365.0)
+                * (col("flow_days").cast("double") / col("n_orders"))), 4)
+              .as("little_ratio"))
+          .orderBy("year")
+      },
+      Some("""WITH iv AS MATERIALIZED (
+             |  SELECT CAST(o_orderdate AS DATE) AS startd,
+             |    MAX(CAST(l_shipdate AS DATE)) AS endd
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE date_diff('day', CAST(o_orderdate AS DATE),
+             |    CAST(l_shipdate AS DATE)) BETWEEN 0 AND 120
+             |  GROUP BY o_orderkey, o_orderdate),
+             |ep AS (SELECT day, CAST(SUM(delta) AS BIGINT) AS delta
+             |  FROM (SELECT startd AS day, 1 AS delta FROM iv
+             |    UNION ALL SELECT endd + 1, -1 FROM iv)
+             |  GROUP BY 1),
+             |sw AS (SELECT day,
+             |    CAST(SUM(delta) OVER (ORDER BY day
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS wip,
+             |    LEAD(day) OVER (ORDER BY day) AS nxt
+             |  FROM ep),
+             |wd AS (SELECT date_part('year', day) AS yr,
+             |    CAST(SUM(wip * date_diff('day', day, nxt)) AS BIGINT)
+             |      AS wip_days
+             |  FROM sw WHERE nxt IS NOT NULL GROUP BY 1),
+             |lam AS (SELECT date_part('year', startd) AS yr,
+             |    COUNT(*) AS n_orders,
+             |    CAST(SUM(date_diff('day', startd, endd) + 1) AS BIGINT)
+             |      AS flow_days
+             |  FROM iv GROUP BY 1)
+             |SELECT CAST(wd.yr AS BIGINT) AS year, n_orders,
+             |  ROUND(CAST(wip_days AS DOUBLE) / 365.0, 4) AS l_wip,
+             |  ROUND(CAST(n_orders AS DOUBLE) / 365.0, 6) AS lambda,
+             |  ROUND(CAST(flow_days AS DOUBLE) / n_orders, 4) AS w_flow,
+             |  ROUND((CAST(wip_days AS DOUBLE) / 365.0)
+             |    / ((CAST(n_orders AS DOUBLE) / 365.0)
+             |      * (CAST(flow_days AS DOUBLE) / n_orders)), 4)
+             |    AS little_ratio
+             |FROM wd JOIN lam ON wd.yr = lam.yr
+             |ORDER BY year""".stripMargin)),
+
+    Q("events_fano_factor", // Fano factor (variance/mean of hourly
+      // arrival counts) per event type — the dispersion test that
+      // separates Poisson traffic (F≈1) from bursty (F>1) or
+      // clock-regular (F<1) sources, sized over the COMPLETE hour
+      // grid: empty hours contribute zero to the moments, so only the
+      // 1-row global hour-span broadcast and the nonzero cells are
+      // touched — no grid explode. Exact integer moments throughout;
+      // the verdict tests the rounded statistic.
+      (s, d) => {
+        val hc = t(s, d, "events")
+          .select(col("event_type"),
+            expr("unix_millis(ts) div 3600000").as("h"))
+          .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
+        val span = hc.agg((max("h") - min("h") + 1).as("n_hours"))
+        val f = hc.groupBy("event_type")
+          .agg(sum("c").as("s1"), sum(col("c") * col("c")).as("s2"))
+          .crossJoin(broadcast(span))
+        val mean = col("s1").cast("double") / col("n_hours")
+        val fano = (col("s2").cast("double") / col("n_hours")
+          - mean * mean) / mean
+        f.select(col("event_type"), col("n_hours"), col("s1").as("n_events"),
+            round(mean, 6).as("hourly_mean"),
+            round(fano, 6).as("fano"),
+            (round(fano, 6) > 1.5).as("bursty"))
+          .orderBy("event_type")
+      },
+      Some("""WITH hc AS (SELECT event_type, epoch_ms(ts) // 3600000 AS h,
+             |    COUNT(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |span AS (SELECT MAX(h) - MIN(h) + 1 AS n_hours FROM hc),
+             |f AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS s1,
+             |    CAST(SUM(c * c) AS BIGINT) AS s2
+             |  FROM hc GROUP BY 1)
+             |SELECT event_type, n_hours, s1 AS n_events,
+             |  ROUND(CAST(s1 AS DOUBLE) / n_hours, 6) AS hourly_mean,
+             |  ROUND((CAST(s2 AS DOUBLE) / n_hours
+             |    - (CAST(s1 AS DOUBLE) / n_hours)
+             |      * (CAST(s1 AS DOUBLE) / n_hours))
+             |    / (CAST(s1 AS DOUBLE) / n_hours), 6) AS fano,
+             |  ROUND((CAST(s2 AS DOUBLE) / n_hours
+             |    - (CAST(s1 AS DOUBLE) / n_hours)
+             |      * (CAST(s1 AS DOUBLE) / n_hours))
+             |    / (CAST(s1 AS DOUBLE) / n_hours), 6) > 1.5 AS bursty
+             |FROM f, span ORDER BY event_type""".stripMargin)))
 
   /** SPRT model constants (H0 p=0.18, H1 p=0.22, α=β=0.05), computed
     * once JVM-side and inlined into both engines' expressions so neither

@@ -188,6 +188,8 @@ class PlanQualitySpec extends SparkSuite {
         "doc_heaps_law", // 1-row max-doc-id broadcast onto the doc/term grains
         "doc_qlm_search", // 1-row collection-token-total broadcast onto doc grain
         "scale_zonemap_prune", // 1-row min/max bounds broadcast onto the order grain
+        "scale_clustering_depth", // same 1-row min/max bounds broadcast as zonemap_prune
+        "events_fano_factor", // 1-row global hour-span broadcast onto 5 type rows
         "lineitem_theil_index", // 1-row global-moments broadcast onto the supplier grain
         "orders_kendall_tau", // pairwise pass over the bounded ~80-row month grain
         "events_error_pchart", // 1-row centerline broadcast onto the day grain
