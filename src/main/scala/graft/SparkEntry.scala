@@ -15040,7 +15040,138 @@ object SparkEntry {
              |    - (CAST(s1 AS DOUBLE) / n_hours)
              |      * (CAST(s1 AS DOUBLE) / n_hours))
              |    / (CAST(s1 AS DOUBLE) / n_hours), 6) > 1.5 AS bursty
-             |FROM f, span ORDER BY event_type""".stripMargin)))
+             |FROM f, span ORDER BY event_type""".stripMargin)),
+
+    Q("doc_lm_perplexity_filter", // CCNet-style per-document perplexity
+      // filter: score every doc under the corpus's own Laplace-smoothed
+      // bigram LM and surface the 10 least-predictable documents — the
+      // gibberish/outlier screen that runs before pretraining. Training
+      // and scoring are the SAME gram-keyed relations (counts join back
+      // to doc bigrams on the 2-gram key — never doc-vs-doc); the vocab
+      // size rides a 1-row broadcast. p(w2|w1) = (c12+1)/(c1+V) is an
+      // exact-integer ratio, so only ln/Σ/exp are float; ordering is on
+      // the ROUNDED perplexity with a doc_id tie-break.
+      (s, d) => {
+        val toks = t(s, d, "documents").select(col("doc_id"),
+          graft.operators.TextAnalysis.tokens(lower(col("text"))).as("ts"))
+        val db = toks.filter(size(col("ts")) >= 2)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(1), size(col("ts")) - 1),
+              i => struct(element_at(col("ts"), i).as("w1"),
+                element_at(col("ts"), i + 1).as("w2")))).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val cnt = db.groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+        val pref = cnt.groupBy("w1").agg(sum("cab").as("ca"))
+        val voc = toks.select(explode(col("ts")).as("w"))
+          .agg(countDistinct("w").as("v"))
+        db.join(cnt, Seq("w1", "w2")).join(pref, Seq("w1"))
+          .crossJoin(broadcast(voc))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(log((col("cab") + 1).cast("double") / (col("ca") + col("v"))))
+              .as("slnp"))
+          .select(col("doc_id"), col("n_bigrams"),
+            round(exp(-col("slnp") / col("n_bigrams")), 6).as("perplexity"))
+          .orderBy(col("perplexity").desc, col("doc_id")).limit(10)
+      },
+      Some("""WITH tok AS MATERIALIZED (SELECT doc_id,
+             |    string_split_regex(lower(trim(text)), '\s+') AS ts
+             |  FROM documents),
+             |db AS MATERIALIZED (SELECT doc_id, ts[i] AS w1,
+             |    ts[i+1] AS w2
+             |  FROM tok, unnest(range(1, len(ts))) AS r(i)
+             |  WHERE len(ts) >= 2),
+             |cnt AS (SELECT w1, w2, COUNT(*) AS cab FROM db GROUP BY 1, 2),
+             |pref AS (SELECT w1, CAST(SUM(cab) AS BIGINT) AS ca
+             |  FROM cnt GROUP BY 1),
+             |voc AS (SELECT COUNT(DISTINCT u.w) AS v
+             |  FROM tok, unnest(ts) AS u(w)),
+             |sc AS (SELECT d.doc_id, COUNT(*) AS n_bigrams,
+             |    SUM(ln(CAST(cab + 1 AS DOUBLE) / (ca + v))) AS slnp
+             |  FROM db d JOIN cnt USING (w1, w2) JOIN pref USING (w1), voc
+             |  GROUP BY 1)
+             |SELECT doc_id, n_bigrams,
+             |  ROUND(exp(-slnp / n_bigrams), 6) AS perplexity
+             |FROM sc ORDER BY perplexity DESC, doc_id LIMIT 10"""
+        .stripMargin)),
+
+    Q("orders_dup_payment_audit", // duplicate-payment detection — the
+      // finance-ops audit: same customer, same amount to the cent,
+      // within 30 days. The fixture carries no organic duplicates
+      // (exact-cents collisions: zero), so ~19 duplicates are PLANTED
+      // deterministically (every o_orderkey ≡ 0 mod 797 re-pays
+      // +3 days later under a high orderkey) — the detector is graded
+      // against known positives, the dq_inclusion_deps pattern.
+      // Blocking is the equi-join on (customer, cents) — pairs only
+      // ever form inside a block, never across the table.
+      (s, d) => {
+        val base = t(s, d, "orders").select(col("o_custkey"),
+          col("o_orderkey"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+          to_date(col("o_orderdate")).as("day"))
+        val planted = base.filter(col("o_orderkey") % 797 === 0)
+          .select(col("o_custkey"),
+            (col("o_orderkey") + 1000000000L).as("o_orderkey"),
+            col("cents"), date_add(col("day"), 3).as("day"))
+        val all = base.unionByName(planted)
+        val ar = all.select(col("o_custkey"), col("o_orderkey").as("ok_a"),
+          col("cents"), col("day").as("day_a"))
+        val br = all.select(col("o_custkey"), col("o_orderkey").as("ok_b"),
+          col("cents"), col("day").as("day_b"))
+        ar.join(br, Seq("o_custkey", "cents"))
+          .filter(col("ok_a") < col("ok_b")
+            && abs(datediff(col("day_b"), col("day_a"))) <= 30)
+          .select(col("o_custkey"), col("ok_a"), col("ok_b"),
+            datediff(col("day_b"), col("day_a")).as("day_gap"),
+            (col("cents").cast("double") / 100.0).as("amount"))
+          .orderBy("o_custkey", "ok_a", "ok_b")
+      },
+      Some("""WITH base AS (SELECT o_custkey, o_orderkey,
+             |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             |    CAST(o_orderdate AS DATE) AS day
+             |  FROM orders),
+             |al AS (SELECT * FROM base
+             |  UNION ALL
+             |  SELECT o_custkey, o_orderkey + 1000000000, cents, day + 3
+             |  FROM base WHERE o_orderkey % 797 = 0)
+             |SELECT a.o_custkey, a.o_orderkey AS ok_a,
+             |  b.o_orderkey AS ok_b,
+             |  date_diff('day', a.day, b.day) AS day_gap,
+             |  CAST(a.cents AS DOUBLE) / 100.0 AS amount
+             |FROM al a JOIN al b
+             |  ON a.o_custkey = b.o_custkey AND a.cents = b.cents
+             |  AND a.o_orderkey < b.o_orderkey
+             |WHERE abs(date_diff('day', a.day, b.day)) <= 30
+             |ORDER BY a.o_custkey, ok_a, ok_b""".stripMargin)),
+
+    Q("doc_source_hhi", // corpus balance audit: Herfindahl–Hirschman
+      // concentration of sources within each language slice, and the
+      // effective number of sources 1/HHI — the diversity number a
+      // data-mixture plan is written against (effective ≈ 1 means a
+      // language is really one source wearing several names). HHI =
+      // Σc² / n² is exact integers into one division.
+      (s, d) => {
+        val cells = t(s, d, "documents")
+          .groupBy("lang", "source").agg(count(lit(1)).as("c"))
+        cells.groupBy("lang")
+          .agg(sum("c").as("n_docs"), count(lit(1)).as("n_sources"),
+            sum(col("c") * col("c")).as("s2"))
+          .select(col("lang"), col("n_docs"), col("n_sources"),
+            round(col("s2").cast("double") / (col("n_docs") * col("n_docs")),
+              6).as("hhi"),
+            round((col("n_docs") * col("n_docs")).cast("double") / col("s2"),
+              4).as("effective_sources"))
+          .orderBy("lang")
+      },
+      Some("""WITH cells AS (SELECT lang, source, COUNT(*) AS c
+             |  FROM documents GROUP BY 1, 2)
+             |SELECT lang, CAST(SUM(c) AS BIGINT) AS n_docs,
+             |  COUNT(*) AS n_sources,
+             |  ROUND(CAST(SUM(c * c) AS DOUBLE)
+             |    / (SUM(c) * SUM(c)), 6) AS hhi,
+             |  ROUND(CAST(SUM(c) * SUM(c) AS DOUBLE) / SUM(c * c), 4)
+             |    AS effective_sources
+             |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin)))
 
   /** SPRT model constants (H0 p=0.18, H1 p=0.22, α=β=0.05), computed
     * once JVM-side and inlined into both engines' expressions so neither

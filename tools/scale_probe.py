@@ -60,6 +60,9 @@ QUERIES = [
     "orders_poisson_bootstrap_ci", "emb_rp_distortion",
     "doc_kn_bigram_lm", "doc_mattr_lexdiv", "lineitem_gmm_em",
     "doc_heaps_law",
+    # r7 cont.5: per-position md5 explode (CDC), posting-list windows,
+    # supplier-grain distributed range sort (ABC)
+    "doc_cdc_chunks", "doc_posting_compression", "supp_abc_classes",
 ]
 
 # Work linear in data by construction AND CPU-saturated at sf0.1 ->
@@ -91,6 +94,8 @@ LINEAR_SATURATED = {
         "vecs x 1024 (coord x sketch-dim) explode: work scales 10x, saturated",
     "doc_mattr_lexdiv":
         "per-doc window fold: work linear in docs, interpreted HOF saturates cores",
+    "doc_cdc_chunks":
+        "per-position md5 explode: work linear in corpus chars, saturated",
 }
 
 def run(cmd, env=None):
