@@ -15171,7 +15171,217 @@ object SparkEntry {
              |    / (SUM(c) * SUM(c)), 6) AS hhi,
              |  ROUND(CAST(SUM(c) * SUM(c) AS DOUBLE) / SUM(c * c), 4)
              |    AS effective_sources
-             |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("events_srm_check", // sample-ratio-mismatch guardrail — the FIRST
+      // test any A/B readout must pass: do the hash-assigned variants
+      // (user_id mod 2) actually split 50/50? One chi² (1 df) per
+      // segment: the user universe plus each event type's traffic. For
+      // two cells the statistic collapses to (a−b)²/(a+b) — exact
+      // integers into one division; the verdict tests the rounded
+      // statistic against the inlined 3.8415 critical value.
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_type"), col("user_id"),
+            (col("user_id") % 2).as("v"))
+        val users = ev.select(col("user_id"), col("v")).distinct()
+          .agg(sum(when(col("v") === 0, 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("v") === 1, 1L).otherwise(0L)).as("n_b"))
+          .select(lit("users").as("segment"), col("n_a"), col("n_b"))
+        val types = ev.groupBy(col("event_type").as("segment"))
+          .agg(sum(when(col("v") === 0, 1L).otherwise(0L)).as("n_a"),
+            sum(when(col("v") === 1, 1L).otherwise(0L)).as("n_b"))
+        val chi = (col("n_a") - col("n_b")) * (col("n_a") - col("n_b"))
+        users.unionByName(types)
+          .select(col("segment"), col("n_a"), col("n_b"),
+            round(chi.cast("double") / (col("n_a") + col("n_b")), 6)
+              .as("chi2"),
+            (round(chi.cast("double") / (col("n_a") + col("n_b")), 6)
+              > 3.8415).as("srm_detected"))
+          .orderBy("segment")
+      },
+      Some("""WITH ev AS (SELECT event_type, user_id, user_id % 2 AS v
+             |  FROM events),
+             |seg AS (
+             |  SELECT 'users' AS segment,
+             |    CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_a,
+             |    CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_b
+             |  FROM (SELECT DISTINCT user_id, v FROM ev)
+             |  UNION ALL
+             |  SELECT event_type,
+             |    CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM ev GROUP BY 1)
+             |SELECT segment, n_a, n_b,
+             |  ROUND(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+             |    / (n_a + n_b), 6) AS chi2,
+             |  ROUND(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+             |    / (n_a + n_b), 6) > 3.8415 AS srm_detected
+             |FROM seg ORDER BY segment""".stripMargin)),
+
+    Q("doc_blocklist_screen", // lexicon safety screen — the blocklist
+      // filter every curation pipeline runs before anything smarter:
+      // per (source, term) hit counts, affected docs, and the
+      // hits-per-1k-tokens rate. The list rides an inline per-row
+      // explode (no join); a rare term ('dup'), a common one ('slow'),
+      // and an absent one ('crash') keep the report non-degenerate in
+      // all three regimes. Exact integers into one rate division.
+      (s, d) => {
+        val toks = t(s, d, "documents").select(col("doc_id"),
+          col("source"),
+          graft.operators.TextAnalysis.tokens(lower(col("text"))).as("ts"))
+        val src = toks.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(col("ts"))).cast("long").as("n_tokens"))
+        val grid = src.select(col("source"), col("n_docs"),
+          col("n_tokens"),
+          explode(array(lit("dup"), lit("slow"), lit("crash"))).as("term"))
+        val hits = toks
+          .select(col("doc_id"), col("source"), explode(col("ts")).as("w"))
+          .filter(col("w").isin("dup", "slow", "crash"))
+          .groupBy(col("source"), col("w").as("term"))
+          .agg(count(lit(1)).as("h"),
+            countDistinct("doc_id").as("dh"))
+        grid.join(hits, Seq("source", "term"), "left")
+          .select(col("source"), col("term"), col("n_docs"),
+            coalesce(col("h"), lit(0L)).as("n_hits"),
+            coalesce(col("dh"), lit(0L)).as("n_docs_hit"),
+            round(coalesce(col("h"), lit(0L)) * lit(1000.0)
+              / col("n_tokens"), 4).as("hits_per_1k"))
+          .orderBy("source", "term")
+      },
+      Some("""WITH tok AS MATERIALIZED (SELECT doc_id, source,
+             |    string_split_regex(lower(trim(text)), '\s+') AS ts
+             |  FROM documents),
+             |src AS (SELECT source, COUNT(*) AS n_docs,
+             |    CAST(SUM(len(ts)) AS BIGINT) AS n_tokens
+             |  FROM tok GROUP BY 1),
+             |grid AS (SELECT source, n_docs, n_tokens, term
+             |  FROM src, unnest(['dup', 'slow', 'crash']) AS t(term)),
+             |hits AS (SELECT source, u.w AS term, COUNT(*) AS h,
+             |    COUNT(DISTINCT doc_id) AS dh
+             |  FROM tok, unnest(ts) AS u(w)
+             |  WHERE u.w IN ('dup', 'slow', 'crash')
+             |  GROUP BY 1, 2)
+             |SELECT g.source, g.term, n_docs,
+             |  CAST(COALESCE(h, 0) AS BIGINT) AS n_hits,
+             |  CAST(COALESCE(dh, 0) AS BIGINT) AS n_docs_hit,
+             |  ROUND(COALESCE(h, 0) * 1000.0 / n_tokens, 4) AS hits_per_1k
+             |FROM grid g LEFT JOIN hits
+             |  ON g.source = hits.source AND g.term = hits.term
+             |ORDER BY g.source, g.term""".stripMargin)),
+
+    Q("supp_scorecard_composite", // supplier scorecard: three metrics
+      // on three scales (revenue cents, distinct parts, return share)
+      // min-max normalized over the supplier population via ONE 1-row
+      // bounds broadcast, then a weighted composite
+      // (0.5·rev + 0.3·breadth + 0.2·(1−returns)) ranks the top 10 —
+      // the standard multi-metric normalization surface (the BI
+      // sibling of feature scaling). Metrics are exact integers;
+      // normalization is the only float step and the ranking orders by
+      // the ROUNDED score with a supplier tie-break.
+      (s, d) => {
+        val m = t(s, d, "lineitem").groupBy(col("l_suppkey"))
+          .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+              .as("cents"),
+            countDistinct("l_partkey").as("n_parts"),
+            count(lit(1)).as("n_lines"),
+            sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+              .as("n_ret"))
+        val b = m.agg(min("cents").as("c0"), max("cents").as("c1"),
+          min("n_parts").as("p0"), max("n_parts").as("p1"))
+        def mm(x: Column, lo: Column, hi: Column): Column =
+          when(hi > lo, (x - lo).cast("double") / (hi - lo)).otherwise(0.5)
+        val scored = m.crossJoin(broadcast(b))
+          .withColumn("rev_n", mm(col("cents"), col("c0"), col("c1")))
+          .withColumn("parts_n", mm(col("n_parts"), col("p0"), col("p1")))
+          .withColumn("ret_share",
+            col("n_ret").cast("double") / col("n_lines"))
+          .withColumn("score", round(lit(0.5) * col("rev_n")
+            + lit(0.3) * col("parts_n")
+            + lit(0.2) * (lit(1.0) - col("ret_share")), 6))
+        scored.select(col("l_suppkey"), col("n_parts"), col("n_lines"),
+            (col("cents").cast("double") / 100.0).as("revenue"),
+            round(col("ret_share"), 6).as("return_share"),
+            col("score"))
+          .orderBy(col("score").desc, col("l_suppkey")).limit(10)
+      },
+      Some("""WITH m AS (SELECT l_suppkey,
+             |    CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+             |      AS BIGINT) AS cents,
+             |    COUNT(DISTINCT l_partkey) AS n_parts,
+             |    COUNT(*) AS n_lines,
+             |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_ret
+             |  FROM lineitem GROUP BY 1),
+             |b AS (SELECT MIN(cents) AS c0, MAX(cents) AS c1,
+             |    MIN(n_parts) AS p0, MAX(n_parts) AS p1
+             |  FROM m),
+             |s AS (SELECT l_suppkey, n_parts, n_lines, cents,
+             |    CAST(n_ret AS DOUBLE) / n_lines AS ret_share,
+             |    ROUND(0.5 * (CASE WHEN c1 > c0 THEN
+             |        CAST(cents - c0 AS DOUBLE) / (c1 - c0) ELSE 0.5 END)
+             |      + 0.3 * (CASE WHEN p1 > p0 THEN
+             |        CAST(n_parts - p0 AS DOUBLE) / (p1 - p0)
+             |        ELSE 0.5 END)
+             |      + 0.2 * (1.0 - CAST(n_ret AS DOUBLE) / n_lines), 6)
+             |      AS score
+             |  FROM m, b)
+             |SELECT l_suppkey, n_parts, n_lines,
+             |  CAST(cents AS DOUBLE) / 100.0 AS revenue,
+             |  ROUND(ret_share, 6) AS return_share, score
+             |FROM s ORDER BY score DESC, l_suppkey LIMIT 10"""
+        .stripMargin)),
+
+    Q("orders_nbinom_fit", // lines-per-order dispersion audit +
+      // negative-binomial method-of-moments fit — the count-model
+      // choice every demand/traffic simulator makes: Poisson (v≈m),
+      // NB (v>m), or binomial-ish (v<m). The overdispersion verdict is
+      // the EXACT integer test n·s2 − s1² > n·s1 (no float in the
+      // branch); NB parameters r = m²/(v−m), p = m/v emit only when it
+      // holds, NULL otherwise in both engines.
+      (s, d) => {
+        val k = t(s, d, "lineitem").groupBy("l_orderkey")
+          .agg(count(lit(1)).as("k"))
+        val mom = k.agg(count(lit(1)).as("n"), sum("k").as("s1"),
+          sum(col("k") * col("k")).as("s2"))
+        val m = col("s1").cast("double") / col("n")
+        val v = col("s2").cast("double") / col("n") - m * m
+        val over = col("n") * col("s2") - col("s1") * col("s1") >
+          col("n") * col("s1")
+        mom.select(col("n").as("n_orders"),
+          round(m, 6).as("mean_lines"),
+          round(v, 6).as("var_lines"),
+          round(v / m, 4).as("dispersion"),
+          over.as("overdispersed"),
+          when(over, round(m * m / (v - m), 4)).as("nb_r"),
+          when(over, round(m / v, 6)).as("nb_p"))
+      },
+      Some("""WITH k AS (SELECT l_orderkey, COUNT(*) AS k
+             |  FROM lineitem GROUP BY 1),
+             |mom AS (SELECT COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS s1,
+             |    CAST(SUM(k * k) AS BIGINT) AS s2
+             |  FROM k)
+             |SELECT n AS n_orders,
+             |  ROUND(CAST(s1 AS DOUBLE) / n, 6) AS mean_lines,
+             |  ROUND(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n)
+             |    * (CAST(s1 AS DOUBLE) / n), 6) AS var_lines,
+             |  ROUND((CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n)
+             |    * (CAST(s1 AS DOUBLE) / n))
+             |    / (CAST(s1 AS DOUBLE) / n), 4) AS dispersion,
+             |  n * s2 - s1 * s1 > n * s1 AS overdispersed,
+             |  CASE WHEN n * s2 - s1 * s1 > n * s1 THEN
+             |    ROUND((CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+             |      / (CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n)
+             |        * (CAST(s1 AS DOUBLE) / n) - CAST(s1 AS DOUBLE) / n),
+             |      4) END AS nb_r,
+             |  CASE WHEN n * s2 - s1 * s1 > n * s1 THEN
+             |    ROUND((CAST(s1 AS DOUBLE) / n) / (CAST(s2 AS DOUBLE) / n
+             |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)),
+             |      6) END AS nb_p
+             |  FROM mom""".stripMargin)))
 
   /** SPRT model constants (H0 p=0.18, H1 p=0.22, α=β=0.05), computed
     * once JVM-side and inlined into both engines' expressions so neither
