@@ -96,6 +96,9 @@ LINEAR_SATURATED = {
         "per-doc window fold: work linear in docs, interpreted HOF saturates cores",
     "doc_cdc_chunks":
         "per-position md5 explode: work linear in corpus chars, saturated",
+    "doc_bleu_pairs":
+        "exemplar grading is linear in cluster members (the r7 cont.2 fix); "
+        "members scale 10x, gram joins saturate cores",
 }
 
 def run(cmd, env=None):
