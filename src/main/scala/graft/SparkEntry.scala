@@ -15381,7 +15381,159 @@ object SparkEntry {
              |    ROUND((CAST(s1 AS DOUBLE) / n) / (CAST(s2 AS DOUBLE) / n
              |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)),
              |      6) END AS nb_p
-             |  FROM mom""".stripMargin)))
+             |  FROM mom""".stripMargin)),
+
+    Q("mm_video_shot_cuts", // shot-boundary detection over the REAL
+      // AVI decode: consecutive-frame Σ|Δbyte| computed INSIDE the
+      // decode task (a video's frames live in one row — the pairing
+      // never shuffles pixel bytes, the duplicateFrames contract),
+      // cut where the diff exceeds 1800 (fixture median 1413, max
+      // 3042 — both regimes populated). The oracle diffs the RAW
+      // padded text slices: the decoder's BGR↔RGB byte permutation is
+      // applied identically to both frames, so Σ|perm(a)−perm(b)| =
+      // Σ|a−b| and the permutation drops out of the algebra. Exact
+      // integers into one avg division.
+      (s, d) => {
+        val diffs = graft.operators.Multimodal.shotCutDiffs(s,
+          graft.operators.Multimodal
+            .synthesizeFromDocuments(t(s, d, "documents")))
+        diffs.groupBy("media_id")
+          .agg((count(lit(1)) + 1).as("n_frames"),
+            sum(when(col("sdiff") > 1800, 1L).otherwise(0L)).as("n_cuts"),
+            round(avg(col("sdiff").cast("double")), 4).as("avg_diff"),
+            max("sdiff").as("max_diff"))
+          .select(col("media_id"), col("n_frames"), col("n_cuts"),
+            (col("n_cuts") + 1).as("n_shots"), col("avg_diff"),
+            col("max_diff"))
+          .orderBy("media_id")
+      },
+      Some("""WITH v AS (SELECT doc_id, text || repeat(' ', 48) AS padded,
+             |    greatest(1, (length(text) + 47) // 48) AS nf
+             |  FROM documents WHERE doc_id % 3 = 2),
+             |bd AS (SELECT doc_id, i,
+             |    CAST(list_aggregate(list_transform(range(1, 49),
+             |      p -> abs(unicode(substr(padded,
+             |          CAST(i * 48 + p AS BIGINT), 1))
+             |        - unicode(substr(padded,
+             |          CAST((i + 1) * 48 + p AS BIGINT), 1)))),
+             |      'sum') AS BIGINT) AS sdiff
+             |  FROM v, unnest(range(0, nf - 1)) AS u(i)
+             |  WHERE nf >= 2)
+             |SELECT doc_id AS media_id,
+             |  COUNT(*) + 1 AS n_frames,
+             |  CAST(SUM(CASE WHEN sdiff > 1800 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_cuts,
+             |  CAST(SUM(CASE WHEN sdiff > 1800 THEN 1 ELSE 0 END)
+             |    AS BIGINT) + 1 AS n_shots,
+             |  ROUND(AVG(CAST(sdiff AS DOUBLE)), 4) AS avg_diff,
+             |  CAST(MAX(sdiff) AS BIGINT) AS max_diff
+             |FROM bd GROUP BY 1 ORDER BY media_id""".stripMargin)),
+
+    Q("orders_churn_rate", // monthly churn timeline: of the customers
+      // active in month m, how many place no order in m+1 — the
+      // product-analytics number behind every retention plan (the
+      // cohort triangle's marginal). Activity collapses to the
+      // distinct (customer, month) grain FIRST; churn is ONE keyed
+      // lead() per customer (no month-vs-month self-join); the final
+      // month is censored (no m+1 observable) and excluded. Exact
+      // integers into the two rate divisions.
+      (s, d) => {
+        val am = t(s, d, "orders")
+          .select(col("o_custkey"),
+            (year(col("o_orderdate")) * 12
+              + month(col("o_orderdate"))).cast("long").as("mi"),
+            date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+          .distinct()
+        val w = Window.partitionBy("o_custkey").orderBy("mi")
+        val flagged = am
+          .withColumn("nxt", lead("mi", 1).over(w))
+          .withColumn("prv", lag("mi", 1).over(w))
+        val maxMi = flagged.agg(max("mi").as("last_mi"))
+        flagged.crossJoin(broadcast(maxMi))
+          .filter(col("mi") < col("last_mi"))
+          .groupBy("ym")
+          .agg(count(lit(1)).as("n_active"),
+            sum(when(col("nxt").isNull || col("nxt") > col("mi") + 1, 1L)
+              .otherwise(0L)).as("n_churned"),
+            sum(when(col("prv").isNull, 1L).otherwise(0L)).as("n_new"))
+          .select(col("ym"), col("n_active"), col("n_churned"),
+            round(col("n_churned").cast("double") / col("n_active"), 6)
+              .as("churn_rate"),
+            col("n_new"),
+            round(col("n_new").cast("double") / col("n_active"), 6)
+              .as("new_share"))
+          .orderBy("ym")
+      },
+      Some("""WITH am AS (SELECT DISTINCT o_custkey,
+             |    date_part('year', o_orderdate) * 12
+             |      + date_part('month', o_orderdate) AS mi,
+             |    strftime(o_orderdate, '%Y-%m') AS ym
+             |  FROM orders),
+             |fl AS (SELECT o_custkey, mi, ym,
+             |    LEAD(mi) OVER w AS nxt, LAG(mi) OVER w AS prv
+             |  FROM am WINDOW w AS (PARTITION BY o_custkey ORDER BY mi)),
+             |mx AS (SELECT MAX(mi) AS last_mi FROM fl)
+             |SELECT ym, COUNT(*) AS n_active,
+             |  CAST(SUM(CASE WHEN nxt IS NULL OR nxt > mi + 1
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+             |  ROUND(CAST(SUM(CASE WHEN nxt IS NULL OR nxt > mi + 1
+             |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             |    AS churn_rate,
+             |  CAST(SUM(CASE WHEN prv IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_new,
+             |  ROUND(CAST(SUM(CASE WHEN prv IS NULL THEN 1 ELSE 0 END)
+             |    AS DOUBLE) / COUNT(*), 6) AS new_share
+             |FROM fl, mx WHERE mi < last_mi
+             |GROUP BY ym ORDER BY ym""".stripMargin)),
+
+    Q("orders_service_level_curve", // fill-rate service levels: the
+      // share of orders fully shipped within X days for X ∈ {7, 14,
+      // 30, 60, 90, 120} — the curve an SLA is negotiated against. An
+      // order's fill time is its max line lag over the in-contract
+      // population (0..120 d, the orders_little_law filter — this
+      // fixture plants uncorrelated ship dates that would otherwise
+      // poison every max). Orders collapse to their max lag FIRST;
+      // the X grid is an inline per-row explode. Exact integers into
+      // one division per X.
+      (s, d) => {
+        val lag0 = t(s, d, "lineitem")
+          .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+          .join(t(s, d, "orders").select(col("o_orderkey"),
+            to_date(col("o_orderdate")).as("od")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderkey"), datediff(col("sd"), col("od"))
+            .as("lg"))
+          .filter(col("lg").between(0, 120))
+          .groupBy("o_orderkey").agg(max("lg").as("max_lag"))
+        lag0.select(col("max_lag"), explode(array(
+            lit(7), lit(14), lit(30), lit(60), lit(90), lit(120)))
+            .as("x_days"))
+          .groupBy("x_days")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(when(col("max_lag") <= col("x_days"), 1L).otherwise(0L))
+              .as("n_filled"))
+          .select(col("x_days").cast("long").as("x_days"),
+            col("n_orders"), col("n_filled"),
+            round(col("n_filled").cast("double") / col("n_orders"), 6)
+              .as("service_level"))
+          .orderBy("x_days")
+      },
+      Some("""WITH lg AS (SELECT o_orderkey,
+             |    CAST(MAX(date_diff('day', CAST(o_orderdate AS DATE),
+             |      CAST(l_shipdate AS DATE))) AS BIGINT) AS max_lag
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE date_diff('day', CAST(o_orderdate AS DATE),
+             |    CAST(l_shipdate AS DATE)) BETWEEN 0 AND 120
+             |  GROUP BY 1)
+             |SELECT CAST(x_days AS BIGINT) AS x_days,
+             |  COUNT(*) AS n_orders,
+             |  CAST(SUM(CASE WHEN max_lag <= x_days THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_filled,
+             |  ROUND(CAST(SUM(CASE WHEN max_lag <= x_days
+             |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             |    AS service_level
+             |FROM lg, unnest([7, 14, 30, 60, 90, 120]) AS t(x_days)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)))
 
   /** SPRT model constants (H0 p=0.18, H1 p=0.22, α=β=0.05), computed
     * once JVM-side and inlined into both engines' expressions so neither

@@ -654,6 +654,37 @@ object Multimodal {
     * aggregation before one shuffle on the hash key, no pairwise
     * comparison anywhere.
     */
+  /** Consecutive-frame difference stream for shot-boundary detection:
+    * decode each AVI map-side and emit one (media_id, boundary_idx,
+    * Σ|a−b| over channel bytes) row per adjacent frame pair — the
+    * frames of one video sit in one row, so the pairing is LOCAL to
+    * the decode (no shuffle, no window; pixel bytes never leave the
+    * task — the [[duplicateFrames]] contract). Unsigned byte
+    * arithmetic; single-frame videos emit nothing.
+    */
+  def shotCutDiffs(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.filter(col("modality") === "video")
+      .select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          AviCodec.decode(bytes).toSeq.flatMap { case (_, _, frames) =>
+            frames.iterator.sliding(2).withPartial(false).zipWithIndex
+              .map { case (pair, i) =>
+                val (a, b) = (pair.head, pair(1))
+                var sd = 0L
+                var k = 0
+                while (k < a.length && k < b.length) {
+                  sd += math.abs((a(k) & 0xFF) - (b(k) & 0xFF)); k += 1
+                }
+                (id, i.toLong, sd)
+              }
+          }
+        }
+      }.toDF("media_id", "boundary_idx", "sdiff")
+  }
+
   def duplicateFrames(spark: SparkSession, media: DataFrame): DataFrame =
     videoFrames(spark, media)
       .select(col("media_id"), col("frame_idx"),

@@ -192,6 +192,7 @@ class PlanQualitySpec extends SparkSuite {
         "events_fano_factor", // 1-row global hour-span broadcast onto 5 type rows
         "doc_lm_perplexity_filter", // 1-row vocab-size broadcast onto the bigram grain
         "supp_scorecard_composite", // 1-row min/max bounds broadcast onto the supplier grain
+        "orders_churn_rate", // 1-row last-month broadcast censors the final month
         "lineitem_theil_index", // 1-row global-moments broadcast onto the supplier grain
         "orders_kendall_tau", // pairwise pass over the bounded ~80-row month grain
         "events_error_pchart", // 1-row centerline broadcast onto the day grain
