@@ -15533,7 +15533,163 @@ object SparkEntry {
              |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
              |    AS service_level
              |FROM lg, unnest([7, 14, 30, 60, 90, 120]) AS t(x_days)
-             |GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("events_asof_snapshot", // AS-OF state reconstruction from the
+      // event log — the time-travel read every upsert/changelog table
+      // needs: for three snapshot instants, the latest value per user
+      // (keyed row_number over (ms, event_id) — the deterministic
+      // last-writer rule) and the state rollup. Values scale to exact
+      // integer cents BEFORE summing so the state total is
+      // order-independent; the snapshot grid is an inline per-row
+      // explode, so the log scans ONCE for all three instants.
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("user_id"),
+          col("event_id"), unix_millis(col("ts")).as("ms"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        val snap = ev.select(col("user_id"), col("event_id"), col("ms"),
+          col("cents"), explode(array(lit("2024-01-10"), lit("2024-01-20"),
+            lit("2024-01-30"))).as("asof_day"))
+          .filter(col("ms") < unix_millis(to_timestamp(col("asof_day"))))
+        val w = Window.partitionBy("asof_day", "user_id")
+          .orderBy(col("ms").desc, col("event_id").desc)
+        val latest = snap.withColumn("rn", row_number().over(w))
+        val nev = snap.groupBy("asof_day")
+          .agg(count(lit(1)).as("n_events_upto"))
+        latest.filter(col("rn") === 1)
+          .groupBy("asof_day")
+          .agg(count(lit(1)).as("n_users"),
+            sum("cents").as("state_cents"))
+          .join(nev, Seq("asof_day"))
+          .select(col("asof_day"), col("n_users"), col("n_events_upto"),
+            (col("state_cents").cast("double") / 100.0).as("state_sum"),
+            round(col("state_cents").cast("double") / 100.0
+              / col("n_users"), 4).as("state_avg"))
+          .orderBy("asof_day")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+             |    CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+             |  FROM events),
+             |snap AS (SELECT user_id, event_id, ms, cents, asof_day
+             |  FROM ev, unnest(['2024-01-10', '2024-01-20',
+             |    '2024-01-30']) AS t(asof_day)
+             |  WHERE ms < epoch_ms(CAST(asof_day || ' 00:00:00'
+             |    AS TIMESTAMP))),
+             |latest AS (SELECT asof_day, user_id, cents,
+             |    ROW_NUMBER() OVER (PARTITION BY asof_day, user_id
+             |      ORDER BY ms DESC, event_id DESC) AS rn
+             |  FROM snap),
+             |nev AS (SELECT asof_day, COUNT(*) AS n_events_upto
+             |  FROM snap GROUP BY 1),
+             |st AS (SELECT asof_day, COUNT(*) AS n_users,
+             |    CAST(SUM(cents) AS BIGINT) AS state_cents
+             |  FROM latest WHERE rn = 1 GROUP BY 1)
+             |SELECT st.asof_day, n_users, n_events_upto,
+             |  CAST(state_cents AS DOUBLE) / 100.0 AS state_sum,
+             |  ROUND(CAST(state_cents AS DOUBLE) / 100.0 / n_users, 4)
+             |    AS state_avg
+             |FROM st JOIN nev USING (asof_day)
+             |ORDER BY asof_day""".stripMargin)),
+
+    Q("events_outage_windows", // per-pipeline outage detection: runs
+      // of ≥2 consecutive ZERO-event hours for each event type — the
+      // monitoring query behind every data-freshness SLA (the GLOBAL
+      // stream never goes quiet on this fixture: 720/720 hours
+      // populated; a single type's feed does, 17 two-hour stalls).
+      // The hour grid derives from a 1-row span broadcast (~720
+      // bounded cells per type), zero hours are the grid's anti-join
+      // against the hourly rollup, and runs come from the classic
+      // idx − row_number island trick KEYED by type. All exact
+      // integers.
+      (s, d) => {
+        val hc = t(s, d, "events")
+          .select(col("event_type"),
+            expr("unix_millis(ts) div 3600000").as("h"))
+          .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
+        val span = hc.agg(min("h").as("h0"), max("h").as("h1"))
+        val grid = hc.select("event_type").distinct()
+          .crossJoin(broadcast(span))
+          .select(col("event_type"),
+            explode(sequence(col("h0"), col("h1"))).as("h"))
+        val zeros = grid.join(hc, Seq("event_type", "h"), "left_anti")
+        val w = Window.partitionBy("event_type").orderBy("h")
+        val isl = zeros
+          .withColumn("grp", col("h") - row_number().over(w))
+          .groupBy("event_type", "grp")
+          .agg(min("h").as("start_h"), max("h").as("end_h"),
+            count(lit(1)).as("n_hours"))
+          .filter(col("n_hours") >= 2)
+        isl.select(col("event_type"),
+            from_unixtime(col("start_h") * 3600, "yyyy-MM-dd HH:00")
+              .as("outage_start"),
+            from_unixtime(col("end_h") * 3600 + 3599, "yyyy-MM-dd HH:mm")
+              .as("outage_end"),
+            col("n_hours"))
+          .orderBy("event_type", "outage_start")
+      },
+      Some("""WITH hc AS (SELECT event_type,
+             |    epoch_ms(ts) // 3600000 AS h, COUNT(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |span AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hc),
+             |grid AS (SELECT t.event_type, i AS h
+             |  FROM (SELECT DISTINCT event_type FROM hc) t, span,
+             |    unnest(range(h0, h1 + 1)) AS r(i)),
+             |zeros AS (SELECT g.event_type, g.h
+             |  FROM grid g LEFT JOIN hc
+             |    ON g.event_type = hc.event_type AND g.h = hc.h
+             |  WHERE hc.h IS NULL),
+             |isl AS (SELECT event_type, MIN(h) AS start_h,
+             |    MAX(h) AS end_h, COUNT(*) AS n_hours
+             |  FROM (SELECT event_type, h,
+             |      h - ROW_NUMBER() OVER (PARTITION BY event_type
+             |        ORDER BY h) AS grp
+             |    FROM zeros)
+             |  GROUP BY event_type, grp HAVING COUNT(*) >= 2)
+             |SELECT event_type,
+             |  strftime(to_timestamp(start_h * 3600),
+             |    '%Y-%m-%d %H:00') AS outage_start,
+             |  strftime(to_timestamp(end_h * 3600 + 3599),
+             |    '%Y-%m-%d %H:%M') AS outage_end,
+             |  n_hours
+             |FROM isl ORDER BY event_type, outage_start"""
+        .stripMargin)),
+
+    Q("events_dau_wau_stickiness", // DAU/WAU stickiness per week — the
+      // engagement ratio product teams steer by (1/7 = users show up
+      // once a week, 1.0 = daily habit). Weeks come from portable
+      // day-index arithmetic (no engine week functions); daily and
+      // weekly distinct-user rollups join on the bounded week grain;
+      // exact integers into the two divisions.
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("user_id"),
+          expr("unix_millis(ts) div 86400000").as("di"))
+        val dauW = ev.distinct()
+          .select(col("user_id"), col("di"),
+            expr("di div 7").cast("long").as("wk"))
+        val wau = dauW.groupBy("wk")
+          .agg(countDistinct("user_id").as("wau"),
+            countDistinct("di").as("n_days"),
+            count(lit(1)).as("sum_dau"))
+        wau.select(col("wk").as("week_idx"), col("n_days"),
+            col("wau"), col("sum_dau"),
+            round(col("sum_dau").cast("double") / col("n_days"), 4)
+              .as("avg_dau"),
+            round(col("sum_dau").cast("double") / col("n_days")
+              / col("wau"), 6).as("stickiness"))
+          .orderBy("week_idx")
+      },
+      Some("""WITH du AS (SELECT DISTINCT user_id,
+             |    epoch_ms(ts) // 86400000 AS di
+             |  FROM events),
+             |w AS (SELECT user_id, di, di // 7 AS wk FROM du)
+             |SELECT wk AS week_idx, COUNT(DISTINCT di) AS n_days,
+             |  COUNT(DISTINCT user_id) AS wau,
+             |  COUNT(*) AS sum_dau,
+             |  ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT di), 4)
+             |    AS avg_dau,
+             |  ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT di)
+             |    / COUNT(DISTINCT user_id), 6) AS stickiness
+             |FROM w GROUP BY 1 ORDER BY 1""".stripMargin)))
 
   /** SPRT model constants (H0 p=0.18, H1 p=0.22, α=β=0.05), computed
     * once JVM-side and inlined into both engines' expressions so neither

@@ -193,6 +193,7 @@ class PlanQualitySpec extends SparkSuite {
         "doc_lm_perplexity_filter", // 1-row vocab-size broadcast onto the bigram grain
         "supp_scorecard_composite", // 1-row min/max bounds broadcast onto the supplier grain
         "orders_churn_rate", // 1-row last-month broadcast censors the final month
+        "events_outage_windows", // 1-row hour-span broadcast builds the per-type grid
         "lineitem_theil_index", // 1-row global-moments broadcast onto the supplier grain
         "orders_kendall_tau", // pairwise pass over the bounded ~80-row month grain
         "events_error_pchart", // 1-row centerline broadcast onto the day grain
