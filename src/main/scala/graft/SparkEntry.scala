@@ -15689,7 +15689,265 @@ object SparkEntry {
              |    AS avg_dau,
              |  ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT di)
              |    / COUNT(DISTINCT user_id), 6) AS stickiness
-             |FROM w GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |FROM w GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("graph_clustering_coeff", // clustering coefficients of the
+      // co-purchase graph: per-degree-bucket average LOCAL coefficient
+      // plus the GLOBAL transitivity row — the triangle-density lens
+      // on whether the graph is clumpy or stringy. Everything reads
+      // the SHARED memoized edge-support build (one wedge enumeration
+      // serves the whole truss/support/jaccard family): a node's
+      // triangle count is half the support sum over its incident
+      // edges, so local C = Σsup / (deg·(deg−1)) is an exact integer
+      // ratio, and transitivity = 2·Σsup / Σdeg(deg−1) never counts a
+      // triangle twice.
+      (s, d) => {
+        val sup = coPurchaseEdgeSupport(s, d)
+          .select(col("a"), col("b"), col("support"))
+        val inc = sup.select(col("a").as("id"), col("support"))
+          .unionByName(sup.select(col("b").as("id"), col("support")))
+        val nodes = inc.groupBy("id")
+          .agg(count(lit(1)).as("deg"), sum("support").as("sup2"))
+          .filter(col("deg") >= 2)
+        val local = nodes.select(
+          concat(lit("deg_"), lpad(least(col("deg"), lit(10))
+            .cast("string"), 2, "0")).as("segment"),
+          (col("sup2").cast("double")
+            / (col("deg") * (col("deg") - 1))).as("c"))
+        val buckets = local.groupBy("segment")
+          .agg(count(lit(1)).as("n_nodes"),
+            round(avg("c"), 6).as("clustering_coeff"))
+        val glob = nodes.agg(count(lit(1)).as("n_nodes"),
+            round(lit(2.0) * sum("sup2")
+              / sum(col("deg") * (col("deg") - 1)), 6)
+              .as("clustering_coeff"))
+          .select(lit("global_transitivity").as("segment"),
+            col("n_nodes"), col("clustering_coeff"))
+        buckets.unionByName(glob).orderBy("segment")
+      },
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey
+             |  FROM lineitem),
+             |p AS MATERIALIZED (SELECT a.l_partkey AS src,
+             |    b.l_partkey AS dst
+             |  FROM op a JOIN op b
+             |    ON a.l_orderkey = b.l_orderkey
+             |    AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |tri AS MATERIALIZED (SELECT e1.src AS a, e1.dst AS b,
+             |    e2.dst AS c
+             |  FROM p e1 JOIN p e2 ON e2.src = e1.dst
+             |  JOIN p e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+             |te AS (SELECT a AS x, b AS y FROM tri
+             |  UNION ALL SELECT a, c FROM tri
+             |  UNION ALL SELECT b, c FROM tri),
+             |sup AS (SELECT p.src, p.dst, COUNT(te.x) AS support
+             |  FROM p LEFT JOIN te ON te.x = p.src AND te.y = p.dst
+             |  GROUP BY 1, 2),
+             |inc AS (SELECT src AS id, support FROM sup
+             |  UNION ALL SELECT dst, support FROM sup),
+             |nodes AS (SELECT id, COUNT(*) AS deg,
+             |    CAST(SUM(support) AS BIGINT) AS sup2
+             |  FROM inc GROUP BY 1 HAVING COUNT(*) >= 2),
+             |loc AS (SELECT 'deg_' || lpad(CAST(least(deg, 10)
+             |      AS VARCHAR), 2, '0') AS segment,
+             |    CAST(sup2 AS DOUBLE) / (deg * (deg - 1)) AS c
+             |  FROM nodes),
+             |bk AS (SELECT segment, COUNT(*) AS n_nodes,
+             |    ROUND(AVG(c), 6) AS clustering_coeff
+             |  FROM loc GROUP BY 1),
+             |gl AS (SELECT 'global_transitivity' AS segment,
+             |    COUNT(*) AS n_nodes,
+             |    ROUND(2.0 * SUM(sup2) / SUM(deg * (deg - 1)), 6)
+             |      AS clustering_coeff
+             |  FROM nodes)
+             |SELECT * FROM bk UNION ALL SELECT * FROM gl
+             |ORDER BY segment""".stripMargin)),
+
+    Q("scale_join_cardinality_audit", // CBO sanity table: the textbook
+      // join-cardinality estimate |A⋈B| ≈ nA·nB/max(ndv) audited
+      // against truth for four joins — two FK joins (estimate exact by
+      // construction), one low-cardinality key and one date key (where
+      // the independence assumption strains). The ACTUAL cardinality
+      // never materializes a join: |A⋈B| on k = Σ_k cA(k)·cB(k), one
+      // count rollup per side joined on the key grain — the scale-safe
+      // way to audit an optimizer. All exact integers.
+      (s, d) => {
+        def side(df: DataFrame, k: String): (DataFrame, DataFrame) = {
+          val c = df.groupBy(col(k).as("k")).agg(count(lit(1)).as("c"))
+          (c, c.agg(sum("c").as("n"), count(lit(1)).as("ndv")))
+        }
+        def audit(name: String, l: DataFrame, lk: String,
+            r: DataFrame, rk: String): DataFrame = {
+          val (cl, sl) = side(l, lk)
+          val (cr, sr) = side(r, rk)
+          val actual = cl.join(cr, Seq("k"))
+            .agg(coalesce(sum(cl("c") * cr("c")), lit(0L)).as("actual_rows"))
+          sl.crossJoin(sr.select(col("n").as("n_r"), col("ndv").as("ndv_r")))
+            .crossJoin(actual)
+            .select(lit(name).as("join_name"), col("n").as("n_left"),
+              col("n_r").as("n_right"), col("ndv").as("ndv_left"),
+              col("ndv_r").as("ndv_right"),
+              round(col("n").cast("double") * col("n_r")
+                / greatest(col("ndv"), col("ndv_r")), 1).as("est_rows"),
+              col("actual_rows"),
+              round(col("actual_rows")
+                / (col("n").cast("double") * col("n_r")
+                  / greatest(col("ndv"), col("ndv_r"))), 4).as("ratio"))
+        }
+        val li = t(s, d, "lineitem")
+        val o = t(s, d, "orders")
+        audit("lineitem_orders_fk", li, "l_orderkey", o, "o_orderkey")
+          .unionByName(audit("orders_customer_fk", o, "o_custkey",
+            t(s, d, "customer"), "c_custkey"))
+          .unionByName(audit("lineitem_self_qty",
+            li.select(floor(col("l_quantity").cast("double"))
+              .cast("long").as("q")), "q",
+            li.select(floor(col("l_quantity").cast("double"))
+              .cast("long").as("q")), "q"))
+          .unionByName(audit("lineitem_orders_date",
+            li.select(to_date(col("l_shipdate")).as("dt")), "dt",
+            o.select(to_date(col("o_orderdate")).as("dt")), "dt"))
+          .orderBy("join_name")
+      },
+      Some("""WITH
+             |j1 AS (SELECT 'lineitem_orders_fk' AS join_name,
+             |    (SELECT COUNT(*) FROM lineitem) AS n_left,
+             |    (SELECT COUNT(*) FROM orders) AS n_right,
+             |    (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem)
+             |      AS ndv_left,
+             |    (SELECT COUNT(DISTINCT o_orderkey) FROM orders)
+             |      AS ndv_right,
+             |    (SELECT CAST(SUM(a.c * b.c) AS BIGINT) FROM
+             |      (SELECT l_orderkey k, COUNT(*) c FROM lineitem
+             |        GROUP BY 1) a
+             |      JOIN (SELECT o_orderkey k, COUNT(*) c FROM orders
+             |        GROUP BY 1) b USING (k)) AS actual_rows),
+             |j2 AS (SELECT 'orders_customer_fk',
+             |    (SELECT COUNT(*) FROM orders),
+             |    (SELECT COUNT(*) FROM customer),
+             |    (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+             |    (SELECT COUNT(DISTINCT c_custkey) FROM customer),
+             |    (SELECT CAST(SUM(a.c * b.c) AS BIGINT) FROM
+             |      (SELECT o_custkey k, COUNT(*) c FROM orders
+             |        GROUP BY 1) a
+             |      JOIN (SELECT c_custkey k, COUNT(*) c FROM customer
+             |        GROUP BY 1) b USING (k))),
+             |j3 AS (SELECT 'lineitem_self_qty',
+             |    (SELECT COUNT(*) FROM lineitem),
+             |    (SELECT COUNT(*) FROM lineitem),
+             |    (SELECT COUNT(DISTINCT CAST(FLOOR(CAST(l_quantity
+             |      AS DOUBLE)) AS BIGINT)) FROM lineitem),
+             |    (SELECT COUNT(DISTINCT CAST(FLOOR(CAST(l_quantity
+             |      AS DOUBLE)) AS BIGINT)) FROM lineitem),
+             |    (SELECT CAST(SUM(c * c) AS BIGINT) FROM
+             |      (SELECT CAST(FLOOR(CAST(l_quantity AS DOUBLE))
+             |        AS BIGINT) k, COUNT(*) c FROM lineitem
+             |        GROUP BY 1))),
+             |j4 AS (SELECT 'lineitem_orders_date',
+             |    (SELECT COUNT(*) FROM lineitem),
+             |    (SELECT COUNT(*) FROM orders),
+             |    (SELECT COUNT(DISTINCT CAST(l_shipdate AS DATE))
+             |      FROM lineitem),
+             |    (SELECT COUNT(DISTINCT CAST(o_orderdate AS DATE))
+             |      FROM orders),
+             |    (SELECT CAST(SUM(a.c * b.c) AS BIGINT) FROM
+             |      (SELECT CAST(l_shipdate AS DATE) k, COUNT(*) c
+             |        FROM lineitem GROUP BY 1) a
+             |      JOIN (SELECT CAST(o_orderdate AS DATE) k, COUNT(*) c
+             |        FROM orders GROUP BY 1) b USING (k))),
+             |u AS (SELECT * FROM j1 UNION ALL SELECT * FROM j2
+             |  UNION ALL SELECT * FROM j3 UNION ALL SELECT * FROM j4)
+             |SELECT join_name, n_left, n_right, ndv_left, ndv_right,
+             |  ROUND(CAST(n_left AS DOUBLE) * n_right
+             |    / greatest(ndv_left, ndv_right), 1) AS est_rows,
+             |  actual_rows,
+             |  ROUND(actual_rows / (CAST(n_left AS DOUBLE) * n_right
+             |    / greatest(ndv_left, ndv_right)), 4) AS ratio
+             |FROM u ORDER BY join_name""".stripMargin)),
+
+    Q("orders_aging_buckets", // accounts-receivable aging: open
+      // (status O) and pending (P) orders bucketed by age at the
+      // snapshot instant (max order date, a 1-row broadcast) —
+      // the month-end finance report. Exact integer day arithmetic;
+      // bucket labels sort lexicographically by construction.
+      (s, d) => {
+        val o = t(s, d, "orders").select(col("o_orderstatus"),
+          to_date(col("o_orderdate")).as("day"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        val snap = o.agg(max("day").as("snap_day"))
+        o.filter(col("o_orderstatus").isin("O", "P"))
+          .crossJoin(broadcast(snap))
+          .withColumn("age", datediff(col("snap_day"), col("day")))
+          .withColumn("bucket",
+            when(col("age") <= 30, "a_000_030")
+              .when(col("age") <= 90, "b_031_090")
+              .when(col("age") <= 365, "c_091_365")
+              .otherwise("d_366_plus"))
+          .groupBy("o_orderstatus", "bucket")
+          .agg(count(lit(1)).as("n_orders"),
+            (sum("cents").cast("double") / 100.0).as("open_value"))
+          .orderBy("o_orderstatus", "bucket")
+      },
+      Some("""WITH o AS (SELECT o_orderstatus,
+             |    CAST(o_orderdate AS DATE) AS day,
+             |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+             |  FROM orders),
+             |snap AS (SELECT MAX(day) AS snap_day FROM o)
+             |SELECT o_orderstatus,
+             |  CASE WHEN date_diff('day', day, snap_day) <= 30
+             |      THEN 'a_000_030'
+             |    WHEN date_diff('day', day, snap_day) <= 90
+             |      THEN 'b_031_090'
+             |    WHEN date_diff('day', day, snap_day) <= 365
+             |      THEN 'c_091_365'
+             |    ELSE 'd_366_plus' END AS bucket,
+             |  COUNT(*) AS n_orders,
+             |  CAST(SUM(cents) AS DOUBLE) / 100.0 AS open_value
+             |FROM o, snap WHERE o_orderstatus IN ('O', 'P')
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Q("lineitem_process_capability", // Cp/Cpk process-capability
+      // indices of shipped quantity against the [1, 50] spec window,
+      // per line status — the SPC number that says whether a process
+      // FITS its tolerances (the control charts only say whether it is
+      // stable). μ/σ from exact integer moments; both indices are
+      // single closed-form expressions over them.
+      (s, d) => {
+        val m = t(s, d, "lineitem")
+          .select(col("l_linestatus"),
+            floor(col("l_quantity").cast("double")).cast("long").as("q"))
+          .groupBy("l_linestatus")
+          .agg(count(lit(1)).as("n"), sum("q").as("s1"),
+            sum(col("q") * col("q")).as("s2"))
+        val mu = col("s1").cast("double") / col("n")
+        val sig = sqrt(col("s2").cast("double") / col("n") - mu * mu)
+        m.select(col("l_linestatus"), col("n"),
+            round(mu, 4).as("mean_qty"), round(sig, 4).as("sigma"),
+            round((lit(50.0) - 1.0) / (lit(6.0) * sig), 4).as("cp"),
+            round(least(lit(50.0) - mu, mu - 1.0) / (lit(3.0) * sig), 4)
+              .as("cpk"))
+          .orderBy("l_linestatus")
+      },
+      Some("""WITH m AS (SELECT l_linestatus, COUNT(*) AS n,
+             |    CAST(SUM(CAST(FLOOR(CAST(l_quantity AS DOUBLE))
+             |      AS BIGINT)) AS BIGINT) AS s1,
+             |    CAST(SUM(CAST(FLOOR(CAST(l_quantity AS DOUBLE))
+             |      AS BIGINT) * CAST(FLOOR(CAST(l_quantity AS DOUBLE))
+             |      AS BIGINT)) AS BIGINT) AS s2
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_linestatus, n,
+             |  ROUND(CAST(s1 AS DOUBLE) / n, 4) AS mean_qty,
+             |  ROUND(sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE)
+             |    / n) * (CAST(s1 AS DOUBLE) / n)), 4) AS sigma,
+             |  ROUND((50.0 - 1.0) / (6.0 * sqrt(CAST(s2 AS DOUBLE) / n
+             |    - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))),
+             |    4) AS cp,
+             |  ROUND(least(50.0 - CAST(s1 AS DOUBLE) / n,
+             |    CAST(s1 AS DOUBLE) / n - 1.0)
+             |    / (3.0 * sqrt(CAST(s2 AS DOUBLE) / n
+             |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))),
+             |    4) AS cpk
+             |FROM m ORDER BY l_linestatus""".stripMargin)))
 
   /** SPRT model constants (H0 p=0.18, H1 p=0.22, α=β=0.05), computed
     * once JVM-side and inlined into both engines' expressions so neither
