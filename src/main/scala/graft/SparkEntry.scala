@@ -15947,7 +15947,247 @@ object SparkEntry {
              |    / (3.0 * sqrt(CAST(s2 AS DOUBLE) / n
              |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))),
              |    4) AS cpk
-             |FROM m ORDER BY l_linestatus""".stripMargin)))
+             |FROM m ORDER BY l_linestatus""".stripMargin)),
+
+    Q("lineitem_revenue_bridge", // FP&A revenue bridge 1996→1997:
+      // ΔRevenue decomposed into volume effect Σ(q₁−q₀)·p₀, price
+      // effect Σ(p₁−p₀)·q₁ (an exact algebraic identity per matched
+      // part — zero residual by construction), plus new/exited part
+      // mix. Parts collapse to per-year (quantity, exact-cents
+      // revenue) grain FIRST; prices are exact-integer ratios; the
+      // only float sums are the bounded per-part effect products.
+      (s, d) => {
+        def yr(y: Int): DataFrame = t(s, d, "lineitem")
+          .filter(year(to_date(col("l_shipdate"))) === y)
+          .groupBy(col("l_partkey"))
+          .agg(sum(col("l_quantity").cast("long")).as(s"q$y"),
+            sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+              .as(s"c$y"))
+        val j = yr(1996).join(yr(1997), Seq("l_partkey"), "full_outer")
+        val p0 = col("c1996").cast("double") / col("q1996") / 100.0
+        val p1 = col("c1997").cast("double") / col("q1997") / 100.0
+        val eff = j.agg(
+          sum(when(col("q1996").isNotNull, col("c1996")).otherwise(0L))
+            .as("rev0c"),
+          sum(when(col("q1997").isNotNull, col("c1997")).otherwise(0L))
+            .as("rev1c"),
+          sum(when(col("q1996").isNotNull && col("q1997").isNotNull,
+            (col("q1997") - col("q1996")) * p0).otherwise(0.0))
+            .as("vol_eff"),
+          sum(when(col("q1996").isNotNull && col("q1997").isNotNull,
+            (p1 - p0) * col("q1997")).otherwise(0.0)).as("price_eff"),
+          sum(when(col("q1996").isNull, col("c1997")).otherwise(0L))
+            .as("new_c"),
+          sum(when(col("q1997").isNull, col("c1996")).otherwise(0L))
+            .as("exit_c"))
+        eff.select(explode(array(
+            struct(lit("1_revenue_1996").as("component"),
+              (col("rev0c").cast("double") / 100.0).as("amount")),
+            struct(lit("2_volume_effect").as("component"),
+              round(col("vol_eff"), 2).as("amount")),
+            struct(lit("3_price_effect").as("component"),
+              round(col("price_eff"), 2).as("amount")),
+            struct(lit("4_new_parts").as("component"),
+              (col("new_c").cast("double") / 100.0).as("amount")),
+            struct(lit("5_exited_parts").as("component"),
+              (-col("exit_c").cast("double") / 100.0).as("amount")),
+            struct(lit("6_revenue_1997").as("component"),
+              (col("rev1c").cast("double") / 100.0).as("amount"))))
+            .as("e"))
+          .select(col("e.component").as("component"),
+            col("e.amount").as("amount"))
+          .orderBy("component")
+      },
+      Some("""WITH y0 AS (SELECT l_partkey,
+             |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q0,
+             |    CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0)
+             |      AS BIGINT)) AS BIGINT) AS c0
+             |  FROM lineitem
+             |  WHERE date_part('year', CAST(l_shipdate AS DATE)) = 1996
+             |  GROUP BY 1),
+             |y1 AS (SELECT l_partkey,
+             |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q1,
+             |    CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0)
+             |      AS BIGINT)) AS BIGINT) AS c1
+             |  FROM lineitem
+             |  WHERE date_part('year', CAST(l_shipdate AS DATE)) = 1997
+             |  GROUP BY 1),
+             |j AS (SELECT * FROM y0 FULL OUTER JOIN y1 USING (l_partkey)),
+             |eff AS (SELECT
+             |    CAST(SUM(CASE WHEN q0 IS NOT NULL THEN c0 ELSE 0 END)
+             |      AS BIGINT) AS rev0c,
+             |    CAST(SUM(CASE WHEN q1 IS NOT NULL THEN c1 ELSE 0 END)
+             |      AS BIGINT) AS rev1c,
+             |    SUM(CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL THEN
+             |      (q1 - q0) * (CAST(c0 AS DOUBLE) / q0 / 100.0)
+             |      ELSE 0.0 END) AS vol_eff,
+             |    SUM(CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL THEN
+             |      (CAST(c1 AS DOUBLE) / q1 / 100.0
+             |        - CAST(c0 AS DOUBLE) / q0 / 100.0) * q1
+             |      ELSE 0.0 END) AS price_eff,
+             |    CAST(SUM(CASE WHEN q0 IS NULL THEN c1 ELSE 0 END)
+             |      AS BIGINT) AS new_c,
+             |    CAST(SUM(CASE WHEN q1 IS NULL THEN c0 ELSE 0 END)
+             |      AS BIGINT) AS exit_c
+             |  FROM j)
+             |SELECT component, amount FROM (
+             |  SELECT '1_revenue_1996' AS component,
+             |    CAST(rev0c AS DOUBLE) / 100.0 AS amount FROM eff
+             |  UNION ALL SELECT '2_volume_effect', ROUND(vol_eff, 2)
+             |    FROM eff
+             |  UNION ALL SELECT '3_price_effect', ROUND(price_eff, 2)
+             |    FROM eff
+             |  UNION ALL SELECT '4_new_parts',
+             |    CAST(new_c AS DOUBLE) / 100.0 FROM eff
+             |  UNION ALL SELECT '5_exited_parts',
+             |    -CAST(exit_c AS DOUBLE) / 100.0 FROM eff
+             |  UNION ALL SELECT '6_revenue_1997',
+             |    CAST(rev1c AS DOUBLE) / 100.0 FROM eff)
+             |ORDER BY component""".stripMargin)),
+
+    Q("supp_greedy_coverage", // greedy maximum-coverage selection:
+      // pick 5 suppliers that together cover the most distinct parts —
+      // the submodular (1−1/e) selection every eval-set / vendor-
+      // consolidation plan runs. Five bounded rounds: each round one
+      // anti-join + hash agg + a SINGLE-ROW argmax collect (the Lloyd
+      // driver-state contract — part sets stay distributed, only the
+      // winner's id crosses). Cumulative coverage is prev + marginal
+      // gain (exact, no recount). The oracle unrolls the same five
+      // rounds as MATERIALIZED CTEs.
+      (s, d) => {
+        import s.implicits._
+        val sp = t(s, d, "lineitem")
+          .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+          .distinct()
+        val total = sp.select(countDistinct("p")).head().getLong(0)
+        var covered = sp.select("p").limit(0)
+        var picked = Seq.empty[Long]
+        var cum = 0L
+        val rows = (1 to 5).map { i =>
+          val gains = sp
+            .filter(if (picked.isEmpty) lit(true)
+              else !col("s").isin(picked: _*))
+            .join(covered, Seq("p"), "left_anti")
+            .groupBy("s").agg(count(lit(1)).as("g"))
+            .orderBy(col("g").desc, col("s")).limit(1).head()
+          val (win, gain) = (gains.getLong(0), gains.getLong(1))
+          covered = covered
+            .union(sp.filter(col("s") === win).select("p")).distinct()
+          picked :+= win
+          cum += gain
+          (i.toLong, win, gain, cum,
+            BigDecimal(cum.toDouble / total).setScale(6,
+              BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        rows.toDF("round", "l_suppkey", "marginal_parts", "cum_parts",
+          "cum_share").orderBy("round")
+      },
+      Some("""WITH sp AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s,
+             |    l_partkey AS p FROM lineitem),
+             |tot AS (SELECT COUNT(DISTINCT p) AS t FROM sp),
+             |p1 AS MATERIALIZED (SELECT s, COUNT(*) AS g FROM sp
+             |  GROUP BY 1 ORDER BY g DESC, s LIMIT 1),
+             |c1 AS MATERIALIZED (SELECT DISTINCT p FROM sp
+             |  WHERE s = (SELECT s FROM p1)),
+             |p2 AS MATERIALIZED (SELECT s, COUNT(*) AS g FROM sp
+             |  WHERE s NOT IN (SELECT s FROM p1)
+             |    AND p NOT IN (SELECT p FROM c1)
+             |  GROUP BY 1 ORDER BY g DESC, s LIMIT 1),
+             |c2 AS MATERIALIZED (SELECT p FROM c1 UNION
+             |  SELECT p FROM sp WHERE s = (SELECT s FROM p2)),
+             |p3 AS MATERIALIZED (SELECT s, COUNT(*) AS g FROM sp
+             |  WHERE s NOT IN (SELECT s FROM p1 UNION ALL
+             |      SELECT s FROM p2)
+             |    AND p NOT IN (SELECT p FROM c2)
+             |  GROUP BY 1 ORDER BY g DESC, s LIMIT 1),
+             |c3 AS MATERIALIZED (SELECT p FROM c2 UNION
+             |  SELECT p FROM sp WHERE s = (SELECT s FROM p3)),
+             |p4 AS MATERIALIZED (SELECT s, COUNT(*) AS g FROM sp
+             |  WHERE s NOT IN (SELECT s FROM p1 UNION ALL
+             |      SELECT s FROM p2 UNION ALL SELECT s FROM p3)
+             |    AND p NOT IN (SELECT p FROM c3)
+             |  GROUP BY 1 ORDER BY g DESC, s LIMIT 1),
+             |c4 AS MATERIALIZED (SELECT p FROM c3 UNION
+             |  SELECT p FROM sp WHERE s = (SELECT s FROM p4)),
+             |p5 AS MATERIALIZED (SELECT s, COUNT(*) AS g FROM sp
+             |  WHERE s NOT IN (SELECT s FROM p1 UNION ALL
+             |      SELECT s FROM p2 UNION ALL SELECT s FROM p3
+             |      UNION ALL SELECT s FROM p4)
+             |    AND p NOT IN (SELECT p FROM c4)
+             |  GROUP BY 1 ORDER BY g DESC, s LIMIT 1),
+             |r AS (
+             |  SELECT 1 AS round, s, g FROM p1
+             |  UNION ALL SELECT 2, s, g FROM p2
+             |  UNION ALL SELECT 3, s, g FROM p3
+             |  UNION ALL SELECT 4, s, g FROM p4
+             |  UNION ALL SELECT 5, s, g FROM p5),
+             |w AS (SELECT round, s, g,
+             |    CAST(SUM(g) OVER (ORDER BY round
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |  FROM r)
+             |SELECT round, s AS l_suppkey, g AS marginal_parts,
+             |  cum AS cum_parts,
+             |  ROUND(CAST(cum AS DOUBLE) / t, 6) AS cum_share
+             |FROM w, tot ORDER BY round""".stripMargin)),
+
+    Q("scale_sample_error_curve", // sampling-error calibration: the
+      // deterministic md5 sample at 1/5/10/25/50% rates versus ground
+      // truth for mean order value — the table that says how small a
+      // pilot scan can be before its answer stops being trustworthy.
+      // The hash value computes ONCE per row; the rate grid is an
+      // inline explode (one scan serves all five rates); integer hash
+      // thresholds (rate·65536/100, floored) are inlined identically.
+      // Exact-cents sums make every mean an int/int division.
+      (s, d) => {
+        val o = t(s, d, "orders").select(
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+          conv(substring(md5(col("o_orderkey").cast("string")), 1, 4),
+            16, 10).cast("long").as("hv"))
+        val truth = o.agg(count(lit(1)).as("n_total"),
+          sum("cents").as("c_total"))
+        val grid = o.select(col("cents"), col("hv"), explode(typedLit(Seq(
+            (1, 655L), (5, 3276L), (10, 6553L), (25, 16384L),
+            (50, 32768L)))).as("r"))
+          .select(col("cents"), col("hv"),
+            col("r._1").as("rate_pct"), col("r._2").as("thr"))
+        grid.filter(col("hv") < col("thr"))
+          .groupBy("rate_pct")
+          .agg(count(lit(1)).as("n_sample"), sum("cents").as("c_sample"))
+          .crossJoin(broadcast(truth))
+          .select(col("rate_pct").cast("long").as("rate_pct"),
+            col("n_sample"),
+            round(col("c_sample").cast("double") / col("n_sample")
+              / 100.0, 4).as("est_mean"),
+            round(col("c_total").cast("double") / col("n_total")
+              / 100.0, 4).as("true_mean"),
+            round(abs(col("c_sample").cast("double") / col("n_sample")
+              - col("c_total").cast("double") / col("n_total"))
+              / (col("c_total").cast("double") / col("n_total")), 6)
+              .as("rel_error"))
+          .orderBy("rate_pct")
+      },
+      Some("""WITH o AS (SELECT
+             |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))
+             |      ::BIGINT AS hv
+             |  FROM orders),
+             |truth AS (SELECT COUNT(*) AS n_total,
+             |    CAST(SUM(cents) AS BIGINT) AS c_total FROM o),
+             |grid AS (SELECT cents, hv, r.rate_pct, r.thr
+             |  FROM o, (VALUES (1, 655), (5, 3276), (10, 6553),
+             |    (25, 16384), (50, 32768)) AS r(rate_pct, thr)),
+             |s AS (SELECT rate_pct, COUNT(*) AS n_sample,
+             |    CAST(SUM(cents) AS BIGINT) AS c_sample
+             |  FROM grid WHERE hv < thr GROUP BY 1)
+             |SELECT CAST(rate_pct AS BIGINT) AS rate_pct, n_sample,
+             |  ROUND(CAST(c_sample AS DOUBLE) / n_sample / 100.0, 4)
+             |    AS est_mean,
+             |  ROUND(CAST(c_total AS DOUBLE) / n_total / 100.0, 4)
+             |    AS true_mean,
+             |  ROUND(abs(CAST(c_sample AS DOUBLE) / n_sample
+             |    - CAST(c_total AS DOUBLE) / n_total)
+             |    / (CAST(c_total AS DOUBLE) / n_total), 6) AS rel_error
+             |FROM s, truth ORDER BY rate_pct""".stripMargin)))
 
   /** SPRT model constants (H0 p=0.18, H1 p=0.22, α=β=0.05), computed
     * once JVM-side and inlined into both engines' expressions so neither

@@ -196,6 +196,7 @@ class PlanQualitySpec extends SparkSuite {
         "events_outage_windows", // 1-row hour-span broadcast builds the per-type grid
         "scale_join_cardinality_audit", // 1-row stat rows assembled per audited join
         "orders_aging_buckets", // 1-row snapshot-date broadcast onto the order grain
+        "scale_sample_error_curve", // 1-row ground-truth broadcast onto 5 rate rows
         "lineitem_theil_index", // 1-row global-moments broadcast onto the supplier grain
         "orders_kendall_tau", // pairwise pass over the bounded ~80-row month grain
         "events_error_pchart", // 1-row centerline broadcast onto the day grain
