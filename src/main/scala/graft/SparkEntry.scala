@@ -16063,22 +16063,26 @@ object SparkEntry {
         var covered = sp.select("p").limit(0)
         var picked = Seq.empty[Long]
         var cum = 0L
-        val rows = (1 to 5).map { i =>
+        // early-stop when no pickable supplier with uncovered parts
+        // remains (tiny fixtures can exhaust before k rounds)
+        val rows = (1 to 5).iterator.map { i =>
           val gains = sp
             .filter(if (picked.isEmpty) lit(true)
               else !col("s").isin(picked: _*))
             .join(covered, Seq("p"), "left_anti")
             .groupBy("s").agg(count(lit(1)).as("g"))
-            .orderBy(col("g").desc, col("s")).limit(1).head()
-          val (win, gain) = (gains.getLong(0), gains.getLong(1))
-          covered = covered
-            .union(sp.filter(col("s") === win).select("p")).distinct()
-          picked :+= win
-          cum += gain
-          (i.toLong, win, gain, cum,
-            BigDecimal(cum.toDouble / total).setScale(6,
-              BigDecimal.RoundingMode.HALF_UP).toDouble)
-        }
+            .orderBy(col("g").desc, col("s")).limit(1).collect()
+          gains.headOption.map { r =>
+            val (win, gain) = (r.getLong(0), r.getLong(1))
+            covered = covered
+              .union(sp.filter(col("s") === win).select("p")).distinct()
+            picked :+= win
+            cum += gain
+            (i.toLong, win, gain, cum,
+              BigDecimal(cum.toDouble / total).setScale(6,
+                BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+        }.takeWhile(_.isDefined).flatten.toSeq
         rows.toDF("round", "l_suppkey", "marginal_parts", "cum_parts",
           "cum_share").orderBy("round")
       },
