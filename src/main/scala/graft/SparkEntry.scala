@@ -16191,7 +16191,187 @@ object SparkEntry {
              |  ROUND(abs(CAST(c_sample AS DOUBLE) / n_sample
              |    - CAST(c_total AS DOUBLE) / n_total)
              |    / (CAST(c_total AS DOUBLE) / n_total), 6) AS rel_error
-             |FROM s, truth ORDER BY rate_pct""".stripMargin)))
+             |FROM s, truth ORDER BY rate_pct""".stripMargin)),
+
+    Q("events_stream_srm", // §2.9 + experimentation: the SRM guardrail
+      // maintained as a COMPLETE-mode streaming aggregation — the
+      // ≤5-row per-type variant-count state merges associatively, so
+      // the streamed counts equal the batch ones exactly and the BATCH
+      // oracle checks the STREAMING chi² bit-for-bit (the
+      // events_stream_cms mergeable-summary pattern applied to the
+      // experiment guardrail that should run ON the ingest path, not
+      // after it).
+      (s, d) => {
+        withStreamPartitions(s) {
+          val q = graft.streaming.EventStream
+            .startSrmStream(s, d, "stream_srm_verify")
+          q.awaitTermination(180000)
+        }
+        val chi = (col("n_a") - col("n_b")) * (col("n_a") - col("n_b"))
+        s.table("stream_srm_verify")
+          .select(col("event_type").as("segment"), col("n_a"), col("n_b"),
+            round(chi.cast("double") / (col("n_a") + col("n_b")), 6)
+              .as("chi2"),
+            (round(chi.cast("double") / (col("n_a") + col("n_b")), 6)
+              > 3.8415).as("srm_detected"))
+          .orderBy("segment")
+      },
+      Some("""WITH seg AS (SELECT event_type AS segment,
+             |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_a,
+             |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_b
+             |  FROM events GROUP BY 1)
+             |SELECT segment, n_a, n_b,
+             |  ROUND(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+             |    / (n_a + n_b), 6) AS chi2,
+             |  ROUND(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+             |    / (n_a + n_b), 6) > 3.8415 AS srm_detected
+             |FROM seg ORDER BY segment""".stripMargin)),
+
+    Q("events_markov_stationary", // stationary distribution of the
+      // journey Markov chain by POWER ITERATION run as 8 lazily-chained
+      // relational rounds over the bounded 5×5 transition grain (the
+      // pageRank/GD round pattern: π rounds to 6dp per round in BOTH
+      // engines so float slack can't compound), compared against the
+      // empirical source distribution — where the chain will spend its
+      // time versus where it spends it today. Transition probabilities
+      // are exact integer ratios; only π itself is float.
+      (s, d) => {
+        val tr = t(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            unix_millis(col("ts")).as("ms"))
+          .withColumn("prev", lag("event_type", 1).over(
+            Window.partitionBy("user_id").orderBy("ms", "event_id")))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev").as("s"), col("event_type").as("t_"))
+          .agg(count(lit(1)).as("c"))
+        val marg = tr.groupBy("s").agg(sum("c").as("cs"))
+        val p = tr.join(marg, Seq("s"))
+          .select(col("s"), col("t_"),
+            (col("c").cast("double") / col("cs")).as("p"))
+        val k = marg.select(count(lit(1)).cast("double").as("k"))
+        var pi = marg.crossJoin(broadcast(k))
+          .select(col("s"), round(lit(1.0) / col("k"), 6).as("pi"))
+        (1 to 8).foreach { _ =>
+          pi = p.join(pi, Seq("s"))
+            .groupBy(col("t_").as("s"))
+            .agg(round(sum(col("pi") * col("p")), 6).as("pi"))
+        }
+        val n = marg.agg(sum("cs").as("n_tr"))
+        marg.crossJoin(broadcast(n))
+          .select(col("s").as("event_type"),
+            round(col("cs").cast("double") / col("n_tr"), 6)
+              .as("empirical_share"))
+          .join(pi.select(col("s").as("event_type"),
+            col("pi").as("stationary_pi")), Seq("event_type"))
+          .select(col("event_type"), col("empirical_share"),
+            col("stationary_pi"),
+            round(col("stationary_pi") - col("empirical_share"), 6)
+              .as("diff"))
+          .orderBy("event_type")
+      },
+      Some({
+        def rnd(i: Int): String = {
+          val prev = s"pi${i - 1}"
+          s"""pi$i AS MATERIALIZED (SELECT p.t_ AS s,
+             |  ROUND(SUM(q.pi * p.p), 6) AS pi
+             |  FROM p JOIN $prev q ON p.s = q.s GROUP BY 1)""".stripMargin
+        }
+        s"""WITH tr AS MATERIALIZED (SELECT s, t_, COUNT(*) AS c FROM (
+           |    SELECT LAG(event_type) OVER (PARTITION BY user_id
+           |        ORDER BY epoch_ms(ts), event_id) AS s,
+           |      event_type AS t_
+           |    FROM events)
+           |  WHERE s IS NOT NULL GROUP BY 1, 2),
+           |marg AS MATERIALIZED (SELECT s, CAST(SUM(c) AS BIGINT) AS cs
+           |  FROM tr GROUP BY 1),
+           |p AS MATERIALIZED (SELECT tr.s, tr.t_,
+           |    CAST(tr.c AS DOUBLE) / m.cs AS p
+           |  FROM tr JOIN marg m ON tr.s = m.s),
+           |kk AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM marg),
+           |pi0 AS (SELECT s, ROUND(1.0 / k, 6) AS pi FROM marg, kk),
+           |${(1 to 8).map(rnd).mkString(",\n")},
+           |n AS (SELECT CAST(SUM(cs) AS BIGINT) AS n_tr FROM marg)
+           |SELECT m.s AS event_type,
+           |  ROUND(CAST(m.cs AS DOUBLE) / n.n_tr, 6) AS empirical_share,
+           |  pi8.pi AS stationary_pi,
+           |  ROUND(pi8.pi - ROUND(CAST(m.cs AS DOUBLE) / n.n_tr, 6), 6)
+           |    AS diff
+           |FROM marg m JOIN pi8 ON pi8.s = m.s, n
+           |ORDER BY event_type""".stripMargin
+      })),
+
+    Q("dq_rule_audit", // declarative data-quality rule table — the
+      // expectation-suite run (dbt tests / Great Expectations shape):
+      // five single-scan range/sign rules plus one cross-table
+      // temporal rule, each a (checked, violations, rate) row. The
+      // fixture passes every range rule and FAILS the temporal one
+      // massively (uncorrelated planted ship dates) — both regimes
+      // populated. Exact integers; one scan for the five local rules.
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        def rule(name: String, bad: Column): DataFrame =
+          li.agg(count(lit(1)).as("n_checked"),
+              sum(when(bad, 1L).otherwise(0L)).as("n_violations"))
+            .select(lit(name).as("rule"), col("n_checked"),
+              col("n_violations"))
+        val local = rule("r1_discount_range",
+            col("l_discount") < 0 || col("l_discount") > 0.1)
+          .unionByName(rule("r2_tax_range",
+            col("l_tax") < 0 || col("l_tax") > 0.08))
+          .unionByName(rule("r3_qty_range",
+            col("l_quantity") < 1 || col("l_quantity") > 50))
+          .unionByName(rule("r4_price_positive",
+            col("l_extendedprice") <= 0))
+        val temporal = li
+          .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+          .join(t(s, d, "orders").select(col("o_orderkey"),
+            to_date(col("o_orderdate")).as("od")),
+            col("l_orderkey") === col("o_orderkey"))
+          .agg(count(lit(1)).as("n_checked"),
+            sum(when(col("sd") < col("od"), 1L).otherwise(0L))
+              .as("n_violations"))
+          .select(lit("r5_ship_after_order").as("rule"),
+            col("n_checked"), col("n_violations"))
+        local.unionByName(temporal)
+          .select(col("rule"), col("n_checked"), col("n_violations"),
+            round(col("n_violations").cast("double") / col("n_checked"),
+              6).as("violation_rate"),
+            (col("n_violations") === 0).as("passed"))
+          .orderBy("rule")
+      },
+      Some("""WITH local AS (
+             |  SELECT 'r1_discount_range' AS rule, COUNT(*) AS n_checked,
+             |    CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'r2_tax_range', COUNT(*),
+             |    CAST(SUM(CASE WHEN l_tax < 0 OR l_tax > 0.08
+             |      THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'r3_qty_range', COUNT(*),
+             |    CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+             |      THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'r4_price_positive', COUNT(*),
+             |    CAST(SUM(CASE WHEN l_extendedprice <= 0
+             |      THEN 1 ELSE 0 END) AS BIGINT)
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'r5_ship_after_order', COUNT(*),
+             |    CAST(SUM(CASE WHEN CAST(l_shipdate AS DATE)
+             |      < CAST(o_orderdate AS DATE) THEN 1 ELSE 0 END)
+             |      AS BIGINT)
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+             |SELECT rule, n_checked, n_violations,
+             |  ROUND(CAST(n_violations AS DOUBLE) / n_checked, 6)
+             |    AS violation_rate,
+             |  n_violations = 0 AS passed
+             |FROM local ORDER BY rule""".stripMargin)))
 
   /** SPRT model constants (H0 p=0.18, H1 p=0.22, α=β=0.05), computed
     * once JVM-side and inlined into both engines' expressions so neither

@@ -105,6 +105,23 @@ object EventStream {
     * answer to distinct/frequency questions; here it is demonstrated
     * bit-for-bit.
     */
+  /** Streaming sample-ratio-mismatch monitor: per-type variant counts
+    * (user_id mod 2) maintained as a COMPLETE-mode aggregation — state
+    * is the ≤5-row segment table however long the stream, and the
+    * associative merge means the streamed counts equal the batch ones
+    * exactly (the mergeable-summary property), so the batch oracle
+    * checks the streaming result bit-for-bit.
+    */
+  def startSrmStream(spark: SparkSession, sfDir: String,
+      queryName: String): StreamingQuery =
+    rawStream(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("n_b"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow()).start()
+
   def startCmsStream(spark: SparkSession, sfDir: String,
       queryName: String): StreamingQuery =
     graft.operators.Sketches.countMinCells(rawStream(spark, sfDir), "user_id")

@@ -197,6 +197,7 @@ class PlanQualitySpec extends SparkSuite {
         "scale_join_cardinality_audit", // 1-row stat rows assembled per audited join
         "orders_aging_buckets", // 1-row snapshot-date broadcast onto the order grain
         "scale_sample_error_curve", // 1-row ground-truth broadcast onto 5 rate rows
+        "events_markov_stationary", // 1-row k / n_tr broadcasts onto the 5-state grain
         "lineitem_theil_index", // 1-row global-moments broadcast onto the supplier grain
         "orders_kendall_tau", // pairwise pass over the bounded ~80-row month grain
         "events_error_pchart", // 1-row centerline broadcast onto the day grain
