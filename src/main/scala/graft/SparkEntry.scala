@@ -16371,7 +16371,199 @@ object SparkEntry {
              |  ROUND(CAST(n_violations AS DOUBLE) / n_checked, 6)
              |    AS violation_rate,
              |  n_violations = 0 AS passed
-             |FROM local ORDER BY rule""".stripMargin)))
+             |FROM local ORDER BY rule""".stripMargin)),
+
+    Q("doc_training_triplets", // contrastive-training triplet mining —
+      // the (anchor, positive, hard-ish negative) construction an
+      // embedding fine-tune consumes: positives pair each near-dup
+      // cluster member with its exemplar (the SHARED memoized CC
+      // labels — NEVER all same-cluster pairs, the BLEU lesson);
+      // negatives come from a deterministic modular hash of the anchor
+      // id, kept only when they land outside the anchor's cluster (the
+      // check is one left join against the same labels). First 20 by
+      // anchor id.
+      (s, d) => {
+        val comp = dupClusterLabels(s, d)
+        val docs = t(s, d, "documents").select(col("doc_id"), col("lang"))
+        val maxId = docs.agg(max("doc_id").as("max_id"))
+        val anchors = comp.filter(col("id") =!= col("cluster_id"))
+          .crossJoin(broadcast(maxId))
+          .select(col("id").as("anchor_id"),
+            col("cluster_id").as("positive_id"),
+            ((col("id") * 31 + 7) % (col("max_id") + 1))
+              .as("negative_id"))
+        anchors
+          .join(comp.select(col("id").as("negative_id"),
+            col("cluster_id").as("neg_cluster")), Seq("negative_id"),
+            "left")
+          .filter(col("neg_cluster").isNull
+            || col("neg_cluster") =!= col("positive_id"))
+          .join(docs.select(col("doc_id").as("anchor_id"),
+            col("lang").as("anchor_lang")), Seq("anchor_id"))
+          .join(docs.select(col("doc_id").as("negative_id"),
+            col("lang").as("negative_lang")), Seq("negative_id"))
+          .select(col("anchor_id"), col("positive_id"),
+            col("negative_id"), col("anchor_lang"), col("negative_lang"))
+          .orderBy("anchor_id").limit(20)
+      },
+      Some(s"""$dupClustersCte,
+           |mx AS (SELECT MAX(doc_id) AS max_id FROM documents),
+           |an AS (SELECT id AS anchor_id, cluster_id AS positive_id,
+           |    (id * 31 + 7) % (max_id + 1) AS negative_id
+           |  FROM comp, mx WHERE id <> cluster_id),
+           |fl AS (SELECT an.*, c2.cluster_id AS neg_cluster
+           |  FROM an LEFT JOIN comp c2 ON c2.id = an.negative_id
+           |  WHERE c2.cluster_id IS NULL
+           |    OR c2.cluster_id <> an.positive_id)
+           |SELECT anchor_id, positive_id, negative_id,
+           |  da.lang AS anchor_lang, dn.lang AS negative_lang
+           |FROM fl JOIN documents da ON da.doc_id = fl.anchor_id
+           |JOIN documents dn ON dn.doc_id = fl.negative_id
+           |ORDER BY anchor_id LIMIT 20""".stripMargin)),
+
+    Q("events_session_gap_sensitivity", // how many sessions exist at
+      // gap thresholds 10/30/60 min — the sensitivity table that
+      // justifies (or indicts) the 30-minute magic number every
+      // sessionizer hardcodes. Sessions(τ) = users + gaps>τ, so the
+      // whole table is ONE keyed lag window and ONE aggregation with
+      // three conditional sums — no per-threshold re-sessionization.
+      // Exact integers into one division per row.
+      (s, d) => {
+        val g = t(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_millis(col("ts")).as("ms"))
+          .withColumn("gap", col("ms") - lag("ms", 1).over(
+            Window.partitionBy("user_id").orderBy("ms", "event_id")))
+        val agg = g.agg(count(lit(1)).as("n_events"),
+          countDistinct("user_id").as("n_users"),
+          sum(when(col("gap") > 600000L, 1L).otherwise(0L)).as("b10"),
+          sum(when(col("gap") > 1800000L, 1L).otherwise(0L)).as("b30"),
+          sum(when(col("gap") > 3600000L, 1L).otherwise(0L)).as("b60"))
+        agg.select(explode(array(
+            struct(lit(10L).as("tau_min"),
+              (col("n_users") + col("b10")).as("n_sessions"),
+              col("n_events")),
+            struct(lit(30L).as("tau_min"),
+              (col("n_users") + col("b30")).as("n_sessions"),
+              col("n_events")),
+            struct(lit(60L).as("tau_min"),
+              (col("n_users") + col("b60")).as("n_sessions"),
+              col("n_events")))).as("r"))
+          .select(col("r.tau_min").as("tau_min"),
+            col("r.n_sessions").as("n_sessions"),
+            round(col("r.n_events").cast("double") / col("r.n_sessions"),
+              4).as("events_per_session"))
+          .orderBy("tau_min")
+      },
+      Some("""WITH g AS (SELECT user_id,
+             |    ms - LAG(ms) OVER (PARTITION BY user_id
+             |      ORDER BY ms, event_id) AS gap
+             |  FROM (SELECT user_id, event_id, epoch_ms(ts) AS ms
+             |    FROM events)),
+             |a AS (SELECT COUNT(*) AS n_events,
+             |    COUNT(DISTINCT user_id) AS n_users,
+             |    CAST(SUM(CASE WHEN gap > 600000 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS b10,
+             |    CAST(SUM(CASE WHEN gap > 1800000 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS b30,
+             |    CAST(SUM(CASE WHEN gap > 3600000 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS b60
+             |  FROM g)
+             |SELECT tau_min, n_sessions,
+             |  ROUND(CAST(n_events AS DOUBLE) / n_sessions, 4)
+             |    AS events_per_session
+             |FROM (SELECT 10 AS tau_min, n_users + b10 AS n_sessions,
+             |    n_events FROM a
+             |  UNION ALL SELECT 30, n_users + b30, n_events FROM a
+             |  UNION ALL SELECT 60, n_users + b60, n_events FROM a)
+             |ORDER BY tau_min""".stripMargin)),
+
+    Q("orders_simpson_audit", // Simpson's-paradox audit: the OLS slope
+      // of customer order volume on account balance computed overall
+      // versus POOLED WITHIN nations (the ANCOVA within-group slope) —
+      // when the signs disagree, every country-blind regression on the
+      // table is lying. Both slopes are closed forms over exact
+      // integer-cents moments (per-nation and global), so the verdict
+      // compares two deterministic doubles at 6dp.
+      // Units: x = balance dollars via shift-then-truncate on exact
+      // cents (shift makes the operand nonnegative, so Spark's
+      // truncating DIV and DuckDB's flooring // agree; a constant
+      // x-shift cannot change a slope); y = whole-dollar order values
+      // summed per customer. Dollar units keep every moment product
+      // inside a long under ANSI at any fixture scale, and both
+      // slopes use the CENTERED forms (Σxy − ΣxΣy/n) so no n·Σ
+      // product is ever materialized in integers.
+      (s, d) => {
+        val cust = t(s, d, "orders")
+          .select(col("o_custkey"),
+            expr("""cast(round(o_totalprice * 100, 0) as bigint)
+                   | div 100""".stripMargin).as("yd"))
+          .groupBy(col("o_custkey")).agg(sum("yd").as("y"))
+          .join(t(s, d, "customer").select(col("c_custkey"),
+            col("c_nationkey"),
+            expr("""(cast(round(c_acctbal * 100, 0) as bigint)
+                   | + 100000) div 100""".stripMargin).as("x")),
+            col("o_custkey") === col("c_custkey"))
+        val g = cust.groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("x") * col("y")).as("sxy"))
+        val pooled = g.agg(sum("n").as("n_customers"),
+          sum(col("sxy") - col("sx").cast("double") * col("sy") / col("n"))
+            .as("wxy"),
+          sum(col("sxx") - col("sx").cast("double") * col("sx") / col("n"))
+            .as("wxx"),
+          sum("sx").as("tsx"), sum("sy").as("tsy"),
+          sum("sxx").as("tsxx"), sum("sxy").as("tsxy"))
+        val overallNum = col("tsxy").cast("double") -
+          col("tsx").cast("double") * col("tsy") / col("n_customers")
+        val overallDen = col("tsxx").cast("double") -
+          col("tsx").cast("double") * col("tsx") / col("n_customers")
+        val overall = overallNum / overallDen
+        pooled.select(col("n_customers"),
+          round(overall, 6).as("overall_slope"),
+          round(col("wxy") / col("wxx"), 6).as("within_slope"),
+          (round(overall, 6) * round(col("wxy") / col("wxx"), 6) < 0)
+            .as("sign_reversed"))
+      },
+      Some("""WITH yv AS (SELECT o_custkey,
+             |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) // 100
+             |      AS yd
+             |  FROM orders),
+             |cust AS (SELECT yv.o_custkey,
+             |    CAST(SUM(yd) AS BIGINT) AS y,
+             |    MAX(c.c_nationkey) AS c_nationkey,
+             |    MAX((CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT)
+             |      + 100000) // 100) AS x
+             |  FROM yv JOIN customer c ON yv.o_custkey = c.c_custkey
+             |  GROUP BY 1),
+             |g AS (SELECT c_nationkey, COUNT(*) AS n,
+             |    CAST(SUM(x) AS BIGINT) AS sx,
+             |    CAST(SUM(y) AS BIGINT) AS sy,
+             |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+             |    CAST(SUM(x * y) AS BIGINT) AS sxy
+             |  FROM cust GROUP BY 1),
+             |pl AS (SELECT CAST(SUM(n) AS BIGINT) AS n_customers,
+             |    SUM(sxy - CAST(sx AS DOUBLE) * sy / n) AS wxy,
+             |    SUM(sxx - CAST(sx AS DOUBLE) * sx / n) AS wxx,
+             |    CAST(SUM(sx) AS BIGINT) AS tsx,
+             |    CAST(SUM(sy) AS BIGINT) AS tsy,
+             |    CAST(SUM(sxx) AS BIGINT) AS tsxx,
+             |    CAST(SUM(sxy) AS BIGINT) AS tsxy
+             |  FROM g)
+             |SELECT n_customers,
+             |  ROUND((CAST(tsxy AS DOUBLE)
+             |      - CAST(tsx AS DOUBLE) * tsy / n_customers)
+             |    / (CAST(tsxx AS DOUBLE)
+             |      - CAST(tsx AS DOUBLE) * tsx / n_customers), 6)
+             |    AS overall_slope,
+             |  ROUND(wxy / wxx, 6) AS within_slope,
+             |  ROUND((CAST(tsxy AS DOUBLE)
+             |      - CAST(tsx AS DOUBLE) * tsy / n_customers)
+             |    / (CAST(tsxx AS DOUBLE)
+             |      - CAST(tsx AS DOUBLE) * tsx / n_customers), 6)
+             |    * ROUND(wxy / wxx, 6) < 0 AS sign_reversed
+             |FROM pl""".stripMargin)))
 
   /** SPRT model constants (H0 p=0.18, H1 p=0.22, α=β=0.05), computed
     * once JVM-side and inlined into both engines' expressions so neither
