@@ -16563,7 +16563,215 @@ object SparkEntry {
              |    / (CAST(tsxx AS DOUBLE)
              |      - CAST(tsx AS DOUBLE) * tsx / n_customers), 6)
              |    * ROUND(wxy / wxx, 6) < 0 AS sign_reversed
-             |FROM pl""".stripMargin)))
+             |FROM pl""".stripMargin)),
+
+    Q("emb_hard_negatives", // hard-negative mining for metric
+      // learning: for each of 10 probe anchors, the HIGHEST-cosine
+      // embedding whose document carries a DIFFERENT language label —
+      // the pairs that actually move a contrastive loss (random
+      // negatives are trivially far). 10 anchors broadcast against
+      // the corpus (a bounded probe fan-out, the silhouette shape,
+      // never corpus×corpus); ranking on the ROUNDED cosine with an
+      // id tie-break.
+      (s, d) => {
+        val lang = t(s, d, "documents")
+          .select(col("doc_id").as("vec_id"), col("lang"))
+        val emb = t(s, d, "embeddings").join(lang, Seq("vec_id"))
+        val anchors = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("anchor_id"),
+            col("embedding").as("a_emb"), col("lang").as("anchor_lang"))
+        val scored = emb.crossJoin(broadcast(anchors))
+          .filter(col("lang") =!= col("anchor_lang"))
+          .select(col("anchor_id"), col("anchor_lang"),
+            col("vec_id").as("negative_id"),
+            col("lang").as("negative_lang"),
+            round(graft.functions.VectorFunctions
+              .cosine(col("a_emb"), col("embedding")), 6).as("cos"))
+        val w = Window.partitionBy("anchor_id")
+          .orderBy(col("cos").desc, col("negative_id"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("anchor_id"), col("anchor_lang"),
+            col("negative_id"), col("negative_lang"), col("cos"))
+          .orderBy("anchor_id")
+      },
+      Some("""WITH lang AS (SELECT doc_id AS vec_id, lang
+             |  FROM documents),
+             |emb AS (SELECT e.vec_id, e.embedding, l.lang
+             |  FROM embeddings e JOIN lang l USING (vec_id)),
+             |an AS (SELECT vec_id AS anchor_id, embedding AS a_emb,
+             |    lang AS anchor_lang
+             |  FROM emb WHERE vec_id < 10),
+             |sc AS (SELECT an.anchor_id, an.anchor_lang,
+             |    e.vec_id AS negative_id, e.lang AS negative_lang,
+             |    ROUND(
+             |      list_sum(list_transform(range(1, 65), i ->
+             |        CAST(an.a_emb[i] AS DOUBLE)
+             |          * CAST(e.embedding[i] AS DOUBLE)))
+             |      / (sqrt(list_sum(list_transform(range(1, 65), i ->
+             |          CAST(an.a_emb[i] AS DOUBLE)
+             |            * CAST(an.a_emb[i] AS DOUBLE))))
+             |        * sqrt(list_sum(list_transform(range(1, 65), i ->
+             |          CAST(e.embedding[i] AS DOUBLE)
+             |            * CAST(e.embedding[i] AS DOUBLE)))))
+             |      , 6) AS cos
+             |  FROM emb e, an WHERE e.lang <> an.anchor_lang),
+             |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+             |    ORDER BY cos DESC, negative_id) AS rn
+             |  FROM sc)
+             |SELECT anchor_id, anchor_lang, negative_id, negative_lang,
+             |  cos
+             |FROM rk WHERE rn = 1 ORDER BY anchor_id""".stripMargin)),
+
+    Q("orders_forecast_baselines", // beat-the-baseline table: MAE of
+      // the three forecasts every model must outrun — naive (last
+      // month), seasonal naive (same month last year), expanding mean —
+      // backtested over the monthly revenue series. One bounded month
+      // rollup, keyed lags, exact-cents errors; months without a
+      // forecast (first month / first year) are excluded per method,
+      // and n_evaluated says so.
+      (s, d) => {
+        val m = t(s, d, "orders")
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .as("c"))
+        val w = Window.orderBy("ym")
+        val wc = w.rowsBetween(Window.unboundedPreceding, -1)
+        val f = m
+          .withColumn("f_naive", lag("c", 1).over(w))
+          .withColumn("f_seasonal", lag("c", 12).over(w))
+          .withColumn("f_mean", expr(
+            """sum(c) over (order by ym rows between unbounded preceding
+              | and 1 preceding) div
+              | count(1) over (order by ym rows between unbounded
+              | preceding and 1 preceding)""".stripMargin))
+        // exact-cents MAE: errors are long cents; the cent rounding is
+        // the integer round-half-up (2e+n) div (2n) — no float ROUND
+        def mae(fc: Column): (Column, Column) =
+          (sum(when(fc.isNotNull, abs(col("c") - fc))),
+            sum(when(fc.isNotNull, 1L).otherwise(0L)))
+        val (e1, n1) = mae(col("f_naive"))
+        val (e2, n2) = mae(col("f_seasonal"))
+        val (e3, n3) = mae(col("f_mean"))
+        def cents(e: String, n: String): Column =
+          expr(s"cast((2 * $e + $n) div (2 * $n) as double) / 100.0")
+        f.agg(e1.as("e1"), n1.as("n1"), e2.as("e2"), n2.as("n2"),
+            e3.as("e3"), n3.as("n3"))
+          .select(explode(array(
+            struct(lit("1_naive_last_month").as("method"),
+              col("n1").as("n_evaluated"),
+              cents("e1", "n1").as("mae")),
+            struct(lit("2_seasonal_naive_12m").as("method"),
+              col("n2").as("n_evaluated"),
+              cents("e2", "n2").as("mae")),
+            struct(lit("3_expanding_mean").as("method"),
+              col("n3").as("n_evaluated"),
+              cents("e3", "n3").as("mae"))))
+            .as("r"))
+          .select(col("r.method").as("method"),
+            col("r.n_evaluated").as("n_evaluated"),
+            col("r.mae").as("mae"))
+          .orderBy("method")
+      },
+      Some("""WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+             |    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+             |      AS BIGINT) AS c
+             |  FROM orders GROUP BY 1),
+             |f AS (SELECT ym, c,
+             |    LAG(c, 1) OVER w AS f_naive,
+             |    LAG(c, 12) OVER w AS f_seasonal,
+             |    SUM(c) OVER (ORDER BY ym ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND 1 PRECEDING)
+             |      // COUNT(*) OVER (ORDER BY ym ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND 1 PRECEDING) AS f_mean
+             |  FROM m WINDOW w AS (ORDER BY ym)),
+             |a AS (SELECT
+             |    CAST(SUM(CASE WHEN f_naive IS NOT NULL THEN
+             |      abs(c - f_naive) END) AS BIGINT) AS e1,
+             |    CAST(SUM(CASE WHEN f_naive IS NOT NULL THEN 1 ELSE 0
+             |      END) AS BIGINT) AS n1,
+             |    CAST(SUM(CASE WHEN f_seasonal IS NOT NULL THEN
+             |      abs(c - f_seasonal) END) AS BIGINT) AS e2,
+             |    CAST(SUM(CASE WHEN f_seasonal IS NOT NULL THEN 1
+             |      ELSE 0 END) AS BIGINT) AS n2,
+             |    CAST(SUM(CASE WHEN f_mean IS NOT NULL THEN
+             |      abs(c - f_mean) END) AS BIGINT) AS e3,
+             |    CAST(SUM(CASE WHEN f_mean IS NOT NULL THEN 1
+             |      ELSE 0 END) AS BIGINT) AS n3
+             |  FROM f)
+             |SELECT method, n_evaluated, mae FROM (
+             |  SELECT '1_naive_last_month' AS method, n1 AS n_evaluated,
+             |    CAST((2 * e1 + n1) // (2 * n1) AS DOUBLE) / 100.0
+             |      AS mae FROM a
+             |  UNION ALL SELECT '2_seasonal_naive_12m', n2,
+             |    CAST((2 * e2 + n2) // (2 * n2) AS DOUBLE) / 100.0 FROM a
+             |  UNION ALL SELECT '3_expanding_mean', n3,
+             |    CAST((2 * e3 + n3) // (2 * n3) AS DOUBLE) / 100.0 FROM a)
+             |ORDER BY method""".stripMargin)),
+
+    Q("scale_partition_skew_audit", // shuffle-planning diagnostic:
+      // bucket-load distribution under 32-way hash partitioning for
+      // three candidate keys — max/avg skew factor and the load Gini —
+      // the table that says which key can be hashed flat and which
+      // needs salting BEFORE a job pays for the lesson. Key hash =
+      // the portable integer family (so the audit itself is
+      // oracle-checkable); Gini over the bounded 32-bucket grain from
+      // exact integer loads.
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        def loads(name: String, k: Column): DataFrame = li
+          .select((((lit(1000003L) * k + 17L) % 2147483647L) % 32)
+            .as("b"))
+          .groupBy("b").agg(count(lit(1)).as("n"))
+          .select(lit(name).as("part_key"), col("b"), col("n"))
+        val all = loads("l_orderkey", col("l_orderkey"))
+          .unionByName(loads("l_partkey", col("l_partkey")))
+          .unionByName(loads("l_suppkey", col("l_suppkey")))
+        val w = Window.partitionBy("part_key").orderBy("n", "b")
+        val g = all
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .groupBy("part_key")
+          .agg(count(lit(1)).as("n_buckets"), sum("n").as("total"),
+            max("n").as("max_load"),
+            sum(col("rk") * col("n")).as("srn"))
+        g.select(col("part_key"), col("n_buckets"),
+            round(col("max_load").cast("double")
+              / (col("total").cast("double") / col("n_buckets")), 4)
+              .as("skew_factor"),
+            round((lit(2.0) * col("srn")
+              / (col("n_buckets").cast("double") * col("total")))
+              - (col("n_buckets") + 1).cast("double") / col("n_buckets"),
+              6).as("load_gini"))
+          .orderBy("part_key")
+      },
+      Some("""WITH li AS (SELECT
+             |    ((1000003 * l_orderkey + 17) % 2147483647) % 32 AS bo,
+             |    ((1000003 * l_partkey + 17) % 2147483647) % 32 AS bp,
+             |    ((1000003 * l_suppkey + 17) % 2147483647) % 32 AS bs
+             |  FROM lineitem),
+             |all_ AS (
+             |  SELECT 'l_orderkey' AS part_key, bo AS b, COUNT(*) AS n
+             |  FROM li GROUP BY 2
+             |  UNION ALL
+             |  SELECT 'l_partkey', bp, COUNT(*) FROM li GROUP BY 2
+             |  UNION ALL
+             |  SELECT 'l_suppkey', bs, COUNT(*) FROM li GROUP BY 2),
+             |r AS (SELECT part_key, b, n,
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY part_key
+             |      ORDER BY n, b) AS BIGINT) AS rk
+             |  FROM all_),
+             |g AS (SELECT part_key, COUNT(*) AS n_buckets,
+             |    CAST(SUM(n) AS BIGINT) AS total,
+             |    CAST(MAX(n) AS BIGINT) AS max_load,
+             |    CAST(SUM(rk * n) AS BIGINT) AS srn
+             |  FROM r GROUP BY 1)
+             |SELECT part_key, n_buckets,
+             |  ROUND(CAST(max_load AS DOUBLE)
+             |    / (CAST(total AS DOUBLE) / n_buckets), 4) AS skew_factor,
+             |  ROUND((2.0 * srn / (CAST(n_buckets AS DOUBLE) * total))
+             |    - CAST(n_buckets + 1 AS DOUBLE) / n_buckets, 6)
+             |    AS load_gini
+             |FROM g ORDER BY part_key""".stripMargin)))
 
   /** SPRT model constants (H0 p=0.18, H1 p=0.22, α=β=0.05), computed
     * once JVM-side and inlined into both engines' expressions so neither
