@@ -16771,7 +16771,105 @@ object SparkEntry {
              |  ROUND((2.0 * srn / (CAST(n_buckets AS DOUBLE) * total))
              |    - CAST(n_buckets + 1 AS DOUBLE) / n_buckets, 6)
              |    AS load_gini
-             |FROM g ORDER BY part_key""".stripMargin)))
+             |FROM g ORDER BY part_key""".stripMargin)),
+
+    Q("events_error_budget_burn", // SRE error-budget burn-rate monitor
+      // (the Google multiwindow page rule): daily error share against
+      // the 21% budget, burn rates over the 1-day and rolling 7-day
+      // windows, page when BOTH run hot (fast burn confirmed by a
+      // non-cool slow window — the design that kills alert flaps;
+      // thresholds 1.1/0.95 put 3 of 30 fixture days in the paging
+      // regime). Counts are
+      // exact integers; the 7-day window rides the bounded day grain;
+      // the page verdict tests ROUNDED burn rates.
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("event_type") === "error", 1L).otherwise(0L))
+              .as("e"))
+        val w7 = Window.orderBy("day").rowsBetween(-6, 0)
+        val b1 = round(col("e").cast("double") / col("n") / 0.21, 4)
+        val b7 = round(col("e7").cast("double") / col("n7") / 0.21, 4)
+        daily
+          .withColumn("n7", sum("n").over(w7))
+          .withColumn("e7", sum("e").over(w7))
+          .select(col("day"), col("n").as("n_events"),
+            col("e").as("n_errors"),
+            round(col("e").cast("double") / col("n"), 6).as("err_share"),
+            b1.as("burn_1d"), b7.as("burn_7d"),
+            (b1 > 1.1 && b7 > 0.95).as("page_alert"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+             |    COUNT(*) AS n,
+             |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+             |      END) AS BIGINT) AS e
+             |  FROM events GROUP BY 1),
+             |r AS (SELECT day, n, e,
+             |    CAST(SUM(n) OVER w7 AS BIGINT) AS n7,
+             |    CAST(SUM(e) OVER w7 AS BIGINT) AS e7
+             |  FROM daily WINDOW w7 AS (ORDER BY day
+             |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+             |SELECT day, n AS n_events, e AS n_errors,
+             |  ROUND(CAST(e AS DOUBLE) / n, 6) AS err_share,
+             |  ROUND(CAST(e AS DOUBLE) / n / 0.21, 4) AS burn_1d,
+             |  ROUND(CAST(e7 AS DOUBLE) / n7 / 0.21, 4) AS burn_7d,
+             |  ROUND(CAST(e AS DOUBLE) / n / 0.21, 4) > 1.1
+             |    AND ROUND(CAST(e7 AS DOUBLE) / n7 / 0.21, 4) > 0.95
+             |    AS page_alert
+             |FROM r ORDER BY day""".stripMargin)),
+
+    Q("part_xyz_classes", // XYZ demand-variability classification —
+      // ABC's inventory-planning twin (supp_abc_classes ranks value;
+      // XYZ ranks forecastability): per part, the CV of DEMAND SIZES
+      // over its nonzero demand weeks (the Croston convention — on a
+      // complete grid this intermittent fixture is all-Z, cv ≈ 4,
+      // which classifies nothing), classes on the ROUNDED cv
+      // (X < 0.5 steady, Y < 0.7, Z erratic — cuts chosen where the
+      // fixture actually splits: 355/1471/174). Everything up to the
+      // final cv sqrt is exact integers; the class rollup is the
+      // bounded 3-row report.
+      (s, d) => {
+        val wk = t(s, d, "lineitem")
+          .select(col("l_partkey"),
+            expr("""datediff(cast(l_shipdate as date),
+                   | cast('1995-01-01' as date)) div 7""".stripMargin)
+              .as("w"),
+            col("l_quantity").cast("long").as("q"))
+          .groupBy("l_partkey", "w").agg(sum("q").as("qd"))
+        val cv = wk.groupBy("l_partkey")
+          .agg(count(lit(1)).as("nw"), sum("qd").as("s1"),
+            sum(col("qd") * col("qd")).as("s2"))
+          .select(col("l_partkey"),
+            round(sqrt((col("nw") * col("s2") - col("s1") * col("s1"))
+              .cast("double")) / col("s1"), 4).as("cv"))
+        cv.select(col("cv"),
+            when(col("cv") < 0.5, "X_steady")
+              .when(col("cv") < 0.7, "Y_variable")
+              .otherwise("Z_erratic").as("xyz_class"))
+          .groupBy("xyz_class")
+          .agg(count(lit(1)).as("n_parts"),
+            round(avg("cv"), 4).as("avg_cv"))
+          .orderBy("xyz_class")
+      },
+      Some("""WITH wk AS (SELECT l_partkey,
+             |    date_diff('day', DATE '1995-01-01',
+             |      CAST(l_shipdate AS DATE)) // 7 AS w,
+             |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qd
+             |  FROM lineitem GROUP BY 1, 2),
+             |cv AS (SELECT l_partkey,
+             |    ROUND(sqrt(CAST(nw * s2 - s1 * s1 AS DOUBLE)) / s1, 4)
+             |      AS cv
+             |  FROM (SELECT l_partkey, COUNT(*) AS nw,
+             |      CAST(SUM(qd) AS BIGINT) AS s1,
+             |      CAST(SUM(qd * qd) AS BIGINT) AS s2
+             |    FROM wk GROUP BY 1))
+             |SELECT CASE WHEN cv < 0.5 THEN 'X_steady'
+             |    WHEN cv < 0.7 THEN 'Y_variable'
+             |    ELSE 'Z_erratic' END AS xyz_class,
+             |  COUNT(*) AS n_parts, ROUND(AVG(cv), 4) AS avg_cv
+             |FROM cv GROUP BY 1 ORDER BY 1""".stripMargin)))
 
   /** SPRT model constants (H0 p=0.18, H1 p=0.22, α=β=0.05), computed
     * once JVM-side and inlined into both engines' expressions so neither
