@@ -16056,9 +16056,14 @@ object SparkEntry {
       // rounds as MATERIALIZED CTEs.
       (s, d) => {
         import s.implicits._
+        // the pair relation is read by every round: persist it once,
+        // and eagerly checkpoint the covered set each round so round i
+        // never re-executes rounds 1..i−1's unions (lazy chaining made
+        // the 5 rounds quadratic in lineage: 5.2 s → measured A/B below)
         val sp = t(s, d, "lineitem")
           .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
           .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val total = sp.select(countDistinct("p")).head().getLong(0)
         var covered = sp.select("p").limit(0)
         var picked = Seq.empty[Long]
@@ -16076,6 +16081,7 @@ object SparkEntry {
             val (win, gain) = (r.getLong(0), r.getLong(1))
             covered = covered
               .union(sp.filter(col("s") === win).select("p")).distinct()
+              .localCheckpoint(true)
             picked :+= win
             cum += gain
             (i.toLong, win, gain, cum,
@@ -16083,6 +16089,7 @@ object SparkEntry {
                 BigDecimal.RoundingMode.HALF_UP).toDouble)
           }
         }.takeWhile(_.isDefined).flatten.toSeq
+        sp.unpersist(false)
         rows.toDF("round", "l_suppkey", "marginal_parts", "cum_parts",
           "cum_share").orderBy("round")
       },

@@ -63,6 +63,10 @@ QUERIES = [
     # r7 cont.5: per-position md5 explode (CDC), posting-list windows,
     # supplier-grain distributed range sort (ABC)
     "doc_cdc_chunks", "doc_posting_compression", "supp_abc_classes",
+    # r7 cont.6: corpus-LM scoring joins, CC-label consumer,
+    # bounded greedy selection rounds
+    "doc_lm_perplexity_filter", "doc_training_triplets",
+    "supp_greedy_coverage",
 ]
 
 # Work linear in data by construction AND CPU-saturated at sf0.1 ->
@@ -99,6 +103,9 @@ LINEAR_SATURATED = {
     "doc_bleu_pairs":
         "exemplar grading is linear in cluster members (the r7 cont.2 fix); "
         "members scale 10x, gram joins saturate cores",
+    "doc_lm_perplexity_filter":
+        "bigram explode + gram-keyed train/score joins: work linear in "
+        "corpus tokens, saturated",
 }
 
 def run(cmd, env=None):
