@@ -16876,7 +16876,227 @@ object SparkEntry {
              |    WHEN cv < 0.7 THEN 'Y_variable'
              |    ELSE 'Z_erratic' END AS xyz_class,
              |  COUNT(*) AS n_parts, ROUND(AVG(cv), 4) AS avg_cv
-             |FROM cv GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |FROM cv GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("dq_key_density_audit", // surrogate-key hole detection: bucket
+      // the key space into 64 ranges and flag ranges whose row count
+      // runs ≥10% under the uniform expectation — how a failed
+      // backfill or a dropped tenant shows up BEFORE anyone queries
+      // the missing rows. The fixture's keys are perfectly contiguous
+      // (density 1.0 — the audit would certify a clean table), so a
+      // data-loss incident is SIMULATED deterministically (keys
+      // 5000..5499 plus every key ≡ 0 mod 1000 deleted — one
+      // contiguous hole the audit must flag, scattered losses it must
+      // absorb); the bucket GRID is generated, not grouped-from-rows —
+      // a fully deleted bucket emits no rows and would otherwise be
+      // invisible to its own audit. Flag test is exact integers
+      // (640·n < 9·total).
+      (s, d) => {
+        val sim = t(s, d, "orders").select(col("o_orderkey"))
+          .filter(!(col("o_orderkey") >= 5000 && col("o_orderkey") < 5500)
+            && col("o_orderkey") % 1000 =!= 0)
+        val b = sim.agg(min("o_orderkey").as("k0"),
+          max("o_orderkey").as("k1"), count(lit(1)).as("total"))
+        val counts = sim.crossJoin(broadcast(b))
+          .select(expr("least((o_orderkey - k0) * 64 div (k1 - k0 + 1), 63)")
+            .as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n_rows"))
+        // a FULLY deleted bucket never appears in the rollup — the grid
+        // left-join is what makes the audit see the worst holes at all
+        b.select(col("total"),
+            explode(sequence(lit(0L), lit(63L))).as("bucket"))
+          .join(counts, Seq("bucket"), "left")
+          .select(col("bucket"),
+            coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+            expr("total div 64").as("expected_n"),
+            (expr("total div 64") - coalesce(col("n_rows"), lit(0L)))
+              .as("deficit"),
+            (coalesce(col("n_rows"), lit(0L)) * 640 < col("total") * 9)
+              .as("hole_flagged"))
+          .orderBy("bucket")
+      },
+      Some("""WITH sim AS (SELECT o_orderkey FROM orders
+             |  WHERE NOT (o_orderkey >= 5000 AND o_orderkey < 5500)
+             |    AND o_orderkey % 1000 <> 0),
+             |b AS (SELECT MIN(o_orderkey) AS k0, MAX(o_orderkey) AS k1,
+             |    COUNT(*) AS total FROM sim),
+             |g AS (SELECT least((o_orderkey - k0) * 64 // (k1 - k0 + 1),
+             |      63) AS bucket, COUNT(*) AS n_rows
+             |  FROM sim, b GROUP BY 1),
+             |grid AS (SELECT i AS bucket, total
+             |  FROM b, unnest(range(0, 64)) AS r(i))
+             |SELECT bucket, COALESCE(n_rows, 0) AS n_rows,
+             |  total // 64 AS expected_n,
+             |  total // 64 - COALESCE(n_rows, 0) AS deficit,
+             |  COALESCE(n_rows, 0) * 640 < total * 9 AS hole_flagged
+             |FROM grid LEFT JOIN g USING (bucket) ORDER BY bucket""".stripMargin)),
+
+    Q("orders_median_polish", // Tukey median polish of the year ×
+      // priority revenue matrix — the robust two-way decomposition
+      // (row effects + column effects + residuals) that ANOVA's means
+      // can't give under outliers. The 7×5 matrix grain is bounded;
+      // both sweep dimensions have ODD length, so every median is an
+      // exact matrix element and the whole two-iteration polish runs
+      // in EXACT integer cents — no rounding protocol anywhere, the
+      // residuals are bit-identical by construction.
+      (s, d) => {
+        val cells = t(s, d, "orders")
+          .filter(year(to_date(col("o_orderdate"))) <= 2001)
+          .groupBy(year(to_date(col("o_orderdate"))).cast("long").as("yr"),
+            col("o_orderpriority").as("pri"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .as("v"))
+        def sweep(df: DataFrame, key: String, vc: String,
+            out: String): DataFrame = {
+          val med = df.groupBy(key)
+            .agg(expr(s"cast(percentile($vc, 0.5) as long)").as(out))
+          df.join(med, Seq(key))
+            .withColumn(vc, col(vc) - col(out))
+        }
+        val r1 = sweep(cells, "yr", "v", "re1")
+        val c1 = sweep(r1, "pri", "v", "ce1")
+        val r2 = sweep(c1, "yr", "v", "re2")
+        val c2 = sweep(r2, "pri", "v", "ce2")
+        c2.select(col("yr"), col("pri"),
+            ((col("re1") + col("re2")).cast("double") / 100.0)
+              .as("year_effect"),
+            ((col("ce1") + col("ce2")).cast("double") / 100.0)
+              .as("priority_effect"),
+            (col("v").cast("double") / 100.0).as("residual"))
+          .orderBy("yr", "pri")
+      },
+      Some("""WITH cells AS (SELECT
+             |    date_part('year', CAST(o_orderdate AS DATE)) AS yr,
+             |    o_orderpriority AS pri,
+             |    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+             |      AS BIGINT) AS v
+             |  FROM orders
+             |  WHERE date_part('year', CAST(o_orderdate AS DATE)) <= 2001
+             |  GROUP BY 1, 2),
+             |m1 AS (SELECT yr, CAST(quantile_cont(v, 0.5) AS BIGINT)
+             |    AS re1 FROM cells GROUP BY 1),
+             |r1 AS (SELECT c.yr, c.pri, c.v - m1.re1 AS v, m1.re1
+             |  FROM cells c JOIN m1 USING (yr)),
+             |m2 AS (SELECT pri, CAST(quantile_cont(v, 0.5) AS BIGINT)
+             |    AS ce1 FROM r1 GROUP BY 1),
+             |c1 AS (SELECT r1.yr, r1.pri, r1.v - m2.ce1 AS v, r1.re1,
+             |    m2.ce1
+             |  FROM r1 JOIN m2 USING (pri)),
+             |m3 AS (SELECT yr, CAST(quantile_cont(v, 0.5) AS BIGINT)
+             |    AS re2 FROM c1 GROUP BY 1),
+             |r2 AS (SELECT c1.yr, c1.pri, c1.v - m3.re2 AS v, c1.re1,
+             |    c1.ce1, m3.re2
+             |  FROM c1 JOIN m3 USING (yr)),
+             |m4 AS (SELECT pri, CAST(quantile_cont(v, 0.5) AS BIGINT)
+             |    AS ce2 FROM r2 GROUP BY 1),
+             |c2 AS (SELECT r2.yr, r2.pri, r2.v - m4.ce2 AS v, r2.re1,
+             |    r2.ce1, r2.re2, m4.ce2
+             |  FROM r2 JOIN m4 USING (pri))
+             |SELECT CAST(yr AS BIGINT) AS yr, pri,
+             |  CAST(re1 + re2 AS DOUBLE) / 100.0 AS year_effect,
+             |  CAST(ce1 + ce2 AS DOUBLE) / 100.0 AS priority_effect,
+             |  CAST(v AS DOUBLE) / 100.0 AS residual
+             |FROM c2 ORDER BY yr, pri""".stripMargin)),
+
+    Q("orders_chow_test", // Chow structural-break test: do the first
+      // and second halves of the monthly revenue series follow the
+      // SAME line? F = ((SSRp − SSR1 − SSR2)/2) / ((SSR1+SSR2)/(n−4)),
+      // each SSR the closed form Syy − Sxy²/Sxx over exact integer
+      // moments of the bounded month grain — the formal companion to
+      // the segmented-trend fit. Verdict against the inlined
+      // F(2, n−4) ≈ 3.11 critical value on the rounded statistic.
+      (s, d) => {
+        val m = t(s, d, "orders")
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .as("c"))
+        val w = Window.orderBy("ym")
+        val xi = m.withColumn("x",
+            row_number().over(w).cast("long") - 1)
+          .withColumn("half",
+            when(col("x") < 40, 1L).otherwise(2L))
+        def mo(grp: Column): DataFrame = xi.groupBy(grp.as("h"))
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("c").as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("x") * col("c")).as("sxy"),
+            sum(col("c").cast("double") * col("c")).as("syy"))
+        val ssr = (df: DataFrame) => df.select(col("h"), col("n"),
+          (col("syy") - col("sy").cast("double") * col("sy") / col("n")
+            - (col("sxy").cast("double")
+                - col("sx").cast("double") * col("sy") / col("n"))
+              * (col("sxy").cast("double")
+                - col("sx").cast("double") * col("sy") / col("n"))
+              / (col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx") / col("n")))
+            .as("ssr"),
+          ((col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy") / col("n"))
+            / (col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx") / col("n")))
+            .as("slope"))
+        val parts = ssr(mo(col("half")))
+        val pool = ssr(mo(lit(0L)))
+        val agg = parts.groupBy().agg(sum("n").as("n_months"),
+            sum("ssr").as("ssr12"),
+            max(when(col("h") === 1, round(col("slope") / 100.0, 4)))
+              .as("slope_1"),
+            max(when(col("h") === 2, round(col("slope") / 100.0, 4)))
+              .as("slope_2"))
+          .crossJoin(broadcast(pool.select(col("ssr").as("ssrp"))))
+        val f = ((col("ssrp") - col("ssr12")) / 2.0) /
+          (col("ssr12") / (col("n_months") - 4))
+        agg.select(col("n_months"), col("slope_1"), col("slope_2"),
+          round(f, 4).as("f_stat"),
+          (round(f, 4) > 3.11).as("structural_break"))
+      },
+      Some("""WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+             |    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+             |      AS BIGINT) AS c
+             |  FROM orders GROUP BY 1),
+             |xi AS (SELECT c,
+             |    CAST(ROW_NUMBER() OVER (ORDER BY ym) AS BIGINT) - 1
+             |      AS x
+             |  FROM m),
+             |hs AS (SELECT CASE WHEN x < 40 THEN 1 ELSE 2 END AS h,
+             |    COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+             |    CAST(SUM(c) AS BIGINT) AS sy,
+             |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+             |    CAST(SUM(x * c) AS BIGINT) AS sxy,
+             |    SUM(CAST(c AS DOUBLE) * c) AS syy
+             |  FROM xi GROUP BY 1),
+             |ps AS (SELECT 0 AS h, COUNT(*) AS n,
+             |    CAST(SUM(x) AS BIGINT) AS sx,
+             |    CAST(SUM(c) AS BIGINT) AS sy,
+             |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+             |    CAST(SUM(x * c) AS BIGINT) AS sxy,
+             |    SUM(CAST(c AS DOUBLE) * c) AS syy
+             |  FROM xi),
+             |sr AS (SELECT h, n,
+             |    syy - CAST(sy AS DOUBLE) * sy / n
+             |      - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+             |        * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+             |        / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+             |      AS ssr,
+             |    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+             |      / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+             |      AS slope
+             |  FROM (SELECT * FROM hs UNION ALL SELECT * FROM ps)),
+             |a AS (SELECT
+             |    CAST(SUM(CASE WHEN h > 0 THEN n END) AS BIGINT)
+             |      AS n_months,
+             |    SUM(CASE WHEN h > 0 THEN ssr END) AS ssr12,
+             |    MAX(CASE WHEN h = 1 THEN ROUND(slope / 100.0, 4) END)
+             |      AS slope_1,
+             |    MAX(CASE WHEN h = 2 THEN ROUND(slope / 100.0, 4) END)
+             |      AS slope_2,
+             |    MAX(CASE WHEN h = 0 THEN ssr END) AS ssrp
+             |  FROM sr)
+             |SELECT n_months, slope_1, slope_2,
+             |  ROUND((ssrp - ssr12) / 2.0 / (ssr12 / (n_months - 4)), 4)
+             |    AS f_stat,
+             |  ROUND((ssrp - ssr12) / 2.0 / (ssr12 / (n_months - 4)), 4)
+             |    > 3.11 AS structural_break
+             |FROM a""".stripMargin)))
 
   /** SPRT model constants (H0 p=0.18, H1 p=0.22, α=β=0.05), computed
     * once JVM-side and inlined into both engines' expressions so neither
