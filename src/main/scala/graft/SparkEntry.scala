@@ -17096,7 +17096,182 @@ object SparkEntry {
              |    AS f_stat,
              |  ROUND((ssrp - ssr12) / 2.0 / (ssr12 / (n_months - 4)), 4)
              |    > 3.11 AS structural_break
-             |FROM a""".stripMargin)))
+             |FROM a""".stripMargin)),
+
+    Q("lineitem_priority_sla_test", // does URGENT actually ship faster
+      // than LOW? Mann–Whitney rank-sum on in-contract fulfillment lag
+      // per year — the nonparametric SLA audit that survives the lag
+      // distribution's skew. Rides Stats.mannWhitney (one keyed
+      // cumulative window over the (year, lag) grain, exact integers
+      // and halves); on this independent fixture the honest answer is
+      // rank_biserial ≈ 0 — priority buys nothing, and the report
+      // proves it.
+      (s, d) => {
+        val lag0 = t(s, d, "lineitem")
+          .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+          .join(t(s, d, "orders").select(col("o_orderkey"),
+            to_date(col("o_orderdate")).as("od"), col("o_orderpriority")),
+            col("l_orderkey") === col("o_orderkey"))
+          .filter(datediff(col("sd"), col("od")).between(0, 120)
+            && col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+          .select(year(col("od")).cast("long").as("yr"),
+            datediff(col("sd"), col("od")).cast("long").as("lag_d"),
+            col("o_orderpriority"))
+        graft.operators.Stats
+          .mannWhitney(lag0, "yr", "lag_d",
+            col("o_orderpriority") === "1-URGENT")
+          .select(col("yr").as("year"), col("n_a").as("n_urgent"),
+            col("n_b").as("n_low"), round(col("u_a"), 1).as("u_urgent"),
+            round(col("rank_biserial"), 6).as("rank_biserial"))
+          .orderBy("year")
+      },
+      Some("""WITH lg AS (SELECT
+             |    date_part('year', CAST(o_orderdate AS DATE)) AS yr,
+             |    date_diff('day', CAST(o_orderdate AS DATE),
+             |      CAST(l_shipdate AS DATE)) AS lag_d,
+             |    o_orderpriority
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE date_diff('day', CAST(o_orderdate AS DATE),
+             |      CAST(l_shipdate AS DATE)) BETWEEN 0 AND 120
+             |    AND o_orderpriority IN ('1-URGENT', '5-LOW')),
+             |pts AS (SELECT yr, lag_d,
+             |    SUM(CASE WHEN o_orderpriority = '1-URGENT'
+             |      THEN 1 ELSE 0 END) AS ca,
+             |    SUM(CASE WHEN o_orderpriority = '1-URGENT'
+             |      THEN 0 ELSE 1 END) AS cb
+             |  FROM lg GROUP BY 1, 2),
+             |m AS (SELECT yr, ca, cb,
+             |    CAST(SUM(ca + cb) OVER (PARTITION BY yr
+             |        ORDER BY lag_d) - (ca + cb) AS DOUBLE)
+             |      + (ca + cb + 1) / 2.0 AS mid
+             |  FROM pts),
+             |agg AS (SELECT yr,
+             |    CAST(SUM(ca) AS BIGINT) AS n_urgent,
+             |    CAST(SUM(cb) AS BIGINT) AS n_low,
+             |    SUM(ca * mid) AS ra
+             |  FROM m GROUP BY 1)
+             |SELECT CAST(yr AS BIGINT) AS year, n_urgent, n_low,
+             |  ROUND(ra - CAST(n_urgent AS DOUBLE) * (n_urgent + 1) / 2,
+             |    1) AS u_urgent,
+             |  ROUND(2.0 * (ra - CAST(n_urgent AS DOUBLE)
+             |    * (n_urgent + 1) / 2) / (n_urgent * n_low) - 1, 6)
+             |    AS rank_biserial
+             |FROM agg ORDER BY year""".stripMargin)),
+
+    Q("orders_trading_day_adjust", // trading-day adjustment: monthly
+      // revenue growth raw versus normalized by that month's count of
+      // business days (Mon–Fri via portable day-index arithmetic, no
+      // engine weekday functions) — the econometric correction that
+      // keeps a 20-business-day month from "beating" a 23-day one.
+      // The calendar expands from each month's bounded day range;
+      // exact cents; rates round once at the boundary.
+      (s, d) => {
+        val m = t(s, d, "orders")
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+            trunc(to_date(col("o_orderdate")), "month").as("m0"),
+            last_day(to_date(col("o_orderdate"))).as("m1"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .as("c"))
+        val bd = m.select(col("ym"),
+            explode(sequence(col("m0"), col("m1"))).as("day"))
+          .select(col("ym"),
+            when(pmod(datediff(col("day"), lit("1995-01-02")), lit(7)) < 5,
+              1L).otherwise(0L).as("isbd"))
+          .groupBy("ym").agg(sum("isbd").as("n_bdays"))
+        val w = Window.orderBy("ym")
+        m.join(bd, Seq("ym"))
+          .withColumn("rpd", col("c").cast("double") / col("n_bdays"))
+          .withColumn("prev_c", lag("c", 1).over(w))
+          .withColumn("prev_rpd", lag("rpd", 1).over(w))
+          .filter(col("prev_c").isNotNull)
+          .select(col("ym"), col("n_bdays"),
+            round(col("c").cast("double") / col("prev_c") - 1.0, 6)
+              .as("raw_growth"),
+            round(col("rpd") / col("prev_rpd") - 1.0, 6)
+              .as("adjusted_growth"),
+            round((col("c").cast("double") / col("prev_c") - 1.0)
+              - (col("rpd") / col("prev_rpd") - 1.0), 6)
+              .as("calendar_effect"))
+          .orderBy("ym")
+      },
+      Some("""WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+             |    date_trunc('month', CAST(o_orderdate AS DATE)) AS m0,
+             |    last_day(CAST(o_orderdate AS DATE)) AS m1,
+             |    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+             |      AS BIGINT) AS c
+             |  FROM orders GROUP BY 1, 2, 3),
+             |bd AS (SELECT ym, CAST(SUM(CASE WHEN
+             |      (date_diff('day', DATE '1995-01-02',
+             |        m0 + CAST(i AS INT)) % 7 + 7)
+             |        % 7 < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_bdays
+             |  FROM m, unnest(range(0,
+             |    date_diff('day', m0, m1) + 1)) AS r(i)
+             |  GROUP BY 1),
+             |j AS (SELECT m.ym, c, n_bdays,
+             |    CAST(c AS DOUBLE) / n_bdays AS rpd,
+             |    LAG(c) OVER (ORDER BY m.ym) AS prev_c,
+             |    LAG(CAST(c AS DOUBLE) / n_bdays) OVER (ORDER BY m.ym)
+             |      AS prev_rpd
+             |  FROM m JOIN bd USING (ym))
+             |SELECT ym, n_bdays,
+             |  ROUND(CAST(c AS DOUBLE) / prev_c - 1.0, 6) AS raw_growth,
+             |  ROUND(rpd / prev_rpd - 1.0, 6) AS adjusted_growth,
+             |  ROUND((CAST(c AS DOUBLE) / prev_c - 1.0)
+             |    - (rpd / prev_rpd - 1.0), 6) AS calendar_effect
+             |FROM j WHERE prev_c IS NOT NULL ORDER BY ym"""
+        .stripMargin)),
+
+    Q("events_anomaly_attribution", // when the anomaly fires, WHO did
+      // it: take the day with the largest |count − mean| deviation and
+      // decompose that deviation into per-type contributions
+      // (type count − type daily mean) — the attribution table an
+      // on-call reads next to the alert. Means are exact integer
+      // ratios over the bounded day grain; the peak day is picked on
+      // an exact integer score (|n·x − Σx| maximized, ties to the
+      // earliest day) so both engines choose identically.
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            col("event_type"))
+          .agg(count(lit(1)).as("c"))
+        val dayTot = daily.groupBy("day").agg(sum("c").as("n"))
+        val glob = dayTot.agg(count(lit(1)).as("nd"), sum("n").as("tot"))
+        val peak = dayTot.crossJoin(broadcast(glob))
+          .select(col("day"),
+            abs(col("n") * col("nd") - col("tot")).as("score"))
+          .orderBy(col("score").desc, col("day")).limit(1)
+        val tmeans = daily.groupBy("event_type")
+          .agg(sum("c").as("tc"))
+          .crossJoin(broadcast(glob.select(col("nd"))))
+        daily.join(broadcast(peak.select("day")), Seq("day"))
+          .join(tmeans, Seq("event_type"))
+          .select(col("day").as("anomaly_day"), col("event_type"),
+            col("c").as("n_on_day"),
+            round(col("tc").cast("double") / col("nd"), 4)
+              .as("daily_mean"),
+            round(col("c") - col("tc").cast("double") / col("nd"), 4)
+              .as("contribution"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+             |    event_type, COUNT(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |dt AS (SELECT day, CAST(SUM(c) AS BIGINT) AS n
+             |  FROM daily GROUP BY 1),
+             |g AS (SELECT COUNT(*) AS nd, CAST(SUM(n) AS BIGINT) AS tot
+             |  FROM dt),
+             |peak AS (SELECT day FROM dt, g
+             |  ORDER BY abs(n * nd - tot) DESC, day LIMIT 1),
+             |tm AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS tc
+             |  FROM daily GROUP BY 1)
+             |SELECT daily.day AS anomaly_day, daily.event_type,
+             |  daily.c AS n_on_day,
+             |  ROUND(CAST(tc AS DOUBLE) / nd, 4) AS daily_mean,
+             |  ROUND(daily.c - CAST(tc AS DOUBLE) / nd, 4)
+             |    AS contribution
+             |FROM daily JOIN peak USING (day)
+             |JOIN tm USING (event_type), g
+             |ORDER BY event_type""".stripMargin)))
 
   /** SPRT model constants (H0 p=0.18, H1 p=0.22, α=β=0.05), computed
     * once JVM-side and inlined into both engines' expressions so neither

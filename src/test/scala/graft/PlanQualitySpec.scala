@@ -202,6 +202,7 @@ class PlanQualitySpec extends SparkSuite {
         "emb_hard_negatives", // 10-row anchor-probe fan-out (the silhouette shape)
         "dq_key_density_audit", // 1-row key-bounds broadcast onto the key grain
         "orders_chow_test", // 1-row pooled-SSR broadcast onto the 1-row halves rollup
+        "events_anomaly_attribution", // 1-row global stats + 1-row peak-day broadcasts
         "lineitem_theil_index", // 1-row global-moments broadcast onto the supplier grain
         "orders_kendall_tau", // pairwise pass over the bounded ~80-row month grain
         "events_error_pchart", // 1-row centerline broadcast onto the day grain
