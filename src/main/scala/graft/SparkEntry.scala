@@ -17271,7 +17271,189 @@ object SparkEntry {
              |    AS contribution
              |FROM daily JOIN peak USING (day)
              |JOIN tm USING (event_type), g
-             |ORDER BY event_type""".stripMargin)))
+             |ORDER BY event_type""".stripMargin)),
+
+    Q("orders_kruskal_wallis", // Kruskal–Wallis k-sample rank test: do
+      // the 12 calendar months draw daily revenue from one
+      // distribution? The nonparametric ANOVA (rank-based, so the
+      // revenue skew can't lie), with the tie-corrected H. Midranks
+      // come from ONE cumulative window over the bounded distinct-value
+      // grain (the mannWhitney shape generalized to k groups); every
+      // rank sum is exact integers-and-halves; the χ²(11) verdict
+      // tests the rounded statistic against the inlined 19.675.
+      (s, d) => {
+        val daily = t(s, d, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .as("v"))
+          .select(month(col("day")).cast("long").as("g"), col("v"))
+        val vals = daily.groupBy("v").agg(count(lit(1)).as("c"))
+        val wv = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val mids = vals
+          .withColumn("mid", (sum("c").over(wv) - col("c")).cast("double")
+            + (col("c") + 1).cast("double") / 2)
+        val perG = daily.groupBy("g", "v").agg(count(lit(1)).as("cg"))
+          .join(mids.select("v", "mid"), Seq("v"))
+          .groupBy("g").agg(sum("cg").as("ng"),
+            sum(col("cg") * col("mid")).as("rg"))
+        val ties = vals.agg(
+          sum(col("c") * col("c") * col("c") - col("c")).as("t3"),
+          sum("c").as("nn"))
+        val agg = perG.agg(count(lit(1)).as("k"),
+            sum(col("rg") * col("rg") / col("ng")).as("srr"))
+          .crossJoin(broadcast(ties))
+        val h = lit(12.0) / (col("nn") * (col("nn") + 1)) * col("srr") -
+          lit(3.0) * (col("nn") + 1)
+        val corr = lit(1.0) - col("t3").cast("double") /
+          (col("nn") * col("nn") * col("nn") - col("nn"))
+        agg.select(col("nn").as("n_days"), col("k").as("n_groups"),
+          round(h, 4).as("h_stat"),
+          round(h / corr, 4).as("h_adjusted"),
+          (round(h / corr, 4) > 19.675).as("months_differ"))
+      },
+      Some("""WITH daily AS (SELECT
+             |    date_part('month', CAST(o_orderdate AS DATE)) AS g,
+             |    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+             |      AS BIGINT) AS v
+             |  FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+             |vals AS (SELECT v, COUNT(*) AS c FROM daily GROUP BY 1),
+             |mids AS (SELECT v, c,
+             |    CAST(SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+             |      - c AS DOUBLE) + CAST(c + 1 AS DOUBLE) / 2 AS mid
+             |  FROM vals),
+             |pg AS (SELECT g, CAST(SUM(cg) AS BIGINT) AS ng,
+             |    SUM(cg * mid) AS rg
+             |  FROM (SELECT g, v, COUNT(*) AS cg FROM daily GROUP BY 1, 2)
+             |  JOIN mids USING (v) GROUP BY 1),
+             |ties AS (SELECT CAST(SUM(c * c * c - c) AS BIGINT) AS t3,
+             |    CAST(SUM(c) AS BIGINT) AS nn
+             |  FROM vals),
+             |a AS (SELECT COUNT(*) AS k, SUM(rg * rg / ng) AS srr
+             |  FROM pg)
+             |SELECT nn AS n_days, k AS n_groups,
+             |  ROUND(12.0 / (nn * (nn + 1)) * srr - 3.0 * (nn + 1), 4)
+             |    AS h_stat,
+             |  ROUND((12.0 / (nn * (nn + 1)) * srr - 3.0 * (nn + 1))
+             |    / (1.0 - CAST(t3 AS DOUBLE) / (nn * nn * nn - nn)), 4)
+             |    AS h_adjusted,
+             |  ROUND((12.0 / (nn * (nn + 1)) * srr - 3.0 * (nn + 1))
+             |    / (1.0 - CAST(t3 AS DOUBLE) / (nn * nn * nn - nn)), 4)
+             |    > 19.675 AS months_differ
+             |FROM a, ties""".stripMargin)),
+
+    Q("orders_ewma_chart", // EWMA control chart (λ=1/2) over monthly
+      // revenue — the SPC chart that catches small sustained shifts
+      // the Shewhart charts miss. λ=1/2 BY DESIGN: z_t has the dyadic
+      // closed form (Σ v·2^(i−1) + v₁)/2^t whose running sums both
+      // engines accumulate in the identical fixed order, so every z is
+      // bit-deterministic; the time-varying limits use
+      // √((1/3)(1−4^(−t))) with μ/σ from exact integer moments.
+      (s, d) => {
+        val m = t(s, d, "orders")
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .as("c"))
+        val w = Window.orderBy("ym")
+        val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val glob = m.agg(count(lit(1)).as("n"), sum("c").as("s1"),
+          sum(col("c").cast("double") * col("c")).as("s2"))
+        val z = m
+          .withColumn("t", row_number().over(w).cast("long"))
+          .withColumn("s",
+            sum(col("c").cast("double") * pow(lit(2.0), col("t") - 1))
+              .over(wc))
+          .withColumn("f", first(col("c").cast("double")).over(wc))
+          .withColumn("z",
+            (col("s") + col("f")) / pow(lit(2.0), col("t")))
+          .crossJoin(broadcast(glob))
+        val mu = col("s1").cast("double") / col("n")
+        val sig = sqrt(col("s2") / col("n") - mu * mu)
+        val band = sig * sqrt((lit(1.0)
+          - pow(lit(4.0), -col("t").cast("double"))) / 3.0)
+        z.select(col("ym"),
+            (col("c").cast("double") / 100.0).as("revenue"),
+            round(col("z") / 100.0, 2).as("ewma"),
+            round((mu - lit(3.0) * band) / 100.0, 2).as("lcl"),
+            round((mu + lit(3.0) * band) / 100.0, 2).as("ucl"),
+            (col("z") < mu - lit(3.0) * band
+              || col("z") > mu + lit(3.0) * band)
+              .as("out_of_control"))
+          .orderBy("ym")
+      },
+      Some("""WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+             |    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+             |      AS BIGINT) AS c
+             |  FROM orders GROUP BY 1),
+             |g AS (SELECT COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS s1,
+             |    SUM(CAST(c AS DOUBLE) * c) AS s2
+             |  FROM m),
+             |ti AS (SELECT ym, c,
+             |    CAST(ROW_NUMBER() OVER (ORDER BY ym) AS BIGINT) AS t
+             |  FROM m),
+             |zt AS (SELECT ym, c, t,
+             |    SUM(CAST(c AS DOUBLE) * POW(2.0, t - 1))
+             |      OVER (ORDER BY ym ROWS UNBOUNDED PRECEDING) AS s,
+             |    FIRST_VALUE(CAST(c AS DOUBLE))
+             |      OVER (ORDER BY ym) AS f
+             |  FROM ti),
+             |z AS (SELECT ym, c, t, (s + f) / POW(2.0, t) AS z FROM zt)
+             |SELECT ym, CAST(c AS DOUBLE) / 100.0 AS revenue,
+             |  ROUND(z / 100.0, 2) AS ewma,
+             |  ROUND((CAST(s1 AS DOUBLE) / n - 3.0 * sqrt(s2 / n
+             |    - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+             |    * sqrt((1.0 - POW(4.0, -CAST(t AS DOUBLE))) / 3.0))
+             |    / 100.0, 2) AS lcl,
+             |  ROUND((CAST(s1 AS DOUBLE) / n + 3.0 * sqrt(s2 / n
+             |    - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+             |    * sqrt((1.0 - POW(4.0, -CAST(t AS DOUBLE))) / 3.0))
+             |    / 100.0, 2) AS ucl,
+             |  z < CAST(s1 AS DOUBLE) / n - 3.0 * sqrt(s2 / n
+             |    - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+             |    * sqrt((1.0 - POW(4.0, -CAST(t AS DOUBLE))) / 3.0)
+             |    OR z > CAST(s1 AS DOUBLE) / n + 3.0 * sqrt(s2 / n
+             |    - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+             |    * sqrt((1.0 - POW(4.0, -CAST(t AS DOUBLE))) / 3.0)
+             |    AS out_of_control
+             |FROM z, g ORDER BY ym""".stripMargin)),
+
+    Q("doc_index_of_coincidence", // index of coincidence per language
+      // slice — the classic character-level fingerprint (IC =
+      // Σc(c−1)/(n(n−1)) over letter frequencies): distinguishes
+      // natural-language-like from uniform/random text in one number,
+      // no model needed. One per-char explode into the bounded
+      // (lang, letter) grain; the whole statistic is exact integers
+      // into one division, normalized ×26.
+      (s, d) => {
+        val ch = t(s, d, "documents")
+          .select(col("lang"), explode(split(
+            regexp_replace(lower(col("text")), "[^a-z]", ""), ""))
+            .as("ch"))
+          .filter(col("ch") =!= "")
+          .groupBy("lang", "ch").agg(count(lit(1)).as("c"))
+        ch.groupBy("lang")
+          .agg(sum("c").as("n"), count(lit(1)).as("n_letters"),
+            sum(col("c") * (col("c") - 1)).as("coin"))
+          .select(col("lang"), col("n").as("n_chars"), col("n_letters"),
+            round(col("coin").cast("double")
+              / (col("n") * (col("n") - 1)), 6).as("ic"),
+            round(col("coin").cast("double")
+              / (col("n") * (col("n") - 1)) * 26.0, 4).as("ic_normalized"))
+          .orderBy("lang")
+      },
+      Some("""WITH ch AS (SELECT lang, u.ch, COUNT(*) AS c
+             |  FROM (SELECT lang, string_split(
+             |      regexp_replace(lower(text), '[^a-z]', '', 'g'), '')
+             |      AS cs
+             |    FROM documents), unnest(cs) AS u(ch)
+             |  WHERE u.ch <> '' GROUP BY 1, 2)
+             |SELECT lang, CAST(SUM(c) AS BIGINT) AS n_chars,
+             |  COUNT(*) AS n_letters,
+             |  ROUND(CAST(SUM(c * (c - 1)) AS DOUBLE)
+             |    / (SUM(c) * (SUM(c) - 1)), 6) AS ic,
+             |  ROUND(CAST(SUM(c * (c - 1)) AS DOUBLE)
+             |    / (SUM(c) * (SUM(c) - 1)) * 26.0, 4) AS ic_normalized
+             |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin)))
 
   /** SPRT model constants (H0 p=0.18, H1 p=0.22, α=β=0.05), computed
     * once JVM-side and inlined into both engines' expressions so neither

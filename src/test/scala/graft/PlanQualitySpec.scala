@@ -203,6 +203,8 @@ class PlanQualitySpec extends SparkSuite {
         "dq_key_density_audit", // 1-row key-bounds broadcast onto the key grain
         "orders_chow_test", // 1-row pooled-SSR broadcast onto the 1-row halves rollup
         "events_anomaly_attribution", // 1-row global stats + 1-row peak-day broadcasts
+        "orders_kruskal_wallis", // 1-row tie-correction broadcast onto the 1-row rollup
+        "orders_ewma_chart", // 1-row global-moments broadcast onto the month grain
         "lineitem_theil_index", // 1-row global-moments broadcast onto the supplier grain
         "orders_kendall_tau", // pairwise pass over the bounded ~80-row month grain
         "events_error_pchart", // 1-row centerline broadcast onto the day grain
