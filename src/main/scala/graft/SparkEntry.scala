@@ -17453,7 +17453,223 @@ object SparkEntry {
              |    / (SUM(c) * (SUM(c) - 1)), 6) AS ic,
              |  ROUND(CAST(SUM(c * (c - 1)) AS DOUBLE)
              |    / (SUM(c) * (SUM(c) - 1)) * 26.0, 4) AS ic_normalized
-             |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("doc_ranker_agreement", // is BM25 worth it over raw term counts?
+      // Rank agreement between the BM25 top-20 and the naive
+      // term-frequency top-20 for the same query: set overlap
+      // (Jaccard), and Kendall τ over the common documents' rank
+      // pairs (≤190 pairs of a bounded 20-row list — a deliberate
+      // small-relation pairing, the kendallTauB contract). Both
+      // rankers order by rounded score with doc_id tie-break, so the
+      // lists and τ are deterministic.
+      (s, d) => {
+        val terms = Seq("spark", "join", "window")
+        val wA = Window.orderBy(col("score").desc, col("id"))
+        val a = graft.operators.Retrieval
+          .bm25(t(s, d, "documents"), terms)
+          .select(col("doc_id").as("id"), col("score"))
+          .withColumn("ra", row_number().over(wA))
+          .filter(col("ra") <= 20).select("id", "ra")
+        val wB = Window.orderBy(col("cnt").desc, col("id"))
+        val b = t(s, d, "documents")
+          .select(col("doc_id").as("id"), explode(
+            graft.operators.TextAnalysis.tokens(lower(col("text"))))
+            .as("w"))
+          .filter(col("w").isin(terms: _*))
+          .groupBy("id").agg(count(lit(1)).as("cnt"))
+          .withColumn("rb", row_number().over(wB))
+          .filter(col("rb") <= 20).select("id", "rb")
+        val common = a.join(b, Seq("id"))
+        val pairs = common.select(col("id").as("id1"),
+            col("ra").as("ra1"), col("rb").as("rb1"))
+          .join(common.select(col("id").as("id2"), col("ra").as("ra2"),
+            col("rb").as("rb2")), col("id1") < col("id2"))
+        val tau = pairs.agg(
+          sum(when((col("ra1") < col("ra2")) === (col("rb1") < col("rb2")),
+            1L).otherwise(0L)).as("conc"),
+          count(lit(1)).as("np"))
+        common.agg(count(lit(1)).as("n_common"))
+          .crossJoin(broadcast(tau))
+          .select(col("n_common"),
+            round(col("n_common").cast("double")
+              / (lit(40L) - col("n_common")), 6).as("jaccard_top20"),
+            round((lit(2L) * col("conc") - col("np")).cast("double")
+              / col("np"), 6).as("kendall_tau"))
+      },
+      Some("""WITH tok AS MATERIALIZED (SELECT doc_id,
+             |    string_split_regex(lower(trim(text)), '\s+') AS toks
+             |  FROM documents),
+             |m AS (SELECT doc_id, len(toks) AS dl,
+             |    unnest(list_filter(toks,
+             |      t -> list_contains(['spark','join','window'], t)))
+             |      AS term
+             |  FROM tok),
+             |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+             |  FROM m GROUP BY 1, 2, 3),
+             |dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+             |  FROM tf GROUP BY 1),
+             |st AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl
+             |  FROM tok),
+             |sc AS (SELECT doc_id,
+             |    ROUND(SUM(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+             |      * (tf * (1.2 + 1.0))
+             |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4)
+             |      AS score
+             |  FROM tf JOIN dft USING (term), st GROUP BY 1),
+             |a AS (SELECT doc_id AS id, ROW_NUMBER() OVER (
+             |    ORDER BY score DESC, doc_id) AS ra
+             |  FROM sc QUALIFY ra <= 20),
+             |bc AS (SELECT doc_id AS id, COUNT(*) AS cnt
+             |  FROM m GROUP BY 1),
+             |b AS (SELECT id, ROW_NUMBER() OVER (
+             |    ORDER BY cnt DESC, id) AS rb
+             |  FROM bc QUALIFY rb <= 20),
+             |com AS (SELECT a.id, ra, rb FROM a JOIN b USING (id)),
+             |p AS (SELECT
+             |    CAST(SUM(CASE WHEN (c1.ra < c2.ra) = (c1.rb < c2.rb)
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+             |    COUNT(*) AS np
+             |  FROM com c1 JOIN com c2 ON c1.id < c2.id),
+             |nc AS (SELECT COUNT(*) AS n_common FROM com)
+             |SELECT n_common,
+             |  ROUND(CAST(n_common AS DOUBLE) / (40 - n_common), 6)
+             |    AS jaccard_top20,
+             |  ROUND(CAST(2 * conc - np AS DOUBLE) / np, 6)
+             |    AS kendall_tau
+             |FROM nc, p""".stripMargin)),
+
+    Q("lineitem_twoway_anova", // two-way ANOVA of shipped quantity on
+      // return flag × line status (cell-means convention on the
+      // near-balanced 3×2 grid): SSA/SSB from marginal means, the
+      // interaction as SScells − SSA − SSB, error as SStot − SScells —
+      // with F ratios against the error mean square. Every sum of
+      // squares is a closed form over exact integer cell moments; the
+      // grid is bounded.
+      (s, d) => {
+        val cells = t(s, d, "lineitem")
+          .select(col("l_returnflag").as("a"), col("l_linestatus").as("b"),
+            col("l_quantity").cast("long").as("q"))
+          .groupBy("a", "b")
+          .agg(count(lit(1)).as("n"), sum("q").as("s"),
+            sum(col("q") * col("q")).as("ss"))
+        val g = cells.agg(sum("n").as("nn"), sum("s").as("st"),
+          sum("ss").as("sst"), count(lit(1)).as("n_cells"))
+        val ma = cells.groupBy("a").agg(sum("n").as("n_"), sum("s").as("s_"))
+          .agg(sum(col("s_").cast("double") * col("s_") / col("n_"))
+            .as("qa"))
+        val mb = cells.groupBy("b").agg(sum("n").as("n_"), sum("s").as("s_"))
+          .agg(sum(col("s_").cast("double") * col("s_") / col("n_"))
+            .as("qb"))
+        val mc = cells
+          .agg(sum(col("s").cast("double") * col("s") / col("n")).as("qc"))
+        val j = g.crossJoin(broadcast(ma)).crossJoin(broadcast(mb))
+          .crossJoin(broadcast(mc))
+        val cf = col("st").cast("double") * col("st") / col("nn")
+        val ssa = col("qa") - cf
+        val ssb = col("qb") - cf
+        val ssab = col("qc") - col("qa") - col("qb") + cf
+        val sse = col("sst").cast("double") - col("qc")
+        val dfe = col("nn") - col("n_cells")
+        val mse = sse / dfe
+        j.select(explode(array(
+            struct(lit("1_returnflag").as("source"),
+              round(ssa, 2).as("ss"), lit(2L).as("df"),
+              round(ssa / 2.0 / mse, 4).as("f_stat")),
+            struct(lit("2_linestatus").as("source"),
+              round(ssb, 2).as("ss"), lit(1L).as("df"),
+              round(ssb / 1.0 / mse, 4).as("f_stat")),
+            struct(lit("3_interaction").as("source"),
+              round(ssab, 2).as("ss"), lit(2L).as("df"),
+              round(ssab / 2.0 / mse, 4).as("f_stat")),
+            struct(lit("4_error").as("source"), round(sse, 2).as("ss"),
+              dfe.as("df"), lit(null).cast("double").as("f_stat"))))
+            .as("r"))
+          .select(col("r.source").as("source"), col("r.ss").as("ss"),
+            col("r.df").as("df"), col("r.f_stat").as("f_stat"))
+          .orderBy("source")
+      },
+      Some("""WITH cells AS (SELECT l_returnflag AS a,
+             |    l_linestatus AS b, COUNT(*) AS n,
+             |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+             |    CAST(SUM(CAST(l_quantity AS BIGINT)
+             |      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS ss
+             |  FROM lineitem GROUP BY 1, 2),
+             |g AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             |    CAST(SUM(s) AS BIGINT) AS st,
+             |    CAST(SUM(ss) AS BIGINT) AS sst,
+             |    COUNT(*) AS n_cells FROM cells),
+             |ma AS (SELECT SUM(CAST(s_ AS DOUBLE) * s_ / n_) AS qa
+             |  FROM (SELECT a, CAST(SUM(n) AS BIGINT) AS n_,
+             |      CAST(SUM(s) AS BIGINT) AS s_ FROM cells GROUP BY 1)),
+             |mb AS (SELECT SUM(CAST(s_ AS DOUBLE) * s_ / n_) AS qb
+             |  FROM (SELECT b, CAST(SUM(n) AS BIGINT) AS n_,
+             |      CAST(SUM(s) AS BIGINT) AS s_ FROM cells GROUP BY 1)),
+             |mc AS (SELECT SUM(CAST(s AS DOUBLE) * s / n) AS qc
+             |  FROM cells),
+             |j AS (SELECT nn, st, sst, n_cells, qa, qb, qc,
+             |    CAST(st AS DOUBLE) * st / nn AS cf
+             |  FROM g, ma, mb, mc)
+             |SELECT source, ss, df, f_stat FROM (
+             |  SELECT '1_returnflag' AS source, ROUND(qa - cf, 2) AS ss,
+             |    CAST(2 AS BIGINT) AS df,
+             |    ROUND((qa - cf) / 2.0
+             |      / ((CAST(sst AS DOUBLE) - qc) / (nn - n_cells)), 4)
+             |      AS f_stat
+             |  FROM j
+             |  UNION ALL SELECT '2_linestatus', ROUND(qb - cf, 2), 1,
+             |    ROUND((qb - cf) / 1.0
+             |      / ((CAST(sst AS DOUBLE) - qc) / (nn - n_cells)), 4)
+             |  FROM j
+             |  UNION ALL SELECT '3_interaction',
+             |    ROUND(qc - qa - qb + cf, 2), 2,
+             |    ROUND((qc - qa - qb + cf) / 2.0
+             |      / ((CAST(sst AS DOUBLE) - qc) / (nn - n_cells)), 4)
+             |  FROM j
+             |  UNION ALL SELECT '4_error',
+             |    ROUND(CAST(sst AS DOUBLE) - qc, 2), nn - n_cells, NULL
+             |  FROM j)
+             |ORDER BY source""".stripMargin)),
+
+    Q("events_lifetime_gamma_fit", // gamma fit (method of moments) of
+      // user lifetimes — first-to-last event span per user, k = m²/v,
+      // θ = v/m: the parametric summary a retention simulator samples
+      // from. Spans are exact integer seconds; moments are exact longs;
+      // the two parameters are the only float steps.
+      (s, d) => {
+        val sp = t(s, d, "events")
+          .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+          .groupBy("user_id")
+          .agg(expr("(max(ms) - min(ms)) div 1000").as("life_s"))
+        val m = sp.agg(count(lit(1)).as("n"), sum("life_s").as("s1"),
+          sum(col("life_s") * col("life_s")).as("s2"))
+        val mu = col("s1").cast("double") / col("n")
+        val v = col("s2").cast("double") / col("n") - mu * mu
+        m.select(col("n").as("n_users"),
+          round(mu, 2).as("mean_life_s"),
+          round(sqrt(v), 2).as("sd_life_s"),
+          round(mu * mu / v, 4).as("gamma_k"),
+          round(v / mu, 2).as("gamma_theta"))
+      },
+      Some("""WITH sp AS (SELECT user_id,
+             |    (MAX(epoch_ms(ts)) - MIN(epoch_ms(ts))) // 1000
+             |      AS life_s
+             |  FROM events GROUP BY 1),
+             |m AS (SELECT COUNT(*) AS n,
+             |    CAST(SUM(life_s) AS BIGINT) AS s1,
+             |    CAST(SUM(life_s * life_s) AS BIGINT) AS s2
+             |  FROM sp)
+             |SELECT n AS n_users,
+             |  ROUND(CAST(s1 AS DOUBLE) / n, 2) AS mean_life_s,
+             |  ROUND(sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE)
+             |    / n) * (CAST(s1 AS DOUBLE) / n)), 2) AS sd_life_s,
+             |  ROUND((CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+             |    / (CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n)
+             |      * (CAST(s1 AS DOUBLE) / n)), 4) AS gamma_k,
+             |  ROUND((CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n)
+             |    * (CAST(s1 AS DOUBLE) / n)) / (CAST(s1 AS DOUBLE) / n),
+             |    2) AS gamma_theta
+             |FROM m""".stripMargin)))
 
   /** SPRT model constants (H0 p=0.18, H1 p=0.22, α=β=0.05), computed
     * once JVM-side and inlined into both engines' expressions so neither
