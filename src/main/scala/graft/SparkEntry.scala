@@ -17669,7 +17669,55 @@ object SparkEntry {
              |  ROUND((CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n)
              |    * (CAST(s1 AS DOUBLE) / n)) / (CAST(s1 AS DOUBLE) / n),
              |    2) AS gamma_theta
-             |FROM m""".stripMargin)))
+             |FROM m""".stripMargin)),
+
+    Q("events_reuse_distance", // working-set analysis (Denning): the
+      // hit-rate curve a cache is sized against — for each access, the
+      // time since that user's PREVIOUS access (one keyed lag, never a
+      // global stack simulation), collapsed to the bounded power-of-two
+      // gap histogram; hit_rate(W) = share of accesses whose reuse gap
+      // fits the window. First accesses are cold misses at every W.
+      // Exact integers into one division per row.
+      (s, d) => {
+        val gaps = t(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_millis(col("ts")).as("ms"))
+          .withColumn("gap_s", expr(
+            """(ms - lag(ms, 1) over (partition by user_id
+              | order by ms, event_id)) div 1000""".stripMargin))
+        val total = gaps.agg(count(lit(1)).as("n_accesses"))
+        val hist = gaps.filter(col("gap_s").isNotNull)
+          .groupBy(when(col("gap_s") === 0, lit(0L))
+            .otherwise(length(bin(col("gap_s"))).cast("long")).as("b"))
+          .agg(count(lit(1)).as("cnt"))
+        val wcum = Window.orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        hist.withColumn("cum", sum("cnt").over(wcum))
+          .crossJoin(broadcast(total))
+          .select((pow(lit(2.0), col("b")).cast("long") - 1)
+              .as("window_s"),
+            col("cum").as("n_within"), col("n_accesses"),
+            round(col("cum").cast("double") / col("n_accesses"), 6)
+              .as("hit_rate"))
+          .orderBy("window_s")
+      },
+      Some("""WITH g AS (SELECT
+             |    (ms - LAG(ms) OVER (PARTITION BY user_id
+             |      ORDER BY ms, event_id)) // 1000 AS gap_s
+             |  FROM (SELECT user_id, event_id, epoch_ms(ts) AS ms
+             |    FROM events)),
+             |tot AS (SELECT COUNT(*) AS n_accesses FROM g),
+             |h AS (SELECT CASE WHEN gap_s = 0 THEN 0
+             |      ELSE length(printf('%b', gap_s)) END AS b,
+             |    COUNT(*) AS cnt
+             |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1),
+             |c AS (SELECT b, CAST(SUM(cnt) OVER (ORDER BY b
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |  FROM h)
+             |SELECT CAST(POW(2, b) AS BIGINT) - 1 AS window_s,
+             |  cum AS n_within, n_accesses,
+             |  ROUND(CAST(cum AS DOUBLE) / n_accesses, 6) AS hit_rate
+             |FROM c, tot ORDER BY window_s""".stripMargin)))
 
   /** SPRT model constants (H0 p=0.18, H1 p=0.22, α=β=0.05), computed
     * once JVM-side and inlined into both engines' expressions so neither

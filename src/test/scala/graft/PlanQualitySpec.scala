@@ -207,6 +207,7 @@ class PlanQualitySpec extends SparkSuite {
         "orders_ewma_chart", // 1-row global-moments broadcast onto the month grain
         "doc_ranker_agreement", // bounded 20x20 top-list pairing + 1-row tau broadcast
         "lineitem_twoway_anova", // 1-row marginal-SS broadcasts onto the 1-row totals
+        "events_reuse_distance", // 1-row access-total broadcast onto the bounded gap histogram
         "lineitem_theil_index", // 1-row global-moments broadcast onto the supplier grain
         "orders_kendall_tau", // pairwise pass over the bounded ~80-row month grain
         "events_error_pchart", // 1-row centerline broadcast onto the day grain
