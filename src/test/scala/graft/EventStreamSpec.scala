@@ -46,6 +46,20 @@ class EventStreamSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming SRM variant counts equal the batch split exactly") {
+    val q = EventStream.startSrmStream(spark, sfDir, "srm_test")
+    q.awaitTermination(120000)
+    val streamed = spark.table("srm_test")
+      .as[(String, Long, Long)].collect().toSet
+    val batch = Tables.load(spark, sfDir, "events")
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("a"),
+        sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("b"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("sessionize: gap > 30 min splits, <= 30 min merges") {
     val base = 1700000000000L
     val events = Seq(

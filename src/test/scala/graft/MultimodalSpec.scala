@@ -353,4 +353,20 @@ class MultimodalSpec extends SparkSuite {
     assert(dups.length === 1) // exactly the planted shared frame
     assert(dups(0)._2 === 2L && dups(0)._3 === 2L && dups(0)._4 === 10L)
   }
+
+  test("shotCutDiffs: exact Σ|Δbyte| per adjacent pair, 1-frame video silent") {
+    // three 4×4 frames: f1 = f0 everywhere +2 (diff 96), f2 = f1 on all
+    // but one byte, off by 5 (diff 5); a second 1-frame video emits nothing
+    val f0 = Array.tabulate(48)(i => (40 + i % 50).toByte)
+    val f1 = f0.map(b => (b + 2).toByte)
+    val f2 = f1.clone; f2(7) = (f1(7) + 5).toByte
+    val rows = Seq(
+      (10L, "video", Multimodal.AviCodec.encode(4, 4, Seq(f0, f1, f2))),
+      (11L, "video", Multimodal.AviCodec.encode(4, 4, Seq(f0))),
+      (12L, "image", Array[Byte](1, 2, 3)))
+      .toDF("media_id", "modality", "content")
+    val got = Multimodal.shotCutDiffs(spark, rows)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq === Seq((10L, 0L, 96L), (10L, 1L, 5L)))
+  }
 }
