@@ -17717,7 +17717,175 @@ object SparkEntry {
              |SELECT CAST(POW(2, b) AS BIGINT) - 1 AS window_s,
              |  cum AS n_within, n_accesses,
              |  ROUND(CAST(cum AS DOUBLE) / n_accesses, 6) AS hit_rate
-             |FROM c, tot ORDER BY window_s""".stripMargin)))
+             |FROM c, tot ORDER BY window_s""".stripMargin)),
+
+    Q("orders_friedman_test", // Friedman rank test: with YEARS as
+      // blocks, do the 12 calendar months rank consistently? The
+      // blocked nonparametric companion to Kruskal–Wallis (which
+      // pools away the year effect this test controls for). Ranks run
+      // WITHIN each complete year block (keyed window over the bounded
+      // 7×12 grid; exact-cents values make ties impossible, so rank()
+      // IS the midrank), χ²_F = 12/(nk(k+1))·ΣR_j² −
+      // 3n(k+1); everything is exact integers-and-halves into the
+      // rounded statistic vs the inlined χ²(11) critical value.
+      (s, d) => {
+        val cell = t(s, d, "orders")
+          .groupBy(year(to_date(col("o_orderdate"))).cast("long").as("yr"),
+            month(to_date(col("o_orderdate"))).cast("long").as("mo"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .as("v"))
+        val full = cell.groupBy("yr").agg(count(lit(1)).as("nm"))
+          .filter(col("nm") === 12).select("yr")
+        val ranked = cell.join(full, Seq("yr"))
+          .withColumn("rk", rank().over(
+            Window.partitionBy("yr").orderBy("v")).cast("double"))
+        val rj = ranked.groupBy("mo").agg(sum("rk").as("r"),
+          count(lit(1)).as("n_blocks"))
+        val agg = rj.agg(max("n_blocks").as("n"),
+          count(lit(1)).as("k"),
+          sum(col("r") * col("r")).as("srr"))
+        val chi = lit(12.0) / (col("n") * col("k") * (col("k") + 1)) *
+          col("srr") - lit(3.0) * col("n") * (col("k") + 1)
+        agg.select(col("n").as("n_years"), col("k").as("n_months"),
+          round(chi, 4).as("friedman_chi2"),
+          (round(chi, 4) > 19.675).as("months_rank_consistently"))
+      },
+      Some("""WITH cell AS (SELECT
+             |    date_part('year', CAST(o_orderdate AS DATE)) AS yr,
+             |    date_part('month', CAST(o_orderdate AS DATE)) AS mo,
+             |    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+             |      AS BIGINT) AS v
+             |  FROM orders GROUP BY 1, 2),
+             |full_ AS (SELECT yr FROM cell GROUP BY 1
+             |  HAVING COUNT(*) = 12),
+             |rk AS (SELECT mo,
+             |    CAST(RANK() OVER (PARTITION BY cell.yr ORDER BY v)
+             |      AS DOUBLE) AS rk
+             |  FROM cell JOIN full_ ON cell.yr = full_.yr),
+             |rj AS (SELECT mo, SUM(rk) AS r, COUNT(*) AS n_blocks
+             |  FROM rk GROUP BY 1),
+             |a AS (SELECT CAST(MAX(n_blocks) AS BIGINT) AS n,
+             |    COUNT(*) AS k, SUM(r * r) AS srr
+             |  FROM rj)
+             |SELECT n AS n_years, k AS n_months,
+             |  ROUND(12.0 / (n * k * (k + 1)) * srr - 3.0 * n * (k + 1),
+             |    4) AS friedman_chi2,
+             |  ROUND(12.0 / (n * k * (k + 1)) * srr - 3.0 * n * (k + 1),
+             |    4) > 19.675 AS months_rank_consistently
+             |FROM a""".stripMargin)),
+
+    Q("cust_segment_dissimilarity", // Duncan dissimilarity index: how
+      // far each nation's market-segment mix sits from the global mix,
+      // D = ½Σ|p_seg − q_seg| — the segregation/composition metric a
+      // territory plan reads. Bounded (nation × segment) grain; counts
+      // are exact integers; one division pair per cell inside the
+      // absolute sum, rounded once per nation.
+      (s, d) => {
+        val cell = t(s, d, "customer")
+          .groupBy(col("c_nationkey"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("c"))
+        val nat = cell.groupBy("c_nationkey").agg(sum("c").as("cn"))
+        val seg = cell.groupBy("c_mktsegment").agg(sum("c").as("cs"))
+        val tot = cell.agg(sum("c").as("ct"))
+        cell.join(nat, Seq("c_nationkey"))
+          .join(broadcast(seg), Seq("c_mktsegment"))
+          .crossJoin(broadcast(tot))
+          .groupBy("c_nationkey")
+          .agg(max("cn").as("n_customers"),
+            round(sum(abs(col("c").cast("double") / col("cn")
+              - col("cs").cast("double") / col("ct"))) / 2.0, 6)
+              .as("dissimilarity"))
+          .select(col("c_nationkey"), col("n_customers"),
+            col("dissimilarity"))
+          .orderBy("c_nationkey")
+      },
+      Some("""WITH cell AS (SELECT c_nationkey, c_mktsegment,
+             |    COUNT(*) AS c
+             |  FROM customer GROUP BY 1, 2),
+             |nat AS (SELECT c_nationkey, CAST(SUM(c) AS BIGINT) AS cn
+             |  FROM cell GROUP BY 1),
+             |seg AS (SELECT c_mktsegment, CAST(SUM(c) AS BIGINT) AS cs
+             |  FROM cell GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS ct FROM cell)
+             |SELECT cell.c_nationkey, MAX(cn) AS n_customers,
+             |  ROUND(SUM(abs(CAST(c AS DOUBLE) / cn
+             |    - CAST(cs AS DOUBLE) / ct)) / 2.0, 6) AS dissimilarity
+             |FROM cell JOIN nat USING (c_nationkey)
+             |JOIN seg USING (c_mktsegment), tot
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("emb_isotropy_audit", // embedding isotropy audit (Mu & Viswanath
+      // all-but-the-top diagnostics): mean pairwise cosine over the
+      // LINEAR consecutive-id chain (never all-pairs), the mean-vector
+      // norm against the mean per-vector norm (a common-direction
+      // bias detector), and the top dimension's share of total
+      // variance (off the dim-health moments). Anisotropic embeddings
+      // sink ANN recall before any index tuning can save it — this is
+      // the go/no-go audit that runs first. Float sums follow the 6dp
+      // model-state rounding contract.
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val chain = emb.select(col("vec_id").as("a"), col("embedding")
+            .as("ea"))
+          .join(emb.select((col("vec_id") - 1).as("a"),
+            col("embedding").as("eb")), Seq("a"))
+          .agg(count(lit(1)).as("n_pairs"),
+            round(avg(graft.functions.VectorFunctions
+              .cosine(col("ea"), col("eb"))), 6).as("mean_pair_cos"))
+        val ex = emb.select(col("vec_id"),
+            posexplode(col("embedding")).as(Seq("d0", "x0")))
+          .select(col("vec_id"), (col("d0") + 1).as("dim"),
+            col("x0").cast("double").as("x"))
+        val dimStats = ex.groupBy("dim")
+          .agg(avg("x").as("mu"),
+            (avg(col("x") * col("x")) - avg("x") * avg("x")).as("v"))
+        val dims = dimStats.agg(
+          round(sqrt(sum(col("mu") * col("mu"))), 6).as("mean_vec_norm"),
+          round(max("v") / sum("v"), 6).as("top_dim_var_share"))
+        val norms = emb.select(graft.functions.VectorFunctions
+            .l2Norm(col("embedding")).as("nv"))
+          .agg(round(avg("nv"), 6).as("mean_norm"))
+        chain.crossJoin(broadcast(dims)).crossJoin(broadcast(norms))
+          .select(col("n_pairs"), col("mean_pair_cos"),
+            col("mean_vec_norm"), col("mean_norm"),
+            round(col("mean_vec_norm") / col("mean_norm"), 6)
+              .as("common_direction_share"),
+            col("top_dim_var_share"))
+      },
+      Some("""WITH chain AS (SELECT COUNT(*) AS n_pairs,
+             |    ROUND(AVG(
+             |      list_sum(list_transform(range(1, 65), i ->
+             |        CAST(a.embedding[i] AS DOUBLE)
+             |          * CAST(b.embedding[i] AS DOUBLE)))
+             |      / (sqrt(list_sum(list_transform(range(1, 65), i ->
+             |          CAST(a.embedding[i] AS DOUBLE)
+             |            * CAST(a.embedding[i] AS DOUBLE))))
+             |        * sqrt(list_sum(list_transform(range(1, 65), i ->
+             |          CAST(b.embedding[i] AS DOUBLE)
+             |            * CAST(b.embedding[i] AS DOUBLE)))))), 6)
+             |      AS mean_pair_cos
+             |  FROM embeddings a JOIN embeddings b
+             |    ON b.vec_id = a.vec_id + 1),
+             |ex AS (SELECT vec_id, i AS dim,
+             |    CAST(embedding[i] AS DOUBLE) AS x
+             |  FROM embeddings, range(1, 65) t(i)),
+             |ds AS (SELECT dim, AVG(x) AS mu,
+             |    AVG(x * x) - AVG(x) * AVG(x) AS v
+             |  FROM ex GROUP BY 1),
+             |dims AS (SELECT ROUND(sqrt(SUM(mu * mu)), 6)
+             |      AS mean_vec_norm,
+             |    ROUND(MAX(v) / SUM(v), 6) AS top_dim_var_share
+             |  FROM ds),
+             |norms AS (SELECT ROUND(AVG(sqrt(list_sum(
+             |      list_transform(embedding, x ->
+             |        CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+             |      AS mean_norm
+             |  FROM embeddings)
+             |SELECT n_pairs, mean_pair_cos, mean_vec_norm, mean_norm,
+             |  ROUND(mean_vec_norm / mean_norm, 6)
+             |    AS common_direction_share,
+             |  top_dim_var_share
+             |FROM chain, dims, norms""".stripMargin)))
 
   /** SPRT model constants (H0 p=0.18, H1 p=0.22, α=β=0.05), computed
     * once JVM-side and inlined into both engines' expressions so neither

@@ -208,6 +208,8 @@ class PlanQualitySpec extends SparkSuite {
         "doc_ranker_agreement", // bounded 20x20 top-list pairing + 1-row tau broadcast
         "lineitem_twoway_anova", // 1-row marginal-SS broadcasts onto the 1-row totals
         "events_reuse_distance", // 1-row access-total broadcast onto the bounded gap histogram
+        "cust_segment_dissimilarity", // 1-row global-total broadcast onto the bounded mix grid
+        "emb_isotropy_audit", // 1-row x 1-row diagnostics assembly
         "lineitem_theil_index", // 1-row global-moments broadcast onto the supplier grain
         "orders_kendall_tau", // pairwise pass over the bounded ~80-row month grain
         "events_error_pchart", // 1-row centerline broadcast onto the day grain
