@@ -17885,7 +17885,104 @@ object SparkEntry {
              |  ROUND(mean_vec_norm / mean_norm, 6)
              |    AS common_direction_share,
              |  top_dim_var_share
-             |FROM chain, dims, norms""".stripMargin)))
+             |FROM chain, dims, norms""".stripMargin)),
+
+    Q("cust_brand_switching", // brand-switching matrix: each order's
+      // DOMINANT brand (max line count, lexicographic tie-break — a
+      // deterministic total order), then one keyed lag per customer
+      // gives the (from → to) transition counts — the retail loyalty
+      // table. Top 15 transitions by volume; share_of_from is the
+      // row-normalized transition probability. Bounded 25×25 matrix
+      // grain; exact integers into one division.
+      (s, d) => {
+        val ob = t(s, d, "lineitem")
+          .join(t(s, d, "part").select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_orderkey"), col("p_brand"))
+          .agg(count(lit(1)).as("nl"))
+        val dom = ob.withColumn("rn", row_number().over(
+            Window.partitionBy("l_orderkey")
+              .orderBy(col("nl").desc, col("p_brand"))))
+          .filter(col("rn") === 1)
+          .select(col("l_orderkey"), col("p_brand").as("brand"))
+        val seq0 = dom.join(t(s, d, "orders").select(col("o_orderkey"),
+            col("o_custkey"), to_date(col("o_orderdate")).as("od")),
+            col("l_orderkey") === col("o_orderkey"))
+          .withColumn("prev", lag("brand", 1).over(
+            Window.partitionBy("o_custkey")
+              .orderBy(col("od"), col("o_orderkey"))))
+          .filter(col("prev").isNotNull)
+        val tr = seq0.groupBy(col("prev").as("from_brand"),
+            col("brand").as("to_brand"))
+          .agg(count(lit(1)).as("n"))
+        val fromTot = tr.groupBy("from_brand").agg(sum("n").as("nf"))
+        tr.join(fromTot, Seq("from_brand"))
+          .select(col("from_brand"), col("to_brand"), col("n"),
+            round(col("n").cast("double") / col("nf"), 6)
+              .as("share_of_from"),
+            (col("from_brand") === col("to_brand")).as("is_loyal"))
+          .orderBy(col("n").desc, col("from_brand"), col("to_brand"))
+          .limit(15)
+      },
+      Some("""WITH ob AS (SELECT l_orderkey, p_brand, COUNT(*) AS nl
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  GROUP BY 1, 2),
+             |dom AS (SELECT l_orderkey, p_brand AS brand FROM (
+             |    SELECT l_orderkey, p_brand,
+             |      ROW_NUMBER() OVER (PARTITION BY l_orderkey
+             |        ORDER BY nl DESC, p_brand) AS rn
+             |    FROM ob) WHERE rn = 1),
+             |sq AS (SELECT o_custkey, brand,
+             |    LAG(brand) OVER (PARTITION BY o_custkey
+             |      ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+             |      AS prev
+             |  FROM dom JOIN orders ON l_orderkey = o_orderkey),
+             |tr AS (SELECT prev AS from_brand, brand AS to_brand,
+             |    COUNT(*) AS n
+             |  FROM sq WHERE prev IS NOT NULL GROUP BY 1, 2),
+             |ft AS (SELECT from_brand, CAST(SUM(n) AS BIGINT) AS nf
+             |  FROM tr GROUP BY 1)
+             |SELECT tr.from_brand, to_brand, n,
+             |  ROUND(CAST(n AS DOUBLE) / nf, 6) AS share_of_from,
+             |  tr.from_brand = to_brand AS is_loyal
+             |FROM tr JOIN ft USING (from_brand)
+             |ORDER BY n DESC, tr.from_brand, to_brand LIMIT 15"""
+        .stripMargin)),
+
+    Q("orders_shipment_consolidation", // shipment-consolidation
+      // opportunity: orders whose lines ship on k distinct days pay
+      // k−1 avoidable shipments — the distribution by k and the total
+      // extra shipments IS the business case for batching. One
+      // two-level rollup (order grain → bounded k grain); exact
+      // integers into one share division.
+      (s, d) => {
+        val per = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_lines"),
+            countDistinct(col("l_shipdate")).as("k"))
+        val tot = per.agg(count(lit(1)).as("n_orders_total"))
+        per.groupBy("k")
+          .agg(count(lit(1)).as("n_orders"),
+            sum("n_lines").as("n_lines"),
+            sum(col("k") - 1).as("extra_shipments"))
+          .crossJoin(broadcast(tot))
+          .select(col("k").as("n_ship_days"), col("n_orders"),
+            round(col("n_orders").cast("double") / col("n_orders_total"),
+              6).as("share"),
+            col("n_lines"), col("extra_shipments"))
+          .orderBy("n_ship_days")
+      },
+      Some("""WITH per AS (SELECT l_orderkey, COUNT(*) AS n_lines,
+             |    COUNT(DISTINCT l_shipdate) AS k
+             |  FROM lineitem GROUP BY 1),
+             |tot AS (SELECT COUNT(*) AS n_orders_total FROM per)
+             |SELECT k AS n_ship_days, COUNT(*) AS n_orders,
+             |  ROUND(CAST(COUNT(*) AS DOUBLE) / n_orders_total, 6)
+             |    AS share,
+             |  CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+             |  CAST(SUM(k - 1) AS BIGINT) AS extra_shipments
+             |FROM per, tot GROUP BY k, n_orders_total
+             |ORDER BY n_ship_days""".stripMargin)))
 
   /** SPRT model constants (H0 p=0.18, H1 p=0.22, α=β=0.05), computed
     * once JVM-side and inlined into both engines' expressions so neither
