@@ -17982,7 +17982,99 @@ object SparkEntry {
              |  CAST(SUM(n_lines) AS BIGINT) AS n_lines,
              |  CAST(SUM(k - 1) AS BIGINT) AS extra_shipments
              |FROM per, tot GROUP BY k, n_orders_total
-             |ORDER BY n_ship_days""".stripMargin)))
+             |ORDER BY n_ship_days""".stripMargin)),
+
+    Q("doc_effective_vocab", // Simpson-effective vocabulary per source:
+      // 1/Σp² — the "how many words does this source REALLY use"
+      // number that raw type counts overstate (Heaps says how fast
+      // types grow; this says how concentrated usage is). Σc² and n
+      // are exact integers on the (source, term) grain; the effective
+      // count is one division.
+      (s, d) => {
+        val tc = t(s, d, "documents")
+          .select(col("source"), explode(
+            graft.operators.TextAnalysis.tokens(lower(col("text"))))
+            .as("w"))
+          .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        tc.groupBy("source")
+          .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+            sum(col("c") * col("c")).as("s2"))
+          .select(col("source"), col("n_tokens"), col("n_types"),
+            round((col("n_tokens") * col("n_tokens")).cast("double")
+              / col("s2"), 4).as("effective_vocab"),
+            round((col("n_tokens") * col("n_tokens")).cast("double")
+              / col("s2") / col("n_types"), 6).as("evenness"))
+          .orderBy("source")
+      },
+      Some("""WITH tc AS (SELECT source, u.w, COUNT(*) AS c
+             |  FROM (SELECT source,
+             |      string_split_regex(lower(trim(text)), '\s+') AS ts
+             |    FROM documents), unnest(ts) AS u(w)
+             |  GROUP BY 1, 2)
+             |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             |  COUNT(*) AS n_types,
+             |  ROUND(CAST(SUM(c) * SUM(c) AS DOUBLE) / SUM(c * c), 4)
+             |    AS effective_vocab,
+             |  ROUND(CAST(SUM(c) * SUM(c) AS DOUBLE) / SUM(c * c)
+             |    / COUNT(*), 6) AS evenness
+             |FROM tc GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("nation_rank_stability", // league-table stability: year-over-year
+      // revenue-rank churn per nation — Spearman ρ between consecutive
+      // years' rank vectors plus the mean absolute rank move. Ranks
+      // run within year over the bounded 25-nation grain (exact-cents
+      // values, no ties); ρ = 1 − 6Σd²/(n(n²−1)) is exact integers
+      // into one division per year pair.
+      (s, d) => {
+        val rev = t(s, d, "lineitem")
+          .join(t(s, d, "supplier").select(col("s_suppkey"),
+            col("s_nationkey")), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(year(to_date(col("l_shipdate"))).cast("long").as("yr"),
+            col("s_nationkey"))
+          .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+            .as("c"))
+        val ranked = rev.withColumn("rk", rank().over(
+            Window.partitionBy("yr").orderBy(col("c").desc))
+          .cast("long"))
+        val pairs = ranked.select(col("yr"), col("s_nationkey"),
+            col("rk"))
+          .join(ranked.select((col("yr") - 1).as("yr"),
+            col("s_nationkey"), col("rk").as("rk_next")),
+            Seq("yr", "s_nationkey"))
+        pairs.groupBy("yr")
+          .agg(count(lit(1)).as("n_nations"),
+            sum((col("rk") - col("rk_next")) * (col("rk") - col("rk_next")))
+              .as("sd2"),
+            sum(abs(col("rk") - col("rk_next"))).as("sad"))
+          .select(col("yr").as("year"), col("n_nations"),
+            round(lit(1.0) - lit(6L) * col("sd2")
+              / (col("n_nations") * (col("n_nations") * col("n_nations")
+                - 1)), 6).as("spearman_next_year"),
+            round(col("sad").cast("double") / col("n_nations"), 4)
+              .as("mean_abs_rank_move"))
+          .orderBy("year")
+      },
+      Some("""WITH rev AS (SELECT
+             |    date_part('year', CAST(l_shipdate AS DATE)) AS yr,
+             |    s_nationkey,
+             |    CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0)
+             |      AS BIGINT)) AS BIGINT) AS c
+             |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |  GROUP BY 1, 2),
+             |rk AS (SELECT yr, s_nationkey,
+             |    CAST(RANK() OVER (PARTITION BY yr ORDER BY c DESC)
+             |      AS BIGINT) AS rk
+             |  FROM rev),
+             |p AS (SELECT a.yr, a.s_nationkey, a.rk, b.rk AS rk_next
+             |  FROM rk a JOIN rk b
+             |    ON b.yr = a.yr + 1 AND b.s_nationkey = a.s_nationkey)
+             |SELECT CAST(yr AS BIGINT) AS year, COUNT(*) AS n_nations,
+             |  ROUND(1.0 - 6 * SUM((rk - rk_next) * (rk - rk_next))
+             |    / (COUNT(*) * (COUNT(*) * COUNT(*) - 1)), 6)
+             |    AS spearman_next_year,
+             |  ROUND(CAST(SUM(abs(rk - rk_next)) AS DOUBLE) / COUNT(*),
+             |    4) AS mean_abs_rank_move
+             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)))
 
   /** SPRT model constants (H0 p=0.18, H1 p=0.22, α=β=0.05), computed
     * once JVM-side and inlined into both engines' expressions so neither
