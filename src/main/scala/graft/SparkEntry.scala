@@ -18074,7 +18074,153 @@ object SparkEntry {
              |    AS spearman_next_year,
              |  ROUND(CAST(SUM(abs(rk - rk_next)) AS DOUBLE) / COUNT(*),
              |    4) AS mean_abs_rank_move
-             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Q("doc_cross_lingual_leakage", // translation-pair / cross-lingual
+      // contamination screen: near-dup pairs whose two documents carry
+      // DIFFERENT language labels — in a real corpus these are
+      // machine-translated clones that leak eval answers across
+      // language splits. Reads the SHARED shingle-jaccard pair
+      // relation (never re-pairs) and joins two doc-grain lang
+      // lookups; the per-lang-pair rollup is bounded 5×5.
+      (s, d) => {
+        val pairs = graft.operators.Dedup
+          .ngramJaccardOf(shinglePairIndex(s, d), threshold = 0.02)
+        val lang = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"))
+        val lp = pairs
+          .join(lang.select(col("doc_id").as("id_a"),
+            col("lang").as("lang_a")), Seq("id_a"))
+          .join(lang.select(col("doc_id").as("id_b"),
+            col("lang").as("lang_b")), Seq("id_b"))
+        val tot = lp.agg(count(lit(1)).as("n_pairs_total"))
+        lp.filter(col("lang_a") =!= col("lang_b"))
+          .select(least(col("lang_a"), col("lang_b")).as("lang_1"),
+            greatest(col("lang_a"), col("lang_b")).as("lang_2"))
+          .groupBy("lang_1", "lang_2")
+          .agg(count(lit(1)).as("n_cross_pairs"))
+          .crossJoin(broadcast(tot))
+          .select(col("lang_1"), col("lang_2"), col("n_cross_pairs"),
+            round(col("n_cross_pairs").cast("double")
+              / col("n_pairs_total"), 6).as("share_of_all_pairs"))
+          .orderBy(col("n_cross_pairs").desc, col("lang_1"),
+            col("lang_2"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source, lang,
+             |    list_distinct(list_transform(
+             |      range(0, greatest(len(t) - 2, 1)),
+             |      i -> array_to_string(t[(i+1):(i+3)], ' '))) AS sh
+             |  FROM (SELECT doc_id, source, lang,
+             |      string_split_regex(lower(trim(text)), '\s+') AS t
+             |    FROM documents)),
+             |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    a.lang AS lang_a, b.lang AS lang_b
+             |  FROM d a JOIN d b
+             |    ON a.source = b.source AND a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.02),
+             |tot AS (SELECT COUNT(*) AS n_pairs_total FROM pairs)
+             |SELECT least(lang_a, lang_b) AS lang_1,
+             |  greatest(lang_a, lang_b) AS lang_2,
+             |  COUNT(*) AS n_cross_pairs,
+             |  ROUND(CAST(COUNT(*) AS DOUBLE) / n_pairs_total, 6)
+             |    AS share_of_all_pairs
+             |FROM pairs, tot WHERE lang_a <> lang_b
+             |GROUP BY 1, 2, n_pairs_total
+             |ORDER BY n_cross_pairs DESC, lang_1, lang_2"""
+        .stripMargin)),
+
+    Q("doc_bpe_compression_curve", // when do merges stop paying?
+      // Corpus token count and compression after each BPE merge round
+      // 0..3 — the marginal-value curve a tokenizer budget is set
+      // against. Each round re-applies the memoized merge prefix (model
+      // state in the closure); the oracle reads the same c0..c3 chain
+      // the other BPE oracles replay.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val merges = bpeMerges(s, d)
+        (0 to 3).map { k =>
+          val enc =
+            if (k == 0) docs.select(
+              size(graft.operators.TextAnalysis.tokens(lower(col("text"))))
+                .cast("long").as("n"))
+            else graft.operators.TextAnalysis
+              .bpeEncode(docs, merges.take(k))
+              .select(col("n_encoded").as("n"))
+          enc.agg(sum("n").as("n_tokens"))
+            .select(lit(k.toLong).as("merge_round"), col("n_tokens"))
+        }.reduce(_.unionByName(_))
+          .withColumn("compression", round(col("n_tokens").cast("double")
+            / first("n_tokens").over(Window.orderBy("merge_round")
+              .rowsBetween(Window.unboundedPreceding,
+                Window.unboundedFollowing)), 6))
+          .orderBy("merge_round")
+      },
+      Some(s"""$bpeOracleWith
+           |SELECT merge_round, n_tokens,
+           |  ROUND(CAST(n_tokens AS DOUBLE) / FIRST_VALUE(n_tokens)
+           |    OVER (ORDER BY merge_round ROWS BETWEEN UNBOUNDED
+           |      PRECEDING AND UNBOUNDED FOLLOWING), 6) AS compression
+           |FROM (
+           |  SELECT 0 AS merge_round, CAST(SUM(len(ts)) AS BIGINT)
+           |    AS n_tokens FROM c0
+           |  UNION ALL SELECT 1, CAST(SUM(len(ts)) AS BIGINT) FROM c1
+           |  UNION ALL SELECT 2, CAST(SUM(len(ts)) AS BIGINT) FROM c2
+           |  UNION ALL SELECT 3, CAST(SUM(len(ts)) AS BIGINT) FROM c3)
+           |ORDER BY merge_round""".stripMargin)),
+
+    Q("doc_learning_curve", // the learning curve: train the language-ID
+      // logistic regression on nested 25/50/75/100% slices of the
+      // training pool (doc_id mod 4 < k — deterministic, NESTED so the
+      // curve is monotone in data, never resampled), evaluate every
+      // fit on the SAME fixed 20% holdout (doc_id mod 5 = 0) — the
+      // plot that says whether more data or a better model is the next
+      // dollar. Four 6-round GD chains (driver state = 4 doubles each);
+      // the oracle replays four prefixed training chains and scores
+      // the holdout identically.
+      (s, d) => {
+        val fb = logregFeatures(s, d)
+        val eval0 = fb.filter(pmod(col("doc_id"), lit(5)) === 0)
+        (1 to 4).map { k =>
+          val train = fb.filter(pmod(col("doc_id"), lit(5)) =!= 0
+            && pmod(col("doc_id"), lit(4)) < k)
+          val (w, rep) = graft.operators.Learn.logisticGd(
+            train, logregCols, "y", iters = 6, lr = 2.0)
+          graft.operators.Learn.scoreReport(eval0, logregCols, "y", w)
+            .select(lit(k * 25L).as("train_pct"),
+              lit(rep.head().getLong(0)).as("n_train"),
+              col("n").as("n_eval"),
+              round(col("n_correct").cast("double") / col("n"), 6)
+                .as("accuracy"),
+              col("log_loss"))
+        }.reduce(_.unionByName(_)).orderBy("train_pct")
+      },
+      Some {
+        def ev(k: Int): String =
+          s"""e$k AS (
+             |  SELECT ${k * 25} AS train_pct,
+             |    (SELECT COUNT(*) FROM s${k}_f) AS n_train,
+             |    COUNT(*) AS n_eval,
+             |    ROUND(CAST(SUM(CASE WHEN (mg >= 0) = (y = 1.0)
+             |      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             |      AS accuracy,
+             |    ROUND(AVG(-(y * ln(p) + (1.0 - y) * ln(1.0 - p))), 6)
+             |      AS log_loss
+             |  FROM (SELECT y,
+             |      w.b + w.w1 * x1 + w.w2 * x2 + w.w3 * x3 AS mg,
+             |      1.0 / (1.0 + exp(-(w.b + w.w1 * x1 + w.w2 * x2
+             |        + w.w3 * x3))) AS p
+             |    FROM fb, s${k}_w6 w WHERE fb.doc_id % 5 = 0))"""
+            .stripMargin
+        s"""WITH $logregFeatureSql,
+           |${(1 to 4).map(k => logregChainParts(s"s${k}_",
+              s"WHERE doc_id % 5 <> 0 AND doc_id % 4 < $k"))
+              .mkString(",\n")},
+           |${(1 to 4).map(ev).mkString(",\n")}
+           |SELECT * FROM e1 UNION ALL SELECT * FROM e2
+           |UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4
+           |ORDER BY train_pct""".stripMargin
+      }))
 
   /** SPRT model constants (H0 p=0.18, H1 p=0.22, α=β=0.05), computed
     * once JVM-side and inlined into both engines' expressions so neither

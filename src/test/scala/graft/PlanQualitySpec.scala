@@ -211,6 +211,7 @@ class PlanQualitySpec extends SparkSuite {
         "cust_segment_dissimilarity", // 1-row global-total broadcast onto the bounded mix grid
         "emb_isotropy_audit", // 1-row x 1-row diagnostics assembly
         "orders_shipment_consolidation", // 1-row order-total broadcast onto the bounded k grain
+        "doc_cross_lingual_leakage", // 1-row pair-total broadcast onto the bounded lang grid
         "lineitem_theil_index", // 1-row global-moments broadcast onto the supplier grain
         "orders_kendall_tau", // pairwise pass over the bounded ~80-row month grain
         "events_error_pchart", // 1-row centerline broadcast onto the day grain
