@@ -18220,7 +18220,212 @@ object SparkEntry {
            |SELECT * FROM e1 UNION ALL SELECT * FROM e2
            |UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4
            |ORDER BY train_pct""".stripMargin
-      }))
+      }),
+
+    Q("lineitem_lag_icc", // intraclass correlation of fulfillment lag:
+      // is lead time a SUPPLIER property or per-shipment noise? One-way
+      // random-effects ICC(1) from the ANOVA decomposition —
+      // MS_between/MS_within over exact integer moments per supplier
+      // (in-contract lags, the established 0..120 filter), with k₀ the
+      // unbalanced-design group size. ICC ≈ 0 on this fixture is the
+      // honest answer: the generator gives suppliers no identity.
+      (s, d) => {
+        val lg = t(s, d, "lineitem")
+          .select(col("l_suppkey"), col("l_orderkey"),
+            to_date(col("l_shipdate")).as("sd"))
+          .join(t(s, d, "orders").select(col("o_orderkey"),
+            to_date(col("o_orderdate")).as("od")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey"),
+            datediff(col("sd"), col("od")).cast("long").as("x"))
+          .filter(col("x").between(0, 120))
+        val g = lg.groupBy("l_suppkey")
+          .agg(count(lit(1)).as("n"), sum("x").as("s"),
+            sum(col("x") * col("x")).as("ss"))
+        val a = g.agg(count(lit(1)).as("k"), sum("n").as("nn"),
+          sum("s").as("st"), sum("ss").as("sst"),
+          sum(col("s").cast("double") * col("s") / col("n")).as("qg"),
+          sum(col("n") * col("n")).as("sn2"))
+        val cf = col("st").cast("double") * col("st") / col("nn")
+        val ssb = col("qg") - cf
+        val ssw = col("sst").cast("double") - col("qg")
+        val msb = ssb / (col("k") - 1)
+        val msw = ssw / (col("nn") - col("k"))
+        val k0 = (col("nn").cast("double")
+          - col("sn2").cast("double") / col("nn")) / (col("k") - 1)
+        a.select(col("k").as("n_suppliers"), col("nn").as("n_lines"),
+          round(msb, 4).as("ms_between"), round(msw, 4).as("ms_within"),
+          round((msb - msw) / (msb + (k0 - 1) * msw), 6).as("icc1"))
+      },
+      Some("""WITH lg AS (SELECT l_suppkey,
+             |    date_diff('day', CAST(o_orderdate AS DATE),
+             |      CAST(l_shipdate AS DATE)) AS x
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE date_diff('day', CAST(o_orderdate AS DATE),
+             |    CAST(l_shipdate AS DATE)) BETWEEN 0 AND 120),
+             |g AS (SELECT l_suppkey, COUNT(*) AS n,
+             |    CAST(SUM(x) AS BIGINT) AS s,
+             |    CAST(SUM(x * x) AS BIGINT) AS ss
+             |  FROM lg GROUP BY 1),
+             |a AS (SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS nn,
+             |    CAST(SUM(s) AS BIGINT) AS st,
+             |    CAST(SUM(ss) AS BIGINT) AS sst,
+             |    SUM(CAST(s AS DOUBLE) * s / n) AS qg,
+             |    CAST(SUM(n * n) AS BIGINT) AS sn2
+             |  FROM g)
+             |SELECT k AS n_suppliers, nn AS n_lines,
+             |  ROUND((qg - CAST(st AS DOUBLE) * st / nn) / (k - 1), 4)
+             |    AS ms_between,
+             |  ROUND((CAST(sst AS DOUBLE) - qg) / (nn - k), 4)
+             |    AS ms_within,
+             |  ROUND(((qg - CAST(st AS DOUBLE) * st / nn) / (k - 1)
+             |    - (CAST(sst AS DOUBLE) - qg) / (nn - k))
+             |    / ((qg - CAST(st AS DOUBLE) * st / nn) / (k - 1)
+             |      + ((CAST(nn AS DOUBLE) - CAST(sn2 AS DOUBLE) / nn)
+             |        / (k - 1) - 1)
+             |        * ((CAST(sst AS DOUBLE) - qg) / (nn - k))), 6)
+             |    AS icc1
+             |FROM a""".stripMargin)),
+
+    Q("lineitem_partial_correlation", // partial correlation of quantity
+      // and price CONTROLLING for discount — r_xy·z from the three
+      // pairwise Pearson correlations (each from exact integer-scaled
+      // moments), the first-order test for "is that correlation just
+      // the third variable". All three inputs scale to exact integer
+      // units (qty, cents, discount bps); only the final closed form
+      // is float.
+      (s, d) => {
+        val v = t(s, d, "lineitem").select(
+          col("l_quantity").cast("long").as("x"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("y"),
+          round(col("l_discount") * 10000, 0).cast("long").as("z"))
+        val m = v.agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"), sum("z").as("sz"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y").cast("double") * col("y")).as("syy"),
+          sum(col("z") * col("z")).as("szz"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("z")).as("sxz"),
+          sum(col("y") * col("z")).as("syz"))
+        def r(sab: Column, sa: Column, sb: Column, saa: Column,
+            sbb: Column): Column =
+          (col("n") * sab.cast("double") - sa.cast("double") * sb) /
+            sqrt((col("n") * saa.cast("double") - sa.cast("double") * sa)
+              * (col("n") * sbb.cast("double") - sb.cast("double") * sb))
+        val rxy = r(col("sxy"), col("sx"), col("sy"), col("sxx"),
+          col("syy"))
+        val rxz = r(col("sxz"), col("sx"), col("sz"), col("sxx"),
+          col("szz"))
+        val ryz = r(col("syz"), col("sy"), col("sz"), col("syy"),
+          col("szz"))
+        m.select(col("n").as("n_lines"),
+          round(rxy, 6).as("r_qty_price"),
+          round(rxz, 6).as("r_qty_discount"),
+          round(ryz, 6).as("r_price_discount"),
+          round((rxy - rxz * ryz)
+            / sqrt((lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)), 6)
+            .as("partial_r_qty_price"))
+      },
+      Some("""WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+             |    CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y,
+             |    CAST(ROUND(l_discount * 10000, 0) AS BIGINT) AS z
+             |  FROM lineitem),
+             |m AS (SELECT COUNT(*) AS n,
+             |    CAST(SUM(x) AS BIGINT) AS sx,
+             |    CAST(SUM(y) AS BIGINT) AS sy,
+             |    CAST(SUM(z) AS BIGINT) AS sz,
+             |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+             |    SUM(CAST(y AS DOUBLE) * y) AS syy,
+             |    CAST(SUM(z * z) AS BIGINT) AS szz,
+             |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+             |    CAST(SUM(x * z) AS BIGINT) AS sxz,
+             |    CAST(SUM(y * z) AS BIGINT) AS syz
+             |  FROM v),
+             |r AS (SELECT n,
+             |    (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+             |      / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+             |        * sx) * (n * syy - CAST(sy AS DOUBLE) * sy))
+             |      AS rxy,
+             |    (n * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * sz)
+             |      / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+             |        * sx) * (n * CAST(szz AS DOUBLE)
+             |        - CAST(sz AS DOUBLE) * sz)) AS rxz,
+             |    (n * CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * sz)
+             |      / sqrt((n * syy - CAST(sy AS DOUBLE) * sy)
+             |        * (n * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE)
+             |        * sz)) AS ryz
+             |  FROM m)
+             |SELECT n AS n_lines, ROUND(rxy, 6) AS r_qty_price,
+             |  ROUND(rxz, 6) AS r_qty_discount,
+             |  ROUND(ryz, 6) AS r_price_discount,
+             |  ROUND((rxy - rxz * ryz)
+             |    / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6)
+             |    AS partial_r_qty_price
+             |FROM r""".stripMargin)),
+
+    Q("doc_dup_rate_rarefaction", // does the duplicate rate GROW with
+      // the corpus? Near-dup PAIR counts on nested deterministic
+      // 25/50/75/100% md5 samples (this fixture has zero exact or
+      // normalized-bag duplicates — its duplication lives in the
+      // shingle-jaccard pairs, so that is what rarefies): pair
+      // formation is quadratic in overlapping docs, and the measured
+      // curve (0 → 3 → 12 → 21 pairs) IS the proof that a pilot
+      // sample UNDERSTATES 100 TB dedup savings. Pairs come from the
+      // SHARED pair relation, sampled by endpoint — never re-paired
+      // per rate.
+      (s, d) => {
+        def hv(c: Column): Column =
+          conv(substring(md5(concat(lit("rar:"), c.cast("string"))),
+            1, 4), 16, 10).cast("long")
+        val pairs = graft.operators.Dedup
+          .ngramJaccardOf(shinglePairIndex(s, d), threshold = 0.02)
+          .select(hv(col("id_a")).as("ha"), hv(col("id_b")).as("hb"))
+        val docs = t(s, d, "documents")
+          .select(hv(col("doc_id")).as("hd"))
+        val grid = typedLit(Seq((25, 16384L), (50, 32768L),
+          (75, 49152L), (100, 65536L)))
+        val nd = docs.select(col("hd"), explode(grid).as("r"))
+          .filter(col("hd") < col("r._2"))
+          .groupBy(col("r._1").as("rate_pct"))
+          .agg(count(lit(1)).as("n_docs"))
+        val np = pairs.select(col("ha"), col("hb"),
+            explode(grid).as("r"))
+          .filter(col("ha") < col("r._2") && col("hb") < col("r._2"))
+          .groupBy(col("r._1").as("rate_pct"))
+          .agg(count(lit(1)).as("n_pairs"))
+        nd.join(np, Seq("rate_pct"), "left")
+          .select(col("rate_pct").cast("long").as("rate_pct"),
+            col("n_docs"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+            round(coalesce(col("n_pairs"), lit(0L)) * lit(1000.0)
+              / col("n_docs"), 4).as("pairs_per_1k_docs"))
+          .orderBy("rate_pct")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+             |    list_distinct(list_transform(
+             |      range(0, greatest(len(t) - 2, 1)),
+             |      i -> array_to_string(t[(i+1):(i+3)], ' '))) AS sh,
+             |    ('0x' || substr(md5('rar:' || CAST(doc_id AS VARCHAR)),
+             |      1, 4))::BIGINT AS hv
+             |  FROM (SELECT doc_id, source,
+             |      string_split_regex(lower(trim(text)), '\s+') AS t
+             |    FROM documents)),
+             |pairs AS (SELECT a.hv AS ha, b.hv AS hb
+             |  FROM d a JOIN d b
+             |    ON a.source = b.source AND a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.02),
+             |grid AS (SELECT * FROM (VALUES (25, 16384), (50, 32768),
+             |    (75, 49152), (100, 65536)) AS r(rate_pct, thr)),
+             |nd AS (SELECT rate_pct, COUNT(*) AS n_docs
+             |  FROM d, grid WHERE hv < thr GROUP BY 1),
+             |np AS (SELECT rate_pct, COUNT(*) AS n_pairs
+             |  FROM pairs, grid WHERE ha < thr AND hb < thr GROUP BY 1)
+             |SELECT CAST(nd.rate_pct AS BIGINT) AS rate_pct, n_docs,
+             |  CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+             |  ROUND(COALESCE(n_pairs, 0) * 1000.0 / n_docs, 4)
+             |    AS pairs_per_1k_docs
+             |FROM nd LEFT JOIN np USING (rate_pct)
+             |ORDER BY rate_pct""".stripMargin)))
 
   /** SPRT model constants (H0 p=0.18, H1 p=0.22, α=β=0.05), computed
     * once JVM-side and inlined into both engines' expressions so neither
