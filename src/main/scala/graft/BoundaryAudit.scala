@@ -1,0 +1,199 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.functions.{col, count, lit, min, struct, udf}
+import org.apache.spark.sql.types.DoubleType
+
+import java.nio.file.{Files, Paths}
+
+/** Rounding-boundary audit (VERDICT r7 item 2): for every registry query,
+  * strip the FINAL `round(expr, n)` off each double output column and
+  * measure, at sf0.01, how close each pre-round value sits to a
+  * .5×10⁻ⁿ rounding boundary — in ulps of the scaled value. The failure
+  * class this hunts: a chained-double expression whose last ulp lands on
+  * the boundary, so Spark's BigDecimal HALF_UP and DuckDB's binary round
+  * (or two DuckDB builds) tip different ways. The two-JVM determinism
+  * audit cannot see it (both JVMs share the arithmetic); this report can:
+  * any column whose min distance is within ~1e3 ulps of a boundary is a
+  * rewrite candidate for the exact-integer protocol.
+  *
+  * Usage: runMain graft.BoundaryAudit <sfDir> <outReport.md> [nameFilter]
+  *
+  * Only the TOPMOST Project/Aggregate (under Sort/Limit wrappers) is
+  * rewritten — intermediate protocol roundings are part of the query's
+  * semantics and stay. Columns whose final expression nests round() deeper
+  * than the alias root are reported as `nested` (manual review), not
+  * silently skipped.
+  */
+object BoundaryAudit {
+
+  private case class ColReport(query: String, column: String, scale: Int,
+      nRows: Long, minRatio: Double, minD: Double, ulpAtMin: Double,
+      valueAtMin: Double)
+
+  def main(args: Array[String]): Unit = {
+    val (sfDir, outPath) = (args(0), args(1))
+    val only = args.lift(2).map(_.split(',').toSeq)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // distance of the pre-round double to the nearest .5×10⁻ⁿ boundary:
+    // y = |v|·10ⁿ, d = |frac(y) − 0.5| in grid units, ratio = d / ulp(y).
+    // ratio is only meaningful while the double grid is finer than the
+    // rounding grid (ulp(y) ≪ 1) — the report carries ulp so coarse-grid
+    // rows (huge magnitudes) can be judged separately.
+    val metricsUdf = udf((v: Double, n: Int) => {
+      if (v.isNaN || v.isInfinite) (Double.NaN, Double.NaN, Double.NaN, v)
+      else {
+        val y = math.abs(v) * math.pow(10.0, n)
+        val d = math.abs((y - math.floor(y)) - 0.5)
+        val u = math.ulp(y)
+        (d / u, d, u, v)
+      }
+    })
+
+    val reports = scala.collection.mutable.ListBuffer.empty[ColReport]
+    val nested = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    val errors = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    var nQueries = 0
+    var nNoRound = 0
+
+    // Dataset.ofRows is private[sql]; the classic companion exposes it
+    // publicly in bytecode — the same reflective pattern as the batch
+    // transformWithState coordinator bootstrap.
+    val dsCompanion = Class.forName("org.apache.spark.sql.classic.Dataset$")
+    val ofRows = dsCompanion.getMethods
+      .filter(_.getName == "ofRows")
+      .find(_.getParameterTypes.length == 2)
+      .getOrElse(sys.error("Dataset.ofRows not found"))
+    val companion = dsCompanion.getField("MODULE$").get(null)
+    def fromPlan(plan: LogicalPlan): DataFrame =
+      ofRows.invoke(companion, spark, plan).asInstanceOf[DataFrame]
+
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+      .foreach { case (name, fn) =>
+        try {
+          nQueries += 1
+          val df = fn(spark, sfDir)
+          val analyzed = df.queryExecution.analyzed
+          @annotation.tailrec
+          def top(p: LogicalPlan): Option[LogicalPlan] = p match {
+            case s: Sort => top(s.child)
+            case l: GlobalLimit => top(l.child)
+            case l: LocalLimit => top(l.child)
+            case s: SubqueryAlias => top(s.child)
+            case d: Distinct => top(d.child)
+            case pr: Project => Some(pr)
+            case ag: Aggregate => Some(ag)
+            case _ => None
+          }
+          val node = top(analyzed)
+          val exprs: Seq[NamedExpression] = node match {
+            case Some(p: Project) => p.projectList
+            case Some(a: Aggregate) => a.aggregateExpressions
+            case _ => Nil
+          }
+          // root-level round(expr, n) under the output alias = the
+          // protocol's boundary rounding; anything deeper is `nested`
+          val audited = exprs.collect {
+            case Alias(r: Round, aName)
+                if r.dataType == DoubleType &&
+                  r.scale.isInstanceOf[Literal] =>
+              (aName, r.scale.eval().asInstanceOf[Int], r.child)
+          }
+          exprs.foreach { e =>
+            val isRootRound = e match {
+              case Alias(_: Round, _) => true
+              case _ => false
+            }
+            if (!isRootRound && e.collectFirst { case r: Round => r }.nonEmpty)
+              nested += ((name, e.name))
+          }
+          if (audited.isEmpty) { nNoRound += (if (nested.isEmpty) 1 else 0) }
+          else {
+            val rawList: Seq[NamedExpression] = audited.map {
+              case (aName, _, child) => Alias(child, aName)()
+            }
+            val rawPlan = node.get match {
+              case p: Project => Project(rawList, p.child)
+              case a: Aggregate =>
+                Aggregate(a.groupingExpressions, rawList, a.child)
+            }
+            val raw = fromPlan(rawPlan)
+            val aggCols = audited.zipWithIndex.flatMap {
+              case ((aName, scale, _), i) =>
+                val m = metricsUdf(col(s"`$aName`").cast("double"), lit(scale))
+                Seq(min(struct(m.getField("_1").as("ratio"),
+                    m.getField("_2").as("d"), m.getField("_3").as("u"),
+                    m.getField("_4").as("v"))).as(s"m_$i"),
+                  count(col(s"`$aName`")).as(s"n_$i"))
+            }
+            val row = raw.agg(aggCols.head, aggCols.tail: _*).head()
+            audited.zipWithIndex.foreach { case ((aName, scale, _), i) =>
+              val m = row.getStruct(row.fieldIndex(s"m_$i"))
+              val n = row.getLong(row.fieldIndex(s"n_$i"))
+              if (m != null && n > 0)
+                reports += ColReport(name, aName, scale, n,
+                  m.getDouble(0), m.getDouble(1), m.getDouble(2),
+                  m.getDouble(3))
+            }
+          }
+        } catch { case e: Throwable =>
+          errors += ((name, e.toString.take(300)))
+        }
+      }
+
+    val flagged = reports.filter(r =>
+      !r.minRatio.isNaN && r.minRatio < 1e3 && r.ulpAtMin < 1e-3)
+    val coarse = reports.filter(r => !r.ulpAtMin.isNaN && r.ulpAtMin >= 1e-3)
+    val sb = new StringBuilder
+    sb ++= s"# Rounding-boundary audit @ $sfDir\n\n"
+    sb ++= s"Queries audited: $nQueries; rounded double output columns: " +
+      s"${reports.size}; no final-round queries: $nNoRound\n\n"
+    sb ++= s"**FLAGGED (min distance < 1e3 ulps of a .5×10⁻ⁿ boundary, " +
+      s"fine grid): ${flagged.size}**\n\n"
+    def table(rs: Seq[ColReport]): Unit = {
+      sb ++= "| query | column | scale | rows | min_ratio_ulps | min_d_units | ulp | value |\n"
+      sb ++= "|---|---|---|---|---|---|---|---|\n"
+      rs.foreach { r =>
+        sb ++= f"| ${r.query} | ${r.column} | ${r.scale} | ${r.nRows} | " +
+          f"${r.minRatio}%.3g | ${r.minD}%.3g | ${r.ulpAtMin}%.3g | ${r.valueAtMin}%.17g |\n"
+      }
+      sb ++= "\n"
+    }
+    if (flagged.nonEmpty) table(flagged.toSeq.sortBy(_.minRatio))
+    sb ++= s"Coarse-grid columns (ulp(y) ≥ 1e-3 at the min — magnitude too " +
+      s"large for the ulp ratio to mean much; judge by min_d_units): " +
+      s"${coarse.size}\n\n"
+    if (coarse.nonEmpty) table(coarse.toSeq.sortBy(_.minD))
+    sb ++= s"Closest 25 overall by ratio:\n\n"
+    table(reports.toSeq.filterNot(r => r.minRatio.isNaN)
+      .sortBy(_.minRatio).take(25))
+    if (nested.nonEmpty) {
+      sb ++= s"Nested-round columns (round below the alias root — manual " +
+        s"review): ${nested.size}\n\n"
+      nested.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (q, cs) =>
+        sb ++= s"- $q: ${cs.map(_._2).mkString(", ")}\n"
+      }
+      sb ++= "\n"
+    }
+    if (errors.nonEmpty) {
+      sb ++= s"Errors: ${errors.size}\n\n"
+      errors.foreach { case (q, e) => sb ++= s"- $q: $e\n" }
+    }
+    Files.writeString(Paths.get(outPath), sb.toString)
+    println(s"[boundary-audit] ${reports.size} columns, " +
+      s"${flagged.size} flagged, ${nested.size} nested, " +
+      s"${errors.size} errors -> $outPath")
+    spark.stop()
+  }
+}

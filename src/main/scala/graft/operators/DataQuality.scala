@@ -193,23 +193,36 @@ object DataQuality {
     * readable). Values arrive as exact integer cents so the true sums
     * carry no float slack; the noise uniform is the same reproducible
     * 48-bit md5 construction as [[dpNoisyCount]].
+    *
+    * The DEFAULT output is release-safe: (key, noisy_mean) only. Pass
+    * `audit = true` to additionally emit the exact `n` and
+    * `clipped_mean` — publishing those alongside the noisy value leaks
+    * the true statistic and voids the ε guarantee, so they exist only
+    * for calibration audits, never for release. The uniform is clamped
+    * away from −0.5 (where log(1−2|u|) → −∞): |u| caps at 0.5 − 1e-12,
+    * bounding |noise| at ~27.6·b instead of infinity.
     */
   def dpNoisyMean(df: DataFrame, key: String, centsCol: Column,
       clipLoCents: Long, clipHiCents: Long, eps: Double,
-      salt: String): DataFrame = {
+      salt: String, audit: Boolean = false): DataFrame = {
     val u = (conv(substring(md5(concat(lit(salt + ":"), col(key))), 1, 12),
       16, 10).cast("double") / lit(281474976710656.0)) - 0.5
+    val ua = least(abs(u), lit(0.5 - 1e-12))
     val b = ((clipHiCents - clipLoCents) / 100.0) / eps
-    val noise = lit(-b) * signum(u) * log(lit(1.0) - lit(2.0) * abs(u))
+    val noise = lit(-b) * signum(u) * log(lit(1.0) - lit(2.0) * ua)
     val clipped = greatest(least(centsCol, lit(clipHiCents)),
       lit(clipLoCents))
-    df.groupBy(col(key))
+    val agg = df.groupBy(col(key))
       .agg(count(lit(1)).as("n"), sum(clipped).as("_sc"))
-      .select(col(key), col("n"),
+    val noisyMean =
+      round((col("_sc").cast("double") / 100.0 + noise) / col("n"), 6)
+        .as("noisy_mean")
+    if (audit)
+      agg.select(col(key), col("n"),
         round(col("_sc").cast("double") / 100.0 / col("n"), 6)
           .as("clipped_mean"),
-        round((col("_sc").cast("double") / 100.0 + noise) / col("n"), 6)
-          .as("noisy_mean"))
+        noisyMean)
+    else agg.select(col(key), noisyMean)
   }
 
   /** Robust outlier report via the modified z-score (Iglewicz & Hoaglin

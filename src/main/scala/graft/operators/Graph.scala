@@ -506,7 +506,15 @@ object Graph {
   def ktrussPeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    var cur = edges.select(col("src"), col("dst"))
+    // canonicalize round-1 input (least/greatest, no self-loops, distinct)
+    // so ANY edge list peels correctly — later rounds pass
+    // canonicalEdges = true because each round's output is a subset of
+    // this canonical set; a no-op (plus one distinct) for callers that
+    // already feed a canonical index
+    var cur = edges.select(
+        least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
     var before = cur.count()
     var done = false
     val out = (1 to rounds).map { r =>

@@ -43,22 +43,33 @@ object Sketches {
       .sortBy(_._1).toDF("item", "est")
   }
 
-  /** Default CMS hash family: (a, b) rows of h(x) = ((a·x + b) mod p)
-    * mod width, p = 2³¹−1 (Mersenne). Large primes for a, distinct b —
-    * the standard universal family over long keys, and pure integer
-    * arithmetic any SQL engine replays bit-for-bit.
+  /** Default CMS hash family: (a, b) rows of h(x) = ((a·xᵣ + b) mod p)
+    * mod width over the REDUCED key xᵣ = x mod p mapped into [0, p)
+    * first — so negative keys land in-range and a·xᵣ tops out at
+    * ~2.1×10¹⁵, never wrapping a 64-bit long (raw a·x wraps past
+    * |x| ≈ 9×10¹², silently in Java, as an ERROR in DuckDB BIGINT).
+    * p = 2³¹−1 (Mersenne), large primes for a, distinct b — the
+    * standard universal family over long keys, and pure integer
+    * arithmetic any SQL engine replays bit-for-bit for ANY long key.
     */
   val DefaultCmsHashes: Seq[(Long, Long)] =
     Seq((1000003L, 17L), (999983L, 911L), (1000033L, 3571L),
       (1000037L, 7919L))
   val CmsPrime: Long = 2147483647L
 
+  /** x mod p mapped into [0, p) — `pmod`, spelled so the oracle replay
+    * is plain portable SQL: ((x % p) + p) % p. */
+  private def reduced(keyCol: String, p: Long) =
+    ((col(keyCol) % p + p) % p)
+
   private def bucketStructs(keyCol: String, width: Int,
-      hashes: Seq[(Long, Long)], p: Long) =
+      hashes: Seq[(Long, Long)], p: Long) = {
+    val xr = reduced(keyCol, p)
     hashes.zipWithIndex.map { case ((a, b), i) =>
       struct(lit(i).as("i"),
-        (((lit(a) * col(keyCol) + lit(b)) % p) % width).as("bucket"))
+        (((lit(a) * xr + lit(b)) % p) % width).as("bucket"))
     }
+  }
 
   /** RELATIONAL count-min sketch build over a long key: the sketch is a
     * (row, bucket)-keyed relation of depth·width cells produced by ONE
@@ -107,7 +118,7 @@ object Sketches {
       hashes: Seq[(Long, Long)] = DefaultCmsHashes.take(3),
       p: Long = CmsPrime): DataFrame =
     df.select(explode(array(hashes.map { case (a, b) =>
-        ((lit(a) * col(keyCol) + lit(b)) % p) % mBits
+        ((lit(a) * reduced(keyCol, p) + lit(b)) % p) % mBits
       }: _*)).as("pos")).distinct()
 
   /** Membership probe against [[bloomBits]]: a key is positive iff ALL
@@ -121,7 +132,7 @@ object Sketches {
       hashes: Seq[(Long, Long)] = DefaultCmsHashes.take(3),
       p: Long = CmsPrime): DataFrame =
     probes.select(col(keyCol), explode(array(hashes.map { case (a, b) =>
-        ((lit(a) * col(keyCol) + lit(b)) % p) % mBits
+        ((lit(a) * reduced(keyCol, p) + lit(b)) % p) % mBits
       }: _*)).as("pos"))
       .join(bits.withColumn("_hit", lit(1)), Seq("pos"), "left_outer")
       .groupBy(keyCol)

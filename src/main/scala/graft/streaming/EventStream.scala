@@ -370,22 +370,36 @@ object EventStream {
   /** [[sessionize]] re-expressed on Spark 4's `transformWithState`
     * (StatefulProcessor + typed ValueState) — the arbitrary-state API
     * that supersedes flatMapGroupsWithState: named state handles, TTL
-    * config, timers. Same output contract as [[sessionize]], so the two
-    * share one oracle; over `readStream` the state lives in the RocksDB
-    * store instead of this batch execution's in-memory one.
+    * config, timers. Two contracts by TimeMode:
+    *
+    *  - `TimeMode.None` (the batch path and single-batch AvailableNow
+    *    runs): every key's full history arrives in ONE handleInputRows
+    *    call, so the trailing open session is emitted at end-of-rows and
+    *    state is cleared — output is exactly [[sessionize]]'s, which is
+    *    why the two share one oracle. This equivalence holds ONLY when
+    *    each user's history lands in one batch.
+    *  - `TimeMode.ProcessingTime` (live multi-batch streams): the open
+    *    session is PERSISTED via `st.update` at batch end — never emitted
+    *    early, so a session spanning micro-batches is merged, not split —
+    *    and a processing-time timer at now+gapMs closes it once the key
+    *    goes idle (each new batch for the key supersedes the old timer).
     */
   private class SessionProcessor(gapMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, Event, Session] {
-    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.streaming.{
+      ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
     import org.apache.spark.sql.{Encoders => E}
     @transient private var st: ValueState[SessionState] = _
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    @transient private var useTimers: Boolean = false
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       st = getHandle.getValueState[SessionState](
         "session", E.product[SessionState], TTLConfig.NONE)
+      useTimers = timeMode == TimeMode.ProcessingTime()
+    }
     override def handleInputRows(
         uid: Long, rows: Iterator[Event],
-        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[Session] = {
+        tv: TimerValues): Iterator[Session] = {
       val sorted = rows.toSeq.sortBy(_.ts.getTime)
       val out = scala.collection.mutable.ListBuffer.empty[Session]
       var cur: Option[SessionState] = if (st.exists()) Some(st.get()) else None
@@ -402,11 +416,24 @@ object EventStream {
         }
       }
       cur match {
+        case Some(s) if useTimers =>
+          // persist across micro-batches; reset the idle-close timer
+          st.update(s)
+          getHandle.listTimers().foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(tv.getCurrentProcessingTimeInMs() + gapMs)
         case Some(s) =>
           out += Session(uid, s.start, s.last, s.n, s.total); st.clear()
         case None =>
       }
       out.iterator
+    }
+    override def handleExpiredTimer(
+        uid: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[Session] = {
+      if (st.exists()) {
+        val s = st.get(); st.clear()
+        Iterator.single(Session(uid, s.start, s.last, s.n, s.total))
+      } else Iterator.empty
     }
   }
 
@@ -426,6 +453,28 @@ object EventStream {
       .groupByKey(_.user_id)
       .transformWithState(new SessionProcessor(gapMs),
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** [[sessionizeTws]] in its live multi-batch contract: processing-time
+    * timers, so a session spanning micro-batches is merged in state (never
+    * emitted as split partials) and closed gapMs after the key goes idle.
+    * For streams whose keys can straddle batches; [[sessionizeTws]]'s
+    * TimeMode.None form is for batch / single-batch AvailableNow runs.
+    *
+    * Caveat: while timers are registered, Spark constructs a batch every
+    * trigger (shouldRunAnotherBatch stays true), so
+    * `processAllAvailable()` never observes a no-new-data round and
+    * blocks forever — drive tests/ops by polling progress or the sink,
+    * and use a non-zero trigger interval or the empty batches busy-loop.
+    */
+  def sessionizeTwsLive(spark: SparkSession, events: DataFrame,
+      gapMs: Long = 30 * 60 * 1000L) = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
   /** [[sessionizeTws]] over the fixture STREAM — transformWithState's

@@ -125,6 +125,23 @@ class ApproxAggSpec extends SparkSuite {
     assert(narrow === Map(1L -> 3L, 5L -> 3L))
   }
 
+  test("CMS/Bloom hash positions stay in-range for negative and huge keys") {
+    import graft.operators.Sketches
+    // pre-fix, -5 hashed to a NEGATIVE bucket and |x| > ~9e12 wrapped
+    // a*x (ANSI Spark throws; DuckDB BIGINT errors) — the reduced-key
+    // family must keep every position in [0, width) for any long
+    val keys = Seq(-5L, -9999999999999L, 9007199254740993L, 3L).toDF("k")
+    val buckets = Sketches.countMinCells(keys, "k", width = 256)
+      .select("bucket").as[Long].collect()
+    assert(buckets.nonEmpty && buckets.forall(b => b >= 0 && b < 256))
+    val bits = Sketches.bloomBits(keys, "k", mBits = 1024)
+    assert(bits.as[Long].collect().forall(p => p >= 0 && p < 1024))
+    // membership survives the reduced-key family end-to-end
+    val probe = Sketches.bloomProbe(bits, keys, "k", mBits = 1024)
+    assert(probe.count() === 4 &&
+      probe.select("bloom_positive").as[Boolean].collect().forall(identity))
+  }
+
   test("relational Bloom: members always positive; FP rate small when sized") {
     import graft.operators.Sketches
     val members = Seq(1L, 2L, 3L).toDF("k")

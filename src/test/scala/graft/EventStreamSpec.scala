@@ -111,6 +111,62 @@ class EventStreamSpec extends SparkSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("live TWS sessionizer merges across micro-batches and closes on the idle timer") {
+    // the ProcessingTime contract: a session spanning micro-batches must be
+    // merged in state (never emitted as split partials) and emitted once the
+    // key has been idle past the gap — the property TimeMode.None can't give
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val root = java.nio.file.Files.createTempDirectory("tws_live").toFile.getAbsolutePath
+    val srcDir = s"$root/src"; val cpDir = s"$root/cp"
+    new java.io.File(srcDir).mkdirs()
+    val t0 = 1700000000000L
+    def write(rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ms", "user_id", "event_type", "value", "props")
+        .withColumn("ts", expr("timestamp_millis(ms)")).drop("ms")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    write(Seq((1L, t0, 1L, "view", 1.0, "{}"), (2L, t0 + 1000, 1L, "view", 2.0, "{}")))
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    // NOTE: processAllAvailable() never returns here — with
+    // processing-time timers registered, shouldRunAnotherBatch stays
+    // true, a batch is always constructed, and the noNewData flag never
+    // fires. Poll the progress/sink instead, on a real trigger interval
+    // (the empty batches that keep running are what fire the timers).
+    val q = EventStream.sessionizeTwsLive(spark, stream, gapMs = 2000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tws_live_test")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("500 milliseconds"))
+      .option("checkpointLocation", cpDir).start()
+    def poll(ms: Long)(pred: => Boolean): Boolean = {
+      val end = System.currentTimeMillis + ms
+      while (System.currentTimeMillis < end && !pred) Thread.sleep(200)
+      pred
+    }
+    def rowsIn = q.recentProgress.map(_.numInputRows).sum
+    try {
+      assert(poll(60000)(rowsIn >= 2), "batch 1 must be processed")
+      assert(spark.table("tws_live_test").count() === 0,
+        "open session must be persisted, not emitted as a partial")
+      write(Seq((3L, t0 + 1500, 1L, "view", 3.0, "{}")))
+      assert(poll(60000)(rowsIn >= 3), "batch 2 must be processed")
+      assert(spark.table("tws_live_test").count() === 0,
+        "a session spanning two micro-batches must not be emitted split")
+      // idle: the 2 s gap timer fires in a subsequent empty batch
+      assert(poll(60000)(spark.table("tws_live_test").count() === 1),
+        "idle timer must close and emit the open session")
+      val u1 = spark.table("tws_live_test")
+        .as[(Long, Long, Long, Int, Double)].collect().toList.filter(_._1 == 1L)
+      assert(u1 === List((1L, t0, t0 + 1500, 3, 6.0)),
+        "idle timer must emit the MERGED cross-batch session exactly once")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("sessionize on the fixture covers every event exactly once") {
     val events = Tables.load(spark, sfDir, "events")
     val sessions = EventStream.sessionize(spark, events).toDF()

@@ -233,6 +233,20 @@ class GraphSpec extends SparkSuite {
     assert(a === Set((1L, 0), (2L, 1), (3L, 1), (4L, 2)))
   }
 
+  test("ktrussPeel canonicalizes messy input (duplicates, self-loops, reversed)") {
+    // K4 on 1..4 fed with reversed duplicates, a self-loop, and a
+    // reversed pendant (5,4): round 1 must canonicalize before counting
+    // supports, so the peel sees 7 canonical edges, drops only the
+    // pendant (support 0 < k−2), and the K4 (every edge in 2 triangles)
+    // is a fixpoint — the answer for the CLEAN graph
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (1L, 4L),
+      (2L, 3L), (4L, 2L), (3L, 4L), (4L, 3L), (2L, 2L), (5L, 4L))
+      .toDF("src", "dst")
+    val r = Graph.ktrussPeel(edges, k = 4, rounds = 2)
+      .as[(Int, Long, Long)].collect().toList
+    assert(r === List((1, 6L, 1L), (2, 6L, 0L)))
+  }
+
   test("adamicAdar scores the square's diagonals and skips existing edges") {
     // 4-cycle 1-2-3-4-1: the only non-adjacent pairs are the diagonals
     // (1,3) and (2,4), each with two degree-2 common neighbors

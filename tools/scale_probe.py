@@ -67,22 +67,26 @@ QUERIES = [
     # bounded greedy selection rounds
     "doc_lm_perplexity_filter", "doc_training_triplets",
     "supp_greedy_coverage",
+    # r8 (VERDICT r7 #5): waves 25-29 shapes — 4 sequential GD training
+    # chains with per-round driver barriers; rarefaction riding the
+    # shared near-dup pair relation at 4 sample grains
+    "doc_learning_curve", "doc_neardup_rarefaction",
 ]
 
 # Work linear in data by construction AND CPU-saturated at sf0.1 ->
 # wall tracks the 10x work. Justifications: PLANS.md round-6 probe table.
 LINEAR_SATURATED = {
     "graph_triangles": "wedge space scales 10x (disjoint copies)",
-    "emb_knn_classifier_eval":
-        "n queries x constant auto-planed candidate sets: work scales 10x",
+    # emb_knn_classifier_eval / emb_mutual_knn left OUT since r8: their
+    # query sets are stride-bounded samples (~256 / ~512), so cost is
+    # ~constant in corpus size and the default 5x budget should hold
+    # with room (expected ~1x).
     "doc_minhash_neardups": "signatures + bucket pairs scale 10x",
     "doc_winnow_pairs": "fingerprint postings scale 10x",
     "doc_substring_dup_coverage": "gram explode scales 10x",
     "graph_pagerank": "edge rounds scale 10x",
     "graph_personalized_pagerank": "edge rounds scale 10x",
     "graph_kcore": "peeling rounds scale 10x",
-    "emb_mutual_knn":
-        "n queries x constant auto-planed candidate sets: work scales 10x",
     "doc_dedup_normalized":
         "exact hash-dedup of the full corpus: work linear in rows, saturated",
     "graph_hits_bipartite":
