@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
-import org.apache.spark.sql.functions.{col, count, lit, min, struct, udf}
+import org.apache.spark.sql.functions.{col, count, lit, min, struct, udf, when}
 import org.apache.spark.sql.types.DoubleType
 
 import java.nio.file.{Files, Paths}
@@ -131,11 +131,16 @@ object BoundaryAudit {
             val raw = fromPlan(rawPlan)
             val aggCols = audited.zipWithIndex.flatMap {
               case ((aName, scale, _), i) =>
-                val m = metricsUdf(col(s"`$aName`").cast("double"), lit(scale))
-                Seq(min(struct(m.getField("_1").as("ratio"),
-                    m.getField("_2").as("d"), m.getField("_3").as("u"),
-                    m.getField("_4").as("v"))).as(s"m_$i"),
-                  count(col(s"`$aName`")).as(s"n_$i"))
+                val c = col(s"`$aName`").cast("double")
+                val m = metricsUdf(c, lit(scale))
+                // null cells carry no boundary info — keep them out of
+                // the min(struct) (a null struct field trips the row
+                // encoder on some aggregate paths)
+                Seq(min(when(c.isNotNull,
+                    struct(m.getField("_1").as("ratio"),
+                      m.getField("_2").as("d"), m.getField("_3").as("u"),
+                      m.getField("_4").as("v")))).as(s"m_$i"),
+                  count(c).as(s"n_$i"))
             }
             val row = raw.agg(aggCols.head, aggCols.tail: _*).head()
             audited.zipWithIndex.foreach { case ((aName, scale, _), i) =>

@@ -273,7 +273,7 @@ object SparkEntry {
 
   private lazy val registry: Seq[Q] = empQueries ++ nlQueries ++ tpchQueries ++
     tpchShapeQueries ++ dqQueries ++ eventQueries ++ streamQueries ++
-    docQueries ++ embQueries ++ mmQueries ++ trendQueries
+    docQueries ++ embQueries ++ mmQueries ++ trendQueries ++ wave30Queries
 
   // §2.2/§2.4/§2.6/§2.8 — the reference's generated-SQL surface, over the
   // employees bridge view (FIXTURES.md §3).
@@ -1450,36 +1450,42 @@ object SparkEntry {
       // user-grain rollup + ONE moments aggregate (Σx Σy Σxx Σyy Σxy n)
       // gives θ, the adjusted variance (var_y − cov²/var_x, closed
       // form — no second pass over users) and the reduction ratio
-      // (= corr²). Sums are doubles; every output rounds at 6dp.
+      // (= corr²). Values ride as EXACT integer cents through every
+      // aggregate (r8 boundary audit: the raw-double-sum form left
+      // var_adjusted ~2e3 ulps from a rounding boundary with sum-order
+      // slack; integer sums are order-free, and the closing scalar
+      // chain on exact inputs is bit-deterministic in any engine).
+      // Dollar-unit outputs divide once at the end (cents² / 1e4).
       (s, d) => {
         val ev = t(s, d, "events")
         val d0 = ev.agg(min(col("ts").cast("date"))).head().getDate(0)
         val cut = java.sql.Date.valueOf(d0.toLocalDate.plusDays(15))
+        val cents = round(col("value") * 100, 0).cast("long")
         val u = ev.groupBy("user_id").agg(
-          sum(when(col("ts").cast("date") < lit(cut), col("value"))
-            .otherwise(0.0)).as("x"),
-          sum(when(col("ts").cast("date") >= lit(cut), col("value"))
-            .otherwise(0.0)).as("y"))
+          sum(when(col("ts").cast("date") < lit(cut), cents)
+            .otherwise(0L)).as("x"),
+          sum(when(col("ts").cast("date") >= lit(cut), cents)
+            .otherwise(0L)).as("y"))
         val m = u.agg(count(lit(1)).cast("double").as("n"),
-          sum("x").as("sx"), sum("y").as("sy"),
-          sum(col("x") * col("x")).as("sxx"),
-          sum(col("y") * col("y")).as("syy"),
-          sum(col("x") * col("y")).as("sxy"))
+          sum("x").cast("double").as("sx"),
+          sum("y").cast("double").as("sy"),
+          sum(col("x") * col("x")).cast("double").as("sxx"),
+          sum(col("y") * col("y")).cast("double").as("syy"),
+          sum(col("x") * col("y")).cast("double").as("sxy"))
         m.select(
-            col("n"),
+            col("n"), col("sy"),
             ((col("sxy") - col("sx") * col("sy") / col("n")) / col("n"))
               .as("cxy"),
             ((col("sxx") - col("sx") * col("sx") / col("n")) / col("n"))
               .as("vx"),
             ((col("syy") - col("sy") * col("sy") / col("n")) / col("n"))
-              .as("vy"),
-            (col("sy") / col("n")).as("my"))
+              .as("vy"))
           .select(col("n").cast("long").as("n_users"),
             round(col("cxy") / col("vx"), 6).as("theta"),
-            round(col("my"), 6).as("mean_post"),
-            round(col("vy"), 6).as("var_post"),
-            round(col("vy") - col("cxy") * col("cxy") / col("vx"), 6)
-              .as("var_adjusted"),
+            round(col("sy") / (lit(100.0) * col("n")), 6).as("mean_post"),
+            round(col("vy") / 10000.0, 6).as("var_post"),
+            round((col("vy") - col("cxy") * col("cxy") / col("vx"))
+              / 10000.0, 6).as("var_adjusted"),
             round(col("cxy") * col("cxy") / (col("vx") * col("vy")), 6)
               .as("var_reduction"))
       },
@@ -1488,23 +1494,27 @@ object SparkEntry {
              |u AS (
              |  SELECT user_id,
              |    SUM(CASE WHEN CAST(ts AS DATE) < (SELECT c FROM cut)
-             |      THEN value ELSE 0.0 END) AS x,
+             |      THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+             |      ELSE 0 END) AS x,
              |    SUM(CASE WHEN CAST(ts AS DATE) >= (SELECT c FROM cut)
-             |      THEN value ELSE 0.0 END) AS y
+             |      THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+             |      ELSE 0 END) AS y
              |  FROM events GROUP BY 1),
              |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-             |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
-             |    SUM(y * y) AS syy, SUM(x * y) AS sxy FROM u),
-             |s AS (SELECT n,
+             |    CAST(SUM(x) AS DOUBLE) AS sx,
+             |    CAST(SUM(y) AS DOUBLE) AS sy,
+             |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             |    CAST(SUM(y * y) AS DOUBLE) AS syy,
+             |    CAST(SUM(x * y) AS DOUBLE) AS sxy FROM u),
+             |s AS (SELECT n, sy,
              |    (sxy - sx * sy / n) / n AS cxy,
              |    (sxx - sx * sx / n) / n AS vx,
-             |    (syy - sy * sy / n) / n AS vy,
-             |    sy / n AS my FROM m)
+             |    (syy - sy * sy / n) / n AS vy FROM m)
              |SELECT CAST(n AS BIGINT) AS n_users,
              |  ROUND(cxy / vx, 6) AS theta,
-             |  ROUND(my, 6) AS mean_post,
-             |  ROUND(vy, 6) AS var_post,
-             |  ROUND(vy - cxy * cxy / vx, 6) AS var_adjusted,
+             |  ROUND(sy / (100.0 * n), 6) AS mean_post,
+             |  ROUND(vy / 10000.0, 6) AS var_post,
+             |  ROUND((vy - cxy * cxy / vx) / 10000.0, 6) AS var_adjusted,
              |  ROUND(cxy * cxy / (vx * vy), 6) AS var_reduction
              |FROM s""".stripMargin)),
 
@@ -3330,24 +3340,35 @@ object SparkEntry {
       // categorical feature for downstream models: each row's own target
       // leaves via the algebraic (sum − own)/(n − 1) identity, so the
       // encoding costs ONE segment-grained aggregate + a broadcast join
-      // back, never a per-row window over the fact table.
+      // back, never a per-row window over the fact table. Balances ride
+      // as exact integer cents, so the encoding is ONE division of exact
+      // longs — the r8 boundary audit caught the raw-double-sum form
+      // sitting 1 ulp from a .5e-4 rounding boundary (a sum-order flake
+      // waiting to fire); exact cents make it bit-deterministic.
       (s, d) => {
-        val c = t(s, d, "customer")
+        val c = t(s, d, "customer").withColumn("cents",
+          round(col("c_acctbal") * 100, 0).cast("long"))
         val seg = c.groupBy("c_mktsegment").agg(
-          sum("c_acctbal").as("seg_sum"), count(lit(1)).as("seg_n"))
+          sum("cents").as("seg_cents"), count(lit(1)).as("seg_n"))
         c.join(broadcast(seg), Seq("c_mktsegment"))
           .select(col("c_custkey"), col("c_mktsegment"),
-            round((col("seg_sum") - col("c_acctbal"))
-              / (col("seg_n") - 1), 4).as("loo_enc"))
+            round((col("seg_cents") - col("cents")).cast("double")
+              / (lit(100L) * (col("seg_n") - 1)), 4).as("loo_enc"))
           .orderBy("c_custkey").limit(25)
       },
-      Some("""WITH seg AS (
-             |  SELECT c_mktsegment, SUM(c_acctbal) AS seg_sum,
+      Some("""WITH c AS (
+             |  SELECT c_custkey, c_mktsegment,
+             |    CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents
+             |  FROM customer),
+             |seg AS (
+             |  SELECT c_mktsegment,
+             |    CAST(SUM(cents) AS BIGINT) AS seg_cents,
              |    COUNT(*) AS seg_n
-             |  FROM customer GROUP BY 1)
+             |  FROM c GROUP BY 1)
              |SELECT c_custkey, c_mktsegment,
-             |  ROUND((seg_sum - c_acctbal) / (seg_n - 1), 4) AS loo_enc
-             |FROM customer JOIN seg USING (c_mktsegment)
+             |  ROUND(CAST(seg_cents - cents AS DOUBLE)
+             |    / (100 * (seg_n - 1)), 4) AS loo_enc
+             |FROM c JOIN seg USING (c_mktsegment)
              |ORDER BY c_custkey LIMIT 25""".stripMargin)),
 
     Q("stats_moments", // second-moment statistics in ONE pass: corr,
@@ -13028,7 +13049,13 @@ object SparkEntry {
         val d3 = "lineitem.l_partkey -> part.p_partkey"
         val d4 = "customer.c_nationkey -> nation.n_nationkey"
         val d5 = "orders.o_orderkey -> customer.c_custkey"
-        def roles(df: DataFrame, rs: (String, String, String)*): DataFrame =
+        // TINY int codes ride the wide shuffle (dep 1..5, side 1=lhs
+        // 2=rhs) — the 50-char dependency strings only materialize at
+        // the 5-row report grain via a codegen'd CASE (string keys
+        // through the 2M-row explode measured 1.76 s isolated at sf0.1;
+        // int codes 1.23 s best-of-5 — the floor is the lineitem scan +
+        // explode + one combined shuffle, all linear)
+        def roles(df: DataFrame, rs: (Int, Int, String)*): DataFrame =
           df.select(explode(array(rs.map { case (dep, side, c) =>
               struct(lit(dep).as("dep"), lit(side).as("side"),
                 col(c).cast("long").as("k"))
@@ -13036,22 +13063,26 @@ object SparkEntry {
             .select(col("e.dep").as("dep"), col("e.side").as("side"),
               col("e.k").as("k"))
         roles(t(s, d, "lineitem"),
-            (d1, "l", "l_orderkey"), (d3, "l", "l_partkey"))
-          .unionByName(roles(t(s, d, "orders"), (d2, "l", "o_custkey"),
-            (d5, "l", "o_orderkey"), (d1, "r", "o_orderkey")))
+            (1, 1, "l_orderkey"), (3, 1, "l_partkey"))
+          .unionByName(roles(t(s, d, "orders"), (2, 1, "o_custkey"),
+            (5, 1, "o_orderkey"), (1, 2, "o_orderkey")))
           .unionByName(roles(t(s, d, "customer"),
-            (d4, "l", "c_nationkey"), (d2, "r", "c_custkey"),
-            (d5, "r", "c_custkey")))
-          .unionByName(roles(t(s, d, "part"), (d3, "r", "p_partkey")))
-          .unionByName(roles(t(s, d, "nation"), (d4, "r", "n_nationkey")))
+            (4, 1, "c_nationkey"), (2, 2, "c_custkey"),
+            (5, 2, "c_custkey")))
+          .unionByName(roles(t(s, d, "part"), (3, 2, "p_partkey")))
+          .unionByName(roles(t(s, d, "nation"), (4, 2, "n_nationkey")))
           .groupBy("dep", "k")
-          .agg(max(col("side") === "l").as("has_l"),
-            max(col("side") === "r").as("has_r"))
+          .agg(max(col("side") === 1).as("has_l"),
+            max(col("side") === 2).as("has_r"))
           .filter(col("has_l"))
-          .groupBy(col("dep").as("dependency"))
+          .groupBy(col("dep"))
           .agg(count(lit(1)).as("n_lhs"),
             sum(when(col("has_r"), 1L).otherwise(0L)).as("n_contained"))
-          .select(col("dependency"), col("n_lhs"), col("n_contained"),
+          .select(
+            when(col("dep") === 1, d1).when(col("dep") === 2, d2)
+              .when(col("dep") === 3, d3).when(col("dep") === 4, d4)
+              .otherwise(d5).as("dependency"),
+            col("n_lhs"), col("n_contained"),
             round(col("n_contained").cast("double") / col("n_lhs"), 6)
               .as("containment"),
             when(col("n_contained") === col("n_lhs"), "holds")
@@ -18480,6 +18511,308 @@ object SparkEntry {
   /** ln(256/16) for the evenly-spaced 3-point Hurst OLS slope, inlined
     * into both engines (the SPRT constant pattern). */
   private val HURST_LN16: Double = math.log(16.0)
+  // Wave 30 (r8): training-data ECONOMICS + monitoring — the allocator
+  // that turns corpus sizes into an epoch schedule, preference-strength
+  // fitting over pairwise comparisons, and exact-integer sequential
+  // change-point detection.
+  private def wave30Queries: Seq[Q] = Seq(
+    Q("doc_epoch_waterfill", // data-constrained epoch allocator
+      // (the Muennighoff-style "how many times may each domain repeat"
+      // table): a char budget of 3× the corpus is water-filled across
+      // languages at a UNIFORM target share, each language capped at 4
+      // epochs of its own size; a capped language freezes at its cap
+      // and its unfilled share re-spreads over the survivors (3 rounds
+      // — enough for any cap cascade on a bounded domain grain). ONE
+      // corpus scan collapses to the ≤|langs| grain (localCheckpoint:
+      // the round algebra must not re-scan the corpus per round); all
+      // allocation arithmetic is exact integer division, epochs is the
+      // single exact-long division at the boundary. At sf0.01: de/es/fr
+      // cap in round 1, zh in round 2, en absorbs the rest — all three
+      // rounds genuinely exercised.
+      (s, d) => {
+        val dom = t(s, d, "documents")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).as("corpus_chars"))
+          .withColumn("cap_chars", col("corpus_chars") * 4)
+          .localCheckpoint(eager = true) // ≤|langs| rows, 4 round consumers
+        val tot = dom.agg((sum("corpus_chars") * 3).as("budget"))
+        var st = dom.crossJoin(broadcast(tot))
+          .withColumn("capped_round", lit(0))
+        for (r <- 1 to 3) {
+          val sc = st.agg(
+            sum(when(col("capped_round") === 0, 0L)
+              .otherwise(col("cap_chars"))).as("used"),
+            sum(when(col("capped_round") === 0, 1L).otherwise(0L))
+              .as("n_u"))
+          st = st.crossJoin(broadcast(sc))
+            .withColumn("capped_round",
+              when(col("capped_round") === 0 &&
+                col("cap_chars") <= expr("(budget - used) div n_u"),
+                lit(r)).otherwise(col("capped_round")))
+            .drop("used", "n_u")
+        }
+        val fin = st.agg(
+          sum(when(col("capped_round") === 0, 0L)
+            .otherwise(col("cap_chars"))).as("used"),
+          sum(when(col("capped_round") === 0, 1L).otherwise(0L)).as("n_u"))
+        st.crossJoin(broadcast(fin))
+          .withColumn("alloc_chars",
+            when(col("capped_round") > 0, col("cap_chars"))
+              .otherwise(expr("(budget - used) div n_u")))
+          .select(col("lang"), col("n_docs"), col("corpus_chars"),
+            col("cap_chars"), col("alloc_chars"),
+            round(col("alloc_chars").cast("double")
+              / col("corpus_chars"), 6).as("epochs"),
+            col("capped_round"))
+          .orderBy("lang")
+      },
+      Some("""WITH dom AS MATERIALIZED (
+             |  SELECT lang, COUNT(*) AS n_docs,
+             |    CAST(SUM(length(text)) AS BIGINT) AS sz
+             |  FROM documents GROUP BY 1),
+             |t0 AS (SELECT CAST(SUM(sz) AS BIGINT) * 3 AS budget,
+             |  CAST(COUNT(*) AS BIGINT) AS k FROM dom),
+             |r1 AS MATERIALIZED (
+             |  SELECT lang, n_docs, sz, sz * 4 AS cap,
+             |    CASE WHEN sz * 4 <= budget // k THEN 1 ELSE 0 END AS cr
+             |  FROM dom, t0),
+             |s1 AS (SELECT
+             |    CAST(SUM(CASE WHEN cr > 0 THEN cap ELSE 0 END) AS BIGINT)
+             |      AS used,
+             |    CAST(SUM(CASE WHEN cr = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_u FROM r1),
+             |r2 AS MATERIALIZED (
+             |  SELECT lang, n_docs, sz, cap,
+             |    CASE WHEN cr > 0 THEN cr
+             |      WHEN cap <= (budget - used) // n_u THEN 2
+             |      ELSE 0 END AS cr
+             |  FROM r1, s1, t0),
+             |s2 AS (SELECT
+             |    CAST(SUM(CASE WHEN cr > 0 THEN cap ELSE 0 END) AS BIGINT)
+             |      AS used,
+             |    CAST(SUM(CASE WHEN cr = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_u FROM r2),
+             |r3 AS MATERIALIZED (
+             |  SELECT lang, n_docs, sz, cap,
+             |    CASE WHEN cr > 0 THEN cr
+             |      WHEN cap <= (budget - used) // n_u THEN 3
+             |      ELSE 0 END AS cr
+             |  FROM r2, s2, t0),
+             |s3 AS (SELECT
+             |    CAST(SUM(CASE WHEN cr > 0 THEN cap ELSE 0 END) AS BIGINT)
+             |      AS used,
+             |    CAST(SUM(CASE WHEN cr = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_u FROM r3),
+             |fin AS (SELECT lang, n_docs, sz, cap, cr,
+             |    CASE WHEN cr > 0 THEN cap
+             |      ELSE (budget - used) // n_u END AS alloc
+             |  FROM r3, s3, t0)
+             |SELECT lang, n_docs, sz AS corpus_chars, cap AS cap_chars,
+             |  alloc AS alloc_chars,
+             |  ROUND(CAST(alloc AS DOUBLE) / sz, 6) AS epochs,
+             |  CAST(cr AS INT) AS capped_round
+             |FROM fin ORDER BY lang""".stripMargin)),
+
+    Q("doc_bradley_terry", // Bradley–Terry preference strengths over
+      // pairwise comparisons — the fit behind reward-model and
+      // human-preference leaderboards, run here over cross-language
+      // length preferences: documents pair within id-derived buckets
+      // (bucket count scales with the corpus, so occupancy — and
+      // per-bucket pair fan-out — stays CONSTANT: pairs are linear in
+      // n, never all-pairs), the longer text wins, and 3
+      // minorization–maximization rounds fit strengths on the bounded
+      // ≤|langs|² wins matrix (localCheckpointed — round algebra never
+      // re-pairs the corpus). Isolated best-of-5 2.56 s at sf0.1: the
+      // only data-sized work is the one linear pair build; the rest is
+      // ~10 bounded-grain barrier jobs (index checkpoints + per-round
+      // normalizer broadcast + round checkpoint), fixed overhead that
+      // does not grow with the corpus. Strengths renormalize and round 6dp at
+      // every round boundary on both engines (the iterative-chain
+      // protocol); sums inside a round span ≤|langs| terms.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val nb = math.max(1L, docs.count() / 4)
+        val dd = docs.select(col("lang"), length(col("text")).as("len"),
+          (col("doc_id") % nb).as("b"))
+        val games = dd.toDF("la", "xa", "b")
+          .join(dd.toDF("lb", "xb", "b"), Seq("b"))
+          .filter(col("la") < col("lb") && col("xa") =!= col("xb"))
+          .select(when(col("xa") > col("xb"), col("la")).otherwise(col("lb"))
+              .as("w"),
+            when(col("xa") > col("xb"), col("lb")).otherwise(col("la"))
+              .as("l"))
+          .groupBy("w", "l").agg(count(lit(1)).as("n"))
+          .localCheckpoint(eager = true) // ≤|langs|² rows, 3 MM rounds
+        val cells = games.select(col("w").as("i"), col("l").as("j"), col("n"))
+          .unionByName(
+            games.select(col("l").as("i"), col("w").as("j"), col("n")))
+          .groupBy("i", "j").agg(sum("n").as("nij"))
+          .localCheckpoint(eager = true)
+        val wins = cells.select(col("i").as("lang")).distinct()
+          .join(games.groupBy(col("w").as("lang"))
+            .agg(sum("n").as("wins")), Seq("lang"), "left_outer")
+          .na.fill(0L, Seq("wins"))
+        val k = cells.select(col("i")).distinct()
+          .agg(count(lit(1)).as("k"))
+        var p = cells.select(col("i").as("lang")).distinct()
+          .crossJoin(broadcast(k))
+          .select(col("lang"), round(lit(1.0) / col("k"), 6).as("p"))
+        for (_ <- 1 to 3) {
+          // checkpoint p each round: it feeds THREE consumers next round
+          // (pi/pj joins + the normalizer broadcast), and a lazy chain
+          // re-runs the whole prior-round subtree per consumer — the
+          // exponential fan-out tripled the round cost (5.2 → 2.8 s
+          // isolated at sf0.1); the frame is ≤|langs| rows, so the
+          // barrier is free. praw itself stays lazy: it is ≤|langs|²
+          // rows of joins over the checkpointed cells/p.
+          val praw = cells
+            .join(p.toDF("i", "pi"), Seq("i"))
+            .join(p.toDF("j", "pj"), Seq("j"))
+            .groupBy(col("i").as("lang"))
+            .agg(sum(col("nij") / (col("pi") + col("pj"))).as("den"))
+            .join(wins, Seq("lang"))
+            .select(col("lang"), (col("wins") / col("den")).as("praw"))
+          val z = praw.agg(sum("praw").as("z"))
+          p = praw.crossJoin(broadcast(z))
+            .select(col("lang"), round(col("praw") / col("z"), 6).as("p"))
+            .localCheckpoint(eager = true)
+        }
+        val ng = cells.groupBy(col("i").as("lang"))
+          .agg(sum("nij").as("n_games"))
+        val wRank = Window.orderBy(col("p").desc, col("lang"))
+        wins.join(ng, Seq("lang")).join(p, Seq("lang"))
+          .select(col("lang"), col("wins"), col("n_games"),
+            col("p").as("bt_strength"),
+            rank().over(wRank).cast("long").as("bt_rank"))
+          .orderBy("lang")
+      },
+      Some("""WITH n0 AS (SELECT GREATEST(1, COUNT(*) // 4) AS nb
+             |  FROM documents),
+             |d AS (SELECT doc_id, lang, length(text) AS len, doc_id % nb AS b
+             |  FROM documents, n0),
+             |games AS MATERIALIZED (
+             |  SELECT CASE WHEN a.len > b.len THEN a.lang ELSE b.lang END AS w,
+             |         CASE WHEN a.len > b.len THEN b.lang ELSE a.lang END AS l,
+             |         COUNT(*) AS n
+             |  FROM d a JOIN d b ON a.b = b.b AND a.lang < b.lang
+             |    AND a.len <> b.len
+             |  GROUP BY 1, 2),
+             |cells AS MATERIALIZED (
+             |  SELECT i, j, CAST(SUM(n) AS BIGINT) AS nij FROM (
+             |    SELECT w AS i, l AS j, n FROM games
+             |    UNION ALL SELECT l AS i, w AS j, n FROM games) u
+             |  GROUP BY 1, 2),
+             |langs AS MATERIALIZED (SELECT DISTINCT i AS lang FROM cells),
+             |nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM langs),
+             |wtot AS MATERIALIZED (
+             |  SELECT lang, CAST(COALESCE(SUM(n), 0) AS BIGINT) AS wins
+             |  FROM langs LEFT JOIN games ON w = lang GROUP BY 1),
+             |p0 AS MATERIALIZED (SELECT lang, ROUND(1.0 / k, 6) AS p
+             |  FROM langs, nl),
+             |r1 AS MATERIALIZED (
+             |  SELECT c.i AS lang, w.wins / SUM(c.nij / (pi.p + pj.p)) AS praw
+             |  FROM cells c JOIN p0 pi ON pi.lang = c.i
+             |    JOIN p0 pj ON pj.lang = c.j
+             |    JOIN wtot w ON w.lang = c.i GROUP BY 1, w.wins),
+             |p1 AS MATERIALIZED (SELECT lang,
+             |    ROUND(praw / (SELECT SUM(praw) FROM r1), 6) AS p FROM r1),
+             |r2 AS MATERIALIZED (
+             |  SELECT c.i AS lang, w.wins / SUM(c.nij / (pi.p + pj.p)) AS praw
+             |  FROM cells c JOIN p1 pi ON pi.lang = c.i
+             |    JOIN p1 pj ON pj.lang = c.j
+             |    JOIN wtot w ON w.lang = c.i GROUP BY 1, w.wins),
+             |p2 AS MATERIALIZED (SELECT lang,
+             |    ROUND(praw / (SELECT SUM(praw) FROM r2), 6) AS p FROM r2),
+             |r3 AS MATERIALIZED (
+             |  SELECT c.i AS lang, w.wins / SUM(c.nij / (pi.p + pj.p)) AS praw
+             |  FROM cells c JOIN p2 pi ON pi.lang = c.i
+             |    JOIN p2 pj ON pj.lang = c.j
+             |    JOIN wtot w ON w.lang = c.i GROUP BY 1, w.wins),
+             |p3 AS MATERIALIZED (SELECT lang,
+             |    ROUND(praw / (SELECT SUM(praw) FROM r3), 6) AS p FROM r3)
+             |SELECT l.lang, w.wins, g.n_games, p.p AS bt_strength,
+             |  CAST(RANK() OVER (ORDER BY p.p DESC, l.lang) AS BIGINT)
+             |    AS bt_rank
+             |FROM langs l JOIN wtot w USING (lang) JOIN p3 p USING (lang)
+             |  JOIN (SELECT i AS lang, CAST(SUM(nij) AS BIGINT) AS n_games
+             |        FROM cells GROUP BY 1) g USING (lang)
+             |ORDER BY l.lang""".stripMargin)),
+
+    Q("events_cusum_alarm", // sequential change-ALARM (distinct from
+      // events_cusum_changepoint, which locates the most likely shift
+      // point retrospectively — this one fires online, with a
+      // threshold): a reset-at-zero CUSUM over daily event counts, as
+      // cumsum − running-min (the window identity for max(0, S+x)
+      // recursion — two windows, no recursion). Everything is EXACT
+      // integer arithmetic: deviations are scaled by n_days
+      // (y = nd·c − tot, which sums to zero over the history), the
+      // alarm threshold is 100 raw excess events (scaled: 100·nd).
+      // Two monitors populate both regimes: the observed stationary
+      // series (negative control — must NOT alarm) and the detector's
+      // self-test with a deterministic +10% injection after day 20
+      // (positive control — must alarm), the standard canary a
+      // production change-point monitor ships with.
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("c"))
+        val m = daily.agg(count(lit(1)).as("nd"), sum("c").as("tot"))
+        val sr = daily.crossJoin(broadcast(m))
+          .withColumn("t",
+            row_number().over(Window.orderBy("day")).cast("long"))
+        val obs = sr.select(lit("observed").as("monitor"), col("day"),
+          col("t"), (col("nd") * col("c") - col("tot")).as("y"), col("nd"))
+        val inj = sr.select(lit("injected").as("monitor"), col("day"),
+          col("t"),
+          (col("nd") * (col("c") +
+            when(col("t") > 20, expr("c div 10")).otherwise(0L))
+            - col("tot")).as("y"),
+          col("nd"))
+        val w = Window.partitionBy("monitor").orderBy("t")
+        obs.unionByName(inj)
+          .withColumn("cy", sum("y").over(w))
+          .withColumn("s", col("cy") - min("cy").over(w))
+          .groupBy("monitor")
+          .agg(count(lit(1)).as("n_days"),
+            round(max(col("s")).cast("double") / max(col("nd")), 4)
+              .as("max_excess"),
+            coalesce(min(when(col("s") > lit(100L) * col("nd"),
+              col("day"))), lit("none")).as("alarm_day"),
+            coalesce(min(when(col("s") > lit(100L) * col("nd"),
+              col("t"))), lit(-1L)).as("alarm_t"))
+          .orderBy("monitor")
+      },
+      Some("""WITH daily AS (
+             |  SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS c
+             |  FROM events GROUP BY 1),
+             |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+             |  CAST(SUM(c) AS BIGINT) AS tot FROM daily),
+             |sr AS (SELECT day, c,
+             |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+             |    nd, tot FROM daily, m),
+             |mon AS (
+             |  SELECT 'observed' AS monitor, day, t, nd * c - tot AS y, nd
+             |  FROM sr
+             |  UNION ALL
+             |  SELECT 'injected', day, t,
+             |    nd * (c + CASE WHEN t > 20 THEN c // 10 ELSE 0 END) - tot,
+             |    nd
+             |  FROM sr),
+             |cs AS (SELECT monitor, day, t, nd,
+             |    CAST(SUM(y) OVER (PARTITION BY monitor ORDER BY t)
+             |      AS BIGINT) AS cy FROM mon),
+             |st AS (SELECT monitor, day, t, nd,
+             |    cy - MIN(cy) OVER (PARTITION BY monitor ORDER BY t) AS s
+             |  FROM cs)
+             |SELECT monitor, COUNT(*) AS n_days,
+             |  ROUND(CAST(MAX(s) AS DOUBLE) / MAX(nd), 4) AS max_excess,
+             |  COALESCE(MIN(CASE WHEN s > 100 * nd THEN day END), 'none')
+             |    AS alarm_day,
+             |  COALESCE(MIN(CASE WHEN s > 100 * nd THEN t END), -1)
+             |    AS alarm_t
+             |FROM st GROUP BY 1 ORDER BY monitor""".stripMargin)))
+
   // -- driver contract ------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {

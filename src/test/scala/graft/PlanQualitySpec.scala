@@ -215,7 +215,10 @@ class PlanQualitySpec extends SparkSuite {
         "lineitem_theil_index", // 1-row global-moments broadcast onto the supplier grain
         "orders_kendall_tau", // pairwise pass over the bounded ~80-row month grain
         "events_error_pchart", // 1-row centerline broadcast onto the day grain
-        "graph_triangles")) // 1-row stats × 1-row triangle-count assembly
+        "graph_triangles", // 1-row stats × 1-row triangle-count assembly
+        "doc_epoch_waterfill", // 1-row budget/used/n_u broadcasts onto the ≤|langs| domain grain
+        "doc_bradley_terry", // 1-row |langs| + normalizer broadcasts onto the ≤|langs|² wins matrix
+        "events_cusum_alarm")) // 1-row (n_days, total) baseline broadcast onto the day grain
         // and the other names above: 1-row corpus-
       // stats broadcast: a nested-loop join against a single-row build
       // side is the intended scalar fan-out, not a quadratic pairing
