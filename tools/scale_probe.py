@@ -70,7 +70,7 @@ QUERIES = [
     # r8 (VERDICT r7 #5): waves 25-29 shapes — 4 sequential GD training
     # chains with per-round driver barriers; rarefaction riding the
     # shared near-dup pair relation at 4 sample grains
-    "doc_learning_curve", "doc_neardup_rarefaction",
+    "doc_learning_curve", "doc_dup_rate_rarefaction",
 ]
 
 # Work linear in data by construction AND CPU-saturated at sf0.1 ->
