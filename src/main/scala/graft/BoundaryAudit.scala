@@ -102,25 +102,10 @@ object BoundaryAudit {
             case Some(a: Aggregate) => a.aggregateExpressions
             case _ => Nil
           }
-          // root-level round(expr, n) under the output alias = the
-          // protocol's boundary rounding; anything deeper is `nested`
-          val audited = exprs.collect {
-            case Alias(r: Round, aName)
-                if r.dataType == DoubleType &&
-                  r.scale.isInstanceOf[Literal] =>
-              (aName, r.scale.eval().asInstanceOf[Int], r.child)
-          }
-          exprs.foreach { e =>
-            val isRootRound = e match {
-              case Alias(_: Round, _) => true
-              case _ => false
-            }
-            if (!isRootRound && e.collectFirst { case r: Round => r }.nonEmpty)
-              nested += ((name, e.name))
-          }
-          if (audited.isEmpty) { nNoRound += (if (nested.isEmpty) 1 else 0) }
-          else {
-            val rawList: Seq[NamedExpression] = audited.map {
+          // evaluate a batch of (label, scale, preRoundExpr) columns in
+          // the node's own context and record their boundary metrics
+          def auditBatch(cols: Seq[(String, Int, Expression)]): Unit = {
+            val rawList: Seq[NamedExpression] = cols.map {
               case (aName, _, child) => Alias(child, aName)()
             }
             val rawPlan = node.get match {
@@ -129,7 +114,7 @@ object BoundaryAudit {
                 Aggregate(a.groupingExpressions, rawList, a.child)
             }
             val raw = fromPlan(rawPlan)
-            val aggCols = audited.zipWithIndex.flatMap {
+            val aggCols = cols.zipWithIndex.flatMap {
               case ((aName, scale, _), i) =>
                 val c = col(s"`$aName`").cast("double")
                 val m = metricsUdf(c, lit(scale))
@@ -143,13 +128,52 @@ object BoundaryAudit {
                   count(c).as(s"n_$i"))
             }
             val row = raw.agg(aggCols.head, aggCols.tail: _*).head()
-            audited.zipWithIndex.foreach { case ((aName, scale, _), i) =>
+            cols.zipWithIndex.foreach { case ((aName, scale, _), i) =>
               val m = row.getStruct(row.fieldIndex(s"m_$i"))
               val n = row.getLong(row.fieldIndex(s"n_$i"))
               if (m != null && n > 0)
                 reports += ColReport(name, aName, scale, n,
                   m.getDouble(0), m.getDouble(1), m.getDouble(2),
                   m.getDouble(3))
+            }
+          }
+          // root-level round(expr, n) under the output alias = the
+          // protocol's boundary rounding
+          val audited = exprs.collect {
+            case Alias(r: Round, aName)
+                if r.dataType == DoubleType &&
+                  r.scale.isInstanceOf[Literal] =>
+              (aName, r.scale.eval().asInstanceOf[Int], r.child)
+          }
+          // rounds BELOW the alias root (thresholds compared against a
+          // rounded value, rounds inside CASE arms or aggregates):
+          // audited the same way, labeled name~i; a nested child that is
+          // not a legal standalone output in this node's context (e.g.
+          // a row-grain column inside sum(round(x, n)) of an Aggregate)
+          // falls back to per-column attempts and is reported as a skip
+          // if analysis still rejects it
+          val nestedCols = exprs.flatMap { e =>
+            val all = e.collect {
+              case r: Round if r.dataType == DoubleType &&
+                r.scale.isInstanceOf[Literal] => r
+            }
+            val skipRoot = e match {
+              case Alias(r: Round, _) => all.filter(_ ne r)
+              case _ => all
+            }
+            skipRoot.zipWithIndex.map { case (r, i) =>
+              (s"${e.name}~$i", r.scale.eval().asInstanceOf[Int], r.child)
+            }
+          }
+          if (audited.isEmpty && nestedCols.isEmpty) nNoRound += 1
+          if (audited.nonEmpty) auditBatch(audited)
+          if (nestedCols.nonEmpty) {
+            try auditBatch(nestedCols)
+            catch { case _: Throwable =>
+              nestedCols.foreach { c =>
+                try auditBatch(Seq(c))
+                catch { case _: Throwable => nested += ((name, c._1)) }
+              }
             }
           }
         } catch { case e: Throwable =>
@@ -184,8 +208,9 @@ object BoundaryAudit {
     table(reports.toSeq.filterNot(r => r.minRatio.isNaN)
       .sortBy(_.minRatio).take(25))
     if (nested.nonEmpty) {
-      sb ++= s"Nested-round columns (round below the alias root — manual " +
-        s"review): ${nested.size}\n\n"
+      sb ++= s"Nested-round columns the audit could NOT evaluate standalone " +
+        s"(analysis rejects the bare child in this node's context — " +
+        s"manual review): ${nested.size}\n\n"
       nested.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (q, cs) =>
         sb ++= s"- $q: ${cs.map(_._2).mkString(", ")}\n"
       }
