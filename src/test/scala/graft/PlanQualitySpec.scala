@@ -219,7 +219,8 @@ class PlanQualitySpec extends SparkSuite {
         "doc_epoch_waterfill", // 1-row budget/used/n_u broadcasts onto the ≤|langs| domain grain
         "doc_bradley_terry", // 1-row |langs| + normalizer broadcasts onto the ≤|langs|² wins matrix
         "events_cusum_alarm", // 1-row (n_days, total) baseline broadcast onto the day grain
-        "events_shapley_attribution")) // bounded 16x15 coalition-lattice bitmask joins + 1-row v(full) broadcast
+        "events_shapley_attribution", // bounded 16x15 coalition-lattice bitmask joins + 1-row v(full) broadcast
+        "events_mmd_drift")) // 1-row (min-date, grid-step) bounds broadcast onto the event stream
         // and the other names above: 1-row corpus-
       // stats broadcast: a nested-loop join against a single-row build
       // side is the intended scalar fan-out, not a quadratic pairing
