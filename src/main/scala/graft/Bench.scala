@@ -42,6 +42,25 @@ object Bench {
         try SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.count()
         catch { case _: Throwable => () }
       }
+    // Machine-regime calibration probe (round-9, VERDICT r8 #3): the host
+    // alternates fast/slow regimes that shift EVERY query a uniform
+    // 1.15-1.6x between invocations on identical code (r8: four same-code
+    // full-suite runs spread 258-312 s). This fixed CPU-bound micro-query
+    // — pure codegen'd integer arithmetic over spark.range, no I/O, no
+    // data dependence — is timed 5x before and after the suite and its
+    // MEDIANs land in bench_out.json as calibration_pre/_post, so a
+    // cross-invocation per-query comparison can be normalized by the
+    // calibration ratio instead of guessing which regime each run hit.
+    def calibrate(): Double = {
+      val ts = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0, 200000000L, 1, numPartitions = 1)
+          .selectExpr("sum((id * 2654435761) % 1000003)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(2)
+    }
+    val calibrationPre = calibrate()
     // Each query is timed twice back-to-back and the MIN is reported.
     // Rationale (round-6 postmortem): on the identical commit the driver's
     // run billed ~15 queries 3.6-11x their isolated cost (an 80-row
@@ -94,8 +113,9 @@ object Bench {
     // emit the full payload first, then the compact parseable headline as
     // the LAST line so it always lands inside the tail window, and persist
     // the full payload to a file the judge can read.
-    val headline = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","nqueries":${results.size},"cold_total":$coldTotal,"timing":"best_of_2"}"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":$coldTotal,"queries_cold":${jmap(coldResults)},"timing":"best_of_2"}"""
+    val calibrationPost = calibrate()
+    val headline = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","nqueries":${results.size},"cold_total":$coldTotal,"calibration_pre":$calibrationPre,"calibration_post":$calibrationPost,"timing":"best_of_2"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":$coldTotal,"queries_cold":${jmap(coldResults)},"calibration_pre":$calibrationPre,"calibration_post":$calibrationPost,"timing":"best_of_2"}"""
     // Headline BOTH first and last: a head-reading parser sees it before
     // the big per-query line, and a bounded-tail capture still ends with
     // it. (build.sbt's StdoutOutput keeps these lines free of sbt's

@@ -276,6 +276,34 @@ case class SimHashMd5(child: Expression) extends UnaryExpression with StringArra
     })
 }
 
+/** First 60 bits of md5(s) as a non-negative long — the SCALAR twin of
+  * the portable-hash family's per-shingle primitive, for queries that
+  * hash ONE token per row (feature hashing) where the interpreted
+  * `conv(substring(md5(w), 1, 15), 16, 10)` chain allocates a hex string,
+  * a substring copy, and a base-16 parse per token. SQL name:
+  * `graft_md5_hash60`. Bit-identical to DuckDB's
+  * `('0x' || substr(md5(s), 1, 15))::BIGINT` (TextExpressionsSpec pins it
+  * against the conv-chain on real tokens).
+  */
+case class Md5Hash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.catalogString}")
+  }
+  override def prettyName: String = "graft_md5_hash60"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.md5Prefix60(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextExpressions.md5Prefix60($a);")
+}
+
 /** ENGINE-PORTABLE minhash lanes (md5 + affine family mod 2³¹−1) in one
   * pass. SQL name: `graft_minhash_md5(shingles, numHashes)`. Native fast
   * path of [[graft.operators.Dedup.minhashSignaturePortable]] —

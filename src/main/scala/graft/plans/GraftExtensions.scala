@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{BestLangByHits, CharGramHashes, CharTrigrams, WordGramHashes, CosineSimilarity, DotProduct, L2SqDistance, MinHashSig, MinHashSigMd5, ModeCount, MortonInterleave, SimHash64, SimHashMd5, StopwordHits, WinnowSig, WordKGrams}
+import graft.functions.{BestLangByHits, CharGramHashes, CharTrigrams, WordGramHashes, CosineSimilarity, DotProduct, L2SqDistance, Md5Hash60, MinHashSig, MinHashSigMd5, ModeCount, MortonInterleave, SimHash64, SimHashMd5, StopwordHits, WinnowSig, WordKGrams}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -39,6 +39,8 @@ object GraftFunctions {
       } }),
     ("graft_simhash_md5", info("graft_simhash_md5", classOf[SimHashMd5]),
       (es: Seq[Expression]) => { arity("graft_simhash_md5", es, 1); SimHashMd5(es(0)) }),
+    ("graft_md5_hash60", info("graft_md5_hash60", classOf[Md5Hash60]),
+      (es: Seq[Expression]) => { arity("graft_md5_hash60", es, 1); Md5Hash60(es(0)) }),
     ("graft_minhash_md5", info("graft_minhash_md5", classOf[MinHashSigMd5]),
       (es: Seq[Expression]) => { arity("graft_minhash_md5", es, 2); es(1) match {
         case Literal(n: Int, IntegerType) => MinHashSigMd5(es(0), n)

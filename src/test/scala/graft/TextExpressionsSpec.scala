@@ -108,6 +108,33 @@ class TextExpressionsSpec extends SparkSuite {
     }
   }
 
+  test("graft_md5_hash60 expression is bit-identical to conv(substring(md5)) per token") {
+    // the codegen'd scalar twin of md5Prefix60 (doc_feature_hashing's
+    // bucket hash): exact-long compare over EVERY token in the fixture,
+    // both the generated-code and interpreted paths exercised by the
+    // full-corpus plan
+    val mismatches = docs
+      .select(explode(TextAnalysis.tokens(lower($"text"))).as("w"))
+      .select(
+        call_function("graft_md5_hash60", $"w").as("fast"),
+        conv(substring(md5($"w"), 1, 15), 16, 10).cast("long").as("slow"))
+      .filter($"fast" =!= $"slow")
+      .count()
+    assert(mismatches === 0)
+  }
+
+  test("graft_md5_hash60 null and empty-string behavior") {
+    val rows = Seq(Some(""), Some("a"), None)
+      .toDF("w")
+      .select(call_function("graft_md5_hash60", $"w").as("h"))
+      .as[Option[Long]].collect()
+    assert(rows(0).nonEmpty && rows(1).nonEmpty) // empty string hashes
+    assert(rows(2).isEmpty) // null in, null out
+    // empty string md5 prefix is a fixed public constant:
+    // md5("") = d41d8cd98f00b204e9800998ecf8427e → 0xd41d8cd98f00b20 >> 0
+    assert(rows(0).get === java.lang.Long.parseLong("d41d8cd98f00b20", 16))
+  }
+
   test("graft_stopword_hits matches the HOF hit count for every language dict") {
     TextAnalysis.stopwords.foreach { case (lang, words) =>
       val mismatches = docs.select(

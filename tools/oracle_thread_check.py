@@ -46,8 +46,14 @@ def keys(df, rounded):
             return round(v, 6) if rounded else repr(v)
         return str(v)
 
-    return [tuple(cell(v) for v in row)
+    rows = [tuple(cell(v) for v in row)
             for row in df[cols].itertuples(index=False, name=None)]
+    # Compare as a sorted multiset, not positionally: an oracle whose
+    # ORDER BY leaves ties can legitimately reorder tied rows between
+    # thread counts (parallel hash-agg emission order), and the driver's
+    # own compare hashes sorted rows — only genuine cell-value
+    # differences should fail this gate. None sorts before any value.
+    return sorted(rows, key=lambda r: tuple((v is not None, str(v)) for v in r))
 
 
 def main(sf_dir, out_dir, report_path):
