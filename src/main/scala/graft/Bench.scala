@@ -35,7 +35,8 @@ object Bench {
     // by the sf directory; the sf0.001 warmup above only built the sf0.001
     // copies. Run them once against the TARGET sf untimed so the timed
     // pass measures the pruned READ, not the one-time write.
-    Seq("layout_partition_prune", "emb_lsh_topk_indexed",
+    Seq("layout_partition_prune", "layout_graph_edges",
+        "emb_lsh_topk_indexed",
         "scale_bucketed_join", "source_csv_quarantine")
       .filter(n => selected(n) && SparkEntry.queries.contains(n))
       .foreach { n =>

@@ -39,6 +39,27 @@ object EventStream {
     eventSchema.fields.map(f =>
       if (f.name == "ts") StructField("ts", TimestampNTZType) else f))
 
+  /** Per-query-name checkpoint dir on tmpfs (/dev/shm when present): the
+    * WAL/offsets/state-commit small-file traffic of a one-shot
+    * AvailableNow run is pure fixed cost, and on the bench host /tmp is
+    * disk-backed. The dir is WIPED before each start so a rerun always
+    * reprocesses from scratch (a reused checkpoint would no-op the run
+    * and leave the memory sink empty); one dir per query name bounds
+    * tmpfs accumulation.
+    */
+  private[streaming] def freshCheckpoint(name: String): String = {
+    val shm = new java.io.File("/dev/shm")
+    val base =
+      if (shm.isDirectory && shm.canWrite) shm
+      else new java.io.File(System.getProperty("java.io.tmpdir"))
+    val dir = new java.io.File(base, s"graft_ck_$name")
+    def rm(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+    }
+    rm(dir)
+    dir.getAbsolutePath
+  }
+
   /** Tumbling 1-hour windowed counts/sums per event type with a 10-minute
     * watermark — the streaming twin of the batch `events_hourly` query.
     */
@@ -55,6 +76,7 @@ object EventStream {
   def startHourlyAgg(spark: SparkSession, sfDir: String, queryName: String): StreamingQuery = {
     hourlyAgg(rawStream(spark, sfDir))
       .writeStream.outputMode("append").format("memory").queryName(queryName)
+      .option("checkpointLocation", freshCheckpoint(queryName))
       .trigger(Trigger.AvailableNow()).start()
   }
 
@@ -73,6 +95,7 @@ object EventStream {
   def startSlidingAgg(spark: SparkSession, sfDir: String, queryName: String): StreamingQuery = {
     slidingAgg(rawStream(spark, sfDir))
       .writeStream.outputMode("append").format("memory").queryName(queryName)
+      .option("checkpointLocation", freshCheckpoint(queryName))
       .trigger(Trigger.AvailableNow()).start()
   }
 
@@ -120,6 +143,7 @@ object EventStream {
         sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("n_b"))
       .writeStream.outputMode("complete").format("memory")
       .queryName(queryName)
+      .option("checkpointLocation", freshCheckpoint(queryName))
       .trigger(Trigger.AvailableNow()).start()
 
   def startCmsStream(spark: SparkSession, sfDir: String,
@@ -127,6 +151,7 @@ object EventStream {
     graft.operators.Sketches.countMinCells(rawStream(spark, sfDir), "user_id")
       .writeStream.outputMode("complete").format("memory")
       .queryName(queryName)
+      .option("checkpointLocation", freshCheckpoint(queryName))
       .trigger(Trigger.AvailableNow()).start()
 
   /** Streaming exactly-once dedup: the input is deliberately doubled
@@ -143,6 +168,7 @@ object EventStream {
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("event_id")
       .writeStream.outputMode("append").format("memory").queryName(queryName)
+      .option("checkpointLocation", freshCheckpoint(queryName))
       .trigger(Trigger.AvailableNow()).start()
   }
 
@@ -160,6 +186,7 @@ object EventStream {
     stream.join(broadcast(dim), stream("user_id") === dim("dim_user_id"))
       .select(col("event_id"), col("user_id"), col("segment"), col("value"))
       .writeStream.outputMode("append").format("memory").queryName(queryName)
+      .option("checkpointLocation", freshCheckpoint(queryName))
       .trigger(Trigger.AvailableNow()).start()
   }
 
@@ -185,6 +212,7 @@ object EventStream {
       .select(col("event_id"), col("event_type"), col("value"),
         round(col("z"), 4).as("z"))
       .writeStream.outputMode("append").format("memory").queryName(queryName)
+      .option("checkpointLocation", freshCheckpoint(queryName))
       .trigger(Trigger.AvailableNow()).start()
   }
 
@@ -214,6 +242,7 @@ object EventStream {
       .select(col("purchase_id"), col("p_user"), col("click_id"),
         col("c_ts"), col("p_ts"), col("value"))
       .writeStream.outputMode("append").format("memory").queryName(queryName)
+      .option("checkpointLocation", freshCheckpoint(queryName))
       .trigger(Trigger.AvailableNow()).start()
   }
 
@@ -246,6 +275,7 @@ object EventStream {
       .select(col("purchase_id"), col("p_user"), col("click_id"),
         col("c_ts"), col("p_ts"), col("value"))
       .writeStream.outputMode("append").format("memory").queryName(queryName)
+      .option("checkpointLocation", freshCheckpoint(queryName))
       .trigger(Trigger.AvailableNow()).start()
   }
 
@@ -364,6 +394,7 @@ object EventStream {
   def startCepStream(spark: SparkSession, sfDir: String, queryName: String): StreamingQuery = {
     detectViewBurstPurchases(spark, rawStream(spark, sfDir))
       .writeStream.outputMode("append").format("memory").queryName(queryName)
+      .option("checkpointLocation", freshCheckpoint(queryName))
       .trigger(Trigger.AvailableNow()).start()
   }
 
@@ -486,6 +517,7 @@ object EventStream {
       spark: SparkSession, sfDir: String, queryName: String): StreamingQuery = {
     sessionizeTws(spark, rawStream(spark, sfDir))
       .writeStream.outputMode("append").format("memory").queryName(queryName)
+      .option("checkpointLocation", freshCheckpoint(queryName))
       .trigger(Trigger.AvailableNow()).start()
   }
 
