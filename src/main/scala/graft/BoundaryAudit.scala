@@ -152,6 +152,17 @@ object BoundaryAudit {
           // a row-grain column inside sum(round(x, n)) of an Aggregate)
           // falls back to per-column attempts and is reported as a skip
           // if analysis still rejects it
+          // each nested column carries TWO evaluable forms: the bare
+          // pre-round child (primary — measures the raw distribution),
+          // and the ENCLOSING-CONTEXT substitution (the parent
+          // expression with this Round occurrence replaced by its
+          // child, guards and CASE arms intact). The substitution is
+          // the fallback for children that only evaluate safely under
+          // their guard — e.g. when(n > 0, round(x / n, 6)): the bare
+          // x / n throws DIVIDE_BY_ZERO under ANSI on the guarded-out
+          // rows, while when(n > 0, x / n) yields exactly the
+          // pre-round values on the rows the query actually rounds
+          // (nulls elsewhere, which the metric already excludes).
           val nestedCols = exprs.flatMap { e =>
             val all = e.collect {
               case r: Round if r.dataType == DoubleType &&
@@ -162,17 +173,38 @@ object BoundaryAudit {
               case _ => all
             }
             skipRoot.zipWithIndex.map { case (r, i) =>
-              (s"${e.name}~$i", r.scale.eval().asInstanceOf[Int], r.child)
+              val inContext = e match {
+                case Alias(childE, _) =>
+                  val s0 = childE.transformUp {
+                    case x if x eq r => r.child
+                  }
+                  if (s0.dataType == DoubleType) Some(s0) else None
+                case _ => None
+              }
+              (s"${e.name}~$i", r.scale.eval().asInstanceOf[Int], r.child,
+                inContext)
             }
           }
           if (audited.isEmpty && nestedCols.isEmpty) nNoRound += 1
           if (audited.nonEmpty) auditBatch(audited)
           if (nestedCols.nonEmpty) {
-            try auditBatch(nestedCols)
+            try auditBatch(nestedCols.map(c => (c._1, c._2, c._3)))
             catch { case _: Throwable =>
               nestedCols.foreach { c =>
-                try auditBatch(Seq(c))
-                catch { case _: Throwable => nested += ((name, c._1)) }
+                try auditBatch(Seq((c._1, c._2, c._3)))
+                catch { case _: Throwable =>
+                  c._4 match {
+                    case Some(sub) =>
+                      try auditBatch(Seq((c._1, c._2, sub)))
+                      catch { case e: Throwable =>
+                        if (sys.env.contains("GRAFT_AUDIT_DEBUG"))
+                          println(s"[audit-debug] $name ${c._1}: " +
+                            e.toString.take(500))
+                        nested += ((name, c._1))
+                      }
+                    case None => nested += ((name, c._1))
+                  }
+                }
               }
             }
           }

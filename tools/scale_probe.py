@@ -71,6 +71,17 @@ QUERIES = [
     # chains with per-round driver barriers; rarefaction riding the
     # shared near-dup pair relation at 4 sample grains
     "doc_learning_curve", "doc_dup_rate_rarefaction",
+    # r9 (VERDICT r8 #6): waves 30-31 shapes — checkpointed MM rounds on
+    # the bounded comparison grain, integer-weighted PageRank on the
+    # vocabulary grain, an exact-long pinball-GD chain, and the Shapley
+    # lattice over ONE user-grain rollup (names regenerated from
+    # SparkEntry.queries this round)
+    "doc_bradley_terry", "doc_textrank_keywords",
+    "lineitem_quantile_regression", "events_shapley_attribution",
+    # r9 additions: the grid-bounded MMD (33-cell rollup — ratio should
+    # stay near 1x by construction) and the r9-touched native-hash
+    # feature bucketing (explode+agg, linear)
+    "events_mmd_drift", "doc_feature_hashing",
 ]
 
 # Work linear in data by construction AND CPU-saturated at sf0.1 ->
