@@ -26,6 +26,33 @@ class ScaleSpec extends SparkSuite {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("layout_graph_edges persisted relations equal their base-table derivations") {
+    // the consumers silently switch from deriving to READING these files,
+    // so the persisted relations must be row-identical to the derivation
+    // (the path carries a version for exactly this invariant)
+    val summary = SparkEntry.queries("layout_graph_edges")(spark, sfDir)
+      .collect()
+    assert(summary.length === 3)
+    val base = s"/tmp/graft_edge_idx_v1_${new java.io.File(sfDir).getName}"
+    val op = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    val cp = op.select(col("l_orderkey"), col("l_partkey").as("src"))
+      .join(op.select(col("l_orderkey").as("k2"), col("l_partkey").as("dst")),
+        col("l_orderkey") === col("k2") && col("src") < col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    val cpRead = spark.read.parquet(s"$base/copurchase")
+    assert(cpRead.exceptAll(cp).isEmpty && cp.exceptAll(cpRead).isEmpty)
+    val cs = orders
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+      .distinct()
+    val csRead = spark.read.parquet(s"$base/cust_supp")
+    assert(csRead.exceptAll(cs).isEmpty && cs.exceptAll(csRead).isEmpty)
+    val supRead = spark.read.parquet(s"$base/copurchase_support")
+    val sup = graft.operators.Graph.edgeSupport(
+      cp.filter(col("n") >= 2).select("src", "dst"), canonicalEdges = true)
+    assert(supRead.exceptAll(sup).isEmpty && sup.exceptAll(supRead).isEmpty)
+  }
+
   test("saltedJoin left-outer keeps unmatched left rows exactly once") {
     val left = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
     val right = Seq((1, "x")).toDF("k", "w")
