@@ -13,6 +13,22 @@ class PlanQualitySpec extends SparkSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  test("graph consumers scan the persisted edge index once the layout exists") {
+    // write the layout, drop the memo, and the next consumer's plan must
+    // read parquet from the versioned index path instead of re-deriving
+    // the lineitem⋈orders co-purchase join
+    SparkEntry.queries("layout_graph_edges")(spark, sfDir).collect()
+    SparkEntry.clearSharedState()
+    spark.catalog.clearCache()
+    // optimizedPlan: the executed plan hides the cached relation's child
+    // behind InMemoryTableScan (and checkpointing consumers behind an
+    // ExistingRDD scan); the logical form prints the FileScan source
+    val p = SparkEntry.queries("graph_degree_powerlaw")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("graft_edge_idx_v1_"), p.take(800))
+    assert(!p.contains("lineitem"), p.take(800))
+  }
+
   test("q5 join chain builds broadcast joins, never a cartesian product") {
     val p = plan("q5_region_revenue")
     assert(p.contains("BroadcastHashJoin"), p.take(400))
