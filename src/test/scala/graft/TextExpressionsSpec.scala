@@ -123,6 +123,38 @@ class TextExpressionsSpec extends SparkSuite {
     assert(mismatches === 0)
   }
 
+  test("graft_md5_hash60 property: matches the conv-chain on arbitrary unicode strings") {
+    // the fixture corpus is mostly ASCII; md5 hashes UTF-8 BYTES in both
+    // engines, so multi-byte code points are the divergence surface worth
+    // generating (seeded ScalaCheck — the scalatest bridge is not in the
+    // offline cache, same pattern as PipelinePropertySpec)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val charGen = Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf('é', 'ß', '中', '文', 'λ', 'Ω', ' ', '\t'),
+      1 -> Gen.choose(0x20.toChar, 0x2FFF.toChar))
+    val strGen = for {
+      n <- Gen.chooseNum(0, 40)
+      cs <- Gen.listOfN(n, charGen)
+      // supplementary-plane code points (surrogate pairs in the JVM,
+      // 4-byte UTF-8) can't be Char literals — splice them as strings
+      tail <- Gen.oneOf("", "🙂", "𝕏🙂")
+    } yield cs.mkString + tail
+    val p = Gen.Parameters.default
+    val strs = Iterator.iterate(Seed(97L))(_.next)
+      .map(s => strGen.apply(p, s))
+      .collect { case Some(a) => a }
+      .take(300).toSeq
+    val mismatches = strs.toDF("w")
+      .select(
+        call_function("graft_md5_hash60", $"w").as("fast"),
+        conv(substring(md5($"w"), 1, 15), 16, 10).cast("long").as("slow"))
+      .filter($"fast" =!= $"slow")
+      .count()
+    assert(mismatches === 0)
+  }
+
   test("graft_md5_hash60 null and empty-string behavior") {
     val rows = Seq(Some(""), Some("a"), None)
       .toDF("w")
