@@ -426,6 +426,37 @@ object Graph {
       (if (canonicalEdges) Nil else Seq(und)) :+ oriented: _*)
   }
 
+  /** The same one-row census as [[triangleStats]], computed from a
+    * precomputed per-edge triangle support relation (a, b, support) —
+    * the persisted-index fast path for a shared graph layout. Each
+    * triangle contributes exactly 1 to each of its three edges'
+    * support, so n_triangles = Σsupport div 3 (exact integer division;
+    * the sum is a multiple of 3 by construction). Node, edge and wedge
+    * counts come from the canonical (src < dst, distinct) edge list
+    * with the identical aggregate expressions [[triangleStats]] uses,
+    * and the clustering coefficient repeats its exact float arithmetic
+    * — all inputs to the one float expression are the same integers,
+    * so the two paths agree bitwise.
+    */
+  def triangleStatsFromSupport(edges: DataFrame,
+      support: DataFrame): DataFrame = {
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+    val deg = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val stats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges"))
+    val ecnt = und.agg(count(lit(1)).as("n_edges"))
+    val tri = support.agg(
+      coalesce(expr("sum(support) div 3"), lit(0L)).as("n_triangles"))
+    stats.crossJoin(ecnt).crossJoin(tri).select(
+      col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+      when(col("n_wedges") === 0, lit(0.0))
+        .otherwise(round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
+        .as("clustering_coeff"))
+  }
+
   /** Per-edge triangle support — the k-truss building block: for every
     * canonical (a < b) edge, how many triangles it closes. Same
     * degree-oriented wedge enumeration as [[triangleStats]] (each
@@ -502,8 +533,17 @@ object Graph {
     * form here keeps the relational oracle finite. Returns one row per
     * round: (round, n_edges, n_dropped). The only driver state is the
     * per-round edge COUNT — never the edges.
+    *
+    * `initialSupport`, when given, is a precomputed (a, b, support)
+    * relation for the CANONICALIZED input edge set (e.g. the persisted
+    * per-edge support of a shared graph layout — support is a pure
+    * integer function of the edge set, so any correct precomputation
+    * is bit-identical to recomputing it); round 1 then filters it
+    * directly instead of re-running the wedge enumeration, and only
+    * the shrunken later rounds enumerate live.
     */
-  def ktrussPeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def ktrussPeel(edges: DataFrame, k: Int, rounds: Int,
+      initialSupport: Option[DataFrame] = None): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     // canonicalize round-1 input (least/greatest, no self-loops, distinct)
@@ -520,7 +560,11 @@ object Graph {
     val out = (1 to rounds).map { r =>
       if (done) (r, before, 0L)
       else {
-        val next = edgeSupport(cur, canonicalEdges = true)
+        val sup = initialSupport match {
+          case Some(s0) if r == 1 => s0
+          case _ => edgeSupport(cur, canonicalEdges = true)
+        }
+        val next = sup
           .filter(col("support") >= k - 2)
           .select(col("a").as("src"), col("b").as("dst"))
         val after = next.count()

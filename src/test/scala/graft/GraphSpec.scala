@@ -181,6 +181,44 @@ class GraphSpec extends SparkSuite {
     assert(p === ((3L, 2L, 1L, 0L, 0.0)))
   }
 
+  test("triangleStatsFromSupport matches triangleStats on the same graph") {
+    // the persisted-index fast path: census from a precomputed support
+    // relation must agree column-for-column with the live wedge
+    // enumeration — K4 plus a pendant chain exercises support 2 edges,
+    // support 0 edges, and wedge-only nodes
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val live = Graph.triangleStats(edges)
+      .as[(Long, Long, Long, Long, Double)].head()
+    val sup = Graph.edgeSupport(edges)
+    val fast = Graph.triangleStatsFromSupport(
+        edges.select(least($"src", $"dst").as("src"),
+          greatest($"src", $"dst").as("dst")).distinct(), sup)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(fast === live)
+    assert(fast === ((6L, 8L, 16L, 4L, 0.75)))
+    // triangle-free graph: support sums to zero, coefficient exactly 0
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val pf = Graph.triangleStatsFromSupport(path, Graph.edgeSupport(path))
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(pf === ((3L, 2L, 1L, 0L, 0.0)))
+  }
+
+  test("ktrussPeel with precomputed round-1 support equals the live peel") {
+    // K4 plus pendant, canonical input: seeding round 1 from
+    // edgeSupport (the persisted-layout path) must reproduce the
+    // live peel round-for-round
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val live = Graph.ktrussPeel(edges, k = 4, rounds = 2)
+      .as[(Int, Long, Long)].collect().toList
+    val seeded = Graph.ktrussPeel(edges, k = 4, rounds = 2,
+        initialSupport = Some(Graph.edgeSupport(edges)))
+      .as[(Int, Long, Long)].collect().toList
+    assert(seeded === live)
+    assert(seeded === List((1, 6L, 1L), (2, 6L, 0L)))
+  }
+
   test("kCore peels a pendant chain down to the K4 2-core") {
     // K4 on 1-4 plus a chain 4-5-6: node 6 (deg 1) falls in round 1,
     // which drops 5 to deg 1 so it falls in round 2 — the cascade the

@@ -32,7 +32,7 @@ class ScaleSpec extends SparkSuite {
     // (the path carries a version for exactly this invariant)
     val summary = SparkEntry.queries("layout_graph_edges")(spark, sfDir)
       .collect()
-    assert(summary.length === 3)
+    assert(summary.length === 5)
     val base = s"/tmp/graft_edge_idx_v1_${new java.io.File(sfDir).getName}"
     val op = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
     val cp = op.select(col("l_orderkey"), col("l_partkey").as("src"))
@@ -47,10 +47,28 @@ class ScaleSpec extends SparkSuite {
       .distinct()
     val csRead = spark.read.parquet(s"$base/cust_supp")
     assert(csRead.exceptAll(cs).isEmpty && cs.exceptAll(csRead).isEmpty)
+    val cpd = orders
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
+      .distinct()
+    val cpdRead = spark.read.parquet(s"$base/cust_part")
+    assert(cpdRead.exceptAll(cpd).isEmpty && cpd.exceptAll(cpdRead).isEmpty)
     val supRead = spark.read.parquet(s"$base/copurchase_support")
     val sup = graft.operators.Graph.edgeSupport(
       cp.filter(col("n") >= 2).select("src", "dst"), canonicalEdges = true)
     assert(supRead.exceptAll(sup).isEmpty && sup.exceptAll(supRead).isEmpty)
+    val supAllRead = spark.read.parquet(s"$base/copurchase_support_all")
+    val supAll = graft.operators.Graph.edgeSupport(
+      cp.select("src", "dst"), canonicalEdges = true)
+    assert(supAllRead.exceptAll(supAll).isEmpty
+      && supAll.exceptAll(supAllRead).isEmpty)
+    // the triangle census consumer must agree between the index fast
+    // path and the live enumeration on the SAME graph
+    val fast = graft.operators.Graph.triangleStatsFromSupport(
+      cp.select("src", "dst"), supAllRead).collect().toSeq
+    val live = graft.operators.Graph.triangleStats(
+      cp.select("src", "dst"), canonicalEdges = true).collect().toSeq
+    assert(fast === live)
   }
 
   test("saltedJoin left-outer keeps unmatched left rows exactly once") {

@@ -158,6 +158,12 @@ def main():
     if not (args.reuse_fixture and os.path.isdir(SF1)):
         print("[scale_probe] building fresh-universe 10x fixture ...")
         run(["sbt", "-batch", f"runMain graft.GenSf {SF01} {SF1} 10"])
+        # drop any persisted edge-index layout keyed to the old fixture:
+        # GenSf is deterministic so a stale index would normally match,
+        # but the probe must never depend on that coincidence
+        import shutil
+        shutil.rmtree("/tmp/graft_edge_idx_v1_" + os.path.basename(SF1),
+                      ignore_errors=True)
 
     print("[scale_probe] benching pinned subset at sf0.1 ...")
     base = bench(SF01, "/tmp/scale_probe_sf01.json")
