@@ -621,6 +621,54 @@ object Graph {
     materializeAndRelease(visited, sym)
   }
 
+  /** Widest-path (maximum-bottleneck) capacities from a seed set over a
+    * weighted undirected graph: W(v) = max over seed→v paths of ≤`rounds`
+    * hops of min(edge weight along the path) — Bellman–Ford relaxation
+    * under the (max, min) semiring. `edges` carries (src, dst, w);
+    * `seeds` carries (id, cap) with cap the starting capacity (pass a
+    * sentinel above every edge weight for "unbounded"). Returns
+    * (id, cap) for every node reached within `rounds`, seeds included.
+    *
+    * Scale shape: the edge list is symmetrized once and pre-partitioned
+    * on the per-round join key (see [[pageRank]]); each round relaxes
+    * ONLY the frontier — nodes whose capacity improved last round. That
+    * is equivalent to relaxing every settled node (a non-improved node
+    * re-offers exactly the candidates its neighbors already saw last
+    * round, each ≤ the receiver's current capacity) but keeps the
+    * per-round join frontier-sized. All arithmetic is long max/min, so
+    * a round-unrolled SQL oracle replays it bit-exactly.
+    */
+  def widestPaths(edges: DataFrame, seeds: DataFrame, rounds: Int,
+      checkpointEvery: Int = 1): DataFrame = {
+    val sym = edges
+      .select(explode(array(
+        struct(col("src").as("s"), col("dst").as("d"), col("w").as("w")),
+        struct(col("dst").as("s"), col("src").as("d"), col("w").as("w"))))
+        .as("e"))
+      .select(col("e.s").as("src"), col("e.d").as("dst"), col("e.w").as("w"))
+      .repartition(col("src")).cache()
+    var best = seeds.select(col("id"), col("cap"))
+    var frontier = best
+    var r = 1
+    while (r <= rounds) {
+      val cand = sym
+        .join(frontier.select(col("id").as("src"), col("cap").as("fcap")),
+          Seq("src"))
+        .select(col("dst").as("id"), least(col("fcap"), col("w")).as("cand"))
+        .groupBy("id").agg(max("cand").as("cand"))
+      frontier = maybeCkpt(
+        cand.join(best, Seq("id"), "left_outer")
+          .filter(col("cap").isNull || col("cand") > col("cap"))
+          .select(col("id"), col("cand").as("cap")),
+        r, checkpointEvery)
+      best = maybeCkpt(
+        best.unionByName(frontier).groupBy("id").agg(max("cap").as("cap")),
+        r, checkpointEvery)
+      r += 1
+    }
+    materializeAndRelease(best, sym)
+  }
+
   /** Adamic–Adar link prediction (Adamic & Adar 2003) over an undirected
     * graph: for every non-adjacent pair (x, y) with at least one common
     * neighbor, score = Σ_u 1/ln(deg(u)) over the common neighbors u —

@@ -271,6 +271,45 @@ class GraphSpec extends SparkSuite {
     assert(a === Set((1L, 0), (2L, 1), (3L, 1), (4L, 2)))
   }
 
+  test("widestPaths prefers the wide 2-hop route over the narrow direct path") {
+    val edges = Seq((1L, 2L, 10L), (2L, 3L, 1L), (1L, 4L, 3L), (4L, 3L, 5L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq((1L, Long.MaxValue / 2)).toDF("id", "cap")
+    val got = Graph.widestPaths(edges, seeds, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(2L) === 10L)
+    assert(got(4L) === 3L)
+    // 1-4-3 bottleneck 3 beats 1-2-3 bottleneck 1
+    assert(got(3L) === 3L)
+    assert(got(1L) === Long.MaxValue / 2)
+  }
+
+  test("widestPaths horizon is bounded by rounds") {
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 4L), (3L, 4L, 3L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq((1L, 100L)).toDF("id", "cap")
+    val one = Graph.widestPaths(edges, seeds, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one === Map(1L -> 100L, 2L -> 5L))
+    val three = Graph.widestPaths(edges, seeds, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(three === Map(1L -> 100L, 2L -> 5L, 3L -> 4L, 4L -> 3L))
+  }
+
+  test("widestPaths re-improves a node settled earlier on a narrow path") {
+    // 1-3 direct but narrow (w=1); 1-2-3 wider (min(9,8)=8): round 1
+    // settles 3 at 1, round 2 must lift it to 8
+    val edges = Seq((1L, 3L, 1L), (1L, 2L, 9L), (2L, 3L, 8L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq((1L, 100L)).toDF("id", "cap")
+    val got = Graph.widestPaths(edges, seeds, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(3L) === 8L)
+    val ck = Graph.widestPaths(edges, seeds, rounds = 2, checkpointEvery = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === ck)
+  }
+
   test("ktrussPeel canonicalizes messy input (duplicates, self-loops, reversed)") {
     // K4 on 1..4 fed with reversed duplicates, a self-loop, and a
     // reversed pendant (5,4): round 1 must canonicalize before counting

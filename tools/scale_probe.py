@@ -144,6 +144,11 @@ def bench(sf_dir, out_json):
         # consumer at BOTH scales and suite cache pressure can't inflate
         # late queries (r7: containment flaked 12x in-suite vs 2.3x isolated)
         "SPARK_GRAFT_ISOLATE": "1",
+        # symmetry: the sf0.1 dir usually has the persisted edge-index
+        # layout (earlier full-suite runs built it) while the fresh 10x
+        # fixture never does; force BOTH passes onto the derive path so
+        # the ratio measures the operator, not the layout's presence
+        "SPARK_GRAFT_NO_EDGE_IDX": "1",
     })
     with open(out_json) as f:
         return json.load(f)["queries"]
