@@ -61,7 +61,29 @@ object Bench {
       }.sorted
       ts(2)
     }
+    // Multi-core twin (r9 continuation): the single-partition probe above
+    // cannot see MULTI-core contention — a co-running process stealing 31
+    // of 32 cores leaves it flat while every parallel query slows 5-10x
+    // (the r9 contaminated probe run failed 3 pins exactly this way, with
+    // calibration flat at 0.53-0.66 across all four passes). The same
+    // arithmetic spread over one task per core measures the machine's
+    // PARALLEL headroom; mc/sc >> 1 relative to a clean run means the
+    // pass shared its cores and its per-query times are not comparable.
+    def calibrateMc(): Double = {
+      val n = cpus.toLong
+      val ts = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        // id % 2e8 keeps the multiply inside long range under ANSI
+        // (raw id reaches cpus*2e8 here, unlike the single-core probe)
+        spark.range(0, 200000000L * n, 1, numPartitions = n.toInt)
+          .selectExpr("sum(((id % 200000000) * 2654435761) % 1000003)")
+          .collect()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(2)
+    }
     val calibrationPre = calibrate()
+    val calibrationMcPre = calibrateMc()
     // Each query is timed twice back-to-back and the MIN is reported.
     // Rationale (round-6 postmortem): on the identical commit the driver's
     // run billed ~15 queries 3.6-11x their isolated cost (an 80-row
@@ -115,8 +137,10 @@ object Bench {
     // the LAST line so it always lands inside the tail window, and persist
     // the full payload to a file the judge can read.
     val calibrationPost = calibrate()
-    val headline = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","nqueries":${results.size},"cold_total":$coldTotal,"calibration_pre":$calibrationPre,"calibration_post":$calibrationPost,"timing":"best_of_2"}"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":$coldTotal,"queries_cold":${jmap(coldResults)},"calibration_pre":$calibrationPre,"calibration_post":$calibrationPost,"timing":"best_of_2"}"""
+    val calibrationMcPost = calibrateMc()
+    val cal = s""""calibration_pre":$calibrationPre,"calibration_post":$calibrationPost,"calibration_mc_pre":$calibrationMcPre,"calibration_mc_post":$calibrationMcPost"""
+    val headline = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","nqueries":${results.size},"cold_total":$coldTotal,$cal,"timing":"best_of_2"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":$coldTotal,"queries_cold":${jmap(coldResults)},$cal,"timing":"best_of_2"}"""
     // Headline BOTH first and last: a head-reading parser sees it before
     // the big per-query line, and a bounded-tail capture still ends with
     // it. (build.sbt's StdoutOutput keeps these lines free of sbt's

@@ -82,6 +82,9 @@ QUERIES = [
     # stay near 1x by construction) and the r9-touched native-hash
     # feature bucketing (explode+agg, linear)
     "events_mmd_drift", "doc_feature_hashing",
+    # r9 continuation: (max, min)-semiring frontier relaxation — same
+    # bounded-round edge-join class as pagerank/bfs
+    "graph_widest_paths",
 ]
 
 # Work linear in data by construction AND CPU-saturated at sf0.1 ->
@@ -151,7 +154,7 @@ def bench(sf_dir, out_json):
         "SPARK_GRAFT_NO_EDGE_IDX": "1",
     })
     with open(out_json) as f:
-        return json.load(f)["queries"]
+        return json.load(f)
 
 def main():
     ap = argparse.ArgumentParser()
@@ -171,9 +174,21 @@ def main():
                       ignore_errors=True)
 
     print("[scale_probe] benching pinned subset at sf0.1 ...")
-    base = bench(SF01, "/tmp/scale_probe_sf01.json")
+    base_out = bench(SF01, "/tmp/scale_probe_sf01.json")
     print("[scale_probe] benching pinned subset at 10x ...")
-    big = bench(SF1, "/tmp/scale_probe_sf1.json")
+    big_out = bench(SF1, "/tmp/scale_probe_sf1.json")
+    base, big = base_out["queries"], big_out["queries"]
+
+    # contamination sentinel: the mc (all-core) calibration sees the
+    # shared-core load the single-partition one is blind to; a pass whose
+    # mc value is far off the other pass's means its per-query times are
+    # suspect and a FAIL below should be re-measured before any rewrite
+    def cal(d):
+        return (f"sc {d.get('calibration_pre', 0):.2f}/"
+                f"{d.get('calibration_post', 0):.2f} "
+                f"mc {d.get('calibration_mc_pre', 0):.2f}/"
+                f"{d.get('calibration_mc_post', 0):.2f}")
+    cal_line = f"calibration: sf0.1 [{cal(base_out)}] 10x [{cal(big_out)}]"
 
     rows, failed = [], []
     for q in QUERIES:
@@ -197,7 +212,8 @@ def main():
     report = "\n".join(lines)
     with open(args.out, "w") as f:
         f.write("# sf1 scale-probe report (10x fresh-universe fixture)\n\n"
-                + report + "\n")
+                + cal_line + "\n\n" + report + "\n")
+    print(cal_line)
     print(report)
     if failed:
         print("\n[scale_probe] GATE FAILED:")
