@@ -310,6 +310,47 @@ class GraphSpec extends SparkSuite {
     assert(got === ck)
   }
 
+  test("widestPaths matches a plain max-min relaxation on random graphs") {
+    // seeded ScalaCheck generators (same bridge-free pattern as
+    // PipelinePropertySpec): random small weighted graphs, reference =
+    // rounds of full (max, min) relaxation over an in-memory map —
+    // pins the frontier-only optimization against the textbook form
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val graphGen: Gen[Seq[(Long, Long, Long)]] = for {
+      n <- Gen.chooseNum(3, 6)
+      pairs = (1 to n).flatMap(a => (a + 1 to n).map(b => (a.toLong, b.toLong)))
+      picks <- Gen.listOfN(pairs.size, Gen.prob(0.5))
+      ws <- Gen.listOfN(pairs.size, Gen.chooseNum(1L, 9L))
+    } yield pairs.lazyZip(picks).lazyZip(ws)
+      .collect { case ((a, b), true, w) => (a, b, w) }.toSeq
+    def ref(edges: Seq[(Long, Long, Long)], seed: Long, cap0: Long,
+        rounds: Int): Map[Long, Long] = {
+      val sym = edges.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+      var best = Map(seed -> cap0)
+      for (_ <- 1 to rounds) {
+        val offers = sym.flatMap { case (u, v, w) =>
+          best.get(u).map(c => v -> math.min(c, w)) }
+        best = (best.toSeq ++ offers).groupBy(_._1)
+          .map { case (k, vs) => k -> vs.map(_._2).max }
+      }
+      best
+    }
+    val p = Gen.Parameters.default
+    val graphs = Iterator.iterate(Seed(7L))(_.next)
+      .map(s => graphGen.apply(p, s)).collect { case Some(g) => g }
+      .take(8).toSeq
+    graphs.foreach { g =>
+      val expect = ref(g, seed = 1L, cap0 = 50L, rounds = 4)
+      val got =
+        if (g.isEmpty) Map(1L -> 50L)
+        else Graph.widestPaths(g.toDF("src", "dst", "w"),
+            Seq((1L, 50L)).toDF("id", "cap"), rounds = 4)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expect, s"graph: $g")
+    }
+  }
+
   test("ktrussPeel canonicalizes messy input (duplicates, self-loops, reversed)") {
     // K4 on 1..4 fed with reversed duplicates, a self-loop, and a
     // reversed pendant (5,4): round 1 must canonicalize before counting
