@@ -103,13 +103,23 @@ object GenSf {
       .collect().map(_.getString(0))
     val vocabIdx = vocab.zipWithIndex.toMap
     val bcVocab = spark.sparkContext.broadcast((vocab, vocabIdx))
+    // The rotation group has order |V|, so past |V| copies the bijections
+    // REPEAT and aliased copies carry token-identical texts — quadratic
+    // planted dup pairs (the 100x probe billed doc_minhash_neardups 145x
+    // on the 31-word fixture vocabulary exactly this way). Copies beyond
+    // the group order move to a fresh token universe via a per-group
+    // suffix (group g = r div |V|): still a bijection within every copy
+    // (dup/near-dup relations preserved token-for-token), zero cross-group
+    // shingle collisions, and the global vocabulary grows by ×(copies/|V|)
+    // — the sublinear Heaps-style growth a real corpus would show.
     val rotate = udf((text: String, r: Int) => {
       if (text == null) null
       else {
         val (v, idx) = bcVocab.value
+        val suffix = if (r / v.length > 0) "~" + (r / v.length) else ""
         text.split("\\s+").filter(_.nonEmpty).map { w =>
           idx.get(w) match {
-            case Some(j) => v((j + r) % v.length)
+            case Some(j) => v((j + r) % v.length) + suffix
             case None => w
           }
         }.mkString(" ")
@@ -122,13 +132,18 @@ object GenSf {
 
     // embeddings: circular component rotation — an isometry within each
     // copy (all pairwise distances/cosines preserved), decorrelated
-    // across copies
+    // across copies. The rotation is i MOD dim (a raw i past the vector
+    // dimension made slice lengths negative at copies > dim, e.g. the
+    // 100x probe): copies i and i+dim repeat a rotation, so such copy
+    // pairs share exact vectors — a LINEAR number of planted cross-copy
+    // coincidences, which leaves the probe's wall-clock scaling intact.
     write(fanout("embeddings", Seq("vec_id")) { (df, i) =>
       if (i == 0) df
       else df.withColumn("embedding",
-        concat(
-          expr(s"slice(embedding, ${i + 1}, size(embedding) - $i)"),
-          expr(s"slice(embedding, 1, $i)")))
+        expr(s"""concat(
+          slice(embedding, ($i % size(embedding)) + 1,
+                size(embedding) - ($i % size(embedding))),
+          slice(embedding, 1, $i % size(embedding)))"""))
     }, "embeddings")
 
     spark.stop()

@@ -388,7 +388,7 @@ object Multimodal {
   /** Synthesize a deterministic media table from the `documents` fixture —
     * exercises the exact schema and column shapes a real ingest would
     * produce. IMAGE rows carry a genuine binary P6 PPM payload (tiny
-    * 4–8 × 4–8 px, pixel channels a deterministic function of doc_id,
+    * 8–16 × 8–16 px, pixel channels a deterministic function of doc_id,
     * restricted to the ASCII range so the payload assembles from pure
     * column expressions — the whole synthesis stays codegen'd and
     * column-prunable, no UDF). Audio rows carry a genuine RIFF/WAVE PCM
@@ -398,13 +398,36 @@ object Multimodal {
   def synthesizeFromDocuments(docs: DataFrame): DataFrame = {
     val modality = element_at(typedLit(Seq("image", "audio", "video")),
       (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
-    val w = (lit(4) + pmod(col("doc_id"), lit(5))).cast("int")
-    val h = (lit(4) + pmod(expr("doc_id DIV 5"), lit(5))).cast("int")
-    // 3·w·h pixel bytes, each 32 + (doc_id·31 + i·7) mod 95 — printable
-    // ASCII, so encode(str) yields exactly those channel bytes
+    val w = (lit(8) + pmod(col("doc_id"), lit(9))).cast("int")
+    val h = (lit(8) + pmod(expr("doc_id DIV 9"), lit(9))).cast("int")
+    // 3·w·h pixel bytes, byte_i = 32 + (m·m mod 9973) mod 95 with
+    // m = (doc_id mod 9973)·31 + i·step, step = 7 + (doc_id div 95)
+    // mod 89 — printable ASCII, so encode(str) yields exactly those
+    // channel bytes. The shape of this formula is load-bearing for the
+    // aHash index's scaling, measured on the 100x probe fixture
+    // (166k images):
+    //   - a FIXED step with bytes linear in i collapsed the image space
+    //     to 95 phases × 25 sizes = 2,375 distinct images ever — the
+    //     corpus saturated it and banded-pHash candidate pairs went
+    //     quadratic (328M pairs, billed 328x);
+    //   - SMOOTH (arithmetic-progression) luminance keeps every 16-bit
+    //     hash band on a few hundred run-structured patterns (46-167M
+    //     pairs even with a per-doc step), because threshold bits of a
+    //     monotone-ish sequence come in runs;
+    //   - 4-8 px sources upsampled to the 8x8 grid duplicate pixels
+    //     across cells, capping the whole hash at w·h independent bits.
+    // The quadratic-residue mix (m² mod prime) plus 8-16 px sources give
+    // the hash the per-band entropy a real photo corpus has: measured
+    // 237k distinct (band, value) buckets, max occupancy 16, 0.9M
+    // candidate pairs at 166k images — linear. m stays ≤ ~4·10⁵ so m²
+    // is exact in longs under ANSI on both engines.
+    val step = lit(7) + pmod(expr("doc_id DIV 95"), lit(89))
     val pixels = array_join(
       transform(sequence(lit(0), w * h * lit(3) - 1),
-        i => chr(lit(32) + pmod(col("doc_id") * 31 + i * 7, lit(95)))), "")
+        i => {
+          val m = pmod(col("doc_id"), lit(9973)) * 31 + i * step
+          chr(lit(32) + pmod(pmod(m * m, lit(9973)), lit(95)))
+        }), "")
     val ppmHeader = concat_ws("", lit("P6\n"), w.cast("string"), lit(" "),
       h.cast("string"), lit("\n255\n"))
     // audio: a genuine RIFF/WAVE PCM s16le mono payload whose sample

@@ -305,10 +305,11 @@ class MultimodalSpec extends SparkSuite {
     val imgs = Multimodal.extractFeatures(spark, media)
       .filter($"modality" === "image").orderBy("media_id").limit(10).collect()
     imgs.foreach { r =>
-      assert(r.width === (4 + r.media_id % 5).toInt, s"id=${r.media_id}")
-      assert(r.height === (4 + (r.media_id / 5) % 5).toInt, s"id=${r.media_id}")
-      // pixel channels are 32 + (id·31 + i·7) mod 95 ⇒ mean channel value
-      // sits well inside (32, 127)/255 — a decoded, non-degenerate plane
+      assert(r.width === (8 + r.media_id % 9).toInt, s"id=${r.media_id}")
+      assert(r.height === (8 + (r.media_id / 9) % 9).toInt, s"id=${r.media_id}")
+      // pixel channels are 32 + (m·m mod 9973) mod 95 ⇒ mean channel
+      // value sits well inside (32, 127)/255 — a decoded, non-degenerate
+      // plane
       assert(r.features(0) > 0.1f && r.features(0) < 0.5f)
       assert(r.features.slice(3, 16).sum > 0.99f) // histogram mass ≈ 1
     }

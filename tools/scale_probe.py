@@ -136,11 +136,11 @@ def run(cmd, env=None):
         raise SystemExit(f"command failed: {' '.join(cmd)}")
     return r.stdout
 
-def bench(sf_dir, out_json):
+def bench(sf_dir, out_json, queries):
     run(["sbt", "-batch", "runMain graft.Bench"], env={
         "SPARK_GRAFT_SF_DIR": sf_dir,
         "SPARK_GRAFT_CPUS": "32",
-        "SPARK_GRAFT_ONLY": ",".join(QUERIES),
+        "SPARK_GRAFT_ONLY": ",".join(queries),
         "SPARK_GRAFT_BENCH_OUT": out_json,
         "SPARK_GRAFT_NOWARM": "1",  # cross-sf comparison: both passes cold-ish, best-of-2 handles JIT
         # self-contained per-query state: shared-memo builds bill to every
@@ -159,24 +159,42 @@ def bench(sf_dir, out_json):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reuse-fixture", action="store_true",
-                    help=f"skip GenSf if {SF1} already exists")
+                    help="skip GenSf if the fixture dir already exists")
     ap.add_argument("--out", default="/tmp/scale_probe_report.md")
+    ap.add_argument("--factor", type=int, default=10,
+                    help="fixture size as a multiple of sf0.1 (default 10; "
+                         "e.g. 100 for a two-decade probe). Budgets scale "
+                         "proportionally: factor for linear-saturated pins, "
+                         "factor/2 for the rest.")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated subset of the pin list (absolute "
+                         "cost of the big linear families grows with factor "
+                         "— a 100x pass should drop e.g. graph_triangles)")
     args = ap.parse_args()
 
-    if not (args.reuse_fixture and os.path.isdir(SF1)):
-        print("[scale_probe] building fresh-universe 10x fixture ...")
-        run(["sbt", "-batch", f"runMain graft.GenSf {SF01} {SF1} 10"])
+    sf_big = SF1 if args.factor == 10 else f"/tmp/graft_sf{args.factor}x_fresh"
+    queries = QUERIES
+    if args.only:
+        only = set(args.only.split(","))
+        unknown = only - set(QUERIES)
+        if unknown:
+            raise SystemExit(f"--only names not in the pin list: {unknown}")
+        queries = [q for q in QUERIES if q in only]
+
+    if not (args.reuse_fixture and os.path.isdir(sf_big)):
+        print(f"[scale_probe] building fresh-universe {args.factor}x fixture ...")
+        run(["sbt", "-batch", f"runMain graft.GenSf {SF01} {sf_big} {args.factor}"])
         # drop any persisted edge-index layout keyed to the old fixture:
         # GenSf is deterministic so a stale index would normally match,
         # but the probe must never depend on that coincidence
         import shutil
-        shutil.rmtree("/tmp/graft_edge_idx_v1_" + os.path.basename(SF1),
+        shutil.rmtree("/tmp/graft_edge_idx_v1_" + os.path.basename(sf_big),
                       ignore_errors=True)
 
     print("[scale_probe] benching pinned subset at sf0.1 ...")
-    base_out = bench(SF01, "/tmp/scale_probe_sf01.json")
-    print("[scale_probe] benching pinned subset at 10x ...")
-    big_out = bench(SF1, "/tmp/scale_probe_sf1.json")
+    base_out = bench(SF01, "/tmp/scale_probe_sf01.json", queries)
+    print(f"[scale_probe] benching pinned subset at {args.factor}x ...")
+    big_out = bench(sf_big, "/tmp/scale_probe_sf1.json", queries)
     base, big = base_out["queries"], big_out["queries"]
 
     # contamination sentinel: the mc (all-core) calibration sees the
@@ -188,30 +206,33 @@ def main():
                 f"{d.get('calibration_post', 0):.2f} "
                 f"mc {d.get('calibration_mc_pre', 0):.2f}/"
                 f"{d.get('calibration_mc_post', 0):.2f}")
-    cal_line = f"calibration: sf0.1 [{cal(base_out)}] 10x [{cal(big_out)}]"
+    cal_line = (f"calibration: sf0.1 [{cal(base_out)}] "
+                f"{args.factor}x [{cal(big_out)}]")
 
     rows, failed = [], []
-    for q in QUERIES:
+    scale = args.factor / 10.0
+    for q in queries:
         b, g = base.get(q), big.get(q)
         if b is None or g is None:
             failed.append((q, "missing from bench output"))
             continue
         ratio = g / b if b > 0 else float("inf")
-        budget = 10.0 if q in LINEAR_SATURATED else 5.0
+        budget = (10.0 if q in LINEAR_SATURATED else 5.0) * scale
         note = LINEAR_SATURATED.get(q, "")
         ok = ratio <= budget
         if not ok:
             failed.append((q, f"{ratio:.1f}x > {budget:.0f}x budget"))
         rows.append((q, b, g, ratio, budget, "ok" if ok else "FAIL", note))
 
-    lines = ["| query | sf0.1 s | 10x s | ratio | budget | gate | note |",
+    lines = [f"| query | sf0.1 s | {args.factor}x s | ratio | budget | gate | note |",
              "|---|---|---|---|---|---|---|"]
     for q, b, g, r, bud, st, note in sorted(rows, key=lambda x: -x[3]):
         lines.append(f"| `{q}` | {b:.2f} | {g:.2f} | {r:.1f}x | "
                      f"{bud:.0f}x | {st} | {note} |")
     report = "\n".join(lines)
     with open(args.out, "w") as f:
-        f.write("# sf1 scale-probe report (10x fresh-universe fixture)\n\n"
+        f.write(f"# scale-probe report ({args.factor}x fresh-universe "
+                f"fixture, {len(queries)} pins)\n\n"
                 + cal_line + "\n\n" + report + "\n")
     print(cal_line)
     print(report)
