@@ -209,6 +209,19 @@ def main():
     cal_line = (f"calibration: sf0.1 [{cal(base_out)}] "
                 f"{args.factor}x [{cal(big_out)}]")
 
+    def mc_med(d):
+        vals = [d.get("calibration_mc_pre"), d.get("calibration_mc_post")]
+        vals = [v for v in vals if v]
+        return sum(vals) / len(vals) if vals else 0.0
+    mc_a, mc_b = mc_med(base_out), mc_med(big_out)
+    if mc_a > 0 and mc_b > 0 and max(mc_a, mc_b) / min(mc_a, mc_b) > 1.5:
+        cal_line += (
+            "\n\n**WARNING: the two passes' all-core calibrations differ "
+            f"{max(mc_a, mc_b) / min(mc_a, mc_b):.2f}x — one pass shared "
+            "its cores with other load and its per-query times are not "
+            "comparable. Re-run on an idle machine before trusting any "
+            "FAIL (or ok) below.**")
+
     rows, failed = [], []
     scale = args.factor / 10.0
     for q in queries:
