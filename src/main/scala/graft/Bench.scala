@@ -82,8 +82,23 @@ object Bench {
       }.sorted
       ts(2)
     }
+    // Cheap single-shot mc probe (quarter of calibrateMc's work) for the
+    // per-window contamination sentinel below: precision doesn't matter,
+    // only whether the machine's parallel headroom collapsed >1.5x while
+    // a window of queries was in flight.
+    def calibrateMcQuick(): Double = {
+      val n = cpus.toLong
+      val t0 = System.nanoTime()
+      spark.range(0, 50000000L * n, 1, numPartitions = n.toInt)
+        .selectExpr("sum(((id % 50000000) * 2654435761) % 1000003)")
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     val calibrationPre = calibrate()
     val calibrationMcPre = calibrateMc()
+    // pre-suite reference for the windowed sentinel: median of 3 quick
+    // probes on the (presumed clean) machine the suite starts on
+    val mcQuickRef = { val ts = (1 to 3).map(_ => calibrateMcQuick()).sorted; ts(1) }
     // Each query is timed twice back-to-back and the MIN is reported.
     // Rationale (round-6 postmortem): on the identical commit the driver's
     // run billed ~15 queries 3.6-11x their isolated cost (an 80-row
@@ -111,17 +126,63 @@ object Bench {
     // full-suite bench keeps sharing ON — there the memo IS the measured
     // production shape and the build is billed once, honestly.
     val isolate = sys.env.contains("SPARK_GRAFT_ISOLATE")
-    val timed = SparkEntry.queries
-      .filter { case (name, _) => selected(name) }
-      .map { case (name, fn) =>
-        if (isolate) {
-          spark.catalog.clearCache()
-          SparkEntry.clearSharedState()
+    def isolateClear(): Unit = if (isolate) {
+      spark.catalog.clearCache()
+      SparkEntry.clearSharedState()
+    }
+    // Windowed contamination sentinel that ACTS, not just records
+    // (round-10, VERDICT r9 #2): r8/r9 showed the host occasionally
+    // steals cores mid-suite — the r9 committed run's mc_post was 2x
+    // mc_pre and four queries moved 4-10x on unchanged code, all in
+    // that tail. A quick mc probe every WINDOW queries localizes the
+    // contamination to the window it hit; every query timed inside a
+    // flagged window is re-run (best-of-2 again, min with its original
+    // — the same steady-state estimator) after the main pass, and the
+    // artifact carries the per-window probe values plus the retry
+    // count so a reader can see both that contamination happened and
+    // that it was re-measured.
+    //
+    // The flag reference is the MEDIAN of the run's own window probes,
+    // floored at the pre-suite mcQuickRef — NOT the pre-suite value
+    // alone: a pristine pre-suite JVM probes ~0.36 while windows of a
+    // perfectly healthy suite run ~0.5-0.58 (page-cache + GC + cached-
+    // data residency), so a pre-suite-only threshold re-ran half the
+    // suite (first r10 run: 250 retries on a clean machine). Real
+    // contamination (r9's tail: mc 1.8 vs 0.9) is an OUTLIER against
+    // the run's own distribution, which the median is robust to as
+    // long as less than half the suite was contaminated.
+    val WINDOW = 25
+    val entries = SparkEntry.queries
+      .filter { case (name, _) => selected(name) }.toSeq
+    val timedBuf =
+      scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    val windowMc = scala.collection.mutable.ArrayBuffer[Double]()
+    entries.zipWithIndex.foreach { case ((name, fn), idx) =>
+      isolateClear()
+      val cold = timeOnce(fn)
+      val second = timeOnce(fn)
+      timedBuf(name) = (cold, math.min(cold, second))
+      if ((idx + 1) % WINDOW == 0 || idx == entries.size - 1)
+        windowMc += calibrateMcQuick()
+    }
+    val mcWindowRef = if (windowMc.isEmpty) mcQuickRef
+      else math.max(mcQuickRef, windowMc.sorted.apply(windowMc.size / 2))
+    val suspectWindows = windowMc.zipWithIndex.collect {
+      case (mc, w) if mcWindowRef > 0 && mc > 1.5 * mcWindowRef => w
+    }.toSet
+    var retried = 0
+    if (suspectWindows.nonEmpty) {
+      entries.zipWithIndex
+        .filter { case (_, idx) => suspectWindows.contains(idx / WINDOW) }
+        .foreach { case ((name, fn), _) =>
+          isolateClear()
+          val best = math.min(timeOnce(fn), timeOnce(fn))
+          val (cold, prev) = timedBuf(name)
+          timedBuf(name) = (cold, math.min(prev, best))
+          retried += 1
         }
-        val cold = timeOnce(fn)
-        val second = timeOnce(fn)
-        name -> (cold, math.min(cold, second))
-      }
+    }
+    val timed = timedBuf
     val results = timed.map { case (k, (_, best)) => k -> best }
     val coldResults = timed.map { case (k, (cold, _)) => k -> cold }
     def jmap(m: scala.collection.Map[String, Double]): String =
@@ -138,7 +199,8 @@ object Bench {
     // the full payload to a file the judge can read.
     val calibrationPost = calibrate()
     val calibrationMcPost = calibrateMc()
-    val cal = s""""calibration_pre":$calibrationPre,"calibration_post":$calibrationPost,"calibration_mc_pre":$calibrationMcPre,"calibration_mc_post":$calibrationMcPost"""
+    val mcWin = windowMc.map(v => f"$v%.3f").mkString("[", ",", "]")
+    val cal = s""""calibration_pre":$calibrationPre,"calibration_post":$calibrationPost,"calibration_mc_pre":$calibrationMcPre,"calibration_mc_post":$calibrationMcPost,"mc_quick_ref":$mcQuickRef,"mc_window_ref":$mcWindowRef,"mc_windows":$mcWin,"retried_contaminated":$retried"""
     val headline = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","nqueries":${results.size},"cold_total":$coldTotal,$cal,"timing":"best_of_2"}"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":$coldTotal,"queries_cold":${jmap(coldResults)},$cal,"timing":"best_of_2"}"""
     // Headline BOTH first and last: a head-reading parser sees it before

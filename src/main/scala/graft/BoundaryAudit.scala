@@ -31,7 +31,56 @@ object BoundaryAudit {
 
   private case class ColReport(query: String, column: String, scale: Int,
       nRows: Long, minRatio: Double, minD: Double, ulpAtMin: Double,
-      valueAtMin: Double)
+      valueAtMin: Double, tieClass: Int, nUnjustified: Long)
+
+  /** Exact tie classification (VERDICT r9 #5): the "documented classes"
+    * claim — every boundary-adjacent row is an exact-tie dyadic or sits
+    * a safe margin off the boundary — used to live in prose; this makes
+    * it machine-checked per run. Codes (severity-ordered, per-column
+    * report shows the max):
+    *   0 none            — nothing near a boundary for this row
+    *   1 near-margin     — NOT a tie (exact decimal of the double is
+    *                       strictly off .5×10⁻ⁿ) and ≥16 ulps away: a
+    *                       multiply-based rounder's few-ulp error
+    *                       cannot tip it
+    *   2 tie-dyadic      — EXACT .5 tie and the double has ≤25
+    *                       fractional mantissa bits: the value came
+    *                       from exact dyadic arithmetic, both engines
+    *                       hold the identical double, and half-away-
+    *                       from-zero agrees on it
+    *   3 near-flag       — NOT a tie but <16 ulps from the boundary:
+    *                       genuinely tippable, rewrite candidate
+    *   4 tie-other       — exact tie WITHOUT dyadic provenance: no
+    *                       structural reason both engines agree
+    * Classes 3 and 4 need justification; the audit passes structurally
+    * when their per-run count is zero.
+    */
+  private val tieClassNames =
+    Array("none", "near-margin", "tie-dyadic", "near-flag", "tie-other")
+  private def classifyTie(v: Double, n: Int): Int = {
+    if (v.isNaN || v.isInfinite || v == 0.0) return 0
+    // exact decimal expansion of the double, shifted to the rounding
+    // grid — every step below is exact integer/decimal arithmetic
+    val y = new java.math.BigDecimal(v).abs().movePointRight(n)
+    val rem = y.remainder(java.math.BigDecimal.ONE)
+    val half = new java.math.BigDecimal("0.5")
+    if (rem.compareTo(half) == 0) {
+      val bits = java.lang.Double.doubleToLongBits(math.abs(v))
+      val rawExp = ((bits >> 52) & 0x7ff).toInt
+      val mant = if (rawExp == 0) bits & 0xfffffffffffffL
+        else (bits & 0xfffffffffffffL) | (1L << 52)
+      val exp = (if (rawExp == 0) 1 else rawExp) - 1075
+      val fracBits = math.max(0,
+        -(exp + java.lang.Long.numberOfTrailingZeros(mant)))
+      if (fracBits <= 25) 2 else 4
+    } else {
+      val dUnits = rem.subtract(half).abs().doubleValue()
+      val ulpY = math.ulp(y.doubleValue())
+      if (dUnits < 16 * ulpY) 3
+      else if (dUnits < 1e3 * ulpY) 1
+      else 0
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outPath) = (args(0), args(1))
@@ -59,6 +108,7 @@ object BoundaryAudit {
         (d / u, d, u, v)
       }
     })
+    val classUdf = udf((v: Double, n: Int) => classifyTie(v, n))
 
     val reports = scala.collection.mutable.ListBuffer.empty[ColReport]
     val nested = scala.collection.mutable.ListBuffer.empty[(String, String)]
@@ -121,11 +171,15 @@ object BoundaryAudit {
                 // null cells carry no boundary info — keep them out of
                 // the min(struct) (a null struct field trips the row
                 // encoder on some aggregate paths)
+                val cl = classUdf(c, lit(scale))
                 Seq(min(when(c.isNotNull,
                     struct(m.getField("_1").as("ratio"),
                       m.getField("_2").as("d"), m.getField("_3").as("u"),
                       m.getField("_4").as("v")))).as(s"m_$i"),
-                  count(c).as(s"n_$i"))
+                  count(c).as(s"n_$i"),
+                  org.apache.spark.sql.functions.max(cl).as(s"c_$i"),
+                  org.apache.spark.sql.functions.sum(
+                    when(cl >= 3, 1L).otherwise(0L)).as(s"u_$i"))
             }
             val row = raw.agg(aggCols.head, aggCols.tail: _*).head()
             cols.zipWithIndex.foreach { case ((aName, scale, _), i) =>
@@ -134,7 +188,11 @@ object BoundaryAudit {
               if (m != null && n > 0)
                 reports += ColReport(name, aName, scale, n,
                   m.getDouble(0), m.getDouble(1), m.getDouble(2),
-                  m.getDouble(3))
+                  m.getDouble(3),
+                  if (row.isNullAt(row.fieldIndex(s"c_$i"))) 0
+                  else row.getInt(row.fieldIndex(s"c_$i")),
+                  if (row.isNullAt(row.fieldIndex(s"u_$i"))) 0L
+                  else row.getLong(row.fieldIndex(s"u_$i")))
             }
           }
           // root-level round(expr, n) under the output alias = the
@@ -216,18 +274,37 @@ object BoundaryAudit {
     val flagged = reports.filter(r =>
       !r.minRatio.isNaN && r.minRatio < 1e3 && r.ulpAtMin < 1e-3)
     val coarse = reports.filter(r => !r.ulpAtMin.isNaN && r.ulpAtMin >= 1e-3)
+    val unjustified = reports.filter(r => r.tieClass >= 3)
     val sb = new StringBuilder
     sb ++= s"# Rounding-boundary audit @ $sfDir\n\n"
     sb ++= s"Queries audited: $nQueries; rounded double output columns: " +
       s"${reports.size}; no final-round queries: $nNoRound\n\n"
+    sb ++= "tie_class legend (exact BigDecimal arithmetic on each double, " +
+      "worst row per column): `near-margin` = off the boundary by ≥16 " +
+      "ulps (a multiply-based rounder cannot tip it); `tie-dyadic` = " +
+      "exact .5 tie from ≤25-fractional-bit dyadic arithmetic (both " +
+      "engines hold the identical double, half-away-from-zero agrees); " +
+      "`near-flag` (<16 ulps, not a tie) and `tie-other` (non-dyadic " +
+      "exact tie) NEED justification or a rewrite.\n\n"
+    sb ++= s"**Columns needing justification (near-flag / tie-other): " +
+      s"${unjustified.size}**\n\n"
+    if (unjustified.nonEmpty) {
+      sb ++= "| query | column | tie_class | n_rows_cls>=3 |\n|---|---|---|---|\n"
+      unjustified.foreach { r =>
+        sb ++= s"| ${r.query} | ${r.column} | ${tieClassNames(r.tieClass)} " +
+          s"| ${r.nUnjustified} |\n"
+      }
+      sb ++= "\n"
+    }
     sb ++= s"**FLAGGED (min distance < 1e3 ulps of a .5×10⁻ⁿ boundary, " +
       s"fine grid): ${flagged.size}**\n\n"
     def table(rs: Seq[ColReport]): Unit = {
-      sb ++= "| query | column | scale | rows | min_ratio_ulps | min_d_units | ulp | value |\n"
-      sb ++= "|---|---|---|---|---|---|---|---|\n"
+      sb ++= "| query | column | scale | rows | min_ratio_ulps | min_d_units | ulp | value | tie_class |\n"
+      sb ++= "|---|---|---|---|---|---|---|---|---|\n"
       rs.foreach { r =>
         sb ++= f"| ${r.query} | ${r.column} | ${r.scale} | ${r.nRows} | " +
-          f"${r.minRatio}%.3g | ${r.minD}%.3g | ${r.ulpAtMin}%.3g | ${r.valueAtMin}%.17g |\n"
+          f"${r.minRatio}%.3g | ${r.minD}%.3g | ${r.ulpAtMin}%.3g | ${r.valueAtMin}%.17g " +
+          s"| ${tieClassNames(r.tieClass)} |\n"
       }
       sb ++= "\n"
     }

@@ -130,20 +130,31 @@ object GenSf {
         .withColumn("n_chars", length(col("text")).cast("long"))
     }, "documents")
 
-    // embeddings: circular component rotation — an isometry within each
-    // copy (all pairwise distances/cosines preserved), decorrelated
-    // across copies. The rotation is i MOD dim (a raw i past the vector
-    // dimension made slice lengths negative at copies > dim, e.g. the
-    // 100x probe): copies i and i+dim repeat a rotation, so such copy
-    // pairs share exact vectors — a LINEAR number of planted cross-copy
-    // coincidences, which leaves the probe's wall-clock scaling intact.
+    // embeddings: circular component rotation composed with a per-GROUP
+    // diagonal ±1 sign pattern — both orthogonal maps, so each copy is
+    // an isometry of the base (all pairwise distances/cosines preserved)
+    // while no two copies share an exact transform. The rotation alone
+    // has group order dim: copies i and i+dim would repeat a rotation
+    // and carry IDENTICAL vectors, planting ~copies²/(2·dim) exact
+    // cross-copy duplicate pairs past copies ≈ 2·dim — the same
+    // quadratic-aliasing cliff the 100x probe exposed for documents
+    // (vocabulary group order 31). The sign mask is keyed on the
+    // rotation group index g = i div dim (mask_g = g·2654435761, bit j
+    // flips component j), so group 0 (all copies < dim, i.e. every
+    // fixture up to ~64x) is bit-identical to the old generator and
+    // every later group gets a distinct orthogonal transform — zero
+    // planted cross-copy coincidences at ANY copy count.
     write(fanout("embeddings", Seq("vec_id")) { (df, i) =>
       if (i == 0) df
       else df.withColumn("embedding",
-        expr(s"""concat(
-          slice(embedding, ($i % size(embedding)) + 1,
-                size(embedding) - ($i % size(embedding))),
-          slice(embedding, 1, $i % size(embedding)))"""))
+        expr(s"""transform(
+          concat(
+            slice(embedding, ($i % size(embedding)) + 1,
+                  size(embedding) - ($i % size(embedding))),
+            slice(embedding, 1, $i % size(embedding))),
+          (x, j) -> x * cast(1 - 2 * (shiftright(
+              ($i div size(embedding)) * 2654435761, pmod(j, 64)) & 1)
+            as float))"""))
     }, "embeddings")
 
     spark.stop()

@@ -540,7 +540,13 @@ object Graph {
     * integer function of the edge set, so any correct precomputation
     * is bit-identical to recomputing it); round 1 then filters it
     * directly instead of re-running the wedge enumeration, and only
-    * the shrunken later rounds enumerate live.
+    * the shrunken later rounds enumerate live. The precomputation is
+    * trusted but VERIFIED: [[edgeSupport]] emits exactly one row per
+    * canonical edge, so a correct `initialSupport` has exactly as many
+    * rows as the canonicalized input — a mismatched caller (stale
+    * layout, wrong graph) is detected by that O(1)-extra count and the
+    * peel falls back to live enumeration instead of silently emitting
+    * wrong round counts.
     */
   def ktrussPeel(edges: DataFrame, k: Int, rounds: Int,
       initialSupport: Option[DataFrame] = None): DataFrame = {
@@ -561,7 +567,10 @@ object Graph {
       if (done) (r, before, 0L)
       else {
         val sup = initialSupport match {
-          case Some(s0) if r == 1 => s0
+          // one row per canonical edge is edgeSupport's contract; a
+          // count mismatch means the relation covers a DIFFERENT edge
+          // set — fall back to live enumeration rather than peel wrong
+          case Some(s0) if r == 1 && s0.count() == before => s0
           case _ => edgeSupport(cur, canonicalEdges = true)
         }
         val next = sup

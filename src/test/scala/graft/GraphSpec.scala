@@ -217,6 +217,15 @@ class GraphSpec extends SparkSuite {
       .as[(Int, Long, Long)].collect().toList
     assert(seeded === live)
     assert(seeded === List((1, 6L, 1L), (2, 6L, 0L)))
+    // a support relation that does NOT cover the canonical edge set
+    // (wrong graph / stale layout) must be detected by the row-count
+    // guard and ignored in favor of live enumeration — not silently
+    // peeled into wrong round counts
+    val wrongGraph = Seq((10L, 20L), (20L, 30L)).toDF("src", "dst")
+    val mismatched = Graph.ktrussPeel(edges, k = 4, rounds = 2,
+        initialSupport = Some(Graph.edgeSupport(wrongGraph)))
+      .as[(Int, Long, Long)].collect().toList
+    assert(mismatched === live)
   }
 
   test("kCore peels a pendant chain down to the K4 2-core") {

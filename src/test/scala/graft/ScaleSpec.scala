@@ -33,7 +33,7 @@ class ScaleSpec extends SparkSuite {
     val summary = SparkEntry.queries("layout_graph_edges")(spark, sfDir)
       .collect()
     assert(summary.length === 5)
-    val base = s"/tmp/graft_edge_idx_v1_${new java.io.File(sfDir).getName}"
+    val base = SparkEntry.edgeIndexPath(sfDir)
     val op = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
     val cp = op.select(col("l_orderkey"), col("l_partkey").as("src"))
       .join(op.select(col("l_orderkey").as("k2"), col("l_partkey").as("dst")),

@@ -85,6 +85,10 @@ QUERIES = [
     # r9 continuation: (max, min)-semiring frontier relaxation — same
     # bounded-round edge-join class as pagerank/bfs
     "graph_widest_paths",
+    # r10 (VERDICT r9 #1): the four r9 in-suite tail movers on unchanged
+    # code — pinned so every future anomaly has an isolated baseline
+    "events_crosscorr_lagged", "dq_key_density_audit",
+    "doc_minhash_band_sweep", "lineitem_theil_index",
 ]
 
 # Work linear in data by construction AND CPU-saturated at sf0.1 ->
@@ -181,15 +185,41 @@ def main():
             raise SystemExit(f"--only names not in the pin list: {unknown}")
         queries = [q for q in QUERIES if q in only]
 
-    if not (args.reuse_fixture and os.path.isdir(sf_big)):
+    # The fixture is only as fresh as the generator that built it:
+    # --reuse-fixture used to skip GenSf whenever the dir existed, so a
+    # fixture from an OLDER generator (pre-suffix-rotate, pre-QR pixels)
+    # was silently reused and the probe measured the old data shape
+    # (ADVICE r9). Stamp the dir with a hash of GenSf.scala at build
+    # time and rebuild whenever HEAD's generator no longer matches.
+    import hashlib
+    gensf_src = os.path.join(REPO, "src/main/scala/graft/GenSf.scala")
+    with open(gensf_src, "rb") as f:
+        gen_ver = hashlib.sha256(f.read()).hexdigest()[:16]
+    stamp = os.path.join(sf_big, "GENSF_VERSION")
+    def stamp_matches():
+        try:
+            with open(stamp) as f:
+                return f.read().strip() == gen_ver
+        except OSError:
+            return False
+    reuse = args.reuse_fixture and os.path.isdir(sf_big)
+    if reuse and not stamp_matches():
+        print(f"[scale_probe] fixture at {sf_big} was built by a different "
+              f"GenSf (stamp mismatch) — rebuilding")
+        reuse = False
+    if not reuse:
         print(f"[scale_probe] building fresh-universe {args.factor}x fixture ...")
         run(["sbt", "-batch", f"runMain graft.GenSf {SF01} {sf_big} {args.factor}"])
+        with open(stamp, "w") as f:
+            f.write(gen_ver + "\n")
         # drop any persisted edge-index layout keyed to the old fixture:
-        # GenSf is deterministic so a stale index would normally match,
-        # but the probe must never depend on that coincidence
-        import shutil
-        shutil.rmtree("/tmp/graft_edge_idx_v1_" + os.path.basename(sf_big),
-                      ignore_errors=True)
+        # the path now carries a base-table content fingerprint, so a
+        # regenerated universe lands on a fresh dir by construction —
+        # this sweep only reclaims orphaned dirs from older fixtures
+        import glob as _glob, shutil
+        for d in _glob.glob(
+                "/tmp/graft_edge_idx_v*_" + os.path.basename(sf_big) + "*"):
+            shutil.rmtree(d, ignore_errors=True)
 
     print("[scale_probe] benching pinned subset at sf0.1 ...")
     base_out = bench(SF01, "/tmp/scale_probe_sf01.json", queries)
