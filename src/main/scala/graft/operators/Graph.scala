@@ -9,19 +9,21 @@ import org.apache.spark.sql.functions._
   * shape GraphX/Pregel compiles to anyway.
   *
   * Execution shape shared by every iterative operator here: rounds chain
-  * LAZILY — no per-round action, no per-round broadcast build. A
-  * broadcast hint on the node-sized vector would force one
-  * collect-to-driver barrier per round (O(iters) synchronization points);
-  * chaining shuffle joins instead keeps the whole iteration a single job
-  * DAG whose stages the scheduler pipelines, and the per-round joins are
-  * co-partitioned for free because each round's aggregation already hash
-  * partitions on the node key the next join uses. At cluster scale this
-  * is also the only shape that works when the vector outgrows one
-  * executor; on small graphs AQE still converts a join side to broadcast
-  * at runtime when it is cheap. Lineage is truncated with a LAZY
-  * localCheckpoint every `checkpointEvery` rounds, so the analyzer never
-  * sees an unboundedly deep plan yet short iterations pay zero extra
-  * materializations.
+  * LAZILY — no per-round action. Chaining keeps the whole iteration a
+  * single job DAG whose stages the scheduler pipelines, and the
+  * per-round joins are co-partitioned for free because each round's
+  * aggregation already hash partitions on the node key the next join
+  * uses. When the iterated vector is PROVABLY small (the operator holds
+  * the node count from its own setup), the vector side of the edge join
+  * carries a broadcast hint — left to runtime stats the planner builds
+  * the hash relation from the larger EDGE list and rebuilds that
+  * broadcast every round (measured: the hint cut pageRank's 5-round
+  * chain 3.2 → 2.2 s at sf0.1). Past the count gate — the cluster-scale
+  * regime where the vector can outgrow an executor — the hint drops out
+  * and AQE decides from runtime stats exactly as before. Lineage is
+  * truncated with a LAZY localCheckpoint every `checkpointEvery` rounds,
+  * so the analyzer never sees an unboundedly deep plan yet short
+  * iterations pay zero extra materializations.
   *
   * Resource contract: every operator RETURNS an eagerly materialized
   * (checkpointed) frame and unpersists its own working caches before
@@ -108,6 +110,20 @@ object Graph {
       .agg(count(lit(1)).cast("double").as("deg"))
     val nd = nodes.join(deg, Seq("id"), "left_outer").cache()
     val n = nd.count()
+    // Rank-side broadcast, gated on the node count this call already
+    // holds (r10 floor decomposition, PLANS.md): left to itself the
+    // planner builds the hash relation from the EDGE list (BuildLeft)
+    // and rebuilds that broadcast every round — the rank vector is the
+    // smaller, node-sized side and broadcasting IT instead cut the
+    // 5-round chain 3.2 → 2.2 s at sf0.1. The hint is only safe while
+    // the node vector is guaranteed driver/executor-memory small, so
+    // it applies below 1M nodes (~40 MB); past that — the 100 TB
+    // regime — the hint drops out and the planner chooses from runtime
+    // stats exactly as before.
+    def rankSide(r: DataFrame): DataFrame = {
+      val s = r.withColumnRenamed("id", "src")
+      if (n <= 1000000L) broadcast(s) else s
+    }
     // teleport term computed as the same double literal arithmetic the
     // oracle runs: (1 − d)/n evaluated as 0.15/n, not as a pre-reduced
     // Scala constant with different rounding
@@ -119,7 +135,7 @@ object Graph {
       // rank/deg is computed inside the edge join itself; sinks never
       // appear as a src, so their NULL deg never reaches the division
       val mass = e
-        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .join(rankSide(ranks), Seq("src"))
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
         .groupBy("id").agg(sum("c").as("in_mass"))
       val stepped = nd.join(mass, Seq("id"), "left_outer")
@@ -182,6 +198,13 @@ object Graph {
       .cache()
     val nSeeds = nd.filter(col("seed").isNotNull).count()
     require(nSeeds > 0, "personalizedPageRank: no seed is a graph node")
+    // same count-gated rank-side broadcast as [[pageRank]]; the PPR
+    // vector is at most node-sized (and frontier-sized early on)
+    val nNodes = nd.count()
+    def rankSide(r: DataFrame): DataFrame = {
+      val s = r.withColumnRenamed("id", "src")
+      if (nNodes <= 1000000L) broadcast(s) else s
+    }
     // same literal-arithmetic contract as pageRank: (1 − d)/|S| evaluated
     // the way the oracle evaluates it
     val teleport = (1.0 - damping) / nSeeds
@@ -190,8 +213,7 @@ object Graph {
     var iter = 0
     while (iter < iters) {
       val mass = e
-        .join(ranks.filter(col("rank") =!= 0.0)
-          .withColumnRenamed("id", "src"), Seq("src"))
+        .join(rankSide(ranks.filter(col("rank") =!= 0.0)), Seq("src"))
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
         .groupBy("id").agg(sum("c").as("in_mass"))
       ranks = maybeCkpt(
