@@ -198,13 +198,13 @@ object Graph {
       .cache()
     val nSeeds = nd.filter(col("seed").isNotNull).count()
     require(nSeeds > 0, "personalizedPageRank: no seed is a graph node")
-    // same count-gated rank-side broadcast as [[pageRank]]; the PPR
-    // vector is at most node-sized (and frontier-sized early on)
-    val nNodes = nd.count()
-    def rankSide(r: DataFrame): DataFrame = {
-      val s = r.withColumnRenamed("id", "src")
-      if (nNodes <= 1000000L) broadcast(s) else s
-    }
+    // NO rank-side broadcast hint here, measured deliberately (r10):
+    // PPR's mass step already joins only the rank<>0 FRONTIER, which
+    // the planner happily broadcasts on its own when small, and the
+    // hint's extra node-count action plus per-round driver barrier
+    // made sf0.1 slower (probe 3.11 → 3.63 s) for a gain that only
+    // appeared at 10x — the opposite trade from pageRank, whose full
+    // node-sized vector the planner otherwise refuses to broadcast.
     // same literal-arithmetic contract as pageRank: (1 − d)/|S| evaluated
     // the way the oracle evaluates it
     val teleport = (1.0 - damping) / nSeeds
@@ -213,7 +213,8 @@ object Graph {
     var iter = 0
     while (iter < iters) {
       val mass = e
-        .join(rankSide(ranks.filter(col("rank") =!= 0.0)), Seq("src"))
+        .join(ranks.filter(col("rank") =!= 0.0)
+          .withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
         .groupBy("id").agg(sum("c").as("in_mass"))
       ranks = maybeCkpt(
