@@ -170,17 +170,38 @@ object Bench {
     val suspectWindows = windowMc.zipWithIndex.collect {
       case (mc, w) if mcWindowRef > 0 && mc > 1.5 * mcWindowRef => w
     }.toSet
+    // Retry pass (ADVICE r10, medium): the r10 version min-ed the retry
+    // into the original, which could only LOWER the headline — flagged
+    // queries got min-of-4 vs min-of-2 for everyone else, and a retry on
+    // a still-contaminated machine was reported as "re-measured" anyway.
+    // Now the retry pass is itself probed (mc_retry_pre/_post in the
+    // artifact) and its values are accepted only when BOTH probes are
+    // clean against the run's own window reference; accepted values
+    // REPLACE the flagged ones (best-of-2 either way — sample counts
+    // stay uniform across queries), and a dirty retry pass keeps the
+    // originals and says so via retry_accepted=false.
     var retried = 0
+    var retryAccepted = true
+    var mcRetryPre = -1.0
+    var mcRetryPost = -1.0
     if (suspectWindows.nonEmpty) {
+      mcRetryPre = calibrateMcQuick()
+      val retryBest =
+        scala.collection.mutable.LinkedHashMap[String, Double]()
       entries.zipWithIndex
         .filter { case (_, idx) => suspectWindows.contains(idx / WINDOW) }
         .foreach { case ((name, fn), _) =>
           isolateClear()
-          val best = math.min(timeOnce(fn), timeOnce(fn))
-          val (cold, prev) = timedBuf(name)
-          timedBuf(name) = (cold, math.min(prev, best))
+          retryBest(name) = math.min(timeOnce(fn), timeOnce(fn))
           retried += 1
         }
+      mcRetryPost = calibrateMcQuick()
+      retryAccepted = mcWindowRef > 0 &&
+        math.max(mcRetryPre, mcRetryPost) <= 1.5 * mcWindowRef
+      if (retryAccepted) retryBest.foreach { case (name, best) =>
+        val (cold, _) = timedBuf(name)
+        timedBuf(name) = (cold, best)
+      }
     }
     val timed = timedBuf
     val results = timed.map { case (k, (_, best)) => k -> best }
@@ -199,8 +220,29 @@ object Bench {
     // the full payload to a file the judge can read.
     val calibrationPost = calibrate()
     val calibrationMcPost = calibrateMc()
-    val mcWin = windowMc.map(v => f"$v%.3f").mkString("[", ",", "]")
-    val cal = s""""calibration_pre":$calibrationPre,"calibration_post":$calibrationPost,"calibration_mc_pre":$calibrationMcPre,"calibration_mc_post":$calibrationMcPost,"mc_quick_ref":$mcQuickRef,"mc_window_ref":$mcWindowRef,"mc_windows":$mcWin,"retried_contaminated":$retried"""
+    // raw doubles, not locale-formatted strings: f"$v%.3f" uses the JVM
+    // default locale and emits "0,363" on comma-decimal locales,
+    // corrupting the JSON payload (ADVICE r10)
+    val mcWin = windowMc.map(_.toString).mkString("[", ",", "]")
+    // Regime-normalized headline (VERDICT r10 #2): the host's external
+    // co-load shifts EVERY query a uniform 1.15-1.6x between identical-
+    // code runs (r10: four full runs spanned 239.3-315.3 s raw, whipsaw
+    // ±25% on host weather), and the windowed sentinel correctly refuses
+    // to retry under UNIFORM contamination — re-measuring on the same
+    // loaded machine cannot fix it — so the raw total is regime-bound.
+    // The mean of the all-core calibrations (pre/post) tracks that
+    // regime almost exactly: r10's four runs mc-normalize to within ±8%
+    // (239.3 s at mc 1.175 ≡ 273.9 s at 1.365 ≡ the driver's 307.0 s at
+    // mc mean 1.50). MC_CLEAN_REF pins the clean-machine reference —
+    // the all-core calibration (cpus × 2e8-row codegen'd sum, median of
+    // 5) measured 1.15/1.20 on this host's idle-regime full run — so
+    // value_mc_normalized = value × MC_CLEAN_REF / mean(mc_pre, mc_post)
+    // is the cross-run-comparable number; `value` stays the raw
+    // wall-clock truth of the run that produced it.
+    val MC_CLEAN_REF = 1.175
+    val mcMean = (calibrationMcPre + calibrationMcPost) / 2.0
+    val totalNorm = if (mcMean > 0) total * MC_CLEAN_REF / mcMean else total
+    val cal = s""""calibration_pre":$calibrationPre,"calibration_post":$calibrationPost,"calibration_mc_pre":$calibrationMcPre,"calibration_mc_post":$calibrationMcPost,"mc_quick_ref":$mcQuickRef,"mc_window_ref":$mcWindowRef,"mc_windows":$mcWin,"retried_contaminated":$retried,"retry_accepted":$retryAccepted,"mc_retry_pre":$mcRetryPre,"mc_retry_post":$mcRetryPost,"value_mc_normalized":$totalNorm,"mc_clean_ref":$MC_CLEAN_REF,"regime_comparable_field":"value_mc_normalized""""
     val headline = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","nqueries":${results.size},"cold_total":$coldTotal,$cal,"timing":"best_of_2"}"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":$coldTotal,"queries_cold":${jmap(coldResults)},$cal,"timing":"best_of_2"}"""
     // Headline BOTH first and last: a head-reading parser sees it before

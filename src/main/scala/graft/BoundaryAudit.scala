@@ -64,12 +64,28 @@ object BoundaryAudit {
     *   4 engine-mismatch — the engines round the IDENTICAL double
     *                       differently: guaranteed gate failure on
     *                       this fixture, rewrite required
+    *   5 grid-overflow   — the double product v·10ⁿ overflowed to
+    *                       infinity, so the DuckDB emulation (and
+    *                       DuckDB itself, whose round() multiplies)
+    *                       has no finite grid to judge: sentinel for
+    *                       manual review, never thrown from the UDF
+    *                       (ADVICE r10 — `new BigDecimal(∞)` used to
+    *                       kill the whole audit run)
     * Class 4 needs a rewrite; the audit passes structurally when its
     * per-run count is zero (class 3 is reported as watch-grade).
+    *
+    * Classes 1/3 are additionally gated on the double grid being FINER
+    * than the rounding grid (ulp(y) < 1e-3 units, ADVICE r10): at
+    * coarse grids every representable double sits "few ulps" from a
+    * boundary by construction, so the ulp-distance test would flag
+    * large magnitudes as watch-grade when the geometry carries no
+    * fragility signal — those rows land in the report's coarse-grid
+    * table (judged by absolute distance) instead.
     */
   private val tieClassNames = Array(
-    "far", "near-margin", "tie-agree", "near-fragile", "engine-mismatch")
-  private def classifyTie(v: Double, n: Int): Int = {
+    "far", "near-margin", "tie-agree", "near-fragile", "engine-mismatch",
+    "grid-overflow")
+  private[graft] def classifyTie(v: Double, n: Int): Int = {
     if (v.isNaN || v.isInfinite || v == 0.0) return 0
     val half = new java.math.BigDecimal("0.5")
     val one = java.math.BigDecimal.ONE
@@ -79,6 +95,7 @@ object BoundaryAudit {
     // DuckDB's decision: std::round(v * 10^n), judged on the exact
     // binary expansion of the double product (no double-rounding)
     val y = v * math.pow(10.0, n)
+    if (y.isInfinite) return 5
     val yb = new java.math.BigDecimal(y)
     val fl = yb.setScale(0, java.math.RoundingMode.FLOOR)
     val cmp = yb.subtract(fl).compareTo(half)
@@ -96,6 +113,7 @@ object BoundaryAudit {
     // SPARK lens saw a tie even though the exact expansion is off it
     if (java.math.BigDecimal.valueOf(v).movePointRight(n)
         .remainder(one).abs().compareTo(half) == 0) 2
+    else if (ulpY >= 1e-3) 0 // coarse grid: ulp distance meaningless
     else if (dUnits < 16 * ulpY) 3
     else if (dUnits < 1e3 * ulpY) 1
     else 0
@@ -295,6 +313,7 @@ object BoundaryAudit {
     val coarse = reports.filter(r => !r.ulpAtMin.isNaN && r.ulpAtMin >= 1e-3)
     val hard = reports.filter(r => r.tieClass == 4)
     val watch = reports.filter(r => r.tieClass == 3)
+    val overflow = reports.filter(r => r.tieClass == 5)
     val sb = new StringBuilder
     sb ++= s"# Rounding-boundary audit @ $sfDir\n\n"
     sb ++= s"Queries audited: $nQueries; rounded double output columns: " +
@@ -315,6 +334,15 @@ object BoundaryAudit {
     if (hard.nonEmpty) {
       sb ++= "| query | column | n_rows_cls>=3 |\n|---|---|---|\n"
       hard.foreach { r =>
+        sb ++= s"| ${r.query} | ${r.column} | ${r.nUnjustified} |\n"
+      }
+      sb ++= "\n"
+    }
+    sb ++= s"Grid-overflow columns (v·10ⁿ overflows double — manual " +
+      s"review): ${overflow.size}\n\n"
+    if (overflow.nonEmpty) {
+      sb ++= "| query | column | n_rows_cls>=3 |\n|---|---|---|\n"
+      overflow.foreach { r =>
         sb ++= s"| ${r.query} | ${r.column} | ${r.nUnjustified} |\n"
       }
       sb ++= "\n"

@@ -566,10 +566,15 @@ object Graph {
     * the shrunken later rounds enumerate live. The precomputation is
     * trusted but VERIFIED: [[edgeSupport]] emits exactly one row per
     * canonical edge, so a correct `initialSupport` has exactly as many
-    * rows as the canonicalized input — a mismatched caller (stale
-    * layout, wrong graph) is detected by that O(1)-extra count and the
-    * peel falls back to live enumeration instead of silently emitting
-    * wrong round counts.
+    * rows as the canonicalized input AND covers the identical edge
+    * set — checked as a count plus an order-insensitive XOR checksum
+    * of the canonical pair hashes (ADVICE r10: a count alone would
+    * trust a wrong-graph relation with coincidentally equal
+    * cardinality). Either mismatch — stale layout, wrong graph,
+    * differently-typed keys — drops the relation and the peel falls
+    * back to live enumeration instead of silently emitting wrong
+    * round counts. Cost: one agg over each edge-sized relation, paid
+    * once, cheap next to the wedge enumeration it saves.
     */
   def ktrussPeel(edges: DataFrame, k: Int, rounds: Int,
       initialSupport: Option[DataFrame] = None): DataFrame = {
@@ -591,9 +596,19 @@ object Graph {
       else {
         val sup = initialSupport match {
           // one row per canonical edge is edgeSupport's contract; a
-          // count mismatch means the relation covers a DIFFERENT edge
-          // set — fall back to live enumeration rather than peel wrong
-          case Some(s0) if r == 1 && s0.count() == before => s0
+          // count OR pair-checksum mismatch means the relation covers
+          // a DIFFERENT edge set — fall back to live enumeration
+          // rather than peel wrong (xxhash64 hashes value+type, so a
+          // same-values-different-type caller also falls back — the
+          // safe direction)
+          case Some(s0) if r == 1 && {
+            val sr = s0.agg(count(lit(1)).as("n"),
+              expr("bit_xor(xxhash64(a, b))").as("sig")).head()
+            sr.getLong(0) == before && !sr.isNullAt(1) && {
+              val cr = cur.agg(expr("bit_xor(xxhash64(src, dst))")).head()
+              !cr.isNullAt(0) && cr.getLong(0) == sr.getLong(1)
+            }
+          } => s0
           case _ => edgeSupport(cur, canonicalEdges = true)
         }
         val next = sup

@@ -33,6 +33,30 @@ object Formats {
     df.sparkSession.read.schema(df.schema).json(path)
   }
 
+  /** Write-once variants: materialize the CSV/JSON copy only when the
+    * target directory has no `_SUCCESS` marker, then read it back.
+    * Callers key `path` by a CONTENT fingerprint of the source table
+    * (see `SparkEntry.tableFingerprint`), so a regenerated universe
+    * lands on a fresh directory and re-materializes, while repeat
+    * invocations over the same data pay only the read — the behavior a
+    * real federated deployment has (the external CSV/JSON system just
+    * EXISTS; nobody re-exports it per query). VERDICT r10 #3:
+    * `federated_trisource_join` used the always-write roundtrips and
+    * was thereby part fixture-write benchmark, the most
+    * contention-sensitive query in the suite.
+    */
+  def csvWriteOnce(df: DataFrame, path: String): DataFrame = {
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      df.write.mode("overwrite").option("header", "true").csv(path)
+    df.sparkSession.read.schema(df.schema).option("header", "true").csv(path)
+  }
+
+  def jsonWriteOnce(df: DataFrame, path: String): DataFrame = {
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      df.write.mode("overwrite").json(path)
+    df.sparkSession.read.schema(df.schema).json(path)
+  }
+
   /** Write `df` as ORC and read it back. ORC is the second columnar
     * format Spark ships a vectorized reader for — self-describing schema,
     * predicate pushdown, and column pruning all work, so unlike CSV/JSON

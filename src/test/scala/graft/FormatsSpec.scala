@@ -23,6 +23,33 @@ class FormatsSpec extends SparkSuite {
     assert(rows(xml) === rows(nation))
   }
 
+  test("write-once roundtrips materialize once and read thereafter") {
+    val nation = engine.Tables.load(spark, sfDir, "nation")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_fmt_once").toString
+    val first = Formats.csvWriteOnce(nation, s"$dir/csv")
+    assert(first.schema === nation.schema)
+    assert(rows(first) === rows(nation))
+    // second call must NOT rewrite: every data file keeps its mtime
+    val files = new java.io.File(s"$dir/csv").listFiles()
+      .filter(_.getName.endsWith(".csv")).map(f => f.getName -> f.lastModified)
+    assert(files.nonEmpty)
+    val again = Formats.csvWriteOnce(nation, s"$dir/csv")
+    assert(rows(again) === rows(nation))
+    val filesAfter = new java.io.File(s"$dir/csv").listFiles()
+      .filter(_.getName.endsWith(".csv")).map(f => f.getName -> f.lastModified)
+    assert(filesAfter.toSeq.sorted === files.toSeq.sorted,
+      "second csvWriteOnce rewrote the materialized copy")
+    val j1 = Formats.jsonWriteOnce(nation, s"$dir/json")
+    val jf = new java.io.File(s"$dir/json").listFiles()
+      .filter(_.getName.endsWith(".json")).map(f => f.getName -> f.lastModified)
+    val j2 = Formats.jsonWriteOnce(nation, s"$dir/json")
+    assert(rows(j1) === rows(nation) && rows(j2) === rows(nation))
+    val jfAfter = new java.io.File(s"$dir/json").listFiles()
+      .filter(_.getName.endsWith(".json")).map(f => f.getName -> f.lastModified)
+    assert(jfAfter.toSeq.sorted === jf.toSeq.sorted)
+  }
+
   test("day-partitioned write + day read returns exactly that day's events") {
     val events = engine.Tables.load(spark, sfDir, "events")
     Layout.writeDayPartitioned(events, "/tmp/graft_layout_spec")

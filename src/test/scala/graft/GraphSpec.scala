@@ -226,6 +226,18 @@ class GraphSpec extends SparkSuite {
         initialSupport = Some(Graph.edgeSupport(wrongGraph)))
       .as[(Int, Long, Long)].collect().toList
     assert(mismatched === live)
+    // ADVICE r10: a wrong-graph relation with coincidentally EQUAL
+    // cardinality used to slip past the count-only guard; the pair
+    // checksum must reject it too. Same 7 canonical edges but a
+    // triangle-free path — if it were trusted, every support would be
+    // 0 and round 1 would drop all 7 edges instead of live's 1.
+    val sameCountWrong = Seq((10L, 20L), (20L, 30L), (30L, 40L),
+      (40L, 50L), (50L, 60L), (60L, 70L), (70L, 80L)).toDF("src", "dst")
+    assert(Graph.edgeSupport(sameCountWrong).count() === 7L)
+    val equalCard = Graph.ktrussPeel(edges, k = 4, rounds = 2,
+        initialSupport = Some(Graph.edgeSupport(sameCountWrong)))
+      .as[(Int, Long, Long)].collect().toList
+    assert(equalCard === live)
   }
 
   test("kCore peels a pendant chain down to the K4 2-core") {

@@ -89,6 +89,14 @@ QUERIES = [
     # code — pinned so every future anomaly has an isolated baseline
     "events_crosscorr_lagged", "dq_key_density_audit",
     "doc_minhash_band_sweep", "lineitem_theil_index",
+    # r11 (VERDICT r10 #1): the three r10 driver-run tail movers on
+    # unchanged code — pinned so every future anomaly has an isolated
+    # baseline (federated_trisource_join additionally had its /tmp
+    # fixture write taken out of the timed path this round)
+    "doc_ppl_transfer", "federated_trisource_join", "doc_topic_classify",
+    # r11 (VERDICT r10 #4): families never probed at 100x before —
+    # the classifier family and a second multimodal beyond pHash
+    "doc_nb_source_classify", "mm_audio_loudness",
 ]
 
 # Work linear in data by construction AND CPU-saturated at sf0.1 ->
@@ -128,6 +136,9 @@ LINEAR_SATURATED = {
     "doc_lm_perplexity_filter":
         "bigram explode + gram-keyed train/score joins: work linear in "
         "corpus tokens, saturated",
+    "doc_ppl_transfer":
+        "(source, word) unigram counts + word-keyed score join across the "
+        "bounded source matrix: work linear in corpus tokens, saturated",
 }
 
 def run(cmd, env=None):
