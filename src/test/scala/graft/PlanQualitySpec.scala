@@ -177,6 +177,24 @@ class PlanQualitySpec extends SparkSuite {
     assert(p.contains("Scan csv"), "csv leaf missing:\n" + p.take(600))
     assert(p.contains("Scan json"), "json leaf missing:\n" + p.take(600))
     assert(p.contains("Scan parquet"), "parquet leaf missing:\n" + p.take(600))
+    // the dims are READ from the once-materialized fingerprinted dirs —
+    // the timed plan must never contain a write (r10: the per-invocation
+    // CSV/JSON re-export made this the most contention-sensitive query
+    // in the suite); the scans must point at the content-keyed path
+    assert(!p.contains("InsertIntoHadoopFsRelationCommand") &&
+      !p.contains("WriteFiles"),
+      "write node inside the timed federated plan:\n" + p.take(800))
+    val paths = SparkEntry.queries("federated_trisource_join")(spark, sfDir)
+      .queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              f.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+    assert(paths.count(_.contains("graft_fed_")) == 2,
+      s"dims not read from the content-keyed dirs: $paths")
   }
 
   test("no query plan contains a cartesian product or nested-loop join") {
