@@ -18,7 +18,7 @@ class DocStreamSpec extends SparkSuite {
     val index = DocStream.bandIndex(docs)
     val q = DocStream.startLshDedupStream(
       spark, sfDir, index, "doc_stream_spec", threshold = 0.2)
-    q.awaitTermination(120000)
+    q.awaitTermination(300000)
 
     val streamed = spark.sql(
       "SELECT DISTINCT doc_id, dup_of, jaccard FROM doc_stream_spec")

@@ -13,7 +13,7 @@ class EventStreamSpec extends SparkSuite {
 
   test("streaming hourly agg equals the batch twin for watermark-closed windows") {
     val q = EventStream.startHourlyAgg(spark, sfDir, "hourly_test")
-    q.awaitTermination(120000)
+    q.awaitTermination(300000)
     val streamed = spark.sql(
       "SELECT window.start AS h, event_type, n FROM hourly_test")
       .as[(java.sql.Timestamp, String, Long)].collect().toSet
@@ -34,7 +34,7 @@ class EventStreamSpec extends SparkSuite {
 
   test("streaming CMS cells equal the batch-built sketch cell-for-cell") {
     val q = EventStream.startCmsStream(spark, sfDir, "cms_test")
-    q.awaitTermination(120000)
+    q.awaitTermination(300000)
     val streamed = spark.table("cms_test")
       .as[(Int, Long, Long)].collect().toSet
     val batch = graft.operators.Sketches
@@ -48,7 +48,7 @@ class EventStreamSpec extends SparkSuite {
 
   test("streaming SRM variant counts equal the batch split exactly") {
     val q = EventStream.startSrmStream(spark, sfDir, "srm_test")
-    q.awaitTermination(120000)
+    q.awaitTermination(300000)
     val streamed = spark.table("srm_test")
       .as[(String, Long, Long)].collect().toSet
     val batch = Tables.load(spark, sfDir, "events")
@@ -100,7 +100,7 @@ class EventStreamSpec extends SparkSuite {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val q = EventStream.startTwsSessionize(spark, sfDir, "tws_stream_test")
-      q.awaitTermination(120000)
+      q.awaitTermination(300000)
       val streamed = spark.table("tws_stream_test")
         .select("user_id", "start_ms", "end_ms", "n_events")
         .as[(Long, Long, Long, Int)].collect().toSet
@@ -176,7 +176,7 @@ class EventStreamSpec extends SparkSuite {
 
   test("stream-stream interval join equals the batch interval join") {
     val q = EventStream.startIntervalJoin(spark, sfDir, "esj_test")
-    q.awaitTermination(120000)
+    q.awaitTermination(300000)
     val streamed = spark.table("esj_test")
       .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
     val e = Tables.load(spark, sfDir, "events")
@@ -193,7 +193,7 @@ class EventStreamSpec extends SparkSuite {
 
   test("left-outer stream join adds exactly the watermark-evicted unmatched rows") {
     val q = EventStream.startLeftOuterJoin(spark, sfDir, "esloj_test")
-    q.awaitTermination(120000)
+    q.awaitTermination(300000)
     val out = spark.table("esloj_test")
     // matched rows are identical to the inner interval join
     val matchedStreamed = out.filter($"click_id".isNotNull)
