@@ -240,9 +240,36 @@ object Bench {
     // is the cross-run-comparable number; `value` stays the raw
     // wall-clock truth of the run that produced it.
     val MC_CLEAN_REF = 1.175
+    // The clean-machine reference is a HOST-SPECIFIC pin (VERDICT r11 #3 /
+    // ADVICE r11): it was measured on this cpu-model/core-count regime and
+    // silently becomes a meaningless cross-host scaling if the hardware
+    // ever changes. The artifact records both the pin's host and the
+    // current one; on mismatch value_mc_normalized is emitted as null —
+    // re-measure the idle-regime calibration on the new host and re-pin
+    // (rule in README.md) before comparing across rounds.
+    val MC_CLEAN_REF_HOST = "Intel(R) Xeon(R) Processor @ 2.10GHz/32"
+    val hostNow = {
+      val model = try {
+        scala.io.Source.fromFile("/proc/cpuinfo").getLines()
+          .collectFirst { case l if l.startsWith("model name") =>
+            l.split(":", 2)(1).trim }
+          .getOrElse("unknown")
+      } catch { case _: Throwable => "unknown" }
+      s"$model/${Runtime.getRuntime.availableProcessors()}"
+    }
+    val hostMatches = hostNow == MC_CLEAN_REF_HOST
     val mcMean = (calibrationMcPre + calibrationMcPost) / 2.0
-    val totalNorm = if (mcMean > 0) total * MC_CLEAN_REF / mcMean else total
-    val cal = s""""calibration_pre":$calibrationPre,"calibration_post":$calibrationPost,"calibration_mc_pre":$calibrationMcPre,"calibration_mc_post":$calibrationMcPost,"mc_quick_ref":$mcQuickRef,"mc_window_ref":$mcWindowRef,"mc_windows":$mcWin,"retried_contaminated":$retried,"retry_accepted":$retryAccepted,"mc_retry_pre":$mcRetryPre,"mc_retry_post":$mcRetryPost,"value_mc_normalized":$totalNorm,"mc_clean_ref":$MC_CLEAN_REF,"regime_comparable_field":"value_mc_normalized""""
+    val totalNormJson =
+      if (!hostMatches) "null"
+      else if (mcMean > 0) (total * MC_CLEAN_REF / mcMean).toString
+      else total.toString
+    // retry fields are null on runs where no window was flagged — a
+    // default of true/-1.0 read as "retry happened and passed" (ADVICE r11)
+    val retryJson =
+      if (retried > 0)
+        s""""retry_accepted":$retryAccepted,"mc_retry_pre":$mcRetryPre,"mc_retry_post":$mcRetryPost"""
+      else """"retry_accepted":null,"mc_retry_pre":null,"mc_retry_post":null"""
+    val cal = s""""calibration_pre":$calibrationPre,"calibration_post":$calibrationPost,"calibration_mc_pre":$calibrationMcPre,"calibration_mc_post":$calibrationMcPost,"mc_quick_ref":$mcQuickRef,"mc_window_ref":$mcWindowRef,"mc_windows":$mcWin,"retried_contaminated":$retried,$retryJson,"value_mc_normalized":$totalNormJson,"mc_clean_ref":$MC_CLEAN_REF,"mc_clean_ref_host":"$MC_CLEAN_REF_HOST","host":"$hostNow","regime_comparable_field":"value_mc_normalized""""
     val headline = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","nqueries":${results.size},"cold_total":$coldTotal,$cal,"timing":"best_of_2"}"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total":$coldTotal,"queries_cold":${jmap(coldResults)},$cal,"timing":"best_of_2"}"""
     // Headline BOTH first and last: a head-reading parser sees it before

@@ -34,26 +34,67 @@ object Formats {
   }
 
   /** Write-once variants: materialize the CSV/JSON copy only when the
-    * target directory has no `_SUCCESS` marker, then read it back.
-    * Callers key `path` by a CONTENT fingerprint of the source table
-    * (see `SparkEntry.tableFingerprint`), so a regenerated universe
-    * lands on a fresh directory and re-materializes, while repeat
-    * invocations over the same data pay only the read — the behavior a
-    * real federated deployment has (the external CSV/JSON system just
+    * target directory is not yet published, then read it back. Callers
+    * key `path` by a CONTENT fingerprint of the source table (see
+    * `SparkEntry.tableFingerprint`), so a regenerated universe lands on
+    * a fresh directory and re-materializes, while repeat invocations
+    * over the same data pay only the read — the behavior a real
+    * federated deployment has (the external CSV/JSON system just
     * EXISTS; nobody re-exports it per query). VERDICT r10 #3:
     * `federated_trisource_join` used the always-write roundtrips and
     * was thereby part fixture-write benchmark, the most
     * contention-sensitive query in the suite.
+    *
+    * Publication protocol (VERDICT r11 #4 + ADVICE r11): the skip-write
+    * decision keys on graft's OWN sentinel (`_GRAFT_DONE`), created only
+    * after the write job has committed — so it neither silently degrades
+    * to rewrite-every-invocation if `mapreduce.fileoutputcommitter
+    * .marksuccessfuljobs` is ever off, nor mistakes a half-written dir
+    * for done. The write itself lands in a temp sibling (unique suffix)
+    * that is atomically renamed into place, so a concurrent reader never
+    * observes a partial listing: it sees either no dir (→ it writes its
+    * own temp) or the complete one. Two racing writers produce the same
+    * bytes (content-keyed path); the rename loser detects the published
+    * sentinel and discards its temp. A stale pre-v1 dir at `path` (no
+    * sentinel) is replaced once, not trusted.
     */
+  private val DONE = "_GRAFT_DONE"
+
+  private def rmTree(f: java.io.File): Unit = {
+    val cs = f.listFiles(); if (cs != null) cs.foreach(rmTree)
+    f.delete(); ()
+  }
+
+  private def materializeOnce(path: String)(write: String => Unit): Unit = {
+    val dir = new java.io.File(path)
+    if (new java.io.File(dir, DONE).exists()) return
+    val tmp = new java.io.File(dir.getParentFile,
+      dir.getName + ".inprogress." +
+        java.util.UUID.randomUUID().toString.take(8))
+    write(tmp.getPath) // Spark throws on a failed/partial job commit
+    new java.io.File(tmp, DONE).createNewFile()
+    try {
+      java.nio.file.Files.move(tmp.toPath, dir.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      case _: java.nio.file.FileSystemException =>
+        if (new java.io.File(dir, DONE).exists()) rmTree(tmp)
+        else { // stale unpublished dir (e.g. pre-sentinel format): replace
+          rmTree(dir)
+          java.nio.file.Files.move(tmp.toPath, dir.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+    }
+  }
+
   def csvWriteOnce(df: DataFrame, path: String): DataFrame = {
-    if (!new java.io.File(path, "_SUCCESS").exists())
-      df.write.mode("overwrite").option("header", "true").csv(path)
+    materializeOnce(path)(
+      df.write.option("header", "true").csv(_))
     df.sparkSession.read.schema(df.schema).option("header", "true").csv(path)
   }
 
   def jsonWriteOnce(df: DataFrame, path: String): DataFrame = {
-    if (!new java.io.File(path, "_SUCCESS").exists())
-      df.write.mode("overwrite").json(path)
+    materializeOnce(path)(df.write.json(_))
     df.sparkSession.read.schema(df.schema).json(path)
   }
 

@@ -16,9 +16,8 @@ class DocStreamSpec extends SparkSuite {
   test("stream-static LSH dedup equals the batch pipeline and is stateless") {
     val docs = Tables.load(spark, sfDir, "documents")
     val index = DocStream.bandIndex(docs)
-    val q = DocStream.startLshDedupStream(
-      spark, sfDir, index, "doc_stream_spec", threshold = 0.2)
-    q.awaitTermination(300000)
+    val q = awaitDrained(DocStream.startLshDedupStream(
+      spark, sfDir, index, "doc_stream_spec", threshold = 0.2))
 
     val streamed = spark.sql(
       "SELECT DISTINCT doc_id, dup_of, jaccard FROM doc_stream_spec")

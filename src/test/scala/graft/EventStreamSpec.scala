@@ -12,8 +12,7 @@ class EventStreamSpec extends SparkSuite {
   import spark.implicits._
 
   test("streaming hourly agg equals the batch twin for watermark-closed windows") {
-    val q = EventStream.startHourlyAgg(spark, sfDir, "hourly_test")
-    q.awaitTermination(300000)
+    awaitDrained(EventStream.startHourlyAgg(spark, sfDir, "hourly_test"))
     val streamed = spark.sql(
       "SELECT window.start AS h, event_type, n FROM hourly_test")
       .as[(java.sql.Timestamp, String, Long)].collect().toSet
@@ -33,8 +32,7 @@ class EventStreamSpec extends SparkSuite {
   }
 
   test("streaming CMS cells equal the batch-built sketch cell-for-cell") {
-    val q = EventStream.startCmsStream(spark, sfDir, "cms_test")
-    q.awaitTermination(300000)
+    awaitDrained(EventStream.startCmsStream(spark, sfDir, "cms_test"))
     val streamed = spark.table("cms_test")
       .as[(Int, Long, Long)].collect().toSet
     val batch = graft.operators.Sketches
@@ -47,8 +45,7 @@ class EventStreamSpec extends SparkSuite {
   }
 
   test("streaming SRM variant counts equal the batch split exactly") {
-    val q = EventStream.startSrmStream(spark, sfDir, "srm_test")
-    q.awaitTermination(300000)
+    awaitDrained(EventStream.startSrmStream(spark, sfDir, "srm_test"))
     val streamed = spark.table("srm_test")
       .as[(String, Long, Long)].collect().toSet
     val batch = Tables.load(spark, sfDir, "events")
@@ -99,8 +96,8 @@ class EventStreamSpec extends SparkSuite {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val q = EventStream.startTwsSessionize(spark, sfDir, "tws_stream_test")
-      q.awaitTermination(300000)
+      awaitDrained(
+        EventStream.startTwsSessionize(spark, sfDir, "tws_stream_test"))
       val streamed = spark.table("tws_stream_test")
         .select("user_id", "start_ms", "end_ms", "n_events")
         .as[(Long, Long, Long, Int)].collect().toSet
@@ -175,8 +172,7 @@ class EventStreamSpec extends SparkSuite {
   }
 
   test("stream-stream interval join equals the batch interval join") {
-    val q = EventStream.startIntervalJoin(spark, sfDir, "esj_test")
-    q.awaitTermination(300000)
+    awaitDrained(EventStream.startIntervalJoin(spark, sfDir, "esj_test"))
     val streamed = spark.table("esj_test")
       .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
     val e = Tables.load(spark, sfDir, "events")
@@ -192,8 +188,7 @@ class EventStreamSpec extends SparkSuite {
   }
 
   test("left-outer stream join adds exactly the watermark-evicted unmatched rows") {
-    val q = EventStream.startLeftOuterJoin(spark, sfDir, "esloj_test")
-    q.awaitTermination(300000)
+    awaitDrained(EventStream.startLeftOuterJoin(spark, sfDir, "esloj_test"))
     val out = spark.table("esloj_test")
     // matched rows are identical to the inner interval join
     val matchedStreamed = out.filter($"click_id".isNotNull)

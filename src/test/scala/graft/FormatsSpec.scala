@@ -50,6 +50,53 @@ class FormatsSpec extends SparkSuite {
     assert(jfAfter.toSeq.sorted === jf.toSeq.sorted)
   }
 
+  test("concurrent write-once callers publish one complete copy (VERDICT r11 #4)") {
+    val nation = engine.Tables.load(spark, sfDir, "nation")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_fmt_race").toString
+    val path = s"$dir/csv"
+    // two JVM-threads race the same unpublished fingerprinted path —
+    // the temp-sibling + atomic-rename protocol must leave exactly one
+    // complete published dir, and both callers must read the full table
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val attempts = Seq(
+      Future(rows(Formats.csvWriteOnce(nation, path))),
+      Future(rows(Formats.csvWriteOnce(nation, path))))
+    val got = Await.result(Future.sequence(attempts), 300.seconds)
+    assert(got.forall(_ === rows(nation)))
+    assert(new java.io.File(path, "_GRAFT_DONE").exists(),
+      "published dir must carry the graft sentinel")
+    // the rename loser must have cleaned up its temp sibling
+    val leftovers = new java.io.File(dir).listFiles()
+      .filter(_.getName.contains(".inprogress."))
+    assert(leftovers.isEmpty,
+      s"temp dirs left behind: ${leftovers.map(_.getName).mkString(",")}")
+    // skip-write must hold WITHOUT Spark's _SUCCESS marker (ADVICE r11:
+    // the old check keyed on marksuccessfuljobs and silently degraded
+    // to rewrite-every-invocation when that config is off)
+    new java.io.File(path, "_SUCCESS").delete()
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".csv")).map(f => f.getName -> f.lastModified)
+    assert(rows(Formats.csvWriteOnce(nation, path)) === rows(nation))
+    val filesAfter = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".csv")).map(f => f.getName -> f.lastModified)
+    assert(filesAfter.toSeq.sorted === files.toSeq.sorted,
+      "write-once rewrote after _SUCCESS was removed")
+    // a stale pre-sentinel dir (only _SUCCESS, e.g. the r11 format) is
+    // replaced once, not trusted as published
+    val stale = new java.io.File(s"$dir/stale")
+    stale.mkdirs()
+    new java.io.File(stale, "_SUCCESS").createNewFile()
+    new java.io.File(stale, "garbage.csv").createNewFile()
+    val migrated = Formats.jsonWriteOnce(nation, stale.getPath)
+    assert(rows(migrated) === rows(nation))
+    assert(new java.io.File(stale, "_GRAFT_DONE").exists())
+    assert(!new java.io.File(stale, "garbage.csv").exists(),
+      "stale unpublished dir must be replaced wholesale")
+  }
+
   test("day-partitioned write + day read returns exactly that day's events") {
     val events = engine.Tables.load(spark, sfDir, "events")
     Layout.writeDayPartitioned(events, "/tmp/graft_layout_spec")

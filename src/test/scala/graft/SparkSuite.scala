@@ -27,4 +27,27 @@ abstract class SparkSuite extends AnyFunSuite {
   // stable val so `import spark.implicits._` works in subclasses
   protected lazy val spark: SparkSession = SparkSuite.spark
   protected def sfDir: String = SparkSuite.sfDir
+
+  /** Drain an AvailableNow streaming query with a tight first window and
+    * ONE fresh restart before the long ceiling. A blanket 300 s await
+    * (the r11 response to a single co-load flake) delays genuine-hang
+    * detection 2.5× for every streaming test; here a hang surfaces at
+    * 120 s as a visible restart, and only the retry — a from-scratch
+    * rerun, since `freshCheckpoint` wipes state and the memory sink is
+    * re-registered under the same name — gets the 300 s ceiling.
+    * Returns the query that actually drained (callers inspect progress).
+    */
+  protected def awaitDrained(
+      start: => org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val q = start
+    if (q.awaitTermination(120000)) q
+    else {
+      q.stop()
+      val retry = start
+      assert(retry.awaitTermination(300000),
+        "stream failed to drain within 300 s even after a fresh restart")
+      retry
+    }
+  }
 }

@@ -97,6 +97,13 @@ QUERIES = [
     # r11 (VERDICT r10 #4): families never probed at 100x before —
     # the classifier family and a second multimodal beyond pHash
     "doc_nb_source_classify", "mm_audio_loudness",
+    # r12 (VERDICT r11 #1): the last two top-10-cost queries that had
+    # zero scale datapoints — LP's per-round (src,label) aggregate and
+    # the 4-round seed-cohort BFS
+    "graph_label_communities", "graph_harmonic_centrality",
+    # r12 (VERDICT r11 #2): the r11 driver-run >2x mover on unchanged
+    # code — pinned so the anomaly has an isolated baseline
+    "events_json_extract",
 ]
 
 # Work linear in data by construction AND CPU-saturated at sf0.1 ->
@@ -139,6 +146,12 @@ LINEAR_SATURATED = {
     "doc_ppl_transfer":
         "(source, word) unigram counts + word-keyed score join across the "
         "bounded source matrix: work linear in corpus tokens, saturated",
+    "graph_label_communities":
+        "3 LP rounds, each an edge-sized (src,label) aggregate; "
+        "edge volume scales 10x, saturated",
+    "graph_harmonic_centrality":
+        "4 bounded BFS rounds, each a frontier⋈edges join that scans "
+        "the full edge set; edge volume scales 10x",
 }
 
 def run(cmd, env=None):
