@@ -876,3 +876,62 @@ case class CharTrigrams(child: Expression) extends UnaryExpression {
       s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($str);"
     })
 }
+
+/** Canonical text normalization in one byte-level pass. SQL name:
+  * `graft_normalize(text)`. Exactly equals the portable chain
+  * `trim(regexp_replace(regexp_replace(lower(s), "[^a-z0-9\\s]", " "),
+  * "\\s+", " "))` ([[graft.operators.Dedup.normalizedPortable]]):
+  *
+  * after `lower`, regex 1 turns every char outside {a-z, 0-9, \s} into
+  * a space and regex 2 collapses every whitespace run to one space, so
+  * the composition maps each MAXIMAL run of non-[a-z0-9] characters —
+  * whitespace or not — to a single ' ', and `trim` drops the leading/
+  * trailing run. (The Java-vs-RE2 `\s` disagreement on \x0B is
+  * immaterial: a char either survives regex 1 as whitespace and is
+  * collapsed by regex 2, or is replaced by ' ' first — the final string
+  * is the same, which is also why the DuckDB oracle twin agrees.)
+  * Multi-byte UTF-8 sequences contain no ASCII bytes, so the scan can
+  * run on raw bytes: any byte outside [a-z0-9] — including every byte
+  * of a non-ASCII code point — is part of a separator run.
+  *
+  * The regex chain measured ~0.3 MB/s/core on the 1000x probe fixture
+  * (262 s of doc_dedup_normalized's 508 s at 5M docs / 2.2 GB text);
+  * this pass runs at memory bandwidth.
+  */
+case class NormalizeText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.sql}")
+  }
+  override def prettyName: String = "graft_normalize"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[UTF8String].toLowerCase.getBytes
+    val out = new Array[Byte](b.length)
+    var n = 0
+    var pendingSep = false
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingSep && n > 0) { out(n) = ' '; n += 1 }
+        pendingSep = false
+        out(n) = c; n += 1
+      } else pendingSep = true
+      i += 1
+    }
+    UTF8String.fromBytes(out, 0, n)
+  }
+
+  // same glue as CharTrigrams: the row cost is the byte loop itself
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str => {
+      val cls = classOf[NormalizeText].getName
+      val ref = ctx.addReferenceObj("normalizeExpr", this, cls)
+      s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $ref.nullSafeEval($str);"
+    })
+}

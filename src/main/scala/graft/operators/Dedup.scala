@@ -43,8 +43,20 @@ object Dedup {
 
   /** Canonical text form: lowercase, strip punctuation, collapse runs of
     * whitespace. Dedup on this catches trivially-edited copies.
+    *
+    * Native single byte-pass ([[graft.functions.NormalizeText]]);
+    * identical to [[normalizedPortable]]. The regex chain measured
+    * ~0.3 MB/s/core on the r12 1000x probe — 262 s of
+    * doc_dedup_normalized's 508 s went to the two regexp_replace
+    * passes alone, at every scale the dominant cost of the operator.
     */
   def normalized(text: Column): Column =
+    call_function("graft_normalize", text)
+
+  /** [[normalized]] via built-in string functions (portable fallback and
+    * differential-test partner; the form the DuckDB oracle mirrors).
+    */
+  def normalizedPortable(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 
   def normalizedDedup(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{BestLangByHits, CharGramHashes, CharTrigrams, WordGramHashes, CosineSimilarity, DotProduct, L2SqDistance, Md5Hash60, MinHashSig, MinHashSigMd5, ModeCount, MortonInterleave, SimHash64, SimHashMd5, StopwordHits, WinnowSig, WordKGrams}
+import graft.functions.{BestLangByHits, CharGramHashes, CharTrigrams, WordGramHashes, CosineSimilarity, DotProduct, L2SqDistance, Md5Hash60, MinHashSig, MinHashSigMd5, ModeCount, MortonInterleave, NormalizeText, SimHash64, SimHashMd5, StopwordHits, WinnowSig, WordKGrams}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -84,6 +84,8 @@ object GraftFunctions {
       } }),
     ("graft_trigrams", info("graft_trigrams", classOf[CharTrigrams]),
       (es: Seq[Expression]) => { arity("graft_trigrams", es, 1); CharTrigrams(es(0)) }),
+    ("graft_normalize", info("graft_normalize", classOf[NormalizeText]),
+      (es: Seq[Expression]) => { arity("graft_normalize", es, 1); NormalizeText(es(0)) }),
     // Spark's own codegen'd bloom-membership predicate (the one runtime
     // row-level filtering injects), surfaced by name so operators can
     // pre-filter a shuffle with a driver-built sketch WITHOUT dropping

@@ -319,4 +319,67 @@ class TextExpressionsSpec extends SparkSuite {
     assert(short.isEmpty)
   }
 
+  test("graft_normalize is identical to the portable regex chain on all fixture docs") {
+    val mismatches = docs.select(
+        Dedup.normalized($"text").as("fast"),
+        Dedup.normalizedPortable($"text").as("slow"))
+      .filter($"fast" =!= $"slow")
+      .count()
+    assert(mismatches === 0)
+  }
+
+  test("graft_normalize edge cases match the regex chain exactly") {
+    val cases = Seq(
+      "", " ", " \t\n\f\r ", "\u000b", "...", "a", "A", "  Hello,  World! ",
+      "a..b", ".a.", "tabs\tand\nnewlines", "digits123MIXED456",
+      " nbsp run ", "Émile Zola", "ÉÀÜ",
+      "ß sharp", "中文 words", "mixed 中ascii文 runs",
+      "🙂emoji🙂run", "𝕏math𝕏",
+      "ab", "under_score-dash", "1,234.56")
+    val rows = cases.toDF("t").select(
+        Dedup.normalized($"t").as("fast"),
+        Dedup.normalizedPortable($"t").as("slow"))
+      .collect()
+    rows.zip(cases).foreach { case (r, c) =>
+      assert(r.getString(0) === r.getString(1), s"input=<$c>") }
+    // null in, null out on both forms
+    val nr = Seq(Option.empty[String]).toDF("t")
+      .select(Dedup.normalized($"t"), Dedup.normalizedPortable($"t"))
+      .collect()(0)
+    assert(nr.isNullAt(0) && nr.isNullAt(1))
+  }
+
+  test("graft_normalize property: matches the regex chain on arbitrary unicode strings") {
+    // separator-run collapsing across every char class — whitespace,
+    // ASCII punctuation, multi-byte code points, supplementary plane —
+    // is the surface where a byte-level scan could diverge from the
+    // regex composition; generate adversarial mixes (seeded ScalaCheck,
+    // same offline-cache pattern as the md5 property above)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val charGen = Gen.frequency(
+      5 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf(' ', '\t', '\n', '\u000b', '\f', '\r', '.', ',', '_', '-'),
+      2 -> Gen.oneOf('é', 'ß', '中', '文', 'λ',
+        'Ω', 'É', ' '),
+      1 -> Gen.choose(0x20.toChar, 0x2FFF.toChar))
+    val strGen = for {
+      n <- Gen.chooseNum(0, 60)
+      cs <- Gen.listOfN(n, charGen)
+      tail <- Gen.oneOf("", "🙂", " 𝕏🙂 x ")
+    } yield cs.mkString + tail
+    val p = Gen.Parameters.default
+    val strs = Iterator.iterate(Seed(131L))(_.next)
+      .map(s => strGen.apply(p, s))
+      .collect { case Some(a) => a }
+      .take(500).toSeq
+    val mismatches = strs.toDF("t")
+      .select(
+        Dedup.normalized($"t").as("fast"),
+        Dedup.normalizedPortable($"t").as("slow"))
+      .filter($"fast" =!= $"slow")
+      .count()
+    assert(mismatches === 0)
+  }
+
 }
