@@ -57,6 +57,55 @@ object TextExpressions {
     (v << 4) | ((d(7) & 0xf0L) >>> 4)
   }
 
+  /** [[md5Prefix60]] over a byte range — the zero-slice-allocation form
+    * the CDC boundary scan uses per window position.
+    */
+  @inline def md5Prefix60Range(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val md = md5Local.get(); md.reset()
+    md.update(bytes, off, len)
+    val d = md.digest()
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+
+  /** Content-defined-chunking cut positions of a text in one pass:
+    * every 1-based start position i in [2, numChars−7] whose 8-char
+    * window has `md5Prefix60 % mod == 0`. Element-for-element equal to
+    * the exploded formulation
+    * `filter(i in sequence(2, len-7), graft_md5_hash60(substr(text, i, 8)) % mod = 0)`
+    * — same codepoint slicing (char→byte offsets walked once), same md5
+    * primitive — but the len× candidate rows never exist: the explode
+    * downstream emits only the ~len/mod boundary hits.
+    */
+  def cdcBoundaryPositions(s: UTF8String, mod: Long): ArrayData = {
+    val n = s.numChars()
+    if (n < 9)
+      return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val bytes = s.getBytes
+    // char→byte offset table (offs(c) = byte offset of 0-based char c)
+    val offs = new Array[Int](n + 1)
+    var c = 0
+    var b = 0
+    while (b < bytes.length) {
+      offs(c) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      c += 1
+    }
+    offs(n) = bytes.length
+    val builder = new scala.collection.mutable.ArrayBuilder.ofLong
+    var st = 2 // 1-based window start, window chars [st-1, st+7)
+    while (st <= n - 7) {
+      val from = offs(st - 1)
+      val to = offs(st + 7)
+      if (md5Prefix60Range(bytes, from, to - from) % mod == 0L)
+        builder += st.toLong
+      st += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(builder.result())
+  }
+
   /** 60-bit md5 SimHash — the native twin of `Dedup.simhashPortableHof`.
     * Null elements vote −1 on every lane (what the HOF's three-valued
     * `when` does on a null hash).
@@ -304,6 +353,37 @@ case class Md5Hash60(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.functions.TextExpressions.md5Prefix60($a);")
 }
 
+/** CDC cut positions of a text (see
+  * [[TextExpressions.cdcBoundaryPositions]]). SQL name:
+  * `graft_cdc_boundaries(text, mod)`. Differential-pinned against the
+  * exploded `graft_md5_hash60(substr(...)) % mod` chain it replaces.
+  */
+case class CdcBoundaries(child: Expression, mod: Long) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (mod <= 0) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires mod > 0, got $mod")
+    else child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string input, got ${other.sql}")
+    }
+  override def prettyName: String = "graft_cdc_boundaries"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    TextExpressions.cdcBoundaryPositions(input.asInstanceOf[UTF8String], mod)
+
+  // same stance as CharGramHashes: the work is md5 over byte windows
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str => {
+      val cls = classOf[CdcBoundaries].getName
+      val ref = ctx.addReferenceObj("cdcBoundariesExpr", this, cls)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($str);"
+    })
+}
+
 /** ENGINE-PORTABLE minhash lanes (md5 + affine family mod 2³¹−1) in one
   * pass. SQL name: `graft_minhash_md5(shingles, numHashes)`. Native fast
   * path of [[graft.operators.Dedup.minhashSignaturePortable]] —
@@ -510,6 +590,51 @@ case class ModeCount(child: Expression) extends UnaryExpression with StringArray
       i += 1
     }
     if (best == 0 && hasNull) 1 else best
+  }
+}
+
+/** Mode count of the ADJACENT-PAIR stream of a token array in one pass —
+  * the fused form of `graft_mode_count(bigrams(tokens))`. SQL name:
+  * `graft_bigram_mode_count(tokens)`. Pair i is keyed exactly as the HOF
+  * chain keys it (`concat_ws(' ', t[i], t[i+1])` — null tokens join as
+  * absent), so the count is identical element-for-element; arrays
+  * shorter than 2 return 0 (the caller's `size < 2` guard maps that to
+  * fraction 0). Replaces one interpreted zip_with lambda + struct
+  * allocation per token plus a second full-array mode pass.
+  */
+case class BigramModeCount(child: Expression)
+    extends UnaryExpression with StringArrayInput
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override protected def arrayChild: Expression = child
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = checkStringArray()
+  override def prettyName: String = "graft_bigram_mode_count"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < 2) return 0
+    val toks = new Array[UTF8String](n)
+    var j = 0
+    while (j < n) {
+      toks(j) = if (arr.isNullAt(j)) null else arr.getUTF8String(j)
+      j += 1
+    }
+    val counts = new java.util.HashMap[UTF8String, Int]()
+    var best = 0
+    var i = 0
+    while (i < n - 1) {
+      val bg = UTF8String.concatWs(space, toks(i), toks(i + 1))
+      val c = counts.merge(bg, 1, (a, b) => a + b)
+      if (c > best) best = c
+      i += 1
+    }
+    best
   }
 }
 

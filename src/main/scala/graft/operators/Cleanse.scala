@@ -85,8 +85,26 @@ object Cleanse {
   def topTokenFraction(text: Column): Column =
     maxRunFraction(TextAnalysis.tokens(text))
 
-  /** Fraction of bigrams taken by the single most common bigram. */
-  def topBigramFraction(text: Column): Column =
+  /** Fraction of bigrams taken by the single most common bigram.
+    * r12 (guide §1.2 step 2): fused native pair-mode pass
+    * ([[graft.functions.BigramModeCount]]) — the zip_with chain paid an
+    * interpreted lambda + struct allocation per token plus a second
+    * full-array mode scan; the fused count keys pairs exactly as
+    * `concat_ws(' ', a, b)` did, so the fraction is bit-identical
+    * (differential-pinned in TextExpressionsSpec). [[bigrams]] stays as
+    * the portable differential partner.
+    */
+  def topBigramFraction(text: Column): Column = {
+    val ts = TextAnalysis.tokens(text)
+    when(size(ts) < 2, 0.0).otherwise(
+      call_function("graft_bigram_mode_count", ts).cast("double") /
+        (size(ts) - 1).cast("double"))
+  }
+
+  /** [[topBigramFraction]] from the higher-order bigram chain — the
+    * portable differential-test twin.
+    */
+  def topBigramFractionHof(text: Column): Column =
     maxRunFraction(bigrams(text))
 
   // -- PII detection / redaction --------------------------------------------

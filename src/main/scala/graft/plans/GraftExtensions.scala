@@ -5,9 +5,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{BestLangByHits, CharGramHashes, CharTrigrams, WordGramHashes, CosineSimilarity, DotProduct, L2SqDistance, Md5Hash60, MinHashSig, MinHashSigMd5, ModeCount, MortonInterleave, NormalizeText, SimHash64, SimHashMd5, StopwordHits, WinnowSig, WordKGrams}
+import graft.functions.{BestLangByHits, BigramModeCount, CdcBoundaries, CharGramHashes, CharTrigrams, WordGramHashes, CosineSimilarity, DotProduct, L2SqDistance, Md5Hash60, MinHashSig, MinHashSigMd5, ModeCount, MortonInterleave, NormalizeText, SimHash64, SimHashMd5, StopwordHits, WinnowSig, WordKGrams}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -41,6 +41,13 @@ object GraftFunctions {
       (es: Seq[Expression]) => { arity("graft_simhash_md5", es, 1); SimHashMd5(es(0)) }),
     ("graft_md5_hash60", info("graft_md5_hash60", classOf[Md5Hash60]),
       (es: Seq[Expression]) => { arity("graft_md5_hash60", es, 1); Md5Hash60(es(0)) }),
+    ("graft_cdc_boundaries", info("graft_cdc_boundaries", classOf[CdcBoundaries]),
+      (es: Seq[Expression]) => { arity("graft_cdc_boundaries", es, 2); es(1) match {
+        case Literal(n: Int, IntegerType) => CdcBoundaries(es(0), n.toLong)
+        case Literal(n: Long, LongType) => CdcBoundaries(es(0), n)
+        case other => throw new IllegalArgumentException(
+          s"graft_cdc_boundaries mod must be an integer literal, got $other")
+      } }),
     ("graft_minhash_md5", info("graft_minhash_md5", classOf[MinHashSigMd5]),
       (es: Seq[Expression]) => { arity("graft_minhash_md5", es, 2); es(1) match {
         case Literal(n: Int, IntegerType) => MinHashSigMd5(es(0), n)
@@ -54,6 +61,10 @@ object GraftFunctions {
         BestLangByHits(es(0), es(1), es(2)) }),
     ("graft_mode_count", info("graft_mode_count", classOf[ModeCount]),
       (es: Seq[Expression]) => { arity("graft_mode_count", es, 1); ModeCount(es(0)) }),
+    ("graft_bigram_mode_count",
+      info("graft_bigram_mode_count", classOf[BigramModeCount]),
+      (es: Seq[Expression]) => { arity("graft_bigram_mode_count", es, 1)
+        BigramModeCount(es(0)) }),
     ("graft_morton", info("graft_morton", classOf[MortonInterleave]),
       (es: Seq[Expression]) => { arity("graft_morton", es, 3); es(2) match {
         case Literal(n: Int, IntegerType) => MortonInterleave(es(0), es(1), n)

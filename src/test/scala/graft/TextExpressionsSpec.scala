@@ -319,6 +319,50 @@ class TextExpressionsSpec extends SparkSuite {
     assert(short.isEmpty)
   }
 
+  test("graft_cdc_boundaries is identical to the exploded md5 chain per position") {
+    // the exploded formulation doc_cdc_chunks used through r11: every
+    // 1-based start in [2, len-7] whose 8-char window md5-prefix is
+    // ≡ 0 (mod 64)
+    val slow = expr(
+      "filter(sequence(2L, greatest(length(text) - 7, 1L)), " +
+        "i -> length(text) >= 9 and " +
+        "graft_md5_hash60(substring(text, cast(i as int), 8)) % 64 = 0)")
+    val mismatches = docs.select(
+        call_function("graft_cdc_boundaries", $"text", lit(64)).as("fast"),
+        when(length($"text") >= 9, slow)
+          .otherwise(expr("cast(array() as array<bigint>)")).as("slow"))
+      .filter($"fast" =!= $"slow").count()
+    assert(mismatches === 0L)
+    // multi-byte text: the window is CHAR-sliced, md5 runs over the
+    // UTF-8 bytes of the slice — same as substr — and short strings
+    // yield an empty array
+    val edge = Seq("", "tiny", "Émile Zola était là 中文 🙂 run run run",
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa")
+      .toDF("text")
+    val er = edge.select(
+        call_function("graft_cdc_boundaries", $"text", lit(64)).as("fast"),
+        when(length($"text") >= 9, slow)
+          .otherwise(expr("cast(array() as array<bigint>)")).as("slow"))
+      .collect()
+    er.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
+  test("graft_bigram_mode_count matches the HOF bigram mode chain on all fixture docs") {
+    val mismatches = docs.select(
+        graft.operators.Cleanse.topBigramFraction($"text").as("fast"),
+        graft.operators.Cleanse.topBigramFractionHof($"text").as("slow"))
+      .filter($"fast" =!= $"slow").count()
+    assert(mismatches === 0L)
+    // edge cases: empty, one token, repeated bigram, null-ish whitespace
+    val edge = Seq("", "one", "a b", "a b a b a", "x  y\tz x y",
+      "中文 中文 中文 run").toDF("text")
+    val er = edge.select(
+        graft.operators.Cleanse.topBigramFraction($"text").as("fast"),
+        graft.operators.Cleanse.topBigramFractionHof($"text").as("slow"))
+      .collect()
+    er.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
   test("graft_normalize is identical to the portable regex chain on all fixture docs") {
     val mismatches = docs.select(
         Dedup.normalized($"text").as("fast"),
