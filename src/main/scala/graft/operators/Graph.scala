@@ -60,6 +60,54 @@ object Graph {
     out
   }
 
+  /** A caller-owned shared layout for the directed iterative operators
+    * ([[pageRank]], [[personalizedPageRank]]): the edge list partitioned
+    * on the per-round join key and PERSISTED, plus the node/out-degree
+    * relation every round left-joins back to. A session running several
+    * analytics over the SAME graph builds this once and passes it to each
+    * call — the per-call canonicalize + repartition + cache-materialize +
+    * node/degree build (pure fixed overhead, identical math) then runs
+    * once per graph instead of once per call. The caller owns the two
+    * frames' lifecycle (the `*On` operators never unpersist them).
+    */
+  final class SharedDigraph(val edgesBySrc: DataFrame, val nodeDeg: DataFrame) {
+    /** Node count (the PageRank teleport denominator / broadcast gate);
+      * computed on first access so consumers that never need it
+      * ([[personalizedPageRank]]) pay no extra action.
+      */
+    lazy val nNodes: Long = nodeDeg.count()
+  }
+
+  /** Build a [[SharedDigraph]] from any (src, dst) edge list — the exact
+    * per-call setup [[pageRank]] always ran, factored out so it can be
+    * shared. `distinctEdges = true` asserts the input is already
+    * deduplicated and skips the canonicalization shuffle.
+    */
+  def sharedDigraph(edges: DataFrame,
+      distinctEdges: Boolean = false): SharedDigraph = {
+    // One exchange HERE buys iters−1 edge-list exchanges per consumer:
+    // the per-round join key is src, and repartitioned on it once and
+    // persisted, each round's join reuses this layout so only the
+    // node-sized rank vector moves per round (measured: PLANS.md round 7,
+    // graph exchange experiment).
+    val e =
+      (if (distinctEdges) edges.select(col("src"), col("dst"))
+       else edges.select(col("src"), col("dst")).distinct())
+        .repartition(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    // the out-degree is loop-invariant and node-sized: attach it to the
+    // node set ONCE and let it ride inside the rank vector, so every
+    // round is a single edge-scan join + destination-key aggregation —
+    // no separate per-round degree join
+    val deg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).cast("double").as("deg"))
+    val nd = nodes.join(deg, Seq("id"), "left_outer")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    new SharedDigraph(e, nd)
+  }
+
   /** Up to `iters` rounds of PageRank (Page et al. 1999) over a directed
     * edge list (src, dst), damping 0.85. Each round joins the rank vector
     * (which carries the out-degree, attached once before the loop — the
@@ -89,27 +137,26 @@ object Graph {
       tol: Double = 0.0,
       checkpointEvery: Int = DefaultCheckpointEvery,
       distinctEdges: Boolean = false): DataFrame = {
-    // One exchange HERE buys iters−1 edge-list exchanges: the per-round
-    // join key is src, but the upstream distinct (or a shared index's
-    // projection) leaves the list partitioned on (src, dst) — or not at
-    // all — so every round would re-shuffle the BIG side. Repartitioned
-    // on src once and cached, each round's join reuses this layout and
-    // only the node-sized rank vector moves per round (measured: see
-    // PLANS.md round 7, graph exchange experiment).
-    val e =
-      (if (distinctEdges) edges.select(col("src"), col("dst"))
-       else edges.select(col("src"), col("dst")).distinct())
-        .repartition(col("src")).cache()
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-    // the out-degree is loop-invariant and node-sized: attach it to the
-    // node set ONCE and let it ride inside the rank vector, so every
-    // round is a single edge-scan join + destination-key aggregation —
-    // no separate per-round degree join
-    val deg = e.groupBy(col("src").as("id"))
-      .agg(count(lit(1)).cast("double").as("deg"))
-    val nd = nodes.join(deg, Seq("id"), "left_outer").cache()
-    val n = nd.count()
+    val g = sharedDigraph(edges, distinctEdges)
+    pageRankCore(g, iters, damping, tol, checkpointEvery,
+      release = Seq(g.edgesBySrc, g.nodeDeg))
+  }
+
+  /** [[pageRank]] over a caller-owned [[SharedDigraph]]: identical rounds
+    * and math, but the layout build is skipped and the shared frames stay
+    * persisted on return (the caller owns their lifecycle).
+    */
+  def pageRankOn(g: SharedDigraph, iters: Int, damping: Double = 0.85,
+      tol: Double = 0.0,
+      checkpointEvery: Int = DefaultCheckpointEvery): DataFrame =
+    pageRankCore(g, iters, damping, tol, checkpointEvery, release = Nil)
+
+  private def pageRankCore(g: SharedDigraph, iters: Int, damping: Double,
+      tol: Double, checkpointEvery: Int,
+      release: Seq[DataFrame]): DataFrame = {
+    val e = g.edgesBySrc
+    val nd = g.nodeDeg
+    val n = g.nNodes
     // Rank-side broadcast, gated on the node count this call already
     // holds (r10 floor decomposition, PLANS.md): left to itself the
     // planner builds the hash relation from the EDGE list (BuildLeft)
@@ -158,7 +205,7 @@ object Graph {
       iter += 1
     }
     materializeAndRelease(
-      ranks.select(col("id"), col("rank")), e, nd)
+      ranks.select(col("id"), col("rank")), release: _*)
   }
 
   /** Personalized PageRank (Haveliwala 2002): identical round structure
@@ -183,16 +230,29 @@ object Graph {
       damping: Double = 0.85,
       checkpointEvery: Int = DefaultCheckpointEvery,
       distinctEdges: Boolean = false): DataFrame = {
-    val e =
-      (if (distinctEdges) edges.select(col("src"), col("dst"))
-       else edges.select(col("src"), col("dst")).distinct())
-        .repartition(col("src")).cache()
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-    val deg = e.groupBy(col("src").as("id"))
-      .agg(count(lit(1)).cast("double").as("deg"))
-    val nd = nodes
-      .join(deg, Seq("id"), "left_outer")
+    val g = sharedDigraph(edges, distinctEdges)
+    personalizedPageRankCore(g, seeds, iters, damping, checkpointEvery,
+      release = Seq(g.edgesBySrc, g.nodeDeg))
+  }
+
+  /** [[personalizedPageRank]] over a caller-owned [[SharedDigraph]]:
+    * identical rounds and math, the layout build is skipped, and only the
+    * per-call seeded node vector is cached (and released on return) —
+    * the shared frames stay persisted for the caller's next consumer.
+    */
+  def personalizedPageRankOn(g: SharedDigraph, seeds: DataFrame, iters: Int,
+      damping: Double = 0.85,
+      checkpointEvery: Int = DefaultCheckpointEvery): DataFrame =
+    personalizedPageRankCore(g, seeds, iters, damping, checkpointEvery,
+      release = Nil)
+
+  private def personalizedPageRankCore(g: SharedDigraph, seeds: DataFrame,
+      iters: Int, damping: Double, checkpointEvery: Int,
+      release: Seq[DataFrame]): DataFrame = {
+    val e = g.edgesBySrc
+    // seed membership is per-call state: attach it to the shared node
+    // vector once (node-sized join) and cache the result for the rounds
+    val nd = g.nodeDeg
       .join(seeds.select(col("id")).distinct().withColumn("seed", lit(1)),
         Seq("id"), "left_outer")
       .cache()
@@ -227,7 +287,7 @@ object Graph {
       iter += 1
     }
     materializeAndRelease(
-      ranks.select(col("id"), col("rank")), e, nd)
+      ranks.select(col("id"), col("rank")), (release :+ nd): _*)
   }
 
   /** Synchronous label-propagation community detection (Raghavan et al.
@@ -266,6 +326,22 @@ object Graph {
     // once so rounds reuse the layout (same rationale as [[pageRank]])
     val sym = (if (canonicalEdges) both else both.distinct())
       .repartition(col("dst")).cache()
+    labelPropagationCore(sym, iters, checkpointEvery, release = Seq(sym))
+  }
+
+  /** [[labelPropagation]] over a caller-owned symmetrized edge layout —
+    * already deduplicated, both directions present, partitioned on `dst`
+    * (the per-round join key) and persisted. Identical rounds; the shared
+    * frame stays persisted on return. A symmetric relation equals its own
+    * column-swapped transpose, so a layout partitioned on the OTHER key
+    * can be fed through `select(dst as src, src as dst)`.
+    */
+  def labelPropagationOn(symByDst: DataFrame, iters: Int,
+      checkpointEvery: Int = DefaultCheckpointEvery): DataFrame =
+    labelPropagationCore(symByDst, iters, checkpointEvery, release = Nil)
+
+  private def labelPropagationCore(sym: DataFrame, iters: Int,
+      checkpointEvery: Int, release: Seq[DataFrame]): DataFrame = {
     val nodes = sym.select(col("src").as("id")).distinct()
     var labels = nodes.withColumn("label", col("id"))
     var iter = 0
@@ -284,7 +360,7 @@ object Graph {
         iter + 1, checkpointEvery)
       iter += 1
     }
-    materializeAndRelease(labels, sym)
+    materializeAndRelease(labels, release: _*)
   }
 
   /** Fixed-round k-core peeling (Seidman 1983): each round drops every
@@ -320,6 +396,20 @@ object Graph {
     val sym =
       if (canonicalEdges) both
       else both.filter(col("src") =!= col("dst")).distinct().cache()
+    kCoreCore(sym, k, rounds, checkpointEvery,
+      release = if (canonicalEdges) Nil else Seq(sym))
+  }
+
+  /** [[kCore]] over a caller-owned symmetrized edge layout — already
+    * deduplicated and self-loop-free, both directions present, persisted.
+    * Identical peel rounds; the shared frame stays persisted on return.
+    */
+  def kCoreOn(sym: DataFrame, k: Int, rounds: Int,
+      checkpointEvery: Int = 1): DataFrame =
+    kCoreCore(sym, k, rounds, checkpointEvery, release = Nil)
+
+  private def kCoreCore(sym: DataFrame, k: Int, rounds: Int,
+      checkpointEvery: Int, release: Seq[DataFrame]): DataFrame = {
     var alive = sym
     var r = 0
     while (r < rounds) {
@@ -336,7 +426,7 @@ object Graph {
     }
     materializeAndRelease(
       alive.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")),
-      (if (canonicalEdges) Nil else Seq(sym)): _*)
+      release: _*)
   }
 
   /** Triangle count plus global clustering coefficient over an
@@ -650,6 +740,20 @@ object Graph {
       (if (canonicalEdges) both
        else both.filter(col("src") =!= col("dst")).distinct())
         .repartition(col("src")).cache()
+    bfsHopsCore(sym, seeds, rounds, checkpointEvery, release = Seq(sym))
+  }
+
+  /** [[bfsHops]] over a caller-owned symmetrized edge layout — already
+    * deduplicated and self-loop-free, both directions present,
+    * partitioned on `src` (the per-round join key) and persisted.
+    * Identical rounds; the shared frame stays persisted on return.
+    */
+  def bfsHopsOn(symBySrc: DataFrame, seeds: DataFrame, rounds: Int,
+      checkpointEvery: Int = 1): DataFrame =
+    bfsHopsCore(symBySrc, seeds, rounds, checkpointEvery, release = Nil)
+
+  private def bfsHopsCore(sym: DataFrame, seeds: DataFrame, rounds: Int,
+      checkpointEvery: Int, release: Seq[DataFrame]): DataFrame = {
     var visited = seeds.select(col("id")).distinct()
       .withColumn("dist", lit(0))
     var frontier = visited.select("id")
@@ -665,7 +769,7 @@ object Graph {
         visited.union(frontier.withColumn("dist", lit(r))), r, checkpointEvery)
       r += 1
     }
-    materializeAndRelease(visited, sym)
+    materializeAndRelease(visited, release: _*)
   }
 
   /** Widest-path (maximum-bottleneck) capacities from a seed set over a
@@ -694,6 +798,20 @@ object Graph {
         .as("e"))
       .select(col("e.s").as("src"), col("e.d").as("dst"), col("e.w").as("w"))
       .repartition(col("src")).cache()
+    widestPathsCore(sym, seeds, rounds, checkpointEvery, release = Seq(sym))
+  }
+
+  /** [[widestPaths]] over a caller-owned symmetrized weighted edge layout
+    * (src, dst, w) — both directions present, partitioned on `src` and
+    * persisted. Identical relax rounds; the shared frame stays persisted
+    * on return.
+    */
+  def widestPathsOn(symBySrc: DataFrame, seeds: DataFrame, rounds: Int,
+      checkpointEvery: Int = 1): DataFrame =
+    widestPathsCore(symBySrc, seeds, rounds, checkpointEvery, release = Nil)
+
+  private def widestPathsCore(sym: DataFrame, seeds: DataFrame, rounds: Int,
+      checkpointEvery: Int, release: Seq[DataFrame]): DataFrame = {
     var best = seeds.select(col("id"), col("cap"))
     var frontier = best
     var r = 1
@@ -713,7 +831,7 @@ object Graph {
         r, checkpointEvery)
       r += 1
     }
-    materializeAndRelease(best, sym)
+    materializeAndRelease(best, release: _*)
   }
 
   /** Adamic–Adar link prediction (Adamic & Adar 2003) over an undirected

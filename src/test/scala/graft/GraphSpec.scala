@@ -410,4 +410,65 @@ class GraphSpec extends SparkSuite {
     assert(Graph.adamicAdar(star).count() === 6L) // C(4,2) leaf pairs
     assert(Graph.adamicAdar(star, maxCenterDegree = 3).count() === 0L)
   }
+
+  test("shared-layout *On operators are bit-identical to the self-building ones") {
+    // r13: the iterative operators gained shared-layout entry points that
+    // skip the per-call canonicalize/repartition/cache. The rounds must be
+    // IDENTICAL — same joins, same float arithmetic — so every *On result
+    // is compared bitwise (doubles via java.lang.Double.compare) against
+    // the original operator on the same graph, including the
+    // column-swapped symmetric view label propagation consumes.
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 1L), (4L, 3L), (6L, 3L),
+      (6L, 5L), (8L, 5L), (8L, 7L), (10L, 7L), (10L, 1L)).toDF("src", "dst")
+    val g = Graph.sharedDigraph(edges, distinctEdges = true)
+    def ranksOf(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pr0 = ranksOf(Graph.pageRank(edges, iters = 5, distinctEdges = true))
+    val pr1 = ranksOf(Graph.pageRankOn(g, iters = 5))
+    assert(pr0.keySet === pr1.keySet)
+    pr0.foreach { case (k, v) =>
+      assert(java.lang.Double.compare(v, pr1(k)) === 0, s"pageRank node $k") }
+    val seeds = Seq(1L, 3L).toDF("id")
+    val pp0 = ranksOf(Graph.personalizedPageRank(edges, seeds, iters = 4,
+      distinctEdges = true))
+    val pp1 = ranksOf(Graph.personalizedPageRankOn(g, seeds, iters = 4))
+    assert(pp0.keySet === pp1.keySet)
+    pp0.foreach { case (k, v) =>
+      assert(java.lang.Double.compare(v, pp1(k)) === 0, s"ppr node $k") }
+    // symmetric layout partitioned on src; swapped view feeds LP (dst key)
+    val sym = edges.select(explode(array(
+        struct($"src".as("s"), $"dst".as("d")),
+        struct($"dst".as("s"), $"src".as("d")))).as("e"))
+      .select($"e.s".as("src"), $"e.d".as("dst"))
+      .repartition($"src").cache()
+    val lp0 = Graph.labelPropagation(edges, iters = 3, canonicalEdges = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lp1 = Graph.labelPropagationOn(
+        sym.select($"dst".as("src"), $"src".as("dst")), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lp0 === lp1)
+    val bf0 = Graph.bfsHops(edges, seeds, rounds = 3, canonicalEdges = true)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val bf1 = Graph.bfsHopsOn(sym, seeds, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(bf0 === bf1)
+    val kc0 = Graph.kCore(edges, k = 2, rounds = 3, canonicalEdges = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kc1 = Graph.kCoreOn(sym, k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kc0 === kc1)
+    val wedges = edges.withColumn("w", $"src" + $"dst")
+    val wsym = wedges.select(explode(array(
+        struct($"src".as("s"), $"dst".as("d"), $"w".as("w")),
+        struct($"dst".as("s"), $"src".as("d"), $"w".as("w")))).as("e"))
+      .select($"e.s".as("src"), $"e.d".as("dst"), $"e.w".as("w"))
+      .repartition($"src").cache()
+    val wseeds = Seq((1L, 100L)).toDF("id", "cap")
+    val wp0 = Graph.widestPaths(wedges, wseeds, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wp1 = Graph.widestPathsOn(wsym, wseeds, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wp0 === wp1)
+    Seq(g.edgesBySrc, g.nodeDeg, sym, wsym).foreach(_.unpersist())
+  }
 }
