@@ -156,6 +156,141 @@ object TextExpressions {
     }
     UnsafeArrayData.fromPrimitiveArray(sig)
   }
+
+  // -- PII byte-level matchers ([[PiiScan]]) --------------------------------
+  // All pattern chars are ASCII, so the scans run on raw UTF-8 bytes;
+  // see the PiiScan scaladoc for the Java-regex-equivalence argument.
+
+  private[functions] val EmailTag = "<EMAIL>".getBytes("UTF-8")
+  private[functions] val PhoneTag = "<PHONE>".getBytes("UTF-8")
+  private[functions] val UrlTag = "<URL>".getBytes("UTF-8")
+
+  @inline private def isAlphaB(b: Byte): Boolean =
+    (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')
+  @inline private def isDigitB(b: Byte): Boolean = b >= '0' && b <= '9'
+  // [A-Za-z0-9._%+-]
+  @inline private def isLocalB(b: Byte): Boolean =
+    isAlphaB(b) || isDigitB(b) || b == '.' || b == '_' || b == '%' ||
+      b == '+' || b == '-'
+  // [A-Za-z0-9.-]
+  @inline private def isDomainB(b: Byte): Boolean =
+    isAlphaB(b) || isDigitB(b) || b == '.' || b == '-'
+  // Java \s (default, non-UNICODE): [ \t\n\x0B\f\r]
+  @inline private def isSpaceB(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  private[functions] def spanCount(spans: Array[Int]): Int = spans.length / 2
+
+  /** Non-overlapping leftmost matches of the email pattern, as flattened
+    * (start, end) byte offsets. See [[PiiScan]] for the backtracking
+    * argument; this is the Java engine's search order made explicit.
+    */
+  private[functions] def findEmails(s: Array[Byte]): Array[Int] = {
+    val n = s.length
+    val out = new scala.collection.mutable.ArrayBuffer[Int]()
+    var prevEnd = 0
+    var at = 1 // '@' needs ≥1 local char before it
+    while (at < n) {
+      if (s(at) != '@') at += 1
+      else {
+        var matchedEnd = -1
+        if (at - 1 >= prevEnd && isLocalB(s(at - 1))) {
+          // greedy local part: no backtracking possible ('@' ∉ class)
+          var l0 = at - 1
+          while (l0 > prevEnd && isLocalB(s(l0 - 1))) l0 -= 1
+          val b0 = at + 1
+          if (b0 < n && isDomainB(s(b0))) {
+            var b1 = b0 + 1
+            while (b1 < n && isDomainB(s(b1))) b1 += 1
+            // domain backtracking: split the maximal run at the
+            // RIGHTMOST '.' that leaves ≥2 letters (greedy maximal run)
+            var k = b1 - 1
+            while (k >= b0 + 1 && matchedEnd < 0) {
+              if (s(k) == '.') {
+                var m = k + 1
+                while (m < b1 && isAlphaB(s(m))) m += 1
+                if (m - (k + 1) >= 2) { out += l0; out += m; matchedEnd = m }
+              }
+              k -= 1
+            }
+          }
+        }
+        if (matchedEnd >= 0) { prevEnd = matchedEnd; at = matchedEnd + 1 }
+        else at += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** Non-overlapping leftmost matches of `\d{3}[-.]\d{3}[-.]\d{4}`. */
+  private[functions] def findPhones(s: Array[Byte]): Array[Int] = {
+    val n = s.length
+    val out = new scala.collection.mutable.ArrayBuffer[Int]()
+    @inline def sep(b: Byte): Boolean = b == '-' || b == '.'
+    var i = 0
+    while (i + 12 <= n) {
+      if (isDigitB(s(i)) && isDigitB(s(i + 1)) && isDigitB(s(i + 2)) &&
+        sep(s(i + 3)) &&
+        isDigitB(s(i + 4)) && isDigitB(s(i + 5)) && isDigitB(s(i + 6)) &&
+        sep(s(i + 7)) &&
+        isDigitB(s(i + 8)) && isDigitB(s(i + 9)) && isDigitB(s(i + 10)) &&
+        isDigitB(s(i + 11))) {
+        out += i; out += i + 12
+        i += 12
+      } else i += 1
+    }
+    out.toArray
+  }
+
+  /** Non-overlapping leftmost matches of `https?://[^\s]+`. */
+  private[functions] def findUrls(s: Array[Byte]): Array[Int] = {
+    val n = s.length
+    val out = new scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    while (i + 8 <= n) { // "http://" + ≥1 tail byte is the minimum
+      if (s(i) == 'h' && s(i + 1) == 't' && s(i + 2) == 't' &&
+        s(i + 3) == 'p') {
+        // optional 's' tried greedily first — Java's order. No explicit
+        // give-back branch is needed: when the 's' is taken, the
+        // without-'s' alternative would require ':' at the position the
+        // 's' occupies, which can never hold — the single shifted check
+        // below therefore covers the full backtracking order.
+        var j = i + 4
+        if (j < n && s(j) == 's') j += 1
+        var end = -1
+        if (j + 2 < n && s(j) == ':' && s(j + 1) == '/' && s(j + 2) == '/') {
+          val tail0 = j + 3
+          var m = tail0
+          while (m < n && !isSpaceB(s(m))) m += 1
+          if (m > tail0) end = m
+        }
+        if (end > 0) { out += i; out += end; i = end } else i += 1
+      } else i += 1
+    }
+    out.toArray
+  }
+
+  /** Replace every (start, end) span with `tag`, in one output build. */
+  private[functions] def replaceSpans(s: Array[Byte], spans: Array[Int],
+      tag: Array[Byte]): Array[Byte] = {
+    if (spans.isEmpty) return s
+    var kept = 0
+    var i = 0
+    while (i < spans.length) { kept += spans(i + 1) - spans(i); i += 2 }
+    val out = new Array[Byte](s.length - kept + (spans.length / 2) * tag.length)
+    var src = 0
+    var dst = 0
+    i = 0
+    while (i < spans.length) {
+      val st = spans(i); val en = spans(i + 1)
+      System.arraycopy(s, src, out, dst, st - src); dst += st - src
+      System.arraycopy(tag, 0, out, dst, tag.length); dst += tag.length
+      src = en
+      i += 2
+    }
+    System.arraycopy(s, src, out, dst, s.length - src)
+    out
+  }
 }
 
 private[functions] trait StringArrayInput { self: Expression =>
@@ -1058,5 +1193,89 @@ case class NormalizeText(child: Expression) extends UnaryExpression {
       val cls = classOf[NormalizeText].getName
       val ref = ctx.addReferenceObj("normalizeExpr", this, cls)
       s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $ref.nullSafeEval($str);"
+    })
+}
+
+/** Fused PII scan in byte-level passes. SQL name: `graft_pii_scan(text)`.
+  * Returns `struct(n_emails INT, n_phones INT, n_urls INT,
+  * redacted STRING)` — exactly the four values the portable chain
+  * computes with FOUR Java-regex traversals plus three more inside the
+  * chained replace ([[graft.operators.Cleanse]]): counts are
+  * non-overlapping leftmost matches of the email/phone/URL patterns on
+  * the ORIGINAL text; `redacted` replaces emails with `<EMAIL>` first,
+  * then phones with `<PHONE>` in that result, then URLs with `<URL>` in
+  * that result (order is the contract — CleanseSpec pins it).
+  *
+  * Bit-compatibility with Java regex (leftmost-first, greedy):
+  *
+  * - email `[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}`: `@` is not
+  *   in the local-part class, so the greedy local run never backtracks;
+  *   the domain backtracks only over where `\.` splits the maximal
+  *   [A-Za-z0-9.-] run — the scan tries every split point k from the
+  *   rightmost down (Java's give-back-one-at-a-time order) and takes the
+  *   greedy maximal letter run after it (≥2). A failed `@` resumes the
+  *   scan one position later, which lands on the next `@` — chars
+  *   between are domain-class and cannot start a new match earlier.
+  * - phone `\d{3}[-.]\d{3}[-.]\d{4}`: fixed 12-char window slid left to
+  *   right, skipping past each match (non-overlap).
+  * - URL `https?://[^\s]+`: literal prefix (optional `s` tried greedily
+  *   first, exactly Java's order) then the maximal non-whitespace run,
+  *   which must be non-empty. `\s` is the ASCII set
+  *   [ \t\n\x0B\f\r] — Java's default, non-UNICODE semantics.
+  *
+  * Every pattern char is ASCII and UTF-8 guarantees ASCII bytes occur
+  * only as ASCII code points, so the byte-level scan is char-exact on
+  * multibyte input (non-ASCII bytes are ≥ 0x80: never whitespace, never
+  * in any class, and URL tails swallow them exactly like Java's
+  * `[^\s]+`). Differential-pinned against the regex chain in
+  * TextExpressionsSpec on adversarial + random inputs (the
+  * `graft_normalize` playbook).
+  *
+  * Why native: the 1000× probe measured chained Java regex at
+  * ~0.3 MB/s/core on corpus text — the dominant per-byte constant of any
+  * normalize-shaped operator at 100 TB. These passes run at memory
+  * bandwidth with zero regex-engine state.
+  */
+case class PiiScan(child: Expression) extends UnaryExpression {
+  import TextExpressions._
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_emails", IntegerType, nullable = false),
+    StructField("n_phones", IntegerType, nullable = false),
+    StructField("n_urls", IntegerType, nullable = false),
+    StructField("redacted", StringType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.sql}")
+  }
+  override def prettyName: String = "graft_pii_scan"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any = {
+    val orig = input.asInstanceOf[UTF8String].getBytes
+    // counts run on the ORIGINAL text (the query contract: three
+    // independent regexp_extract_all over `text`); the email pass doubles
+    // as redaction pass 1 because that one also runs on the original
+    val emailSpans = findEmails(orig)
+    val nPhones = spanCount(findPhones(orig))
+    val nUrls = spanCount(findUrls(orig))
+    // redaction chain: email → phone → URL, each pass over the PREVIOUS
+    // pass's output (the placeholders themselves are matchable text for
+    // the later passes, exactly as in the chained regexp_replace)
+    val r1 = replaceSpans(orig, emailSpans, EmailTag)
+    val r2 = replaceSpans(r1, findPhones(r1), PhoneTag)
+    val r3 = replaceSpans(r2, findUrls(r2), UrlTag)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](spanCount(emailSpans), nPhones, nUrls,
+        UTF8String.fromBytes(r3)))
+  }
+
+  // same stance as NormalizeText: the row cost is the byte passes
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str => {
+      val cls = classOf[PiiScan].getName
+      val ref = ctx.addReferenceObj("piiScanExpr", this, cls)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.nullSafeEval($str);"
     })
 }

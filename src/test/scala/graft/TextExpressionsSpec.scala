@@ -426,4 +426,98 @@ class TextExpressionsSpec extends SparkSuite {
     assert(mismatches === 0)
   }
 
+  // -- graft_pii_scan vs the Java-regex chain -------------------------------
+
+  private def piiBothSides(df: org.apache.spark.sql.DataFrame) = {
+    import graft.operators.Cleanse
+    df.select(
+      Cleanse.piiScan($"t").as("fast"),
+      Cleanse.emailCount($"t").as("se"),
+      Cleanse.phoneCount($"t").as("sp"),
+      Cleanse.urlCount($"t").as("su"),
+      Cleanse.redact($"t").as("sr"))
+  }
+
+  private def assertPiiAgrees(df: org.apache.spark.sql.DataFrame): Unit = {
+    val mismatches = piiBothSides(df).filter(
+      $"fast.n_emails" =!= $"se" || $"fast.n_phones" =!= $"sp" ||
+        $"fast.n_urls" =!= $"su" || $"fast.redacted" =!= $"sr")
+    val bad = mismatches.limit(3).collect()
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
+  test("graft_pii_scan matches the regex chain on all fixture docs with synthetic PII") {
+    assertPiiAgrees(graft.operators.Cleanse.withSyntheticPii(docs)
+      .select($"text".as("t")))
+  }
+
+  test("graft_pii_scan edge cases match the regex chain exactly") {
+    val cases = Seq(
+      "", " ", "plain text, no pii at all",
+      // email backtracking over the domain run
+      "a@b.co", "a@b.co.uk", "a@b.c", "a@b..com", "x@y.c-m", "a@b.comX",
+      "a@b.cc@d.ee", "user.name+tag%x_y@sub-domain.example.ORG",
+      "@nolocal.com", "nodomain@", "a@.com", "a@x.", "a@x", "a@@b.com",
+      "trailing a@b.com", "a@b.com trailing", "a@b.coma@c.de",
+      // digits adjacent to emails (email-first ordering is the contract)
+      "5551234567a@b.com", "555-123-4567@x.org", "a@123-456-7890.com",
+      // phones: separators, overlap, truncation
+      "555-123-4567", "555.123.4567", "555-123.4567", "5551234567",
+      "123-456-789", "x123-456-78901-234-5678y", "99123-456-7890",
+      "123-456-7890-123-456-7890",
+      // URLs: greedy tails, optional s, punctuation, placeholders
+      "http://x", "https://x", "http://", "https:// space", "httpx://y",
+      "hhttp://x.com", "see https://a.b/c?d=e&f=g#h, end",
+      "http://a http://b", "https://exämple.com/päth",
+      "a@b.com inside http://url.com/a@b.com",
+      "http://site.com/555-123-4567 and 555-123-4567",
+      "text<EMAIL>with<PHONE>placeholders<URL>already",
+      // unicode around every pattern
+      "中文a@b.com中文 555-123-4567🙂 https://x.y/z🙂 end",
+      "é@b.com", "a@bé.com", "a@b.cé", "🙂555-123-4567🙂",
+      // whitespace classes bounding URL tails ( IS Java \s)
+      "http://a\tb", "http://ab", "http://a\fb", "http://a\rb")
+    val rows = piiBothSides(cases.toDF("t")).collect()
+    rows.zip(cases).foreach { case (r, c) =>
+      val f = r.getStruct(0)
+      assert(f.getInt(0) === r.getInt(1), s"n_emails on <$c>")
+      assert(f.getInt(1) === r.getInt(2), s"n_phones on <$c>")
+      assert(f.getInt(2) === r.getInt(3), s"n_urls on <$c>")
+      assert(f.getString(3) === r.getString(4), s"redacted on <$c>")
+    }
+    // null in, null out on both forms
+    val nr = Seq(Option.empty[String]).toDF("t")
+      .select(graft.operators.Cleanse.piiScan($"t"),
+        graft.operators.Cleanse.redact($"t")).collect()(0)
+    assert(nr.isNullAt(0) && nr.isNullAt(1))
+  }
+
+  test("graft_pii_scan property: matches the regex chain on adversarial fragment mixes") {
+    // build strings from PII-shaped fragments so matches, near-misses and
+    // pattern collisions are dense (a uniform char soup almost never
+    // forms an email); same seeded-generator pattern as the normalize
+    // property test
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val fragGen = Gen.frequency(
+      3 -> Gen.oneOf("a", "bc", "Z9", "中", "🙂", " ", "  ", "\t", "\n"),
+      3 -> Gen.oneOf("@", ".", "-", "_", "%", "+", ":", "/", "<", ">"),
+      2 -> Gen.oneOf("@b.com", "a@", "x@y.", ".co", ".c", "com", "uk",
+        "example.org", "sub-domain", "user+tag"),
+      2 -> Gen.oneOf("555", "123-", "456-7890", "-4567", "012.345.6789",
+        "99", "1234"),
+      2 -> Gen.oneOf("http://", "https://", "http:/", "https", "://",
+        "http://x.y/", "?q=1&r=2#f", "<EMAIL>", "<PHONE>", "<URL>"))
+    val strGen = for {
+      n <- Gen.chooseNum(0, 24)
+      fs <- Gen.listOfN(n, fragGen)
+    } yield fs.mkString
+    val p = Gen.Parameters.default
+    val strs = Iterator.iterate(Seed(977L))(_.next)
+      .map(s => strGen.apply(p, s))
+      .collect { case Some(a) => a }
+      .take(800).toSeq
+    assertPiiAgrees(strs.toDF("t"))
+  }
+
 }
