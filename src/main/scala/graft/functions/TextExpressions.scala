@@ -1196,6 +1196,87 @@ case class NormalizeText(child: Expression) extends UnaryExpression {
     })
 }
 
+/** Term-frequency vector over a FIXED vocabulary in one token pass. SQL
+  * name: `graft_vocab_counts(tokens, vocab)` with `vocab` a foldable
+  * array literal; returns `array<double>` with element j = the count of
+  * vocab(j) in `tokens` — exactly the higher-order chain
+  * `transform(vocab, w -> cast(size(filter(tokens, t -> t = w)) as
+  * double))`, which re-scans the token array once PER VOCAB WORD with an
+  * interpreted lambda (O(V·T) comparisons per row). This pass hashes
+  * each token once into a map built once per expression instance
+  * (O(T + V) per row). Counts are exact integers in doubles — bit-equal
+  * to the chain by construction; duplicate vocab entries each receive
+  * the count (position-wise, like the chain); null tokens match nothing
+  * (the chain's `null = w` filters false); null input → null.
+  */
+case class VocabCounts(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        if (right.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a foldable vocabulary array")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<string> inputs, got $other")
+    }
+  override def prettyName: String = "graft_vocab_counts"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  // vocab is foldable: hash it once per expression instance. firstIdx(j)
+  // carries duplicate positions back to the counted slot so repeated
+  // vocab entries stay position-wise identical to the HOF chain.
+  @transient private lazy val (vocabIdx, firstIdx) = {
+    val arr = right.eval(null).asInstanceOf[ArrayData]
+    val n = if (arr == null) 0 else arr.numElements()
+    val m = new java.util.HashMap[UTF8String, Integer](n * 2)
+    val first = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) first(i) = -1
+      else {
+        val w = arr.getUTF8String(i).clone()
+        val prior = m.putIfAbsent(w, Integer.valueOf(i))
+        first(i) = if (prior == null) i else prior.intValue()
+      }
+      i += 1
+    }
+    (m, first)
+  }
+
+  override def nullSafeEval(tokens: Any, vocab: Any): Any = {
+    val ts = tokens.asInstanceOf[ArrayData]
+    val counts = new Array[Double](firstIdx.length)
+    var i = 0
+    val nt = ts.numElements()
+    while (i < nt) {
+      if (!ts.isNullAt(i)) {
+        val idx = vocabIdx.get(ts.getUTF8String(i))
+        if (idx != null) counts(idx.intValue()) += 1.0
+      }
+      i += 1
+    }
+    val out = new Array[Double](firstIdx.length)
+    var j = 0
+    while (j < firstIdx.length) {
+      out(j) = if (firstIdx(j) < 0) 0.0 else counts(firstIdx(j))
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  // same stance as the other token-loop expressions
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (ts, vs) => {
+      val cls = classOf[VocabCounts].getName
+      val ref = ctx.addReferenceObj("vocabCountsExpr", this, cls)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($ts, $vs);"
+    })
+}
+
 /** Fused PII scan in byte-level passes. SQL name: `graft_pii_scan(text)`.
   * Returns `struct(n_emails INT, n_phones INT, n_urls INT,
   * redacted STRING)` — exactly the four values the portable chain

@@ -314,14 +314,19 @@ object TextAnalysis {
       labelCol: String = "source"): DataFrame = {
     import org.apache.spark.ml.classification.NaiveBayes
     import org.apache.spark.ml.functions.array_to_vector
+    graft.plans.GraftFunctions.register(docs.sparkSession)
     val ts = tokens(lower(col(textCol)))
     val vocab = docs.select(explode(ts).as("w")).distinct()
       .orderBy("w").collect().map(_.getString(0))
     val labels = docs.select(col(labelCol)).distinct()
       .orderBy(labelCol).collect().map(_.getString(0))
     val idxUdf = typedLit(labels)
-    val tf = transform(typedLit(vocab.toSeq),
-      w => size(filter(ts, t => t === w)).cast("double"))
+    // r13 (guide §1.2 step 2): one hashed token pass per document
+    // (graft_vocab_counts) replaces the interpreted V-scans-per-document
+    // HOF chain `transform(vocab, w -> size(filter(ts, t = w)))` —
+    // identical exact-integer counts, differential-pinned in
+    // TextExpressionsSpec; O(T + V) per row instead of O(V·T).
+    val tf = call_function("graft_vocab_counts", ts, typedLit(vocab.toSeq))
     // fit AND transform read the feature frame: materialize the vector
     // build once instead of running the V×tokens HOF assembly twice
     val feat = docs.select(col(labelCol).as("actual"),

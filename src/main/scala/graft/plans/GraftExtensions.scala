@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{BestLangByHits, BigramModeCount, CdcBoundaries, CharGramHashes, CharTrigrams, WordGramHashes, CosineSimilarity, DotProduct, L2SqDistance, Md5Hash60, MinHashSig, MinHashSigMd5, ModeCount, MortonInterleave, NormalizeText, PiiScan, SimHash64, SimHashMd5, StopwordHits, WinnowSig, WordKGrams}
+import graft.functions.{BestLangByHits, BigramModeCount, CdcBoundaries, CharGramHashes, CharTrigrams, WordGramHashes, CosineSimilarity, DotProduct, L2SqDistance, Md5Hash60, MinHashSig, MinHashSigMd5, ModeCount, MortonInterleave, NormalizeText, PiiScan, SimHash64, SimHashMd5, StopwordHits, VocabCounts, WinnowSig, WordKGrams}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -99,6 +99,9 @@ object GraftFunctions {
       (es: Seq[Expression]) => { arity("graft_normalize", es, 1); NormalizeText(es(0)) }),
     ("graft_pii_scan", info("graft_pii_scan", classOf[PiiScan]),
       (es: Seq[Expression]) => { arity("graft_pii_scan", es, 1); PiiScan(es(0)) }),
+    ("graft_vocab_counts", info("graft_vocab_counts", classOf[VocabCounts]),
+      (es: Seq[Expression]) => { arity("graft_vocab_counts", es, 2)
+        VocabCounts(es(0), es(1)) }),
     // Spark's own codegen'd bloom-membership predicate (the one runtime
     // row-level filtering injects), surfaced by name so operators can
     // pre-filter a shuffle with a driver-built sketch WITHOUT dropping

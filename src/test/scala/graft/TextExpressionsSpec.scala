@@ -520,4 +520,32 @@ class TextExpressionsSpec extends SparkSuite {
     assertPiiAgrees(strs.toDF("t"))
   }
 
+  test("graft_vocab_counts matches the per-word HOF count chain on all fixture docs") {
+    val ts = TextAnalysis.tokens(lower($"text"))
+    val vocab = docs.select(explode(ts).as("w")).distinct()
+      .orderBy("w").collect().map(_.getString(0)).toSeq
+    def hof(v: Seq[String]) =
+      transform(typedLit(v), w => size(filter(ts, t => t === w)).cast("double"))
+    val mismatches = docs.select(
+        call_function("graft_vocab_counts", ts, typedLit(vocab)).as("fast"),
+        hof(vocab).as("slow"))
+      .filter($"fast" =!= $"slow").count()
+    assert(mismatches === 0L)
+    // duplicate + unseen vocab entries count position-wise like the chain
+    val dupVocab = Seq(vocab.head, "never-a-token", vocab.head)
+    val dr = docs.limit(50).select(
+        call_function("graft_vocab_counts", ts, typedLit(dupVocab)).as("fast"),
+        hof(dupVocab).as("slow"))
+      .filter($"fast" =!= $"slow").count()
+    assert(dr === 0L)
+    // empty tokens → all-zero vector; null tokens element matches nothing
+    val edge = Seq(Seq.empty[String], Seq("a", "b", "a"), Seq("b", null, "b"))
+      .toDF("toks")
+    val er = edge.select(call_function("graft_vocab_counts", $"toks",
+        typedLit(Seq("a", "b", "c"))).as("c")).collect()
+    assert(er(0).getSeq[Double](0) === Seq(0.0, 0.0, 0.0))
+    assert(er(1).getSeq[Double](0) === Seq(2.0, 1.0, 0.0))
+    assert(er(2).getSeq[Double](0) === Seq(0.0, 2.0, 0.0))
+  }
+
 }
