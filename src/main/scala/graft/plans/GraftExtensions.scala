@@ -32,28 +32,37 @@ object GraftFunctions {
     ("graft_simhash", info("graft_simhash", classOf[SimHash64]),
       (es: Seq[Expression]) => { arity("graft_simhash", es, 1); SimHash64(es(0)) }),
     ("graft_minhash", info("graft_minhash", classOf[MinHashSig]),
-      (es: Seq[Expression]) => { arity("graft_minhash", es, 2); es(1) match {
-        case Literal(n: Int, IntegerType) => MinHashSig(es(0), n)
-        case other => throw new IllegalArgumentException(
-          s"graft_minhash numHashes must be an integer literal, got $other")
-      } }),
+      (es: Seq[Expression]) => { arity("graft_minhash", es, 2)
+        requireFoldable("graft_minhash", "numHashes", "\"INT\"", es(1)) match {
+          case Literal(n: Int, IntegerType) => MinHashSig(es(0), n)
+          case other => throw new org.apache.spark.sql.AnalysisException(
+            "NON_FOLDABLE_ARGUMENT",
+            Map("funcName" -> "`graft_minhash`", "paramName" -> "`numHashes`",
+              "paramType" -> "\"INT\""))
+        } }),
     ("graft_simhash_md5", info("graft_simhash_md5", classOf[SimHashMd5]),
       (es: Seq[Expression]) => { arity("graft_simhash_md5", es, 1); SimHashMd5(es(0)) }),
     ("graft_md5_hash60", info("graft_md5_hash60", classOf[Md5Hash60]),
       (es: Seq[Expression]) => { arity("graft_md5_hash60", es, 1); Md5Hash60(es(0)) }),
     ("graft_cdc_boundaries", info("graft_cdc_boundaries", classOf[CdcBoundaries]),
-      (es: Seq[Expression]) => { arity("graft_cdc_boundaries", es, 2); es(1) match {
-        case Literal(n: Int, IntegerType) => CdcBoundaries(es(0), n.toLong)
-        case Literal(n: Long, LongType) => CdcBoundaries(es(0), n)
-        case other => throw new IllegalArgumentException(
-          s"graft_cdc_boundaries mod must be an integer literal, got $other")
-      } }),
+      (es: Seq[Expression]) => { arity("graft_cdc_boundaries", es, 2)
+        requireFoldable("graft_cdc_boundaries", "mod", "\"INT\"", es(1)) match {
+          case Literal(n: Int, IntegerType) => CdcBoundaries(es(0), n.toLong)
+          case Literal(n: Long, LongType) => CdcBoundaries(es(0), n)
+          case other => throw new org.apache.spark.sql.AnalysisException(
+            "NON_FOLDABLE_ARGUMENT",
+            Map("funcName" -> "`graft_cdc_boundaries`", "paramName" -> "`mod`",
+              "paramType" -> "\"INT\""))
+        } }),
     ("graft_minhash_md5", info("graft_minhash_md5", classOf[MinHashSigMd5]),
-      (es: Seq[Expression]) => { arity("graft_minhash_md5", es, 2); es(1) match {
-        case Literal(n: Int, IntegerType) => MinHashSigMd5(es(0), n)
-        case other => throw new IllegalArgumentException(
-          s"graft_minhash_md5 numHashes must be an integer literal, got $other")
-      } }),
+      (es: Seq[Expression]) => { arity("graft_minhash_md5", es, 2)
+        requireFoldable("graft_minhash_md5", "numHashes", "\"INT\"", es(1)) match {
+          case Literal(n: Int, IntegerType) => MinHashSigMd5(es(0), n)
+          case other => throw new org.apache.spark.sql.AnalysisException(
+            "NON_FOLDABLE_ARGUMENT",
+            Map("funcName" -> "`graft_minhash_md5`", "paramName" -> "`numHashes`",
+              "paramType" -> "\"INT\""))
+        } }),
     ("graft_stopword_hits", info("graft_stopword_hits", classOf[StopwordHits]),
       (es: Seq[Expression]) => { arity("graft_stopword_hits", es, 2); StopwordHits(es(0), es(1)) }),
     ("graft_lang_best", info("graft_lang_best", classOf[BestLangByHits]),
@@ -66,11 +75,14 @@ object GraftFunctions {
       (es: Seq[Expression]) => { arity("graft_bigram_mode_count", es, 1)
         BigramModeCount(es(0)) }),
     ("graft_morton", info("graft_morton", classOf[MortonInterleave]),
-      (es: Seq[Expression]) => { arity("graft_morton", es, 3); es(2) match {
-        case Literal(n: Int, IntegerType) => MortonInterleave(es(0), es(1), n)
-        case other => throw new IllegalArgumentException(
-          s"graft_morton bits must be an integer literal, got $other")
-      } }),
+      (es: Seq[Expression]) => { arity("graft_morton", es, 3)
+        requireFoldable("graft_morton", "bits", "\"INT\"", es(2)) match {
+          case Literal(n: Int, IntegerType) => MortonInterleave(es(0), es(1), n)
+          case other => throw new org.apache.spark.sql.AnalysisException(
+            "NON_FOLDABLE_ARGUMENT",
+            Map("funcName" -> "`graft_morton`", "paramName" -> "`bits`",
+              "paramType" -> "\"INT\""))
+        } }),
     ("graft_word_gram_hashes",
       info("graft_word_gram_hashes", classOf[WordGramHashes]),
       (es: Seq[Expression]) => { arity("graft_word_gram_hashes", es, 2)
@@ -133,6 +145,24 @@ object GraftFunctions {
   private def arity(name: String, es: Seq[Expression], n: Int): Unit =
     if (es.length != n) throw new IllegalArgumentException(
       s"$name requires exactly $n arguments, got ${es.length}")
+
+  /** Reject a non-literal (or NULL-literal) scalar parameter with a real
+    * AnalysisException on Spark's own error classes, instead of a raw
+    * IllegalArgumentException that surfaces as an internal error
+    * (ADVICE r12). Returns the matched literal so builders can pattern
+    * on it after the guard.
+    */
+  private def requireFoldable(func: String, param: String, tpe: String,
+      e: Expression): Literal = e match {
+    case Literal(null, _) => throw new org.apache.spark.sql.AnalysisException(
+      "INVALID_PARAMETER_VALUE.NULL",
+      Map("parameter" -> s"`$param`", "functionName" -> s"`$func`"))
+    case l: Literal => l
+    case _ => throw new org.apache.spark.sql.AnalysisException(
+      "NON_FOLDABLE_ARGUMENT",
+      Map("funcName" -> s"`$func`", "paramName" -> s"`$param`",
+        "paramType" -> tpe))
+  }
 }
 
 /** `spark.sql.extensions` entry point. */

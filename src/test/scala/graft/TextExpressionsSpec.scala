@@ -520,6 +520,25 @@ class TextExpressionsSpec extends SparkSuite {
     assertPiiAgrees(strs.toDF("t"))
   }
 
+  test("literal-parameter guards raise AnalysisException with a real error class") {
+    // ADVICE r12: a non-literal (or NULL) scalar parameter must surface
+    // as an AnalysisException on Spark's own error classes, not as a raw
+    // IllegalArgumentException that reads like an internal error
+    val nonLit = intercept[org.apache.spark.sql.AnalysisException] {
+      docs.select(expr("graft_cdc_boundaries(text, length(text))")).collect()
+    }
+    assert(nonLit.getCondition === "NON_FOLDABLE_ARGUMENT", nonLit.getMessage)
+    val nullLit = intercept[org.apache.spark.sql.AnalysisException] {
+      docs.select(expr("graft_cdc_boundaries(text, null)")).collect()
+    }
+    assert(nullLit.getCondition === "INVALID_PARAMETER_VALUE.NULL",
+      nullLit.getMessage)
+    val morton = intercept[org.apache.spark.sql.AnalysisException] {
+      docs.select(expr("graft_morton(1, 2, length(text))")).collect()
+    }
+    assert(morton.getCondition === "NON_FOLDABLE_ARGUMENT", morton.getMessage)
+  }
+
   test("graft_vocab_counts matches the per-word HOF count chain on all fixture docs") {
     val ts = TextAnalysis.tokens(lower($"text"))
     val vocab = docs.select(explode(ts).as("w")).distinct()

@@ -5,6 +5,8 @@
 # best-of-2 map once per invocation. Warmup at sf0.001 stays ON so the
 # numbers are steady-state (JIT/codegen warm), matching the in-suite regime.
 set -e
+# Bench stderr goes to /tmp/qbench_err.log (ADVICE r12: discarding it made a
+# bad query name or a Bench crash fail the pipeline with no diagnostics).
 ONLY="$1"
 REPS="${2:-2}"
 SF="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
@@ -15,7 +17,7 @@ for i in $(seq 1 "$REPS"); do
   SPARK_GRAFT_BENCH_OUT=/tmp/qbench_out.json \
   java -cp "target/scala-2.13/classes:/opt/spark/jars/*" -Xmx8g \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-    $ADD_OPENS graft.Bench 2>/dev/null | grep '"queries"' \
+    $ADD_OPENS graft.Bench 2>/tmp/qbench_err.log | { grep '"queries"' || { echo "qbench: no queries line from Bench (see /tmp/qbench_err.log)" >&2; exit 1; }; } \
     | python3 -c 'import json,sys
 d=json.loads(sys.stdin.read())
 for k,v in d["queries"].items(): print(f"{v:8.3f}  {k}")
